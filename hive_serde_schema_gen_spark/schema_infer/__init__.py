@@ -1,0 +1,59 @@
+"""Layer A — the faithful core: NDJSON → Hive DDL schema inference,
+re-expressed as a distributed Spark aggregation (SURVEY §2 operators 1-9)."""
+
+from .errors import BadJson, InconsistentArray, RowMismatch, SchemaGenError
+from .infer import (
+    InferenceResult,
+    infer_json_column,
+    infer_ndjson_strings,
+    infer_path,
+    parse_line,
+)
+from .lattice import (
+    BOOL,
+    EMPTY_STRUCT,
+    UNKNOWN,
+    Arr,
+    Bool,
+    Descriptor,
+    Num,
+    Str,
+    Struct,
+    Unknown,
+    describe,
+    merge,
+    observe,
+)
+from .render import VARCHAR_MAX, render_definition, render_table, render_type
+from .spark_schema import to_spark_schema, to_spark_type
+
+__all__ = [
+    "BadJson",
+    "InconsistentArray",
+    "RowMismatch",
+    "SchemaGenError",
+    "InferenceResult",
+    "infer_json_column",
+    "infer_ndjson_strings",
+    "infer_path",
+    "parse_line",
+    "BOOL",
+    "EMPTY_STRUCT",
+    "UNKNOWN",
+    "Arr",
+    "Bool",
+    "Descriptor",
+    "Num",
+    "Str",
+    "Struct",
+    "Unknown",
+    "describe",
+    "merge",
+    "observe",
+    "VARCHAR_MAX",
+    "render_definition",
+    "render_table",
+    "render_type",
+    "to_spark_schema",
+    "to_spark_type",
+]

@@ -1,0 +1,268 @@
+"""Distributed NDJSON schema inference — the Spark-native pipeline.
+
+The reference runs a sequential fold over a lazy line iterator in a single
+JVM thread (``/root/reference/Schemer.scala:7-14``).  Here the same fold is a
+classic **partial/final distributed aggregation**:
+
+    sc.textFile(path)                       # operator 1: line-delimited scan
+      .mapPartitionsWithIndex(local fold)   # operators 2-4: parse + observe,
+                                            #   one partial schema per partition
+      → driver: prefix-sum line counts, merge partials in partition order
+                                            # final merge (first-seen field order)
+
+Each partition emits exactly one tiny record (partition id, line count,
+partial descriptor or first error), so the driver-side work is O(partitions ×
+schema size) — at 100 TB / 128 MB splits that is ~800k small merges, still
+driver-trivial, and the heavy parse work is embarrassingly parallel.  Line
+numbers are exact without a ``zipWithIndex`` second job: local offsets +
+driver prefix sums (SURVEY §7 "cheap line numbers at scale").
+
+Error semantics (``FAILFAST``, the reference's behavior): the first bad line
+in *file order* aborts the run.  Because every partition stops at its first
+error, the first erroring partition in partition order always carries the
+globally-first error (its predecessors completed with full counts).  A
+cross-partition kind conflict that only surfaces in the driver's final merge
+triggers one targeted re-scan of the conflicting partition, seeded with the
+accumulated schema, to recover the exact line — an extra job on the error
+path only.  ``PERMISSIVE`` instead skips bad rows and returns sampled errors.
+
+``infer_json_column`` applies the same lattice to a DataFrame string column
+(e.g. ``events.props``) via Arrow-batched ``mapInPandas`` — the Spark-idiomatic
+fast path when the JSON is already a column rather than a raw file.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import pickle
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Iterator, List, Optional, Tuple
+
+from .errors import BadJson, SchemaGenError
+from .lattice import EMPTY_STRUCT, Descriptor, Struct, merge, observe
+from .render import render_definition, render_table
+
+_MAX_ERROR_SAMPLES = 20
+
+
+def parse_line(text: str):
+    """Parse one NDJSON line.
+
+    ``parse_float=Decimal`` preserves the literal's textual scale so numeric
+    widening matches the reference's play-json ``BigDecimal`` semantics
+    (``Schemer.scala:13,52``): ``10.0`` is scale 1, ``0.12`` is scale 2.
+    """
+    return json.loads(text, parse_float=Decimal)
+
+
+@dataclass
+class LineError:
+    line: Optional[int]
+    message: str
+
+
+@dataclass
+class InferenceResult:
+    schema: Descriptor
+    lines: int
+    errors: List[LineError] = field(default_factory=list)
+
+    def definition(self, indent: int = 0) -> str:
+        return render_definition(self.schema, indent)
+
+    def table(self, name: str, file: str) -> str:
+        return render_table(self.schema, name, file)
+
+
+# One record per partition: (pid, lines_seen, ok, payload)
+#   ok=True  → payload = (pickled partial descriptor, permissive error list)
+#   ok=False → payload = (local_line_of_first_error, pickled exception)
+_PartRec = Tuple[int, int, bool, bytes]
+
+
+def _fold_partition(pid: int, it: Iterator[str], permissive: bool):
+    schema: Descriptor = EMPTY_STRUCT
+    n = 0
+    errors: List[Tuple[int, str]] = []
+    for raw in it:
+        n += 1
+        try:
+            value = parse_line(raw)
+        except ValueError as e:
+            err: SchemaGenError = BadJson(raw, str(e), line=n)
+            if permissive:
+                if len(errors) < _MAX_ERROR_SAMPLES:
+                    errors.append((n, type(err).__name__ + ": " + str(e)))
+                continue
+            yield (pid, n, False, pickle.dumps(err))
+            return
+        try:
+            schema = observe(schema, value, line=n)
+        except SchemaGenError as e:
+            if permissive:
+                if len(errors) < _MAX_ERROR_SAMPLES:
+                    errors.append((n, type(e).__name__))
+                continue
+            if getattr(e, "raw", None) is None and hasattr(e, "raw"):
+                e.raw = value
+            yield (pid, n, False, pickle.dumps(e))
+            return
+    yield (pid, n, True, pickle.dumps((schema, errors)))
+
+
+def _rescan_partition(target_pid: int, seed_b64: str):
+    """Closure for the error-path re-scan: fold only ``target_pid`` seeded
+    with the schema accumulated from all earlier partitions, to recover the
+    exact line of a conflict first seen at driver merge time."""
+
+    def f(pid: int, it: Iterator[str]):
+        if pid != target_pid:
+            return
+        schema: Descriptor = pickle.loads(base64.b64decode(seed_b64))
+        n = 0
+        for raw in it:
+            n += 1
+            try:
+                value = parse_line(raw)
+                schema = observe(schema, value, line=n)
+            except SchemaGenError as e:
+                if getattr(e, "raw", None) is None and hasattr(e, "raw"):
+                    e.raw = value
+                yield (n, pickle.dumps(e))
+                return
+
+    return f
+
+
+def infer_path(
+    spark,
+    path: str,
+    mode: str = "FAILFAST",
+    min_partitions: Optional[int] = None,
+    sampling_ratio: Optional[float] = None,
+) -> InferenceResult:
+    """Infer the schema of an NDJSON file/glob distributively.
+
+    ``mode="FAILFAST"`` reproduces the reference's first-bad-line abort with
+    an exact line number; ``"PERMISSIVE"`` skips bad rows and returns up to
+    20 sampled errors per partition.  ``sampling_ratio`` (like
+    ``spark.read.json``'s option) infers from a deterministic row sample —
+    line numbers are then relative to the sample and reported as None.
+    """
+    permissive = mode.upper() == "PERMISSIVE"
+    sc = spark.sparkContext
+    rdd = sc.textFile(path, minPartitions=min_partitions) if min_partitions else sc.textFile(path)
+    sampled = sampling_ratio is not None and sampling_ratio < 1.0
+    if sampled:
+        rdd = rdd.sample(False, float(sampling_ratio), seed=42)
+
+    recs: List[_PartRec] = rdd.mapPartitionsWithIndex(
+        lambda pid, it: _fold_partition(pid, it, permissive)
+    ).collect()
+    recs.sort(key=lambda r: r[0])
+
+    # Prefix-sum the per-partition line counts → global line offsets.
+    offsets = {}
+    total = 0
+    for pid, n, _ok, _payload in recs:
+        offsets[pid] = total
+        total += n
+
+    # FAILFAST: surface the first error in file order.
+    for pid, n, ok, payload in recs:
+        if not ok:
+            err: SchemaGenError = pickle.loads(payload)
+            local = err.line or n
+            raise err.with_line((None if sampled else offsets[pid] + local))
+
+    # Final merge, in partition order for deterministic first-seen fields.
+    schema: Descriptor = EMPTY_STRUCT
+    all_errors: List[LineError] = []
+    for pid, _n, _ok, payload in recs:
+        partial, errors = pickle.loads(payload)
+        try:
+            schema = merge(schema, partial)
+        except SchemaGenError:
+            schema = _merge_conflict_rescan(spark, rdd, pid, schema, offsets, sampled)
+        for local, msg in errors:
+            all_errors.append(
+                LineError(None if sampled else offsets[pid] + local, msg)
+            )
+    return InferenceResult(schema, total, all_errors)
+
+
+def _merge_conflict_rescan(spark, rdd, pid, schema, offsets, sampled):
+    seed = base64.b64encode(pickle.dumps(schema)).decode()
+    found = rdd.mapPartitionsWithIndex(_rescan_partition(pid, seed)).collect()
+    if found:
+        local, payload = found[0]
+        err = pickle.loads(payload)
+        raise err.with_line(None if sampled else offsets[pid] + local)
+    raise SchemaGenError(f"partition {pid} conflicts with prior schema")  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# DataFrame string-column inference (Arrow path)
+# ---------------------------------------------------------------------------
+
+
+def infer_json_column(df, column: str, permissive: bool = False) -> Descriptor:
+    """Infer the lattice schema of a JSON-bearing string column.
+
+    Uses ``mapInPandas``: each Arrow batch folds locally in Python, each task
+    emits one pickled partial descriptor; the driver merges partials in
+    partition order.  At cluster scale this moves only O(partitions) tiny
+    blobs to the driver.  Null cells are skipped (column-level nullability,
+    not a row error).
+    """
+    from pyspark import TaskContext
+
+    def fold(batches):
+        import pandas as pd  # noqa: F401  (worker-side)
+
+        pid = TaskContext.get().partitionId()
+        schema: Descriptor = EMPTY_STRUCT
+        for pdf in batches:
+            for raw in pdf[column]:
+                if raw is None:
+                    continue
+                try:
+                    schema = observe(schema, parse_line(raw))
+                except (SchemaGenError, ValueError):
+                    if not permissive:
+                        raise
+        yield __import__("pandas").DataFrame(
+            {"pid": [pid], "blob": [pickle.dumps(schema)]}
+        )
+
+    parts = (
+        df.select(column)
+        .mapInPandas(fold, schema="pid int, blob binary")
+        .collect()
+    )
+    schema: Descriptor = EMPTY_STRUCT
+    for row in sorted(parts, key=lambda r: r["pid"]):
+        schema = merge(schema, pickle.loads(bytes(row["blob"])))
+    return schema
+
+
+def infer_ndjson_strings(lines: Iterator[str]) -> InferenceResult:
+    """Single-process fold over an iterable of lines (testing / tiny inputs).
+    Semantics identical to the distributed path."""
+    schema: Descriptor = EMPTY_STRUCT
+    n = 0
+    for raw in lines:
+        n += 1
+        try:
+            value = parse_line(raw)
+        except ValueError as e:
+            raise BadJson(raw, str(e), line=n)
+        try:
+            schema = observe(schema, value, line=n)
+        except SchemaGenError as e:
+            if getattr(e, "raw", None) is None and hasattr(e, "raw"):
+                e.raw = value
+            raise e.with_line(n)
+    return InferenceResult(schema, n)
