@@ -1,0 +1,376 @@
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH, SimHash,
+and n-gram Jaccard (the embedding-cosine variant lives in ``similarity.py``).
+
+Scale design:
+
+- **Exact dedup** groups on a 16-byte md5 digest, not the text body — the
+  shuffle moves digests, not documents.
+- **MinHash+LSH** is the linear-time near-dup path: shingle → k minhashes →
+  band → candidate pairs only for docs sharing a band bucket → exact-Jaccard
+  verify on candidates.  Cost is O(docs × shingles) + O(candidates), never
+  O(docs²).
+- **n-gram Jaccard (exact)** is the quadratic-verify baseline used to
+  validate LSH recall at small SF; at 100 TB you only ever run it on LSH
+  candidates (which is exactly how ``dedup_minhash_lsh`` uses it).
+- All hashes are md5-derived (first 8 hex digits → int) so the DuckDB oracle
+  can reproduce them bit-for-bit — and so results don't depend on any
+  engine's partition-local hash seed.
+
+Hash-scheme note: Spark's built-in ``hash``/``xxhash64`` would be ~3× faster
+than md5 here, but is not reproducible in the oracle engine; at production
+scale you'd swap ``_hash_expr`` for ``xxhash64`` — a one-line change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+N_HASHES = 16  # minhash signature length
+BAND_SIZE = 4  # rows per LSH band → 4 bands; P(candidate) = 1-(1-j^4)^4
+SHINGLE = 3  # words per shingle
+JACCARD_THRESHOLD = 0.8
+
+
+# ---------------------------------------------------------------------------
+# Shared building blocks (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def tokens_df(d: DataFrame) -> DataFrame:
+    """(doc_id, tok, ord) — positional tokens, 1-based like the oracle."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "tok")).select(
+        "doc_id", "tok", (F.col("pos") + 1).alias("ord")
+    )
+
+
+def shingles_df(d: DataFrame) -> DataFrame:
+    """Distinct word-3-shingles per doc, built array-side (one transform —
+    no self-joins): slice a sliding window over the token array."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)),
+    )
+    # guard: sequence(0, negative) would generate a DESCENDING range
+    sh = F.when(F.size(toks) < SHINGLE, F.array().cast("array<string>")).otherwise(
+        windows
+    )
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def _hash_expr(seed_col, shingle_col):
+    """Deterministic 32-bit hash: first 8 hex digits of
+    md5(seed ':' shingle) — reproducible in any engine with md5."""
+    payload = F.concat(
+        seed_col.cast("string"), F.lit(":"), shingle_col
+    ).cast("binary")
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+_SQL_SHD = """
+    toks AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+      FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks FROM documents)),
+    sh AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                  JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content digest: group on md5(text) (16 bytes shuffled
+    per row instead of the document body), keep the smallest doc_id as
+    canonical.  Deterministic — unlike ``dropDuplicates``, which keeps an
+    arbitrary partition-dependent row."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    """Keep-first-row-per-content dedup as a window (the deterministic form
+    of ``dropDuplicates(["text"])``)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise on shingle-sharing pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHD},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (≥ {thr}).
+
+    Only docs sharing at least one shingle ever pair (the shingle equi-join
+    IS the candidate generation), so cost tracks shared-shingle pairs, not
+    all pairs.  Integer intersection / union counts → exact double division
+    → deterministic threshold.
+    """.format(thr=JACCARD_THRESHOLD)
+    d = load_table(spark, sf_dir, "documents")
+    shd = shingles_df(d).cache()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = shd.alias("x")
+    y = shd.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shd: DataFrame) -> DataFrame:
+    """(doc_id, seed, mh): minhash per (doc, seed) — one explode over seeds,
+    one groupBy; shuffle size is docs × N_HASHES small rows."""
+    seeded = shd.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
+    )
+    h = _hash_expr(F.col("seed"), F.col("shingle"))
+    return (
+        seeded.select("doc_id", "seed", h.alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHD},
+    mh AS (
+      SELECT s.doc_id, seeds.seed,
+             MIN(CAST(concat('0x', substr(md5(CAST(seeds.seed AS VARCHAR) || ':' || s.shingle), 1, 8)) AS BIGINT)) AS mh
+      FROM shd s CROSS JOIN (SELECT unnest(range({N_HASHES})) AS seed) seeds
+      GROUP BY s.doc_id, seeds.seed),
+    bands AS (
+      SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, CAST(seed // {BAND_SIZE} AS INTEGER)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c JOIN shd x ON x.doc_id = c.doc_a
+                  JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) AS jaccard
+    FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+                    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= {JACCARD_THRESHOLD}
+    ORDER BY v.doc_a, v.doc_b
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup detection: {n} md5-minhashes, {b}-row bands →
+    docs sharing a band bucket become candidates → exact-Jaccard verify.
+
+    The banding join touches only (docs × bands) rows; candidate
+    verification touches only shingles of candidate docs.  This is the
+    100 TB near-dup path (the exact pairwise query is its recall baseline).
+    """.format(n=N_HASHES, b=BAND_SIZE)
+    d = load_table(spark, sf_dir, "documents")
+    shd = shingles_df(d).cache()
+    mh = minhash_signatures(shd)
+    bands = (
+        mh.withColumn("band", F.floor(F.col("seed") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = shd.alias("x")
+    y = shd.alias("y")
+    verified = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        verified.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS tok
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM toks),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      FROM th CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+      GROUP BY doc_id, b.bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document: each distinct token votes ±1 on every bit
+    of its md5-derived hash; the sign pattern is the signature.  Near-dups
+    are then low-Hamming-distance pairs (signature join/bucketing — at scale
+    you bucket on signature prefixes like LSH bands)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        ).distinct()
+    )
+    th = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bits = (
+        th.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("w") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,810 @@
+"""Relational query surface — scans, filters, joins, aggregations, windows,
+set operations, scalar functions (SURVEY §2 Layer B).
+
+Every query here is stock DataFrame/SQL: Catalyst handles predicate pushdown,
+column pruning and join-strategy selection (AQE re-plans at runtime).  Scale
+notes are per-query docstrings; the recurring themes:
+
+- **Broadcast the dims.**  region/nation are O(1)-sized at every SF; the
+  customer/supplier/part dims grow with SF but stay well under the broadcast
+  threshold until very large SFs — AQE picks broadcast automatically when the
+  post-filter size is small, and we hint `F.broadcast` where the small side is
+  structurally guaranteed.
+- **Shuffles only on true keys.**  Joins/aggs shuffle on their join/group
+  keys once; no repartition-then-groupBy double shuffles.
+- **Exact decimal money math** (see ``functions.decimal_safe``): results are
+  identical across partitionings — and across engines, which is what the
+  DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.decimal_safe import dec, money_sum, one
+from ..registry import query
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                          AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*)               AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: full-scan aggregate over lineitem.
+
+    Scale: one shuffle on (returnflag, linestatus) — 6 groups, so the
+    map-side partial aggregation collapses ~everything before the exchange;
+    the parquet scan prunes to 7 of 11 columns and pushes the shipdate
+    filter.  l_quantity is integral-valued, so its double SUM is exact;
+    monetary sums go through decimal (order-independent)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = (dec("l_extendedprice") * (one() - dec("l_discount", 3))).cast(
+        "decimal(18,4)"
+    )
+    charge = (disc_price * (one() + dec("l_tax", 3))).cast("decimal(24,6)")
+    n = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity").cast("double") / n).alias("avg_qty"),
+            (money_sum("l_extendedprice") / n).alias("avg_price"),
+            (F.sum(dec("l_discount", 3)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) — Spark expands to a two-phase aggregate; partial
+    distinct on the mappers keeps the shuffle proportional to distinct keys,
+    not rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    """ROLLUP: hierarchical subtotals in one pass (Spark expands the grouping
+    sets before the exchange — still a single shuffle)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_agg(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL API (same Catalyst plan as the DataFrame
+    form — the SQL surface is first-class in this engine)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "pivot_events",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS "view",
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS "error"
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_events(spark, sf_dir):
+    """Pivot (long→wide): one shuffle on user_id; the explicit value list
+    avoids the extra distinct-values job Spark otherwise runs."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: selective dim filter → fact join → top-k.
+
+    Scale: customer is filtered on mktsegment (~1/5) before the join, so AQE
+    sees a small build side and broadcasts it; the lineitem⋈orders join
+    shuffles on orderkey (both sides keyed the same — one exchange each).
+    Top-k is a global sort of an already-aggregated (small) result."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = (dec("l_extendedprice") * (one() - dec("l_discount", 3))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey   = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey   = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5: six-way join.
+
+    Scale: region(5)⋈nation(25) are broadcast by construction (F.broadcast —
+    they are O(1)-sized at every SF).  The join order keeps the fact table
+    last so all dim filters reduce it before the big shuffles; the
+    supplier-nation co-location predicate rides on the same join."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = (dec("l_extendedprice") * (one() - dec("l_discount", 3))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def join_broadcast_dim(spark, sf_dir):
+    """Explicit broadcast join: nation is 25 rows at every SF — shipping it
+    to every executor beats shuffling the customer table by nationkey."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark, sf_dir):
+    """LEFT SEMI join ≡ EXISTS: no duplication of the left side, and the
+    right side reduces to its join keys before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark, sf_dir):
+    """LEFT ANTI join ≡ NOT EXISTS — customers that never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_outer_agg",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey ORDER BY c.c_custkey
+    """,
+)
+def join_outer_agg(spark, sf_dir):
+    """LEFT OUTER join preserving customers with zero orders (COUNT of the
+    nullable key counts 0 for them)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections / sort / limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1.0 + l_tax) AS gross
+    FROM lineitem
+    WHERE l_quantity >= 48 AND l_discount < 0.02
+      AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def filter_project(spark, sf_dir):
+    """Scan+filter+project: both predicates and the 6-column projection reach
+    the parquet reader (PushedFilters/ReadSchema — asserted in
+    tests/test_plans.py).  Per-row double arithmetic is deterministic (no
+    reduction), so no decimal dance is needed."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_quantity") >= 48)
+            & (F.col("l_discount") < 0.02)
+            & (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax"))).alias("gross"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject — each partition keeps
+    its local top-25, only k×partitions rows reach the driver (no full
+    sort).  Unique tiebreaker (o_orderkey) makes the cut deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part) WHERE rn <= 3
+    ORDER BY p_brand, rn
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-k per group via ROW_NUMBER: one shuffle on the partition key;
+    Spark's WindowGroupLimit pushes the rn<=3 limit into the sort at scale."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        p.select(
+            "p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Running total per customer.  The window SUM runs over decimal: window
+    implementations are free to reassociate (DuckDB uses a segment tree), so
+    only exact arithmetic is order-proof."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        ).orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_vs_prev
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    """LAG: per-row double subtraction (deterministic, no reduction)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_vs_prev"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    SELECT o_orderstatus, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+)
+def window_share_of_total(spark, sf_dir):
+    """Aggregate + unpartitioned window over the (tiny) aggregate result —
+    the OVER () runs on 3 rows, not the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "o_orderstatus",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(W.partitionBy())).alias("share"),
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(1 + SUM(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM (
+        SELECT user_id,
+               epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM events)
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization (guide pattern): LAG on the event stream, gap>30 min
+    starts a new session.  One shuffle on user_id serves both the window and
+    the aggregate (same key → Catalyst reuses the partitioning)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.select(
+        "user_id",
+        (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms"),
+    )
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.lit(1)
+                + F.sum(F.when(F.col("gap_ms") > 1800000, 1).otherwise(0))
+            ).alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+def _custkeys_in_year(spark, sf_dir, year: int):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.year("o_orderdate") == year).select("o_custkey").distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    ORDER BY o_custkey
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """INTERSECT — customers active in both years."""
+    a = _custkeys_in_year(spark, sf_dir, 1996)
+    b = _custkeys_in_year(spark, sf_dir, 1997)
+    return a.intersect(b).orderBy("o_custkey")
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    ORDER BY o_custkey
+    """,
+)
+def set_except(spark, sf_dir):
+    """EXCEPT — churned customers (1996 but not 1997)."""
+    a = _custkeys_in_year(spark, sf_dir, 1996)
+    b = _custkeys_in_year(spark, sf_dir, 1997)
+    return a.exceptAll(b).distinct().orderBy("o_custkey")
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    UNION
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    ORDER BY o_custkey
+    """,
+)
+def set_union(spark, sf_dir):
+    """UNION (distinct)."""
+    a = _custkeys_in_year(spark, sf_dir, 1996)
+    b = _custkeys_in_year(spark, sf_dir, 1997)
+    return a.union(b).distinct().orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions & subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                        AS name_upper,
+           SUBSTR(p_name, 1, 8)                 AS name_prefix,
+           LENGTH(p_name)                       AS name_len,
+           CONCAT(p_brand, '/', p_type)         AS brand_type,
+           REPLACE(p_brand, 'Brand#', 'B')      AS brand_short
+    FROM part WHERE p_type LIKE '%PROMO%' ORDER BY p_partkey
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    """String function surface: upper/substr/length/concat/replace/LIKE —
+    all JVM expressions inside whole-stage codegen."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%PROMO%"))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+            F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)    AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)   AS m,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monthly_total
+    FROM orders GROUP BY 1, 2 ORDER BY y, m
+    """,
+)
+def scalar_date_funcs(spark, sf_dir):
+    """Date part extraction + monthly aggregate (timestamps leave the result
+    as ints — raw timestamps never cross the oracle boundary)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("monthly_total"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05)                     AS disc_dev,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT)        AS qty_weeks,
+           SQRT(l_quantity)                  AS qty_sqrt,
+           l_quantity * l_quantity           AS qty_sq
+    FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_math_funcs(spark, sf_dir):
+    """Math surface: abs/floor/ceil/sqrt — all IEEE-exact per row (sqrt is
+    correctly rounded; no libm-divergent functions in oracle-compared
+    output)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.floor(F.col("l_extendedprice") / 1000).alias("price_kbucket"),
+            F.ceil(F.col("l_quantity") / 7.0).alias("qty_weeks"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_extract_events(spark, sf_dir):
+    """Semi-structured access: get_json_object on the raw props column (the
+    schema-on-read path; the schema-inferred typed path is the flagship
+    ``infer_props_schema``).  Integer sums are exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                              / COUNT(*) FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    """Scalar subquery: customers above the mean balance.  The mean is
+    computed exactly (decimal sum / count) so the comparison threshold is
+    bit-identical in both engines."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                                  / COUNT(*) FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "exists_correlated",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity = 50)
+    ORDER BY s_suppkey
+    """,
+)
+def exists_correlated(spark, sf_dir):
+    """Correlated EXISTS through the SQL surface (Catalyst rewrites it to a
+    left-semi join — same plan as ``join_semi``)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity = 50)
+        ORDER BY s_suppkey
+        """
+    )

@@ -1,0 +1,225 @@
+"""Text-analysis operators over the ``documents`` table — the text half of a
+training-data pipeline: token counting, quality scoring, language ID,
+fingerprinting.
+
+Everything is built from JVM-side expression functions (split / filter /
+transform / regexp) — no Python UDFs in these paths, so the hot loop stays in
+whole-stage codegen and scales linearly with executors.  Each query has an
+exact DuckDB oracle built from the same primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic.  Deterministic and engine-neutral (both sides count membership).
+LANG_PROFILES = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "los", "y", "que", "es", "una"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3"),  # pinyin-ish tokens
+}
+
+
+def _tokens(col):
+    """Whitespace tokenization of trimmed text; empty text → empty array.
+    (A bare split('') yields [''], inflating counts by one — both engines
+    guard the empty case the same way.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+
+
+_SQL_TOKENS = (
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
+    "ELSE string_split_regex(TRIM(text), '\\s+') END"
+)
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+           CAST(LENGTH(text) AS INTEGER)       AS n_chars_computed
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace token counts (the BPE-ish regex variant is
+    ``text_token_count_bpe``).  Pure narrow transformation — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens("text")).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_computed"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_subtokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-ish subword counting: alpha runs, digit runs, and lone symbols as
+    separate tokens (a common pre-tokenizer shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        ).alias("n_subtokens"),
+    ).orderBy("doc_id")
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for")
+_SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS INTEGER) AS n_chars,
+               CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+               CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({_SW_LIST}))) AS INTEGER) AS n_stopwords
+        FROM documents)
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+           CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                0.5 * (CAST(n_stopwords AS DOUBLE) / n_tokens)
+              + 0.3 * (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)
+              + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+           END AS quality
+    FROM feat ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic document quality: stopword ratio + length band + punctuation
+    density.  All per-row integer/double arithmetic (deterministic); the
+    weights mirror common pretraining-data filters."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    n_chars = F.length("text").cast("int")
+    n_tokens = F.size(toks)
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", "[.!?,;:]", ""))
+    ).cast("int")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+    )
+    feat = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+    )
+    quality = (
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            0.5 * (F.col("n_stopwords").cast("double") / F.col("n_tokens"))
+            + 0.3
+            * F.when(F.col("n_chars").between(100, 10000), F.lit(1.0)).otherwise(0.0)
+            + 0.2 * (F.lit(1.0) - F.col("n_punct").cast("double") / F.col("n_chars"))
+        )
+        .alias("quality")
+    )
+    return feat.select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords", quality
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(langs=("en", "de", "fr", "es", "zh")):
+    cols = []
+    for lg in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lg])
+        cols.append(
+            f"CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({words}))) AS INTEGER) AS s_{lg}"
+        )
+    return ",\n               ".join(cols)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql()}
+        FROM documents)
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es'
+             ELSE 'zh'
+           END AS predicted
+    FROM scores ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-profile language ID: count profile hits per language, argmax
+    with a fixed tie-break order (en > de > fr > es > zh).  The fixed CASE
+    chain makes the argmax deterministic in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+
+    def profile_hits(words):
+        # factory keeps the lambda unary — a 2-arg lambda would be treated
+        # as (element, index) by F.filter
+        return lambda t: t.isin(*words)
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(toks, profile_hits(LANG_PROFILES[lg]))).alias(f"s_{lg}")
+            for lg in ("en", "de", "fr", "es", "zh")
+        ],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in ("en", "de", "fr", "es", "zh")}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), "fr")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+        .alias("predicted")
+    )
+    return scored.select("doc_id", "lang", predicted).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(LOWER(TRIM(text))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized content fingerprint (md5 of lowercased trimmed text) — the
+    join key for exact dedup at scale: grouping/shuffling on a 16-byte digest
+    instead of multi-KB text bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fingerprint"),
+    ).orderBy("doc_id")

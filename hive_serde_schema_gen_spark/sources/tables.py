@@ -32,6 +32,15 @@ BROADCAST_ALWAYS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
+        # read the raw int64 nanos and truncate to microseconds (the values
+        # are µs-precision, so truncation is lossless).
+        from pyspark.sql import functions as F  # noqa: F401
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
