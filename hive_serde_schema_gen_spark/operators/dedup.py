@@ -198,35 +198,60 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# Affine-rehash minhash: ONE md5 per shingle, then N_HASHES cheap affine
+# transforms h_i = (a_i·h + b_i) mod P computed as parallel aggregate
+# columns — 16× less hashing and no seed-explode row blowup.  P is a prime
+# just above 2^32; products stay under 2^63 so bigint arithmetic is exact in
+# both engines.
+MINHASH_P = 4294967311
+_AFFINE = [(2 * i + 1, (2654435761 * (i + 1)) % MINHASH_P) for i in range(N_HASHES)]
+
+
 def minhash_signatures(shd: DataFrame) -> DataFrame:
-    """(doc_id, seed, mh): minhash per (doc, seed) — one explode over seeds,
-    one groupBy; shuffle size is docs × N_HASHES small rows."""
-    seeded = shd.select(
+    """(doc_id, mh0..mh15): the full signature in one groupBy pass."""
+    base = shd.select(
         "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
-    h = _hash_expr(F.col("seed"), F.col("shingle"))
-    return (
-        seeded.select("doc_id", "seed", h.alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_AFFINE)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def _mh_mins_sql() -> str:
+    return ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_AFFINE)
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+def _band_keys_sql() -> str:
+    keys = []
+    for j in range(N_HASHES // BAND_SIZE):
+        cols = ", ".join(f"mh{j * BAND_SIZE + k}" for k in range(BAND_SIZE))
+        keys.append(f"concat_ws(',', {cols})")
+    return "[" + ", ".join(keys) + "]"
+
+
+_MINHASH_ORACLE = f"""
     WITH {_SQL_SHD},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM shd),
     mh AS (
-      SELECT s.doc_id, seeds.seed,
-             MIN(CAST(concat('0x', substr(md5(CAST(seeds.seed AS VARCHAR) || ':' || s.shingle), 1, 8)) AS BIGINT)) AS mh
-      FROM shd s CROSS JOIN (SELECT unnest(range({N_HASHES})) AS seed) seeds
-      GROUP BY s.doc_id, seeds.seed),
+      SELECT doc_id,
+             __MINS__
+      FROM hashed GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
-             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
-      FROM mh GROUP BY doc_id, CAST(seed // {BAND_SIZE} AS INTEGER)),
+      SELECT doc_id,
+             unnest(__KEYS__) AS band_key,
+             generate_subscripts(__KEYS__, 1) AS band
+      FROM mh),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -243,11 +268,14 @@ def minhash_signatures(shd: DataFrame) -> DataFrame:
                     JOIN sizes sb ON sb.doc_id = v.doc_b
     WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= {JACCARD_THRESHOLD}
     ORDER BY v.doc_a, v.doc_b
-    """,
-)
+    """.replace("__MINS__", _mh_mins_sql()).replace("__KEYS__", _band_keys_sql())
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup detection: {n} md5-minhashes, {b}-row bands →
-    docs sharing a band bucket become candidates → exact-Jaccard verify.
+    """MinHash+LSH near-dup detection: {n} affine minhashes from one md5 per
+    shingle, {b}-row bands → docs sharing a band bucket become candidates →
+    exact-Jaccard verify.
 
     The banding join touches only (docs × bands) rows; candidate
     verification touches only shingles of candidate docs.  This is the
@@ -256,18 +284,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     shd = shingles_df(d).cache()
     mh = minhash_signatures(shd)
-    bands = (
-        mh.withColumn("band", F.floor(F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"mh{j * BAND_SIZE + k}") for k in range(BAND_SIZE)]
+            )
+            for j in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
     a = bands.alias("a")
     b = bands.alias("b")

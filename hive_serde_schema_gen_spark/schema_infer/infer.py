@@ -244,7 +244,28 @@ def infer_json_column(df, column: str, permissive: bool = False) -> Descriptor:
     )
     schema: Descriptor = EMPTY_STRUCT
     for row in sorted(parts, key=lambda r: r["pid"]):
-        schema = merge(schema, pickle.loads(bytes(row["blob"])))
+        partial = pickle.loads(bytes(row["blob"]))
+        if permissive:
+            # best-effort union: conflicting fields keep the earlier
+            # partition's kind, matching the within-partition first-seen rule
+            if isinstance(schema, Struct) and isinstance(partial, Struct):
+                fields = dict(schema.fields)
+                for k, v in partial.fields.items():
+                    if k not in fields:
+                        fields[k] = v
+                    else:
+                        try:
+                            fields[k] = merge(fields[k], v)
+                        except SchemaGenError:
+                            pass  # keep earlier kind
+                schema = Struct(fields)
+                continue
+            try:
+                schema = merge(schema, partial)
+            except SchemaGenError:
+                continue
+        else:
+            schema = merge(schema, partial)
     return schema
 
 

@@ -1,0 +1,56 @@
+"""Custom stateful streaming operator: per-user running counters via
+``applyInPandasWithState`` — the escape hatch for stateful logic Spark's
+built-in aggregations can't express (guide: "custom stateful operators").
+
+State per key is a tiny tuple (count, total value); the watermark-less
+ProcessingTimeTimeout config keeps the example self-contained.  At scale,
+state lives in the state store (RocksDB on executors), partitioned by key —
+the operator shuffles once on user_id and stays incremental forever.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+
+try:  # structured-streaming stateful API (present in pyspark >= 3.4)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    HAVE_STATE_API = True
+except ImportError:  # pragma: no cover
+    HAVE_STATE_API = False
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _update(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+) -> Iterable[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(stream_df):
+    """events stream → per-user running (count, total value), updated each
+    micro-batch."""
+    if not HAVE_STATE_API:  # pragma: no cover
+        raise NotImplementedError("pyspark streaming state API unavailable")
+    return (
+        stream_df.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

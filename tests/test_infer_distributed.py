@@ -79,6 +79,18 @@ def test_infer_json_column(spark):
     assert render_definition(desc) == "k FLOAT,\ns VARCHAR(3)"
 
 
+def test_infer_json_column_permissive_cross_partition_conflict(spark):
+    """Kind conflicts split across partitions must degrade gracefully in
+    permissive mode (first-seen kind wins) instead of raising at the driver
+    merge — regression for the cross-partition RowMismatch found in
+    verification."""
+    df = spark.createDataFrame(
+        [('{"a":1}',), ("{broken",), ('{"a":"xyz"}',)], ["props"]
+    ).repartition(3)
+    desc = infer_json_column(df, "props", permissive=True)
+    assert render_definition(desc) == "a TINYINT"
+
+
 def test_sampling_ratio(spark, tmp_path):
     p = tmp_path / "big.json"
     p.write_text("\n".join('{"v": %d}' % i for i in range(5000)) + "\n")

@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the scale posture of every operator family is
+tested, not assumed (SURVEY §4 / the 100 TB design brief)."""
+
+import pytest
+
+from hive_serde_schema_gen_spark.plans import (
+    assert_no_python_udf,
+    explain_str,
+    has_node,
+    pushed_filters,
+)
+from hive_serde_schema_gen_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+# Queries whose hot path must stay fully JVM-side (no Python eval nodes).
+JVM_ONLY = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "filter_project",
+    "topk_orders",
+    "window_topk_per_group",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "similarity_topk_cosine",
+    "embedding_norms",
+    "set_intersect",
+    "scalar_string_funcs",
+]
+
+
+@pytest.mark.parametrize("name", JVM_ONLY)
+def test_no_python_eval_in_hot_path(name, spark, sf_dir):
+    assert_no_python_udf(QUERIES[name](spark, sf_dir))
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = QUERIES["filter_project"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf and "l_discount" in pf, pf
+
+
+def test_column_pruning(spark, sf_dir):
+    df = QUERIES["filter_project"](spark, sf_dir)
+    plan = explain_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 6 of 11 lineitem columns read; the rest pruned at the scan
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_broadcast_join_for_dim(spark, sf_dir):
+    df = QUERIES["join_broadcast_dim"](spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), explain_str(df)
+
+
+def test_q5_broadcasts_region_nation(spark, sf_dir):
+    df = QUERIES["q5_local_supplier"](spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = QUERIES["topk_orders"](spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject"), explain_str(df)
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side partial agg before the exchange — the reason 6 groups cost
+    one tiny shuffle even on a 100 TB lineitem."""
+    plan = explain_str(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # Under AQE the pre-execution plan reports 0 codegen subtrees (they
+    # materialize per-stage at runtime); disable it momentarily to see them.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = explain_str(QUERIES["q1_pricing_summary"](spark, sf_dir), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan and "Found 0" not in plan, plan[:500]
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in explain_str(QUERIES["join_semi"](spark, sf_dir))
+    assert "LeftAnti" in explain_str(QUERIES["join_anti"](spark, sf_dir))

@@ -1,0 +1,69 @@
+"""Streaming surface: windowed agg (oracle-tested separately), streaming
+schema inference equivalence, and the custom stateful operator."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_serde_schema_gen_spark.schema_infer import infer_json_column
+from hive_serde_schema_gen_spark.sources.tables import load_table
+from hive_serde_schema_gen_spark.streaming.infer_stream import infer_stream
+from hive_serde_schema_gen_spark.streaming.windows import _stream_source_dir
+
+
+def _events_stream(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stream_source_dir(sf_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+
+
+def test_streaming_inference_matches_batch(spark, sf_dir, tmp_path):
+    stream = _events_stream(spark, sf_dir)
+    q, acc = infer_stream(
+        stream.select("props"), "props", checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_schema = infer_json_column(load_table(spark, sf_dir, "events"), "props")
+    assert acc.schema == batch_schema
+    assert acc.rows > 0
+    assert "k " in acc.definition()
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    from hive_serde_schema_gen_spark.streaming.stateful import (
+        HAVE_STATE_API,
+        running_user_totals,
+    )
+
+    if not HAVE_STATE_API:
+        pytest.skip("streaming state API unavailable")
+    stream = _events_stream(spark, sf_dir)
+    out = running_user_totals(stream)
+    name = f"stateful_{int(time.time() * 1000)}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last update per user must equal the batch totals
+    result = spark.sql(
+        f"SELECT user_id, max_by(n_events, n_events) AS n FROM {name} GROUP BY user_id"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["user_id"]: r["n"] for r in result.collect()}
+    want = {r["user_id"]: r["n"] for r in batch.collect()}
+    assert got == want
