@@ -1,0 +1,161 @@
+"""Advanced operators Spark lacks natively: as-of join, skew-salted join,
+deterministic median, approximate distinct (guide: "Common OLAP patterns").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.decimal_safe import money_sum
+from ..registry import query
+from ..sources.tables import load_table
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "asof_join_last_order",
+    oracle="""
+    WITH o1 AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+    FROM events e ASOF JOIN o1 o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_last_order(spark, sf_dir):
+    """As-of join (each event ↔ the user's latest order at or before the
+    event) via the union+window trick — Spark has no native ASOF:
+
+    union both streams tagged, window ``last(..., ignorenulls)`` per key
+    ordered by (time, tag) — order rows sort before events at equal
+    timestamps, giving <= semantics.  One shuffle on the key, no
+    per-group Python (contrast ``pd.merge_asof`` in applyInPandas, which
+    is the fallback when the payload is too wide to window).
+
+    Orders are pre-deduped per (custkey, date) keeping max orderkey so the
+    as-of pick is deterministic in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "tag", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter((F.col("tag") == 1) & F.col("last_orderkey").isNotNull())
+        .select("event_id", F.col("k").alias("user_id"), "last_orderkey")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "median_disc_price",
+    oracle="""
+    SELECT l_returnflag, l_extendedprice AS median_price FROM (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+    WHERE rn = (n + 1) // 2
+    ORDER BY l_returnflag
+    """,
+)
+def median_disc_price(spark, sf_dir):
+    """Discrete median per group, deterministically: the ⌈n/2⌉-th element in
+    a total order (value + unique tiebreak).  Interpolated medians differ
+    across engines in the last ulp of the midpoint arithmetic; element
+    selection cannot.  At scale prefer ``percentile_approx`` (see
+    ``approx_stats``) — an exact median costs a per-group sort."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = W.partitionBy("l_returnflag")
+    return (
+        l.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("l_returnflag", F.col("l_extendedprice").alias("median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Skew-salted join: events.user_id is heavily skewed (few users, many
+    events), so a vanilla shuffle join hot-spots one task per hot key.
+    Salting fans each fact key into {s} sub-keys and replicates the dim row
+    {s}× — the shuffle spreads evenly; results are identical (the oracle is
+    the unsalted SQL).  AQE's skew-join split handles moderate skew
+    automatically; explicit salting is the deterministic heavy-artillery
+    version that also works for aggregations.""".format(s=SALT_BUCKETS)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "salt", (F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS))).cast("int")
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    )
+    return (
+        e.join(
+            c,
+            (e.user_id == c.c_custkey) & (e.salt == c.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("approx_stats", oracle=None)
+def approx_stats(spark, sf_dir):
+    """Approximate aggregates — the sketches that replace exact
+    distinct/quantiles at 100 TB: HyperLogLog++ distinct counts (constant
+    memory vs a distinct shuffle) and t-digest quantiles (one pass).
+    Approximate ⇒ no SQL oracle; accuracy bounds are asserted in
+    tests/test_advanced.py against exact values."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+    ).orderBy("l_returnflag")

@@ -24,7 +24,6 @@ from ..sources.tables import load_table
 
 QUERY_VEC_ID = 0  # the probe vector for top-k queries
 SCALE = 10000
-N_PLANES = 8  # random hyperplanes → 256 LSH buckets
 
 
 def quantized(col) -> F.Column:
@@ -171,26 +170,30 @@ def embedding_norms(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-def _planes(dim: int = 64):
-    """Deterministic pseudo-random hyperplanes from md5(plane,dim) — no RNG
-    state, reproducible across runs and engines."""
+N_TABLES = 4  # independent LSH tables (OR-amplification for recall)
+PLANES_PER_TABLE = 4  # sign bits per table → 16 buckets each
+
+
+def _planes(table: int, dim: int = 64):
+    """Deterministic pseudo-random hyperplanes from md5(table,plane,dim) —
+    no RNG state, reproducible across runs and engines."""
     import hashlib
 
     planes = []
-    for p in range(N_PLANES):
+    for p in range(PLANES_PER_TABLE):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            h = int(hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()[:8], 16)
             row.append((h % 2001 - 1000) / 1000.0)
         planes.append(row)
     return planes
 
 
-def lsh_bucket_expr(vec_col) -> F.Column:
-    """Random-hyperplane LSH bucket id: sign bit per plane → 8-bit bucket."""
+def lsh_bucket_expr(vec_col, table: int) -> F.Column:
+    """Random-hyperplane bucket id for one table: one sign bit per plane."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0)
-    for i, plane in enumerate(_planes()):
+    for i, plane in enumerate(_planes(table)):
         plit = F.array([F.lit(w) for w in plane])
         d = F.aggregate(
             F.zip_with(c, plit, lambda x, y: x.cast("double") * y),
@@ -201,27 +204,96 @@ def lsh_bucket_expr(vec_col) -> F.Column:
     return bucket
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+@query("similarity_ivf_topk", oracle=None)
+def similarity_ivf_topk(spark, sf_dir):
+    """ANN via IVF (inverted-file index): assign every vector to its nearest
+    centroid; a probe scans only the ``N_PROBE`` closest cells before exact
+    re-ranking.  Centroids here are a deterministic sample (first
+    ``N_CENTROIDS`` vectors) — a k-means refinement would drop in without
+    changing the plan shape.  Approximate ⇒ rows-only check; recall vs the
+    brute-force baseline is asserted in tests/test_advanced.py.
+
+    Scale: assignment is a narrow map over broadcast centroid literals; with
+    a cell-partitioned layout the probe becomes partition-pruned I/O, the
+    same trajectory as the LSH variant."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = {
+        c["vec_id"]: list(c["embedding"])
+        for c in e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cent_ids = sorted(cents)
+
+    def cell_of(vec_col):
+        # one independent similarity expression per centroid, argmax via
+        # array functions — a chained WHEN argmax would duplicate each
+        # sub-expression into every later branch (exponential tree)
+        sims = F.array(
+            *[
+                cosine_similarity(
+                    vec_col, F.array([F.lit(float(v)) for v in cents[cid]])
+                )
+                for cid in cent_ids
+            ]
+        )
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    assigned = e.select(
+        "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
+    )
+    probe = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    qlit = F.array([F.lit(float(v)) for v in probe["embedding"]])
+
+    def cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    cell_ids = sorted(
+        cent_ids, key=lambda cid: -cos_py(cents[cid], probe["embedding"])
+    )[:N_PROBE]
+    return (
+        assigned.filter(
+            F.col("cell").isin(cell_ids) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select("vec_id", cosine_similarity(F.col("embedding"), qlit).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @query("similarity_lsh_bucketed", oracle=None)
 def similarity_lsh_bucketed(spark, sf_dir):
-    """ANN via random-hyperplane LSH: vectors bucketed by 8 sign bits; the
-    probe only scans its own bucket (~1/256 of the corpus) before exact
-    cosine re-ranking.  Approximate by construction → no SQL oracle; recall
-    is validated against ``similarity_topk_cosine`` in tests.
+    """ANN via multi-table random-hyperplane LSH: {t} independent tables of
+    {p} sign bits; a candidate is any vector sharing the probe's bucket in
+    ANY table (OR-amplification — the standard recall fix for sign-LSH),
+    then exact cosine re-ranks.  Approximate ⇒ no SQL oracle; recall vs the
+    brute-force baseline is asserted in tests/test_advanced.py.
 
-    Scale: bucketing is a narrow map; candidate scan is a pruned filter.
-    With a partition-by-bucket layout (``repartition(bucket)`` + sorted
-    write) the candidate read becomes partition-pruned I/O at 100 TB."""
-    e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.select(
-        "vec_id", "embedding", lsh_bucket_expr("embedding").alias("bucket")
+    Scale: bucketing is a narrow map computed once at ingest; each probe
+    touches ~{t}/16 of the corpus, and with a bucket-partitioned layout the
+    candidate read becomes partition-pruned I/O at 100 TB.""".format(
+        t=N_TABLES, p=PLANES_PER_TABLE
     )
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket_cols = [
+        lsh_bucket_expr("embedding", t).alias(f"b{t}") for t in range(N_TABLES)
+    ]
+    bucketed = e.select("vec_id", "embedding", *bucket_cols)
     probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
     qlit = F.array([F.lit(float(v)) for v in probe["embedding"]])
+    any_shared = None
+    for t in range(N_TABLES):
+        cond = F.col(f"b{t}") == probe[f"b{t}"]
+        any_shared = cond if any_shared is None else (any_shared | cond)
     return (
-        bucketed.filter(
-            (F.col("bucket") == probe["bucket"])
-            & (F.col("vec_id") != QUERY_VEC_ID)
-        )
+        bucketed.filter(any_shared & (F.col("vec_id") != QUERY_VEC_ID))
         .select("vec_id", cosine_similarity(F.col("embedding"), qlit).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)

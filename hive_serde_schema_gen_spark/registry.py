@@ -73,6 +73,7 @@ def _load() -> None:
     if _loaded:
         return
     from .operators import (  # noqa: F401
+        advanced,
         dedup,
         inference,
         multimodal,

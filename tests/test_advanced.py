@@ -1,0 +1,66 @@
+"""Accuracy contracts for the approximate operators: sketches and ANN are
+allowed to approximate, but within asserted bounds against their exact
+baselines — "approximate" is a budget, not an excuse."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_serde_schema_gen_spark.registry import all_queries
+from hive_serde_schema_gen_spark.sources.tables import load_table
+
+QUERIES = all_queries()
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    rows = {r["l_returnflag"]: r for r in QUERIES["approx_stats"](spark, sf_dir).collect()}
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, ex in exact.items():
+        got = rows[flag]["approx_parts"]
+        assert abs(got - ex) / ex < 0.05, (flag, got, ex)
+
+
+def test_approx_quantiles_sane(spark, sf_dir):
+    rows = QUERIES["approx_stats"](spark, sf_dir).collect()
+    l = load_table(spark, sf_dir, "lineitem")
+    lo, hi = l.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).collect()[0]
+    for r in rows:
+        assert lo <= r["approx_median"] <= r["approx_p99"] <= hi
+
+
+@pytest.mark.parametrize("ann", ["similarity_lsh_bucketed", "similarity_ivf_topk"])
+def test_ann_recall_vs_bruteforce(spark, sf_dir, ann):
+    """ANN top-10 must overlap the exact top-10 — the recall contract.
+    LSH scans ~1/256 of the corpus, IVF 4/16 cells; both should still find
+    a meaningful share of the true neighbors at this corpus size."""
+    exact = [r["vec_id"] for r in QUERIES["similarity_topk_cosine"](spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in QUERIES[ann](spark, sf_dir).collect()]
+    assert len(approx) > 0
+    recall = len(set(exact) & set(approx)) / len(exact)
+    floor = 0.2 if ann == "similarity_lsh_bucketed" else 0.3
+    assert recall >= floor, (ann, recall, exact, approx)
+
+
+def test_minhash_lsh_finds_near_dups(spark, sf_dir):
+    """LSH candidates must recover the high-Jaccard pairs the exact
+    quadratic baseline finds (j≈0.99 planted dups ⇒ band collision
+    probability ≈ 1)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        if r["jaccard"] >= 0.95
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert exact, "expected planted near-duplicates in the corpus"
+    recovered = len(exact & lsh) / len(exact)
+    assert recovered >= 0.9, (recovered, exact - lsh)
