@@ -30,6 +30,8 @@ HEADLINE = [
     "text_lang_id",
     "similarity_topk_cosine",
     "embedding_norms",
+    "asof_join_last_order",
+    "multimodal_payload_meta",
     "infer_props_schema",
 ]
 

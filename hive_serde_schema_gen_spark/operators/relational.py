@@ -763,6 +763,32 @@ def json_extract_events(spark, sf_dir):
 
 
 @query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                  AS dim,
+           CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS q_first,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)    AS n_positive,
+           CAST(round(CAST(list_max(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q_max
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def scalar_array_funcs(spark, sf_dir):
+    """Array function surface: size / element access / filter / max —
+    JVM-side higher-order functions (floats quantized at the boundary per
+    the cross-engine exactness rule)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = lambda c: F.round(c.cast("double") * 10000).cast("long")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        q(F.col("embedding")[0]).alias("q_first"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        q(F.array_max("embedding")).alias("q_max"),
+    ).orderBy("vec_id")
+
+
+@query(
     "scalar_subquery",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
