@@ -45,8 +45,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warmup: JVM + parquet footer reads
+    # warmup: JVM + parquet footer reads + Python worker pool (so per-query
+    # numbers reflect steady state, not daemon fork cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings = {}
     for name in HEADLINE:
