@@ -39,6 +39,38 @@ def test_streaming_inference_matches_batch(spark, sf_dir, tmp_path):
     assert "k " in acc.definition()
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """Streaming dedup: dropDuplicatesWithinWatermark on (user_id,
+    event_type) — state-bounded dedup, the streaming twin of dedup_exact.
+    Against a static file set it must keep exactly one row per key pair."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    name = f"sdedup_{int(time.time() * 1000)}"
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(f"SELECT COUNT(*) n, COUNT(DISTINCT user_id || '/' || event_type) d FROM {name}").collect()[0]
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got["n"] == got["d"] == want
+
+
 def test_stateful_running_totals(spark, sf_dir):
     from hive_serde_schema_gen_spark.streaming.stateful import (
         HAVE_STATE_API,
