@@ -57,8 +57,12 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # queries cache() internally; don't accumulate
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
     print(
         json.dumps(
             {
@@ -66,7 +70,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
             }
         )
     )

@@ -18,7 +18,8 @@ Scale design:
 
 Hash-scheme note: Spark's built-in ``hash``/``xxhash64`` would be ~3× faster
 than md5 here, but is not reproducible in the oracle engine; at production
-scale you'd swap ``_hash_expr`` for ``xxhash64`` — a one-line change.
+scale you'd swap the md5 expression in ``minhash_signatures`` for
+``xxhash64`` — a one-line change.
 """
 
 from __future__ import annotations
@@ -40,14 +41,6 @@ JACCARD_THRESHOLD = 0.8
 # ---------------------------------------------------------------------------
 
 
-def tokens_df(d: DataFrame) -> DataFrame:
-    """(doc_id, tok, ord) — positional tokens, 1-based like the oracle."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    return d.select("doc_id", F.posexplode(toks).alias("pos", "tok")).select(
-        "doc_id", "tok", (F.col("pos") + 1).alias("ord")
-    )
-
-
 def shingles_df(d: DataFrame) -> DataFrame:
     """Distinct word-3-shingles per doc, built array-side (one transform —
     no self-joins): slice a sliding window over the token array."""
@@ -63,15 +56,6 @@ def shingles_df(d: DataFrame) -> DataFrame:
     return (
         d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
-
-
-def _hash_expr(seed_col, shingle_col):
-    """Deterministic 32-bit hash: first 8 hex digits of
-    md5(seed ':' shingle) — reproducible in any engine with md5."""
-    payload = F.concat(
-        seed_col.cast("string"), F.lit(":"), shingle_col
-    ).cast("binary")
-    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
 
 
 _SQL_SHD = """

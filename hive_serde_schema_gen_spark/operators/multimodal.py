@@ -51,7 +51,8 @@ def with_payload(df):
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+           CASE WHEN octet_length(encode(text)) = 0 THEN ''
+                ELSE upper(substr(hex(encode(text)), 1, 2)) END AS first_byte_hex
     FROM documents ORDER BY doc_id
     """,
 )
@@ -71,15 +72,17 @@ def multimodal_payload_meta(spark, sf_dir):
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
+                    # hex of the raw first BYTE (not code point) — byte-true,
+                    # so the oracle comparison holds for any encoding
+                    "first_byte_hex": payloads.map(
+                        lambda b: f"{b[0]:02X}" if len(b) else ""
+                    ),
                 }
             )
 
     return (
         with_payload(d)
-        .mapInPandas(meta, schema="doc_id long, n_bytes long, first_byte int")
+        .mapInPandas(meta, schema="doc_id long, n_bytes long, first_byte_hex string")
         .orderBy("doc_id")
     )
 

@@ -49,7 +49,9 @@ def query(name: str, oracle: Optional[str] = None):
         _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
-        return fn
+        # return the wrapper so direct module-level calls also get the
+        # session-conf pin, not just the registry path
+        return wrapped
 
     return deco
 

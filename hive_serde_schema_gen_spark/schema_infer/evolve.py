@@ -21,7 +21,7 @@ from .render import render_type
 
 @dataclass
 class Change:
-    kind: str  # added | removed | widened | incompatible | unchanged
+    kind: str  # added | removed | widened | narrowed | incompatible | unchanged
     column: str
     old: str
     new: str
@@ -45,7 +45,14 @@ def diff(old: Descriptor, new: Descriptor) -> List[Change]:
         except SchemaGenError:
             changes.append(Change("incompatible", name, ot, nt))
             continue
-        changes.append(Change("widened", name, ot, render_type(merged)))
+        mt = render_type(merged)
+        if mt == ot:
+            # new ⊑ old: today's data merely needs less than the existing
+            # column provides — no ALTER required, and calling it "widened"
+            # would emit a no-op CHANGE COLUMN
+            changes.append(Change("narrowed", name, ot, nt))
+        else:
+            changes.append(Change("widened", name, ot, mt))
     for name, nd in new.fields.items():
         if name not in old.fields:
             changes.append(Change("added", name, "", render_type(nd)))

@@ -41,10 +41,17 @@ from decimal import Decimal
 from typing import Iterator, List, Optional, Tuple
 
 from .errors import BadJson, SchemaGenError
-from .lattice import EMPTY_STRUCT, Descriptor, Struct, merge, observe
+from .lattice import EMPTY_STRUCT, Descriptor, merge, merge_lenient, observe
 from .render import render_definition, render_table
 
 _MAX_ERROR_SAMPLES = 20
+
+
+def _reject_constant(name: str):
+    # play-json (the reference's parser, Schemer.scala:13) rejects these
+    # non-standard literals; Python's json would otherwise admit values the
+    # lattice cannot type (Decimal('Infinity') breaks rendering)
+    raise ValueError(f"{name} is not valid JSON")
 
 
 def parse_line(text: str):
@@ -53,8 +60,9 @@ def parse_line(text: str):
     ``parse_float=Decimal`` preserves the literal's textual scale so numeric
     widening matches the reference's play-json ``BigDecimal`` semantics
     (``Schemer.scala:13,52``): ``10.0`` is scale 1, ``0.12`` is scale 2.
+    ``NaN``/``Infinity`` literals are rejected like the reference does.
     """
-    return json.loads(text, parse_float=Decimal)
+    return json.loads(text, parse_float=Decimal, parse_constant=_reject_constant)
 
 
 @dataclass
@@ -182,10 +190,24 @@ def infer_path(
     all_errors: List[LineError] = []
     for pid, _n, _ok, payload in recs:
         partial, errors = pickle.loads(payload)
-        try:
-            schema = merge(schema, partial)
-        except SchemaGenError:
-            schema = _merge_conflict_rescan(spark, rdd, pid, schema, offsets, sampled)
+        if permissive:
+            # conflicts that only surface across partitions degrade the same
+            # way as within a partition: earlier kind wins, error recorded
+            before = schema
+            schema = merge_lenient(schema, partial)
+            try:
+                merge(before, partial)
+            except SchemaGenError as e:
+                all_errors.append(
+                    LineError(None, f"{type(e).__name__} (cross-partition, kept earlier kind)")
+                )
+        else:
+            try:
+                schema = merge(schema, partial)
+            except SchemaGenError:
+                schema = _merge_conflict_rescan(
+                    spark, rdd, pid, schema, offsets, sampled
+                )
         for local, msg in errors:
             all_errors.append(
                 LineError(None if sampled else offsets[pid] + local, msg)
@@ -246,24 +268,7 @@ def infer_json_column(df, column: str, permissive: bool = False) -> Descriptor:
     for row in sorted(parts, key=lambda r: r["pid"]):
         partial = pickle.loads(bytes(row["blob"]))
         if permissive:
-            # best-effort union: conflicting fields keep the earlier
-            # partition's kind, matching the within-partition first-seen rule
-            if isinstance(schema, Struct) and isinstance(partial, Struct):
-                fields = dict(schema.fields)
-                for k, v in partial.fields.items():
-                    if k not in fields:
-                        fields[k] = v
-                    else:
-                        try:
-                            fields[k] = merge(fields[k], v)
-                        except SchemaGenError:
-                            pass  # keep earlier kind
-                schema = Struct(fields)
-                continue
-            try:
-                schema = merge(schema, partial)
-            except SchemaGenError:
-                continue
+            schema = merge_lenient(schema, partial)
         else:
             schema = merge(schema, partial)
     return schema

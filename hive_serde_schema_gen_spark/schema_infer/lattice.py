@@ -37,7 +37,7 @@ from __future__ import annotations
 from decimal import Decimal
 from typing import Any, Optional, Union
 
-from .errors import InconsistentArray, RowMismatch
+from .errors import InconsistentArray, RowMismatch, SchemaGenError
 
 # ---------------------------------------------------------------------------
 # Descriptors.  Plain classes with __slots__: allocated once per *distinct
@@ -160,7 +160,9 @@ class Num(Descriptor):
         )
 
     def __hash__(self) -> int:
-        return hash(("number", str(self.lo), str(self.hi), self.max_scale))
+        # hash() of int/Decimal is value-consistent across numeric types
+        # (str() is not: '10' vs '10.0' — would break the eq/hash contract)
+        return hash(("number", hash(self.lo), hash(self.hi), self.max_scale))
 
 
 class Arr(Descriptor):
@@ -311,6 +313,29 @@ def merge(a: Descriptor, b: Descriptor, line: Optional[int] = None) -> Descripto
             fields[k] = bv if av is None else merge(av, bv, line)
         return Struct(fields)
     raise RowMismatch(a, b, line=line)
+
+
+def merge_lenient(a: Descriptor, b: Descriptor) -> Descriptor:
+    """Best-effort merge for PERMISSIVE paths: kind conflicts keep the
+    *earlier* (left) descriptor instead of raising — field-wise for structs,
+    wholesale otherwise.  Mirrors the within-partition first-seen-kind-wins
+    behavior so results don't depend on partition boundaries."""
+    if isinstance(a, Struct) and isinstance(b, Struct):
+        fields = dict(a.fields)
+        for k, bv in b.fields.items():
+            av = fields.get(k)
+            if av is None:
+                fields[k] = bv
+            else:
+                try:
+                    fields[k] = merge(av, bv)
+                except SchemaGenError:
+                    pass  # keep the earlier kind
+        return Struct(fields)
+    try:
+        return merge(a, b)
+    except SchemaGenError:
+        return a if not isinstance(a, Unknown) else b
 
 
 def observe(schema: Descriptor, value: Any, line: Optional[int] = None) -> Descriptor:

@@ -16,20 +16,27 @@ import threading
 from typing import Optional
 
 from ..schema_infer import EMPTY_STRUCT, Descriptor, infer_json_column, merge
+from ..schema_infer.lattice import merge_lenient
 from ..schema_infer.render import render_definition
 
 
 class StreamingSchemaAccumulator:
     """Thread-safe running schema over micro-batches."""
 
-    def __init__(self) -> None:
+    def __init__(self, permissive: bool = True) -> None:
         self._lock = threading.Lock()
         self.schema: Descriptor = EMPTY_STRUCT
         self.rows = 0
+        self.permissive = permissive
 
     def absorb(self, partial: Descriptor, n_rows: int) -> None:
+        # lenient across batches when permissive: a cross-batch kind
+        # conflict must not terminate the StreamingQuery
         with self._lock:
-            self.schema = merge(self.schema, partial)
+            if self.permissive:
+                self.schema = merge_lenient(self.schema, partial)
+            else:
+                self.schema = merge(self.schema, partial)
             self.rows += n_rows
 
     def definition(self) -> str:
@@ -51,7 +58,7 @@ def infer_stream(
     Each micro-batch is itself folded distributively — the driver only ever
     merges one partial descriptor per batch.
     """
-    acc = accumulator or StreamingSchemaAccumulator()
+    acc = accumulator or StreamingSchemaAccumulator(permissive=permissive)
 
     def absorb_batch(batch_df, epoch_id: int) -> None:
         n = batch_df.count()
