@@ -28,6 +28,13 @@ def main(argv=None) -> int:
         "PERMISSIVE skips bad rows",
     )
     p.add_argument("--sampling-ratio", type=float, default=None)
+    p.add_argument(
+        "--evolve-from",
+        metavar="OLD_FILE",
+        default=None,
+        help="also infer OLD_FILE's schema and print ALTER TABLE statements "
+        "migrating it to FILE's schema (instead of a CREATE TABLE script)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark("hive-serde-schema-gen")
@@ -35,12 +42,32 @@ def main(argv=None) -> int:
         result = infer_path(
             spark, args.file, mode=args.mode, sampling_ratio=args.sampling_ratio
         )
+        if args.evolve_from is not None:
+            from .schema_infer import alter_statements
+
+            old = infer_path(
+                spark, args.evolve_from, mode=args.mode,
+                sampling_ratio=args.sampling_ratio,
+            )
+            stmts = alter_statements(args.table, old.schema, result.schema)
+            print(
+                "\n".join(stmts)
+                if stmts
+                else f"-- no changes: {args.table} already fits the new data"
+            )
+            return 0
     except SchemaGenError as e:
         print(str(e), file=sys.stderr)
         return 1
     except Exception as e:  # e.g. missing input path surfacing from the JVM
-        first = str(e).splitlines()[0] if str(e) else type(e).__name__
-        print(f"error: {first}", file=sys.stderr)
+        lines = [ln.strip(" :") for ln in str(e).splitlines() if ln.strip()]
+        # Py4J wraps the real cause: prefer the first line naming an
+        # exception/cause over the generic "An error occurred while calling"
+        cause = next(
+            (ln for ln in lines if "Exception" in ln and "error occurred" not in ln),
+            lines[0] if lines else type(e).__name__,
+        )
+        print(f"error: {cause}", file=sys.stderr)
         return 1
     print(result.table(args.table, args.file))
     for err in result.errors:
