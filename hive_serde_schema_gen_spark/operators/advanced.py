@@ -146,6 +146,55 @@ def skew_salted_join(spark, sf_dir):
     )
 
 
+@query(
+    "merge_upsert_emulation",
+    oracle="""
+    WITH updates AS (
+        SELECT o_custkey, o_totalprice AS new_bal FROM (
+            SELECT o_custkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1)
+    SELECT c.c_custkey,
+           c.c_acctbal AS old_balance,
+           COALESCE(u.new_bal, c.c_acctbal) AS balance,
+           CASE WHEN u.o_custkey IS NOT NULL THEN 'updated' ELSE 'unchanged' END AS status
+    FROM customer c LEFT JOIN updates u ON u.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def merge_upsert_emulation(spark, sf_dir):
+    """MERGE INTO emulation (no Delta in this image): latest-order-per-key
+    updates applied to the customer dimension via outer join + COALESCE —
+    the guide's CDC/SCD pattern.  One shuffle each side on the key; with a
+    Delta/Iceberg table this becomes a real MERGE with file-level pruning,
+    but the logical shape is identical."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    updates = (
+        o.select("o_custkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_totalprice").alias("new_bal"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(updates, updates.o_custkey == c.c_custkey, "left")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("old_balance"),
+            F.coalesce("new_bal", "c_acctbal").alias("balance"),
+            F.when(F.col("o_custkey").isNotNull(), "updated")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 @query("approx_stats", oracle=None)
 def approx_stats(spark, sf_dir):
     """Approximate aggregates — the sketches that replace exact
