@@ -298,6 +298,35 @@ def explode_top_tokens(spark, sf_dir):
 
 
 @query(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 21
+                ELSE CAST(FLOOR(o_totalprice / 25000.0) + 1 AS INTEGER)
+           END AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Histogram via width_bucket: fixed-width binning + count — the
+    single-pass distribution sketch.  DuckDB 1.0 has no width_bucket, so
+    the oracle reproduces the exact bucket arithmetic
+    (floor(x/width)+1 with under/overflow buckets 0 and n+1)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@query(
     "collect_sorted_csv",
     oracle="""
     SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
