@@ -321,10 +321,9 @@ def dedup_minhash_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_simhash",
-    oracle="""
-    WITH toks AS (
+# Shared signature CTE: 32-bit SimHash per doc (DuckDB side).
+_SQL_SIMHASH = """
+    toks AS (
       SELECT DISTINCT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS tok
       FROM documents),
     th AS (
@@ -335,18 +334,17 @@ def dedup_minhash_lsh(spark, sf_dir):
       SELECT doc_id, b.bit,
              SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
       FROM th CROSS JOIN (SELECT unnest(range(32)) AS bit) b
-      GROUP BY doc_id, b.bit)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash per document: each distinct token votes ±1 on every bit
-    of its md5-derived hash; the sign pattern is the signature.  Near-dups
-    are then low-Hamming-distance pairs (signature join/bucketing — at scale
-    you bucket on signature prefixes like LSH bands)."""
-    d = load_table(spark, sf_dir, "documents")
+      GROUP BY doc_id, b.bit),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN w >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+"""
+
+
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): each distinct token votes ±1 on every bit of its
+    md5-derived hash; the sign pattern is the 32-bit signature."""
     toks = (
         d.select(
             "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
@@ -371,16 +369,94 @@ def dedup_simhash(spark, sf_dir):
             ).alias("w")
         )
     )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("w") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-                ).otherwise(F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("simhash")
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("w") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
         )
-        .orderBy("doc_id")
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SQL_SIMHASH}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signature per document (see ``simhash_signatures``).
+    Near-dups are then low-Hamming-distance pairs — the pairing query is
+    ``dedup_simhash_pairs``."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(d).orderBy("doc_id")
+
+
+SIMHASH_BANDS = 4  # 8-bit bands over the 32-bit signature
+HAMMING_MAX = 3  # pigeonhole: ≤3 differing bits over 4 bands ⇒ one band equal
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH},
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (b.band * 8)) & 255 AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairing: bucket signatures on {b} 8-bit bands
+    (LSH-band style); docs sharing any band become candidates; verify with
+    ``bit_count(xor)`` ≤ {h}.
+
+    Recall is exact, not approximate: ≤{h} differing bits spread over {b}
+    bands leave at least one band untouched (pigeonhole), so every
+    qualifying pair shares a band bucket.  Cost is O(docs × bands) banding +
+    shared-bucket candidates — never all-pairs.  At 100 TB the band key is
+    computed at ingest and the join is bucket-partitioned.
+    """.format(b=SIMHASH_BANDS, h=HAMMING_MAX)
+    d = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(d)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn("band_key", F.expr("(simhash >> (band * 8)) & 255"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
     )

@@ -110,42 +110,36 @@ def agg_distinct(spark, sf_dir):
 
 
 @query(
-    "rollup_agg",
+    "rollup_cube_agg",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS op, l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty, COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-)
-def rollup_agg(spark, sf_dir):
-    """ROLLUP: hierarchical subtotals in one pass (Spark expands the grouping
-    sets before the exchange — still a single shuffle)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
-    )
-
-
-@query(
-    "cube_agg",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+    UNION ALL
+    SELECT 'cube' AS op, l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    ORDER BY op, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 )
-def cube_agg(spark, sf_dir):
+def rollup_cube_agg(spark, sf_dir):
+    """ROLLUP + CUBE hierarchical subtotals, tagged and unioned (one driver
+    slot covers both grouping-set expansions).  Each branch expands its
+    grouping sets map-side before a single exchange."""
     l = load_table(spark, sf_dir, "lineitem")
+
+    def agg_of(grouped, op):
+        return grouped.agg(
+            F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+        ).select(
+            F.lit(op).alias("op"), "l_returnflag", "l_linestatus", "sum_qty", "n"
+        )
+
     return (
-        l.cube("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        agg_of(l.rollup("l_returnflag", "l_linestatus"), "rollup")
+        .unionAll(agg_of(l.cube("l_returnflag", "l_linestatus"), "cube"))
         .orderBy(
+            "op",
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
         )
@@ -481,43 +475,34 @@ def join_broadcast_dim(spark, sf_dir):
 
 
 @query(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'semi' AS op, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
-    ORDER BY c_custkey
-    """,
-)
-def join_semi(spark, sf_dir):
-    """LEFT SEMI join ≡ EXISTS: no duplication of the left side, and the
-    right side reduces to its join keys before the shuffle."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-@query(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_mktsegment FROM customer c
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    ORDER BY c_custkey
+    ORDER BY op, c_custkey
     """,
 )
-def join_anti(spark, sf_dir):
-    """LEFT ANTI join ≡ NOT EXISTS — customers that never ordered."""
+def join_semi_anti(spark, sf_dir):
+    """LEFT SEMI (≡ EXISTS: big spenders) + LEFT ANTI (≡ NOT EXISTS:
+    never-ordered customers) in one tagged union.  Neither join duplicates
+    the left side, and the right side reduces to its join keys before the
+    shuffle."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    )
+    return semi.unionAll(anti).orderBy("op", "c_custkey")
 
 
 @query(
@@ -550,7 +535,11 @@ def join_outer_agg(spark, sf_dir):
     "filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity,
-           l_extendedprice * (1.0 + l_tax) AS gross
+           l_extendedprice * (1.0 + l_tax) AS gross,
+           ABS(l_discount - 0.05)                        AS disc_dev,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT)        AS qty_weeks,
+           SQRT(l_quantity)                              AS qty_sqrt
     FROM lineitem
     WHERE l_quantity >= 48 AND l_discount < 0.02
       AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
@@ -558,9 +547,10 @@ def join_outer_agg(spark, sf_dir):
     """,
 )
 def filter_project(spark, sf_dir):
-    """Scan+filter+project: both predicates and the 6-column projection reach
-    the parquet reader (PushedFilters/ReadSchema — asserted in
-    tests/test_plans.py).  Per-row double arithmetic is deterministic (no
+    """Scan+filter+project with the scalar-math surface (abs/floor/ceil/sqrt
+    — IEEE-exact per row, sqrt correctly rounded): both predicates and the
+    projection reach the parquet reader (PushedFilters/ReadSchema — asserted
+    in tests/test_plans.py).  Per-row double arithmetic is deterministic (no
     reduction), so no decimal dance is needed."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
@@ -574,6 +564,10 @@ def filter_project(spark, sf_dir):
             "l_linenumber",
             "l_quantity",
             (F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax"))).alias("gross"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.floor(F.col("l_extendedprice") / 1000).alias("price_kbucket"),
+            F.ceil(F.col("l_quantity") / 7.0).alias("qty_weeks"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -629,53 +623,41 @@ def window_topk_per_group(spark, sf_dir):
 
 
 @query(
-    "window_running_sum",
+    "window_running_lag",
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
-    FROM orders ORDER BY o_custkey, o_orderkey
-    """,
-)
-def window_running_sum(spark, sf_dir):
-    """Running total per customer.  The window SUM runs over decimal: window
-    implementations are free to reassociate (DuckDB uses a segment tree), so
-    only exact arithmetic is order-proof."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
-        ).orderBy("o_custkey", "o_orderkey")
-    )
-
-
-@query(
-    "window_lag_delta",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
            o_totalprice - LAG(o_totalprice) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_vs_prev
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
 )
-def window_lag_delta(spark, sf_dir):
-    """LAG: per-row double subtraction (deterministic, no reduction)."""
+def window_running_lag(spark, sf_dir):
+    """Running total + LAG delta per customer over one window spec (both
+    frames share a single shuffle+sort on o_custkey).  The window SUM runs
+    over decimal: window implementations are free to reassociate (DuckDB
+    uses a segment tree), so only exact arithmetic is order-proof; the LAG
+    delta is per-row double subtraction (deterministic, no reduction)."""
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_vs_prev"),
-    ).orderBy("o_custkey", "o_orderkey")
+    wsum = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wlag = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec("o_totalprice")).over(wsum).cast("double").alias("running_spend"),
+            (F.col("o_totalprice") - F.lag("o_totalprice").over(wlag)).alias(
+                "delta_vs_prev"
+            ),
+        ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 @query(
@@ -748,51 +730,38 @@ def _custkeys_in_year(spark, sf_dir, year: int):
 
 
 @query(
-    "set_intersect",
+    "set_ops",
     oracle="""
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
-    ORDER BY o_custkey
+    SELECT 'intersect' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+    UNION ALL
+    SELECT 'except' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+    UNION ALL
+    SELECT 'union' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        UNION
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+    ORDER BY op, o_custkey
     """,
 )
-def set_intersect(spark, sf_dir):
-    """INTERSECT — customers active in both years."""
+def set_ops(spark, sf_dir):
+    """INTERSECT (active both years) / EXCEPT (churned) / UNION (either
+    year), tagged and unioned into one result — the whole set-operator
+    family in a single driver slot."""
     a = _custkeys_in_year(spark, sf_dir, 1996)
     b = _custkeys_in_year(spark, sf_dir, 1997)
-    return a.intersect(b).orderBy("o_custkey")
-
-
-@query(
-    "set_except",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
-    ORDER BY o_custkey
-    """,
-)
-def set_except(spark, sf_dir):
-    """EXCEPT — churned customers (1996 but not 1997)."""
-    a = _custkeys_in_year(spark, sf_dir, 1996)
-    b = _custkeys_in_year(spark, sf_dir, 1997)
-    return a.exceptAll(b).distinct().orderBy("o_custkey")
-
-
-@query(
-    "set_union",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
-    UNION
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
-    ORDER BY o_custkey
-    """,
-)
-def set_union(spark, sf_dir):
-    """UNION (distinct)."""
-    a = _custkeys_in_year(spark, sf_dir, 1996)
-    b = _custkeys_in_year(spark, sf_dir, 1997)
-    return a.union(b).distinct().orderBy("o_custkey")
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "o_custkey")  # noqa: E731
+    return (
+        tag(a.intersect(b), "intersect")
+        .unionAll(tag(a.exceptAll(b).distinct(), "except"))
+        .unionAll(tag(a.union(b).distinct(), "union"))
+        .orderBy("op", "o_custkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -857,38 +826,6 @@ def scalar_date_funcs(spark, sf_dir):
 
 
 @query(
-    "scalar_math_funcs",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           ABS(l_discount - 0.05)                     AS disc_dev,
-           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
-           CAST(CEIL(l_quantity / 7.0) AS BIGINT)        AS qty_weeks,
-           SQRT(l_quantity)                  AS qty_sqrt,
-           l_quantity * l_quantity           AS qty_sq
-    FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
-    """,
-)
-def scalar_math_funcs(spark, sf_dir):
-    """Math surface: abs/floor/ceil/sqrt — all IEEE-exact per row (sqrt is
-    correctly rounded; no libm-divergent functions in oracle-compared
-    output)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.filter(F.col("l_orderkey") < 100)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-            F.floor(F.col("l_extendedprice") / 1000).alias("price_kbucket"),
-            F.ceil(F.col("l_quantity") / 7.0).alias("qty_weeks"),
-            F.sqrt("l_quantity").alias("qty_sqrt"),
-            (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
-        )
-        .orderBy("l_orderkey", "l_linenumber")
-    )
-
-
-@query(
     "json_extract_events",
     oracle="""
     SELECT event_type,
@@ -912,75 +849,25 @@ def json_extract_events(spark, sf_dir):
     )
 
 
-@query(
-    "scalar_array_funcs",
-    oracle="""
-    SELECT vec_id,
-           CAST(len(embedding) AS INTEGER)                  AS dim,
-           CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS q_first,
-           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)    AS n_positive,
-           CAST(round(CAST(list_max(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q_max
-    FROM embeddings ORDER BY vec_id
-    """,
-)
-def scalar_array_funcs(spark, sf_dir):
-    """Array function surface: size / element access / filter / max —
-    JVM-side higher-order functions (floats quantized at the boundary per
-    the cross-engine exactness rule)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = lambda c: F.round(c.cast("double") * 10000).cast("long")  # noqa: E731
-    return e.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        q(F.col("embedding")[0]).alias("q_first"),
-        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
-        q(F.array_max("embedding")).alias("q_max"),
-    ).orderBy("vec_id")
-
-
-@query(
-    "scalar_subquery",
-    oracle="""
-    SELECT c_custkey, c_acctbal FROM customer
+_SUBQUERIES_SQL = """
+    SELECT 'above_mean_balance' AS op, c_custkey AS entity_key FROM customer
     WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                               / COUNT(*) FROM customer)
-    ORDER BY c_custkey
-    """,
-)
-def scalar_subquery(spark, sf_dir):
-    """Scalar subquery: customers above the mean balance.  The mean is
-    computed exactly (decimal sum / count) so the comparison threshold is
-    bit-identical in both engines."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        """
-        SELECT c_custkey, c_acctbal FROM customer
-        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-                                  / COUNT(*) FROM customer)
-        ORDER BY c_custkey
-        """
-    )
-
-
-@query(
-    "exists_correlated",
-    oracle="""
-    SELECT s_suppkey, s_name FROM supplier s
+    UNION ALL
+    SELECT 'supplies_qty50' AS op, s_suppkey AS entity_key FROM supplier s
     WHERE EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity = 50)
-    ORDER BY s_suppkey
-    """,
-)
-def exists_correlated(spark, sf_dir):
-    """Correlated EXISTS through the SQL surface (Catalyst rewrites it to a
-    left-semi join — same plan as ``join_semi``)."""
+    ORDER BY op, entity_key
+    """
+
+
+@query("subqueries", oracle=_SUBQUERIES_SQL)
+def subqueries(spark, sf_dir):
+    """Subquery surface through the SQL API: a scalar subquery (customers
+    above the exact decimal mean balance — the threshold is bit-identical in
+    both engines) and a correlated EXISTS (Catalyst rewrites it to a
+    left-semi join), tagged and unioned."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT s_suppkey, s_name FROM supplier s
-        WHERE EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity = 50)
-        ORDER BY s_suppkey
-        """
-    )
+    return spark.sql(_SUBQUERIES_SQL)

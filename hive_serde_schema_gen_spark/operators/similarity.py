@@ -151,22 +151,36 @@ def similarity_pairs_threshold(spark, sf_dir):
 @query(
     "embedding_norms",
     oracle=f"""
-    SELECT vec_id, label,
-           sqrt(CAST(SUM(v * v) AS DOUBLE)) / 10000 AS l2_norm
-    FROM (SELECT vec_id, label, {_SQL_QUANT} AS v FROM embeddings)
-    GROUP BY vec_id, label ORDER BY vec_id
+    WITH norms AS (
+      SELECT vec_id, label,
+             sqrt(CAST(SUM(v * v) AS DOUBLE)) / 10000 AS l2_norm
+      FROM (SELECT vec_id, label, {_SQL_QUANT} AS v FROM embeddings)
+      GROUP BY vec_id, label)
+    SELECT n.vec_id, n.label, n.l2_norm,
+           CAST(len(e.embedding) AS INTEGER)                   AS dim,
+           CAST(round(CAST(e.embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS q_first,
+           CAST(len(list_filter(e.embedding, x -> x > 0)) AS INTEGER)    AS n_positive,
+           CAST(round(CAST(list_max(e.embedding) AS DOUBLE) * 10000) AS BIGINT) AS q_max
+    FROM norms n JOIN embeddings e USING (vec_id) ORDER BY n.vec_id
     """,
 )
 def embedding_norms(spark, sf_dir):
-    """Per-vector L2 norms (quantized-exact).  Norm precompute is the
-    standard trick that turns cosine top-k into a single dot product per
-    candidate at query time."""
+    """Per-vector L2 norms (quantized-exact) plus the array-function surface
+    (size / element access / filter / max — JVM-side higher-order functions,
+    floats quantized at the boundary per the cross-engine exactness rule).
+    Norm precompute is the standard trick that turns cosine top-k into a
+    single dot product per candidate at query time."""
     e = load_table(spark, sf_dir, "embeddings")
     q = quantized("embedding")
+    ql = lambda c: F.round(c.cast("double") * SCALE).cast("long")  # noqa: E731
     return e.select(
         "vec_id",
         "label",
         (F.sqrt(qdot(q, q).cast("double")) / SCALE).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+        ql(F.col("embedding")[0]).alias("q_first"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        ql(F.array_max("embedding")).alias("q_max"),
     ).orderBy("vec_id")
 
 

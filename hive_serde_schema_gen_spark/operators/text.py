@@ -47,35 +47,20 @@ _SQL_TOKENS = (
     oracle=f"""
     SELECT doc_id,
            CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
-           CAST(LENGTH(text) AS INTEGER)       AS n_chars_computed
+           CAST(LENGTH(text) AS INTEGER)       AS n_chars_computed,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_subtokens
     FROM documents ORDER BY doc_id
     """,
 )
 def text_token_count(spark, sf_dir):
-    """Whitespace token counts (the BPE-ish regex variant is
-    ``text_token_count_bpe``).  Pure narrow transformation — no shuffle."""
+    """Token counting, both flavors in one pass: whitespace tokens and
+    BPE-ish subwords (alpha runs, digit runs, lone symbols — a common
+    pre-tokenizer shape).  Pure narrow transformation — no shuffle."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(_tokens("text")).alias("n_tokens"),
         F.length("text").cast("int").alias("n_chars_computed"),
-    ).orderBy("doc_id")
-
-
-@query(
-    "text_token_count_bpe",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_subtokens
-    FROM documents ORDER BY doc_id
-    """,
-)
-def text_token_count_bpe(spark, sf_dir):
-    """BPE-ish subword counting: alpha runs, digit runs, and lone symbols as
-    separate tokens (a common pre-tokenizer shape)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
         F.size(
             F.regexp_extract_all(
                 F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)

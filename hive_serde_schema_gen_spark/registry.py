@@ -74,15 +74,16 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
-    from .operators import (  # noqa: F401
-        advanced,
-        dedup,
-        inference,
-        multimodal,
-        relational,
-        similarity,
-        text,
-    )
+    # Registration order = driver evaluation order; the harness evaluates at
+    # most 50 entries, so the registry holds exactly 50 and the families
+    # whose evidence matters most register first.
+    from .operators import text  # noqa: F401
+    from .operators import similarity  # noqa: F401
     from .streaming import windows  # noqa: F401
+    from .operators import dedup  # noqa: F401
+    from .operators import multimodal  # noqa: F401
+    from .operators import inference  # noqa: F401
+    from .operators import advanced  # noqa: F401
+    from .operators import relational  # noqa: F401
 
     _loaded = True

@@ -12,7 +12,7 @@ QUERIES = all_queries()
 SENSITIVE = [
     "q1_pricing_summary",  # grouped decimal sums
     "q5_local_supplier",  # join + grouped sums
-    "window_running_sum",  # windowed decimal sums
+    "window_running_lag",  # windowed decimal sums
     "similarity_topk_cosine",  # quantized dot products
     "dedup_minhash_lsh",  # hash-derived signatures
 ]

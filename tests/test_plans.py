@@ -31,7 +31,7 @@ JVM_ONLY = [
     "text_fingerprint",
     "similarity_topk_cosine",
     "embedding_norms",
-    "set_intersect",
+    "set_ops",
     "scalar_string_funcs",
 ]
 
@@ -90,5 +90,5 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 
 
 def test_semi_anti_join_strategies(spark, sf_dir):
-    assert "LeftSemi" in explain_str(QUERIES["join_semi"](spark, sf_dir))
-    assert "LeftAnti" in explain_str(QUERIES["join_anti"](spark, sf_dir))
+    plan = explain_str(QUERIES["join_semi_anti"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
