@@ -7,36 +7,76 @@ tumbling window over a static file set must equal the batch GROUP BY
 time-bucket, the DuckDB oracle is exact — a strong equivalence check between
 the streaming and batch planners.
 
-Scale: with a real source (Kafka), the same code incrementally maintains
-per-window partial aggregates in state; the watermark bounds state size by
-evicting windows older than the lateness allowance.
+Output mode is **append**, the mode that scales: a window is emitted exactly
+once, when the watermark passes its end, and its state is then evicted — so
+state size is bounded by (windows inside the lateness allowance), not by
+stream lifetime.  (``complete`` mode would re-emit every window each batch
+and never evict — a scale-killer on an unbounded source.)  To close the tail
+windows of a *finite* source, the harness appends a far-future sentinel row
+after the real files are consumed; the advanced watermark finalizes all real
+windows, and Spark's no-data micro-batch flushes them to the sink.  With a
+real unbounded source (Kafka) no sentinel is needed — new data plays that
+role continuously.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import tempfile
 import time
 
 from pyspark.sql import functions as F
 
 from ..registry import query
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-                        ".stream_scratch")
+# Far enough past any real event that every real window closes, in the data's
+# raw epoch-nanos encoding (year ~2191; must stay under 2^63-1).
+_SENTINEL_NANOS = 7_000_000_000 * 1_000_000_000
+_SENTINEL_TYPE = "__sentinel__"
 
 
 def _stream_source_dir(sf_dir: str) -> str:
     """Spark's file streaming source requires a *directory*; expose the
-    single events.parquet through a scratch dir of symlinks (real
-    deployments stream from a directory/Kafka anyway)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(_SCRATCH, key)
+    single events.parquet through a scratch dir of symlinks under the system
+    tmpdir (real deployments stream from a directory/Kafka anyway).  A fresh
+    run-unique dir keeps the sentinel of one run out of the next."""
+    key = hashlib.md5(f"{sf_dir}:{time.time_ns()}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "spark_stream_scratch", key)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
     return d
+
+
+def _write_sentinel(raw_schema, stream_dir: str) -> None:
+    """One far-future row, same raw schema as the source files.  Its only job
+    is to advance the watermark past every real window.
+
+    NOTE: the sentinel must NOT be filtered out inside the streaming query —
+    a deterministic filter on a non-event-time column is pushed down through
+    the EventTimeWatermark node into the scan, and the sentinel's timestamp
+    then never reaches the watermark collector (observed: watermark stuck,
+    tail windows never emitted).  It flows through the aggregate instead;
+    its own window can never close (nothing later exists), so it adds no
+    output row, and the batch-side result filter drops it if that ever
+    changes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    values = {
+        "event_id": -1,
+        "ts": _SENTINEL_NANOS,
+        "user_id": -1,
+        "event_type": _SENTINEL_TYPE,
+        "value": 0.0,
+        "props": "{}",
+    }
+    cols = {f.name: [values[f.name]] for f in raw_schema.fields}
+    pq.write_table(
+        pa.table(cols), os.path.join(stream_dir, "zz_sentinel.parquet")
+    )
 
 
 @query(
@@ -51,7 +91,9 @@ def _stream_source_dir(sf_dir: str) -> str:
 )
 def streaming_window_counts(spark, sf_dir):
     """Tumbling 1-hour windows with a 30-minute watermark, executed as an
-    actual streaming query on the parquet file source."""
+    actual streaming query on the parquet file source in **append** mode:
+    each window is emitted once when the watermark passes it and its state
+    is evicted (bounded state at scale)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long (ns)
     stream_dir = _stream_source_dir(sf_dir)
@@ -73,13 +115,26 @@ def streaming_window_counts(spark, sf_dir):
     )
     name = f"stream_windows_{int(time.time() * 1000)}"
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.processAllAvailable()  # all real files consumed; tail windows open
+        _write_sentinel(raw_schema, stream_dir)
+        q.processAllAvailable()  # sentinel batch advances the watermark
+        # The flush of now-late windows happens in Spark's no-data
+        # micro-batch, which processAllAvailable doesn't await.  That batch
+        # is done exactly when the committed watermark (lastProgress) has
+        # crossed the sentinel's far-future region — wait on that, not on
+        # sink-count heuristics.
+        for _ in range(200):
+            p = q.lastProgress
+            wm = (p or {}).get("eventTime", {}).get("watermark", "")
+            if wm >= "2100":
+                break
+            time.sleep(0.1)
     finally:
         q.stop()
     return (
@@ -92,5 +147,8 @@ def streaming_window_counts(spark, sf_dir):
             "n",
             "total_value",
         )
+        # defensively drop the sentinel's far-future window should it ever
+        # be emitted (it cannot close under the current watermark logic)
+        .filter(F.col("window_start") < "2100")
         .orderBy("window_start", "event_type")
     )

@@ -99,3 +99,27 @@ def test_stateful_running_totals(spark, sf_dir):
     got = {r["user_id"]: r["n"] for r in result.collect()}
     want = {r["user_id"]: r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_windowed_agg_runs_in_append_mode(spark, sf_dir):
+    """The registered streaming query must use append mode (complete mode
+    never evicts window state — a scale-killer on unbounded sources) and
+    still produce every window of the finite source via the sentinel flush."""
+    from unittest.mock import patch
+
+    from pyspark.sql.streaming import DataStreamWriter
+
+    from hive_serde_schema_gen_spark.registry import all_queries
+
+    seen_modes = []
+    orig = DataStreamWriter.outputMode
+
+    def spy(self, mode):
+        seen_modes.append(mode)
+        return orig(self, mode)
+
+    with patch.object(DataStreamWriter, "outputMode", spy):
+        df = all_queries()["streaming_window_counts"](spark, sf_dir)
+        n = df.count()
+    assert seen_modes == ["append"]
+    assert n > 0
