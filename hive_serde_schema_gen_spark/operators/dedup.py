@@ -42,19 +42,33 @@ JACCARD_THRESHOLD = 0.8
 
 
 def shingles_df(d: DataFrame) -> DataFrame:
-    """Distinct word-3-shingles per doc, built array-side (one transform —
-    no self-joins): slice a sliding window over the token array."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    windows = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - SHINGLE),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)),
+    """Distinct word-3-shingles per doc: posexplode tokens, slide the window
+    with LEAD over (doc_id, pos), then distinct.
+
+    This is the row-side formulation on purpose: the array-side alternative
+    (``transform(sequence(...), i -> concat_ws(slice(toks, i, 3)))``) stays
+    shuffle-free but its nested lambda drops out of whole-stage codegen and
+    measures ~3× slower per core.  Here everything is codegen'd; the costs
+    are one window shuffle on doc_id and the distinct — both partition
+    cleanly by doc at any scale (a doc's tokens are never split across
+    partitions, so no skew beyond document length)."""
+    from pyspark.sql.window import Window as W
+
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
     )
-    # guard: sequence(0, negative) would generate a DESCENDING range
-    sh = F.when(F.size(toks) < SHINGLE, F.array().cast("array<string>")).otherwise(
-        windows
+    w = W.partitionBy("doc_id").orderBy("pos")
+    lead2 = F.lead("tok", SHINGLE - 1).over(w)
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), lead2).alias("shingle"),
+        lead2.alias("tail_tok"),
     )
     return (
-        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        sh.filter(F.col("tail_tok").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
     )
 
 
@@ -191,14 +205,29 @@ MINHASH_P = 4294967311
 _AFFINE = [(2 * i + 1, (2654435761 * (i + 1)) % MINHASH_P) for i in range(N_HASHES)]
 
 
-def minhash_signatures(shd: DataFrame) -> DataFrame:
+def _shingle_hash(hash_fn: str) -> F.Column:
+    """One base hash per shingle, reduced below MINHASH_P so every affine
+    product stays under 2^63 (exact bigint arithmetic).
+
+    - ``md5``: oracle-reproducible (DuckDB computes the identical value) —
+      the correctness-gate configuration.
+    - ``xxhash64``: Spark's native 64-bit hash, ~3× faster per shingle — the
+      production/bench configuration.  Not reproducible outside Spark, which
+      is the only reason it isn't the default here.
+    """
+    if hash_fn == "md5":
+        return (
+            F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+        )
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.col("shingle")), F.lit(MINHASH_P)).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def minhash_signatures(shd: DataFrame, hash_fn: str = "md5") -> DataFrame:
     """(doc_id, mh0..mh15): the full signature in one groupBy pass."""
-    base = shd.select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    base = shd.select("doc_id", _shingle_hash(hash_fn).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(_AFFINE)
@@ -257,17 +286,29 @@ _MINHASH_ORACLE = f"""
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup detection: {n} affine minhashes from one md5 per
-    shingle, {b}-row bands → docs sharing a band bucket become candidates →
-    exact-Jaccard verify.
+    """MinHash+LSH near-dup detection, oracle configuration (md5 base hash —
+    see ``minhash_lsh_pairs`` for the parameterized core and the xxhash64
+    production path)."""
+    return minhash_lsh_pairs(spark, sf_dir, hash_fn="md5")
+
+
+def minhash_lsh_pairs(spark, sf_dir, hash_fn: str = "xxhash64"):
+    """MinHash+LSH near-dup detection: {n} affine minhashes from one base
+    hash per shingle, {b}-row bands → docs sharing a band bucket become
+    candidates → exact-Jaccard verify.
 
     The banding join touches only (docs × bands) rows; candidate
     verification touches only shingles of candidate docs.  This is the
     100 TB near-dup path (the exact pairwise query is its recall baseline).
-    """.format(n=N_HASHES, b=BAND_SIZE)
+    ``hash_fn`` picks the base hash: ``xxhash64`` (native, fast — default)
+    or ``md5`` (cross-engine reproducible, used by the oracle-checked
+    registry entry).  Only candidate *generation* depends on the hash; the
+    exact-Jaccard verification is hash-free, so both configurations emit
+    only true ≥{t} pairs and differ at most in LSH recall.
+    """.format(n=N_HASHES, b=BAND_SIZE, t=JACCARD_THRESHOLD)
     d = load_table(spark, sf_dir, "documents")
     shd = shingles_df(d).cache()
-    mh = minhash_signatures(shd)
+    mh = minhash_signatures(shd, hash_fn)
     band_keys = F.array(
         *[
             F.concat_ws(

@@ -64,3 +64,28 @@ def test_minhash_lsh_finds_near_dups(spark, sf_dir):
     assert exact, "expected planted near-duplicates in the corpus"
     recovered = len(exact & lsh) / len(exact)
     assert recovered >= 0.9, (recovered, exact - lsh)
+
+
+def test_minhash_fast_hash_path_precision_and_recall(spark, sf_dir):
+    """The xxhash64 production configuration: every emitted pair must be a
+    true >=0.8-Jaccard pair (precision 1.0 — verification is exact and
+    hash-free), and LSH recall vs the exact all-candidate baseline must
+    clear the same floor as the md5 configuration.  (The two hash families
+    produce slightly different candidate sets, so set equality is NOT
+    expected — only the precision/recall contract.)"""
+    from hive_serde_schema_gen_spark.operators.dedup import minhash_lsh_pairs
+    from hive_serde_schema_gen_spark.registry import all_queries
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    for hash_fn in ("xxhash64", "md5"):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(spark, sf_dir, hash_fn=hash_fn).collect()
+        }
+        assert got <= exact, f"{hash_fn}: false positives {got - exact}"
+        assert len(got) >= 0.85 * len(exact), (
+            f"{hash_fn}: recall {len(got)}/{len(exact)}"
+        )
