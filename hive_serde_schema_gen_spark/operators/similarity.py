@@ -8,10 +8,14 @@ so oracle-compared scores quantize each component to an integer
 (``round(x * 10000)``) and compute integer dot products — order-independent
 and bit-identical everywhere.  The quantization itself is deterministic:
 ``x * 10000`` of a float32 is an exact double (24-bit × 14-bit mantissas fit
-in 53), and an exact .5 tie would need a denominator-625 rational, which no
-binary float can be — so HALF_UP (Spark) vs HALF_EVEN (DuckDB) never
-disagree.  Production path without an oracle would use the plain double
-``functions.vector.cosine_similarity`` (same plan shape, no quantization).
+in 53), and exact ``.5`` ties CAN occur (e.g. ``x = 1/32`` gives exactly
+``312.5`` — the 5^4 in 10^4 can cancel against the value's denominator), but
+both engines round doubles half-AWAY-FROM-ZERO (Spark ``round`` and DuckDB
+``round`` alike; verified ``round(312.5) = 313`` in both), so ties resolve
+identically.  That shared-rounding-mode invariant is what the oracle
+comparison rests on — not tie impossibility.  Production path without an
+oracle would use the plain double ``functions.vector.cosine_similarity``
+(same plan shape, no quantization).
 """
 
 from __future__ import annotations

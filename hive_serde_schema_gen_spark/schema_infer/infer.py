@@ -41,7 +41,20 @@ from decimal import Decimal
 from typing import Iterator, List, Optional, Tuple
 
 from .errors import BadJson, SchemaGenError
-from .lattice import EMPTY_STRUCT, Descriptor, merge, merge_lenient, observe
+from .lattice import (
+    BOOL,
+    EMPTY_STRUCT,
+    UNKNOWN,
+    Descriptor,
+    Num,
+    Str,
+    Struct,
+    _scale,
+    describe,
+    merge,
+    merge_lenient,
+    observe,
+)
 from .render import render_definition, render_table
 
 _MAX_ERROR_SAMPLES = 20
@@ -90,6 +103,19 @@ class InferenceResult:
 _PartRec = Tuple[int, int, bool, bytes]
 
 
+def _observe_lenient(schema: Descriptor, value) -> Descriptor:
+    """PERMISSIVE fold step for a row that conflicts with the schema:
+    field-wise best-effort merge (conflicting fields keep the earlier kind,
+    clean fields still contribute).  This matches what ``merge_lenient``
+    does when the same rows land in *different* partitions, so the inferred
+    field set does not depend on partition boundaries.  A row whose value
+    cannot even be described (e.g. a mixed-kind array) is skipped whole."""
+    try:
+        return merge_lenient(schema, describe(value))
+    except SchemaGenError:
+        return schema
+
+
 def _fold_partition(pid: int, it: Iterator[str], permissive: bool):
     schema: Descriptor = EMPTY_STRUCT
     n = 0
@@ -112,6 +138,7 @@ def _fold_partition(pid: int, it: Iterator[str], permissive: bool):
             if permissive:
                 if len(errors) < _MAX_ERROR_SAMPLES:
                     errors.append((n, type(e).__name__))
+                schema = _observe_lenient(schema, value)
                 continue
             if getattr(e, "raw", None) is None and hasattr(e, "raw"):
                 e.raw = value
@@ -134,6 +161,10 @@ def _rescan_partition(target_pid: int, seed_b64: str):
             n += 1
             try:
                 value = parse_line(raw)
+            except ValueError as e:
+                yield (n, pickle.dumps(BadJson(raw, str(e), line=n)))
+                return
+            try:
                 schema = observe(schema, value, line=n)
             except SchemaGenError as e:
                 if getattr(e, "raw", None) is None and hasattr(e, "raw"):
@@ -178,17 +209,27 @@ def infer_path(
         offsets[pid] = total
         total += n
 
-    # FAILFAST: surface the first error in file order.
+    # Single pass in partition (= file) order.  FAILFAST must report the
+    # first bad line in *file* order, and a locally-clean partition can
+    # still conflict with the schema accumulated from earlier partitions —
+    # so clean partials merge as we go (a merge conflict triggers a seeded
+    # re-scan for its exact line), and the first locally-erroring partition
+    # is *also* re-scanned seeded with everything before it: an early row of
+    # that partition may conflict cross-partition at a smaller line number
+    # than its local error.  Earlier partitions always win this way.
+    schema: Descriptor = EMPTY_STRUCT
+    all_errors: List[LineError] = []
+    first_pid = recs[0][0] if recs else None
     for pid, n, ok, payload in recs:
         if not ok:
             err: SchemaGenError = pickle.loads(payload)
-            local = err.line or n
-            raise err.with_line((None if sampled else offsets[pid] + local))
-
-    # Final merge, in partition order for deterministic first-seen fields.
-    schema: Descriptor = EMPTY_STRUCT
-    all_errors: List[LineError] = []
-    for pid, _n, _ok, payload in recs:
+            if pid == first_pid:
+                # no preceding schema: the local error IS the global first
+                local = err.line or n
+                raise err.with_line(None if sampled else offsets[pid] + local)
+            _raise_first_error_in_partition(
+                spark, rdd, pid, schema, offsets, sampled, fallback=err
+            )
         partial, errors = pickle.loads(payload)
         if permissive:
             # conflicts that only surface across partitions degrade the same
@@ -205,7 +246,7 @@ def infer_path(
             try:
                 schema = merge(schema, partial)
             except SchemaGenError:
-                schema = _merge_conflict_rescan(
+                _raise_first_error_in_partition(
                     spark, rdd, pid, schema, offsets, sampled
                 )
         for local, msg in errors:
@@ -215,19 +256,115 @@ def infer_path(
     return InferenceResult(schema, total, all_errors)
 
 
-def _merge_conflict_rescan(spark, rdd, pid, schema, offsets, sampled):
+def _raise_first_error_in_partition(
+    spark, rdd, pid, schema, offsets, sampled, fallback=None
+):
+    """Error path only: re-fold partition ``pid`` seeded with the schema
+    accumulated from all earlier partitions and raise its first error (a
+    cross-partition kind conflict, a local conflict, or bad JSON — whichever
+    comes first in line order) with its exact global line number."""
     seed = base64.b64encode(pickle.dumps(schema)).decode()
     found = rdd.mapPartitionsWithIndex(_rescan_partition(pid, seed)).collect()
     if found:
         local, payload = found[0]
         err = pickle.loads(payload)
         raise err.with_line(None if sampled else offsets[pid] + local)
+    if fallback is not None:  # pragma: no cover - rescan reproduces the fold
+        raise fallback
     raise SchemaGenError(f"partition {pid} conflicts with prior schema")  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
 # DataFrame string-column inference (Arrow path)
 # ---------------------------------------------------------------------------
+
+
+class _FastPathMiss(Exception):
+    """Batch contains a shape the accumulator fast path doesn't cover."""
+
+
+def _fold_values_fast(schema: Descriptor, values: list) -> Descriptor:
+    """Fold a batch of parsed rows via per-field accumulators.
+
+    The common LLM-pipeline shape — flat objects of scalars — needs no
+    per-row descriptor allocation or recursive merge: one pass keeps
+    (kind, bounds) per field in plain lists, then builds ONE struct
+    descriptor for the whole batch and merges it into the running schema.
+    Property-tested equivalent to the row-at-a-time fold
+    (tests/test_property.py); anything nested, conflicting, or exotic
+    raises :class:`_FastPathMiss` and the caller replays the batch through
+    ``observe`` for exact semantics.
+
+    Accumulator layout (plain lists, not objects, for speed):
+    ``["u"]`` null-only · ``["b"]`` bool · ``["s", max_len]`` string ·
+    ``["n", lo, hi, max_scale]`` number.
+    """
+    accs: dict = {}
+    for v in values:
+        if type(v) is not dict:
+            raise _FastPathMiss
+        for k, x in v.items():
+            acc = accs.get(k)
+            tx = type(x)
+            if acc is None:
+                if x is None:
+                    accs[k] = ["u"]
+                elif tx is bool:
+                    accs[k] = ["b"]
+                elif tx is str:
+                    accs[k] = ["s", len(x)]
+                elif tx is int:
+                    accs[k] = ["n", x, x, 0]
+                elif tx is Decimal:
+                    accs[k] = ["n", x, x, _scale(x)]
+                else:
+                    raise _FastPathMiss
+                continue
+            kind = acc[0]
+            if x is None:
+                continue
+            if tx is bool:
+                if kind == "u":
+                    acc[0] = "b"
+                elif kind != "b":
+                    raise _FastPathMiss
+            elif tx is str:
+                if kind == "s":
+                    n = len(x)
+                    if n > acc[1]:
+                        acc[1] = n
+                elif kind == "u":
+                    acc[:] = ["s", len(x)]
+                else:
+                    raise _FastPathMiss
+            elif tx is int or tx is Decimal:
+                if kind == "n":
+                    if x < acc[1]:
+                        acc[1] = x
+                    if x > acc[2]:
+                        acc[2] = x
+                    if tx is Decimal:
+                        sc = _scale(x)
+                        if sc > acc[3]:
+                            acc[3] = sc
+                elif kind == "u":
+                    acc[:] = ["n", x, x, _scale(x) if tx is Decimal else 0]
+                else:
+                    raise _FastPathMiss
+            else:
+                raise _FastPathMiss
+    fields = {}
+    for k, acc in accs.items():  # dict preserves first-seen order
+        kind = acc[0]
+        if kind == "u":
+            fields[k] = UNKNOWN
+        elif kind == "b":
+            fields[k] = BOOL
+        elif kind == "s":
+            fields[k] = Str(acc[1])
+        else:
+            fields[k] = Num(acc[1], acc[2], acc[3])
+    return merge(schema, Struct(fields))
 
 
 def infer_json_column(df, column: str, permissive: bool = False) -> Descriptor:
@@ -238,6 +375,11 @@ def infer_json_column(df, column: str, permissive: bool = False) -> Descriptor:
     partition order.  At cluster scale this moves only O(partitions) tiny
     blobs to the driver.  Null cells are skipped (column-level nullability,
     not a row error).
+
+    Flat batches of scalar fields take the accumulator fast path
+    (:func:`_fold_values_fast`, ~5× less Python per row); nested or
+    conflicting batches replay row-at-a-time for exact error/lenient
+    semantics.
     """
     from pyspark import TaskContext
 
@@ -247,14 +389,29 @@ def infer_json_column(df, column: str, permissive: bool = False) -> Descriptor:
         pid = TaskContext.get().partitionId()
         schema: Descriptor = EMPTY_STRUCT
         for pdf in batches:
+            values = []
             for raw in pdf[column]:
                 if raw is None:
                     continue
                 try:
-                    schema = observe(schema, parse_line(raw))
-                except (SchemaGenError, ValueError):
+                    values.append(parse_line(raw))
+                except ValueError:
                     if not permissive:
                         raise
+            try:
+                schema = _fold_values_fast(schema, values)
+            except (_FastPathMiss, SchemaGenError):
+                # replay the whole batch row-at-a-time: reproduces the exact
+                # first-row error (strict) / field-wise degradation
+                # (permissive); `schema` was not touched by the failed fast
+                # attempt, so no double counting
+                for value in values:
+                    try:
+                        schema = observe(schema, value)
+                    except SchemaGenError:
+                        if not permissive:
+                            raise
+                        schema = _observe_lenient(schema, value)
         yield __import__("pandas").DataFrame(
             {"pid": [pid], "blob": [pickle.dumps(schema)]}
         )

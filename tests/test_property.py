@@ -118,3 +118,53 @@ def test_fold_order_independent_type(rows):
     for d in reversed(descs[:-1]):
         rev = merge(rev, d)
     assert canonical(seq) == canonical(rev)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(row_strategy(), max_size=12))
+def test_fast_batch_fold_matches_row_fold(rows):
+    """The accumulator fast path must produce the exact descriptor (bounds,
+    scales, lengths, field order included — not just the rendered type) of
+    the row-at-a-time fold, or fall back by raising _FastPathMiss."""
+    from hive_serde_schema_gen_spark.schema_infer.infer import (
+        _FastPathMiss,
+        _fold_values_fast,
+    )
+    from hive_serde_schema_gen_spark.schema_infer.lattice import (
+        EMPTY_STRUCT,
+        observe,
+    )
+
+    slow = EMPTY_STRUCT
+    for r in rows:
+        slow = observe(slow, r)
+    try:
+        fast = _fold_values_fast(EMPTY_STRUCT, rows)
+    except _FastPathMiss:
+        return  # fallback is exercised by the flat-only variant below
+    assert fast == slow
+    assert list(fast.fields) == list(slow.fields)  # first-seen order
+
+
+FLAT_ROW = st.fixed_dictionaries(
+    {}, optional={f"{k}1": KIND_POOL[k] for k in KIND_POOL}
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(FLAT_ROW, min_size=1, max_size=12))
+def test_fast_batch_fold_covers_flat_rows(rows):
+    """Flat scalar rows must never miss the fast path (that's the shape it
+    exists for) and must reproduce the slow fold exactly."""
+    from hive_serde_schema_gen_spark.schema_infer.infer import _fold_values_fast
+    from hive_serde_schema_gen_spark.schema_infer.lattice import (
+        EMPTY_STRUCT,
+        observe,
+    )
+
+    slow = EMPTY_STRUCT
+    for r in rows:
+        slow = observe(slow, r)
+    fast = _fold_values_fast(EMPTY_STRUCT, rows)
+    assert fast == slow
+    assert list(fast.fields) == list(slow.fields)

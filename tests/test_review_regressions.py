@@ -74,3 +74,45 @@ def test_streaming_accumulator_survives_cross_batch_conflict(spark):
     acc.absorb(infer_json_column(b2, "props", permissive=True), 1)
     assert acc.definition() == "a TINYINT"
     assert acc.rows == 2
+
+
+def test_permissive_field_set_is_partition_independent(spark, tmp_path):
+    """Advisor repro: a row with one conflicting field must contribute its
+    NON-conflicting fields in PERMISSIVE mode regardless of partitioning.
+    Within a partition the fold now degrades field-wise (merge_lenient of
+    the row's descriptor), matching what the cross-partition driver merge
+    does — so 1 partition and 2 partitions infer the same schema."""
+    p = tmp_path / "perm_fieldwise.json"
+    p.write_text('{"v": 1}\n{"v": "x", "b": 5}\n')
+    one = infer_path(spark, str(p), mode="PERMISSIVE", min_partitions=1)
+    two = infer_path(spark, str(p), mode="PERMISSIVE", min_partitions=2)
+    assert render_definition(one.schema) == "v TINYINT,\nb TINYINT"
+    assert render_definition(two.schema) == render_definition(one.schema)
+
+
+def test_failfast_reports_first_error_in_file_order(spark, tmp_path):
+    """Advisor repro: a cross-partition kind conflict EARLIER in file order
+    must win over a later partition's local error.  p0={"a":1} (clean),
+    p1={"a":"x"} (locally clean, conflicts with p0), p2=malformed JSON —
+    the reported error must be the line-2 RowMismatch, not p2's BadJson."""
+    from hive_serde_schema_gen_spark.schema_infer.errors import RowMismatch
+
+    p = tmp_path / "ordered_errors.json"
+    p.write_text('{"a": 1}\n{"a": "x"}\n{broken\n')
+    with pytest.raises(RowMismatch) as ei:
+        infer_path(spark, str(p), min_partitions=3)
+    assert ei.value.line == 2
+
+
+def test_failfast_seeded_rescan_inside_erroring_partition(spark, tmp_path):
+    """Advisor repro, second shape: within the locally-erroring partition, a
+    cross-partition conflict at an EARLIER line must beat the local error.
+    p0={"a":1}; p1 = [{"a":"x"} (conflicts with p0 only), {malformed}]."""
+    from hive_serde_schema_gen_spark.schema_infer.errors import RowMismatch
+
+    p = tmp_path / "seeded_rescan.json"
+    # 2 partitions over 3 lines -> p0 gets line 1, p1 gets lines 2-3
+    p.write_text('{"a": 1}\n{"a": "x"}\n{broken\n')
+    with pytest.raises(RowMismatch) as ei:
+        infer_path(spark, str(p), min_partitions=2)
+    assert ei.value.line == 2
