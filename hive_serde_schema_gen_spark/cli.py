@@ -29,6 +29,12 @@ def main(argv=None) -> int:
     )
     p.add_argument("--sampling-ratio", type=float, default=None)
     p.add_argument(
+        "--detect-dates",
+        action="store_true",
+        help="type ISO-8601 strings as DATE/TIMESTAMP (opt-in deviation; "
+        "default keeps the reference's strings-stay-strings behavior)",
+    )
+    p.add_argument(
         "--evolve-from",
         metavar="OLD_FILE",
         default=None,
@@ -40,7 +46,8 @@ def main(argv=None) -> int:
     spark = get_spark("hive-serde-schema-gen")
     try:
         result = infer_path(
-            spark, args.file, mode=args.mode, sampling_ratio=args.sampling_ratio
+            spark, args.file, mode=args.mode, sampling_ratio=args.sampling_ratio,
+            detect_dates=args.detect_dates,
         )
         if args.evolve_from is not None:
             from .schema_infer import alter_statements
@@ -48,6 +55,7 @@ def main(argv=None) -> int:
             old = infer_path(
                 spark, args.evolve_from, mode=args.mode,
                 sampling_ratio=args.sampling_ratio,
+                detect_dates=args.detect_dates,
             )
             stmts = alter_statements(args.table, old.schema, result.schema)
             print(

@@ -224,20 +224,70 @@ def lsh_bucket_expr(vec_col, table: int) -> F.Column:
 
 N_CENTROIDS = 16
 N_PROBE = 4
+KMEANS_ITERS = 2
+
+
+def _cell_of(cents: dict, vec_col) -> F.Column:
+    """Nearest-centroid id for a vector column, argmax via array functions —
+    a chained WHEN argmax would duplicate each sub-expression into every
+    later branch (exponential tree).  ``cents`` rides the plan as literals
+    (the broadcast-small-side pattern: centroid tables are KBs at any SF)."""
+    cent_ids = sorted(cents)
+    sims = F.array(
+        *[
+            cosine_similarity(vec_col, F.array([F.lit(float(v)) for v in cents[cid]]))
+            for cid in cent_ids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def _kmeans_refine(e, cents: dict, iters: int = KMEANS_ITERS) -> dict:
+    """Lloyd iterations over the corpus: assign → per-cell per-dimension
+    mean → new centroids (empty cells keep their old centroid).
+
+    Each iteration is one narrow assignment map + one (cell, dim) aggregate
+    — at scale that is a single shuffle of (16 cells × 64 dims) partial
+    sums, nothing proportional to the corpus.  Deterministic given the
+    deterministic seed sample; only candidate *selection* depends on it
+    (re-ranking is exact), so k-means quality moves recall, not precision."""
+    for _ in range(iters):
+        assigned = e.select(
+            "embedding", _cell_of(cents, F.col("embedding")).alias("cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        new_cents = {}
+        for idx, cid in enumerate(sorted(cents)):  # cell idx = rank of its id
+            old = cents[cid]
+            mean = by_cell.get(idx)
+            new_cents[cid] = (
+                [mean[p] for p in range(len(old))]
+                if mean and len(mean) == len(old)
+                else old
+            )
+        cents = new_cents
+    return cents
 
 
 @query("similarity_ivf_topk", oracle=None)
 def similarity_ivf_topk(spark, sf_dir):
-    """ANN via IVF (inverted-file index): assign every vector to its nearest
-    centroid; a probe scans only the ``N_PROBE`` closest cells before exact
-    re-ranking.  Centroids here are a deterministic sample (first
-    ``N_CENTROIDS`` vectors) — a k-means refinement would drop in without
-    changing the plan shape.  Approximate ⇒ rows-only check; recall vs the
+    """ANN via IVF (inverted-file index): k-means centroids (deterministic
+    seed sample + {it} Lloyd refinement iterations), assign every vector to
+    its nearest centroid; a probe scans only the ``N_PROBE`` closest cells
+    before exact re-ranking.  Approximate ⇒ rows-only check; recall vs the
     brute-force baseline is asserted in tests/test_advanced.py.
 
     Scale: assignment is a narrow map over broadcast centroid literals; with
     a cell-partitioned layout the probe becomes partition-pruned I/O, the
-    same trajectory as the LSH variant."""
+    same trajectory as the LSH variant.""".format(it=KMEANS_ITERS)
     import math
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -247,24 +297,11 @@ def similarity_ivf_topk(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()
     }
+    cents = _kmeans_refine(e, cents)
     cent_ids = sorted(cents)
 
-    def cell_of(vec_col):
-        # one independent similarity expression per centroid, argmax via
-        # array functions — a chained WHEN argmax would duplicate each
-        # sub-expression into every later branch (exponential tree)
-        sims = F.array(
-            *[
-                cosine_similarity(
-                    vec_col, F.array([F.lit(float(v)) for v in cents[cid]])
-                )
-                for cid in cent_ids
-            ]
-        )
-        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-
     assigned = e.select(
-        "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
+        "vec_id", "embedding", _cell_of(cents, F.col("embedding")).alias("cell")
     )
     probe = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
     qlit = F.array([F.lit(float(v)) for v in probe["embedding"]])
@@ -273,9 +310,13 @@ def similarity_ivf_topk(spark, sf_dir):
         dot = sum(x * y for x, y in zip(a, b))
         return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
 
-    cell_ids = sorted(
-        cent_ids, key=lambda cid: -cos_py(cents[cid], probe["embedding"])
-    )[:N_PROBE]
+    rank = {cid: i for i, cid in enumerate(cent_ids)}  # cell idx = id rank
+    cell_ids = [
+        rank[cid]
+        for cid in sorted(
+            cent_ids, key=lambda cid: -cos_py(cents[cid], probe["embedding"])
+        )[:N_PROBE]
+    ]
     return (
         assigned.filter(
             F.col("cell").isin(cell_ids) & (F.col("vec_id") != QUERY_VEC_ID)

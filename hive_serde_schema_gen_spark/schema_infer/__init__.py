@@ -21,6 +21,7 @@ from .lattice import (
     Num,
     Str,
     Struct,
+    Ts,
     Unknown,
     describe,
     merge,

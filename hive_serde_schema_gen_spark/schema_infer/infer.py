@@ -103,7 +103,7 @@ class InferenceResult:
 _PartRec = Tuple[int, int, bool, bytes]
 
 
-def _observe_lenient(schema: Descriptor, value) -> Descriptor:
+def _observe_lenient(schema: Descriptor, value, detect_dates: bool = False) -> Descriptor:
     """PERMISSIVE fold step for a row that conflicts with the schema:
     field-wise best-effort merge (conflicting fields keep the earlier kind,
     clean fields still contribute).  This matches what ``merge_lenient``
@@ -111,12 +111,12 @@ def _observe_lenient(schema: Descriptor, value) -> Descriptor:
     field set does not depend on partition boundaries.  A row whose value
     cannot even be described (e.g. a mixed-kind array) is skipped whole."""
     try:
-        return merge_lenient(schema, describe(value))
+        return merge_lenient(schema, describe(value, detect_dates=detect_dates))
     except SchemaGenError:
         return schema
 
 
-def _fold_partition(pid: int, it: Iterator[str], permissive: bool):
+def _fold_partition(pid: int, it: Iterator[str], permissive: bool, detect_dates: bool = False):
     schema: Descriptor = EMPTY_STRUCT
     n = 0
     errors: List[Tuple[int, str]] = []
@@ -133,12 +133,12 @@ def _fold_partition(pid: int, it: Iterator[str], permissive: bool):
             yield (pid, n, False, pickle.dumps(err))
             return
         try:
-            schema = observe(schema, value, line=n)
+            schema = observe(schema, value, line=n, detect_dates=detect_dates)
         except SchemaGenError as e:
             if permissive:
                 if len(errors) < _MAX_ERROR_SAMPLES:
                     errors.append((n, type(e).__name__))
-                schema = _observe_lenient(schema, value)
+                schema = _observe_lenient(schema, value, detect_dates)
                 continue
             if getattr(e, "raw", None) is None and hasattr(e, "raw"):
                 e.raw = value
@@ -147,7 +147,7 @@ def _fold_partition(pid: int, it: Iterator[str], permissive: bool):
     yield (pid, n, True, pickle.dumps((schema, errors)))
 
 
-def _rescan_partition(target_pid: int, seed_b64: str):
+def _rescan_partition(target_pid: int, seed_b64: str, detect_dates: bool = False):
     """Closure for the error-path re-scan: fold only ``target_pid`` seeded
     with the schema accumulated from all earlier partitions, to recover the
     exact line of a conflict first seen at driver merge time."""
@@ -165,7 +165,7 @@ def _rescan_partition(target_pid: int, seed_b64: str):
                 yield (n, pickle.dumps(BadJson(raw, str(e), line=n)))
                 return
             try:
-                schema = observe(schema, value, line=n)
+                schema = observe(schema, value, line=n, detect_dates=detect_dates)
             except SchemaGenError as e:
                 if getattr(e, "raw", None) is None and hasattr(e, "raw"):
                     e.raw = value
@@ -181,6 +181,7 @@ def infer_path(
     mode: str = "FAILFAST",
     min_partitions: Optional[int] = None,
     sampling_ratio: Optional[float] = None,
+    detect_dates: bool = False,
 ) -> InferenceResult:
     """Infer the schema of an NDJSON file/glob distributively.
 
@@ -189,6 +190,8 @@ def infer_path(
     20 sampled errors per partition.  ``sampling_ratio`` (like
     ``spark.read.json``'s option) infers from a deterministic row sample —
     line numbers are then relative to the sample and reported as None.
+    ``detect_dates`` (opt-in deviation, OFF for reference fidelity) types
+    ISO-8601 strings as DATE/TIMESTAMP.
     """
     permissive = mode.upper() == "PERMISSIVE"
     sc = spark.sparkContext
@@ -198,7 +201,7 @@ def infer_path(
         rdd = rdd.sample(False, float(sampling_ratio), seed=42)
 
     recs: List[_PartRec] = rdd.mapPartitionsWithIndex(
-        lambda pid, it: _fold_partition(pid, it, permissive)
+        lambda pid, it: _fold_partition(pid, it, permissive, detect_dates)
     ).collect()
     recs.sort(key=lambda r: r[0])
 
@@ -228,7 +231,7 @@ def infer_path(
                 local = err.line or n
                 raise err.with_line(None if sampled else offsets[pid] + local)
             _raise_first_error_in_partition(
-                spark, rdd, pid, schema, offsets, sampled, fallback=err
+                spark, rdd, pid, schema, offsets, sampled, detect_dates, fallback=err
             )
         partial, errors = pickle.loads(payload)
         if permissive:
@@ -247,7 +250,7 @@ def infer_path(
                 schema = merge(schema, partial)
             except SchemaGenError:
                 _raise_first_error_in_partition(
-                    spark, rdd, pid, schema, offsets, sampled
+                    spark, rdd, pid, schema, offsets, sampled, detect_dates
                 )
         for local, msg in errors:
             all_errors.append(
@@ -257,14 +260,16 @@ def infer_path(
 
 
 def _raise_first_error_in_partition(
-    spark, rdd, pid, schema, offsets, sampled, fallback=None
+    spark, rdd, pid, schema, offsets, sampled, detect_dates=False, fallback=None
 ):
     """Error path only: re-fold partition ``pid`` seeded with the schema
     accumulated from all earlier partitions and raise its first error (a
     cross-partition kind conflict, a local conflict, or bad JSON — whichever
     comes first in line order) with its exact global line number."""
     seed = base64.b64encode(pickle.dumps(schema)).decode()
-    found = rdd.mapPartitionsWithIndex(_rescan_partition(pid, seed)).collect()
+    found = rdd.mapPartitionsWithIndex(
+        _rescan_partition(pid, seed, detect_dates)
+    ).collect()
     if found:
         local, payload = found[0]
         err = pickle.loads(payload)
@@ -431,7 +436,7 @@ def infer_json_column(df, column: str, permissive: bool = False) -> Descriptor:
     return schema
 
 
-def infer_ndjson_strings(lines: Iterator[str]) -> InferenceResult:
+def infer_ndjson_strings(lines: Iterator[str], detect_dates: bool = False) -> InferenceResult:
     """Single-process fold over an iterable of lines (testing / tiny inputs).
     Semantics identical to the distributed path."""
     schema: Descriptor = EMPTY_STRUCT
@@ -443,7 +448,7 @@ def infer_ndjson_strings(lines: Iterator[str]) -> InferenceResult:
         except ValueError as e:
             raise BadJson(raw, str(e), line=n)
         try:
-            schema = observe(schema, value, line=n)
+            schema = observe(schema, value, line=n, detect_dates=detect_dates)
         except SchemaGenError as e:
             if getattr(e, "raw", None) is None and hasattr(e, "raw"):
                 e.raw = value

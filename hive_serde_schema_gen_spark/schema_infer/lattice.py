@@ -124,6 +124,40 @@ class Str(Descriptor):
         return hash(("string", self.max_len))
 
 
+class Ts(Descriptor):
+    """Opt-in ISO-8601 date/timestamp detection (``detect_dates=True`` —
+    OFF by default: the reference has no date type, ``Schemer.scala:43-63``,
+    so reference-mode output stays byte-identical).
+
+    Tracks ``max_len`` like :class:`Str` so a later non-date string
+    degrades the field losslessly to VARCHAR, and ``has_time`` to pick
+    DATE vs TIMESTAMP at render time.
+    """
+
+    __slots__ = ("max_len", "has_time")
+    kind = "timestamp"
+
+    def __init__(self, max_len: int, has_time: bool):
+        self.max_len = max_len
+        self.has_time = has_time
+
+    def copy(self) -> "Ts":
+        return Ts(self.max_len, self.has_time)
+
+    def __repr__(self) -> str:
+        return f"Ts(max_len={self.max_len}, has_time={self.has_time})"
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, Ts)
+            and other.max_len == self.max_len
+            and other.has_time == self.has_time
+        )
+
+    def __hash__(self) -> int:
+        return hash(("timestamp", self.max_len, self.has_time))
+
+
 class Num(Descriptor):
     """Tracks lo/hi bounds and the maximum observed scale.
 
@@ -242,19 +276,34 @@ def _scale(x: Union[int, float, Decimal]) -> int:
     return 0
 
 
-def describe(value: Any, line: Optional[int] = None) -> Descriptor:
+# Date-only or full timestamp; time part optionally fractional + zoned.
+_ISO8601 = __import__("re").compile(
+    r"\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?)?$"
+)
+
+
+def describe(
+    value: Any, line: Optional[int] = None, detect_dates: bool = False
+) -> Descriptor:
     """Build a descriptor for one parsed JSON value (exemplar → descriptor).
 
     Mirrors the implicit typing in ``Schemer.scala:43-63`` with array
     normalization (``prepare``, Schemer.scala:32-41) applied eagerly: a
     multi-element array folds its elements into one unified element type;
     element-kind conflicts raise InconsistentArray (Schemer.scala:37-38).
+
+    ``detect_dates=True`` (opt-in deviation) types ISO-8601 strings as
+    :class:`Ts`; OFF by default for reference fidelity.
     """
     if value is None:
         return UNKNOWN
     if isinstance(value, bool):  # must precede int: bool is an int subclass
         return BOOL
     if isinstance(value, str):
+        if detect_dates:
+            m = _ISO8601.match(value)
+            if m:
+                return Ts(len(value), has_time=m.group(1) is not None)
         return Str(len(value))
     if isinstance(value, (int, Decimal, float)):
         if isinstance(value, float):  # defensive: parse_float=Decimal upstream
@@ -264,12 +313,12 @@ def describe(value: Any, line: Optional[int] = None) -> Descriptor:
         elem: Descriptor = UNKNOWN
         try:
             for v in value:
-                elem = merge(elem, describe(v, line))
+                elem = merge(elem, describe(v, line, detect_dates))
         except RowMismatch:
             raise InconsistentArray(value, line=line) from None
         return Arr(elem)
     if isinstance(value, dict):
-        return Struct({k: describe(v, line) for k, v in value.items()})
+        return Struct({k: describe(v, line, detect_dates) for k, v in value.items()})
     raise TypeError(f"unsupported JSON value: {value!r}")
 
 
@@ -293,8 +342,14 @@ def merge(a: Descriptor, b: Descriptor, line: Optional[int] = None) -> Descripto
         return a
     if isinstance(a, Bool) and isinstance(b, Bool):
         return BOOL
+    if isinstance(a, Ts) and isinstance(b, Ts):
+        return Ts(max(a.max_len, b.max_len), a.has_time or b.has_time)
     if isinstance(a, Str) and isinstance(b, Str):
         return a if a.max_len >= b.max_len else b
+    if isinstance(a, (Ts, Str)) and isinstance(b, (Ts, Str)):
+        # a date-looking string and a general string unify to VARCHAR —
+        # max_len is tracked on both sides so nothing is lost
+        return Str(max(a.max_len, b.max_len))
     if isinstance(a, Num) and isinstance(b, Num):
         return Num(
             a.lo if a.lo <= b.lo else b.lo,
@@ -338,7 +393,12 @@ def merge_lenient(a: Descriptor, b: Descriptor) -> Descriptor:
         return a if not isinstance(a, Unknown) else b
 
 
-def observe(schema: Descriptor, value: Any, line: Optional[int] = None) -> Descriptor:
+def observe(
+    schema: Descriptor,
+    value: Any,
+    line: Optional[int] = None,
+    detect_dates: bool = False,
+) -> Descriptor:
     """Fold one parsed JSON row into the running schema.
 
     ``schema ← merge(schema, describe(row))`` — the loop body of
@@ -346,7 +406,7 @@ def observe(schema: Descriptor, value: Any, line: Optional[int] = None) -> Descr
     reference seeds with ``Json.obj()``, Schemer.scala:10), so a non-object
     top-level row raises RowMismatch exactly as the reference does.
     """
-    return merge(schema, describe(value, line), line)
+    return merge(schema, describe(value, line, detect_dates), line)
 
 
 # ---------------------------------------------------------------------------

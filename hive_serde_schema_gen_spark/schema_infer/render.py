@@ -29,6 +29,7 @@ from .lattice import (
     Num,
     Str,
     Struct,
+    Ts,
     Unknown,
     num_bounds_precision,
 )
@@ -72,6 +73,8 @@ def render_type(desc: Descriptor, indent: int = 0, key: str | None = None) -> st
         return prefix + "???"
     if isinstance(desc, Bool):
         return prefix + "BOOLEAN"
+    if isinstance(desc, Ts):  # opt-in detect_dates deviation (lattice.Ts)
+        return prefix + ("TIMESTAMP" if desc.has_time else "DATE")
     if isinstance(desc, Str):
         n = desc.max_len
         if 0 < n <= VARCHAR_MAX:

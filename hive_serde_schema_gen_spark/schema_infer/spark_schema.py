@@ -23,6 +23,7 @@ from .lattice import (
     Num,
     Str,
     Struct,
+    Ts,
     Unknown,
     num_bounds_precision,
 )
@@ -39,6 +40,8 @@ def to_spark_type(
         return T.StringType() if unknown_as_string else T.NullType()
     if isinstance(desc, Bool):
         return T.BooleanType()
+    if isinstance(desc, Ts):
+        return T.TimestampType() if desc.has_time else T.DateType()
     if isinstance(desc, Str):
         n = desc.max_len
         if 0 < n <= VARCHAR_MAX and not varchar_as_string:

@@ -44,7 +44,9 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir, ann):
     approx = [r["vec_id"] for r in QUERIES[ann](spark, sf_dir).collect()]
     assert len(approx) > 0
     recall = len(set(exact) & set(approx)) / len(exact)
-    floor = 0.2 if ann == "similarity_lsh_bucketed" else 0.3
+    # IVF floor raised after the k-means refinement landed (measured 0.9
+    # at sf0.001 and sf0.01; seed-sample centroids alone floored at 0.3)
+    floor = 0.2 if ann == "similarity_lsh_bucketed" else 0.6
     assert recall >= floor, (ann, recall, exact, approx)
 
 

@@ -116,3 +116,30 @@ def test_failfast_seeded_rescan_inside_erroring_partition(spark, tmp_path):
     with pytest.raises(RowMismatch) as ei:
         infer_path(spark, str(p), min_partitions=2)
     assert ei.value.line == 2
+
+
+def test_detect_dates_opt_in():
+    """--detect-dates types ISO-8601 strings as DATE/TIMESTAMP; OFF keeps
+    the reference's strings-stay-strings output byte-identical."""
+    rows = [
+        '{"d": "2024-01-31", "t": "2024-01-31T08:30:00Z", "s": "not 2024"}',
+        '{"d": "2023-12-25", "t": "2024-02-01 09:00:00.250", "s": "x"}',
+    ]
+    off = infer_ndjson_strings(iter(rows))
+    assert render_definition(off.schema) == (
+        "d VARCHAR(10),\nt VARCHAR(23),\ns VARCHAR(8)"
+    )
+    on = infer_ndjson_strings(iter(rows), detect_dates=True)
+    assert render_definition(on.schema) == "d DATE,\nt TIMESTAMP,\ns VARCHAR(8)"
+
+
+def test_detect_dates_degrades_to_varchar_on_mixed():
+    """A field holding dates AND ordinary strings unifies to VARCHAR with
+    the full max_len (nothing lost on degradation); date-only + timestamp
+    unifies to TIMESTAMP."""
+    rows = [
+        '{"v": "2024-01-31", "w": "2024-01-31"}',
+        '{"v": "definitely not a date", "w": "2024-01-31T08:30:00Z"}',
+    ]
+    on = infer_ndjson_strings(iter(rows), detect_dates=True)
+    assert render_definition(on.schema) == "v VARCHAR(21),\nw TIMESTAMP"
