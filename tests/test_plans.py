@@ -25,6 +25,7 @@ JVM_ONLY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "text_quality_score",
     "text_lang_id",
@@ -33,6 +34,10 @@ JVM_ONLY = [
     "embedding_norms",
     "set_ops",
     "scalar_string_funcs",
+    "subqueries",
+    "rollup_cube_agg",
+    "text_token_count",
+    "window_running_lag",
 ]
 
 
