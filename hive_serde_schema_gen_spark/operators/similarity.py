@@ -48,13 +48,6 @@ def qdot(a, b) -> F.Column:
     )
 
 
-def _quantized_cosine(vec_col, q_col) -> F.Column:
-    dot = qdot(vec_col, q_col).cast("double")
-    n1 = F.sqrt(qdot(vec_col, vec_col).cast("double"))
-    n2 = F.sqrt(qdot(q_col, q_col).cast("double"))
-    return dot / (n1 * n2)
-
-
 _SQL_QUANT = (
     "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)"
 )
@@ -83,23 +76,44 @@ _SQL_QUANT = (
 def similarity_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-10 for one probe vector.
 
-    The probe is fetched once (2 KB) and inlined as a literal — on a cluster
-    it rides the closure to every executor; no join, no shuffle: one narrow
-    scan + TakeOrdered(k).  Scales linearly in corpus size; this is the
-    baseline ANN implementations are verified against
-    (``similarity_lsh_bucketed``)."""
+    The probe is fetched once (2 KB) and inlined as literals — on a cluster
+    it rides the plan to every executor; no join.  The dot product runs as
+    posexplode + map-side-combined SUM per vec_id rather than a per-row
+    ``aggregate(zip_with(...))`` lambda: higher-order array lambdas drop
+    out of whole-stage codegen (measured ~2× slower with multi-second
+    compile variance), while the explode pipeline is fully codegen'd and
+    its exchange carries only one pre-aggregated row per vector.  Scales
+    linearly in corpus size; this is the baseline the ANN implementations
+    are verified against (``similarity_lsh_bucketed``)."""
+    import math
+
     e = load_table(spark, sf_dir, "embeddings")
-    qvec = (
-        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+    qvec = [
+        int(v)
+        for v in e.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(quantized("embedding").alias("q"))
         .collect()[0]["q"]
+    ]
+    # exact: integer sum of squares, then one correctly-rounded sqrt —
+    # identical to the in-engine sqrt of the same integer
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    ex = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", F.posexplode(quantized("embedding")).alias("pos", "v")
     )
-    qlit = F.array([F.lit(int(v)).cast("long") for v in qvec])
+    qlit = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in qvec]), F.col("pos") + 1
+    )
+    agg = ex.groupBy("vec_id").agg(
+        F.sum(F.col("v") * qlit).alias("dot"),
+        F.sum(F.col("v") * F.col("v")).alias("nv"),
+    )
     return (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(
+        agg.select(
             "vec_id",
-            _quantized_cosine(quantized("embedding"), qlit).alias("cos_sim"),
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nv").cast("double")) * F.lit(qnorm))
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
