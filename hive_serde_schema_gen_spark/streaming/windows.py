@@ -95,6 +95,9 @@ def streaming_window_counts(spark, sf_dir):
     each window is emitted once when the watermark passes it and its state
     is evicted (bounded state at scale)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the sentinel flush rides on the no-data micro-batch; don't depend on
+    # the (default-true) conf being untouched in the caller's session
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long (ns)
     stream_dir = _stream_source_dir(sf_dir)
     stream = (
