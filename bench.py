@@ -76,21 +76,23 @@ def main() -> None:
                 queries[name](spark, warm_dir).collect()
                 spark.catalog.clearCache()
 
-    # Best-of-N per query: JVM JIT/GC introduces multi-second run-to-run
-    # noise on this box; the minimum over repetitions is the standard
-    # low-variance estimator of steady-state cost (what a tuned cluster
-    # delivers).  N=2 keeps total wall time reasonable.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Best-of-N per query: JVM JIT/GC plus bursty host CPU allocation
+    # introduce multi-second run-to-run noise on this box; the minimum over
+    # repetitions is the standard low-variance estimator of steady-state
+    # cost (what a tuned cluster delivers).  Reps are interleaved (full
+    # sweep 1..N over all queries, not N back-to-back runs per query) so a
+    # multi-second noise window can't poison every rep of one query.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings = {}
-    for name in HEADLINE:
-        best = None
-        for _ in range(reps):
+    for _ in range(reps):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()  # queries cache() internally
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            prev = timings.get(name)
+            timings[name] = dt if prev is None else min(prev, dt)
+    timings = {name: round(dt, 3) for name, dt in timings.items()}
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
