@@ -205,20 +205,104 @@ def text_lang_id(spark, sf_dir):
     return scored.select("doc_id", "lang", predicted).orderBy("doc_id")
 
 
-@query(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(LOWER(TRIM(text))) AS fingerprint
-    FROM documents ORDER BY doc_id
-    """,
-)
+# Rolling-hash parameters.  Horner evaluation reduces mod ROLL_P at every
+# step, so the largest intermediate is (ROLL_P-1)*ROLL_B + (2^32-1) ≈ 4.3e15
+# — exact in int64 on both engines (no overflow, no float).  ROLL_P is the
+# same >2^32 prime the MinHash affine family uses.
+ROLL_W = 4  # tokens per rolling window
+ROLL_B = 1000003  # polynomial base (prime)
+ROLL_P = 4294967311  # modulus (smallest prime above 2^32)
+
+_SQL_ROLL_H = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+
+
+def _rolling_oracle() -> str:
+    lead = [
+        f"LEAD(h, {k}) OVER (PARTITION BY doc_id ORDER BY ord) AS h{k}"
+        for k in range(1, ROLL_W)
+    ]
+    acc = "h"
+    for k in range(1, ROLL_W):
+        acc = f"(({acc}) * {ROLL_B} + h{k}) % {ROLL_P}"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)),
+    hashed AS (
+        SELECT doc_id, ord, {_SQL_ROLL_H} AS h FROM tok),
+    led AS (
+        SELECT doc_id, h, {", ".join(lead)} FROM hashed),
+    windows AS (
+        SELECT doc_id, {acc} AS rh FROM led
+        WHERE h{ROLL_W - 1} IS NOT NULL),
+    sketch AS (
+        SELECT doc_id, MIN(rh) AS rolling_min, COUNT(*) AS n_windows
+        FROM windows GROUP BY doc_id)
+    SELECT d.doc_id,
+           md5(LOWER(TRIM(d.text))) AS fingerprint,
+           s.rolling_min,
+           COALESCE(s.n_windows, 0) AS n_windows
+    FROM documents d LEFT JOIN sketch s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("text_fingerprint", oracle=_rolling_oracle())
 def text_fingerprint(spark, sf_dir):
-    """Normalized content fingerprint (md5 of lowercased trimmed text) — the
-    join key for exact dedup at scale: grouping/shuffling on a 16-byte digest
-    instead of multi-KB text bodies."""
+    """Document fingerprinting, both granularities in one pass:
+
+    - ``fingerprint``: md5 of the lowercased trimmed body — the exact-dedup
+      join key (shuffle 16 bytes, not multi-KB documents).
+    - ``rolling_min`` / ``n_windows``: a polynomial rolling hash over every
+      {w}-token window (Rabin-Karp: Horner with per-step ``mod {p}``), then
+      the per-doc MIN — the min-sampling half of the winnowing scheme
+      (Schleimer/Wilkerson/Aiken, SIGMOD'03).  Two docs sharing any
+      {w}-token run are *candidates* whenever their min windows coincide;
+      at 100 TB you group on ``rolling_min`` buckets exactly like an LSH
+      band — this is also the primitive behind content-defined chunking.
+
+    All arithmetic is int64-exact (largest intermediate ≈ 4.3e15), so the
+    DuckDB oracle reproduces every hash bit-for-bit.  Plan: one window
+    shuffle on doc_id (token order), one groupBy, one key join — each
+    partitions cleanly by document at any scale."""
+    from pyspark.sql.window import Window as W
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    tok = d.select(
+        "doc_id", F.posexplode(_tokens("text")).alias("pos", "tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    led = tok.select(
+        "doc_id",
+        h.alias("h"),
+        *[F.lead(h, k).over(w).alias(f"h{k}") for k in range(1, ROLL_W)],
+    )
+    acc = F.col("h")
+    for k in range(1, ROLL_W):
+        acc = (acc * ROLL_B + F.col(f"h{k}")) % ROLL_P
+    sketch = (
+        led.filter(F.col(f"h{ROLL_W - 1}").isNotNull())
+        .select("doc_id", acc.alias("rh"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("rh").alias("rolling_min"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+    )
+    base = d.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fingerprint"),
-    ).orderBy("doc_id")
+    )
+    return (
+        base.join(sketch, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "rolling_min",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        )
+        .orderBy("doc_id")
+    )
