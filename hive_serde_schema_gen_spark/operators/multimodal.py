@@ -207,3 +207,166 @@ def multimodal_decode_features(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize: REAL pixel math on the decoded BMP (numpy nearest-neighbor), then
+# re-encode — the image-preprocessing step of a multimodal training pipeline.
+# Verified in tests/test_multimodal_ops.py against an independent per-pixel
+# index computation (not by re-running the same numpy ops).
+# ---------------------------------------------------------------------------
+
+
+def _bmp_pixel_array(payload: bytes):
+    """Decode BMP pixel data to a (height, width, 3) uint8 array (rows in
+    stored bottom-up order — a flip is a view, deterministic either way)."""
+    import numpy as np
+
+    meta = _bmp_decode(payload)
+    if not meta["decoded_ok"]:
+        raise ValueError("not a BMP payload")
+    w, h = meta["width"], meta["height"]
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=54)
+    return rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+
+
+def _bmp_from_pixels(arr) -> bytes:
+    """Re-encode a (h, w, 3) uint8 array as a 24-bpp BMP (rows padded to 4)."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = arr.reshape(h, w * 3)
+    pixels = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def _resize_nearest(arr, tw: int, th: int):
+    """Nearest-neighbor resample via integer index maps (floor convention
+    src = tgt * src_dim // tgt_dim — same formula the test recomputes)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return arr[ys][:, xs]
+
+
+def bmp_resize(df, target_w: int = 8, target_h: int = 8):
+    """(doc_id, payload) → (doc_id, payload) with every BMP resized to
+    (target_w, target_h) — decode, numpy nearest-neighbor resample,
+    re-encode, all inside one Arrow-batched ``mapInPandas`` stage.
+
+    Scale: narrow (no shuffle), constant memory per batch; on a cluster this
+    is the canonical image-normalization map stage before feature
+    extraction/training-shard writes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _bmp_from_pixels(
+                            _resize_nearest(
+                                _bmp_pixel_array(bytes(b)), target_w, target_h
+                            )
+                        )
+                        for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: a minimal raw-frame video container (magic + frame count +
+# frame length + concatenated raw RGB frames) — every-k-th frame extraction,
+# the video half of the pipeline.  No codec needed: frames are raw bytes, so
+# the plumbing (explode-to-frame-rows, per-frame features) is fully real.
+# ---------------------------------------------------------------------------
+
+_VID_MAGIC = b"VID0"
+_VID_HEADER = 12  # magic + u32 n_frames + u32 frame_len
+
+
+def _video_encode(doc_id: int, text: bytes) -> bytes:
+    """Synthesize a raw-frame video: 1 + doc_id % 8 frames of 4x4 RGB pixels
+    cycled from the document bytes at a per-frame offset."""
+    import struct
+
+    n_frames = 1 + doc_id % 8
+    frame_len = 4 * 4 * 3
+    body = bytearray()
+    src = text if text else bytes(1)
+    for f in range(n_frames):
+        body += bytes(src[(f + i) % len(src)] for i in range(frame_len))
+    return _VID_MAGIC + struct.pack("<II", n_frames, frame_len) + bytes(body)
+
+
+def with_video_payload(df):
+    """documents → (doc_id, payload binary) raw-frame video containers."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _video_encode(i, t.encode("utf-8"))
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        encode, schema="doc_id long, payload binary"
+    )
+
+
+def sample_frames(df, every_k: int = 2):
+    """(doc_id, payload) → (doc_id, frame_idx, checksum): parse the container
+    header, slice out every k-th frame, emit one row per sampled frame with
+    a byte checksum — frame extraction without materializing unsampled
+    frames (the slice never copies them out of the Arrow buffer).
+
+    Scale: narrow map that *grows* rows (frames per video); downstream
+    repartition by (doc_id, frame_idx) if a per-frame shuffle follows."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                if len(b) < _VID_HEADER or b[:4] != _VID_MAGIC:
+                    continue
+                n_frames, frame_len = struct.unpack_from("<II", b, 4)
+                for f in range(0, n_frames, every_k):
+                    off = _VID_HEADER + f * frame_len
+                    frame = b[off : off + frame_len]
+                    ids.append(i)
+                    idxs.append(f)
+                    sums.append(sum(frame) % 2**31)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, frame_idx int, checksum long"
+    )
