@@ -195,6 +195,58 @@ def merge_upsert_emulation(spark, sf_dir):
     )
 
 
+def range_join_bucketed(
+    points,
+    intervals,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+    keys: tuple[str, ...] = (),
+):
+    """Range join (point ∈ [start, end], plus optional equi-keys) that plans
+    as an equi-join, not a nested loop.
+
+    Spark turns a bare ``p.ts BETWEEN i.start AND i.end`` join into
+    BroadcastNestedLoopJoin (or a cartesian product) — O(|points|×|intervals|)
+    and a scale-killer.  The standard fix (same trick DuckDB/Databricks apply
+    under "range join optimization") synthesizes an equi-key from time:
+
+    - each point maps to its bucket ``floor(t / bucket)``;
+    - each interval EXPLODES to every bucket it overlaps
+      (``sequence(floor(start/b), floor(end/b))`` — blow-up factor is
+      interval_len/bucket, bounded by choosing ``bucket`` ≈ typical length);
+    - equi-join on (keys…, bucket) → shuffle/broadcast HASH join;
+    - the exact range predicate remains as a residual filter.
+
+    Matches the naive join row-for-row (asserted in
+    ``tests/test_range_join.py``) while the plan stays hash-based — the
+    nested-loop node is asserted ABSENT.  ``point_col``/``start_col``/
+    ``end_col`` are epoch numbers (cast timestamps first); ``bucket`` is in
+    the same unit."""
+    p = points.withColumn("__bkt", F.floor(F.col(point_col) / bucket))
+    i = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket),
+                F.floor(F.col(end_col) / bucket),
+            )
+        ),
+    )
+    cond = (p["__bkt"] == i["__bkt"]) & (
+        F.col(point_col).between(F.col(start_col), F.col(end_col))
+    )
+    for k in keys:
+        cond = cond & (p[k] == i[k])
+    joined = p.join(i, cond)
+    # project away the helper column and any duplicated key columns
+    drop = [p["__bkt"], i["__bkt"]] + [i[k] for k in keys]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined
+
+
 @query("approx_stats", oracle=None)
 def approx_stats(spark, sf_dir):
     """Approximate aggregates — the sketches that replace exact
