@@ -247,6 +247,51 @@ def range_join_bucketed(
     return joined
 
 
+TIME_LEVELS = ("year", "month", "day", "hour")
+_LEVEL_EXPRS = {
+    "year": lambda c: F.year(c),
+    "month": lambda c: F.month(c),
+    "day": lambda c: F.dayofmonth(c),
+    "hour": lambda c: F.hour(c),
+}
+
+
+def time_rollup(df, ts_col: str, aggs: dict, levels: tuple[str, ...] = TIME_LEVELS):
+    """Hypertable-style continuous-aggregate rollup: one pass produces the
+    aggregate at EVERY time granularity (hour ⊂ day ⊂ month ⊂ year ⊂ total).
+
+    Spark-first shape: derive the calendar components, ``ROLLUP`` over them
+    — Catalyst computes the hierarchy with map-side partial aggregation and
+    a single shuffle (one Expand + one Aggregate, not one job per level),
+    which is exactly the maintenance computation behind a TimescaleDB
+    continuous aggregate / materialized hypertable rollup.  ``grain`` labels
+    each output row's granularity (``total`` for the grand-total row).
+
+    ``aggs`` maps output name → aggregate Column, e.g.
+    ``{"n": F.count(F.lit(1)), "v": F.sum("value")}``.  Only
+    decomposable aggregates (count/sum/min/max/avg-via-sum+count, sketches)
+    belong here — the same restriction every incremental-rollup system has.
+    At scale, write each grain partition to the sink partitioned by
+    (grain, year) for pruned reads."""
+    parts = [_LEVEL_EXPRS[lv](F.col(ts_col)).alias(lv) for lv in levels]
+    rolled = (
+        df.select("*", *parts)
+        .rollup(*[F.col(lv) for lv in levels])
+        # grouping_id is only defined inside the grouping aggregate itself
+        .agg(
+            F.grouping_id(*[F.col(lv) for lv in levels]).alias("__gid"),
+            *[a.alias(name) for name, a in aggs.items()],
+        )
+    )
+    # bit i of grouping_id set ⇔ level i aggregated away; ROLLUP yields only
+    # prefixes, so the id maps 1:1 to a grain label
+    full = (1 << len(levels)) - 1
+    grain = F.when(F.col("__gid") == full, "total")
+    for i, lv in enumerate(levels):
+        grain = grain.when(F.col("__gid") == (full >> (i + 1)), lv)
+    return rolled.select(grain.alias("grain"), *levels, *aggs.keys())
+
+
 @query("approx_stats", oracle=None)
 def approx_stats(spark, sf_dir):
     """Approximate aggregates — the sketches that replace exact
