@@ -1,0 +1,124 @@
+"""Graph clustering for dedup: connected components over near-dup pairs,
+then canonical-document selection — the step that turns ``dedup_minhash_lsh``
+pair output into an actually deduplicated corpus (the RefinedWeb /
+SlimPajama-style pipeline tail: pairs → clusters → keep one doc per
+cluster).
+
+Scale design (the whole point of this module):
+
+- **Min-label propagation + pointer jumping.**  Each node starts labeled
+  with its own id; every round takes the min over neighbor labels, then
+  shortcuts ``label ← label(label)`` (pointer jumping).  Propagation alone
+  needs O(diameter) rounds — fine for near-dup clusters (tiny, dense) but a
+  worst-case chain is O(n).  The jumping step halves chain depth every
+  round, so convergence is O(log n) rounds on any graph (hash-to-min shape,
+  cf. Kiveris et al., "Connected Components in MapReduce and Beyond").
+- Each round is two shuffles (edge join + jump self-join), both on node id —
+  they reuse one hash partitioning at scale.  State per round is one
+  (node, label) table, never materialized edges².
+- **Lineage is cut every round** (``localCheckpoint``); without it the plan
+  doubles per iteration and the driver OOMs planning round ~15.  On a real
+  cluster use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+  for fault tolerance instead of the local variant.
+- Convergence test is ``changed == 0`` — one tiny count action per round.
+
+Canonical pick is min(doc_id) per component: deterministic, engine-neutral,
+and exactly what a reproducible training-data pipeline needs (re-running
+the dedup on the same corpus keeps the same survivors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the smallest
+    node id in its component.  Returns (``id``, ``component``).
+
+    ``edges`` may list each undirected edge once in either direction;
+    isolated nodes (no edges) are the caller's to union in if wanted —
+    dedup doesn't need them (a doc with no near-dup pair is its own
+    canonical trivially).
+    """
+    # Symmetrize once; from here every round sees each edge both ways.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # Propagate: candidate label for u = min over neighbors v of label(v).
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr"))
+        )
+        prop = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                "id",
+                F.least("component", F.coalesce("nbr", "component")).alias(
+                    "component"
+                ),
+            )
+        )
+        # Pointer jumping: label ← label(label).  Labels are node ids, so the
+        # lookup is a self-join; this is what makes chains converge in
+        # O(log n) rounds instead of O(n).
+        lookup = prop.select(
+            F.col("id").alias("lid"), F.col("component").alias("lcomp")
+        )
+        jumped = (
+            prop.join(lookup, prop["component"] == lookup["lid"])
+            .select("id", F.col("lcomp").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full dedup tail: near-dup ``pairs`` (doc_a, doc_b) → components →
+    keep min(doc_id) per cluster.  Returns ``docs`` restricted to
+    survivors, plus ``n_merged`` = how many near-dups each survivor
+    absorbed (0 for docs in no pair).
+
+    The docs table is joined only against the (tiny) non-canonical id set —
+    broadcast-sized even when the corpus is 100 TB, because near-dup
+    *clusters* are a small fraction of docs and only their members appear
+    in pairs.
+    """
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    canon = comp.groupBy("component").agg(
+        F.min("id").alias("keep_id"), (F.count(F.lit(1)) - 1).alias("n_merged")
+    )
+    drop = comp.join(
+        canon, comp["component"] == canon["component"]
+    ).filter(F.col("id") != F.col("keep_id")).select(F.col("id").alias(id_col))
+    merged = canon.select(F.col("keep_id").alias(id_col), "n_merged")
+    return (
+        docs.join(F.broadcast(drop), id_col, "left_anti")
+        .join(F.broadcast(merged), id_col, "left")
+        .withColumn("n_merged", F.coalesce("n_merged", F.lit(0)))
+    )

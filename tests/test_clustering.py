@@ -1,0 +1,91 @@
+"""Connected components vs a driver-side union-find oracle, and the dedup
+tail (pairs → canonical survivors) on real MinHash pair output."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_serde_schema_gen_spark.operators.clustering import (
+    connected_components,
+    dedup_canonical,
+)
+from hive_serde_schema_gen_spark.operators.dedup import minhash_lsh_pairs
+from hive_serde_schema_gen_spark.sources.tables import load_table
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per node, matching the operator's contract
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        (r.id, r.component) for r in connected_components(df).collect()
+    }
+    want = set(_union_find(edges).items())
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(40)
+        # self-loops included on purpose: the operator must ignore them
+    ]
+    _check(spark, edges)
+
+
+def test_chain_converges_logarithmically(spark):
+    # a 64-node path is the worst case for pure propagation (63 rounds);
+    # pointer jumping must close it well inside max_iter=10
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {(r.id, r.component) for r in connected_components(df, max_iter=10).collect()}
+    assert got == {(i, 0) for i in range(64)}
+
+
+def test_two_components_and_duplicate_edges(spark):
+    edges = [(5, 3), (3, 5), (3, 9), (20, 21), (21, 20), (21, 21)]
+    _check(spark, edges)
+
+
+def test_dedup_canonical_on_minhash_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    out = dedup_canonical(docs, pairs).cache()
+    edge_list = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    comp_of = _union_find(edge_list)
+    clusters = {}
+    for node, root in comp_of.items():
+        clusters.setdefault(root, set()).add(node)
+    survivors = {r.doc_id: r.n_merged for r in out.select("doc_id", "n_merged").collect()}
+    n_docs = docs.count()
+    # every cluster keeps exactly its min id, absorbing the rest
+    for root, members in clusters.items():
+        assert survivors[min(members)] == len(members) - 1
+        for m in members - {min(members)}:
+            assert m not in survivors
+    # unpaired docs all survive untouched
+    assert len(survivors) == n_docs - sum(len(m) - 1 for m in clusters.values())
+    assert out.filter(F.col("n_merged") == 0).count() == len(survivors) - len(clusters)
+    out.unpersist()
