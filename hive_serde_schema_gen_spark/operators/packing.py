@@ -1,0 +1,135 @@
+"""Pretraining example prep: token-stream chunking (concatenate the corpus,
+cut fixed-length context windows) and deterministic train/val/test splits —
+the two ops between "deduplicated corpus" and "training examples" in an LLM
+data pipeline.
+
+Scale design:
+
+- **Chunking needs a global prefix sum** of token counts in corpus order.
+  A naive ``Window.orderBy(doc_id)`` with no partition key collapses the
+  whole corpus into ONE partition — the classic single-reducer trap.  Here
+  the prefix sum is distributed: cumsum *within* range-shards (window
+  partitioned by shard), plus each shard's starting offset from a tiny
+  per-shard aggregate joined back by broadcast.  Same idiom as the
+  per-partition line offsets in ``schema_infer/infer.py``.  Both shuffles
+  key on the shard id; the per-shard aggregate is O(#shards) rows.
+- **Splits must be a pure function of the row**, not of partitioning or
+  row order — md5(doc_id + salt) mod 10000 against cumulative fraction
+  cutoffs.  Re-running on a grown corpus keeps every old doc's assignment
+  (the property that matters for contamination control); engine-neutral
+  (md5, not any engine's seeded hash) so an external system can reproduce
+  the split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+SHARD_SIZE = 10_000  # docs per prefix-sum shard; #shards = corpus/10k
+
+
+def chunk_token_stream(
+    docs: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    token_count_col=None,
+) -> DataFrame:
+    """Assign each document its position in the concatenated token stream
+    and the range of ``context_len``-sized training chunks it lands in.
+
+    Output: (id, n_tokens, offset, chunk_first, chunk_last, n_chunks) where
+    ``offset`` is the doc's first-token position in corpus order (ascending
+    id), ``chunk_first/chunk_last`` = floor(offset / L), floor((offset +
+    n_tokens - 1) / L).  A doc spanning a boundary is split across chunks —
+    the standard GPT-style packing (no padding, documents flow through
+    context windows).  Empty docs get n_chunks = 0 and chunk_last <
+    chunk_first by convention.
+
+    ``token_count_col`` defaults to whitespace token count of ``text``.
+    """
+    n_tok = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (F.col(id_col) / SHARD_SIZE).cast("bigint").alias("shard"),
+    )
+    # distributed prefix sum: local cumsum per shard + shard base offsets
+    local = base.withColumn(
+        "local_cum",
+        F.sum("n_tokens").over(
+            W.partitionBy("shard").orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+        ),
+    ).withColumn("local_cum", F.coalesce("local_cum", F.lit(0)))
+    shard_totals = base.groupBy("shard").agg(F.sum("n_tokens").alias("shard_tokens"))
+    shard_offsets = shard_totals.select(
+        "shard",
+        F.coalesce(
+            F.sum("shard_tokens").over(
+                W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("shard_offset"),
+    )  # single-partition window is fine HERE: O(#shards) rows, not O(docs)
+    out = local.join(F.broadcast(shard_offsets), "shard").select(
+        id_col,
+        "n_tokens",
+        (F.col("shard_offset") + F.col("local_cum")).alias("offset"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / context_len).alias("chunk_first"),
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / context_len).alias(
+            "chunk_last"
+        ),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("offset") + F.col("n_tokens") - 1) / context_len)
+            - F.floor(F.col("offset") / context_len)
+            + 1
+        )
+        .cast("int")
+        .alias("n_chunks"),
+    )
+
+
+def assign_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic split assignment: md5(salt:id) first-8-hex → int mod
+    10000, bucketed by cumulative fraction cutoffs in dict order.  Adds a
+    ``split`` column; pure per-row function (no shuffle, no sampling seed,
+    partition-independent by construction).
+
+    ``fractions`` e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}`` —
+    must sum to 1 (the last bucket absorbs rounding)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    names = list(fractions)
+    cum, expr = 0.0, None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cut = int(round(cum * 10000))
+        cond = bucket < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn("split", split)
