@@ -247,6 +247,51 @@ def range_join_bucketed(
     return joined
 
 
+RANGE_WINDOW_US = 6 * 3600 * 1_000_000  # interval length (and bucket width)
+
+
+@query(
+    "range_join_bucketed",
+    oracle=f"""
+    SELECT p.event_id, i.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(i.ts)) // 1000000 AS lag_sec
+    FROM events p JOIN events i
+      ON p.user_id = i.user_id
+     AND p.event_type = 'click' AND i.event_type = 'purchase'
+     AND epoch_us(p.ts) BETWEEN epoch_us(i.ts)
+                            AND epoch_us(i.ts) + CAST({RANGE_WINDOW_US} AS BIGINT)
+    ORDER BY p.event_id, purchase_id
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Every click within 6 hours AFTER a purchase by the same user — a
+    point-in-interval range join executed via ``range_join_bucketed``
+    (interval explode to time buckets → hash equi-join + residual filter).
+    The oracle is the naive BETWEEN join: row-for-row equivalence of the
+    bucketed plan with the nested-loop semantics is exactly the claim.
+    The hash-join (not BroadcastNestedLoop) plan shape is asserted in
+    tests/test_range_join.py."""
+    e = load_table(spark, sf_dir, "events")
+    points = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + F.lit(RANGE_WINDOW_US)).alias("end_us"),
+    )
+    joined = range_join_bucketed(
+        points, intervals, "t", "start_us", "end_us", RANGE_WINDOW_US,
+        keys=("user_id",),
+    )
+    return joined.select(
+        "event_id",
+        "purchase_id",
+        F.expr("(t - start_us) DIV 1000000").alias("lag_sec"),
+    ).orderBy("event_id", "purchase_id")
+
+
 TIME_LEVELS = ("year", "month", "day", "hour")
 _LEVEL_EXPRS = {
     "year": lambda c: F.year(c),
@@ -290,6 +335,48 @@ def time_rollup(df, ts_col: str, aggs: dict, levels: tuple[str, ...] = TIME_LEVE
     for i, lv in enumerate(levels):
         grain = grain.when(F.col("__gid") == (full >> (i + 1)), lv)
     return rolled.select(grain.alias("grain"), *levels, *aggs.keys())
+
+
+@query(
+    "time_rollup",
+    oracle="""
+    WITH parts AS (
+      SELECT CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+             CAST(day(ts) AS INTEGER) AS day, CAST(hour(ts) AS INTEGER) AS hour,
+             value
+      FROM events),
+    rolled AS (
+      SELECT year, month, day, hour, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM parts GROUP BY ROLLUP (year, month, day, hour))
+    SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
+                WHEN day IS NOT NULL THEN 'day'
+                WHEN month IS NOT NULL THEN 'month'
+                WHEN year IS NOT NULL THEN 'year'
+                ELSE 'total' END AS grain,
+           year, month, day, hour, n, total_value
+    FROM rolled
+    ORDER BY grain, year NULLS FIRST, month NULLS FIRST,
+             day NULLS FIRST, hour NULLS FIRST
+    """,
+)
+def time_rollup_events(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup over ``events``: count +
+    exact money-sum at EVERY calendar grain (hour ⊂ day ⊂ month ⊂ year ⊂
+    total) in one ROLLUP pass — single Expand + single shuffle (plan shape
+    asserted in tests/test_time_rollup.py).  The oracle recomputes the same
+    hierarchy with DuckDB's ROLLUP, labeling grain by which level survived
+    aggregation (events.ts is never NULL, so NULLs only come from ROLLUP)."""
+    e = load_table(spark, sf_dir, "events")
+    return time_rollup(
+        e, "ts", {"n": F.count(F.lit(1)), "total_value": money_sum("value")}
+    ).orderBy(
+        "grain",
+        F.col("year").asc_nulls_first(),
+        F.col("month").asc_nulls_first(),
+        F.col("day").asc_nulls_first(),
+        F.col("hour").asc_nulls_first(),
+    )
 
 
 @query("approx_stats", oracle=None)

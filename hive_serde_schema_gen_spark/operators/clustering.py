@@ -32,6 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import query
+from ..sources.tables import load_table
+
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
@@ -121,4 +124,51 @@ def dedup_canonical(
         docs.join(F.broadcast(drop), id_col, "left_anti")
         .join(F.broadcast(merged), id_col, "left")
         .withColumn("n_merged", F.coalesce("n_merged", F.lit(0)))
+    )
+
+
+def _canonical_oracle() -> str:
+    """DuckDB oracle: the same near-dup pairs (exact 3-gram Jaccard ≥ 0.8,
+    CTEs shared with the ``dedup_ngram_jaccard`` oracle), components via a
+    recursive transitive-closure CTE taking MIN over reachable ids — tiny
+    pair sets make the naive closure affordable oracle-side, while the Spark
+    side runs the O(log n)-round label-propagation + pointer-jumping loop."""
+    from .dedup import _SQL_JPAIRS, _SQL_SHD
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHD},
+    {_SQL_JPAIRS},
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    canon AS (SELECT component, MIN(id) AS keep_id, COUNT(*) - 1 AS n_merged
+              FROM comp GROUP BY component)
+    SELECT d.doc_id, COALESCE(c.n_merged, 0) AS n_merged
+    FROM documents d LEFT JOIN canon c ON c.keep_id = d.doc_id
+    WHERE d.doc_id NOT IN
+          (SELECT id FROM comp WHERE id NOT IN (SELECT keep_id FROM canon))
+    ORDER BY d.doc_id
+    """
+
+
+@query("dedup_canonical", oracle=_canonical_oracle())
+def dedup_canonical_query(spark, sf_dir):
+    """The full dedup tail driver-checked end-to-end: exact 3-gram Jaccard
+    near-dup pairs (``ngram_jaccard_pairs``) → connected components
+    (min-label propagation + pointer jumping) → keep min(doc_id) per
+    cluster.  Output: every surviving doc with how many near-dups it
+    absorbed."""
+    from .dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        dedup_canonical(d.select("doc_id"), pairs)
+        .select("doc_id", "n_merged")
+        .orderBy("doc_id")
     )

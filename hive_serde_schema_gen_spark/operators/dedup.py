@@ -92,52 +92,60 @@ _SQL_SHD = """
 @query(
     "dedup_exact",
     oracle="""
-    SELECT md5(text) AS fingerprint,
-           MIN(doc_id) AS canonical_doc_id,
+    SELECT 'digest' AS op, md5(text) AS fingerprint,
+           MIN(doc_id) AS doc_id,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
            COUNT(*) AS n_copies
-    FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id
-    """,
-)
-def dedup_exact(spark, sf_dir):
-    """Exact dedup via content digest: group on md5(text) (16 bytes shuffled
-    per row instead of the document body), keep the smallest doc_id as
-    canonical.  Deterministic — unlike ``dropDuplicates``, which keeps an
-    arbitrary partition-dependent row."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.md5(F.col("text").cast("binary")).alias("fingerprint"), "doc_id")
-        .groupBy("fingerprint")
-        .agg(
-            F.min("doc_id").alias("canonical_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-        .orderBy("canonical_doc_id")
-    )
-
-
-@query(
-    "dedup_exact_keep_first",
-    oracle="""
-    SELECT doc_id, lang, source FROM (
+    FROM documents GROUP BY md5(text)
+    UNION ALL
+    SELECT 'keep_first' AS op, CAST(NULL AS VARCHAR) AS fingerprint,
+           doc_id, lang, source, CAST(NULL AS BIGINT) AS n_copies
+    FROM (
         SELECT doc_id, lang, source,
                ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents) WHERE rn = 1
-    ORDER BY doc_id
+    ORDER BY op, doc_id
     """,
 )
-def dedup_exact_keep_first(spark, sf_dir):
-    """Keep-first-row-per-content dedup as a window (the deterministic form
-    of ``dropDuplicates(["text"])``)."""
+def dedup_exact(spark, sf_dir):
+    """Exact dedup, both canonical forms in one tagged union:
+
+    - ``digest`` rows: group on md5(text) (16 bytes shuffled per row instead
+      of the document body), keep the smallest doc_id as canonical.
+    - ``keep_first`` rows: keep-first-row-per-content as a window — the
+      deterministic form of ``dropDuplicates(["text"])``, which keeps an
+      arbitrary partition-dependent row.
+    """
     from pyspark.sql.window import Window as W
 
     d = load_table(spark, sf_dir, "documents")
+    digest = (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.lit("digest").alias("op"),
+            "fingerprint",
+            "doc_id",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            "n_copies",
+        )
+    )
     w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
-    return (
+    keep_first = (
         d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)
-        .drop("rn")
-        .orderBy("doc_id")
+        .select(
+            F.lit("keep_first").alias("op"),
+            F.lit(None).cast("string").alias("fingerprint"),
+            "doc_id",
+            "lang",
+            "source",
+            F.lit(None).cast("long").alias("n_copies"),
+        )
     )
+    return digest.unionAll(keep_first).orderBy("op", "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -145,19 +153,28 @@ def dedup_exact_keep_first(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# Exact-Jaccard pair CTEs over ``shd`` (shared with the ``dedup_canonical``
+# oracle, which feeds the same pairs into recursive connected components).
+_SQL_JPAIRS = f"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    jpairs AS (
+      SELECT doc_a, doc_b,
+             CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD})
+"""
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SQL_SHD},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
-              FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-              GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-               JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    {_SQL_JPAIRS}
+    SELECT doc_a, doc_b, jaccard FROM jpairs
     ORDER BY doc_a, doc_b
     """,
 )
@@ -169,6 +186,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     all pairs.  Integer intersection / union counts → exact double division
     → deterministic threshold.
     """.format(thr=JACCARD_THRESHOLD)
+    return ngram_jaccard_pairs(spark, sf_dir)
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """The pairs computation behind ``dedup_ngram_jaccard`` — also the pair
+    source of the ``dedup_canonical`` connected-components tail."""
     d = load_table(spark, sf_dir, "documents")
     shd = shingles_df(d).cache()
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -19,18 +19,14 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.tables import load_table
 
-DECODE_AVAILABLE = False  # no codec libs in this environment (by design)
-
-
 def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder: deterministic pseudo-features from the payload bytes.
-
-    Stands in for image decode / resize / frame sampling.  Raising path for
-    a real deployment is kept explicit so callers can't mistake fake
-    features for real ones.
+    """STUB decoder for codec-REQUIRING modalities (JPEG/audio): this
+    environment ships no codec libraries by design, so those formats get
+    deterministic pseudo-features from the payload bytes.  The codec-free
+    modalities are fully real — see the BMP construct→parse loop and the
+    raw-frame video container below — and a real deployment swaps this stub
+    for ``PIL.Image.open`` / ``torchaudio.load`` with no structural change.
     """
-    if DECODE_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real codec path not wired in this environment")
     checksum = sum(payload[:64]) if payload else 0
     return {
         "width": 16 + checksum % 64,
@@ -370,3 +366,132 @@ def sample_frames(df, every_k: int = 2):
     return df.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id long, frame_idx int, checksum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: resize + frame sampling in one row set.  Both checksums are
+# deterministic byte math the oracle recomputes INDEPENDENTLY from the
+# document text (the same construct→transform→parse trick as the BMP decode
+# oracle): a wrong resize index map, header offset, or frame slice on the
+# Spark side shifts which source bytes are summed and fails the hash compare.
+# documents.text is ASCII in the testdata (asserted cheap via octet_length =
+# length in the oracle would be redundant; ascii() = byte value holds).
+# ---------------------------------------------------------------------------
+
+RESIZE_W = RESIZE_H = 8
+FRAME_EVERY_K = 2
+
+
+def resize_checksums(df):
+    """(doc_id, payload) → (doc_id, width, height, checksum): resize every
+    BMP to 8×8 via ``bmp_resize``, then parse the RESIZED container back and
+    checksum its pixel bytes — the evidence that real pixel selection
+    happened, in one extra Arrow stage (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, cks = [], [], []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                meta = _bmp_decode(b)
+                ws.append(meta["width"])
+                hs.append(meta["height"])
+                cks.append(sum(b[54:]) % 2**31)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    return bmp_resize(df, RESIZE_W, RESIZE_H).mapInPandas(
+        run, schema="doc_id long, width int, height int, checksum long"
+    )
+
+
+@query(
+    "multimodal_resize_frames",
+    oracle=f"""
+    WITH rdim AS (
+      SELECT doc_id, text,
+             CAST(1 + doc_id % 64 AS BIGINT) AS w,
+             CAST(1 + octet_length(encode(text)) % 64 AS BIGINT) AS h,
+             (CAST(1 + doc_id % 64 AS BIGINT) * 3 + 3) // 4 * 4 AS row_size,
+             CAST(octet_length(encode(text)) AS BIGINT) AS L
+      FROM documents),
+    rpix AS (
+      SELECT d.doc_id,
+             CASE WHEN d.L = 0 THEN 0
+                  ELSE ascii(substr(d.text,
+                    CAST(((ty.i * d.h // {RESIZE_H}) * d.row_size
+                          + (tx.i * d.w // {RESIZE_W}) * 3 + c.i) % d.L
+                      AS INTEGER) + 1, 1)) END AS byte
+      FROM rdim d
+      CROSS JOIN (SELECT unnest(range({RESIZE_H})) AS i) ty
+      CROSS JOIN (SELECT unnest(range({RESIZE_W})) AS i) tx
+      CROSS JOIN (SELECT unnest(range(3)) AS i) c),
+    resize_rows AS (
+      SELECT doc_id, CAST(SUM(byte) % 2147483648 AS BIGINT) AS checksum
+      FROM rpix GROUP BY doc_id),
+    vdim AS (
+      SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS L,
+             1 + doc_id % 8 AS n_frames
+      FROM documents),
+    sampled AS (
+      SELECT doc_id, text, L, f.f AS frame_idx
+      FROM vdim CROSS JOIN (SELECT unnest(range(0, 8, {FRAME_EVERY_K})) AS f) f
+      WHERE f.f < n_frames),
+    fbytes AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN L = 0 THEN 0
+                  ELSE ascii(substr(text,
+                    CAST((frame_idx + i.i) % L AS INTEGER) + 1, 1)) END AS byte
+      FROM sampled CROSS JOIN (SELECT unnest(range(48)) AS i) i),
+    frame_rows AS (
+      SELECT doc_id, frame_idx, CAST(SUM(byte) % 2147483648 AS BIGINT) AS checksum
+      FROM fbytes GROUP BY doc_id, frame_idx)
+    SELECT 'resize' AS op, doc_id, CAST(0 AS INTEGER) AS idx,
+           CAST({RESIZE_W} AS INTEGER) AS width, CAST({RESIZE_H} AS INTEGER) AS height,
+           checksum
+    FROM resize_rows
+    UNION ALL
+    SELECT 'frame' AS op, doc_id, CAST(frame_idx AS INTEGER) AS idx,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height, checksum
+    FROM frame_rows
+    ORDER BY op, doc_id, idx
+    """,
+)
+def multimodal_resize_frames(spark, sf_dir):
+    """Image resize + video frame sampling, driver-checked in one union:
+
+    - ``resize`` rows: synthesize a BMP per document, nearest-neighbor
+      resample to {w}×{h} with real numpy index maps, re-encode, parse the
+      resized container back, checksum its pixel bytes.
+    - ``frame`` rows: synthesize a raw-frame video container, slice out
+      every {k}-th frame, checksum each sampled frame's bytes.
+
+    The oracle recomputes both checksums from the document text with
+    independent index arithmetic (resize: src = tgt·dim // target; frames:
+    byte i of frame f = text[(f+i) mod len]).""".format(
+        w=RESIZE_W, h=RESIZE_H, k=FRAME_EVERY_K
+    )
+    d = load_table(spark, sf_dir, "documents")
+    rs = resize_checksums(with_bmp_payload(d)).select(
+        F.lit("resize").alias("op"),
+        "doc_id",
+        F.lit(0).alias("idx"),
+        "width",
+        "height",
+        "checksum",
+    )
+    fr = sample_frames(with_video_payload(d), FRAME_EVERY_K).select(
+        F.lit("frame").alias("op"),
+        "doc_id",
+        F.col("frame_idx").alias("idx"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        "checksum",
+    )
+    return rs.unionAll(fr).orderBy("op", "doc_id", "idx")

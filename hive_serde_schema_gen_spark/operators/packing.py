@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..registry import query
+from ..sources.tables import load_table
+
 SHARD_SIZE = 10_000  # docs per prefix-sum shard; #shards = corpus/10k
 
 
@@ -47,12 +50,17 @@ def chunk_token_stream(
     context windows).  Empty docs get n_chunks = 0 and chunk_last <
     chunk_first by convention.
 
-    ``token_count_col`` defaults to whitespace token count of ``text``.
+    ``token_count_col`` defaults to whitespace token count of ``text``
+    (empty tokens filtered out, so whitespace-only/empty docs count 0 —
+    ``split`` on an empty string yields ``['']``, which would otherwise
+    charge every empty doc one token slot).
     """
     n_tok = (
         token_count_col
         if token_count_col is not None
-        else F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        else F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        )
     )
     base = docs.select(
         F.col(id_col),
@@ -133,3 +141,56 @@ def assign_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return docs.withColumn("split", split)
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: both packing ops over documents in one row set.  The oracle
+# recomputes the prefix sum with a single global window — equivalence of the
+# distributed shard-wise prefix sum with the naive global one is exactly the
+# evidence that matters — and the split via the same md5-mod arithmetic.
+# ---------------------------------------------------------------------------
+
+CONTEXT_LEN = 512
+SPLIT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+@query(
+    "token_packing_splits",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                  t -> t <> '')) AS INTEGER) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS "offset"
+      FROM tok)
+    SELECT doc_id, n_tokens, "offset",
+           "offset" // {CONTEXT_LEN} AS chunk_first,
+           ("offset" + n_tokens - 1) // {CONTEXT_LEN} AS chunk_last,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE ("offset" + n_tokens - 1) // {CONTEXT_LEN}
+                     - "offset" // {CONTEXT_LEN} + 1 END AS INTEGER) AS n_chunks,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
+                     AS BIGINT) % 10000 < 9800 THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
+                     AS BIGINT) % 10000 < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM cum ORDER BY doc_id
+    """,
+)
+def token_packing_splits(spark, sf_dir):
+    """Token-stream packing + deterministic splits over ``documents`` in one
+    pass: each doc's offset in the concatenated corpus, its context-window
+    chunk range ({L}-token windows), and its md5-mod train/val/test split
+    (98/1/1).  See ``chunk_token_stream`` / ``assign_split`` for the scale
+    design (distributed prefix sum; pure per-row split function)."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_token_stream(d, CONTEXT_LEN)
+    return assign_split(chunks, SPLIT_FRACTIONS).orderBy("doc_id")
+
+
+token_packing_splits.__doc__ = token_packing_splits.__doc__.format(L=CONTEXT_LEN)

@@ -112,60 +112,56 @@ def agg_distinct(spark, sf_dir):
 @query(
     "rollup_cube_agg",
     oracle="""
-    SELECT 'rollup' AS op, l_returnflag, l_linestatus,
+    SELECT 'rollup' AS op, l_returnflag AS k1, l_linestatus AS k2,
            SUM(l_quantity) AS sum_qty, COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     UNION ALL
-    SELECT 'cube' AS op, l_returnflag, l_linestatus,
+    SELECT 'cube' AS op, l_returnflag AS k1, l_linestatus AS k2,
            SUM(l_quantity) AS sum_qty, COUNT(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY op, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    UNION ALL
+    SELECT 'gsets' AS op, o_orderstatus AS k1, o_orderpriority AS k2,
+           CAST(NULL AS DOUBLE) AS sum_qty, COUNT(*) AS n
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY op, k1 NULLS FIRST, k2 NULLS FIRST
     """,
 )
 def rollup_cube_agg(spark, sf_dir):
-    """ROLLUP + CUBE hierarchical subtotals, tagged and unioned (one driver
-    slot covers both grouping-set expansions).  Each branch expands its
-    grouping sets map-side before a single exchange."""
+    """ROLLUP + CUBE + GROUPING SETS hierarchical subtotals, tagged and
+    unioned (one driver slot covers all three grouping-set expansions).
+    Each branch expands its grouping sets map-side before a single exchange;
+    the GROUPING SETS branch exercises the SQL API (same Catalyst plan as
+    the DataFrame form — the SQL surface is first-class in this engine)."""
     l = load_table(spark, sf_dir, "lineitem")
 
     def agg_of(grouped, op):
         return grouped.agg(
             F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
         ).select(
-            F.lit(op).alias("op"), "l_returnflag", "l_linestatus", "sum_qty", "n"
+            F.lit(op).alias("op"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "sum_qty",
+            "n",
         )
 
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS op, o_orderstatus AS k1, o_orderpriority AS k2,
+               CAST(NULL AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
     return (
         agg_of(l.rollup("l_returnflag", "l_linestatus"), "rollup")
         .unionAll(agg_of(l.cube("l_returnflag", "l_linestatus"), "cube"))
+        .unionAll(gsets)
         .orderBy(
             "op",
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
+            F.col("k1").asc_nulls_first(),
+            F.col("k2").asc_nulls_first(),
         )
-    )
-
-
-@query(
-    "grouping_sets",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-)
-def grouping_sets(spark, sf_dir):
-    """GROUPING SETS via the SQL API (same Catalyst plan as the DataFrame
-    form — the SQL surface is first-class in this engine)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
-        """
     )
 
 
@@ -320,30 +316,6 @@ def histogram_totalprice(spark, sf_dir):
     )
 
 
-@query(
-    "collect_sorted_csv",
-    oracle="""
-    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
-    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name ORDER BY r.r_name
-    """,
-)
-def collect_sorted_csv(spark, sf_dir):
-    """Ordered set-to-string aggregation (string_agg ≡ sorted collect_list +
-    array_join).  Sorting inside the agg makes the output order-deterministic
-    despite the unordered shuffle."""
-    r = load_table(spark, sf_dir, "region")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        r.join(n, n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
-        )
-        .orderBy("r_name")
-    )
-
-
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
@@ -449,18 +421,14 @@ def q5_local_supplier(spark, sf_dir):
     )
 
 
-@query(
-    "join_broadcast_dim",
-    oracle="""
-    SELECT n.n_name, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name ORDER BY n.n_name
-    """,
-)
 def join_broadcast_dim(spark, sf_dir):
     """Explicit broadcast join: nation is 25 rows at every SF — shipping it
-    to every executor beats shuffling the customer table by nationkey."""
+    to every executor beats shuffling the customer table by nationkey.
+
+    Registry-evicted in round 3 (slot ceded to ``range_join_bucketed`` et
+    al.): the broadcast-join surface is already driver-verified through
+    q3/q5/q10; the explicit-broadcast plan shape stays asserted in
+    tests/test_plans.py."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
@@ -573,17 +541,15 @@ def filter_project(spark, sf_dir):
     )
 
 
-@query(
-    "topk_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
-    """,
-)
 def topk_orders(spark, sf_dir):
     """Global top-k: Spark plans TakeOrderedAndProject — each partition keeps
     its local top-25, only k×partitions rows reach the driver (no full
-    sort).  Unique tiebreaker (o_orderkey) makes the cut deterministic."""
+    sort).  Unique tiebreaker (o_orderkey) makes the cut deterministic.
+
+    Registry-evicted in round 3 (slot ceded to the new operators): top-k is
+    driver-verified through ``window_topk_per_group`` and the LIMIT queries;
+    the TakeOrderedAndProject plan shape stays asserted in
+    tests/test_plans.py."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select("o_orderkey", "o_custkey", "o_totalprice")
@@ -772,31 +738,67 @@ def set_ops(spark, sf_dir):
 @query(
     "scalar_string_funcs",
     oracle="""
-    SELECT p_partkey,
+    SELECT 'scalar' AS op, CAST(p_partkey AS VARCHAR) AS k,
            UPPER(p_name)                        AS name_upper,
            SUBSTR(p_name, 1, 8)                 AS name_prefix,
            LENGTH(p_name)                       AS name_len,
            CONCAT(p_brand, '/', p_type)         AS brand_type,
-           REPLACE(p_brand, 'Brand#', 'B')      AS brand_short
-    FROM part WHERE p_type LIKE '%PROMO%' ORDER BY p_partkey
+           REPLACE(p_brand, 'Brand#', 'B')      AS brand_short,
+           CAST(NULL AS VARCHAR)                AS nations
+    FROM part WHERE p_type LIKE '%PROMO%'
+    UNION ALL
+    SELECT 'string_agg' AS op, r.r_name AS k,
+           NULL, NULL, NULL, NULL, NULL,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY op, k
     """,
 )
 def scalar_string_funcs(spark, sf_dir):
-    """String function surface: upper/substr/length/concat/replace/LIKE —
-    all JVM expressions inside whole-stage codegen."""
+    """String function surface in one tagged union:
+
+    - ``scalar`` rows: upper/substr/length/concat/replace/LIKE — all JVM
+      expressions inside whole-stage codegen.
+    - ``string_agg`` rows: ordered set-to-string aggregation (string_agg ≡
+      sorted collect_list + array_join); sorting inside the agg makes the
+      output order-deterministic despite the unordered shuffle.
+    """
     p = load_table(spark, sf_dir, "part")
-    return (
+    nulls = lambda typ, name: F.lit(None).cast(typ).alias(name)  # noqa: E731
+    scalar = (
         p.filter(F.col("p_type").like("%PROMO%"))
         .select(
-            "p_partkey",
+            F.lit("scalar").alias("op"),
+            F.col("p_partkey").cast("string").alias("k"),
             F.upper("p_name").alias("name_upper"),
             F.substring("p_name", 1, 8).alias("name_prefix"),
             F.length("p_name").alias("name_len"),
             F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
             F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+            nulls("string", "nations"),
         )
-        .orderBy("p_partkey")
     )
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    agg = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+        .select(
+            F.lit("string_agg").alias("op"),
+            F.col("r_name").alias("k"),
+            nulls("string", "name_upper"),
+            nulls("string", "name_prefix"),
+            nulls("int", "name_len"),
+            nulls("string", "brand_type"),
+            nulls("string", "brand_short"),
+            "nations",
+        )
+    )
+    return scalar.unionAll(agg).orderBy("op", "k")
 
 
 @query(
