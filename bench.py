@@ -32,7 +32,7 @@ HEADLINE = [
     "sessionize_events",
     "pivot_events",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_xxhash64",
     "text_quality_score",
     "text_lang_id",
     "similarity_topk_cosine",
@@ -52,13 +52,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
 
-    # Bench the production configuration of MinHash dedup: xxhash64 base
-    # hash (native, ~3× less hashing cost).  The registry entry keeps md5
-    # only because the DuckDB oracle must reproduce the hash bit-for-bit;
-    # identical plan shape, and verification is hash-free either way.
+    # Bench the production configuration of MinHash dedup under its OWN name
+    # (so the record never conflates it with the oracle-verified entry):
+    # xxhash64 base hash, native, ~3× less hashing cost.  The registry entry
+    # `dedup_minhash_lsh` keeps md5 only because the DuckDB oracle must
+    # reproduce the hash bit-for-bit; identical plan shape, and the
+    # exact-Jaccard verification is hash-free either way.
     from hive_serde_schema_gen_spark.operators.dedup import minhash_lsh_pairs
 
-    queries["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
+    queries["dedup_minhash_lsh_xxhash64"] = lambda s, d: minhash_lsh_pairs(
         s, d, hash_fn="xxhash64"
     )
 

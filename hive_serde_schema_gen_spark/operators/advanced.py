@@ -384,11 +384,41 @@ def approx_stats(spark, sf_dir):
     """Approximate aggregates — the sketches that replace exact
     distinct/quantiles at 100 TB: HyperLogLog++ distinct counts (constant
     memory vs a distinct shuffle) and t-digest quantiles (one pass).
-    Approximate ⇒ no SQL oracle; accuracy bounds are asserted in
-    tests/test_advanced.py against exact values."""
+    Approximate ⇒ no SQL oracle, but the accuracy evidence rides INSIDE the
+    result: each approximate column sits next to its exact counterpart and
+    the relative error, so the driver's rows-only record still carries the
+    bound (errors also floor-asserted in tests/test_advanced.py).  The
+    exact columns cost what the sketches avoid (distinct + sort shuffles) —
+    they are the evidence harness, not the production path."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
-    ).orderBy("l_returnflag")
+
+    def rel_err(approx, exact):
+        return (
+            F.abs(F.col(approx).cast("double") - F.col(exact).cast("double"))
+            / F.col(exact).cast("double")
+        ).alias(f"rel_err_{approx.split('_', 1)[1]}")
+
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            "exact_parts",
+            rel_err("approx_parts", "exact_parts"),
+            "approx_median",
+            "exact_median",
+            rel_err("approx_median", "exact_median"),
+            "approx_p99",
+            "exact_p99",
+            rel_err("approx_p99", "exact_p99"),
+        )
+        .orderBy("l_returnflag")
+    )

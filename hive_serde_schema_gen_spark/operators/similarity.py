@@ -241,6 +241,28 @@ N_PROBE = 4
 KMEANS_ITERS = 2
 
 
+def _with_recall_at_10(ann, e, qlit):
+    """Attach the accuracy evidence to an ANN top-k result: compute the
+    exact brute-force top-10 (same double-cosine metric) over the full
+    corpus in-query, and emit the overlap fraction as a ``recall_at_10``
+    column.  Costs one extra linear scan — the evidence harness for the
+    rows-only driver check, not the production path (the whole point of ANN
+    is to avoid this scan; the recall column proves what the avoidance
+    gives up)."""
+    exact = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id", cosine_similarity(F.col("embedding"), qlit).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    ann_ids = [r["vec_id"] for r in ann.select("vec_id").collect()]
+    recall = sum(i in exact_ids for i in ann_ids) / 10.0
+    return ann.withColumn("recall_at_10", F.lit(float(recall)))
+
+
 def _cell_of(cents: dict, vec_col) -> F.Column:
     """Nearest-centroid id for a vector column, argmax via array functions —
     a chained WHEN argmax would duplicate each sub-expression into every
@@ -296,8 +318,10 @@ def similarity_ivf_topk(spark, sf_dir):
     """ANN via IVF (inverted-file index): k-means centroids (deterministic
     seed sample + {it} Lloyd refinement iterations), assign every vector to
     its nearest centroid; a probe scans only the ``N_PROBE`` closest cells
-    before exact re-ranking.  Approximate ⇒ rows-only check; recall vs the
-    brute-force baseline is asserted in tests/test_advanced.py.
+    before exact re-ranking.  Approximate ⇒ rows-only check, so the result
+    carries its own accuracy evidence: a ``recall_at_10`` column vs the
+    in-query brute-force top-10 (floor also asserted in
+    tests/test_advanced.py).
 
     Scale: assignment is a narrow map over broadcast centroid literals; with
     a cell-partitioned layout the probe becomes partition-pruned I/O, the
@@ -331,7 +355,7 @@ def similarity_ivf_topk(spark, sf_dir):
             cent_ids, key=lambda cid: -cos_py(cents[cid], probe["embedding"])
         )[:N_PROBE]
     ]
-    return (
+    ann = (
         assigned.filter(
             F.col("cell").isin(cell_ids) & (F.col("vec_id") != QUERY_VEC_ID)
         )
@@ -339,6 +363,7 @@ def similarity_ivf_topk(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+    return _with_recall_at_10(ann, e, qlit)
 
 
 @query("similarity_lsh_bucketed", oracle=None)
@@ -346,8 +371,10 @@ def similarity_lsh_bucketed(spark, sf_dir):
     """ANN via multi-table random-hyperplane LSH: {t} independent tables of
     {p} sign bits; a candidate is any vector sharing the probe's bucket in
     ANY table (OR-amplification — the standard recall fix for sign-LSH),
-    then exact cosine re-ranks.  Approximate ⇒ no SQL oracle; recall vs the
-    brute-force baseline is asserted in tests/test_advanced.py.
+    then exact cosine re-ranks.  Approximate ⇒ no SQL oracle, so the result
+    carries its own accuracy evidence: a ``recall_at_10`` column vs the
+    in-query brute-force top-10 (floor also asserted in
+    tests/test_advanced.py).
 
     Scale: bucketing is a narrow map computed once at ingest; each probe
     touches ~{t}/16 of the corpus, and with a bucket-partitioned layout the
@@ -365,9 +392,10 @@ def similarity_lsh_bucketed(spark, sf_dir):
     for t in range(N_TABLES):
         cond = F.col(f"b{t}") == probe[f"b{t}"]
         any_shared = cond if any_shared is None else (any_shared | cond)
-    return (
+    ann = (
         bucketed.filter(any_shared & (F.col("vec_id") != QUERY_VEC_ID))
         .select("vec_id", cosine_similarity(F.col("embedding"), qlit).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+    return _with_recall_at_10(ann, e, qlit)

@@ -65,4 +65,9 @@ def read_committed(spark, out_dir: str):
         os.path.join(out_dir, f"epoch={m.split('-', 1)[1]}")
         for m in sorted(os.listdir(ledger))
     ]
+    if not epochs:
+        # a crash between makedirs(_ledger) and the first marker write
+        # leaves an empty ledger dir — that means "no committed epochs",
+        # not an error (spark.read.parquet() with zero paths would raise)
+        return None
     return spark.read.parquet(*epochs)

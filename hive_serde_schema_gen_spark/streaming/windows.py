@@ -47,6 +47,8 @@ def _stream_source_dir(sf_dir: str) -> str:
     os.symlink(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )
+    # run-unique dirs would otherwise accumulate across runs — the caller
+    # removes the dir once the query stops (see streaming_window_counts)
     return d
 
 
@@ -131,15 +133,27 @@ def streaming_window_counts(spark, sf_dir):
         # micro-batch, which processAllAvailable doesn't await.  That batch
         # is done exactly when the committed watermark (lastProgress) has
         # crossed the sentinel's far-future region — wait on that, not on
-        # sink-count heuristics.
+        # sink-count heuristics.  The compare is a plain string compare on
+        # the ISO-8601 watermark ("2191-..." >= "2100"), which is safe
+        # because ISO timestamps sort lexicographically.
         for _ in range(200):
             p = q.lastProgress
             wm = (p or {}).get("eventTime", {}).get("watermark", "")
             if wm >= "2100":
                 break
             time.sleep(0.1)
+        else:
+            # proceeding silently would return partial output and fail the
+            # oracle compare with no diagnostic — make the cause explicit
+            raise TimeoutError(
+                "streaming watermark never crossed the sentinel region "
+                f"(last watermark: {wm!r}); tail windows would be missing"
+            )
     finally:
         q.stop()
+        import shutil
+
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return (
         spark.table(name)
         .select(
