@@ -12,6 +12,10 @@ Scale design:
 - **n-gram Jaccard (exact)** is the quadratic-verify baseline used to
   validate LSH recall at small SF; at 100 TB you only ever run it on LSH
   candidates (which is exactly how ``dedup_minhash_lsh`` uses it).
+- **Hot-shingle skew guard**: every join keyed on shingles skews when a
+  stopword shingle appears in a large fraction of docs — ``cap_shingles``
+  (``max_df=`` on the pair generators) drops those shingles before
+  banding/verification, the standard production df-cap.
 - All hashes are md5-derived (first 8 hex digits → int) so the DuckDB oracle
   can reproduce them bit-for-bit — and so results don't depend on any
   engine's partition-local hash seed.
@@ -70,6 +74,33 @@ def shingles_df(d: DataFrame) -> DataFrame:
         .select("doc_id", "shingle")
         .distinct()
     )
+
+
+def cap_shingles(shd: DataFrame, n_docs: int, max_df: float) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df · n_docs`` —
+    the production guard against hot-shingle skew in shared-shingle joins.
+
+    At 100× scale a stopword shingle ("of the and") appears in a large
+    fraction of documents; every join keyed on shingles (candidate
+    generation in ``ngram_jaccard_pairs``, LSH verification) then gets a
+    skewed key whose candidate count grows superlinearly.  Production dedup
+    systems cap document frequency for exactly this reason — a near-dup
+    signal carried ONLY by ubiquitous shingles is noise anyway.
+
+    Cost: one groupBy over shingles + a broadcast anti-join (the hot set is
+    tiny by definition — few shingles exceed the cap).  Semantics: the
+    shingle universe shrinks, so downstream Jaccard is computed over the
+    capped universe (standard df-capped shingling, not an approximation of
+    the uncapped measure).  Off (``max_df=None``) in the oracle-checked
+    registry entries so the DuckDB comparison stays parameter-free."""
+    limit = int(max_df * n_docs)
+    hot = (
+        shd.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > limit)
+        .select("shingle")
+    )
+    return shd.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 _SQL_SHD = """
@@ -189,11 +220,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(spark, sf_dir)
 
 
-def ngram_jaccard_pairs(spark, sf_dir):
+def ngram_jaccard_pairs(spark, sf_dir, max_df: float | None = None):
     """The pairs computation behind ``dedup_ngram_jaccard`` — also the pair
-    source of the ``dedup_canonical`` connected-components tail."""
+    source of the ``dedup_canonical`` connected-components tail.
+
+    ``max_df`` (fraction of docs) enables the hot-shingle cap
+    (``cap_shingles``) on the shared-shingle candidate join — the scale
+    configuration; None (oracle mode) keeps the full shingle universe.
+    Dropping shingles can only remove shared-shingle candidate pairs, never
+    add them (asserted in tests/test_maxdf.py)."""
     d = load_table(spark, sf_dir, "documents")
-    shd = shingles_df(d).cache()
+    shd = shingles_df(d)
+    if max_df is not None:
+        shd = cap_shingles(shd, d.count(), max_df)
+    shd = shd.cache()
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = shd.alias("x")
     y = shd.alias("y")
@@ -315,7 +355,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(spark, sf_dir, hash_fn="md5")
 
 
-def minhash_lsh_pairs(spark, sf_dir, hash_fn: str = "xxhash64"):
+def minhash_lsh_pairs(
+    spark, sf_dir, hash_fn: str = "xxhash64", max_df: float | None = None
+):
     """MinHash+LSH near-dup detection: {n} affine minhashes from one base
     hash per shingle, {b}-row bands → docs sharing a band bucket become
     candidates → exact-Jaccard verify.
@@ -328,9 +370,19 @@ def minhash_lsh_pairs(spark, sf_dir, hash_fn: str = "xxhash64"):
     registry entry).  Only candidate *generation* depends on the hash; the
     exact-Jaccard verification is hash-free, so both configurations emit
     only true ≥{t} pairs and differ at most in LSH recall.
+
+    ``max_df`` (fraction of docs) enables the hot-shingle cap
+    (``cap_shingles``) — the scale configuration protecting both the LSH
+    verification join and the signatures from stopword-shingle skew.  The
+    capped run computes signatures AND Jaccard over the capped shingle
+    universe (consistent df-capped semantics); emitted pairs still all
+    satisfy the exact ≥{t} threshold on that universe.
     """.format(n=N_HASHES, b=BAND_SIZE, t=JACCARD_THRESHOLD)
     d = load_table(spark, sf_dir, "documents")
-    shd = shingles_df(d).cache()
+    shd = shingles_df(d)
+    if max_df is not None:
+        shd = cap_shingles(shd, d.count(), max_df)
+    shd = shd.cache()
     mh = minhash_signatures(shd, hash_fn)
     band_keys = F.array(
         *[
