@@ -95,7 +95,20 @@ def streaming_window_counts(spark, sf_dir):
     """Tumbling 1-hour windows with a 30-minute watermark, executed as an
     actual streaming query on the parquet file source in **append** mode:
     each window is emitted once when the watermark passes it and its state
-    is evicted (bounded state at scale)."""
+    is evicted (bounded state at scale).
+
+    The sink is the real exactly-once protocol
+    (``streaming.exactly_once.idempotent_epoch_sink``): every epoch lands in
+    a deterministic ``epoch=<id>`` path with a commit-ledger marker, and the
+    first non-empty epoch is deliberately REPLAYED in-stream (simulating
+    Structured Streaming's at-least-once redelivery after a crash) — the
+    ledger must absorb it, or the replayed rows double and the unchanged
+    batch oracle catches it."""
+    import shutil
+    import tempfile
+
+    from .exactly_once import idempotent_epoch_sink, read_committed
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the sentinel flush rides on the no-data micro-batch; don't depend on
     # the (default-true) conf being untouched in the caller's session
@@ -118,13 +131,20 @@ def streaming_window_counts(spark, sf_dir):
             ),
         )
     )
-    name = f"stream_windows_{int(time.time() * 1000)}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    out_dir = tempfile.mkdtemp(prefix="spark_eo_windows_")
+    inner = idempotent_epoch_sink(out_dir)
+    replayed = {"done": False}
+
+    def handler(batch_df, epoch_id: int) -> None:
+        inner(batch_df, epoch_id)
+        if not replayed["done"] and batch_df.take(1):
+            # injected redelivery of an already-committed epoch: the commit
+            # ledger must turn this into a no-op (exactly-once under
+            # at-least-once delivery)
+            inner(batch_df, epoch_id)
+            replayed["done"] = True
+
+    q = agg.writeStream.outputMode("append").foreachBatch(handler).start()
     try:
         q.processAllAvailable()  # all real files consumed; tail windows open
         _write_sentinel(raw_schema, stream_dir)
@@ -151,21 +171,27 @@ def streaming_window_counts(spark, sf_dir):
             )
     finally:
         q.stop()
-        import shutil
-
         shutil.rmtree(stream_dir, ignore_errors=True)
-    return (
-        spark.table(name)
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "event_type",
-            "n",
-            "total_value",
+    try:
+        committed = read_committed(spark, out_dir)
+        result = (
+            committed.select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+                "total_value",
+            )
+            # defensively drop the sentinel's far-future window should it
+            # ever be emitted (it cannot close under the current watermark
+            # logic)
+            .filter(F.col("window_start") < "2100")
+            .orderBy("window_start", "event_type")
         )
-        # defensively drop the sentinel's far-future window should it ever
-        # be emitted (it cannot close under the current watermark logic)
-        .filter(F.col("window_start") < "2100")
-        .orderBy("window_start", "event_type")
-    )
+        # materialize before removing the sink dir (the returned DataFrame
+        # must not depend on the scratch files)
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
