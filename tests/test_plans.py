@@ -46,6 +46,11 @@ JVM_ONLY = [
     "rollup_cube_agg",
     "text_token_count",
     "window_running_lag",
+    # round-3 registrations whose hot path is pure JVM
+    "range_join_bucketed",
+    "time_rollup",
+    "token_packing_splits",
+    "dedup_canonical",
 ]
 
 
