@@ -384,14 +384,19 @@ def minhash_lsh_pairs(
         shd = cap_shingles(shd, d.count(), max_df)
     shd = shd.cache()
     mh = minhash_signatures(shd, hash_fn)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",", *[F.col(f"mh{j * BAND_SIZE + k}") for k in range(BAND_SIZE)]
-            )
-            for j in range(N_HASHES // BAND_SIZE)
-        ]
-    )
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{j * BAND_SIZE + k}") for k in range(BAND_SIZE)])
+        for j in range(N_HASHES // BAND_SIZE)
+    ]
+    if hash_fn == "xxhash64":
+        # production path: band buckets as 8-byte longs instead of ~40-byte
+        # strings — smaller shuffle payload for the banding self-join.  A
+        # band-key hash collision only MERGES buckets (extra candidates the
+        # exact verify removes); it can never split one, so recall is
+        # unchanged.  The md5 path keeps the string keys the DuckDB oracle
+        # reproduces bit-for-bit.
+        band_cols = [F.xxhash64(c) for c in band_cols]
+    band_keys = F.array(*band_cols)
     bands = mh.select(
         "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
