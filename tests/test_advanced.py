@@ -38,15 +38,17 @@ def test_approx_quantiles_sane(spark, sf_dir):
 @pytest.mark.parametrize("ann", ["similarity_lsh_bucketed", "similarity_ivf_topk"])
 def test_ann_recall_vs_bruteforce(spark, sf_dir, ann):
     """ANN top-10 must overlap the exact top-10 — the recall contract.
-    LSH scans ~1/256 of the corpus, IVF 4/16 cells; both should still find
-    a meaningful share of the true neighbors at this corpus size."""
+    Both variants should find a meaningful share of the true neighbors at
+    this corpus size while scanning a bounded candidate fraction."""
     exact = [r["vec_id"] for r in QUERIES["similarity_topk_cosine"](spark, sf_dir).collect()]
     approx = [r["vec_id"] for r in QUERIES[ann](spark, sf_dir).collect()]
     assert len(approx) > 0
     recall = len(set(exact) & set(approx)) / len(exact)
-    # IVF floor raised after the k-means refinement landed (measured 0.9
-    # at sf0.001 and sf0.01; seed-sample centroids alone floored at 0.3)
-    floor = 0.2 if ann == "similarity_lsh_bucketed" else 0.6
+    # IVF floor raised after the k-means refinement landed (measured 0.9 at
+    # sf0.001 and sf0.01; seed-sample centroids alone floored at 0.3).  LSH
+    # floor raised after multi-probe 8×8-bit tables landed (measured
+    # 0.5/0.6; single-probe 4×4 floored at 0.2).
+    floor = 0.4 if ann == "similarity_lsh_bucketed" else 0.6
     assert recall >= floor, (ann, recall, exact, approx)
 
 
