@@ -298,34 +298,52 @@ def _with_recall_at_10(ann, e, qlit):
     return ann.withColumn("recall_at_10", F.lit(float(recall)))
 
 
-def _cell_of(cents: dict, vec_col) -> F.Column:
-    """Nearest-centroid id for a vector column, argmax via array functions —
-    a chained WHEN argmax would duplicate each sub-expression into every
-    later branch (exponential tree).  ``cents`` rides the plan as literals
-    (the broadcast-small-side pattern: centroid tables are KBs at any SF)."""
-    cent_ids = sorted(cents)
-    sims = F.array(
-        *[
-            cosine_similarity(vec_col, F.array([F.lit(float(v)) for v in cents[cid]]))
-            for cid in cent_ids
-        ]
+def _cell_assignments(e: DataFrame, cents: dict) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment via a broadcast-joined
+    NORMALIZED-centroid table — centroids are data, not expression nodes.
+
+    The literal formulation (16 ``cosine_similarity(vec, F.array(lit...))``
+    lambdas = 1024 literal nodes) costs seconds of driver-side Catalyst
+    analysis on every plan build and falls out of whole-stage codegen (same
+    lesson as ``lsh_buckets``).  Here the embedding is exploded once,
+    joined to the (cell, pos, component/|c|) table (KBs — broadcast), and
+    summed per (vec, cell); since |v| is constant across cells, argmax of
+    ``dot(v, c/|c|)`` equals argmax of cosine.  Ties break to the LOWEST
+    cell index (max over (dot, -cell) structs), matching the previous
+    array_position-of-first-max semantics."""
+    import math
+
+    spark = e.sparkSession
+    rows = []
+    for idx, cid in enumerate(sorted(cents)):  # cell idx = rank of its id
+        vec = cents[cid]
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        rows += [(idx, pos, float(x) / norm) for pos, x in enumerate(vec)]
+    ct = spark.createDataFrame(rows, "cell int, pos int, c double")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    dots = (
+        ex.join(F.broadcast(ct), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("v").cast("double") * F.col("c")).alias("dot"))
     )
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    best = dots.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("dot"), (-F.col("cell")).alias("nc"))).alias("m")
+    )
+    return best.select("vec_id", (-F.col("m.nc")).cast("int").alias("cell"))
 
 
 def _kmeans_refine(e, cents: dict, iters: int = KMEANS_ITERS) -> dict:
     """Lloyd iterations over the corpus: assign → per-cell per-dimension
     mean → new centroids (empty cells keep their old centroid).
 
-    Each iteration is one narrow assignment map + one (cell, dim) aggregate
-    — at scale that is a single shuffle of (16 cells × 64 dims) partial
-    sums, nothing proportional to the corpus.  Deterministic given the
-    deterministic seed sample; only candidate *selection* depends on it
-    (re-ranking is exact), so k-means quality moves recall, not precision."""
+    Each iteration is one assignment pass (broadcast-joined centroid table,
+    see ``_cell_assignments``) + one (cell, dim) aggregate — at scale that
+    is a single shuffle of (16 cells × 64 dims) partial sums, nothing
+    proportional to the corpus.  Deterministic given the deterministic seed
+    sample; only candidate *selection* depends on it (re-ranking is exact),
+    so k-means quality moves recall, not precision."""
     for _ in range(iters):
-        assigned = e.select(
-            "embedding", _cell_of(cents, F.col("embedding")).alias("cell")
-        )
+        assigned = e.join(_cell_assignments(e, cents), "vec_id")
         means = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -358,9 +376,11 @@ def similarity_ivf_topk(spark, sf_dir):
     in-query brute-force top-10 (floor also asserted in
     tests/test_advanced.py).
 
-    Scale: assignment is a narrow map over broadcast centroid literals; with
-    a cell-partitioned layout the probe becomes partition-pruned I/O, the
-    same trajectory as the LSH variant.""".format(it=KMEANS_ITERS)
+    Scale: assignment is an explode + broadcast-joined centroid-table pass
+    (``_cell_assignments`` — centroids as data keep the plan small and
+    codegen'd); with a cell-partitioned layout the probe becomes
+    partition-pruned I/O, the same trajectory as the LSH
+    variant.""".format(it=KMEANS_ITERS)
     import math
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -373,9 +393,7 @@ def similarity_ivf_topk(spark, sf_dir):
     cents = _kmeans_refine(e, cents)
     cent_ids = sorted(cents)
 
-    assigned = e.select(
-        "vec_id", "embedding", _cell_of(cents, F.col("embedding")).alias("cell")
-    )
+    assigned = e.join(_cell_assignments(e, cents), "vec_id").cache()
     probe = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
     qlit = F.array([F.lit(float(v)) for v in probe["embedding"]])
 
