@@ -356,7 +356,11 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def minhash_lsh_pairs(
-    spark, sf_dir, hash_fn: str = "xxhash64", max_df: float | None = None
+    spark,
+    sf_dir,
+    hash_fn: str = "xxhash64",
+    max_df: float | None = None,
+    docs: DataFrame | None = None,
 ):
     """MinHash+LSH near-dup detection: {n} affine minhashes from one base
     hash per shingle, {b}-row bands → docs sharing a band bucket become
@@ -371,6 +375,10 @@ def minhash_lsh_pairs(
     exact-Jaccard verification is hash-free, so both configurations emit
     only true ≥{t} pairs and differ at most in LSH recall.
 
+    ``docs`` overrides the documents table (e.g. an already
+    quality-filtered / exact-deduped subset in the composed corpus
+    pipeline, ``operators/corpus.py``); default loads from ``sf_dir``.
+
     ``max_df`` (fraction of docs) enables the hot-shingle cap
     (``cap_shingles``) — the scale configuration protecting both the LSH
     verification join and the signatures from stopword-shingle skew.  The
@@ -378,7 +386,7 @@ def minhash_lsh_pairs(
     universe (consistent df-capped semantics); emitted pairs still all
     satisfy the exact ≥{t} threshold on that universe.
     """.format(n=N_HASHES, b=BAND_SIZE, t=JACCARD_THRESHOLD)
-    d = load_table(spark, sf_dir, "documents")
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     shd = shingles_df(d)
     if max_df is not None:
         shd = cap_shingles(shd, d.count(), max_df)
