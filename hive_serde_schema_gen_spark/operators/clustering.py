@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..registry import query
 from ..sources.tables import load_table
 
 
@@ -156,13 +155,17 @@ def _canonical_oracle() -> str:
     """
 
 
-@query("dedup_canonical", oracle=_canonical_oracle())
 def dedup_canonical_query(spark, sf_dir):
-    """The full dedup tail driver-checked end-to-end: exact 3-gram Jaccard
-    near-dup pairs (``ngram_jaccard_pairs``) → connected components
-    (min-label propagation + pointer jumping) → keep min(doc_id) per
-    cluster.  Output: every surviving doc with how many near-dups it
-    absorbed."""
+    """The dedup tail as a standalone query: exact 3-gram Jaccard near-dup
+    pairs (``ngram_jaccard_pairs``) → connected components (min-label
+    propagation + pointer jumping) → keep min(doc_id) per cluster.  Output:
+    every surviving doc with how many near-dups it absorbed.
+
+    Registry note: ceded its round-3 slot to ``corpus_pipeline``
+    (``operators/corpus.py``), which drives the SAME components operator —
+    inside the full composed pipeline, against a strictly larger oracle.
+    The standalone form stays verified here against ``_canonical_oracle``
+    in tests/test_clustering.py."""
     from .dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..registry import query
 from ..sources.tables import load_table
 from .clustering import dedup_canonical
 from .dedup import minhash_lsh_pairs
@@ -31,6 +32,8 @@ from .packing import assign_split, chunk_token_stream
 from .text import text_quality_score
 
 DEFAULT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
+QUALITY_FLOOR = 0.3
+CONTEXT_LEN = 512
 
 
 def prepare_training_corpus(
@@ -85,3 +88,97 @@ def prepare_training_corpus(
     return packed.join(
         canon.select("doc_id", "n_merged"), "doc_id"
     ).orderBy("doc_id")
+
+
+def _pipeline_oracle() -> str:
+    """The WHOLE pipeline recomputed in one DuckDB statement, assembled from
+    the individually-proven oracle fragments: quality score (text.py) →
+    keep-first window → shingles + md5 MinHash banding + exact-Jaccard
+    verify (dedup.py) → recursive transitive-closure components
+    (clustering.py) → global-window prefix sum + md5-mod splits
+    (packing.py).  Any drift in any stage of the Spark composition — or in
+    how the stages hand data to each other — breaks the hash compare."""
+    from .dedup import _sql_minhash_pairs_cte, _sql_shd
+    from .text import _SQL_TOKENS, _SW_LIST
+
+    return f"""
+    WITH RECURSIVE
+    feat AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS INTEGER) AS n_chars,
+               CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+               CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({_SW_LIST}))) AS INTEGER) AS n_stopwords
+        FROM documents),
+    qual AS (
+        SELECT doc_id,
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                    0.5 * (CAST(n_stopwords AS DOUBLE) / n_tokens)
+                  + 0.3 * (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)
+                  + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+               END AS quality
+        FROM feat),
+    kf AS (
+        SELECT doc_id, text FROM (
+            SELECT d.doc_id, d.text,
+                   ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+            FROM documents d JOIN qual q
+              ON q.doc_id = d.doc_id AND q.quality >= {QUALITY_FLOOR})
+        WHERE rn = 1),
+    {_sql_shd("kf")},
+    {_sql_minhash_pairs_cte()},
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+              UNION SELECT doc_b, doc_a FROM mh_pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    canon AS (SELECT component, MIN(id) AS keep_id, COUNT(*) - 1 AS n_merged
+              FROM comp GROUP BY component),
+    surv AS (
+      SELECT kf.doc_id, kf.text, COALESCE(c.n_merged, 0) AS n_merged
+      FROM kf LEFT JOIN canon c ON c.keep_id = kf.doc_id
+      WHERE kf.doc_id NOT IN
+            (SELECT id FROM comp WHERE id NOT IN (SELECT keep_id FROM canon))),
+    tok2 AS (
+      SELECT doc_id, n_merged,
+             CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                  t -> t <> '')) AS INTEGER) AS n_tokens
+      FROM surv),
+    cum AS (
+      SELECT doc_id, n_merged, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS "offset"
+      FROM tok2)
+    SELECT doc_id, n_tokens, "offset",
+           "offset" // {CONTEXT_LEN} AS chunk_first,
+           ("offset" + n_tokens - 1) // {CONTEXT_LEN} AS chunk_last,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE ("offset" + n_tokens - 1) // {CONTEXT_LEN}
+                     - "offset" // {CONTEXT_LEN} + 1 END AS INTEGER) AS n_chunks,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
+                     AS BIGINT) % 10000 < 9800 THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
+                     AS BIGINT) % 10000 < 9900 THEN 'val'
+                ELSE 'test' END AS split,
+           n_merged
+    FROM cum ORDER BY doc_id
+    """
+
+
+@query("corpus_pipeline", oracle=_pipeline_oracle())
+def corpus_pipeline(spark, sf_dir):
+    """The composed pipeline as a single driver-checked query (md5 hash
+    configuration so the MinHash stage is oracle-reproducible; the
+    production configuration swaps ``hash_fn="xxhash64"`` and an optional
+    ``max_df`` — identical plan shape, see ``prepare_training_corpus``)."""
+    return prepare_training_corpus(
+        spark,
+        sf_dir,
+        context_len=CONTEXT_LEN,
+        quality_floor=QUALITY_FLOOR,
+        hash_fn="md5",
+    )

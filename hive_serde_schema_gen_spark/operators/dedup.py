@@ -103,16 +103,23 @@ def cap_shingles(shd: DataFrame, n_docs: int, max_df: float) -> DataFrame:
     return shd.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-_SQL_SHD = """
+def _sql_shd(src: str = "documents") -> str:
+    """CTE chain ``toks → sh → shd`` (distinct word-3-shingles per doc) over
+    an arbitrary source relation — parameterized so composed oracles (the
+    corpus pipeline) can shingle an already-filtered doc set."""
+    return f"""
     toks AS (
       SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
-      FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks FROM documents)),
+      FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks FROM {src})),
     sh AS (
       SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
       FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
                   JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
     shd AS (SELECT DISTINCT doc_id, shingle FROM sh)
 """
+
+
+_SQL_SHD = _sql_shd()
 
 
 # ---------------------------------------------------------------------------
@@ -313,8 +320,12 @@ def _band_keys_sql() -> str:
     return "[" + ", ".join(keys) + "]"
 
 
-_MINHASH_ORACLE = f"""
-    WITH {_SQL_SHD},
+def _sql_minhash_pairs_cte() -> str:
+    """CTE chain over an existing ``shd`` producing ``mh_pairs(doc_a, doc_b,
+    jaccard)`` — the md5-affine MinHash+LSH banding and exact-Jaccard verify,
+    shared by the ``dedup_minhash_lsh`` oracle and the composed corpus
+    pipeline oracle (CTE names prefixed to avoid collisions when embedded)."""
+    sql = """
     hashed AS (
       SELECT doc_id,
              CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
@@ -332,19 +343,32 @@ _MINHASH_ORACLE = f"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    msizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
     verified AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS i
       FROM cand c JOIN shd x ON x.doc_id = c.doc_a
                   JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      GROUP BY c.doc_a, c.doc_b)
-    SELECT v.doc_a, v.doc_b,
-           CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) AS jaccard
-    FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
-                    JOIN sizes sb ON sb.doc_id = v.doc_b
-    WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= {JACCARD_THRESHOLD}
-    ORDER BY v.doc_a, v.doc_b
-    """.replace("__MINS__", _mh_mins_sql()).replace("__KEYS__", _band_keys_sql())
+      GROUP BY c.doc_a, c.doc_b),
+    mh_pairs AS (
+      SELECT v.doc_a, v.doc_b,
+             CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) AS jaccard
+      FROM verified v JOIN msizes sa ON sa.doc_id = v.doc_a
+                      JOIN msizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= __THR__)
+"""
+    return (
+        sql.replace("__MINS__", _mh_mins_sql())
+        .replace("__KEYS__", _band_keys_sql())
+        .replace("__THR__", str(JACCARD_THRESHOLD))
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH {_SQL_SHD},
+    {_sql_minhash_pairs_cte()}
+    SELECT doc_a, doc_b, jaccard FROM mh_pairs
+    ORDER BY doc_a, doc_b
+    """
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)

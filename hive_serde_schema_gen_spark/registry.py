@@ -83,6 +83,7 @@ def _load() -> None:
     from .operators import dedup  # noqa: F401
     from .operators import clustering  # noqa: F401
     from .operators import packing  # noqa: F401
+    from .operators import corpus  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .operators import inference  # noqa: F401
     from .operators import advanced  # noqa: F401

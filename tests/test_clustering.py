@@ -89,3 +89,26 @@ def test_dedup_canonical_on_minhash_pairs(spark, sf_dir):
     assert len(survivors) == n_docs - sum(len(m) - 1 for m in clusters.values())
     assert out.filter(F.col("n_merged") == 0).count() == len(survivors) - len(clusters)
     out.unpersist()
+
+
+def test_dedup_canonical_query_matches_recursive_cte_oracle(spark, sf_dir_oracle):
+    """The standalone dedup-tail query (registry slot ceded to
+    corpus_pipeline in round 3) keeps its exact recursive-CTE oracle here."""
+    import duckdb
+
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        _canonical_oracle,
+        dedup_canonical_query,
+    )
+
+    got = sorted(
+        (r["doc_id"], r["n_merged"])
+        for r in dedup_canonical_query(spark, sf_dir_oracle).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir_oracle}/documents.parquet'"
+    )
+    want = sorted((r[0], r[1]) for r in con.execute(_canonical_oracle()).fetchall())
+    con.close()
+    assert got == want

@@ -9,6 +9,7 @@ from hive_serde_schema_gen_spark.plans import (
     has_node,
     pushed_filters,
 )
+from hive_serde_schema_gen_spark.operators.clustering import dedup_canonical_query
 from hive_serde_schema_gen_spark.operators.relational import (
     join_broadcast_dim,
     topk_orders,
@@ -20,6 +21,7 @@ QUERIES = all_queries()
 # shapes stay asserted here via direct import
 QUERIES["join_broadcast_dim"] = join_broadcast_dim
 QUERIES["topk_orders"] = topk_orders
+QUERIES["dedup_canonical"] = dedup_canonical_query
 
 # Queries whose hot path must stay fully JVM-side (no Python eval nodes).
 JVM_ONLY = [
