@@ -169,7 +169,8 @@ def dedup_canonical_query(spark, sf_dir):
     from .dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # sort=False: components reshuffle the pairs by node id immediately
+    pairs = ngram_jaccard_pairs(spark, sf_dir, sort=False).select("doc_a", "doc_b")
     return (
         dedup_canonical(d.select("doc_id"), pairs)
         .select("doc_id", "n_merged")

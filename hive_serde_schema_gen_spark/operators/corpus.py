@@ -22,12 +22,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from ..registry import query
 from ..sources.tables import load_table
 from .clustering import dedup_canonical
-from .dedup import minhash_lsh_pairs
+from .dedup import keep_first_per_content, minhash_lsh_pairs
 from .packing import assign_split, chunk_token_stream
 from .text import text_quality_score
 
@@ -68,17 +67,18 @@ def prepare_training_corpus(
         scores.filter(F.col("quality") >= quality_floor), "doc_id"
     )
 
-    # 2. exact dedup, keep-first per content digest
-    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
-    kept = (
-        kept.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # 2. exact dedup, keep-first per content digest (THE shared definition —
+    # same helper as the dedup_exact registry entry, so the two can't drift).
+    # Cached: the shingle stage, the canonicalization joins, the packing
+    # stage, and the optional max_df doc count all consume `kept`; without
+    # the cache each branch re-runs the scan + quality join + dedup window.
+    # At 100 TB persist(DISK_ONLY) or write an intermediate table instead.
+    kept = keep_first_per_content(kept).cache()
 
     # 3. near-dup pairs on the survivors → components → canonical docs
+    # (sort=False: the components shuffle the pairs by node id anyway)
     pairs = minhash_lsh_pairs(
-        spark, sf_dir, hash_fn=hash_fn, max_df=max_df, docs=kept
+        spark, sf_dir, hash_fn=hash_fn, max_df=max_df, docs=kept, sort=False
     ).select("doc_a", "doc_b")
     canon = dedup_canonical(kept, pairs)
 
@@ -99,6 +99,7 @@ def _pipeline_oracle() -> str:
     (packing.py).  Any drift in any stage of the Spark composition — or in
     how the stages hand data to each other — breaks the hash compare."""
     from .dedup import _sql_minhash_pairs_cte, _sql_shd
+    from .packing import _sql_chunk_split_cols
     from .text import _SQL_TOKENS, _SW_LIST
 
     return f"""
@@ -154,16 +155,7 @@ def _pipeline_oracle() -> str:
                0) AS BIGINT) AS "offset"
       FROM tok2)
     SELECT doc_id, n_tokens, "offset",
-           "offset" // {CONTEXT_LEN} AS chunk_first,
-           ("offset" + n_tokens - 1) // {CONTEXT_LEN} AS chunk_last,
-           CAST(CASE WHEN n_tokens = 0 THEN 0
-                ELSE ("offset" + n_tokens - 1) // {CONTEXT_LEN}
-                     - "offset" // {CONTEXT_LEN} + 1 END AS INTEGER) AS n_chunks,
-           CASE WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
-                     AS BIGINT) % 10000 < 9800 THEN 'train'
-                WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
-                     AS BIGINT) % 10000 < 9900 THEN 'val'
-                ELSE 'test' END AS split,
+           {_sql_chunk_split_cols(CONTEXT_LEN)},
            n_merged
     FROM cum ORDER BY doc_id
     """

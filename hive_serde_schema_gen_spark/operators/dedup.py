@@ -76,6 +76,22 @@ def shingles_df(d: DataFrame) -> DataFrame:
     )
 
 
+def keep_first_per_content(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest-id row per exact text content (md5 digest window) —
+    the deterministic form of ``dropDuplicates(["text"])``.  THE canonical
+    definition: both the ``dedup_exact`` registry entry and the composed
+    corpus pipeline call this, so the digest expression and tiebreaker can
+    never drift between them."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(id_col)
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def cap_shingles(shd: DataFrame, n_docs: int, max_df: float) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df · n_docs`` —
     the production guard against hot-shingle skew in shared-shingle joins.
@@ -154,8 +170,6 @@ def dedup_exact(spark, sf_dir):
       deterministic form of ``dropDuplicates(["text"])``, which keeps an
       arbitrary partition-dependent row.
     """
-    from pyspark.sql.window import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     digest = (
         d.select(F.md5(F.col("text").cast("binary")).alias("fingerprint"), "doc_id")
@@ -170,18 +184,13 @@ def dedup_exact(spark, sf_dir):
             "n_copies",
         )
     )
-    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
-    keep_first = (
-        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.lit("keep_first").alias("op"),
-            F.lit(None).cast("string").alias("fingerprint"),
-            "doc_id",
-            "lang",
-            "source",
-            F.lit(None).cast("long").alias("n_copies"),
-        )
+    keep_first = keep_first_per_content(d).select(
+        F.lit("keep_first").alias("op"),
+        F.lit(None).cast("string").alias("fingerprint"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("long").alias("n_copies"),
     )
     return digest.unionAll(keep_first).orderBy("op", "doc_id")
 
@@ -227,7 +236,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(spark, sf_dir)
 
 
-def ngram_jaccard_pairs(spark, sf_dir, max_df: float | None = None):
+def ngram_jaccard_pairs(
+    spark, sf_dir, max_df: float | None = None, sort: bool = True
+):
     """The pairs computation behind ``dedup_ngram_jaccard`` — also the pair
     source of the ``dedup_canonical`` connected-components tail.
 
@@ -235,7 +246,11 @@ def ngram_jaccard_pairs(spark, sf_dir, max_df: float | None = None):
     (``cap_shingles``) on the shared-shingle candidate join — the scale
     configuration; None (oracle mode) keeps the full shingle universe.
     Dropping shingles can only remove shared-shingle candidate pairs, never
-    add them (asserted in tests/test_maxdf.py)."""
+    add them (asserted in tests/test_maxdf.py).
+
+    ``sort=False`` skips the presentation orderBy — composed consumers
+    (connected components) reshuffle by node id immediately, so the global
+    range-partition sort would be pure wasted work in a pipeline."""
     d = load_table(spark, sf_dir, "documents")
     shd = shingles_df(d)
     if max_df is not None:
@@ -252,13 +267,13 @@ def ngram_jaccard_pairs(spark, sf_dir, max_df: float | None = None):
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    return (
+    pairs = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
+    return pairs.orderBy("doc_a", "doc_b") if sort else pairs
 
 
 # ---------------------------------------------------------------------------
@@ -385,6 +400,7 @@ def minhash_lsh_pairs(
     hash_fn: str = "xxhash64",
     max_df: float | None = None,
     docs: DataFrame | None = None,
+    sort: bool = True,
 ):
     """MinHash+LSH near-dup detection: {n} affine minhashes from one base
     hash per shingle, {b}-row bands → docs sharing a band bucket become
@@ -402,6 +418,8 @@ def minhash_lsh_pairs(
     ``docs`` overrides the documents table (e.g. an already
     quality-filtered / exact-deduped subset in the composed corpus
     pipeline, ``operators/corpus.py``); default loads from ``sf_dir``.
+    ``sort=False`` skips the presentation orderBy for composed consumers
+    that reshuffle the pairs anyway (connected components).
 
     ``max_df`` (fraction of docs) enables the hot-shingle cap
     (``cap_shingles``) — the scale configuration protecting both the LSH
@@ -460,13 +478,13 @@ def minhash_lsh_pairs(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    return (
+    pairs = (
         verified.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
+    return pairs.orderBy("doc_a", "doc_b") if sort else pairs
 
 
 # ---------------------------------------------------------------------------

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a STUB
-(deterministic fake features clearly marked as such) — but everything
-Spark-side is real and tested: binary column construction, the
-``mapInPandas`` batch iterator contract, explicit output schemas, and
-partition-friendly shapes.  Swapping ``_fake_decode`` for a real
-``PIL.Image.open``/``torchaudio.load`` changes nothing structurally.
+Every path here is REAL byte-level work on codec-free containers: BMP
+construct → serialize → parse (header math), numpy nearest-neighbor resize
+on decoded pixels, and a raw-frame video container with every-k-th frame
+extraction.  Codec-REQUIRING formats (JPEG, audio) are out of scope in
+this environment — it ships no codec libraries by design; a real
+deployment adds a ``PIL.Image.open`` / ``torchaudio.load`` decode stage
+with the same ``mapInPandas`` shape as ``_bmp_decode`` below, changing
+nothing structurally (schema, batching, partitioning all carry over).
 """
 
 from __future__ import annotations
@@ -18,21 +20,6 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load_table
-
-def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder for codec-REQUIRING modalities (JPEG/audio): this
-    environment ships no codec libraries by design, so those formats get
-    deterministic pseudo-features from the payload bytes.  The codec-free
-    modalities are fully real — see the BMP construct→parse loop and the
-    raw-frame video container below — and a real deployment swaps this stub
-    for ``PIL.Image.open`` / ``torchaudio.load`` with no structural change.
-    """
-    checksum = sum(payload[:64]) if payload else 0
-    return {
-        "width": 16 + checksum % 64,
-        "height": 16 + (checksum // 64) % 64,
-        "n_frames": 1,
-    }
 
 
 def with_payload(df):
@@ -90,8 +77,8 @@ def multimodal_payload_meta(spark, sf_dir):
 # decode side parses the actual container header back out of the bytes.
 # The DuckDB oracle recomputes the expected dimensions from the same row
 # data, so a wrong header layout, offset, or endianness on either side
-# fails the hash compare.  Codec-requiring modalities (JPEG/audio/video)
-# remain stubbed via ``_fake_decode`` above.
+# fails the hash compare.  (Codec-requiring formats — JPEG/audio — are out
+# of scope here; see the module docstring.)
 # ---------------------------------------------------------------------------
 
 

@@ -47,8 +47,13 @@ def chunk_token_stream(
     id), ``chunk_first/chunk_last`` = floor(offset / L), floor((offset +
     n_tokens - 1) / L).  A doc spanning a boundary is split across chunks —
     the standard GPT-style packing (no padding, documents flow through
-    context windows).  Empty docs get n_chunks = 0 and chunk_last <
-    chunk_first by convention.
+    context windows).  Empty docs get n_chunks = 0 and, EXPLICITLY,
+    ``chunk_last = chunk_first - 1`` — not the raw floor((offset-1)/L),
+    whose value for offset = 0 is engine-dependent (Spark ``floor`` rounds
+    -1/L down to -1; DuckDB ``//`` truncates it to 0), and whose value for
+    mid-corpus empty docs could even equal chunk_first.  The explicit
+    convention is deterministic, cross-engine, and always satisfies
+    chunk_last < chunk_first.
 
     ``token_count_col`` defaults to whitespace token count of ``text``
     (empty tokens filtered out, so whitespace-only/empty docs count 0 —
@@ -100,14 +105,16 @@ def chunk_token_stream(
         "n_tokens",
         (F.col("shard_offset") + F.col("local_cum")).alias("offset"),
     )
+    chunk_first = F.floor(F.col("offset") / context_len)
+    chunk_last = F.when(F.col("n_tokens") == 0, chunk_first - 1).otherwise(
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / context_len)
+    )
     return out.select(
         id_col,
         "n_tokens",
         "offset",
-        F.floor(F.col("offset") / context_len).alias("chunk_first"),
-        F.floor((F.col("offset") + F.col("n_tokens") - 1) / context_len).alias(
-            "chunk_last"
-        ),
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
         F.when(F.col("n_tokens") == 0, F.lit(0))
         .otherwise(
             F.floor((F.col("offset") + F.col("n_tokens") - 1) / context_len)
@@ -165,6 +172,27 @@ CONTEXT_LEN = 512
 SPLIT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
 
 
+def _sql_chunk_split_cols(context_len: int = CONTEXT_LEN) -> str:
+    """Oracle column expressions for the chunk range + split over a relation
+    exposing (doc_id, n_tokens, "offset") — shared with the composed corpus
+    pipeline oracle so the two cannot drift.  The empty-doc branch mirrors
+    ``chunk_token_stream``'s explicit ``chunk_last = chunk_first - 1``
+    convention (NEVER the raw ``("offset" - 1) // L``: DuckDB's ``//``
+    truncates -1/L to 0 where Spark's floor gives -1)."""
+    return f"""
+           "offset" // {context_len} AS chunk_first,
+           CASE WHEN n_tokens = 0 THEN "offset" // {context_len} - 1
+                ELSE ("offset" + n_tokens - 1) // {context_len} END AS chunk_last,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE ("offset" + n_tokens - 1) // {context_len}
+                     - "offset" // {context_len} + 1 END AS INTEGER) AS n_chunks,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
+                     AS BIGINT) % 10000 < 9800 THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
+                     AS BIGINT) % 10000 < 9900 THEN 'val'
+                ELSE 'test' END AS split"""
+
+
 @query(
     "token_packing_splits",
     oracle=f"""
@@ -180,16 +208,7 @@ SPLIT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
                0) AS BIGINT) AS "offset"
       FROM tok)
     SELECT doc_id, n_tokens, "offset",
-           "offset" // {CONTEXT_LEN} AS chunk_first,
-           ("offset" + n_tokens - 1) // {CONTEXT_LEN} AS chunk_last,
-           CAST(CASE WHEN n_tokens = 0 THEN 0
-                ELSE ("offset" + n_tokens - 1) // {CONTEXT_LEN}
-                     - "offset" // {CONTEXT_LEN} + 1 END AS INTEGER) AS n_chunks,
-           CASE WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
-                     AS BIGINT) % 10000 < 9800 THEN 'train'
-                WHEN CAST(concat('0x', substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))), 1, 8))
-                     AS BIGINT) % 10000 < 9900 THEN 'val'
-                ELSE 'test' END AS split
+           {_sql_chunk_split_cols()}
     FROM cum ORDER BY doc_id
     """,
 )

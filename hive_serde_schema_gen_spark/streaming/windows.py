@@ -146,6 +146,19 @@ def streaming_window_counts(spark, sf_dir):
 
     q = agg.writeStream.outputMode("append").foreachBatch(handler).start()
     try:
+        return _drive_and_read(spark, q, raw_schema, stream_dir, out_dir)
+    finally:
+        # single cleanup point: covers the success path AND any exception
+        # from the drive loop (TimeoutError, processAllAvailable failures),
+        # so neither scratch dir can accumulate across runs
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _drive_and_read(spark, q, raw_schema, stream_dir, out_dir):
+    from .exactly_once import read_committed
+
+    try:
         q.processAllAvailable()  # all real files consumed; tail windows open
         _write_sentinel(raw_schema, stream_dir)
         q.processAllAvailable()  # sentinel batch advances the watermark
@@ -171,27 +184,30 @@ def streaming_window_counts(spark, sf_dir):
             )
     finally:
         q.stop()
-        shutil.rmtree(stream_dir, ignore_errors=True)
-    try:
-        committed = read_committed(spark, out_dir)
-        result = (
-            committed.select(
-                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                    "window_start"
-                ),
-                "event_type",
-                "n",
-                "total_value",
-            )
-            # defensively drop the sentinel's far-future window should it
-            # ever be emitted (it cannot close under the current watermark
-            # logic)
-            .filter(F.col("window_start") < "2100")
-            .orderBy("window_start", "event_type")
+    committed = read_committed(spark, out_dir)
+    out_schema = (
+        "window_start string, event_type string, n long, total_value double"
+    )
+    if committed is None:
+        # honor read_committed's documented no-committed-epochs contract
+        # (empty/missing ledger) instead of dereferencing None
+        return spark.createDataFrame([], out_schema)
+    result = (
+        committed.select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
         )
-        # materialize before removing the sink dir (the returned DataFrame
-        # must not depend on the scratch files)
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        # defensively drop the sentinel's far-future window should it
+        # ever be emitted (it cannot close under the current watermark
+        # logic)
+        .filter(F.col("window_start") < "2100")
+        .orderBy("window_start", "event_type")
+    )
+    # materialize before the caller removes the sink dir (the returned
+    # DataFrame must not depend on the scratch files)
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
