@@ -36,11 +36,17 @@ def _union_find(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
-    got = {
-        (r.id, r.component) for r in connected_components(df).collect()
-    }
     want = set(_union_find(edges).items())
-    assert got == want
+    # both execution paths must agree with the oracle: the driver-side
+    # union-find fallback (default for small graphs) AND the distributed
+    # label-propagation loop (small_graph_threshold=0 forces it)
+    for threshold in (None, 0):
+        kwargs = {} if threshold is None else {"small_graph_threshold": 0}
+        got = {
+            (r.id, r.component)
+            for r in connected_components(df, **kwargs).collect()
+        }
+        assert got == want, f"threshold={threshold}"
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -60,7 +66,12 @@ def test_chain_converges_logarithmically(spark):
     # pointer jumping must close it well inside max_iter=10
     edges = [(i, i + 1) for i in range(63)]
     df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
-    got = {(r.id, r.component) for r in connected_components(df, max_iter=10).collect()}
+    got = {
+        (r.id, r.component)
+        for r in connected_components(
+            df, max_iter=10, small_graph_threshold=0  # force distributed
+        ).collect()
+    }
     assert got == {(i, 0) for i in range(64)}
 
 
