@@ -93,12 +93,22 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    if small_graph_threshold and sym.count() <= small_graph_threshold:
-        rows = [(r["u"], r["v"]) for r in sym.collect()]
-        spark = edges.sparkSession
-        return spark.createDataFrame(
-            _union_find_labels(rows) or [], "id long, component long"
-        )
+    if small_graph_threshold:
+        # single bounded probe: limit(k+1).collect() both sizes the graph
+        # and, when small, IS the edge list — a count()+collect() pair would
+        # execute the (expensive, un-persisted) upstream pairs pipeline twice
+        head = sym.limit(small_graph_threshold + 1).collect()
+        if len(head) <= small_graph_threshold:
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = sym.schema["u"].dataType  # preserve caller's id type
+            schema = StructType(
+                [StructField("id", id_type), StructField("component", id_type)]
+            )
+            rows = [(r["u"], r["v"]) for r in head]
+            return edges.sparkSession.createDataFrame(
+                _union_find_labels(rows), schema
+            )
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()

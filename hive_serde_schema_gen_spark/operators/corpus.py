@@ -11,11 +11,13 @@ window chunk range, split assignment, and dedup lineage (``n_merged``).
 
 Scale posture is inherited from the stages (each documented in its own
 module): digest-grouped exact dedup, banded near-dup candidates (never
-all-pairs), O(log n)-round components with per-round lineage cuts,
-distributed prefix-sum packing, pure-per-row split assignment.  Nothing in
-the composition adds a driver-side loop or an unbounded shuffle: the glue
-is two broadcast-sized joins (quality scores are per-doc aggregates;
-survivor/lineage sets are near-dup-cluster-sized).
+all-pairs), size-gated components (driver union-find for small pair sets,
+O(log n) distributed rounds above), distributed prefix-sum packing,
+pure-per-row split assignment.  Nothing in the composition adds a
+driver-side loop over the corpus or an unbounded shuffle: the quality gate
+is a per-row column expression (no join), and the only glue joins are
+against the broadcast-sized survivor/lineage sets (near-dup clusters are a
+small fraction of any corpus).
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from ..sources.tables import load_table
 from .clustering import dedup_canonical
 from .dedup import keep_first_per_content, minhash_lsh_pairs
 from .packing import assign_split, chunk_token_stream
-from .text import text_quality_score
+from .text import quality_features
 
 DEFAULT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
 QUALITY_FLOOR = 0.3
@@ -61,19 +63,26 @@ def prepare_training_corpus(
     fractions = fractions or DEFAULT_FRACTIONS
     d = load_table(spark, sf_dir, "documents")
 
-    # 1. quality gate (per-doc heuristic score; see text_quality_score)
-    scores = text_quality_score(spark, sf_dir).select("doc_id", "quality")
-    kept = d.join(
-        scores.filter(F.col("quality") >= quality_floor), "doc_id"
+    # 1. quality gate — a per-row FILTER on the shared quality expression
+    # (``quality_features`` adds the score as a column: no join, no shuffle;
+    # joining a derived per-doc score table back to docs would shuffle the
+    # whole corpus against itself for a value computable in place)
+    kept = (
+        quality_features(d)
+        .filter(F.col("quality") >= quality_floor)
+        .select("doc_id", "text")
     )
 
     # 2. exact dedup, keep-first per content digest (THE shared definition —
     # same helper as the dedup_exact registry entry, so the two can't drift).
-    # Cached: the shingle stage, the canonicalization joins, the packing
-    # stage, and the optional max_df doc count all consume `kept`; without
-    # the cache each branch re-runs the scan + quality join + dedup window.
-    # At 100 TB persist(DISK_ONLY) or write an intermediate table instead.
-    kept = keep_first_per_content(kept).cache()
+    # localCheckpoint: the shingle stage, the canonicalization joins, the
+    # packing stage, and the optional max_df doc count all consume `kept`;
+    # without it each branch re-runs the scan + quality filter + dedup
+    # window.  Chosen over cache() because its storage is released when the
+    # reference is garbage-collected (a cache() here would pin the doc set
+    # in executor memory for the session lifetime).  At 100 TB write an
+    # intermediate table instead.
+    kept = keep_first_per_content(kept).localCheckpoint()
 
     # 3. near-dup pairs on the survivors → components → canonical docs
     # (sort=False: the components shuffle the pairs by node id anyway)
@@ -100,25 +109,11 @@ def _pipeline_oracle() -> str:
     how the stages hand data to each other — breaks the hash compare."""
     from .dedup import _sql_minhash_pairs_cte, _sql_shd
     from .packing import _sql_chunk_split_cols
-    from .text import _SQL_TOKENS, _SW_LIST
+    from .text import _sql_quality_cte
 
     return f"""
     WITH RECURSIVE
-    feat AS (
-        SELECT doc_id,
-               CAST(LENGTH(text) AS INTEGER) AS n_chars,
-               CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
-               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
-               CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({_SW_LIST}))) AS INTEGER) AS n_stopwords
-        FROM documents),
-    qual AS (
-        SELECT doc_id,
-               CASE WHEN n_tokens = 0 THEN 0.0 ELSE
-                    0.5 * (CAST(n_stopwords AS DOUBLE) / n_tokens)
-                  + 0.3 * (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)
-                  + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-               END AS quality
-        FROM feat),
+    {_sql_quality_cte()},
     kf AS (
         SELECT doc_id, text FROM (
             SELECT d.doc_id, d.text,

@@ -73,54 +73,60 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for")
 _SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
-@query(
-    "text_quality_score",
-    oracle=f"""
-    WITH feat AS (
+def _sql_quality_cte(src: str = "documents") -> str:
+    """CTE chain ``feat → qual`` computing the quality score over an
+    arbitrary source relation — shared by the ``text_quality_score`` oracle
+    and the composed corpus pipeline oracle, so the weights/feature
+    definitions cannot drift between them."""
+    return f"""
+    feat AS (
         SELECT doc_id,
                CAST(LENGTH(text) AS INTEGER) AS n_chars,
                CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
                CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
                CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({_SW_LIST}))) AS INTEGER) AS n_stopwords
-        FROM documents)
-    SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
-           CASE WHEN n_tokens = 0 THEN 0.0 ELSE
-                0.5 * (CAST(n_stopwords AS DOUBLE) / n_tokens)
-              + 0.3 * (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)
-              + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-           END AS quality
-    FROM feat ORDER BY doc_id
-    """,
-)
-def text_quality_score(spark, sf_dir):
-    """Heuristic document quality: stopword ratio + length band + punctuation
-    density.  All per-row integer/double arithmetic (deterministic); the
-    weights mirror common pretraining-data filters."""
-    d = load_table(spark, sf_dir, "documents")
+        FROM {src}),
+    qual AS (
+        SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                    0.5 * (CAST(n_stopwords AS DOUBLE) / n_tokens)
+                  + 0.3 * (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)
+                  + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+               END AS quality
+        FROM feat)
+"""
+
+
+def quality_features(docs):
+    """Append the per-row quality features + score as COLUMNS on ``docs`` —
+    a pure projection, no join or shuffle (the corpus pipeline's quality
+    gate is a filter on this, not a join against a score table).  THE
+    shared definition of the quality heuristic: stopword ratio + length
+    band + punctuation density, weights mirroring common pretraining-data
+    filters; all per-row integer/double arithmetic (deterministic)."""
+    # The computed feature columns REPLACE any same-named input columns
+    # (documents.parquet ships its own n_chars) — keeping both would make
+    # the references ambiguous downstream.
+    feature_names = {"n_chars", "n_tokens", "n_punct", "n_stopwords", "quality"}
+    keep = [c for c in docs.columns if c not in feature_names]
     # Materialize the token array once: inlining the split expression into
     # every consumer re-executes the tokenization per column (Catalyst does
     # not CSE across projection items) — measured ~30% of query time here.
-    base = d.select(
-        "doc_id",
-        "text",
-        _tokens("text").alias("toks"),
-    )
-    toks = F.col("toks")
+    base = docs.select(*keep, _tokens("text").alias("__toks"))
+    toks = F.col("__toks")
     n_chars = F.length("text").cast("int")
     n_tokens = F.size(toks)
     n_punct = (
         F.length("text") - F.length(F.regexp_replace("text", "[.!?,;:]", ""))
     ).cast("int")
-    n_stop = F.size(
-        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
-    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
     feat = base.select(
-        "doc_id",
+        "*",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"),
         n_stop.alias("n_stopwords"),
-    )
+    ).drop("__toks")
     quality = (
         F.when(F.col("n_tokens") == 0, F.lit(0.0))
         .otherwise(
@@ -131,8 +137,23 @@ def text_quality_score(spark, sf_dir):
         )
         .alias("quality")
     )
-    return feat.select(
-        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords", quality
+    return feat.select("*", quality)
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH {_sql_quality_cte()}
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords, quality
+    FROM qual ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic document quality per row — see ``quality_features`` for
+    the shared definition."""
+    d = load_table(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords", "quality"
     ).orderBy("doc_id")
 
 

@@ -107,7 +107,7 @@ def streaming_window_counts(spark, sf_dir):
     import shutil
     import tempfile
 
-    from .exactly_once import idempotent_epoch_sink, read_committed
+    from .exactly_once import idempotent_epoch_sink
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the sentinel flush rides on the no-data micro-batch; don't depend on
