@@ -1,10 +1,11 @@
-"""Additional batch sources beyond parquet/NDJSON: CSV, ORC, JDBC.
+"""Additional batch sources beyond parquet/NDJSON: CSV, ORC, XML, JDBC.
 
 The reference reads exactly one format (line-delimited text,
 ``Schemer.scala:11``); a complete engine speaks the standard lake formats.
 All readers return plain DataFrames so downstream operators are
 source-agnostic.  JDBC is gated behind driver availability (no JDBC driver
-jars ship in this environment).
+jars ship in this environment); Avro/Kafka/Delta need external modules this
+environment cannot fetch, so they stay out of scope.
 """
 
 from __future__ import annotations
@@ -37,6 +38,21 @@ def read_csv(
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC: columnar with pushdown/pruning like parquet."""
     return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema=None,
+) -> DataFrame:
+    """XML (built into Spark since 4.0): one row per ``row_tag`` element.
+    As with CSV, pass an explicit schema at scale — schema inference costs
+    an extra full scan of the files."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
 
 
 def read_jdbc(

@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.plans import explain_str
-from hive_serde_schema_gen_spark.sources.readers import read_csv, read_orc
+from hive_serde_schema_gen_spark.sources.readers import read_csv, read_orc, read_xml
 from hive_serde_schema_gen_spark.sources.sinks import write_bucketed, write_partitioned
 from hive_serde_schema_gen_spark.sources.tables import load_table
 
@@ -68,6 +68,16 @@ def test_csv_and_orc_roundtrip(spark, sf_dir, tmp_path):
     n.write.mode("overwrite").orc(orc_path)
     assert read_csv(spark, csv_path, schema=n.schema).count() == n.count()
     back = read_orc(spark, orc_path)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in n.collect()
+    )
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    n = load_table(spark, sf_dir, "nation")
+    xml_path = str(tmp_path / "nation_xml")
+    n.write.mode("overwrite").format("xml").option("rowTag", "nation").save(xml_path)
+    back = read_xml(spark, xml_path, row_tag="nation", schema=n.schema)
     assert sorted(r["n_name"] for r in back.collect()) == sorted(
         r["n_name"] for r in n.collect()
     )
