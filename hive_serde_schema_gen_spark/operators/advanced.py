@@ -398,22 +398,26 @@ def approx_stats(spark, sf_dir):
             / F.col(exact).cast("double")
         ).alias(f"rel_err_{approx.split('_', 1)[1]}")
 
-    # Two separate aggregations joined on the (tiny) group keys: putting
-    # COUNT(DISTINCT) in the same agg as the quantile aggregates forces an
-    # Expand-based multi-stage plan that replicates every input row through
-    # the percentile buffers (measured ~10× slower than the split form).
-    approx = l.groupBy("l_returnflag").agg(
+    # Two separate aggregations joined on the (tiny) group keys, split by
+    # DISTINCT-ness: COUNT(DISTINCT) in the same agg as any quantile
+    # aggregate makes Spark plan the whole thing through
+    # planAggregateWithOneDistinct — a partial aggregate keyed by (group,
+    # partkey) that builds the percentile buffers once per DISTINCT key
+    # (measured ~10× slower).  All four percentile aggregates (plus
+    # approx_count_distinct, an ordinary aggregate) stay together; the one
+    # true distinct aggregate runs alone.
+    quants = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
-    )
-    exact = l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
         F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
     )
+    distinct = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
     return (
-        approx.join(exact, "l_returnflag")
+        quants.join(distinct, "l_returnflag")
         .select(
             "l_returnflag",
             "approx_parts",

@@ -99,11 +99,11 @@ def streaming_window_counts(spark, sf_dir):
 
     The sink is the real exactly-once protocol
     (``streaming.exactly_once.idempotent_epoch_sink``): every epoch lands in
-    a deterministic ``epoch=<id>`` path with a commit-ledger marker, and the
-    first non-empty epoch is deliberately REPLAYED in-stream (simulating
-    Structured Streaming's at-least-once redelivery after a crash) — the
-    ledger must absorb it, or the replayed rows double and the unchanged
-    batch oracle catches it."""
+    a deterministic ``epoch=<id>`` path with a commit-ledger marker, and
+    EVERY epoch is deliberately REPLAYED in-stream (simulating Structured
+    Streaming's at-least-once redelivery after a crash) — the ledger must
+    absorb each one, or the replayed rows double and the unchanged batch
+    oracle catches it."""
     import shutil
     import tempfile
 
@@ -133,19 +133,18 @@ def streaming_window_counts(spark, sf_dir):
     )
     out_dir = tempfile.mkdtemp(prefix="spark_eo_windows_")
     inner = idempotent_epoch_sink(out_dir)
-    replayed = {"done": False}
 
     def handler(batch_df, epoch_id: int) -> None:
         inner(batch_df, epoch_id)
-        if not replayed["done"]:
-            # injected redelivery of an already-committed epoch: the commit
-            # ledger must turn this into a no-op (exactly-once under
-            # at-least-once delivery).  No emptiness probe — a take() here
-            # would re-evaluate the whole batch plan just to decide whether
-            # to replay, and replaying an empty committed epoch exercises
-            # the ledger identically (the skip happens before any job runs).
-            inner(batch_df, epoch_id)
-            replayed["done"] = True
+        # injected redelivery of EVERY committed epoch: the commit ledger
+        # must turn each into a no-op (exactly-once under at-least-once
+        # delivery).  Redelivering all epochs — rather than probing for the
+        # first non-empty one with a take(), which would re-evaluate the
+        # whole batch plan — guarantees the row-carrying epochs are among
+        # the replays, so a broken ledger skip doubles real rows and the
+        # unchanged batch oracle catches it; the skip itself short-circuits
+        # before any Spark job runs, so the replays cost nothing.
+        inner(batch_df, epoch_id)
 
     q = agg.writeStream.outputMode("append").foreachBatch(handler).start()
     try:

@@ -78,8 +78,11 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
     xml_path = str(tmp_path / "nation_xml")
     n.write.mode("overwrite").format("xml").option("rowTag", "nation").save(xml_path)
     back = read_xml(spark, xml_path, row_tag="nation", schema=n.schema)
-    assert sorted(r["n_name"] for r in back.collect()) == sorted(
-        r["n_name"] for r in n.collect()
+    # full-row comparison (same column order) — a name-only check would
+    # miss numeric columns silently nulled by schema coercion
+    cols = n.columns
+    assert sorted(tuple(r) for r in back.select(*cols).collect()) == sorted(
+        tuple(r) for r in n.collect()
     )
 
 
