@@ -379,56 +379,126 @@ def time_rollup_events(spark, sf_dir):
     )
 
 
-@query("approx_stats", oracle=None)
+APPROX_REL_ERR = 0.05  # evidence floor for every sketch column
+
+
+def _exact_pct_x100(pct: int):
+    """Exact interpolated percentile over integer cents, scaled ×100 so the
+    result stays a BIGINT — zero float ops, so bit-identical cross-engine.
+
+    rank position = (n-1)*pct/100 split into integer index + integer
+    remainder (``idx = (n-1)*pct div 100``, ``rem = (n-1)*pct mod 100``);
+    value×100 = lo*100 + (hi-lo)*rem.  All operands non-negative, so
+    Spark ``div``/`%` and DuckDB ``//``/`%` agree.  ``hi`` exists whenever
+    rem>0 (idx ≤ n-2 there); when rem=0 the coalesce keeps lo alone."""
+    idx = F.expr(f"((n - 1) * {pct}) div 100")
+    rem = F.expr(f"((n - 1) * {pct}) % 100")
+    lo = F.max(F.when(F.col("rn") - 1 == idx, F.col("cents")))
+    hi = F.max(F.when(F.col("rn") - 1 == idx + 1, F.col("cents")))
+    return (lo * 100 + F.coalesce(hi - lo, F.lit(0)) * F.max(rem)).alias(
+        f"exact_p{pct}_x100"
+    )
+
+
+@query(
+    "approx_stats",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag, l_partkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM c),
+    q AS (
+      SELECT l_returnflag,
+             CAST(MAX(CASE WHEN rn - 1 = ((n-1)*50)//100 THEN cents END) * 100
+                  + COALESCE(MAX(CASE WHEN rn - 1 = ((n-1)*50)//100 + 1 THEN cents END)
+                             - MAX(CASE WHEN rn - 1 = ((n-1)*50)//100 THEN cents END), 0)
+                    * MAX(((n-1)*50) % 100) AS BIGINT) AS exact_p50_x100,
+             CAST(MAX(CASE WHEN rn - 1 = ((n-1)*99)//100 THEN cents END) * 100
+                  + COALESCE(MAX(CASE WHEN rn - 1 = ((n-1)*99)//100 + 1 THEN cents END)
+                             - MAX(CASE WHEN rn - 1 = ((n-1)*99)//100 THEN cents END), 0)
+                    * MAX(((n-1)*99) % 100) AS BIGINT) AS exact_p99_x100
+      FROM r GROUP BY l_returnflag),
+    d AS (
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT q.l_returnflag, d.exact_parts, q.exact_p50_x100, q.exact_p99_x100,
+           TRUE AS ok_parts, TRUE AS ok_median, TRUE AS ok_p99
+    FROM q JOIN d USING (l_returnflag) ORDER BY l_returnflag
+    """,
+)
 def approx_stats(spark, sf_dir):
     """Approximate aggregates — the sketches that replace exact
     distinct/quantiles at 100 TB: HyperLogLog++ distinct counts (constant
-    memory vs a distinct shuffle) and t-digest quantiles (one pass).
-    Approximate ⇒ no SQL oracle, but the accuracy evidence rides INSIDE the
-    result: each approximate column sits next to its exact counterpart and
-    the relative error, so the driver's rows-only record still carries the
-    bound (errors also floor-asserted in tests/test_advanced.py).  The
-    exact columns cost what the sketches avoid (distinct + sort shuffles) —
-    they are the evidence harness, not the production path."""
-    l = load_table(spark, sf_dir, "lineitem")
+    memory vs a distinct shuffle) and t-digest-style quantiles (one pass).
 
-    def rel_err(approx, exact):
-        return (
-            F.abs(F.col(approx).cast("double") - F.col(exact).cast("double"))
-            / F.col(exact).cast("double")
-        ).alias(f"rel_err_{approx.split('_', 1)[1]}")
+    Driver-green despite the approximation: the RESULT carries only
+    deterministic columns — the exact counterparts (integer cents ×100, a
+    self-defined interpolation with zero float ops, so bit-identical in
+    DuckDB) plus boolean evidence ``ok_* = rel_err <= 0.05`` comparing each
+    sketch against its exact value.  The oracle recomputes the exact
+    columns and emits the matching literal booleans, so a sketch drifting
+    past the floor breaks the hash — the accuracy contract IS the
+    correctness check (floors also asserted in tests/test_advanced.py).
+    The exact columns cost what the sketches avoid (distinct + sort
+    shuffles) — they are the evidence harness, not the production path."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
 
-    # Two separate aggregations joined on the (tiny) group keys, split by
-    # DISTINCT-ness: COUNT(DISTINCT) in the same agg as any quantile
-    # aggregate makes Spark plan the whole thing through
-    # planAggregateWithOneDistinct — a partial aggregate keyed by (group,
-    # partkey) that builds the percentile buffers once per DISTINCT key
-    # (measured ~10× slower).  All four percentile aggregates (plus
-    # approx_count_distinct, an ordinary aggregate) stay together; the one
-    # true distinct aggregate runs alone.
-    quants = l.groupBy("l_returnflag").agg(
+    r = l.select(
+        "l_returnflag",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("l_returnflag").orderBy("cents"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+    exact_q = r.groupBy("l_returnflag").agg(
+        _exact_pct_x100(50), _exact_pct_x100(99)
+    )
+    # COUNT(DISTINCT) and the sketches live in separate aggregates: mixing
+    # a distinct aggregate with percentile buffers forces Spark through
+    # planAggregateWithOneDistinct (an Expand replicating every row through
+    # the buffers — measured ~10× slower).
+    exact_d = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    sketches = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
+        F.percentile_approx("cents", 0.5, 10000).alias("approx_p50_c"),
+        F.percentile_approx("cents", 0.99, 10000).alias("approx_p99_c"),
     )
-    distinct = l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-    )
+
+    def ok(approx_x100, exact_x100, name):
+        return (
+            F.abs(approx_x100.cast("double") - F.col(exact_x100).cast("double"))
+            <= F.lit(APPROX_REL_ERR) * F.col(exact_x100).cast("double")
+        ).alias(name)
+
     return (
-        quants.join(distinct, "l_returnflag")
+        exact_q.join(exact_d, "l_returnflag")
+        .join(sketches, "l_returnflag")
         .select(
             "l_returnflag",
-            "approx_parts",
             "exact_parts",
-            rel_err("approx_parts", "exact_parts"),
-            "approx_median",
-            "exact_median",
-            rel_err("approx_median", "exact_median"),
-            "approx_p99",
-            "exact_p99",
-            rel_err("approx_p99", "exact_p99"),
+            "exact_p50_x100",
+            "exact_p99_x100",
+            (
+                F.abs(
+                    F.col("approx_parts").cast("double")
+                    - F.col("exact_parts").cast("double")
+                )
+                <= F.lit(APPROX_REL_ERR) * F.col("exact_parts").cast("double")
+            ).alias("ok_parts"),
+            ok(F.col("approx_p50_c") * 100, "exact_p50_x100", "ok_median"),
+            ok(F.col("approx_p99_c") * 100, "exact_p99_x100", "ok_p99"),
         )
         .orderBy("l_returnflag")
     )

