@@ -202,14 +202,41 @@ def embedding_norms(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-N_TABLES = 8  # independent LSH tables (OR-amplification for recall)
-PLANES_PER_TABLE = 8  # sign bits per table → 256 buckets each
-MULTIPROBE_FLIPS = 1  # also probe buckets within Hamming distance 1
+
+
+# ---------------------------------------------------------------------------
+# ANN — both variants run on QUANTIZED integer arithmetic end-to-end, which
+# makes every intermediate (hyperplane signs, k-means centroids, candidate
+# sets, re-rank scores) order-independent and bit-identical across engines:
+# the full ANN pipeline is re-derivable in DuckDB SQL, so these queries are
+# driver-green on rows+schema+hash, not rows-only.  Quantizing at 1e-4 does
+# not change ANN semantics (the planes/centroids are random directions);
+# what it buys is that a distributed SUM over exploded components can never
+# flip a near-zero sign bit — integer addition commutes exactly, closing the
+# reproducibility caveat float dot products would carry.
+# ---------------------------------------------------------------------------
+
+# Chosen by a DuckDB-side sweep over (tables, planes, flips) × sf0.001/0.01/
+# 0.1 — possible BECAUSE the pipeline is SQL-reproducible.  12×14-bit tables
+# probed at Hamming ≤3 measured recall@10 = 0.9 at candidate fraction ~0.33
+# at sf0.01 AND sf0.1 (0.7 on the 50-vector sf0.001 corpus, where brute
+# force is the right tool anyway); the r3 config (8×8-bit, flips=1) sat at
+# 0.6 recall.  More tables/fewer flips trades driver-side probe count
+# against candidate volume — flips win here because the corpus is clustered.
+N_TABLES = 12  # independent LSH tables (OR-amplification for recall)
+PLANES_PER_TABLE = 14  # sign bits per table → 16384 buckets each
+MULTIPROBE_FLIPS = 3  # probe buckets within Hamming distance ≤3 per table
+
+N_CENTROIDS = 16
+N_PROBE = 4
+KMEANS_ITERS = 2
 
 
 def _planes(table: int, dim: int = 64):
-    """Deterministic pseudo-random hyperplanes from md5(table,plane,dim) —
-    no RNG state, reproducible across runs and engines."""
+    """Deterministic pseudo-random INTEGER hyperplane weights from
+    md5(table:plane:dim) — ``h % 2001 - 1000`` ∈ [-1000, 1000].  No RNG
+    state; reproducible across runs AND engines (DuckDB parses the same md5
+    prefix via ``CAST(concat('0x', substr(md5(...), 1, 8)) AS BIGINT)``)."""
     import hashlib
 
     planes = []
@@ -217,7 +244,7 @@ def _planes(table: int, dim: int = 64):
         row = []
         for d in range(dim):
             h = int(hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()[:8], 16)
-            row.append((h % 2001 - 1000) / 1000.0)
+            row.append(h % 2001 - 1000)
         planes.append(row)
     return planes
 
@@ -232,13 +259,13 @@ def lsh_buckets(e: DataFrame) -> DataFrame:
     ``F.array`` literals put 4096 expression nodes in the plan and cost
     seconds of driver-side Catalyst analysis per build; one giant flat
     array literal blows up codegen compile instead.  So the 4096 weights
-    ride a broadcast-joined DataFrame: explode the embedding once, join
-    each component to its 64 plane weights (broadcast hash join — the
-    weights table is KBs), sum ``v·w`` per (vec, table, plane), and pack
-    sign bits per table.  Every stage is a codegen'd join/aggregate with a
-    small fixed expression count.  At 100 TB the bucket columns are
-    computed once at ingest and stored, making probe-time candidate reads
-    partition-prunable."""
+    ride a broadcast-joined DataFrame: explode the QUANTIZED embedding
+    once, join each component to its 64 integer plane weights (broadcast
+    hash join — the weights table is KBs), sum ``q_v·w`` per (vec, table,
+    plane) — a LONG sum, order-independent — and pack sign bits per table.
+    Every stage is a codegen'd join/aggregate with a small fixed expression
+    count.  At 100 TB the bucket columns are computed once at ingest and
+    stored, making probe-time candidate reads partition-prunable."""
     spark = e.sparkSession
     weights = spark.createDataFrame(
         [
@@ -247,13 +274,13 @@ def lsh_buckets(e: DataFrame) -> DataFrame:
             for p, plane in enumerate(_planes(t))
             for pos, w in enumerate(plane)
         ],
-        "t int, p int, pos int, w double",
+        "t int, p int, pos int, w long",
     )
-    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    ex = e.select("vec_id", F.posexplode(quantized("embedding")).alias("pos", "v"))
     dots = (
         ex.join(F.broadcast(weights), "pos")
         .groupBy("vec_id", "t", "p")
-        .agg(F.sum(F.col("v").cast("double") * F.col("w")).alias("d"))
+        .agg(F.sum(F.col("v") * F.col("w")).alias("d"))
     )
     # bucket_t = Σ_p (d_{t,p} >= 0) << p, pivoted wide in one aggregate
     per_table = dots.groupBy("vec_id", "t").agg(
@@ -264,198 +291,360 @@ def lsh_buckets(e: DataFrame) -> DataFrame:
     return per_table.groupBy("vec_id").agg(
         *[
             F.sum(F.when(F.col("t") == t, F.col("bucket")).otherwise(0))
-            .cast("int")
+            .cast("long")
             .alias(f"b{t}")
             for t in range(N_TABLES)
         ]
     )
 
 
-N_CENTROIDS = 16
-N_PROBE = 4
-KMEANS_ITERS = 2
+def _quantized_scored(e: DataFrame, qvec) -> DataFrame:
+    """(vec_id, cos_sim) for every vector except the probe — the exact
+    integer-dot cosine used by both the re-rank and the recall baseline
+    (same formulation as ``similarity_topk_cosine``: posexplode +
+    map-side-combined SUM, fully codegen'd; the probe rides the plan as a
+    64-literal array, no join)."""
+    import math
+
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    ex = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", F.posexplode(quantized("embedding")).alias("pos", "v")
+    )
+    qlit = F.element_at(
+        F.array(*[F.lit(int(v)).cast("long") for v in qvec]), F.col("pos") + 1
+    )
+    agg = ex.groupBy("vec_id").agg(
+        F.sum(F.col("v") * qlit).alias("dot"),
+        F.sum(F.col("v") * F.col("v")).alias("nv"),
+    )
+    return agg.select(
+        "vec_id",
+        (
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("nv").cast("double")) * F.lit(qnorm))
+        ).alias("cos_sim"),
+    )
 
 
-def _with_recall_at_10(ann, e, qlit):
-    """Attach the accuracy evidence to an ANN top-k result: compute the
-    exact brute-force top-10 (same double-cosine metric) over the full
-    corpus in-query, and emit the overlap fraction as a ``recall_at_10``
-    column.  Costs one extra linear scan — the evidence harness for the
-    rows-only driver check, not the production path (the whole point of ANN
-    is to avoid this scan; the recall column proves what the avoidance
-    gives up)."""
-    exact = (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(
-            "vec_id", cosine_similarity(F.col("embedding"), qlit).alias("cos_sim")
-        )
+def _probe_qvec(e: DataFrame):
+    """The probe's quantized embedding, rounded ENGINE-side (Python round()
+    is banker's rounding — never quantize driver-side)."""
+    return [
+        int(v)
+        for v in e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(quantized("embedding").alias("q"))
+        .collect()[0]["q"]
+    ]
+
+
+def _ann_result(e: DataFrame, cand: DataFrame, qvec) -> DataFrame:
+    """Shared ANN tail: exact re-rank of the candidate set, top-10, plus
+    the two deterministic evidence columns the oracle recomputes —
+    ``recall_at_10`` (overlap with the in-query brute-force top-10) and
+    ``cand_frac`` (candidate-set fraction, the cost the recall was bought
+    at).  Both are exact integer ratios, so they hash-match DuckDB."""
+    scored = _quantized_scored(e, qvec).localCheckpoint()
+    exact_ids = {
+        r["vec_id"]
+        for r in scored.orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    ann = (
+        scored.join(cand, "vec_id")
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
-    exact_ids = {r["vec_id"] for r in exact.collect()}
     ann_ids = [r["vec_id"] for r in ann.select("vec_id").collect()]
-    recall = sum(i in exact_ids for i in ann_ids) / 10.0
-    return ann.withColumn("recall_at_10", F.lit(float(recall)))
+    recall = len(exact_ids & set(ann_ids)) / 10.0
+    n_cand = cand.count()
+    n_tot = e.filter(F.col("vec_id") != QUERY_VEC_ID).count()
+    return ann.withColumn("recall_at_10", F.lit(float(recall))).withColumn(
+        "cand_frac", F.lit(n_cand / n_tot)
+    )
 
 
-def _cell_assignments(e: DataFrame, cents: dict) -> DataFrame:
-    """(vec_id, cell): nearest-centroid assignment via a broadcast-joined
-    NORMALIZED-centroid table — centroids are data, not expression nodes.
+# Shared oracle tail: exact quantized re-rank + the evidence columns.
+# Assumes CTEs `e` (quantized exploded embeddings) and `cand` (vec_id set).
+_SQL_RERANK = f"""
+    q AS (SELECT v AS qv, i FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id,
+             CAST(SUM(e.v * q.qv) AS DOUBLE) AS dot,
+             CAST(SUM(e.v * e.v) AS DOUBLE) AS nv,
+             CAST(SUM(q.qv * q.qv) AS DOUBLE) AS nq
+      FROM e JOIN q USING (i) WHERE e.vec_id <> {QUERY_VEC_ID}
+      GROUP BY e.vec_id),
+    exact10 AS (
+      SELECT vec_id FROM scored
+      ORDER BY dot / (sqrt(nv) * sqrt(nq)) DESC, vec_id LIMIT 10),
+    ann AS (
+      SELECT s.vec_id, s.dot / (sqrt(s.nv) * sqrt(s.nq)) AS cos_sim
+      FROM scored s JOIN cand USING (vec_id)
+      ORDER BY cos_sim DESC, vec_id LIMIT 10),
+    ev AS (SELECT
+      (SELECT CAST(COUNT(*) AS DOUBLE) FROM ann JOIN exact10 USING (vec_id))
+        / 10.0 AS recall_at_10,
+      (SELECT CAST(COUNT(*) AS DOUBLE) FROM cand)
+        / (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) FROM e
+           WHERE vec_id <> {QUERY_VEC_ID}) AS cand_frac)
+    SELECT ann.vec_id, ann.cos_sim, ev.recall_at_10, ev.cand_frac
+    FROM ann, ev ORDER BY ann.cos_sim DESC, ann.vec_id
+"""
 
-    The literal formulation (16 ``cosine_similarity(vec, F.array(lit...))``
-    lambdas = 1024 literal nodes) costs seconds of driver-side Catalyst
-    analysis on every plan build and falls out of whole-stage codegen (same
-    lesson as ``lsh_buckets``).  Here the embedding is exploded once,
-    joined to the (cell, pos, component/|c|) table (KBs — broadcast), and
-    summed per (vec, cell); since |v| is constant across cells, argmax of
-    ``dot(v, c/|c|)`` equals argmax of cosine.  Ties break to the LOWEST
-    cell index (max over (dot, -cell) structs), matching the previous
-    array_position-of-first-max semantics."""
-    import math
+_SQL_E = (
+    f"SELECT vec_id, {_SQL_QUANT} AS v, generate_subscripts(embedding, 1) AS i"
+    " FROM embeddings"
+)
 
-    spark = e.sparkSession
-    rows = []
-    for idx, cid in enumerate(sorted(cents)):  # cell idx = rank of its id
-        vec = cents[cid]
-        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
-        rows += [(idx, pos, float(x) / norm) for pos, x in enumerate(vec)]
-    ct = spark.createDataFrame(rows, "cell int, pos int, c double")
-    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+_LSH_ORACLE = f"""
+    WITH e AS ({_SQL_E}),
+    w AS (
+      SELECT t.t AS t, p.p AS p, d.d + 1 AS i,
+             CAST(concat('0x', substr(md5(t.t || ':' || p.p || ':' || d.d), 1, 8))
+                  AS BIGINT) % 2001 - 1000 AS w
+      FROM range({N_TABLES}) t(t), range({PLANES_PER_TABLE}) p(p), range(64) d(d)),
+    dots AS (
+      SELECT e.vec_id, w.t, w.p, CAST(SUM(e.v * w.w) AS BIGINT) AS d
+      FROM e JOIN w USING (i) GROUP BY e.vec_id, w.t, w.p),
+    buck AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS b
+      FROM dots GROUP BY vec_id, t),
+    pb AS (SELECT t, b AS pbkt FROM buck WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+      SELECT DISTINCT buck.vec_id
+      FROM buck JOIN pb USING (t)
+      WHERE bit_count(xor(buck.b, pb.pbkt)) <= {MULTIPROBE_FLIPS}
+        AND buck.vec_id <> {QUERY_VEC_ID}),
+    {_SQL_RERANK}
+"""
+
+
+def _ivf_oracle() -> str:
+    """DuckDB rendition of the FULL quantized IVF pipeline — seed centroids,
+    KMEANS_ITERS Lloyd iterations (integer means, engine-rounded), final
+    assignment, probe-cell selection, candidate re-rank, evidence columns.
+    Every arithmetic step is either exact integer math or a single
+    correctly-rounded double op (sqrt / divide on exactly-representable
+    ints), so it reproduces Spark bit-for-bit."""
+    asg = (
+        "{a} AS (SELECT vec_id, cell FROM ("
+        "SELECT d.vec_id, d.cell, ROW_NUMBER() OVER ("
+        "PARTITION BY d.vec_id ORDER BY d.dot / sqrt(n.n2) DESC, d.cell) AS rn "
+        "FROM {d} d JOIN {n} n USING (cell)) t WHERE rn = 1)"
+    )
+    ctes = [
+        f"e AS ({_SQL_E})",
+        (
+            "seed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)"
+            " AS cell, vec_id FROM (SELECT DISTINCT vec_id FROM e"
+            f" WHERE vec_id < {N_CENTROIDS}) s)"
+        ),
+        "c0 AS (SELECT s.cell, e.i, e.v AS c FROM seed s JOIN e USING (vec_id))",
+    ]
+    for k in range(KMEANS_ITERS + 1):
+        ctes.append(
+            f"n{k} AS (SELECT cell, CAST(SUM(c*c) AS DOUBLE) AS n2"
+            f" FROM c{k} GROUP BY cell)"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT e.vec_id, c.cell, CAST(SUM(e.v * c.c) AS DOUBLE) AS dot"
+            f" FROM e JOIN c{k} c USING (i) GROUP BY e.vec_id, c.cell)"
+        )
+        ctes.append(asg.format(a=f"a{k}", d=f"d{k}", n=f"n{k}"))
+        if k < KMEANS_ITERS:
+            ctes.append(
+                f"m{k} AS (SELECT a.cell, e.i,"
+                " CAST(round(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c"
+                f" FROM a{k} a JOIN e USING (vec_id) GROUP BY a.cell, e.i)"
+            )
+            ctes.append(
+                f"c{k + 1} AS (SELECT c.cell, c.i, COALESCE(m.c, c.c) AS c"
+                f" FROM c{k} c LEFT JOIN m{k} m ON m.cell = c.cell AND m.i = c.i)"
+            )
+    K = KMEANS_ITERS
+    ctes.append(
+        "pcells AS (SELECT cell FROM (SELECT d.cell, ROW_NUMBER() OVER ("
+        "ORDER BY d.dot / sqrt(n.n2) DESC, d.cell) AS rn "
+        f"FROM d{K} d JOIN n{K} n USING (cell) WHERE d.vec_id = {QUERY_VEC_ID}) t"
+        f" WHERE rn <= {N_PROBE})"
+    )
+    ctes.append(
+        f"cand AS (SELECT a.vec_id FROM a{K} a JOIN pcells USING (cell)"
+        f" WHERE a.vec_id <> {QUERY_VEC_ID})"
+    )
+    return "WITH " + ",\n    ".join(ctes) + ",\n" + _SQL_RERANK
+
+
+def _cell_assignments(eq: DataFrame, cents: dict) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment via broadcast-joined
+    INTEGER centroid tables — centroids are data, not expression nodes (16
+    ``cosine_similarity(vec, F.array(lit...))`` lambdas = 1024 literal
+    nodes costing seconds of Catalyst analysis per build, and falling out
+    of codegen — same lesson as ``lsh_buckets``).
+
+    ``eq`` is the pre-quantized exploded (vec_id, pos, v) view.  The metric
+    is ``dot / sqrt(|c|²)`` — argmax equals argmax of cosine since |v| is
+    constant across cells — computed as exact LONG dot and sum-of-squares
+    cast to double, one sqrt, one divide: bit-identical in DuckDB.  Ties
+    break to the LOWEST cell index (max over (metric, -cell) structs)."""
+    spark = eq.sparkSession
+    ct = spark.createDataFrame(
+        [
+            (cell, pos, int(c))
+            for cell, vec in cents.items()
+            for pos, c in enumerate(vec)
+        ],
+        "cell int, pos int, c long",
+    )
+    n2 = spark.createDataFrame(
+        [(cell, int(sum(c * c for c in vec))) for cell, vec in cents.items()],
+        "cell int, n2 long",
+    )
     dots = (
-        ex.join(F.broadcast(ct), "pos")
+        eq.join(F.broadcast(ct), "pos")
         .groupBy("vec_id", "cell")
-        .agg(F.sum(F.col("v").cast("double") * F.col("c")).alias("dot"))
+        .agg(F.sum(F.col("v") * F.col("c")).alias("dot"))
     )
-    best = dots.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("dot"), (-F.col("cell")).alias("nc"))).alias("m")
+    metric = F.col("dot").cast("double") / F.sqrt(F.col("n2").cast("double"))
+    best = (
+        dots.join(F.broadcast(n2), "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(metric.alias("m"), (-F.col("cell")).alias("nc"))
+            ).alias("best")
+        )
     )
-    return best.select("vec_id", (-F.col("m.nc")).cast("int").alias("cell"))
+    return best.select("vec_id", (-F.col("best.nc")).cast("int").alias("cell"))
 
 
-def _kmeans_refine(e, cents: dict, iters: int = KMEANS_ITERS) -> dict:
+def _kmeans_refine(eq: DataFrame, cents: dict, iters: int = KMEANS_ITERS) -> dict:
     """Lloyd iterations over the corpus: assign → per-cell per-dimension
-    mean → new centroids (empty cells keep their old centroid).
-
-    Each iteration is one assignment pass (broadcast-joined centroid table,
-    see ``_cell_assignments``) + one (cell, dim) aggregate — at scale that
-    is a single shuffle of (16 cells × 64 dims) partial sums, nothing
-    proportional to the corpus.  Deterministic given the deterministic seed
-    sample; only candidate *selection* depends on it (re-ranking is exact),
-    so k-means quality moves recall, not precision."""
+    INTEGER mean (``round(sum/count)`` evaluated ENGINE-side — Python
+    round() is banker's) → new centroids; empty cells keep their old
+    centroid.  Each iteration is one assignment pass + one (cell, dim)
+    aggregate — at scale a single shuffle of (16 cells × 64 dims) partial
+    sums, nothing proportional to the corpus.  Fully deterministic: integer
+    sums commute, so partitioning cannot move a centroid by one ULP."""
+    dim = len(next(iter(cents.values())))
     for _ in range(iters):
-        assigned = e.join(_cell_assignments(e, cents), "vec_id")
         means = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+            eq.join(_cell_assignments(eq, cents), "vec_id")
             .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("c")
+            )
             .collect()
         )
         by_cell: dict = {}
         for r in means:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-        new_cents = {}
-        for idx, cid in enumerate(sorted(cents)):  # cell idx = rank of its id
-            old = cents[cid]
-            mean = by_cell.get(idx)
-            new_cents[cid] = (
-                [mean[p] for p in range(len(old))]
-                if mean and len(mean) == len(old)
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+        cents = {
+            cell: (
+                [by_cell[cell][p] for p in range(dim)]
+                if cell in by_cell and len(by_cell[cell]) == dim
                 else old
             )
-        cents = new_cents
+            for cell, old in cents.items()
+        }
     return cents
 
 
-@query("similarity_ivf_topk", oracle=None)
+@query("similarity_ivf_topk", oracle=_ivf_oracle())
 def similarity_ivf_topk(spark, sf_dir):
-    """ANN via IVF (inverted-file index): k-means centroids (deterministic
-    seed sample + {it} Lloyd refinement iterations), assign every vector to
-    its nearest centroid; a probe scans only the ``N_PROBE`` closest cells
-    before exact re-ranking.  Approximate ⇒ rows-only check, so the result
-    carries its own accuracy evidence: a ``recall_at_10`` column vs the
-    in-query brute-force top-10 (floor also asserted in
-    tests/test_advanced.py).
-
-    Scale: assignment is an explode + broadcast-joined centroid-table pass
-    (``_cell_assignments`` — centroids as data keep the plan small and
-    codegen'd); with a cell-partitioned layout the probe becomes
-    partition-pruned I/O, the same trajectory as the LSH
-    variant.""".format(it=KMEANS_ITERS)
     import math
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = {
-        c["vec_id"]: list(c["embedding"])
-        for c in e.filter(F.col("vec_id") < N_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    cents = _kmeans_refine(e, cents)
-    cent_ids = sorted(cents)
-
-    assigned = e.join(_cell_assignments(e, cents), "vec_id").cache()
-    probe = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
-    qlit = F.array([F.lit(float(v)) for v in probe["embedding"]])
-
-    def cos_py(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
-
-    rank = {cid: i for i, cid in enumerate(cent_ids)}  # cell idx = id rank
-    cell_ids = [
-        rank[cid]
-        for cid in sorted(
-            cent_ids, key=lambda cid: -cos_py(cents[cid], probe["embedding"])
-        )[:N_PROBE]
-    ]
-    ann = (
-        assigned.filter(
-            F.col("cell").isin(cell_ids) & (F.col("vec_id") != QUERY_VEC_ID)
-        )
-        .select("vec_id", cosine_similarity(F.col("embedding"), qlit).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), "vec_id")
-        .limit(10)
+    eq = e.select(
+        "vec_id", F.posexplode(quantized("embedding")).alias("pos", "v")
+    ).localCheckpoint()
+    seeds = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", quantized("embedding").alias("q"))
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    return _with_recall_at_10(ann, e, qlit)
+    cents = {i: [int(x) for x in r["q"]] for i, r in enumerate(seeds)}
+    cents = _kmeans_refine(eq, cents)
+
+    qvec = _probe_qvec(e)
+    # probe-cell ranking: exact int dots + one sqrt/divide — same doubles
+    # the oracle's window computes
+    def metric(vec):
+        d = sum(q * c for q, c in zip(qvec, vec))
+        return d / math.sqrt(sum(c * c for c in vec))
+
+    pcells = sorted(cents, key=lambda cell: (-metric(cents[cell]), cell))[:N_PROBE]
+    assigned = _cell_assignments(eq, cents)
+    cand = assigned.filter(
+        F.col("cell").isin(pcells) & (F.col("vec_id") != QUERY_VEC_ID)
+    ).select("vec_id")
+    return _ann_result(e, cand, qvec)
 
 
-@query("similarity_lsh_bucketed", oracle=None)
+similarity_ivf_topk.__doc__ = f"""ANN via IVF (inverted-file index):
+    k-means centroids (deterministic seed sample + {KMEANS_ITERS} Lloyd
+    refinement iterations), assign every vector to its nearest centroid; a
+    probe scans only the {N_PROBE} closest of {N_CENTROIDS} cells before
+    exact re-ranking.  The WHOLE pipeline runs on quantized integers
+    (centroids included — means are engine-rounded to longs), so despite
+    being approximate it is deterministically reproducible: the DuckDB
+    oracle re-derives centroids, assignments, probe cells, candidates, and
+    the re-ranked top-10, and the result's ``recall_at_10`` /
+    ``cand_frac`` evidence columns are exact integer ratios inside the
+    driver hash (floor also asserted in tests/test_advanced.py).
+
+    Scale: assignment is an explode + broadcast-joined centroid-table pass
+    (``_cell_assignments`` — centroids as data keep the plan small and
+    codegen'd); each Lloyd iteration shuffles only (16×64) partial sums;
+    with a cell-partitioned layout the probe becomes partition-pruned I/O,
+    the same trajectory as the LSH variant."""
+
+
+@query("similarity_lsh_bucketed", oracle=_LSH_ORACLE)
 def similarity_lsh_bucketed(spark, sf_dir):
-    """ANN via multi-table, multi-probe random-hyperplane LSH: {t}
-    independent tables of {p} sign bits each; a candidate is any vector
-    whose bucket in ANY table is within Hamming distance {f} of the probe's
-    bucket (OR-amplification across tables + multi-probe within a table —
-    the two standard recall levers for sign-LSH, cf. Lv et al., "Multi-probe
-    LSH"); exact cosine then re-ranks candidates.  Approximate ⇒ no SQL
-    oracle, so the result carries its own accuracy evidence: a
-    ``recall_at_10`` column vs the in-query brute-force top-10 (floor also
-    asserted in tests/test_advanced.py; this config measures ~2× the recall
-    of single-probe 4×4-bit tables at a comparable candidate fraction).
+    from functools import reduce
+    from operator import or_
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # localCheckpoint (not cache): probe lookup + candidate scan consume it;
+    # storage is released on GC.  At ingest-scale the bucket columns are
+    # persisted storage, not a runtime materialization.
+    bucketed = e.join(lsh_buckets(e), "vec_id").localCheckpoint()
+    probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    conds = [
+        F.bit_count(
+            F.col(f"b{t}").bitwiseXOR(F.lit(int(probe[f"b{t}"])))
+        )
+        <= MULTIPROBE_FLIPS
+        for t in range(N_TABLES)
+    ]
+    cand = bucketed.filter(
+        reduce(or_, conds) & (F.col("vec_id") != QUERY_VEC_ID)
+    ).select("vec_id")
+    return _ann_result(e, cand, _probe_qvec(e))
+
+
+similarity_lsh_bucketed.__doc__ = f"""ANN via multi-table, multi-probe
+    random-hyperplane LSH: {N_TABLES} independent tables of
+    {PLANES_PER_TABLE} sign bits each; a candidate is any vector whose
+    bucket in ANY table is within Hamming distance {MULTIPROBE_FLIPS} of
+    the probe's bucket (OR-amplification across tables + multi-probe
+    within a table — the two standard recall levers for sign-LSH, cf. Lv
+    et al., "Multi-probe LSH"); exact cosine re-ranks candidates.  The
+    plane weights are md5-derived INTEGERS and the dots are long sums, so
+    bucket assignment is order-independent and engine-reproducible: the
+    DuckDB oracle re-derives the planes (same md5), buckets, candidate
+    set, and re-ranked top-10 — approximate yet driver-green on
+    rows+schema+hash, with ``recall_at_10`` / ``cand_frac`` evidence
+    columns inside the hash (floor also asserted in
+    tests/test_advanced.py).
 
     Scale: bucket columns are computed once at ingest (``lsh_buckets`` —
-    one explode+aggregate pass, fully codegen'd); probing stays a handful of
-    bucket-id lookups per table, so with a bucket-partitioned layout the
-    candidate read is partition-pruned I/O at 100 TB.""".format(
-        t=N_TABLES, p=PLANES_PER_TABLE, f=MULTIPROBE_FLIPS
-    )
-    e = load_table(spark, sf_dir, "embeddings")
-    # cached: the probe lookup, the candidate scan, and the recall baseline
-    # all consume it within this query (at ingest-scale the bucket columns
-    # are persisted storage, not a cache)
-    bucketed = e.join(lsh_buckets(e), "vec_id").cache()
-    probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
-    qlit = F.array([F.lit(float(v)) for v in probe["embedding"]])
-    any_shared = None
-    for t in range(N_TABLES):
-        targets = [probe[f"b{t}"]]
-        if MULTIPROBE_FLIPS >= 1:
-            targets += [probe[f"b{t}"] ^ (1 << i) for i in range(PLANES_PER_TABLE)]
-        cond = F.col(f"b{t}").isin(targets)
-        any_shared = cond if any_shared is None else (any_shared | cond)
-    ann = (
-        bucketed.filter(any_shared & (F.col("vec_id") != QUERY_VEC_ID))
-        .select("vec_id", cosine_similarity(F.col("embedding"), qlit).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), "vec_id")
-        .limit(10)
-    )
-    return _with_recall_at_10(ann, e, qlit)
+    one explode+aggregate pass, fully codegen'd); probing is a handful of
+    ``bit_count(xor)`` comparisons per table, so with a bucket-partitioned
+    layout the candidate read is partition-pruned I/O at 100 TB."""

@@ -47,15 +47,20 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir, ann):
     Both variants should find a meaningful share of the true neighbors at
     this corpus size while scanning a bounded candidate fraction."""
     exact = [r["vec_id"] for r in QUERIES["similarity_topk_cosine"](spark, sf_dir).collect()]
-    approx = [r["vec_id"] for r in QUERIES[ann](spark, sf_dir).collect()]
+    ann_rows = QUERIES[ann](spark, sf_dir).collect()
+    approx = [r["vec_id"] for r in ann_rows]
     assert len(approx) > 0
     recall = len(set(exact) & set(approx)) / len(exact)
     # IVF floor raised after the k-means refinement landed (measured 0.9 at
     # sf0.001 and sf0.01; seed-sample centroids alone floored at 0.3).  LSH
-    # floor raised after multi-probe 8×8-bit tables landed (measured
-    # 0.5/0.6; single-probe 4×4 floored at 0.2).
-    floor = 0.4 if ann == "similarity_lsh_bucketed" else 0.6
-    assert recall >= floor, (ann, recall, exact, approx)
+    # floor raised after the quantized 12×14-bit flips≤3 config landed
+    # (measured 0.7 at sf0.001, 0.9 at sf0.01/sf0.1 at cand_frac ~0.33;
+    # the r3 8×8-bit flips=1 config measured 0.5/0.6).  The in-result
+    # recall_at_10/cand_frac columns are oracle-hashed, so drift shows up
+    # in CORRECTNESS, not just here.
+    assert recall >= 0.6, (ann, recall, exact, approx)
+    assert ann_rows[0]["cand_frac"] <= 0.4, (ann, ann_rows[0]["cand_frac"])
+    assert ann_rows[0]["recall_at_10"] == recall, (ann, ann_rows, recall)
 
 
 def test_minhash_lsh_finds_near_dups(spark, sf_dir):
