@@ -125,7 +125,7 @@ def skew_salted_join(spark, sf_dir):
     {s}× — the shuffle spreads evenly; results are identical (the oracle is
     the unsalted SQL).  AQE's skew-join split handles moderate skew
     automatically; explicit salting is the deterministic heavy-artillery
-    version that also works for aggregations.""".format(s=SALT_BUCKETS)
+    version that also works for aggregations."""
     e = load_table(spark, sf_dir, "events").withColumn(
         "salt", (F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS))).cast("int")
     )
@@ -144,6 +144,10 @@ def skew_salted_join(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+skew_salted_join.__doc__ = skew_salted_join.__doc__.format(s=SALT_BUCKETS)
+
 
 
 @query(

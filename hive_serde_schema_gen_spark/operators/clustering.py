@@ -86,17 +86,22 @@ def connected_components(
     O(log n)-round label-propagation + pointer-jumping loop below runs;
     ``small_graph_threshold=0`` forces it (how its tests pin it).
     """
-    # Symmetrize once; from here every round sees each edge both ways.
+    # Symmetrize once and MATERIALIZE (localCheckpoint: lineage cut, storage
+    # released on GC): the upstream pairs pipeline (shingles + LSH joins +
+    # distinct) is the expensive part, and every consumer below — the
+    # small-graph probe AND each label-propagation round — re-reads sym, so
+    # one materialization serves them all instead of re-running the pipeline
+    # per round.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     if small_graph_threshold:
-        # single bounded probe: limit(k+1).collect() both sizes the graph
-        # and, when small, IS the edge list — a count()+collect() pair would
-        # execute the (expensive, un-persisted) upstream pairs pipeline twice
+        # bounded probe over the checkpointed edges: limit(k+1).collect()
+        # both sizes the graph and, when small, IS the edge list
         head = sym.limit(small_graph_threshold + 1).collect()
         if len(head) <= small_graph_threshold:
             from pyspark.sql.types import StructField, StructType

@@ -232,8 +232,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     IS the candidate generation), so cost tracks shared-shingle pairs, not
     all pairs.  Integer intersection / union counts → exact double division
     → deterministic threshold.
-    """.format(thr=JACCARD_THRESHOLD)
+    """
     return ngram_jaccard_pairs(spark, sf_dir)
+
+
+dedup_ngram_jaccard.__doc__ = dedup_ngram_jaccard.__doc__.format(thr=JACCARD_THRESHOLD)
+
 
 
 def ngram_jaccard_pairs(
@@ -255,7 +259,11 @@ def ngram_jaccard_pairs(
     shd = shingles_df(d)
     if max_df is not None:
         shd = cap_shingles(shd, d.count(), max_df)
-    shd = shd.cache()
+    # localCheckpoint, not cache(): shingles are consumed by sizes /
+    # both join sides (/ signatures), and a cache would pin executor
+    # storage for the session lifetime — checkpoint storage is released
+    # when the DataFrame is GC'd (same rationale as operators/corpus.py).
+    shd = shd.localCheckpoint()
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = shd.alias("x")
     y = shd.alias("y")
@@ -427,12 +435,16 @@ def minhash_lsh_pairs(
     capped run computes signatures AND Jaccard over the capped shingle
     universe (consistent df-capped semantics); emitted pairs still all
     satisfy the exact ≥{t} threshold on that universe.
-    """.format(n=N_HASHES, b=BAND_SIZE, t=JACCARD_THRESHOLD)
+    """
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     shd = shingles_df(d)
     if max_df is not None:
         shd = cap_shingles(shd, d.count(), max_df)
-    shd = shd.cache()
+    # localCheckpoint, not cache(): shingles are consumed by sizes /
+    # both join sides (/ signatures), and a cache would pin executor
+    # storage for the session lifetime — checkpoint storage is released
+    # when the DataFrame is GC'd (same rationale as operators/corpus.py).
+    shd = shd.localCheckpoint()
     mh = minhash_signatures(shd, hash_fn)
     band_cols = [
         F.concat_ws(",", *[F.col(f"mh{j * BAND_SIZE + k}") for k in range(BAND_SIZE)])
@@ -485,6 +497,10 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return pairs.orderBy("doc_a", "doc_b") if sort else pairs
+
+
+minhash_lsh_pairs.__doc__ = minhash_lsh_pairs.__doc__.format(n=N_HASHES, b=BAND_SIZE, t=JACCARD_THRESHOLD)
+
 
 
 # ---------------------------------------------------------------------------
@@ -600,7 +616,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     qualifying pair shares a band bucket.  Cost is O(docs × bands) banding +
     shared-bucket candidates — never all-pairs.  At 100 TB the band key is
     computed at ingest and the join is bucket-partitioned.
-    """.format(b=SIMHASH_BANDS, h=HAMMING_MAX)
+    """
     d = load_table(spark, sf_dir, "documents")
     sig = simhash_signatures(d)
     bands = sig.select(
@@ -631,3 +647,7 @@ def dedup_simhash_pairs(spark, sf_dir):
         .filter(F.col("hamming") <= HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+dedup_simhash_pairs.__doc__ = dedup_simhash_pairs.__doc__.format(b=SIMHASH_BANDS, h=HAMMING_MAX)
+

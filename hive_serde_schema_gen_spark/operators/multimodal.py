@@ -461,9 +461,7 @@ def multimodal_resize_frames(spark, sf_dir):
 
     The oracle recomputes both checksums from the document text with
     independent index arithmetic (resize: src = tgt·dim // target; frames:
-    byte i of frame f = text[(f+i) mod len]).""".format(
-        w=RESIZE_W, h=RESIZE_H, k=FRAME_EVERY_K
-    )
+    byte i of frame f = text[(f+i) mod len])."""
     d = load_table(spark, sf_dir, "documents")
     rs = resize_checksums(with_bmp_payload(d)).select(
         F.lit("resize").alias("op"),
@@ -482,3 +480,7 @@ def multimodal_resize_frames(spark, sf_dir):
         "checksum",
     )
     return rs.unionAll(fr).orderBy("op", "doc_id", "idx")
+
+
+multimodal_resize_frames.__doc__ = multimodal_resize_frames.__doc__.format( w=RESIZE_W, h=RESIZE_H, k=FRAME_EVERY_K )
+

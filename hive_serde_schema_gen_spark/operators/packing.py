@@ -81,13 +81,14 @@ def chunk_token_stream(
     ).withColumn("local_cum", F.coalesce("local_cum", F.lit(0)))
     # Shard totals come from the WINDOWED output, not from ``base``: the
     # inclusive prefix (local_cum + n_tokens) is nondecreasing in id, so its
-    # max is the shard total.  ``local`` is cached because BOTH the output
-    # rows and the shard-totals aggregate consume it — without it the corpus
-    # is scanned and tokenized twice (AQE does not dedupe these exchanges).
-    # The cached projection is narrow (id, counts, shard — the text column
-    # is already dropped), ~32 bytes/doc; at 100 TB use
-    # ``persist(StorageLevel.DISK_ONLY)`` or a checkpoint instead.
-    local = local.cache()
+    # max is the shard total.  ``local`` is materialized (localCheckpoint,
+    # not cache — storage is released when the DataFrame is GC'd instead of
+    # pinning executor memory for the session) because BOTH the output rows
+    # and the shard-totals aggregate consume it — without it the corpus is
+    # scanned and tokenized twice (AQE does not dedupe these exchanges).
+    # The projection is narrow (id, counts, shard — the text column is
+    # already dropped), ~32 bytes/doc.
+    local = local.localCheckpoint()
     shard_totals = local.groupBy("shard").agg(
         F.max(F.col("local_cum") + F.col("n_tokens")).alias("shard_tokens")
     )
