@@ -1,0 +1,121 @@
+"""Scaling evidence for the dedup/corpus path: per-row cost across three
+decades of corpus size (500 → 5 000 → 50 000 docs).
+
+The driver ships sf0.01/sf0.1 (500/5 000 docs); the 50 000-doc point is a
+deterministic 10× replication of the driver's sf0.1 documents table with a
+per-copy perturbation (every 7th word of copy k suffixed ``_k``), which
+drops cross-copy Jaccard to ~0.75 — BELOW the 0.8 near-dup threshold — so
+the corpus's intra-copy duplicate structure is preserved and the true-pair
+count scales ~linearly, the realistic shape for a grown corpus (a naive
+10× exact replication would instead plant a quadratic pair blow-up no real
+corpus has).  Build it with::
+
+    python scale_check.py --build   # writes .scale_scratch/sf1/documents.parquet
+    python scale_check.py           # measures + prints one JSON line
+
+A per-row cost ratio ≤ 1.3 per decade is the near-linear target
+(VERDICT r3 item 3); the banded-LSH design predicts ~1: every stage is a
+hash-partitioned join/aggregate whose work is proportional to rows +
+candidate pairs, and candidate pairs grow linearly when the dup rate is
+constant.  Run `--max-df 0.5` to add the skew-guarded production config
+(``cap_shingles``) for comparison.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+SCRATCH = "/root/repo/.scale_scratch/sf1"
+POINTS = [
+    ("sf0.01", "/root/testdata/sf0.01", 500),
+    ("sf0.1", "/root/testdata/sf0.1", 5000),
+    ("sf1x", SCRATCH, 50000),
+]
+
+
+def build() -> None:
+    import duckdb
+
+    import os
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    duckdb.connect().execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + k.k * 1000000 AS doc_id,
+                 CASE WHEN k.k = 0 THEN d.text ELSE
+                   list_aggregate(
+                     list_transform(string_split(d.text, ' '),
+                       (w, i) -> CASE WHEN i % 7 = 0 THEN w || '_' || k.k
+                                 ELSE w END),
+                     'string_agg', ' ')
+                 END AS text,
+                 d.lang, d.source, d.n_chars
+          FROM '/root/testdata/sf0.1/documents.parquet' d, range(10) k(k)
+        ) TO '{SCRATCH}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build", action="store_true")
+    ap.add_argument("--max-df", type=float, default=None)
+    args = ap.parse_args()
+    if args.build:
+        build()
+        return
+
+    from hive_serde_schema_gen_spark.operators.corpus import corpus_pipeline
+    from hive_serde_schema_gen_spark.operators.dedup import minhash_lsh_pairs
+    from hive_serde_schema_gen_spark.session import get_spark
+
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    targets = {
+        "dedup_minhash_lsh_xxhash64": lambda s, d: minhash_lsh_pairs(
+            s, d, hash_fn="xxhash64", sort=False
+        ),
+        "corpus_pipeline": corpus_pipeline,
+    }
+    if args.max_df is not None:
+        targets["dedup_minhash_lsh_xxhash64_maxdf"] = (
+            lambda s, d: minhash_lsh_pairs(
+                s, d, hash_fn="xxhash64", sort=False, max_df=args.max_df
+            )
+        )
+
+    # warmup: JVM, parquet readers, codegen for both pipelines
+    for _, fn in targets.items():
+        fn(spark, "/root/testdata/sf0.001").count()
+
+    out: dict = {}
+    for qname, fn in targets.items():
+        rows = {}
+        for label, path, n_docs in POINTS:
+            best = None
+            for _ in range(2):  # best-of-2: JIT/GC noise on local[32]
+                t0 = time.monotonic()
+                fn(spark, path).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            rows[label] = {
+                "sec": round(best, 3),
+                "docs": n_docs,
+                "us_per_doc": round(best / n_docs * 1e6, 1),
+            }
+        g1 = rows["sf0.1"]["us_per_doc"] / rows["sf0.01"]["us_per_doc"]
+        g2 = rows["sf1x"]["us_per_doc"] / rows["sf0.1"]["us_per_doc"]
+        rows["per_row_cost_growth"] = {
+            "sf0.01->sf0.1": round(g1, 2),
+            "sf0.1->sf1x": round(g2, 2),
+        }
+        out[qname] = rows
+    print(json.dumps({"metric": "scaling_evidence", "results": out}))
+
+
+if __name__ == "__main__":
+    main()
