@@ -84,7 +84,17 @@ def main() -> None:
     # cost (what a tuned cluster delivers).  Reps are interleaved (full
     # sweep 1..N over all queries, not N back-to-back runs per query) so a
     # multi-second noise window can't poison every rep of one query.
+    #
+    # One UNTIMED priming sweep at the TARGET SF runs first: the sf0.001
+    # warmup compiles codegen classes but leaves C2 JIT shallow — measured
+    # on dedup_exact, per-run cost decays 0.91s → 0.39s over ~12 repetitions
+    # purely from compilation depth, which is exactly the r2↔r3 "regression"
+    # band (0.359 vs 0.507).  Priming at target SF moves every timed rep
+    # onto the flat part of that curve.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).collect()
+        spark.catalog.clearCache()
     timings = {}
     for _ in range(reps):
         for name in HEADLINE:
