@@ -54,3 +54,52 @@ def running_user_totals(stream_df):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CENTS_OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long"
+CENTS_STATE_SCHEMA = "n long, cents long"
+
+
+def _update_cents(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+) -> Iterable[pd.DataFrame]:
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["cents"].sum()) if len(pdf) else 0
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def running_user_cents(stream_df):
+    """Oracle-exact flavor of ``running_user_totals``: the money column
+    arrives PRE-QUANTIZED to integer cents (``value`` cast to
+    DECIMAL(12,2) × 100 → long, done ENGINE-side — the one double→decimal
+    rounding path Spark and DuckDB demonstrably share), so the Python state
+    update only ever adds integers.  Integer addition commutes exactly:
+    the final per-user totals are bit-identical to a batch GROUP BY no
+    matter how the stream is micro-batched — which is what lets this
+    operator sit inside a driver-hashed correctness row
+    (``streaming_window_counts``) rather than a rows-only check."""
+    if not HAVE_STATE_API:  # pragma: no cover
+        raise NotImplementedError("pyspark streaming state API unavailable")
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.select(
+            "user_id",
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_cents,
+            outputStructType=CENTS_OUTPUT_SCHEMA,
+            stateStructType=CENTS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

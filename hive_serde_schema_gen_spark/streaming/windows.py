@@ -84,26 +84,48 @@ def _write_sentinel(raw_schema, stream_dir: str) -> None:
 @query(
     "streaming_window_counts",
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    SELECT 'window' AS op,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS BIGINT) AS total_cents
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'user' AS op,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           COUNT(*),
+           CAST(NULL AS DOUBLE),
+           user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT)
+    FROM events GROUP BY user_id
+    ORDER BY op, window_start NULLS FIRST, event_type NULLS FIRST,
+             user_id NULLS FIRST
     """,
 )
 def streaming_window_counts(spark, sf_dir):
-    """Tumbling 1-hour windows with a 30-minute watermark, executed as an
-    actual streaming query on the parquet file source in **append** mode:
-    each window is emitted once when the watermark passes it and its state
-    is evicted (bounded state at scale).
+    """TWO real Structured Streaming pipelines over the same file source,
+    tagged-union'd into one driver-hashed row set:
 
-    The sink is the real exactly-once protocol
+    ``op='window'`` — tumbling 1-hour windows with a 30-minute watermark in
+    **append** mode: each window is emitted once when the watermark passes
+    it and its state is evicted (bounded state at scale).  The sink is the
+    real exactly-once protocol
     (``streaming.exactly_once.idempotent_epoch_sink``): every epoch lands in
     a deterministic ``epoch=<id>`` path with a commit-ledger marker, and
     EVERY epoch is deliberately REPLAYED in-stream (simulating Structured
     Streaming's at-least-once redelivery after a crash) — the ledger must
     absorb each one, or the replayed rows double and the unchanged batch
-    oracle catches it."""
+    oracle catches it.
+
+    ``op='user'`` — the CUSTOM STATEFUL operator
+    (``stateful.running_user_cents``, ``applyInPandasWithState``): per-user
+    running (count, integer-cents total) accumulated across micro-batches
+    in executor state; the last update per user must equal the batch GROUP
+    BY — the streaming/batch equivalence contract for arbitrary stateful
+    processing, with integer state making the equality bit-exact under any
+    micro-batching.  Both halves verify against the one batch oracle."""
     import shutil
     import tempfile
 
@@ -148,13 +170,62 @@ def streaming_window_counts(spark, sf_dir):
 
     q = agg.writeStream.outputMode("append").foreachBatch(handler).start()
     try:
-        return _drive_and_read(spark, q, raw_schema, stream_dir, out_dir)
+        win_rows = _drive_and_read(spark, q, raw_schema, stream_dir, out_dir)
+        user_totals = _run_stateful(spark, raw_schema, stream_dir)
     finally:
         # single cleanup point: covers the success path AND any exception
         # from the drive loop (TimeoutError, processAllAvailable failures),
         # so neither scratch dir can accumulate across runs
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+    out_schema = (
+        "op string, window_start string, event_type string, n long,"
+        " total_value double, user_id long, total_cents long"
+    )
+    rows = [
+        ("window", r["window_start"], r["event_type"], r["n"], r["total_value"], None, None)
+        for r in win_rows
+    ] + [
+        ("user", None, None, n, None, uid, cents)
+        for uid, (n, cents) in sorted(user_totals.items())
+    ]
+    return spark.createDataFrame(rows, out_schema).orderBy(
+        "op",
+        F.col("window_start").asc_nulls_first(),
+        F.col("event_type").asc_nulls_first(),
+        F.col("user_id").asc_nulls_first(),
+    )
+
+
+def _run_stateful(spark, raw_schema, stream_dir):
+    """Drive the custom stateful operator over the already-populated source
+    dir and return its FINAL per-user state (update-mode emissions are
+    keyed, so last-write-wins into a dict is the sink).  The sentinel row
+    is dropped IN-stream — safe here, unlike in the watermarked query,
+    because this pipeline has no EventTimeWatermark node for the filter
+    pushdown to starve (cf. the _write_sentinel note)."""
+    from .stateful import running_user_cents
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(stream_dir)
+        .filter(F.col("user_id") >= 0)
+    )
+    totals: dict = {}
+
+    def capture(batch_df, epoch_id: int) -> None:
+        for r in batch_df.collect():
+            totals[r["user_id"]] = (r["n_events"], r["total_cents"])
+
+    q = running_user_cents(stream).writeStream.outputMode("update").foreachBatch(
+        capture
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return totals
 
 
 def _drive_and_read(spark, q, raw_schema, stream_dir, out_dir):
@@ -187,13 +258,10 @@ def _drive_and_read(spark, q, raw_schema, stream_dir, out_dir):
     finally:
         q.stop()
     committed = read_committed(spark, out_dir)
-    out_schema = (
-        "window_start string, event_type string, n long, total_value double"
-    )
     if committed is None:
         # honor read_committed's documented no-committed-epochs contract
         # (empty/missing ledger) instead of dereferencing None
-        return spark.createDataFrame([], out_schema)
+        return []
     result = (
         committed.select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -210,6 +278,5 @@ def _drive_and_read(spark, q, raw_schema, stream_dir, out_dir):
         .orderBy("window_start", "event_type")
     )
     # materialize before the caller removes the sink dir (the returned
-    # DataFrame must not depend on the scratch files)
-    rows = result.collect()
-    return spark.createDataFrame(rows, result.schema)
+    # rows must not depend on the scratch files)
+    return result.collect()

@@ -102,9 +102,11 @@ def test_stateful_running_totals(spark, sf_dir):
 
 
 def test_windowed_agg_runs_in_append_mode(spark, sf_dir):
-    """The registered streaming query must use append mode (complete mode
-    never evicts window state — a scale-killer on unbounded sources) and
-    still produce every window of the finite source via the sentinel flush."""
+    """The windowed half of the registered streaming query must use append
+    mode (complete mode never evicts window state — a scale-killer on
+    unbounded sources) and still produce every window of the finite source
+    via the sentinel flush; the stateful half runs in update mode (keyed
+    state emission).  Neither may use complete mode."""
     from unittest.mock import patch
 
     from pyspark.sql.streaming import DataStreamWriter
@@ -121,5 +123,5 @@ def test_windowed_agg_runs_in_append_mode(spark, sf_dir):
     with patch.object(DataStreamWriter, "outputMode", spy):
         df = all_queries()["streaming_window_counts"](spark, sf_dir)
         n = df.count()
-    assert seen_modes == ["append"]
+    assert seen_modes == ["append", "update"]
     assert n > 0
