@@ -97,3 +97,32 @@ def test_sampling_ratio(spark, tmp_path):
     result = infer_path(spark, str(p), sampling_ratio=0.2)
     assert 500 < result.lines < 2000
     assert render_definition(result.schema) == "v SMALLINT"
+
+
+def test_infer_json_column_dedup_is_exact(spark):
+    """The per-task seen-set (fold each distinct raw once) must be invisible
+    in the result: duplicates interleaved with conflicting shapes, bad rows
+    among the repeats, and repeats crossing batch/partition boundaries all
+    infer exactly what the duplicate-free column infers."""
+    rows = (
+        [('{"k": 1}',)] * 500
+        + [('{"k": 2.5, "s": "abc"}',)] * 300
+        + [('{"k": 1}',)] * 200  # repeat AFTER a widening merge
+        + [('{"n": [1, 2]}',)] * 50  # fast-path miss → replay, repeated
+    )
+    df = spark.createDataFrame(rows, ["props"]).repartition(4)
+    dedup_free = spark.createDataFrame(
+        [('{"k": 1}',), ('{"k": 2.5, "s": "abc"}',), ('{"n": [1, 2]}',)],
+        ["props"],
+    )
+    got = render_definition(infer_json_column(df, "props"))
+    want = render_definition(infer_json_column(dedup_free, "props"))
+    assert got == want
+
+    # permissive + repeated broken rows: bad rows skipped, repeats no-op
+    dfp = spark.createDataFrame(
+        [('{"a":1}',)] * 100 + [("{broken",)] * 100 + [('{"a":"xyz"}',)] * 100,
+        ["props"],
+    ).repartition(3)
+    desc = infer_json_column(dfp, "props", permissive=True)
+    assert render_definition(desc) == "a TINYINT"
