@@ -112,3 +112,35 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 def test_semi_anti_join_strategies(spark, sf_dir):
     plan = explain_str(QUERIES["join_semi_anti"](spark, sf_dir))
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_ann_plans_broadcast_constants_no_nested_loop(spark, sf_dir):
+    """The ANN building blocks must keep their constant tables (hyperplane
+    weights, k-means centroids) on the build side of a BROADCAST hash join
+    — never a nested loop, never Python eval — and partial-aggregate before
+    every exchange so shuffle volume is O(vecs × planes), not the exploded
+    component rows (the 100 TB posture for both ANN paths)."""
+    from pyspark.sql import functions as F
+
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        _cell_assignments,
+        lsh_buckets,
+        quantized,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lsh_plan = explain_str(lsh_buckets(e))
+    eq = e.select("vec_id", F.posexplode(quantized("embedding")).alias("pos", "v"))
+    ivf_plan = explain_str(
+        _cell_assignments(eq, {i: [100] * 64 for i in range(16)})
+    )
+    for df in (
+        lsh_buckets(e),
+        _cell_assignments(eq, {i: [100] * 64 for i in range(16)}),
+    ):
+        assert_no_python_udf(df)  # eval nodes, not the ExistingRDD scan name
+    for plan in (lsh_plan, ivf_plan):
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "partial_sum" in plan  # map-side combine before the exchange
