@@ -90,11 +90,13 @@ def main() -> None:
     # on dedup_exact, per-run cost decays 0.91s → 0.39s over ~12 repetitions
     # purely from compilation depth, which is exactly the r2↔r3 "regression"
     # band (0.359 vs 0.507).  Priming at target SF moves every timed rep
-    # onto the flat part of that curve.
+    # onto the flat part of that curve.  (Skipped in COLD mode, which
+    # exists precisely to measure the unwarmed state.)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    for name in HEADLINE:
-        queries[name](spark, sf_dir).collect()
-        spark.catalog.clearCache()
+    if os.environ.get("SPARK_GRAFT_COLD", "0") != "1":
+        for name in HEADLINE:
+            queries[name](spark, sf_dir).collect()
+            spark.catalog.clearCache()
     timings = {}
     for _ in range(reps):
         for name in HEADLINE:

@@ -146,7 +146,7 @@ def skew_salted_join(spark, sf_dir):
     )
 
 
-skew_salted_join.__doc__ = skew_salted_join.__doc__.format(s=SALT_BUCKETS)
+skew_salted_join.__doc__ = skew_salted_join.__doc__ and skew_salted_join.__doc__.format(s=SALT_BUCKETS)
 
 
 
@@ -450,10 +450,18 @@ def approx_stats(spark, sf_dir):
     correctness check (floors also asserted in tests/test_advanced.py).
     The exact columns cost what the sketches avoid (distinct + sort
     shuffles) — they are the evidence harness, not the production path."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_partkey",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    # three independent aggregations (windowed percentiles, exact distinct,
+    # sketches) consume this narrow projection — materialize it once
+    # (localCheckpoint: released on GC) instead of scanning lineitem three
+    # times (AQE does not dedupe identical exchanges across branches)
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .localCheckpoint()
     )
 
     r = l.select(

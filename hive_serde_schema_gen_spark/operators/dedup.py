@@ -236,7 +236,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(spark, sf_dir)
 
 
-dedup_ngram_jaccard.__doc__ = dedup_ngram_jaccard.__doc__.format(thr=JACCARD_THRESHOLD)
+dedup_ngram_jaccard.__doc__ = dedup_ngram_jaccard.__doc__ and dedup_ngram_jaccard.__doc__.format(thr=JACCARD_THRESHOLD)
 
 
 
@@ -499,7 +499,7 @@ def minhash_lsh_pairs(
     return pairs.orderBy("doc_a", "doc_b") if sort else pairs
 
 
-minhash_lsh_pairs.__doc__ = minhash_lsh_pairs.__doc__.format(n=N_HASHES, b=BAND_SIZE, t=JACCARD_THRESHOLD)
+minhash_lsh_pairs.__doc__ = minhash_lsh_pairs.__doc__ and minhash_lsh_pairs.__doc__.format(n=N_HASHES, b=BAND_SIZE, t=JACCARD_THRESHOLD)
 
 
 
@@ -649,5 +649,5 @@ def dedup_simhash_pairs(spark, sf_dir):
     )
 
 
-dedup_simhash_pairs.__doc__ = dedup_simhash_pairs.__doc__.format(b=SIMHASH_BANDS, h=HAMMING_MAX)
+dedup_simhash_pairs.__doc__ = dedup_simhash_pairs.__doc__ and dedup_simhash_pairs.__doc__.format(b=SIMHASH_BANDS, h=HAMMING_MAX)
 

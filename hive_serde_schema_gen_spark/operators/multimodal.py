@@ -482,5 +482,5 @@ def multimodal_resize_frames(spark, sf_dir):
     return rs.unionAll(fr).orderBy("op", "doc_id", "idx")
 
 
-multimodal_resize_frames.__doc__ = multimodal_resize_frames.__doc__.format( w=RESIZE_W, h=RESIZE_H, k=FRAME_EVERY_K )
+multimodal_resize_frames.__doc__ = multimodal_resize_frames.__doc__ and multimodal_resize_frames.__doc__.format(w=RESIZE_W, h=RESIZE_H, k=FRAME_EVERY_K)
 

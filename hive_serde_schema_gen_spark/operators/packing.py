@@ -224,4 +224,4 @@ def token_packing_splits(spark, sf_dir):
     return assign_split(chunks, SPLIT_FRACTIONS).orderBy("doc_id")
 
 
-token_packing_splits.__doc__ = token_packing_splits.__doc__.format(L=CONTEXT_LEN)
+token_packing_splits.__doc__ = token_packing_splits.__doc__ and token_packing_splits.__doc__.format(L=CONTEXT_LEN)

@@ -84,37 +84,12 @@ def similarity_topk_cosine(spark, sf_dir):
     compile variance), while the explode pipeline is fully codegen'd and
     its exchange carries only one pre-aggregated row per vector.  Scales
     linearly in corpus size; this is the baseline the ANN implementations
-    are verified against (``similarity_lsh_bucketed``)."""
-    import math
-
+    are verified against (``similarity_lsh_bucketed``); the scoring itself
+    is the shared ``_quantized_scored`` (one formulation, so the baseline
+    and the ANN re-rank cannot drift apart)."""
     e = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        int(v)
-        for v in e.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(quantized("embedding").alias("q"))
-        .collect()[0]["q"]
-    ]
-    # exact: integer sum of squares, then one correctly-rounded sqrt —
-    # identical to the in-engine sqrt of the same integer
-    qnorm = math.sqrt(sum(v * v for v in qvec))
-    ex = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-        "vec_id", F.posexplode(quantized("embedding")).alias("pos", "v")
-    )
-    qlit = F.element_at(
-        F.array(*[F.lit(v).cast("long") for v in qvec]), F.col("pos") + 1
-    )
-    agg = ex.groupBy("vec_id").agg(
-        F.sum(F.col("v") * qlit).alias("dot"),
-        F.sum(F.col("v") * F.col("v")).alias("nv"),
-    )
     return (
-        agg.select(
-            "vec_id",
-            (
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("nv").cast("double")) * F.lit(qnorm))
-            ).alias("cos_sim"),
-        )
+        _quantized_scored(e, _probe_qvec(e))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
@@ -571,7 +546,12 @@ def similarity_ivf_topk(spark, sf_dir):
     cents = {i: [int(x) for x in r["q"]] for i, r in enumerate(seeds)}
     cents = _kmeans_refine(eq, cents)
 
-    qvec = _probe_qvec(e)
+    # the probe is among the seed rows whenever QUERY_VEC_ID < N_CENTROIDS —
+    # reuse that collect instead of launching a second scan-and-quantize job
+    probe_rows = [r for r in seeds if r["vec_id"] == QUERY_VEC_ID]
+    qvec = (
+        [int(x) for x in probe_rows[0]["q"]] if probe_rows else _probe_qvec(e)
+    )
     # probe-cell ranking: exact int dots + one sqrt/divide — same doubles
     # the oracle's window computes
     def metric(vec):
@@ -613,9 +593,14 @@ def similarity_lsh_bucketed(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     # localCheckpoint (not cache): probe lookup + candidate scan consume it;
     # storage is released on GC.  At ingest-scale the bucket columns are
-    # persisted storage, not a runtime materialization.
-    bucketed = e.join(lsh_buckets(e), "vec_id").localCheckpoint()
+    # persisted storage, not a runtime materialization.  The quantized
+    # embedding rides along so ONE probe collect yields both the bucket ids
+    # and the probe vector (no second scan-and-quantize job).
+    bucketed = e.select(
+        "vec_id", quantized("embedding").alias("q")
+    ).join(lsh_buckets(e), "vec_id").localCheckpoint()
     probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    qvec = [int(x) for x in probe["q"]]
     conds = [
         F.bit_count(
             F.col(f"b{t}").bitwiseXOR(F.lit(int(probe[f"b{t}"])))
@@ -626,7 +611,7 @@ def similarity_lsh_bucketed(spark, sf_dir):
     cand = bucketed.filter(
         reduce(or_, conds) & (F.col("vec_id") != QUERY_VEC_ID)
     ).select("vec_id")
-    return _ann_result(e, cand, _probe_qvec(e))
+    return _ann_result(e, cand, qvec)
 
 
 similarity_lsh_bucketed.__doc__ = f"""ANN via multi-table, multi-probe

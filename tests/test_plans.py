@@ -130,17 +130,13 @@ def test_ann_plans_broadcast_constants_no_nested_loop(spark, sf_dir):
     from hive_serde_schema_gen_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
-    lsh_plan = explain_str(lsh_buckets(e))
     eq = e.select("vec_id", F.posexplode(quantized("embedding")).alias("pos", "v"))
-    ivf_plan = explain_str(
-        _cell_assignments(eq, {i: [100] * 64 for i in range(16)})
-    )
     for df in (
         lsh_buckets(e),
         _cell_assignments(eq, {i: [100] * 64 for i in range(16)}),
     ):
         assert_no_python_udf(df)  # eval nodes, not the ExistingRDD scan name
-    for plan in (lsh_plan, ivf_plan):
+        plan = explain_str(df)
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoop" not in plan
         assert "partial_sum" in plan  # map-side combine before the exchange
