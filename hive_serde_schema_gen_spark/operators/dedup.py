@@ -45,7 +45,7 @@ JACCARD_THRESHOLD = 0.8
 # ---------------------------------------------------------------------------
 
 
-def shingles_df(d: DataFrame) -> DataFrame:
+def shingles_df(d: DataFrame, hashed: bool = False) -> DataFrame:
     """Distinct word-3-shingles per doc: posexplode tokens, slide the window
     with LEAD over (doc_id, pos), then distinct.
 
@@ -55,7 +55,17 @@ def shingles_df(d: DataFrame) -> DataFrame:
     measures ~3× slower per core.  Here everything is codegen'd; the costs
     are one window shuffle on doc_id and the distinct — both partition
     cleanly by doc at any scale (a doc's tokens are never split across
-    partitions, so no skew beyond document length)."""
+    partitions, so no skew beyond document length).
+
+    ``hashed=True`` (the xxhash64 production configuration) replaces the
+    shingle STRING with its 8-byte xxhash64 before the distinct: every
+    downstream payload — the distinct's shuffle, the localCheckpoint
+    materialization, the shared-shingle verify join — carries a long
+    instead of a ~25-byte string.  A hash collision can only MERGE two
+    distinct shingles (within a doc: one deduped row fewer; across docs:
+    one extra shared "shingle"), perturbing a Jaccard estimate by
+    O(shingles²/2⁶⁴) ≈ never; the md5 oracle configuration keeps exact
+    strings."""
     from pyspark.sql.window import Window as W
 
     toks = d.select(
@@ -69,11 +79,12 @@ def shingles_df(d: DataFrame) -> DataFrame:
         F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), lead2).alias("shingle"),
         lead2.alias("tail_tok"),
     )
-    return (
-        sh.filter(F.col("tail_tok").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
-    )
+    kept = sh.filter(F.col("tail_tok").isNotNull())
+    if hashed:
+        kept = kept.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    else:
+        kept = kept.select("doc_id", "shingle")
+    return kept.distinct()
 
 
 def keep_first_per_content(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -437,7 +448,10 @@ def minhash_lsh_pairs(
     satisfy the exact ≥{t} threshold on that universe.
     """
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
-    shd = shingles_df(d)
+    # the xxhash64 production configuration also hashes SHINGLES to longs at
+    # creation (see shingles_df): the checkpoint, sizes aggregate, and the
+    # shared-shingle verify join all carry 8 bytes instead of word strings
+    shd = shingles_df(d, hashed=hash_fn == "xxhash64")
     if max_df is not None:
         shd = cap_shingles(shd, d.count(), max_df)
     # localCheckpoint, not cache(): shingles are consumed by sizes /
