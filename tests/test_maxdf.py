@@ -80,3 +80,27 @@ def test_cap_removes_all_hot_shingles(shd_and_n):
 def test_capped_lsh_pairs_meet_threshold(spark, sf_dir):
     rows = minhash_lsh_pairs(spark, sf_dir, max_df=0.05).collect()
     assert all(r["jaccard"] >= JACCARD_THRESHOLD for r in rows)
+
+
+def test_shuffle_free_shingles_equal_window_shingles(spark, sf_dir):
+    """The arrays_zip formulation must emit exactly the window formulation's
+    rows (both hashed and string modes) and its plan must contain no window
+    Exchange before the distinct."""
+    from hive_serde_schema_gen_spark.operators.dedup import (
+        shingles_df,
+        shingles_df_no_shuffle,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    for hashed in (False, True):
+        a = sorted(map(tuple, shingles_df(d, hashed=hashed).collect()))
+        b = sorted(map(tuple, shingles_df_no_shuffle(d, hashed=hashed).collect()))
+        assert a == b
+    plan = (
+        shingles_df_no_shuffle(d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
