@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.vector import cosine_similarity
 from ..registry import query
 from ..sources.tables import load_table
 
