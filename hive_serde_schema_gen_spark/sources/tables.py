@@ -10,6 +10,8 @@ uses (checked in tests/test_plans.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -29,18 +31,44 @@ TABLES = (
 BROADCAST_ALWAYS = frozenset({"region", "nation"})
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to ``TimestampType`` regardless of how the
+    test-data generator physically encoded it.  Two encodings have been
+    observed across regenerations, and either may come back:
+
+    - int64: parquet ``TIMESTAMP(NANOS)`` surfaced as raw nanos under
+      ``spark.sql.legacy.parquet.nanosAsLong`` — truncate to µs (the values
+      are µs-precision, so truncation is lossless).
+    - ``TIMESTAMP_NTZ``: native parquet ``timestamp[us]`` with
+      isAdjustedToUTC=false — cast to session-local timestamp.  Under a
+      UTC-pinned session (callers pin it; see ``load_table``) the instants
+      are identical, and the cast is mandatory: NTZ rejects bigint casts
+      and breaks ``unix_millis`` arithmetic downstream.
+
+    Already-``TimestampType`` input passes through untouched.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
-        # read the raw int64 nanos and truncate to microseconds (the values
-        # are µs-precision, so truncation is lossless).
-        from pyspark.sql import functions as F  # noqa: F401
-
+        # Pin UTC before the NTZ→LTZ cast so the wall-clock values are
+        # interpreted as the UTC instants the generator wrote.  (The query
+        # registry pins it too, but load_table is also called directly from
+        # tests and streaming helpers.)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # No-op for the native µs encoding; required for the legacy
+        # TIMESTAMP(NANOS) one.  Safe to set unconditionally.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return normalize_events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

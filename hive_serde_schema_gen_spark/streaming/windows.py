@@ -29,10 +29,11 @@ import time
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..sources.tables import normalize_events_ts
 
-# Far enough past any real event that every real window closes, in the data's
-# raw epoch-nanos encoding (year ~2191; must stay under 2^63-1).
-_SENTINEL_NANOS = 7_000_000_000 * 1_000_000_000
+# Far enough past any real event that every real window closes (year ~2191;
+# the nanos form must stay under 2^63-1).
+_SENTINEL_SECONDS = 7_000_000_000
 _SENTINEL_TYPE = "__sentinel__"
 
 
@@ -63,19 +64,36 @@ def _write_sentinel(raw_schema, stream_dir: str) -> None:
     tail windows never emitted).  It flows through the aggregate instead;
     its own window can never close (nothing later exists), so it adds no
     output row, and the batch-side result filter drops it if that ever
-    changes."""
+    changes.
+
+    The ``ts`` cell is written in whatever physical encoding the real files
+    use (raw int64 nanos for the legacy TIMESTAMP(NANOS) data, native
+    ``timestamp[us]`` otherwise) so the sentinel file's schema matches the
+    stream's fixed read schema."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType
 
     values = {
         "event_id": -1,
-        "ts": _SENTINEL_NANOS,
         "user_id": -1,
         "event_type": _SENTINEL_TYPE,
         "value": 0.0,
         "props": "{}",
     }
-    cols = {f.name: [values[f.name]] for f in raw_schema.fields}
+    cols = {}
+    for f in raw_schema.fields:
+        if f.name == "ts":
+            if isinstance(f.dataType, LongType):
+                cols["ts"] = pa.array(
+                    [_SENTINEL_SECONDS * 1_000_000_000], type=pa.int64()
+                )
+            else:
+                cols["ts"] = pa.array(
+                    [_SENTINEL_SECONDS * 1_000_000], type=pa.timestamp("us")
+                )
+        else:
+            cols[f.name] = [values[f.name]]
     pq.write_table(
         pa.table(cols), os.path.join(stream_dir, "zz_sentinel.parquet")
     )
@@ -135,13 +153,13 @@ def streaming_window_counts(spark, sf_dir):
     # the sentinel flush rides on the no-data micro-batch; don't depend on
     # the (default-true) conf being untouched in the caller's session
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long (ns)
+    # raw physical schema (ts: int64 nanos or TIMESTAMP_NTZ, per generator)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = _stream_source_dir(sf_dir)
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", "8")
         .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     agg = (
         stream.withWatermark("ts", "30 minutes")

@@ -8,19 +8,19 @@ import pytest
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.schema_infer import infer_json_column
-from hive_serde_schema_gen_spark.sources.tables import load_table
+from hive_serde_schema_gen_spark.sources.tables import load_table, normalize_events_ts
 from hive_serde_schema_gen_spark.streaming.infer_stream import infer_stream
 from hive_serde_schema_gen_spark.streaming.windows import _stream_source_dir
 
 
 def _events_stream(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    return normalize_events_ts(
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(_stream_source_dir(sf_dir))
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
 
 
