@@ -103,15 +103,21 @@ def shingles_df_no_shuffle(d: DataFrame, hashed: bool = False) -> DataFrame:
     this form shuffles nothing until the distinct, so network-bound
     deployments should prefer it."""
     words = F.split(F.trim(F.col("text")), r"\s+")
+    # one shifted slice per shingle position, derived from SHINGLE so the
+    # two formulations can never disagree on shingle width
     z = F.arrays_zip(
         words.alias("t0"),
-        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))).alias("t1"),
-        F.slice(words, 3, F.greatest(F.size(words) - 2, F.lit(0))).alias("t2"),
+        *[
+            F.slice(
+                words, i + 1, F.greatest(F.size(words) - i, F.lit(0))
+            ).alias(f"t{i}")
+            for i in range(1, SHINGLE)
+        ],
     )
     kept = d.select("doc_id", F.explode(z).alias("s")).filter(
-        F.col("s.t2").isNotNull()
+        F.col(f"s.t{SHINGLE - 1}").isNotNull()
     )
-    sh = F.concat_ws(" ", "s.t0", "s.t1", "s.t2")
+    sh = F.concat_ws(" ", *[f"s.t{i}" for i in range(SHINGLE)])
     return kept.select(
         "doc_id", (F.xxhash64(sh) if hashed else sh).alias("shingle")
     ).distinct()

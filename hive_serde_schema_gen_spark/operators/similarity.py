@@ -764,6 +764,23 @@ similarity_lsh_bucketed.__doc__ = f"""ANN via multi-table, multi-probe
     tests/test_advanced.py).
 
     Scale: bucket columns are computed once at ingest (``lsh_buckets`` —
-    one explode+aggregate pass, fully codegen'd); probing is a handful of
-    ``bit_count(xor)`` comparisons per table, so with a bucket-partitioned
-    layout the candidate read is partition-pruned I/O at 100 TB."""
+    one explode+aggregate pass, fully codegen'd).  THIS evidence variant
+    probes with a ``bit_count(xor)`` predicate, which must scan every
+    bucket row; the production entry point (``ann_topk_lsh``) instead
+    enumerates the Hamming ball as an explicit bucket-id IN-set
+    (``hamming_ball``, 470 ids/table), which a bucket-partitioned layout
+    prunes to the probed partitions — that path, not this one, is the
+    100 TB read pattern.
+
+    Parameter choice (DuckDB sweep over tables∈{{8..28}} × planes∈{{14..20}}
+    × flips∈{{1..5}}, all three SFs — reproducible BECAUSE the pipeline is
+    SQL-derivable): the corpus is measured ISOTROPIC — the probe's true
+    top-10 sit at cosine 0.25–0.37 against a bulk p90 of 0.16, giving
+    sign-LSH only ~0.59-vs-0.50 per-bit discrimination — so recall 0.9
+    cannot be bought below cand_frac ≈ 0.27 by ANY data-independent config
+    (best observed: 12×20-bit/flips-5 = 0.27 but recall drops to 0.8 at
+    sf0.1; the shipped 12×14/flips-3 holds recall 0.9 at sf0.01 AND sf0.1
+    at cand_frac ≈ 0.33–0.34, the Pareto point that is stable across
+    scales).  A cand_frac ≤ 0.10 target at recall ≥ 0.9 is unreachable on
+    this data family; on a genuinely clustered corpus the same pipeline
+    reaches it by raising planes (buckets shrink with cluster density)."""

@@ -399,9 +399,14 @@ def infer_json_column(df, column: str, permissive: bool = False) -> Descriptor:
     from pyspark import TaskContext
 
     # seen-set bounds: past these, parse instead of remember — correctness
-    # is unaffected (dedup is an optimization), task memory stays O(cap)
+    # is unaffected (dedup is an optimization).  Task memory is bounded in
+    # BYTES, not just entries: entry count × per-string length caps the
+    # worst case at 64 MiB, but the byte budget keeps the typical bound two
+    # orders lower — a high-cardinality column of near-cap strings degrades
+    # to plain parsing after ~16 MiB instead of growing to the product cap.
     _SEEN_CAP = 1 << 16
     _SEEN_MAX_LEN = 1 << 10
+    _SEEN_MAX_BYTES = 1 << 24
 
     def fold(batches):
         import pandas as pd  # noqa: F401  (worker-side)
@@ -409,13 +414,19 @@ def infer_json_column(df, column: str, permissive: bool = False) -> Descriptor:
         pid = TaskContext.get().partitionId()
         schema: Descriptor = EMPTY_STRUCT
         seen: set = set()
+        seen_bytes = 0
         for pdf in batches:
             values = []
             for raw in pdf[column]:
                 if raw is None or raw in seen:
                     continue
-                if len(raw) <= _SEEN_MAX_LEN and len(seen) < _SEEN_CAP:
+                if (
+                    len(raw) <= _SEEN_MAX_LEN
+                    and len(seen) < _SEEN_CAP
+                    and seen_bytes + len(raw) <= _SEEN_MAX_BYTES
+                ):
                     seen.add(raw)
+                    seen_bytes += len(raw)
                 try:
                     values.append(parse_line(raw))
                 except ValueError:

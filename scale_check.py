@@ -25,12 +25,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
-SCRATCH = "/root/repo/.scale_scratch/sf1"
+# Paths are env-overridable (SPARK_GRAFT_TESTDATA for the driver-shipped
+# parquet root) and repo-relative for the synthesized 10× point, so the
+# script runs from any checkout location.
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".scale_scratch", "sf1"
+)
 POINTS = [
-    ("sf0.01", "/root/testdata/sf0.01", 500),
-    ("sf0.1", "/root/testdata/sf0.1", 5000),
+    ("sf0.01", os.path.join(TESTDATA, "sf0.01"), 500),
+    ("sf0.1", os.path.join(TESTDATA, "sf0.1"), 5000),
     ("sf1x", SCRATCH, 50000),
 ]
 
@@ -38,9 +45,8 @@ POINTS = [
 def build() -> None:
     import duckdb
 
-    import os
-
     os.makedirs(SCRATCH, exist_ok=True)
+    src = os.path.join(TESTDATA, "sf0.1", "documents.parquet")
     duckdb.connect().execute(
         f"""
         COPY (
@@ -53,7 +59,7 @@ def build() -> None:
                      'string_agg', ' ')
                  END AS text,
                  d.lang, d.source, d.n_chars
-          FROM '/root/testdata/sf0.1/documents.parquet' d, range(10) k(k)
+          FROM '{src}' d, range(10) k(k)
         ) TO '{SCRATCH}/documents.parquet' (FORMAT PARQUET)
         """
     )
@@ -90,7 +96,7 @@ def main() -> None:
 
     # warmup: JVM, parquet readers, codegen for both pipelines
     for _, fn in targets.items():
-        fn(spark, "/root/testdata/sf0.001").count()
+        fn(spark, os.path.join(TESTDATA, "sf0.001")).count()
 
     out: dict = {}
     for qname, fn in targets.items():
