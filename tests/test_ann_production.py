@@ -88,6 +88,42 @@ def test_ivf_production_matches_evidence_topk(spark, sf_dir):
     assert prod == ev
 
 
+def test_enumerated_ball_partition_prunes_bucket_layout(spark, sf_dir, tmp_path):
+    """The 100 TB probe story, demonstrated: persist the LSH index
+    PARTITIONED BY one table's bucket id (the ingest-time layout the
+    docstrings describe), probe with the enumerated Hamming ball, and
+    assert the ball arrives as a PARTITION filter on the scan — the probe
+    reads only the ~470 probed buckets' partitions, not the full index.
+    A ``bit_count(xor)`` probe cannot do this (it is not a partition-key
+    predicate), which is exactly why ``hamming_ball`` exists."""
+    from hive_serde_schema_gen_spark.operators.similarity import lsh_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx_path = str(tmp_path / "lsh_index")
+    lsh_buckets(e).write.partitionBy("b0").parquet(idx_path)
+
+    idx = spark.read.parquet(idx_path)
+    probe_b0 = int(idx.filter(F.col("vec_id") == 0).collect()[0]["b0"])
+    ball = hamming_ball(probe_b0)
+    probed = idx.filter(F.col("b0").isin(ball))
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :].splitlines()[0]
+    # the ball lands in PartitionFilters (pruning), and nothing of it
+    # remains as a data filter the scan would have to evaluate per row
+    pf = scan[scan.index("PartitionFilters") :]
+    assert "b0" in pf.split("PushedFilters")[0], scan
+    # row-level sanity: the pruned read returns exactly the rows the
+    # bit_count predicate accepts on a full scan
+    want = idx.filter(
+        F.bit_count(F.col("b0").bitwiseXOR(F.lit(probe_b0)))
+        <= MULTIPROBE_FLIPS
+    )
+    assert sorted(r["vec_id"] for r in probed.collect()) == sorted(
+        r["vec_id"] for r in want.collect()
+    )
+
+
 def test_production_rerank_scores_only_candidates(spark, sf_dir):
     """Row-level check of the same property the plan test pins: the
     aggregate's input row count equals candidates × dim, not corpus × dim.
