@@ -91,3 +91,85 @@ def test_real_testdata_events_loads(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     assert df.count() > 0
+
+
+# Column name → logical type family every query depends on.  Families, not
+# exact types: the generator is free to flip int32↔int64 or a timestamp
+# encoding without breaking any query, but a renamed/dropped column or a
+# kind change (numeric→string) breaks many — this canary makes the NEXT
+# testdata regeneration fail in one pointed place instead of erring a
+# scatter of driver rows (the round-5 lesson, generalized from events.ts).
+_FAMILIES = {
+    "region": {"r_regionkey": "int", "r_name": "str"},
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+        "c_acctbal": "float", "c_mktsegment": "str",
+    },
+    "supplier": {
+        "s_suppkey": "int", "s_name": "str", "s_nationkey": "int",
+        "s_acctbal": "float",
+    },
+    "part": {
+        "p_partkey": "int", "p_name": "str", "p_brand": "str",
+        "p_type": "str", "p_size": "int", "p_retailprice": "float",
+    },
+    "orders": {
+        "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+        "o_totalprice": "float", "o_orderdate": "ts",
+        "o_orderpriority": "str",
+    },
+    "lineitem": {
+        "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+        "l_linenumber": "int", "l_quantity": "float",
+        "l_extendedprice": "float", "l_discount": "float", "l_tax": "float",
+        "l_returnflag": "str", "l_linestatus": "str", "l_shipdate": "ts",
+    },
+    "events": {
+        "event_id": "int", "ts": "ts", "user_id": "int",
+        "event_type": "str", "value": "float", "props": "str",
+    },
+    "documents": {
+        "doc_id": "int", "text": "str", "lang": "str", "source": "str",
+        "n_chars": "int",
+    },
+    "embeddings": {"vec_id": "int", "embedding": "arr_float", "label": "int"},
+}
+
+
+def _family(dt) -> str:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+    )
+
+    if isinstance(dt, (IntegerType, LongType, ShortType)):
+        return "int"
+    if isinstance(dt, (FloatType, DoubleType)):
+        return "float"
+    if isinstance(dt, StringType):
+        return "str"
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, ArrayType) and isinstance(
+        dt.elementType, (FloatType, DoubleType)
+    ):
+        return "arr_float"
+    return f"other:{dt}"
+
+
+def test_all_tables_match_expected_families(spark, sf_dir):
+    for table, want in _FAMILIES.items():
+        df = load_table(spark, sf_dir, table)
+        got = {f.name: _family(f.dataType) for f in df.schema.fields}
+        assert got == want, (
+            f"testdata drift in {table!r}: expected {want}, got {got}; "
+            "the generator changed shape — update the loaders/queries that "
+            "consume the changed columns, then this table's entry"
+        )
