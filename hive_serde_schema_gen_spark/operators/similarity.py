@@ -748,6 +748,78 @@ def similarity_lsh_bucketed(spark, sf_dir):
     return _ann_result(e, cand, qvec)
 
 
+def cosine_near_dup_pairs(
+    e: DataFrame, threshold: float = 0.9, max_bucket: int = 1024
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at scale: LSH-bucket candidate
+    generation + exact re-rank — never an all-pairs product.
+
+    The oracle-checked ``similarity_pairs_threshold`` keeps its quadratic
+    join honest with an id-range bound; this is the unbounded-corpus
+    production path.  Candidates are id pairs sharing an EXACT bucket in
+    ANY of the {N_TABLES} tables (for true near-dups the collision
+    probability per table is high — cos 0.99 ⇒ ~0.53 per 14-bit table ⇒
+    ~0.9998 across 12 — while unrelated pairs almost never collide), so
+    the join is bucket-local: cost is Σ over buckets of m², never corpus².
+    Two skew guards: buckets larger than ``max_bucket`` are dropped from
+    candidate generation (a degenerate hot bucket — e.g. the all-zeros
+    region — would otherwise reintroduce the quadratic blow-up; its
+    members are by construction NOT tight near-dups of each other unless
+    the corpus is one giant duplicate class), and the bucket join carries
+    only (vec_id, bucket) ids — quantized vectors join in AFTER pair
+    dedup, so the wide arrays never ride the candidate shuffle.
+
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b and
+    cos_sim ≥ threshold."""
+    bucketed = lsh_buckets(e)
+    tb = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"b{t}").alias("b")
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    sizes = tb.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n"))
+    safe = tb.join(
+        sizes.filter(F.col("n") <= max_bucket).select("t", "b"), ["t", "b"]
+    )
+    a, b = safe.alias("a"), safe.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    q = e.select("vec_id", quantized("embedding").alias("q"))
+    pairs = cand.join(
+        q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")),
+        "vec_a",
+    ).join(
+        q.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb")),
+        "vec_b",
+    )
+    dot = qdot(F.col("qa"), F.col("qb")).cast("double")
+    na = qdot(F.col("qa"), F.col("qa")).cast("double")
+    nb = qdot(F.col("qb"), F.col("qb")).cast("double")
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
+
+
 similarity_lsh_bucketed.__doc__ = f"""ANN via multi-table, multi-probe
     random-hyperplane LSH: {N_TABLES} independent tables of
     {PLANES_PER_TABLE} sign bits each; a candidate is any vector whose

@@ -327,3 +327,54 @@ def text_fingerprint(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def tfidf_top_terms(d, k: int = 5):
+    """Per-document top-k terms by smoothed TF-IDF — the standard corpus
+    relevance statistic the text family was missing (term weighting for
+    near-dup shingle pruning, quality filtering, topic sampling).
+
+    ``score(t, d) = tf(t, d) × (ln((N + 1)/(df(t) + 1)) + 1)`` — the
+    smooth-idf form that never divides by zero and keeps corpus-wide terms
+    at weight ≥ tf.
+
+    Scale shape: one explode + (doc, term) count (map-side combined), one
+    term-level df aggregate joined back on term (term vocabulary ≪ token
+    stream), the corpus size N broadcast as a 1-row cross join (stays
+    declarative — no driver action), and a rank-filtered window for top-k
+    so only k rows per doc survive the final sort.  All built-in
+    expressions; no Python row path.
+
+    Returns (doc_id, term, tf, score, rank) with rank ≤ k, ordered by
+    (doc_id, rank); ties inside a doc break on (score desc, term) so the
+    result is deterministic."""
+    from pyspark.sql.window import Window as W
+
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("n_docs") + F.lit(1.0))
+                    / (F.col("df") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
