@@ -1,0 +1,115 @@
+"""Curation operators: benchmark decontamination + PII redaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_serde_schema_gen_spark.operators.curation import (
+    ngram_contamination,
+    redact_pii,
+    word_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            # contains benchmark item 1 verbatim (8+ words)
+            (1, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+            # shares no 4-gram with any benchmark item
+            (2, "completely unrelated text about spark partitions and shuffles here"),
+            # contains half of benchmark item 2
+            (3, "alpha beta gamma delta unrelated tail of this document"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def bench_set(spark):
+    return spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog"),
+            (102, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "bench_id long, text string",
+    )
+
+
+def test_word_ngrams_counts(spark, corpus):
+    # doc 2 has 9 words → 6 distinct 4-grams
+    got = (
+        word_ngrams(corpus.filter("doc_id = 2"), 4, hashed=False)
+        .collect()
+    )
+    assert len(got) == 6
+    assert all(len(r["gram"].split(" ")) == 4 for r in got)
+
+
+def test_contamination_detects_verbatim_inclusion(spark, corpus, bench_set):
+    out = {
+        (r["doc_id"], r["bench_id"]): r
+        for r in ngram_contamination(corpus, bench_set, n=4).collect()
+    }
+    # doc 1 contains ALL of bench 101's 4-grams (9 words → 6 grams)
+    r = out[(1, 101)]
+    assert r["n_shared"] == r["bench_grams"] == 6
+    assert r["frac_bench_matched"] == pytest.approx(1.0)
+    # doc 3 shares exactly one 4-gram with bench 102 (alpha beta gamma delta)
+    r = out[(3, 102)]
+    assert r["n_shared"] == 1
+    assert r["frac_bench_matched"] == pytest.approx(1 / 5)
+    # no other pairs: doc 2 is clean
+    assert set(out) == {(1, 101), (3, 102)}
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, corpus, bench_set):
+    plan = (
+        ngram_contamination(corpus, bench_set, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_redact_pii(spark):
+    d = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail a@b.com ssn 123-45-6789 card 4111 1111 1111 1111 "
+                "phone +1 555-867-5309 ip 10.0.0.1 end",
+            ),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(d).collect()}
+    t = rows[1]["text"]
+    for tag in ("<EMAIL>", "<SSN>", "<CARD>", "<PHONE>", "<IP>"):
+        assert tag in t, t
+    assert "a@b.com" not in t and "123-45-6789" not in t
+    assert rows[1]["n_email"] == 1
+    assert rows[1]["n_ssn"] == 1
+    assert rows[1]["n_card"] == 1
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[2]["text"] == "nothing sensitive here"
+    assert rows[2]["n_email"] == 0
+    # narrow transformation: no shuffle in the plan
+    plan = redact_pii(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_redaction_runs_on_documents(spark, sf_dir):
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = redact_pii(d)
+    assert out.count() == d.count()
+    assert {f"n_{n}" for n, _, _ in __import__(
+        "hive_serde_schema_gen_spark.operators.curation", fromlist=["_PII_RULES"]
+    )._PII_RULES}.issubset(set(out.columns))
