@@ -119,3 +119,77 @@ def redact_pii(
     for _, pat, repl in _PII_RULES:
         redacted = F.regexp_replace(redacted, pat, repl)
     return out.withColumn(text_col, redacted)
+
+
+def stratified_sample(
+    d: DataFrame,
+    rates: dict,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the domain-mixing step of a
+    pretraining pipeline ("keep 100% of wiki, 30% of web, 5% of logs").
+
+    Hash-threshold sampling, not ``df.sample``: membership is a pure
+    function of (salt, key), so the sample is REPRODUCIBLE across runs,
+    executors, and retries (Spark's sample() draws per-partition randoms
+    — a task retry yields a different subset; a hash threshold cannot),
+    and changing one stratum's rate never disturbs another's kept set.
+    The rate map rides the plan as a literal CASE chain (strata counts are
+    small); unlisted strata default to rate 0.0 — curation is allowlist-
+    shaped on purpose.  Narrow transformation: filters at scan speed,
+    no shuffle."""
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(key_col)), F.lit(1_000_000))
+    expr = F.lit(0.0)
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(F.col(stratum_col) == stratum, F.lit(float(rate))).otherwise(expr)
+    return d.filter(bucket < expr * 1_000_000)
+
+
+def repetition_stats(
+    d: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/C4-style quality rule
+    the length/punct/stopword scorer does not cover): the fraction of
+    n-gram OCCURRENCES that are repeats of an earlier n-gram in the same
+    document, and the share of the document claimed by its single most
+    frequent n-gram.  Template/boilerplate/spam text scores high on both;
+    a pipeline filters above a threshold.
+
+    One explode + one (doc, gram) count + one per-doc aggregate — all
+    map-side combinable, shuffling only gram-hash longs keyed by doc."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    z = F.arrays_zip(
+        words.alias("t0"),
+        *[
+            F.slice(
+                words, i + 1, F.greatest(F.size(words) - i, F.lit(0))
+            ).alias(f"t{i}")
+            for i in range(1, n)
+        ],
+    )
+    grams = d.select(id_col, F.explode(z).alias("s")).filter(
+        F.col(f"s.t{n - 1}").isNotNull()
+    )
+    per_gram = grams.select(
+        id_col,
+        F.xxhash64(
+            F.concat_ws(" ", *[f"s.t{i}" for i in range(n)])
+        ).alias("g"),
+    ).groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") - 1).alias("repeats"),
+        F.max("c").alias("top_c"),
+    )
+    return d.select(id_col).join(stats, id_col, "left").select(
+        id_col,
+        F.coalesce("total", F.lit(0)).alias("n_grams"),
+        F.coalesce(
+            F.col("repeats").cast("double") / F.col("total"), F.lit(0.0)
+        ).alias("dup_gram_frac"),
+        F.coalesce(
+            F.col("top_c").cast("double") / F.col("total"), F.lit(0.0)
+        ).alias("top_gram_frac"),
+    )

@@ -113,3 +113,54 @@ def test_redaction_runs_on_documents(spark, sf_dir):
     assert {f"n_{n}" for n, _, _ in __import__(
         "hive_serde_schema_gen_spark.operators.curation", fromlist=["_PII_RULES"]
     )._PII_RULES}.issubset(set(out.columns))
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    from hive_serde_schema_gen_spark.operators.curation import stratified_sample
+
+    d = spark.createDataFrame(
+        [(i, "wiki" if i % 3 == 0 else "web") for i in range(3000)],
+        "doc_id long, source string",
+    )
+    rates = {"wiki": 1.0, "web": 0.3}
+    a = {r["doc_id"] for r in stratified_sample(d, rates).collect()}
+    b = {r["doc_id"] for r in stratified_sample(d, rates).collect()}
+    assert a == b  # reproducible across runs
+    wiki_ids = {i for i in range(3000) if i % 3 == 0}
+    assert wiki_ids <= a  # rate 1.0 keeps everything
+    web_kept = len(a - wiki_ids)
+    assert 0.25 * 2000 < web_kept < 0.35 * 2000  # ~30% of 2000
+    # unlisted strata are dropped entirely
+    d2 = d.withColumn(
+        "source", F.when(F.col("doc_id") < 100, "logs").otherwise(F.col("source"))
+    )
+    c = {r["doc_id"] for r in stratified_sample(d2, rates).collect()}
+    assert all(i >= 100 for i in c)
+    # changing one stratum's rate never disturbs another stratum's kept set
+    d3 = stratified_sample(d, {"wiki": 1.0, "web": 0.1})
+    kept_web_small = {r["doc_id"] for r in d3.collect()} - wiki_ids
+    assert kept_web_small <= (a - wiki_ids)
+
+
+def test_repetition_stats(spark):
+    from hive_serde_schema_gen_spark.operators.curation import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),   # pure template
+            (2, "each word here appears just once total"),
+            (3, "ab"),                                 # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(d, n=3).collect()}
+    # doc 1: 8 words -> 6 trigram occurrences over 2 distinct grams
+    assert rows[1]["n_grams"] == 6
+    assert rows[1]["dup_gram_frac"] == pytest.approx(4 / 6)
+    assert rows[1]["top_gram_frac"] == pytest.approx(3 / 6)
+    # doc 2: no repeats
+    assert rows[2]["dup_gram_frac"] == 0.0
+    assert rows[2]["top_gram_frac"] == pytest.approx(1 / 5)
+    # doc 3: too short for any trigram — present with zeros, not dropped
+    assert rows[3]["n_grams"] == 0
+    assert rows[3]["dup_gram_frac"] == 0.0
