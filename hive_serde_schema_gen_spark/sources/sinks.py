@@ -1,11 +1,18 @@
-"""Parquet sink for curated corpora — the write-side twin of ``tables.py``.
+"""Sinks: partitioned, bucketed, and curated-corpus writes — the layout half
+of the 100 TB story.
 
-The reference's only sink is stdout plus a generated ``LOAD DATA`` statement
-(``Generator.scala:4``, ``Schemer.scala:114``); a 100 TB pipeline instead
-lands its output as partitioned parquet whose LAYOUT is the read-path
-optimization: hive-style partition directories give Catalyst partition
-pruning, in-partition sort gives parquet row-group min/max pruning on the
-sort keys, and a per-file record cap keeps any single file / task bounded.
+- ``write_partitioned``: hive-style directory partitioning → partition
+  pruning on read (a filter on the partition column skips whole directories).
+- ``write_bucketed``: pre-shuffle by join key at write time; two tables
+  bucketed the same way join WITHOUT an exchange (asserted in
+  tests/test_layout.py) — at 100 TB this turns the nightly fact⋈fact join
+  from the dominant shuffle into a local merge.
+- ``write_curated``: the corpus-output composition of the above — partition
+  dirs + in-partition sort for parquet row-group min/max pruning + per-file
+  record cap (asserted in tests/test_sinks.py).
+
+(The reference's only sink is stdout plus a generated ``LOAD DATA``
+statement — ``Generator.scala:4``, ``Schemer.scala:114``.)
 """
 
 from __future__ import annotations
@@ -13,6 +20,28 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list, mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table.  Sorting within
+    buckets additionally removes the sort from later sort-merge joins."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
 
 
 def write_curated(
