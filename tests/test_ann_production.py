@@ -42,26 +42,24 @@ def test_hamming_ball_enumeration():
 
 
 def test_lsh_production_plan_is_candidate_bounded(spark, sf_dir):
-    """The returned DAG must re-rank CANDIDATES ONLY: one explode+aggregate,
-    running strictly above the bucket-ball candidate filter — no aggregate
-    over the unfiltered corpus, and no evidence columns."""
+    """The returned DAG must re-rank CANDIDATES ONLY, selected by the
+    broadcast Hamming-ball join — no aggregate over the unfiltered corpus,
+    no bit_count scan predicate, no evidence columns."""
     e = load_table(spark, sf_dir, "embeddings")
     df = ann_topk_lsh(e)
     assert df.columns == ["vec_id", "cos_sim"]  # no recall_at_10 / cand_frac
 
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # exactly one explode (the candidate re-rank), none over the raw corpus
-    assert plan.count("Generate") == 1, plan
-    assert plan.count("Aggregate") == 1, plan
-    # tree prints parents first: the candidate Filter must sit BELOW the
-    # Generate/Aggregate (i.e., the explode consumes filtered rows)
-    gen_at = plan.index("Generate")
-    filt_at = plan.index("Filter")
-    assert gen_at < filt_at, plan
-    # the filter is the enumerated-ball IN-set (partition-prunable), not a
-    # bit_count scan predicate
-    filt_line = plan[filt_at:].splitlines()[0]
-    assert "bit_count" not in filt_line, filt_line
+    # candidate selection is the enumerated ball joined as data — never a
+    # bit_count(xor) predicate that must look at every index row
+    assert "bit_count" not in plan, plan
+    # exactly two explodes: the index unpivot (over the checkpointed wide
+    # index, 12 longs/row) and the candidate re-rank — no third explode of
+    # raw corpus embeddings (the full-corpus audit of the evidence variant)
+    assert plan.count("Generate") == 2, plan
+    # the ball join is a broadcast in the physical plan
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys, phys
 
 
 def test_lsh_production_matches_evidence_topk(spark, sf_dir):
@@ -76,6 +74,22 @@ def test_lsh_production_matches_evidence_topk(spark, sf_dir):
         ).collect()
     ]
     assert prod == ev
+
+
+def test_prebuilt_index_equals_inline_build(spark, sf_dir):
+    """ann_topk_lsh(index=build_lsh_index(e)) — the amortized deployment
+    shape — returns exactly the inline-build result for any probe."""
+    from hive_serde_schema_gen_spark.operators.similarity import build_lsh_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = build_lsh_index(e)
+    for qid in (0, 3):
+        a = [tuple(r) for r in ann_topk_lsh(e, query_vec_id=qid).collect()]
+        b = [
+            tuple(r)
+            for r in ann_topk_lsh(e, query_vec_id=qid, index=idx).collect()
+        ]
+        assert a == b
 
 
 def test_ivf_production_matches_evidence_topk(spark, sf_dir):
