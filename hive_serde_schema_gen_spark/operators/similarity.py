@@ -434,15 +434,13 @@ def ann_topk_lsh(e: DataFrame, k: int = 10,
     return _rerank_candidates(cand_q, qvec, k)
 
 
-def ann_topk_ivf(e: DataFrame, k: int = 10,
-                 query_vec_id: int = QUERY_VEC_ID) -> DataFrame:
-    """PRODUCTION IVF ANN top-k — no evidence columns, no full-corpus
-    brute-force audit.  Index build (k-means + assignment) is the ingest-time
-    cost; query-time work is probe-cell ranking (driver-side over 16
-    centroids) + exact re-rank of the vectors in the ``N_PROBE`` probed
-    cells only."""
-    import math
-
+def build_ivf_index(e: DataFrame):
+    """The IVF ingest-time artifact: ``(centroids, assigned)`` where
+    ``centroids`` is the refined integer centroid dict (driver-side, 16×64
+    longs) and ``assigned`` is the checkpointed (vec_id, q, cell) table —
+    in a real deployment written cell-partitioned
+    (``sources.sinks.write_curated(partition_by=("cell",))``) so a probe
+    reads only its ``N_PROBE`` cells' partitions."""
     eq = e.select(
         "vec_id", F.posexplode(quantized("embedding")).alias("pos", "v")
     ).localCheckpoint()
@@ -454,24 +452,40 @@ def ann_topk_ivf(e: DataFrame, k: int = 10,
     )
     cents = {i: [int(x) for x in r["q"]] for i, r in enumerate(seeds)}
     cents = _kmeans_refine(eq, cents)
-    probe_rows = [r for r in seeds if r["vec_id"] == query_vec_id]
-    qvec = (
-        [int(x) for x in probe_rows[0]["q"]]
-        if probe_rows
-        else _probe_qvec(e)
+    assigned = (
+        e.select("vec_id", quantized("embedding").alias("q"))
+        .join(_cell_assignments(eq, cents), "vec_id")
+        .localCheckpoint()
     )
+    return cents, assigned
+
+
+def ann_topk_ivf(e: DataFrame, k: int = 10,
+                 query_vec_id: int = QUERY_VEC_ID,
+                 index=None) -> DataFrame:
+    """PRODUCTION IVF ANN top-k — no evidence columns, no full-corpus
+    brute-force audit.  Index build (k-means + assignment,
+    ``build_ivf_index``) is the ingest-time cost — pass it via ``index``
+    to amortize across queries; query-time work is probe-cell ranking
+    (driver-side over 16 centroids) + exact re-rank of the vectors in the
+    ``N_PROBE`` probed cells only."""
+    import math
+
+    cents, assigned = index if index is not None else build_ivf_index(e)
+    qvec = [
+        int(x)
+        for x in assigned.filter(F.col("vec_id") == query_vec_id)
+        .collect()[0]["q"]
+    ]
 
     def metric(vec):
         d = sum(q * c for q, c in zip(qvec, vec))
         return d / math.sqrt(sum(c * c for c in vec))
 
     pcells = sorted(cents, key=lambda cell: (-metric(cents[cell]), cell))[:N_PROBE]
-    cand = _cell_assignments(eq, cents).filter(
+    cand_q = assigned.filter(
         F.col("cell").isin(pcells) & (F.col("vec_id") != query_vec_id)
-    )
-    cand_q = e.select("vec_id", quantized("embedding").alias("q")).join(
-        cand.select("vec_id"), "vec_id"
-    )
+    ).select("vec_id", "q")
     return _rerank_candidates(cand_q, qvec, k)
 
 

@@ -79,7 +79,10 @@ def test_lsh_production_matches_evidence_topk(spark, sf_dir):
 def test_prebuilt_index_equals_inline_build(spark, sf_dir):
     """ann_topk_lsh(index=build_lsh_index(e)) — the amortized deployment
     shape — returns exactly the inline-build result for any probe."""
-    from hive_serde_schema_gen_spark.operators.similarity import build_lsh_index
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     idx = build_lsh_index(e)
@@ -88,6 +91,14 @@ def test_prebuilt_index_equals_inline_build(spark, sf_dir):
         b = [
             tuple(r)
             for r in ann_topk_lsh(e, query_vec_id=qid, index=idx).collect()
+        ]
+        assert a == b
+    ivf_idx = build_ivf_index(e)
+    for qid in (0, 3):
+        a = [tuple(r) for r in ann_topk_ivf(e, query_vec_id=qid).collect()]
+        b = [
+            tuple(r)
+            for r in ann_topk_ivf(e, query_vec_id=qid, index=ivf_idx).collect()
         ]
         assert a == b
 
