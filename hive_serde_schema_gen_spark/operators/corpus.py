@@ -46,6 +46,7 @@ def prepare_training_corpus(
     quality_floor: float = 0.3,
     hash_fn: str = "xxhash64",
     max_df: float | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """documents → training-ready corpus manifest.
 
@@ -61,7 +62,7 @@ def prepare_training_corpus(
     bit-for-bit (asserted in tests/test_corpus.py).
     """
     fractions = fractions or DEFAULT_FRACTIONS
-    d = load_table(spark, sf_dir, "documents")
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
 
     # 1. quality gate — a per-row FILTER on the shared quality expression
     # (``quality_features`` adds the score as a column: no join, no shuffle;
@@ -169,3 +170,64 @@ def corpus_pipeline(spark, sf_dir):
         quality_floor=QUALITY_FLOOR,
         hash_fn="md5",
     )
+
+
+def curate_and_prepare(
+    spark,
+    sf_dir: str,
+    *,
+    benchmark: DataFrame | None = None,
+    contamination_frac: float = 0.5,
+    contamination_n: int = 8,
+    max_dup_gram_frac: float | None = None,
+    mix_rates: dict | None = None,
+    redact: bool = False,
+    **prepare_kwargs,
+) -> DataFrame:
+    """The FULL curation front-end chained onto ``prepare_training_corpus``
+    — the complete RefinedWeb-shaped flow in one call:
+
+        [PII redaction] → [repetition filter] → [benchmark decontamination]
+        → [domain mixing] → quality → exact dedup → near-dup canonical
+        → pack → split
+
+    Every bracketed stage is opt-in and composes as a per-row filter or a
+    broadcast/left-anti join against a per-doc statistic — nothing adds an
+    unbounded shuffle to the base pipeline (each stage's scale posture is
+    documented in ``operators/curation.py``).
+
+    - ``benchmark`` + ``contamination_frac``: drop documents whose shared
+      ``contamination_n``-gram fraction with ANY benchmark item reaches the
+      threshold (eval-set leakage).
+    - ``max_dup_gram_frac``: drop template/boilerplate docs whose
+      intra-document duplicate-trigram fraction exceeds the cap.
+    - ``mix_rates``: deterministic per-``source`` subsampling rates.
+    - ``redact``: scrub PII in the surviving text BEFORE dedup/packing, so
+      the downstream digests and token counts see the redacted form.
+    """
+    from .curation import (
+        ngram_contamination,
+        redact_pii,
+        repetition_stats,
+        stratified_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    if mix_rates is not None:
+        d = stratified_sample(d, mix_rates)
+    if max_dup_gram_frac is not None:
+        ok = repetition_stats(d).filter(
+            F.col("dup_gram_frac") <= max_dup_gram_frac
+        )
+        d = d.join(ok.select("doc_id"), "doc_id")
+    if benchmark is not None:
+        bad = (
+            ngram_contamination(d, benchmark, n=contamination_n)
+            .filter(F.col("frac_bench_matched") >= contamination_frac)
+            .select("doc_id")
+            .distinct()
+        )
+        d = d.join(bad, "doc_id", "left_anti")
+    if redact:
+        d = redact_pii(d, with_counts=False)
+    return prepare_training_corpus(spark, sf_dir, docs=d, **prepare_kwargs)

@@ -164,3 +164,43 @@ def test_repetition_stats(spark):
     # doc 3: too short for any trigram — present with zeros, not dropped
     assert rows[3]["n_grams"] == 0
     assert rows[3]["dup_gram_frac"] == 0.0
+
+
+def test_curate_and_prepare_end_to_end(spark, sf_dir):
+    """The full curation front-end composes with the manifest pipeline:
+    decontamination drops a doc whose text is a benchmark item verbatim;
+    domain mixing keeps strata independent; the output manifest has the
+    base pipeline's schema and determinism."""
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        curate_and_prepare,
+        prepare_training_corpus,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    base = prepare_training_corpus(spark, sf_dir)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+
+    # benchmark = one surviving document's text verbatim → that doc (and
+    # only contaminated docs) must vanish from the curated manifest
+    victim = min(base_ids)
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") == victim
+    ).selectExpr("doc_id AS bench_id", "text")
+    curated = curate_and_prepare(spark, sf_dir, benchmark=bench)
+    curated_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert victim not in curated_ids
+    assert curated_ids <= base_ids
+    assert curated.columns == base.columns
+
+    # mixing: rate-0 stratum for every source drops everything
+    sources = [
+        r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .collect()
+    ]
+    none_kept = curate_and_prepare(
+        spark, sf_dir, mix_rates={s: 0.0 for s in sources}
+    )
+    assert none_kept.count() == 0
