@@ -792,7 +792,8 @@ def similarity_lsh_bucketed(spark, sf_dir):
 
 
 def cosine_near_dup_pairs(
-    e: DataFrame, threshold: float = 0.9, max_bucket: int = 1024
+    e: DataFrame, threshold: float = 0.9, max_bucket: int = 1024,
+    index: DataFrame | None = None
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS at scale: LSH-bucket candidate
     generation + exact re-rank — never an all-pairs product.
@@ -813,8 +814,9 @@ def cosine_near_dup_pairs(
     dedup, so the wide arrays never ride the candidate shuffle.
 
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b and
-    cos_sim ≥ threshold."""
-    bucketed = lsh_buckets(e)
+    cos_sim ≥ threshold.  Pass ``index=build_lsh_index(e)`` to reuse the
+    ingest-time bucket/vector artifact across this and the top-k probes."""
+    bucketed = index if index is not None else lsh_buckets(e)
     tb = bucketed.select(
         "vec_id",
         F.explode(
@@ -846,7 +848,11 @@ def cosine_near_dup_pairs(
         )
         .distinct()
     )
-    q = e.select("vec_id", quantized("embedding").alias("q"))
+    q = (
+        index.select("vec_id", "q")
+        if index is not None and "q" in index.columns
+        else e.select("vec_id", quantized("embedding").alias("q"))
+    )
     pairs = cand.join(
         q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")),
         "vec_a",

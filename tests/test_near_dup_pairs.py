@@ -79,6 +79,21 @@ def test_bucketed_pairs_equal_brute_force_on_planted_dupes(spark, planted):
     assert got == want
 
 
+def test_pairs_with_prebuilt_index_equal_inline(spark, planted):
+    from hive_serde_schema_gen_spark.operators.similarity import build_lsh_index
+
+    idx = build_lsh_index(planted)
+    a = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_dup_pairs(planted, THRESHOLD).collect()
+    }
+    b = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_dup_pairs(planted, THRESHOLD, index=idx).collect()
+    }
+    assert a == b and len(a) >= N_DUPS
+
+
 def test_bucketed_pairs_empty_on_isotropic_corpus(spark, sf_dir):
     """On the driver's isotropic corpus there are no ≥0.9 pairs — and the
     bucketed operator must agree (no false positives from bucket sharing:
