@@ -73,3 +73,21 @@ def test_wav_pipeline_stays_narrow(spark, sf_dir):
     out = wav_features(with_wav_payload(d))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: decode(encode(x)) recovers the sample count and rate for
+    ARBITRARY payload bytes and ids — the container math has no special
+    cases hiding in ASCII-only fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**9), st.binary(max_size=4096))
+    def check(doc_id, payload_bytes):
+        m = _wav_decode(_wav_encode(doc_id, payload_bytes))
+        assert m["decoded_ok"]
+        assert m["n_samples"] == max(len(payload_bytes), 1)
+        assert m["sample_rate"] == _wav_rate(doc_id)
+
+    check()
