@@ -187,8 +187,8 @@ def curate_and_prepare(
     """The FULL curation front-end chained onto ``prepare_training_corpus``
     — the complete RefinedWeb-shaped flow in one call:
 
-        [PII redaction] → [repetition filter] → [benchmark decontamination]
-        → [domain mixing] → quality → exact dedup → near-dup canonical
+        [domain mixing] → [repetition filter] → [benchmark decontamination]
+        → [PII redaction] → quality → exact dedup → near-dup canonical
         → pack → split
 
     Every bracketed stage is opt-in and composes as a per-row filter or a

@@ -558,7 +558,7 @@ def _wav_decode(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid, clen = struct.unpack_from("<4sI", payload, pos)
         body = pos + 8
-        if cid == b"fmt " and clen >= 16:
+        if cid == b"fmt " and clen >= 16 and body + 16 <= len(payload):
             _, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, body
             )

@@ -59,16 +59,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # Pin UTC before the NTZ→LTZ cast so the wall-clock values are
-        # interpreted as the UTC instants the generator wrote.  (The query
-        # registry pins it too, but load_table is also called directly from
-        # tests and streaming helpers.)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         # No-op for the native µs encoding; required for the legacy
-        # TIMESTAMP(NANOS) one.  Safe to set unconditionally.
+        # TIMESTAMP(NANOS) one.  Safe to set unconditionally (and NOT
+        # restored: the parquet scan consults it again at execution time).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return normalize_events_ts(df)
+        # Pin UTC only for the duration of the read+normalize: DataFrame
+        # analysis is eager, so the NTZ→LTZ cast captures UTC here and the
+        # caller's session timeZone is restored before we return — a read
+        # must not change how unrelated timestamps render afterwards.
+        prior_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            df = normalize_events_ts(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prior_tz)
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

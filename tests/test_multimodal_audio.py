@@ -47,6 +47,18 @@ def test_wav_decode_rejects_garbage():
     assert not _wav_decode(b"RIFF\x00\x00\x00\x00AVI ")["decoded_ok"]
 
 
+def test_wav_decode_truncated_fmt_chunk():
+    # A fmt chunk that CLAIMS 16 bytes but the payload ends mid-chunk must
+    # yield decoded_ok=False, not raise (the wav_features contract).
+    import struct
+
+    riff = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02"  # 3 of 16 bytes
+    )
+    assert not _wav_decode(riff)["decoded_ok"]
+
+
 def test_wav_features_match_independent_computation(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(20)
     got = {

@@ -64,14 +64,15 @@ def test_streaming_sessions_match_batch(spark, sf_dir):
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = e.select(
         "user_id",
-        (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
     )
     batch = (
         gapped.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (
-                F.lit(1) + F.sum(F.when(F.col("gap_ms") >= 1800000, 1).otherwise(0))
+                F.lit(1)
+                + F.sum(F.when(F.col("gap_us") >= 1_800_000_000, 1).otherwise(0))
             ).alias("n_sessions"),
         )
         .collect()
