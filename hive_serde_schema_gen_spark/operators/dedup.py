@@ -701,3 +701,144 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 dedup_simhash_pairs.__doc__ = dedup_simhash_pairs.__doc__ and dedup_simhash_pairs.__doc__.format(b=SIMHASH_BANDS, h=HAMMING_MAX)
 
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (repeated >= k-token spans)
+# ---------------------------------------------------------------------------
+#
+# The step between exact-document and fuzzy dedup in a real pretraining
+# pipeline (Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better"; RefinedWeb runs the same pass): any span of >= k tokens
+# that occurs more than once ACROSS THE WHOLE CORPUS (including twice within
+# one document) is duplicated text — boilerplate, license headers, templated
+# pages — and should be flagged or stripped even when the containing
+# documents are nowhere near whole-doc duplicates.
+#
+# Scale shape (deliberately NOT a doc-pair self-join): rolling k-gram
+# postings (doc_id, pos, xxhash64(gram)) -> per-gram occurrence count
+# (groupBy: map-side combinable, so a boilerplate gram appearing in millions
+# of docs is ONE reduced row, not a quadratic pair blow-up) -> join postings
+# back on gram to keep duplicated occurrences (AQE splits the hot-gram
+# partitions) -> per-doc interval merge of the covered token ranges into
+# maximal spans.  Total work is O(postings) + O(duplicated postings); there
+# is no O(candidates^2) term anywhere, which is what lets this run at
+# 100 TB where the suffix-array formulation of Lee et al. is single-node.
+
+
+def kgram_postings(d: DataFrame, k: int, hashed: bool = True) -> DataFrame:
+    """Rolling word-k-gram postings ``(doc_id, pos, gram)`` — one row per
+    token position p with p + k <= n_tokens; ``pos`` is the 0-based token
+    offset so downstream spans are in token coordinates.
+
+    Same window-lead formulation as :func:`shingles_df` (codegen'd; the k-1
+    LEADs share one window spec so Spark computes them in a single pass) but
+    keeps ``pos`` and does NOT dedup — span merging needs every occurrence.
+    ``hashed=True`` replaces the gram string with xxhash64 before anything
+    shuffles; a 2^-64 collision can only merge two grams, i.e. over-flag one
+    span, never corrupt coordinates."""
+    from pyspark.sql.window import Window as W
+
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    p = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("__tail"),
+        )
+        .filter(F.col("__tail").isNotNull())
+        .drop("__tail")
+    )
+    if hashed:
+        p = p.select("doc_id", "pos", F.xxhash64("gram").alias("gram"))
+    return p
+
+
+def duplicate_spans(
+    docs: DataFrame, k: int = 20, keep_first: bool = False
+) -> DataFrame:
+    """Maximal duplicated spans per document: ``(doc_id, span_start,
+    span_len, n_grams)`` in token coordinates, where every k-token window
+    inside [span_start, span_start + span_len) occurs >= 2 times in the
+    corpus.  Overlapping/adjacent duplicated k-grams are merged, so a shared
+    run of L tokens comes back as ONE span of length L, not L - k + 1 grams.
+
+    ``keep_first=True`` is the removal policy of Lee et al.: the globally
+    first occurrence of each gram — min (doc_id, pos), computed as a
+    map-side-combinable ``min(struct)`` per gram, never a per-gram sort — is
+    NOT flagged, so stripping the flagged spans keeps exactly one copy of
+    every duplicated substring.  ``keep_first=False`` flags all occurrences
+    (the analysis/statistics mode)."""
+    from pyspark.sql.window import Window as W
+
+    p = kgram_postings(docs, k)
+    per_gram = p.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("__first"),
+    )
+    dup = p.join(per_gram.filter(F.col("__n_occ") >= 2), "gram")
+    if keep_first:
+        dup = dup.filter(
+            ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.select("doc_id", "pos")
+        .withColumn(
+            "__new",
+            (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int"),
+        )
+        .withColumn("__span", F.sum("__new").over(w))
+        .groupBy("doc_id", "__span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_grams")
+    )
+    return spans
+
+
+def strip_duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Rewrite ``text`` with every duplicated >= k-token span removed EXCEPT
+    its globally-first occurrence (``duplicate_spans(keep_first=True)``) —
+    the corpus keeps exactly one copy of each duplicated substring.
+
+    The rewrite is pure built-ins: spans collect to a per-doc array (bounded
+    by tokens/k per doc), and ``filter(tokens, (tok, i) -> not exists(spans,
+    s -> covered))`` drops covered token positions.  Docs with no duplicated
+    span pass through untouched (left join + coalesce), so the common case
+    costs one broadcast-or-shuffle join and zero rewrites."""
+    spans = duplicate_spans(docs, k=k, keep_first=True)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("__spans")
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    covered = lambda tok, i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_start"] + s["span_len"]),
+    )
+    kept = F.filter(toks, lambda tok, i: ~covered(tok, i))
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(F.col("__spans").isNull(), F.col("text")).otherwise(
+                F.concat_ws(" ", kept)
+            ),
+        )
+        .drop("__spans")
+    )

@@ -1,5 +1,13 @@
-"""Scaling evidence for the dedup/corpus path: per-row cost across three
-decades of corpus size (500 → 5 000 → 50 000 docs).
+"""Scaling evidence for the dedup/corpus/curation paths: per-row cost across
+three decades of corpus size (500 → 5 000 → 50 000 docs) for MinHash+LSH,
+the composed corpus pipeline, substring-level duplicate spans, PII
+redaction, benchmark decontamination, repetition stats, and domain mixing.
+
+Two targets wrap their DataFrame in a filter referencing the computed
+columns: the harness forces evaluation with ``count()``, and ``count`` alone
+lets Catalyst prune a narrow ``withColumn`` (redaction) or the aggregate
+values of a ``groupBy`` (repetition) — the filter makes the measured plan
+actually do the work being measured.
 
 The driver ships sf0.01/sf0.1 (500/5 000 docs); the 50 000-doc point is a
 deterministic 10× replication of the driver's sf0.1 documents table with a
@@ -75,17 +83,60 @@ def main() -> None:
         return
 
     from hive_serde_schema_gen_spark.operators.corpus import corpus_pipeline
-    from hive_serde_schema_gen_spark.operators.dedup import minhash_lsh_pairs
+    from hive_serde_schema_gen_spark.operators.curation import (
+        ngram_contamination,
+        redact_pii,
+        repetition_stats,
+        stratified_sample,
+    )
+    from hive_serde_schema_gen_spark.operators.dedup import (
+        duplicate_spans,
+        minhash_lsh_pairs,
+    )
     from hive_serde_schema_gen_spark.session import get_spark
+    from hive_serde_schema_gen_spark.sources.tables import load_table
 
     spark = get_spark("scale-check")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _docs(s, d):
+        return load_table(s, d, "documents")
+
+    # Fixed 20-item benchmark (base-copy doc_ids, present at every point) so
+    # the decontamination broadcast side stays CONSTANT while the corpus
+    # grows — the realistic shape (eval sets don't grow with the crawl).
+    def _bench(s, d):
+        return (
+            _docs(s, d)
+            .filter("doc_id < 20")
+            .selectExpr("doc_id AS bench_id", "text")
+        )
+
+    # every kept stratum at an explicit rate; unlisted default to 0
+    MIX = {f"src{i}": 0.05 * (i % 4) + 0.2 for i in range(20)}
 
     targets = {
         "dedup_minhash_lsh_xxhash64": lambda s, d: minhash_lsh_pairs(
             s, d, hash_fn="xxhash64", sort=False
         ),
         "corpus_pipeline": corpus_pipeline,
+        "substring_duplicate_spans_k8": lambda s, d: duplicate_spans(
+            _docs(s, d), k=8
+        ),
+        # filter on the redacted text so the harness's count() cannot let
+        # Catalyst prune the regexp chain away (count(*) needs no columns)
+        "curation_redact_pii": lambda s, d: redact_pii(_docs(s, d)).filter(
+            "length(text) >= 0 AND n_email >= 0"
+        ),
+        "curation_ngram_contamination": lambda s, d: ngram_contamination(
+            _docs(s, d), _bench(s, d), n=8
+        ),
+        "curation_repetition_stats": lambda s, d: repetition_stats(
+            _docs(s, d)
+        ).filter("dup_gram_frac >= 0"),
+        "curation_stratified_sample": lambda s, d: stratified_sample(
+            _docs(s, d), MIX
+        ),
     }
     if args.max_df is not None:
         targets["dedup_minhash_lsh_xxhash64_maxdf"] = (
