@@ -791,33 +791,9 @@ def similarity_lsh_bucketed(spark, sf_dir):
     return _ann_result(e, cand, qvec)
 
 
-def cosine_near_dup_pairs(
-    e: DataFrame, threshold: float = 0.9, max_bucket: int = 1024,
-    index: DataFrame | None = None
-) -> DataFrame:
-    """Embedding-cosine near-duplicate PAIRS at scale: LSH-bucket candidate
-    generation + exact re-rank — never an all-pairs product.
-
-    The oracle-checked ``similarity_pairs_threshold`` keeps its quadratic
-    join honest with an id-range bound; this is the unbounded-corpus
-    production path.  Candidates are id pairs sharing an EXACT bucket in
-    ANY of the {N_TABLES} tables (for true near-dups the collision
-    probability per table is high — cos 0.99 ⇒ ~0.53 per 14-bit table ⇒
-    ~0.9998 across 12 — while unrelated pairs almost never collide), so
-    the join is bucket-local: cost is Σ over buckets of m², never corpus².
-    Two skew guards: buckets larger than ``max_bucket`` are dropped from
-    candidate generation (a degenerate hot bucket — e.g. the all-zeros
-    region — would otherwise reintroduce the quadratic blow-up; its
-    members are by construction NOT tight near-dups of each other unless
-    the corpus is one giant duplicate class), and the bucket join carries
-    only (vec_id, bucket) ids — quantized vectors join in AFTER pair
-    dedup, so the wide arrays never ride the candidate shuffle.
-
-    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b and
-    cos_sim ≥ threshold.  Pass ``index=build_lsh_index(e)`` to reuse the
-    ingest-time bucket/vector artifact across this and the top-k probes."""
-    bucketed = index if index is not None else lsh_buckets(e)
-    tb = bucketed.select(
+def _tb_membership(bucketed: DataFrame) -> DataFrame:
+    """(vec_id, t, b): one row per (vector, LSH table) bucket membership."""
+    return bucketed.select(
         "vec_id",
         F.explode(
             F.array(
@@ -830,29 +806,141 @@ def cosine_near_dup_pairs(
             )
         ).alias("tb"),
     ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    sizes = tb.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n"))
-    safe = tb.join(
-        sizes.filter(F.col("n") <= max_bucket).select("t", "b"), ["t", "b"]
+
+
+def _pair_join(df: DataFrame, keys: list) -> DataFrame:
+    """Bucket-local candidate self-join: (vec_a < vec_b) pairs sharing all
+    ``keys``.  Cost is Σ over buckets of m² — callers must size-gate."""
+    from functools import reduce
+    from operator import and_
+
+    a, b = df.alias("a"), df.alias("b")
+    cond = reduce(
+        and_, [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+    ) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    return a.join(b, cond).select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
     )
-    a, b = safe.alias("a"), safe.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .distinct()
+
+
+R_REFINE = 2  # held-out refinement tables for hot-bucket splitting
+
+
+def _refine_buckets(qdf: DataFrame) -> DataFrame:
+    """(vec_id, rt, rb): R_REFINE independent PLANES_PER_TABLE-bit
+    refinement buckets from fresh hyperplane tables (indices N_TABLES..,
+    never used by ``lsh_buckets``, so the bits are independent of every
+    level-0 bucket).  More than one refine table for the same reason the
+    outer scheme has 12: a near-identical duplicate class sitting ON one
+    refine table's boundary splits there, but almost never in BOTH —
+    OR-amplification keeps the class connected.  Same broadcast-weights
+    formulation as ``lsh_buckets``, restricted to the (small) hot-member
+    set the caller passes in."""
+    spark = qdf.sparkSession
+    weights = spark.createDataFrame(
+        [
+            (rt, p, pos, w)
+            for rt in range(R_REFINE)
+            for p, plane in enumerate(_planes(N_TABLES + rt))
+            for pos, w in enumerate(plane)
+        ],
+        "rt int, p int, pos int, w long",
     )
+    ex = qdf.select("vec_id", F.posexplode("q").alias("pos", "v"))
+    dots = (
+        ex.join(F.broadcast(weights), "pos")
+        .groupBy("vec_id", "rt", "p")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("d"))
+    )
+    return dots.groupBy("vec_id", "rt").agg(
+        F.sum(
+            F.when(F.col("d") >= 0, F.expr("shiftleft(1, p)")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rb")
+    )
+
+
+def cosine_near_dup_pairs(
+    e: DataFrame, threshold: float = 0.9, max_bucket: int = 1024,
+    index: DataFrame | None = None, hot_policy: str = "refine"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at scale: LSH-bucket candidate
+    generation + exact re-rank — never an all-pairs product.
+
+    The oracle-checked ``similarity_pairs_threshold`` keeps its quadratic
+    join honest with an id-range bound; this is the unbounded-corpus
+    production path.  Candidates are id pairs sharing an EXACT bucket in
+    ANY of the {N_TABLES} tables (for true near-dups the collision
+    probability per table is high — cos 0.99 ⇒ ~0.53 per 14-bit table ⇒
+    ~0.9998 across 12 — while unrelated pairs almost never collide), so
+    the join is bucket-local: cost is Σ over buckets of m², never corpus².
+    The bucket join carries only (vec_id, bucket) ids — quantized vectors
+    join in AFTER pair dedup, so the wide arrays never ride the candidate
+    shuffle.
+
+    Hot buckets (> ``max_bucket`` members) would reintroduce the quadratic
+    blow-up, and a web corpus hits them in BOTH degenerate shapes, which
+    need different treatment (``hot_policy="refine"``, the default):
+
+    - a heterogeneous crowd (e.g. the near-zero region): members get
+      ``R_REFINE`` fresh ``PLANES_PER_TABLE``-bit refinement buckets from
+      held-out hyperplane tables (``_refine_buckets``) and sub-buckets
+      back under the cap pair normally — unrelated members split apart,
+      genuine near-dups still collide in at least one refine table;
+    - one giant duplicate class (boilerplate mirrors — (near-)identical
+      vectors land on the SAME side of every added hyperplane, so no
+      amount of re-bucketing splits them, and their m² pairs are all
+      real): sub-buckets STILL over the cap fall back to a STAR — each
+      member verifies against the bucket's min-id hub only, O(m) not
+      O(m²), and the duplicate class survives as one connected component
+      for the downstream canonicalizer.
+
+    ``hot_policy="drop"`` preserves the old skew-guard behavior (hot
+    buckets excluded); ``near_dup_hot_bucket_diag`` makes either policy's
+    coverage observable.
+
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b and
+    cos_sim ≥ threshold.  Pass ``index=build_lsh_index(e)`` to reuse the
+    ingest-time bucket/vector artifact across this and the top-k probes."""
+    if hot_policy not in ("refine", "drop"):
+        raise ValueError(f"hot_policy must be 'refine' or 'drop', got {hot_policy!r}")
+    bucketed = index if index is not None else lsh_buckets(e)
     q = (
         index.select("vec_id", "q")
         if index is not None and "q" in index.columns
         else e.select("vec_id", quantized("embedding").alias("q"))
     )
+    tb = _tb_membership(bucketed)
+    sizes = tb.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n"))
+    tbs = tb.join(sizes, ["t", "b"])
+    cand = _pair_join(
+        tbs.filter(F.col("n") <= max_bucket), ["t", "b"]
+    )
+    if hot_policy == "refine":
+        hot = tbs.filter(F.col("n") > max_bucket).select("vec_id", "t", "b")
+        rb = _refine_buckets(q.join(hot.select("vec_id").distinct(), "vec_id"))
+        hot_r = hot.join(rb, "vec_id")
+        sizes2 = hot_r.groupBy("t", "b", "rt", "rb").agg(
+            F.count(F.lit(1)).alias("n2")
+        )
+        hot_r2 = hot_r.join(sizes2, ["t", "b", "rt", "rb"])
+        cand_refined = _pair_join(
+            hot_r2.filter(F.col("n2") <= max_bucket), ["t", "b", "rt", "rb"]
+        )
+        star = hot_r2.filter(F.col("n2") > max_bucket)
+        hubs = star.groupBy("t", "b", "rt", "rb").agg(
+            F.min("vec_id").alias("hub")
+        )
+        cand_star = (
+            star.join(hubs, ["t", "b", "rt", "rb"])
+            .filter(F.col("vec_id") != F.col("hub"))
+            .select(
+                F.col("hub").alias("vec_a"), F.col("vec_id").alias("vec_b")
+            )
+        )
+        cand = cand.unionByName(cand_refined).unionByName(cand_star)
+    cand = cand.distinct()
     pairs = cand.join(
         q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")),
         "vec_a",
@@ -867,6 +955,67 @@ def cosine_near_dup_pairs(
     return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
+
+
+def near_dup_hot_bucket_diag(
+    e: DataFrame, max_bucket: int = 1024, index: DataFrame | None = None
+) -> DataFrame:
+    """Coverage diagnostic for ``cosine_near_dup_pairs``: one row per stage
+    with (stage, n_buckets, n_rows) —
+
+    - ``safe``: level-0 buckets under the cap (full pair join);
+    - ``refined``: hot-bucket sub-buckets under the cap after the held-out
+      hyperplane split (full pair join within the sub-bucket);
+    - ``star``: sub-buckets still over the cap (hub-verify only — the rows
+      the old drop policy silently lost, now the observable quantity).
+
+    Row counts are (vec, table)-memberships, matching the candidate-join
+    input cardinality.  Cheap: the same two size aggregations the operator
+    itself runs, no pair join."""
+    bucketed = index if index is not None else lsh_buckets(e)
+    q = (
+        index.select("vec_id", "q")
+        if index is not None and "q" in index.columns
+        else e.select("vec_id", quantized("embedding").alias("q"))
+    )
+    tb = _tb_membership(bucketed)
+    sizes = tb.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n"))
+    tbs = tb.join(sizes, ["t", "b"])
+    safe = (
+        tbs.filter(F.col("n") <= max_bucket)
+        .groupBy()
+        .agg(
+            F.lit("safe").alias("stage"),
+            F.countDistinct("t", "b").alias("n_buckets"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    hot = tbs.filter(F.col("n") > max_bucket).select("vec_id", "t", "b")
+    rb = _refine_buckets(q.join(hot.select("vec_id").distinct(), "vec_id"))
+    hot_r = hot.join(rb, "vec_id")
+    sizes2 = hot_r.groupBy("t", "b", "rt", "rb").agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    hot_r2 = hot_r.join(sizes2, ["t", "b", "rt", "rb"])
+    refined = (
+        hot_r2.filter(F.col("n2") <= max_bucket)
+        .groupBy()
+        .agg(
+            F.lit("refined").alias("stage"),
+            F.countDistinct("t", "b", "rt", "rb").alias("n_buckets"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    star = (
+        hot_r2.filter(F.col("n2") > max_bucket)
+        .groupBy()
+        .agg(
+            F.lit("star").alias("stage"),
+            F.countDistinct("t", "b", "rt", "rb").alias("n_buckets"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return safe.unionByName(refined).unionByName(star)
 
 
 similarity_lsh_bucketed.__doc__ = f"""ANN via multi-table, multi-probe

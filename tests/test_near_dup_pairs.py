@@ -105,7 +105,137 @@ def test_bucketed_pairs_empty_on_isotropic_corpus(spark, sf_dir):
 
 
 def test_hot_bucket_guard_caps_pair_blowup(spark, planted):
-    """With max_bucket=1, every bucket with ≥2 members is excluded, so no
-    candidates survive — the guard demonstrably bounds the quadratic term
-    (a degenerate corpus cannot force an all-pairs join)."""
-    assert cosine_near_dup_pairs(planted, 0.0, max_bucket=1).count() == 0
+    """With max_bucket=1, every bucket with ≥2 members is hot, so the
+    quadratic term is demonstrably bounded under BOTH policies: drop emits
+    nothing; refine degrades to star edges — at most
+    R_REFINE · memberships candidates, LINEAR in the corpus (a degenerate
+    corpus cannot force an all-pairs join)."""
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        N_TABLES,
+        R_REFINE,
+    )
+
+    assert (
+        cosine_near_dup_pairs(
+            planted, 0.0, max_bucket=1, hot_policy="drop"
+        ).count()
+        == 0
+    )
+    n_vecs = planted.count()
+    linear_bound = R_REFINE * N_TABLES * n_vecs
+    quadratic = n_vecs * (n_vecs - 1) // 2
+    got = cosine_near_dup_pairs(
+        planted, 0.0, max_bucket=1, hot_policy="refine"
+    ).count()
+    assert got <= linear_bound < quadratic
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket fallback: one giant duplicate class (the boilerplate-mirror
+# case the old drop policy silently lost)
+# ---------------------------------------------------------------------------
+
+N_CLASS = 24  # identical-vector class, far above the tiny cap below
+MAX_BUCKET = 8
+
+
+@pytest.fixture(scope="module")
+def giant_class(spark):
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(DIM)]
+    nb = math.sqrt(sum(v * v for v in base))
+    rows = []
+    # the duplicate class: tiny perturbations of ONE vector (cos ≈ 0.999) —
+    # every member lands in the same bucket in every table AND survives any
+    # number of extra hyperplanes, forcing the star fallback
+    for i in range(N_CLASS):
+        v = [x + rng.gauss(0, 0.005) for x in base]
+        n = math.sqrt(sum(y * y for y in v))
+        rows.append((i, [float(y / n) for y in v]))
+    # background vectors, mutually unrelated
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        n = math.sqrt(sum(y * y for y in v))
+        rows.append((5000 + i, [float(y / n) for y in v]))
+    del nb
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+
+
+def _components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), set()).add(x)
+    return list(comp.values())
+
+
+def test_drop_policy_loses_the_giant_class(spark, giant_class):
+    got = cosine_near_dup_pairs(
+        giant_class, THRESHOLD, max_bucket=MAX_BUCKET, hot_policy="drop"
+    ).collect()
+    class_pairs = [
+        r for r in got if r["vec_a"] < N_CLASS and r["vec_b"] < N_CLASS
+    ]
+    # the motivating failure: the duplicate class collides into the same
+    # hot bucket in EVERY table, so dropping hot buckets loses it entirely
+    assert class_pairs == []
+
+
+def test_refine_policy_recovers_the_giant_class_as_one_component(
+    spark, giant_class
+):
+    got = cosine_near_dup_pairs(
+        giant_class, THRESHOLD, max_bucket=MAX_BUCKET, hot_policy="refine"
+    ).collect()
+    for r in got:
+        assert r["cos_sim"] >= THRESHOLD and r["vec_a"] < r["vec_b"]
+    comps = _components(
+        [(r["vec_a"], r["vec_b"]) for r in got if r["vec_a"] < N_CLASS]
+    )
+    class_comps = [c for c in comps if any(x < N_CLASS for x in c)]
+    assert len(class_comps) == 1
+    assert {x for x in class_comps[0] if x < N_CLASS} == set(range(N_CLASS))
+
+
+def test_refine_policy_still_exact_when_no_hot_buckets(spark, planted):
+    # with the default generous cap nothing is hot: refine == drop == brute
+    want = {
+        (r["vec_a"], r["vec_b"]) for r in _brute_pairs(planted).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_dup_pairs(
+            planted, THRESHOLD, hot_policy="refine"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_hot_bucket_diag_observability(spark, giant_class):
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        near_dup_hot_bucket_diag,
+    )
+
+    d = {
+        r["stage"]: (r["n_buckets"], r["n_rows"])
+        for r in near_dup_hot_bucket_diag(
+            giant_class, max_bucket=MAX_BUCKET
+        ).collect()
+    }
+    assert set(d) == {"safe", "refined", "star"}
+    # the identical-vector class cannot be split by extra hyperplanes: it
+    # must surface as star buckets with ~N_CLASS members per table
+    assert d["star"][0] >= 1
+    assert d["star"][1] >= N_CLASS
