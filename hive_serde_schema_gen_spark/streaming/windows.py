@@ -207,12 +207,29 @@ def streaming_window_counts(spark, sf_dir):
         ("user", None, None, n, None, uid, cents)
         for uid, (n, cents) in sorted(user_totals.items())
     ]
-    return spark.createDataFrame(rows, out_schema).orderBy(
-        "op",
-        F.col("window_start").asc_nulls_first(),
-        F.col("event_type").asc_nulls_first(),
-        F.col("user_id").asc_nulls_first(),
+    # Driver-side sort (nulls first, matching the previous .orderBy) + an
+    # Arrow-backed LocalRelation: the rows are already collected, so a
+    # DataFrame orderBy would buy nothing but a 32-slice parallelize, a
+    # range-sampling job, and an exchange (~0.9 s of pure overhead).
+    rows.sort(
+        key=lambda r: (
+            r[0],
+            (r[1] is not None, r[1] or ""),
+            (r[2] is not None, r[2] or ""),
+            (r[5] is not None, r[5] or 0),
+        )
     )
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "op", "window_start", "event_type", "n",
+            "total_value", "user_id", "total_cents",
+        ],
+        dtype=object,
+    )
+    return spark.createDataFrame(pdf, out_schema)
 
 
 def _run_stateful(spark, raw_schema, stream_dir):
