@@ -378,3 +378,138 @@ def tfidf_top_terms(d, k: int = 5):
         .select("doc_id", "term", "tf", "score", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (hashed-ngram linear scorer)
+# ---------------------------------------------------------------------------
+#
+# The standard step between heuristic quality rules (quality_features) and
+# LLM-based filtering: a fastText-style linear model over hashed word
+# n-grams (public recipe: Joulin et al. 2016, "Bag of Tricks for Efficient
+# Text Classification"; CCNet/LLaMA filter web text exactly this way).
+# Training happens offline wherever you like — what the ENGINE needs is the
+# scoring pass, and that is pure built-ins here: xxhash64 feature hashing,
+# a broadcast weight table, one map-side-combined per-doc sum, a sigmoid.
+
+
+def hashed_ngram_terms(
+    d: DataFrame,
+    n_buckets: int = 1 << 18,
+    max_ngram: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per {1..max_ngram}-gram OCCURRENCE, hashed to a feature
+    bucket: ``(id, bucket)``.  Lowercased, whitespace-tokenized, xxhash64 →
+    pmod n_buckets — the classic hashing trick: fixed feature space, no
+    vocabulary to build, ship, or keep consistent across a 100-TB corpus.
+
+    Same arrays_zip/slice n-gram formulation as ``repetition_stats`` (plain
+    expressions, whole-stage codegen); occurrences are NOT deduped because
+    the scorer averages over all of them (fastText semantics)."""
+    words = _tokens(F.lower(F.col(text_col)))
+    grams = []
+    for n in range(1, max_ngram + 1):
+        if n == 1:
+            g = d.select(id_col, F.explode(words).alias("g"))
+        else:
+            z = F.arrays_zip(
+                words.alias("t0"),
+                *[
+                    F.slice(
+                        words, i + 1, F.greatest(F.size(words) - i, F.lit(0))
+                    ).alias(f"t{i}")
+                    for i in range(1, n)
+                ],
+            )
+            g = (
+                d.select(id_col, F.explode(z).alias("s"))
+                .filter(F.col(f"s.t{n - 1}").isNotNull())
+                .select(
+                    id_col,
+                    F.concat_ws(" ", *[f"s.t{i}" for i in range(n)]).alias("g"),
+                )
+            )
+        grams.append(g)
+    from functools import reduce
+
+    allg = reduce(lambda a, b: a.unionByName(b), grams)
+    return allg.select(
+        id_col, F.pmod(F.xxhash64("g"), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def hashed_ngram_features(
+    d: DataFrame,
+    n_buckets: int = 1 << 18,
+    max_ngram: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document hashed-feature counts ``(id, bucket, cnt)`` — the
+    training-side representation (export these, fit the linear model
+    offline, bring the weights back to ``classifier_score``).  One explode
+    + one map-side-combined count; shuffles (id, bucket, cnt) longs only."""
+    return (
+        hashed_ngram_terms(d, n_buckets, max_ngram, id_col, text_col)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def classifier_score(
+    d: DataFrame,
+    weights,
+    bias: float = 0.0,
+    n_buckets: int = 1 << 18,
+    max_ngram: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with a linear hashed-ngram model:
+
+        logit(doc) = bias + mean over feature occurrences of w[bucket]
+        score(doc) = sigmoid(logit)          -- P(quality) in [0, 1]
+
+    ``weights`` is a ``{bucket: weight}`` dict or a ``(bucket, w)``
+    DataFrame; unlisted buckets weigh 0 (left join + coalesce), so a sparse
+    model — the usual case after L1 training — ships only its non-zeros.
+
+    Scale shape: the weight table BROADCASTS (even 2^20 non-zeros is ~8 MB)
+    so the occurrence stream never shuffles on bucket; the only exchange is
+    the per-doc aggregate, map-side combined to one row per document.
+    Documents with zero features (empty text) score sigmoid(bias) via the
+    left join from ``d``.  No Python row path (plan-asserted in tests)."""
+    spark = d.sparkSession
+    if isinstance(weights, dict):
+        import pandas as pd
+
+        weights = spark.createDataFrame(
+            pd.DataFrame(
+                sorted(weights.items()), columns=["bucket", "w"]
+            ),
+            "bucket long, w double",
+        )
+    terms = hashed_ngram_terms(d, n_buckets, max_ngram, id_col, text_col)
+    per_doc = (
+        terms.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("__wsum"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+    )
+    logit = F.lit(float(bias)) + F.coalesce(
+        F.col("__wsum") / F.col("n_features"), F.lit(0.0)
+    )
+    return (
+        d.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            logit.alias("logit"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+        )
+    )
