@@ -406,10 +406,21 @@ def ann_topk_lsh(e: DataFrame, k: int = 10,
     queries — the deployment shape; measured at sf0.1 the per-query work
     drops from ~3.7 s (inline rebuild) to ~0.85 s (probe + candidates +
     re-rank only)."""
-    spark = e.sparkSession
     bucketed = index if index is not None else build_lsh_index(e)
     probe = bucketed.filter(F.col("vec_id") == query_vec_id).collect()[0]
     qvec = [int(x) for x in probe["q"]]
+    cand_ids = _lsh_candidate_ids(bucketed, probe, query_vec_id)
+    cand_q = bucketed.select("vec_id", "q").join(cand_ids, "vec_id")
+    return _rerank_candidates(cand_q, qvec, k)
+
+
+def _lsh_candidate_ids(
+    bucketed: DataFrame, probe, query_vec_id: int
+) -> DataFrame:
+    """Candidate vec_ids for one probe: the enumerated Hamming ball per
+    table, broadcast-joined against the unpivoted bucket index (the
+    partition-prunable read pattern — see ``ann_topk_lsh`` step 3)."""
+    spark = bucketed.sparkSession
     ball = spark.createDataFrame(
         [
             (t, b)
@@ -424,14 +435,12 @@ def ann_topk_lsh(e: DataFrame, k: int = 10,
             F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])
         ).alias("t", "b"),
     )
-    cand_ids = (
+    return (
         long.join(F.broadcast(ball), ["t", "b"])
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id")
         .distinct()
     )
-    cand_q = bucketed.select("vec_id", "q").join(cand_ids, "vec_id")
-    return _rerank_candidates(cand_q, qvec, k)
 
 
 def build_ivf_index(e: DataFrame):
@@ -486,6 +495,222 @@ def ann_topk_ivf(e: DataFrame, k: int = 10,
     cand_q = assigned.filter(
         F.col("cell").isin(pcells) & (F.col("vec_id") != query_vec_id)
     ).select("vec_id", "q")
+    return _rerank_candidates(cand_q, qvec, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (memory-compressed re-rank)
+# ---------------------------------------------------------------------------
+#
+# Jégou et al. 2011 ("Product Quantization for Nearest Neighbor Search"):
+# split each vector into PQ_SUBSPACES sub-vectors, k-means each subspace to
+# PQ_CODES centroids, store one code per subspace.  The stored per-vector
+# payload drops from 64 longs (512 B) to PQ_SUBSPACES small ints — the
+# artifact a 100-TB deployment actually keeps hot — and candidate scoring
+# becomes ADC (asymmetric distance computation): a per-query lookup table
+# of sub-dot-products, broadcast-joined against exploded codes.  Exact
+# re-rank touches full vectors only for the final k × rerank_mult rows.
+# Training reuses the integer-k-means discipline of the IVF path (long
+# sums, engine-side round, empty codes keep their centroid) so the whole
+# pipeline stays deterministic.
+
+PQ_SUBSPACES = 8
+PQ_CODES = 256
+PQ_RERANK_MULT = 4
+
+
+def _pq_exploded(e: DataFrame, n_subspaces: int, subdim: int) -> DataFrame:
+    """(vec_id, s, p, v): quantized components tagged with subspace ``s``
+    and within-subspace position ``p``."""
+    return e.select(
+        "vec_id", F.posexplode(quantized("embedding")).alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") / subdim).cast("int").alias("s"),
+        F.pmod(F.col("pos"), F.lit(subdim)).alias("p"),
+        "v",
+    )
+
+
+def _pq_codebook_df(spark, codebook: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (s, c, p, int(w))
+            for (s, c), vec in codebook.items()
+            for p, w in enumerate(vec)
+        ],
+        "s int, code int, p int, w long",
+    )
+
+
+def _pq_assign(ex: DataFrame, codebook: dict) -> DataFrame:
+    """(vec_id, s, code): nearest codebook entry per subspace, by exact
+    integer L2 (Σ(v-w)² over the subdim components — LONG arithmetic, so
+    assignment is partition-order-independent); ties break to the lowest
+    code via the min(struct) trick."""
+    spark = ex.sparkSession
+    ct = _pq_codebook_df(spark, codebook)
+    d2 = (
+        ex.join(F.broadcast(ct), ["s", "p"])
+        .groupBy("vec_id", "s", "code")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("w")) * (F.col("v") - F.col("w"))
+            ).alias("d2")
+        )
+    )
+    best = d2.groupBy("vec_id", "s").agg(
+        F.min(F.struct("d2", "code")).alias("best")
+    )
+    return best.select("vec_id", "s", F.col("best.code").alias("code"))
+
+
+def build_pq_index(
+    e: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    iters: int = KMEANS_ITERS,
+):
+    """The PQ ingest-time artifact: ``(codebook, codes)`` where ``codebook``
+    maps (subspace, code) → subdim integer centroid (driver-side,
+    ≤ n_subspaces × n_codes × subdim longs ≈ 128 K values at the defaults)
+    and ``codes`` is the checkpointed (vec_id, codes array<int>) table —
+    ~16× smaller per vector than the quantized-long artifact
+    (``build_lsh_index``'s ``q`` column), measured in
+    tests/test_pq_rerank.py.
+
+    Seeding follows the IVF path (first ``n_codes`` vectors by vec_id give
+    each subspace its initial centroids — deterministic, no RNG), then
+    ``iters`` Lloyd rounds per subspace run as ONE joint
+    assign → per-(s, code, p) integer-mean pass over all subspaces (the
+    subspace dimension rides the groupBy key; no per-subspace jobs)."""
+    dim = len(e.select(quantized("embedding").alias("q")).first()["q"])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    subdim = dim // n_subspaces
+    ex = _pq_exploded(e, n_subspaces, subdim).localCheckpoint()
+    seeds = (
+        e.select("vec_id", quantized("embedding").alias("q"))
+        .orderBy("vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    codebook = {
+        (s, c): [int(x) for x in r["q"][s * subdim : (s + 1) * subdim]]
+        for c, r in enumerate(seeds)
+        for s in range(n_subspaces)
+    }
+    for _ in range(iters):
+        means = (
+            ex.join(_pq_assign(ex, codebook), ["vec_id", "s"])
+            .groupBy("s", "code", "p")
+            .agg(
+                F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        )
+        by_key: dict = {}
+        for r in means:
+            by_key.setdefault((r["s"], r["code"]), {})[r["p"]] = r["c"]
+        codebook = {
+            key: (
+                [by_key[key][p] for p in range(subdim)]
+                if key in by_key and len(by_key[key]) == subdim
+                else old
+            )
+            for key, old in codebook.items()
+        }
+    codes = (
+        _pq_assign(ex, codebook)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+        .localCheckpoint()
+    )
+    return codebook, codes
+
+
+def pq_approx_scores(codes: DataFrame, codebook: dict, qvec) -> DataFrame:
+    """(vec_id, approx_cos): ADC scoring — the query is chopped into the
+    same subspaces and a (s, code) → (partial dot, partial ‖c‖²) lookup
+    table is computed driver-side and broadcast; each vector's approximate
+    cosine is then one join + one map-side-combined SUM over its
+    ``n_subspaces`` code rows.  No full vector is read."""
+    import math
+
+    spark = codes.sparkSession
+    subdim = len(next(iter(codebook.values())))
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    lut = spark.createDataFrame(
+        [
+            (
+                s,
+                c,
+                sum(
+                    int(qv) * int(w)
+                    for qv, w in zip(qvec[s * subdim : (s + 1) * subdim], vec)
+                ),
+                sum(int(w) * int(w) for w in vec),
+            )
+            for (s, c), vec in codebook.items()
+        ],
+        "s int, code int, pdot long, pn2 long",
+    )
+    ex = codes.select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    )
+    agg = (
+        ex.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("an2"))
+    )
+    return agg.select(
+        "vec_id",
+        (
+            F.col("adot").cast("double")
+            / (F.sqrt(F.col("an2").cast("double")) * F.lit(qnorm))
+        ).alias("approx_cos"),
+    )
+
+
+def ann_topk_lsh_pq(
+    e: DataFrame,
+    k: int = 10,
+    query_vec_id: int = QUERY_VEC_ID,
+    index: DataFrame | None = None,
+    pq=None,
+    rerank_mult: int = PQ_RERANK_MULT,
+) -> DataFrame:
+    """PRODUCTION LSH ANN with a PQ-compressed re-rank: candidates come
+    from the enumerated Hamming ball exactly as in ``ann_topk_lsh``, but
+    the first-pass scoring reads only PQ codes + the broadcast lookup
+    table; full vectors are touched for just the top ``k × rerank_mult``
+    approximate hits (exact integer-cosine re-rank, same
+    ``_rerank_candidates`` as every other ANN path).
+
+    At 100 TB this is the memory-shape that matters: the hot candidate
+    scan reads ~16× fewer bytes per vector, and the exact re-rank is a
+    k×mult-row join against the cold full-vector store rather than a
+    candidate-set-sized one.  Pass ``index=build_lsh_index(e)`` and
+    ``pq=build_pq_index(e)`` to amortize both ingest passes."""
+    bucketed = index if index is not None else build_lsh_index(e)
+    codebook, codes = pq if pq is not None else build_pq_index(e)
+    probe = bucketed.filter(F.col("vec_id") == query_vec_id).collect()[0]
+    qvec = [int(x) for x in probe["q"]]
+    cand_ids = _lsh_candidate_ids(bucketed, probe, query_vec_id)
+    approx = pq_approx_scores(codes.join(cand_ids, "vec_id"), codebook, qvec)
+    short = (
+        approx.orderBy(F.col("approx_cos").desc(), "vec_id")
+        .limit(k * rerank_mult)
+        .select("vec_id")
+    )
+    cand_q = bucketed.select("vec_id", "q").join(short, "vec_id")
     return _rerank_candidates(cand_q, qvec, k)
 
 
