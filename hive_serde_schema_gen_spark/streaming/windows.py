@@ -250,6 +250,10 @@ def _run_stateful(spark, raw_schema, stream_dir):
     totals: dict = {}
 
     def capture(batch_df, epoch_id: int) -> None:
+        # Safe to collect: each update-mode micro-batch emits at most one
+        # AGGREGATED row per user touched in that batch — bounded by the
+        # distinct-user count (~hundreds here), never by the event stream.
+        # A real deployment would write the batch to a keyed sink instead.
         for r in batch_df.collect():
             totals[r["user_id"]] = (r["n_events"], r["total_cents"])
 
@@ -313,5 +317,7 @@ def _drive_and_read(spark, q, raw_schema, stream_dir, out_dir):
         .orderBy("window_start", "event_type")
     )
     # materialize before the caller removes the sink dir (the returned
-    # rows must not depend on the scratch files)
+    # rows must not depend on the scratch files).  Safe to collect: the
+    # result is one row per (window, event_type) — windows/hour × a small
+    # type vocabulary, thousands of rows at any SF, never event-scale.
     return result.collect()
