@@ -193,3 +193,52 @@ def repetition_stats(
             F.col("top_c").cast("double") / F.col("total"), F.lit(0.0)
         ).alias("top_gram_frac"),
     )
+
+
+def temperature_mix_rates(
+    counts: dict, alpha: float = 0.7, total: int | None = None
+) -> dict:
+    """Temperature-sampling keep-rates from per-stratum corpus counts — the
+    standard multilingual/source rebalancing rule (public recipe: the
+    exponentiated-share sampling of multilingual pretraining, e.g. mBERT /
+    XLM-R, α ≈ 0.3–0.7): target share ``q_s = n_s^α / Σ n_t^α`` flattens
+    the head and boosts the tail as α → 0; α = 1 keeps natural
+    proportions.
+
+    Returns per-stratum rates for :func:`stratified_sample`:
+    ``rate_s = q_s · total / n_s`` capped at 1.0 (a stratum cannot yield
+    more than it has — the cap means tiny strata are kept whole and the
+    realized total can undershoot ``total``; pass a larger ``total`` or
+    upsample offline if exact shares matter).  ``total=None`` scales to
+    the largest feasible target: the biggest total for which no rate
+    exceeds 1, so the most-boosted stratum is kept in full and everything
+    else is subsampled to match its share.
+
+    Driver-side pure function on purpose: strata counts are tiny (they
+    arrive from a map-side-combined groupBy count), and the output rides
+    the plan as the literal CASE chain of ``stratified_sample`` — nothing
+    here touches an executor."""
+    if not counts:
+        return {}
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    shares = {s: float(n) ** alpha for s, n in counts.items() if n > 0}
+    z = sum(shares.values())
+    q = {s: v / z for s, v in shares.items()}
+    if total is None:
+        # largest total with all rates <= 1:  total = min_s n_s / q_s
+        total = min(counts[s] / q[s] for s in q)
+    return {s: min(1.0, q[s] * total / counts[s]) for s in q}
+
+
+def stratum_counts(d: DataFrame, stratum_col: str = "source") -> dict:
+    """Per-stratum row counts as a driver dict (input to
+    :func:`temperature_mix_rates`).  One map-side-combined groupBy over a
+    low-cardinality column — the collect is bounded by the number of
+    strata, not rows."""
+    return {
+        r[stratum_col]: r["n"]
+        for r in d.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }

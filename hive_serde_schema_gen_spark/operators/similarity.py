@@ -1279,3 +1279,50 @@ similarity_lsh_bucketed.__doc__ = f"""ANN via multi-table, multi-probe
     scales).  A cand_frac ≤ 0.10 target at recall ≥ 0.9 is unreachable on
     this data family; on a genuinely clustered corpus the same pipeline
     reaches it by raising planes (buckets shrink with cluster density)."""
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped: embedding near-dup groups → canonical)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    e: DataFrame,
+    threshold: float = 0.9,
+    max_bucket: int = 1024,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space deduplication, end to end (the SemDeDup recipe,
+    Abbas et al. 2023, rebuilt on this engine's scale primitives): bucketed
+    near-dup PAIR generation (``cosine_near_dup_pairs`` — LSH candidate
+    buckets, hot-bucket refine/star fallback, exact cosine verify) →
+    connected components over the verified pairs (size-gated union-find /
+    label propagation, ``operators/clustering.py``) → keep the smallest
+    vec_id per semantic group.
+
+    Returns (vec_id, canonical_id, is_canonical) for EVERY input vector —
+    vectors with no near-dup are their own canonical (left join + coalesce,
+    no extra pass).  Downstream, a training pipeline keeps
+    ``is_canonical`` rows or joins ``canonical_id`` back to documents.
+
+    Scale posture is inherited entirely from the two building blocks: no
+    all-pairs product, candidate shuffles carry ids, components run
+    O(log n) rounds only above the small-graph gate.  Pass
+    ``index=build_lsh_index(e)`` to reuse the ingest artifact."""
+    from .clustering import connected_components
+
+    pairs = cosine_near_dup_pairs(
+        e, threshold, max_bucket=max_bucket, index=index
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    comp = connected_components(pairs)
+    out = e.select("vec_id").join(
+        comp.select(F.col("id").alias("vec_id"), "component"),
+        "vec_id",
+        "left",
+    )
+    canonical = F.coalesce("component", F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        canonical.alias("canonical_id"),
+        (canonical == F.col("vec_id")).alias("is_canonical"),
+    )

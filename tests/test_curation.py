@@ -204,3 +204,53 @@ def test_curate_and_prepare_end_to_end(spark, sf_dir):
         spark, sf_dir, mix_rates={s: 0.0 for s in sources}
     )
     assert none_kept.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixing (rates feeding stratified_sample)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_rates_math():
+    from hive_serde_schema_gen_spark.operators.curation import (
+        temperature_mix_rates,
+    )
+
+    counts = {"web": 90_000, "wiki": 9_000, "code": 1_000}
+    # alpha=1 == natural proportions: every stratum sampled at total/N
+    r1 = temperature_mix_rates(counts, alpha=1.0, total=10_000)
+    for s, n in counts.items():
+        assert abs(r1[s] - 10_000 / 100_000) < 1e-12
+    # alpha=0 == uniform shares: equal expected rows per stratum
+    r0 = temperature_mix_rates(counts, alpha=0.0, total=3_000)
+    expected_rows = {s: r0[s] * counts[s] for s in counts}
+    assert all(abs(v - 1_000) < 1e-6 for v in expected_rows.values())
+    # alpha in between boosts the tail monotonically
+    r7 = temperature_mix_rates(counts, alpha=0.7, total=10_000)
+    assert r7["code"] > r1["code"] and r7["web"] < r7["wiki"] < r7["code"]
+    # auto-total: max rate is exactly 1.0 (most-boosted stratum kept whole)
+    ra = temperature_mix_rates(counts, alpha=0.3)
+    assert abs(max(ra.values()) - 1.0) < 1e-12
+    # cap: a tiny stratum cannot be asked for more rows than it has
+    rc = temperature_mix_rates(counts, alpha=0.0, total=90_000)
+    assert rc["code"] == 1.0
+
+
+def test_temperature_rates_drive_stratified_sample(spark, sf_dir):
+    from hive_serde_schema_gen_spark.operators.curation import (
+        stratified_sample,
+        stratum_counts,
+        temperature_mix_rates,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = stratum_counts(d)
+    assert sum(counts.values()) == d.count()
+    rates = temperature_mix_rates(counts, alpha=0.5, total=200)
+    kept = stratified_sample(d, rates)
+    got = kept.count()
+    # hash-threshold sampling: expected 200, binomial spread is wide at
+    # 20 strata x 25 docs -- just pin plausibility and determinism
+    assert 100 <= got <= 300
+    assert stratified_sample(d, rates).count() == got  # deterministic

@@ -239,3 +239,45 @@ def test_hot_bucket_diag_observability(spark, giant_class):
     # must surface as star buckets with ~N_CLASS members per table
     assert d["star"][0] >= 1
     assert d["star"][1] >= N_CLASS
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-shaped semantic dedup (pairs -> components -> canonical)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_groups_and_canonicals(spark, planted):
+    from hive_serde_schema_gen_spark.operators.similarity import semantic_dedup
+
+    out = {r["vec_id"]: r for r in semantic_dedup(planted, THRESHOLD).collect()}
+    want_pairs = {
+        (r["vec_a"], r["vec_b"]) for r in _brute_pairs(planted).collect()
+    }
+    comps = _components(want_pairs)
+    assert len(out) == planted.count()
+    # every brute-force component maps to one canonical = its min id
+    for comp in comps:
+        want_canon = min(comp)
+        for v in comp:
+            assert out[v]["canonical_id"] == want_canon
+            assert out[v]["is_canonical"] == (v == want_canon)
+    # vectors in no pair are their own canonical
+    paired = {x for p in want_pairs for x in p}
+    for v, r in out.items():
+        if v not in paired:
+            assert r["canonical_id"] == v and r["is_canonical"]
+
+
+def test_semantic_dedup_survives_giant_class(spark, giant_class):
+    from hive_serde_schema_gen_spark.operators.similarity import semantic_dedup
+
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            giant_class, THRESHOLD, max_bucket=MAX_BUCKET
+        ).collect()
+    }
+    # the whole duplicate class collapses to one canonical (min id 0)
+    class_canons = {out[i]["canonical_id"] for i in range(N_CLASS)}
+    assert class_canons == {0}
+    assert sum(1 for i in range(N_CLASS) if out[i]["is_canonical"]) == 1
