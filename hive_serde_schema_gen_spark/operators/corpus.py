@@ -182,26 +182,41 @@ def curate_and_prepare(
     max_dup_gram_frac: float | None = None,
     mix_rates: dict | None = None,
     redact: bool = False,
+    strip_dup_spans_k: int | None = None,
+    classifier_weights: dict | None = None,
+    classifier_floor: float = 0.5,
+    classifier_bias: float = 0.0,
     **prepare_kwargs,
 ) -> DataFrame:
     """The FULL curation front-end chained onto ``prepare_training_corpus``
     — the complete RefinedWeb-shaped flow in one call:
 
         [domain mixing] → [repetition filter] → [benchmark decontamination]
-        → [PII redaction] → quality → exact dedup → near-dup canonical
-        → pack → split
+        → [substring dedup] → [learned quality filter] → [PII redaction]
+        → quality → exact dedup → near-dup canonical → pack → split
 
-    Every bracketed stage is opt-in and composes as a per-row filter or a
-    broadcast/left-anti join against a per-doc statistic — nothing adds an
-    unbounded shuffle to the base pipeline (each stage's scale posture is
-    documented in ``operators/curation.py``).
+    Every bracketed stage is opt-in and composes as a per-row filter, a
+    broadcast/left-anti join against a per-doc statistic, or (substring
+    dedup) one gram-count pass — nothing adds an unbounded shuffle to the
+    base pipeline (each stage's scale posture is documented in
+    ``operators/curation.py`` / ``operators/dedup.py``).
 
     - ``benchmark`` + ``contamination_frac``: drop documents whose shared
       ``contamination_n``-gram fraction with ANY benchmark item reaches the
       threshold (eval-set leakage).
     - ``max_dup_gram_frac``: drop template/boilerplate docs whose
       intra-document duplicate-trigram fraction exceeds the cap.
-    - ``mix_rates``: deterministic per-``source`` subsampling rates.
+    - ``mix_rates``: deterministic per-``source`` subsampling rates
+      (``temperature_mix_rates(stratum_counts(d), alpha)`` produces the
+      standard temperature-rebalanced map).
+    - ``strip_dup_spans_k``: remove every duplicated ≥k-token span except
+      its globally-first occurrence (``strip_duplicate_spans`` — the
+      Lee-et-al. pass) BEFORE downstream hashing, so digests/shingles/
+      token counts see the stripped text.
+    - ``classifier_weights`` (+ ``classifier_floor``/``classifier_bias``):
+      drop documents the hashed-ngram linear scorer
+      (``text.classifier_score``) rates below the floor — the learned
+      filter between the heuristic quality floor and LLM judging.
     - ``redact``: scrub PII in the surviving text BEFORE dedup/packing, so
       the downstream digests and token counts see the redacted form.
     """
@@ -228,6 +243,17 @@ def curate_and_prepare(
             .distinct()
         )
         d = d.join(bad, "doc_id", "left_anti")
+    if strip_dup_spans_k is not None:
+        from .dedup import strip_duplicate_spans
+
+        d = strip_duplicate_spans(d, k=strip_dup_spans_k)
+    if classifier_weights is not None:
+        from .text import classifier_score
+
+        keep = classifier_score(
+            d, classifier_weights, bias=classifier_bias
+        ).filter(F.col("score") >= classifier_floor)
+        d = d.join(keep.select("doc_id"), "doc_id")
     if redact:
         d = redact_pii(d, with_counts=False)
     return prepare_training_corpus(spark, sf_dir, docs=d, **prepare_kwargs)

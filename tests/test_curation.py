@@ -254,3 +254,34 @@ def test_temperature_rates_drive_stratified_sample(spark, sf_dir):
     # 20 strata x 25 docs -- just pin plausibility and determinism
     assert 100 <= got <= 300
     assert stratified_sample(d, rates).count() == got  # deterministic
+
+
+def test_curate_and_prepare_new_stages(spark, sf_dir):
+    """Round-7 stages compose: the learned-classifier gate keeps/drops by
+    score, and substring-span stripping slots in before hashing."""
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        curate_and_prepare,
+        prepare_training_corpus,
+    )
+
+    base = prepare_training_corpus(spark, sf_dir)
+    base_rows = base.count()
+
+    # neutral classifier (no weights, bias 0): sigmoid(0) = 0.5 passes the
+    # default floor -> identical manifest
+    neutral = curate_and_prepare(spark, sf_dir, classifier_weights={})
+    assert neutral.count() == base_rows
+
+    # hostile bias: every doc scores sigmoid(-5) < 0.5 -> nothing survives
+    hostile = curate_and_prepare(
+        spark, sf_dir, classifier_weights={}, classifier_bias=-5.0
+    )
+    assert hostile.count() == 0
+
+    # span stripping with k far above any repeated run in this corpus is a
+    # no-op; with a small k the pipeline still composes end-to-end
+    same = curate_and_prepare(spark, sf_dir, strip_dup_spans_k=60)
+    assert same.count() == base_rows
+    stripped = curate_and_prepare(spark, sf_dir, strip_dup_spans_k=8)
+    assert stripped.columns == base.columns
+    assert stripped.count() > 0

@@ -134,3 +134,33 @@ def test_spans_on_real_documents(spark, sf_dir):
         assert r["span_len"] >= 8
         assert 0 <= r["span_start"]
         assert r["span_start"] + r["span_len"] <= n_toks[r["doc_id"]]
+
+
+def test_duplicate_spans_property_random_corpora(spark):
+    """Property check vs the brute-force oracle: random corpora over a
+    3-symbol alphabet (maximal k-gram collision pressure — overlapping
+    spans, self-repeats, cross-doc repeats all arise naturally), both
+    flag-all and keep-first modes.  Example count is small because each
+    example is a Spark job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(token, min_size=0, max_size=14)
+    corpus_strat = st.lists(doc, min_size=1, max_size=5)
+    K = 3
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpus_strat)
+    def check(docs_tokens):
+        corpus = {i + 1: t for i, t in enumerate(docs_tokens)}
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in corpus.items()],
+            "doc_id long, text string",
+        )
+        for keep_first in (False, True):
+            got = _got(duplicate_spans(df, k=K, keep_first=keep_first))
+            want = _brute_spans(corpus, K, keep_first=keep_first)
+            assert got == want, (corpus, keep_first, got, want)
+
+    check()
