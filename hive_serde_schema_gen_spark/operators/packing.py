@@ -225,3 +225,51 @@ def token_packing_splits(spark, sf_dir):
 
 
 token_packing_splits.__doc__ = token_packing_splits.__doc__ and token_packing_splits.__doc__.format(L=CONTEXT_LEN)
+
+
+def chunk_documents(
+    d,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document sliding-window chunking — the RAG/long-context
+    preparation step ``chunk_token_stream`` does NOT cover (that one packs
+    the concatenated corpus into disjoint windows for pretraining; this
+    one keeps chunks document-local with an ``overlap``-token overhang so
+    retrieval never loses context at a boundary).
+
+    Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text): chunk
+    i covers tokens [i·(chunk_tokens − overlap), …+chunk_tokens); the last
+    chunk is short rather than padded; a document shorter than one window
+    yields exactly one chunk.  Chunk boundaries are a pure function of the
+    row, so the operator is a NARROW transformation — no shuffle, no
+    window, runs at scan speed and trivially survives any scale-up.  All
+    array expressions (sequence → transform → slice), no Python."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * step).alias("chunk_start"),
+            F.slice(words, i * step + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    return (
+        d.select(id_col, F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.size("c.toks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "c.toks").alias("chunk_text"),
+        )
+    )

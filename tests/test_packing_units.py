@@ -69,3 +69,59 @@ def test_cross_engine_chunk_and_split_math(spark):
     con.close()
     got = [tuple(str(v) for v in r) for r in _spark_rows(spark)]
     assert got == [tuple(str(v) for v in r) for r in want]
+
+
+# ---------------------------------------------------------------------------
+# Document-local sliding-window chunking (RAG shape)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_exact_windows(spark):
+    from hive_serde_schema_gen_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["chunk_start"],
+            r["n_chunk_tokens"],
+            r["chunk_text"].split(),
+        )
+        for r in chunk_documents(df, chunk_tokens=10, overlap=3).collect()
+    }
+    # doc 1: 25 tokens, step 7 -> ceil((25-3)/7)=4 chunks at 0,7,14,21
+    starts = [0, 7, 14, 21]
+    assert sorted(k[1] for k in got if k[0] == 1) == [0, 1, 2, 3]
+    for cid, st in enumerate(starts):
+        s, n, t = got[(1, cid)]
+        assert s == st and t == toks[st : st + 10] and n == len(t)
+    # consecutive chunks overlap by exactly 3 tokens
+    for cid in range(3):
+        assert got[(1, cid)][2][-3:] == got[(1, cid + 1)][2][:3]
+    # short docs: exactly one chunk, whole doc
+    assert got[(2, 0)] == (0, 3, ["a", "b", "c"])
+    assert got[(3, 0)] == (0, 1, ["solo"])
+    # full coverage: union of chunks == the token set, in order
+    merged = got[(1, 0)][2] + [
+        tok for cid in range(1, 4) for tok in got[(1, cid)][2][3:]
+    ]
+    assert merged == toks
+
+
+def test_chunk_documents_narrow_plan(spark, sf_dir):
+    from hive_serde_schema_gen_spark.operators.packing import chunk_documents
+    from hive_serde_schema_gen_spark.plans.explain import (
+        assert_no_python_udf,
+        explain_str,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    df = chunk_documents(d)
+    assert_no_python_udf(df)
+    assert "Exchange" not in explain_str(df)  # narrow: no shuffle
+    # every document yields >= 1 chunk
+    assert df.select("doc_id").distinct().count() == d.count()
