@@ -760,8 +760,39 @@ def kgram_postings(d: DataFrame, k: int, hashed: bool = True) -> DataFrame:
     return p
 
 
+def kgram_postings_no_shuffle(
+    d: DataFrame, k: int, hashed: bool = True
+) -> DataFrame:
+    """Shuffle-free twin of :func:`kgram_postings` (same rows, asserted in
+    tests): the gram at each position is built row-locally with
+    ``transform(sequence(...)) → concat_ws(element_at...)``, so the token
+    stream NEVER crosses the network — the first exchange in
+    ``duplicate_spans`` becomes the per-gram count, which is map-side
+    combined.  Same trade as ``shingles_df_no_shuffle``: the nested lambda
+    drops out of whole-stage codegen (slightly slower per core on one
+    box), but on a network-bound cluster this variant moves O(grams)
+    pre-aggregated rows instead of O(tokens) raw ones.  Pass it via
+    ``duplicate_spans(..., postings=kgram_postings_no_shuffle)``."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + off + 1) for off in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    p = d.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    if hashed:
+        p = p.select("doc_id", "pos", F.xxhash64("gram").alias("gram"))
+    return p
+
+
 def duplicate_spans(
-    docs: DataFrame, k: int = 20, keep_first: bool = False
+    docs: DataFrame, k: int = 20, keep_first: bool = False,
+    postings=None,
 ) -> DataFrame:
     """Maximal duplicated spans per document: ``(doc_id, span_start,
     span_len, n_grams)`` in token coordinates, where every k-token window
@@ -777,7 +808,7 @@ def duplicate_spans(
     (the analysis/statistics mode)."""
     from pyspark.sql.window import Window as W
 
-    p = kgram_postings(docs, k)
+    p = (postings or kgram_postings)(docs, k)
     per_gram = p.groupBy("gram").agg(
         F.count(F.lit(1)).alias("__n_occ"),
         F.min(F.struct("doc_id", "pos")).alias("__first"),

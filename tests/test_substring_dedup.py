@@ -164,3 +164,26 @@ def test_duplicate_spans_property_random_corpora(spark):
             assert got == want, (corpus, keep_first, got, want)
 
     check()
+
+
+def test_no_shuffle_postings_emit_identical_rows(spark, docs, corpus):
+    from hive_serde_schema_gen_spark.operators.dedup import (
+        kgram_postings_no_shuffle,
+    )
+    from hive_serde_schema_gen_spark.plans.explain import explain_str
+
+    a = sorted(
+        map(tuple, kgram_postings(docs, K, hashed=False).collect())
+    )
+    b = sorted(
+        map(tuple, kgram_postings_no_shuffle(docs, K, hashed=False).collect())
+    )
+    assert a == b
+    # the point of the variant: no exchange before the explode
+    assert "Exchange" not in explain_str(
+        kgram_postings_no_shuffle(docs, K)
+    )
+    # and duplicate_spans accepts it, with identical spans
+    s1 = _got(duplicate_spans(docs, k=K))
+    s2 = _got(duplicate_spans(docs, k=K, postings=kgram_postings_no_shuffle))
+    assert s1 == s2
