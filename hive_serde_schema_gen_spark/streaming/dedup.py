@@ -114,9 +114,13 @@ def minhash_band_keys(text_col) -> F.Column:
             for j in range(N_BANDS)
         ]
     )
-    return F.when(
-        F.size(_shingle_array(c)) > 0, bands
-    ).otherwise(F.array(F.xxhash64(F.lit(-1), c)))
+    # guard on token count, not on re-deriving the shingle array — the
+    # minhash tree above is the expensive expression; the guard must stay
+    # cheap (one split+size)
+    has_shingles = F.size(F.split(F.trim(c), r"\s+")) >= SHINGLE
+    return F.when(has_shingles, bands).otherwise(
+        F.array(F.xxhash64(F.lit(-1), c))
+    )
 
 
 def streaming_near_dup_flags(
@@ -142,11 +146,19 @@ def streaming_near_dup_flags(
     (band index, band key) → window aggregate per doc — the chained
     dedup-then-time-window-aggregate pair Structured Streaming supports in
     append mode."""
-    bands = stream_df.select(
+    # materialize the band array in its own projection so the expensive
+    # minhash tree is evaluated ONCE per row — posexplode and size below
+    # then reference a computed column, not two copies of the expression
+    with_bands = stream_df.select(
         F.col(id_col).alias("doc_id"),
         F.col(ts_col).alias("__ts"),
-        F.posexplode(minhash_band_keys(text_col)).alias("band", "band_key"),
-        F.size(minhash_band_keys(text_col)).alias("n_bands"),
+        minhash_band_keys(text_col).alias("__bands"),
+    )
+    bands = with_bands.select(
+        "doc_id",
+        "__ts",
+        F.posexplode("__bands").alias("band", "band_key"),
+        F.size("__bands").alias("n_bands"),
     )
     novel = (
         bands.withWatermark("__ts", watermark)
