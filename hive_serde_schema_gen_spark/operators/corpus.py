@@ -186,14 +186,16 @@ def curate_and_prepare(
     classifier_weights: dict | None = None,
     classifier_floor: float = 0.5,
     classifier_bias: float = 0.0,
+    semantic_threshold: float | None = None,
     **prepare_kwargs,
 ) -> DataFrame:
     """The FULL curation front-end chained onto ``prepare_training_corpus``
     — the complete RefinedWeb-shaped flow in one call:
 
         [domain mixing] → [repetition filter] → [benchmark decontamination]
-        → [substring dedup] → [learned quality filter] → [PII redaction]
-        → quality → exact dedup → near-dup canonical → pack → split
+        → [substring dedup] → [learned quality filter] → [semantic dedup]
+        → [PII redaction] → quality → exact dedup → near-dup canonical
+        → pack → split
 
     Every bracketed stage is opt-in and composes as a per-row filter, a
     broadcast/left-anti join against a per-doc statistic, or (substring
@@ -217,6 +219,12 @@ def curate_and_prepare(
       drop documents the hashed-ngram linear scorer
       (``text.classifier_score``) rates below the floor — the learned
       filter between the heuristic quality floor and LLM judging.
+    - ``semantic_threshold``: embedding-space dedup (SemDeDup recipe,
+      ``similarity.semantic_dedup`` over the aligned ``embeddings`` table
+      — doc_id ≡ vec_id in this schema): for each group of documents
+      whose embeddings are mutually near (cosine ≥ threshold), keep only
+      the smallest-id canonical.  Complements the TEXT near-dup stage
+      downstream: paraphrases embed close but share few shingles.
     - ``redact``: scrub PII in the surviving text BEFORE dedup/packing, so
       the downstream digests and token counts see the redacted form.
     """
@@ -254,6 +262,16 @@ def curate_and_prepare(
             d, classifier_weights, bias=classifier_bias
         ).filter(F.col("score") >= classifier_floor)
         d = d.join(keep.select("doc_id"), "doc_id")
+    if semantic_threshold is not None:
+        from .similarity import semantic_dedup
+
+        e = load_table(spark, sf_dir, "embeddings")
+        canon = semantic_dedup(e, threshold=semantic_threshold).filter(
+            "is_canonical"
+        )
+        d = d.join(
+            canon.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
+        )
     if redact:
         d = redact_pii(d, with_counts=False)
     return prepare_training_corpus(spark, sf_dir, docs=d, **prepare_kwargs)

@@ -285,3 +285,21 @@ def test_curate_and_prepare_new_stages(spark, sf_dir):
     stripped = curate_and_prepare(spark, sf_dir, strip_dup_spans_k=8)
     assert stripped.columns == base.columns
     assert stripped.count() > 0
+
+
+def test_curate_and_prepare_semantic_stage(spark, sf_dir):
+    """Semantic dedup composes into the front-end: on the isotropic driver
+    corpus a 0.9 threshold finds no embedding groups (no-op), and lowering
+    the threshold can only shrink the kept set."""
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        curate_and_prepare,
+        prepare_training_corpus,
+    )
+
+    base = prepare_training_corpus(spark, sf_dir)
+    base_rows = base.count()
+    noop = curate_and_prepare(spark, sf_dir, semantic_threshold=0.9)
+    assert noop.count() == base_rows
+    aggressive = curate_and_prepare(spark, sf_dir, semantic_threshold=0.2)
+    assert aggressive.columns == base.columns
+    assert aggressive.count() <= base_rows
