@@ -265,13 +265,22 @@ def curate_and_prepare(
     if semantic_threshold is not None:
         from .similarity import semantic_dedup
 
-        e = load_table(spark, sf_dir, "embeddings")
-        canon = semantic_dedup(e, threshold=semantic_threshold).filter(
-            "is_canonical"
+        # Restrict to embeddings of SURVIVING docs first: a group whose
+        # smallest-id member was already filtered out must elect a new
+        # canonical among the survivors, not drop every remaining copy.
+        # Then remove only confirmed non-canonical members (anti join) —
+        # docs with no embeddings row pass through untouched (the
+        # embeddings table may cover a subset of the corpus; at sf0.1 the
+        # driver ships 5 000 docs but 2 000 vectors).
+        e = load_table(spark, sf_dir, "embeddings").join(
+            d.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
         )
-        d = d.join(
-            canon.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
+        dupes = (
+            semantic_dedup(e, threshold=semantic_threshold)
+            .filter(~F.col("is_canonical"))
+            .select(F.col("vec_id").alias("doc_id"))
         )
+        d = d.join(dupes, "doc_id", "left_anti")
     if redact:
         d = redact_pii(d, with_counts=False)
     return prepare_training_corpus(spark, sf_dir, docs=d, **prepare_kwargs)

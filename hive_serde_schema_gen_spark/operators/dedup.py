@@ -795,10 +795,14 @@ def duplicate_spans(
     postings=None,
 ) -> DataFrame:
     """Maximal duplicated spans per document: ``(doc_id, span_start,
-    span_len, n_grams)`` in token coordinates, where every k-token window
-    inside [span_start, span_start + span_len) occurs >= 2 times in the
-    corpus.  Overlapping/adjacent duplicated k-grams are merged, so a shared
-    run of L tokens comes back as ONE span of length L, not L - k + 1 grams.
+    span_len, n_grams)`` in token coordinates — the union of all k-token
+    windows that occur >= 2 times in the corpus, merged when overlapping OR
+    exactly adjacent.  A shared run of L tokens comes back as ONE span of
+    length L, not L - k + 1 grams.  Guarantee: every token inside a span is
+    COVERED by some duplicated window (and every duplicated window lies
+    inside a span); an adjacent-merge can contain an interior window that
+    is itself unique (grams at p and p+k duplicated, the straddling gram
+    not), so do not read spans as "all interior windows duplicated".
 
     ``keep_first=True`` is the removal policy of Lee et al.: the globally
     first occurrence of each gram — min (doc_id, pos), computed as a

@@ -670,12 +670,20 @@ def pq_approx_scores(codes: DataFrame, codebook: dict, qvec) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("an2"))
     )
+    # Zero-norm guard: a candidate assigned all-zero centroids (the
+    # near-zero embedding region) gives an2=0 → 0/0 = NaN, and Spark sorts
+    # NaN ABOVE every double — junk rows would crowd the descending
+    # shortlist.  Score them -1 (below any true cosine) instead; a zero
+    # QUERY vector has no meaningful ranking at all, same sentinel.
+    cos_expr = (
+        F.col("adot").cast("double")
+        / (F.sqrt(F.col("an2").cast("double")) * F.lit(qnorm))
+    )
     return agg.select(
         "vec_id",
-        (
-            F.col("adot").cast("double")
-            / (F.sqrt(F.col("an2").cast("double")) * F.lit(qnorm))
-        ).alias("approx_cos"),
+        F.when(
+            (F.col("an2") > 0) & F.lit(qnorm > 0), cos_expr
+        ).otherwise(F.lit(-1.0)).alias("approx_cos"),
     )
 
 
@@ -1086,6 +1094,34 @@ def _refine_buckets(qdf: DataFrame) -> DataFrame:
     )
 
 
+def _near_dup_staging(
+    e: DataFrame, max_bucket: int, index: DataFrame | None
+):
+    """Shared candidate staging for ``cosine_near_dup_pairs`` AND
+    ``near_dup_hot_bucket_diag`` — ONE definition so the diagnostic can
+    never drift from the operator it observes.  Returns ``(q, tbs,
+    hot_r2)``: quantized vectors, level-0 (vec, table, bucket) memberships
+    with bucket size ``n`` attached, and hot-bucket memberships refined
+    under the held-out tables with sub-bucket size ``n2`` attached."""
+    bucketed = index if index is not None else lsh_buckets(e)
+    q = (
+        index.select("vec_id", "q")
+        if index is not None and "q" in index.columns
+        else e.select("vec_id", quantized("embedding").alias("q"))
+    )
+    tb = _tb_membership(bucketed)
+    sizes = tb.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n"))
+    tbs = tb.join(sizes, ["t", "b"])
+    hot = tbs.filter(F.col("n") > max_bucket).select("vec_id", "t", "b")
+    rb = _refine_buckets(q.join(hot.select("vec_id").distinct(), "vec_id"))
+    hot_r = hot.join(rb, "vec_id")
+    sizes2 = hot_r.groupBy("t", "b", "rt", "rb").agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    hot_r2 = hot_r.join(sizes2, ["t", "b", "rt", "rb"])
+    return q, tbs, hot_r2
+
+
 def cosine_near_dup_pairs(
     e: DataFrame, threshold: float = 0.9, max_bucket: int = 1024,
     index: DataFrame | None = None, hot_policy: str = "refine"
@@ -1130,26 +1166,11 @@ def cosine_near_dup_pairs(
     ingest-time bucket/vector artifact across this and the top-k probes."""
     if hot_policy not in ("refine", "drop"):
         raise ValueError(f"hot_policy must be 'refine' or 'drop', got {hot_policy!r}")
-    bucketed = index if index is not None else lsh_buckets(e)
-    q = (
-        index.select("vec_id", "q")
-        if index is not None and "q" in index.columns
-        else e.select("vec_id", quantized("embedding").alias("q"))
-    )
-    tb = _tb_membership(bucketed)
-    sizes = tb.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n"))
-    tbs = tb.join(sizes, ["t", "b"])
+    q, tbs, hot_r2 = _near_dup_staging(e, max_bucket, index)
     cand = _pair_join(
         tbs.filter(F.col("n") <= max_bucket), ["t", "b"]
     )
     if hot_policy == "refine":
-        hot = tbs.filter(F.col("n") > max_bucket).select("vec_id", "t", "b")
-        rb = _refine_buckets(q.join(hot.select("vec_id").distinct(), "vec_id"))
-        hot_r = hot.join(rb, "vec_id")
-        sizes2 = hot_r.groupBy("t", "b", "rt", "rb").agg(
-            F.count(F.lit(1)).alias("n2")
-        )
-        hot_r2 = hot_r.join(sizes2, ["t", "b", "rt", "rb"])
         cand_refined = _pair_join(
             hot_r2.filter(F.col("n2") <= max_bucket), ["t", "b", "rt", "rb"]
         )
@@ -1197,15 +1218,7 @@ def near_dup_hot_bucket_diag(
     Row counts are (vec, table)-memberships, matching the candidate-join
     input cardinality.  Cheap: the same two size aggregations the operator
     itself runs, no pair join."""
-    bucketed = index if index is not None else lsh_buckets(e)
-    q = (
-        index.select("vec_id", "q")
-        if index is not None and "q" in index.columns
-        else e.select("vec_id", quantized("embedding").alias("q"))
-    )
-    tb = _tb_membership(bucketed)
-    sizes = tb.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n"))
-    tbs = tb.join(sizes, ["t", "b"])
+    _, tbs, hot_r2 = _near_dup_staging(e, max_bucket, index)
     safe = (
         tbs.filter(F.col("n") <= max_bucket)
         .groupBy()
@@ -1215,13 +1228,6 @@ def near_dup_hot_bucket_diag(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
-    hot = tbs.filter(F.col("n") > max_bucket).select("vec_id", "t", "b")
-    rb = _refine_buckets(q.join(hot.select("vec_id").distinct(), "vec_id"))
-    hot_r = hot.join(rb, "vec_id")
-    sizes2 = hot_r.groupBy("t", "b", "rt", "rb").agg(
-        F.count(F.lit(1)).alias("n2")
-    )
-    hot_r2 = hot_r.join(sizes2, ["t", "b", "rt", "rb"])
     refined = (
         hot_r2.filter(F.col("n2") <= max_bucket)
         .groupBy()

@@ -405,37 +405,30 @@ def hashed_ngram_terms(
     pmod n_buckets — the classic hashing trick: fixed feature space, no
     vocabulary to build, ship, or keep consistent across a 100-TB corpus.
 
-    Same arrays_zip/slice n-gram formulation as ``repetition_stats`` (plain
-    expressions, whole-stage codegen); occurrences are NOT deduped because
-    the scorer averages over all of them (fastText semantics)."""
+    ONE scan: every gram length's array is built row-locally
+    (``transform(sequence(...)) → concat_ws(element_at...)``) and the
+    per-n arrays concatenate into a single exploded column — a union of
+    per-n DataFrames would re-scan and re-tokenize the input ``max_ngram``
+    times.  Occurrences are NOT deduped because the scorer averages over
+    all of them (fastText semantics)."""
     words = _tokens(F.lower(F.col(text_col)))
-    grams = []
-    for n in range(1, max_ngram + 1):
-        if n == 1:
-            g = d.select(id_col, F.explode(words).alias("g"))
-        else:
-            z = F.arrays_zip(
-                words.alias("t0"),
-                *[
-                    F.slice(
-                        words, i + 1, F.greatest(F.size(words) - i, F.lit(0))
-                    ).alias(f"t{i}")
-                    for i in range(1, n)
-                ],
-            )
-            g = (
-                d.select(id_col, F.explode(z).alias("s"))
-                .filter(F.col(f"s.t{n - 1}").isNotNull())
-                .select(
-                    id_col,
-                    F.concat_ws(" ", *[f"s.t{i}" for i in range(n)]).alias("g"),
-                )
-            )
-        grams.append(g)
-    from functools import reduce
+    size = F.size(words)
 
-    allg = reduce(lambda a, b: a.unionByName(b), grams)
-    return allg.select(
+    def _grams(n):
+        if n == 1:
+            return words
+        return F.when(
+            size >= n,
+            F.transform(
+                F.sequence(F.lit(1), size - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + off) for off in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    allg = F.concat(*[_grams(n) for n in range(1, max_ngram + 1)])
+    return d.select(id_col, F.explode(allg).alias("g")).select(
         id_col, F.pmod(F.xxhash64("g"), F.lit(n_buckets)).alias("bucket")
     )
 

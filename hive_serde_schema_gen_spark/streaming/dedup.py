@@ -54,13 +54,23 @@ def streaming_dedup_exact(
     watermark: str = "30 minutes",
     ts_col: str = "ts",
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Document stream → first-of-content rows only; a byte-identical copy
     arriving within ``watermark`` of the original is dropped, and digest
     state ages out with the watermark (the property that lets this run
-    forever)."""
+    forever).
+
+    NULL text carries no content to judge, so those rows get a per-doc
+    digest and always pass — ``dropDuplicatesWithinWatermark`` treats
+    equal (and null) keys as duplicates, and a bare ``md5(NULL)`` key
+    would silently swallow every metadata-only row after the first."""
+    digest = F.coalesce(
+        content_digest(text_col),
+        F.concat(F.lit("\u0000doc:"), F.col(id_col).cast("string")),
+    )
     return (
-        stream_df.withColumn("digest", content_digest(text_col))
+        stream_df.withColumn("digest", digest)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["digest"])
         .drop("digest")
@@ -148,11 +158,17 @@ def streaming_near_dup_flags(
     append mode."""
     # materialize the band array in its own projection so the expensive
     # minhash tree is evaluated ONCE per row — posexplode and size below
-    # then reference a computed column, not two copies of the expression
+    # then reference a computed column, not two copies of the expression.
+    # NULL text → a per-doc unique band (no content to judge: the row must
+    # always pass; the shared xxhash64(-1, NULL) key would otherwise
+    # suppress every null-text row after the first as a "duplicate").
+    bands_expr = F.when(
+        F.col(text_col).isNotNull(), minhash_band_keys(text_col)
+    ).otherwise(F.array(F.xxhash64(F.lit(-2), F.col(id_col))))
     with_bands = stream_df.select(
         F.col(id_col).alias("doc_id"),
         F.col(ts_col).alias("__ts"),
-        minhash_band_keys(text_col).alias("__bands"),
+        bands_expr.alias("__bands"),
     )
     bands = with_bands.select(
         "doc_id",

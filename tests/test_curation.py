@@ -303,3 +303,37 @@ def test_curate_and_prepare_semantic_stage(spark, sf_dir):
     aggressive = curate_and_prepare(spark, sf_dir, semantic_threshold=0.2)
     assert aggressive.columns == base.columns
     assert aggressive.count() <= base_rows
+
+
+def test_semantic_stage_keeps_docs_without_embeddings(spark, sf_dir, tmp_path):
+    """Regression: the embeddings table may cover only a SUBSET of the
+    corpus (at sf0.1 the driver ships 5000 docs but 2000 vectors).  The
+    semantic stage must drop only confirmed non-canonical members — docs
+    with no embeddings row pass through untouched."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        curate_and_prepare,
+        prepare_training_corpus,
+    )
+
+    scratch = str(tmp_path / "sf_subset")
+    os.makedirs(scratch)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{scratch}/{t}.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        f" WHERE vec_id < 250)"
+        f" TO '{scratch}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    base = prepare_training_corpus(spark, scratch).count()
+    got = curate_and_prepare(spark, scratch, semantic_threshold=0.9).count()
+    # isotropic corpus: zero semantic groups -> the stage must be a no-op
+    # even though half the docs have no embedding
+    assert got == base

@@ -110,3 +110,44 @@ def test_no_python_eval_in_pq_plan(spark, corpus, lsh_index, pq_index):
     assert_no_python_udf(
         ann_topk_lsh_pq(corpus, 10, index=lsh_index, pq=pq_index)
     )
+
+
+def test_zero_norm_vectors_never_poison_the_shortlist(spark):
+    """A zero embedding (or all-zero assigned codes) yields 0/0 in ADC;
+    Spark sorts NaN above every double, so without the guard junk rows
+    would crowd the k x mult shortlist.  Guarded score is -1."""
+    import math
+    import random
+
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        build_pq_index as _bpq,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [float(x / n) for x in v]))
+    rows.append((999, [0.0] * 64))  # the degenerate vector
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+    codebook, codes = _bpq(e, n_codes=8)
+    probe = rows[7][1]
+    qvec = [round(x * 10000) for x in probe]
+    scored = {
+        r["vec_id"]: r["approx_cos"]
+        for r in pq_approx_scores(codes, codebook, qvec).collect()
+    }
+    import math as m
+
+    assert not any(m.isnan(v) for v in scored.values())
+    # the zero vector's codes may or may not hit all-zero centroids with a
+    # tiny codebook; what matters is that NO score is NaN and the full
+    # pipeline still returns k well-ordered rows
+    top = ann_topk_lsh_pq(e, 5, query_vec_id=7).collect()
+    assert len(top) == 5
+    assert all(not m.isnan(r["cos_sim"]) for r in top)
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)

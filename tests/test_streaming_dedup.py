@@ -87,6 +87,8 @@ def _drive(spark, doc_stream_dir, build_query, name):
                 (3, T0 + 3 * MIN, NEAR_DUP_A),  # late near-dup of doc 1
                 (4, T0 + 4 * MIN, C),  # genuinely novel
                 (5, T0 + 5 * MIN, A),  # late exact copy of doc 1
+                (6, T0 + 6 * MIN, None),  # metadata-only rows: no content
+                (7, T0 + 7 * MIN, None),  # to judge -> BOTH must pass
             ],
         )
         q.processAllAvailable()
@@ -128,6 +130,8 @@ def test_streaming_near_dup_suppression(spark, doc_stream_dir):
     assert flags[3] == (n_bands, 1)
     # the late exact copy claims nothing -> absent entirely
     assert 5 not in flags
+    # null-text docs each get a per-doc band: both pass, neither suppressed
+    assert flags[6] == (1, 1) and flags[7] == (1, 1)
     suppressed = {
         d for d, (nb, nn) in flags.items() if nn < nb
     } | ({1, 2, 3, 4, 5} - set(flags))
@@ -144,8 +148,9 @@ def test_streaming_exact_dedup(spark, doc_stream_dir):
     )
     got = sorted(r["doc_id"] for r in rows)
     # doc 5 is a byte-identical copy of doc 1 within the watermark: dropped;
-    # the near-dup doc 3 differs by a word, so EXACT dedup keeps it
-    assert got == [1, 2, 3, 4]
+    # the near-dup doc 3 differs by a word, so EXACT dedup keeps it; the
+    # two null-text docs both survive (per-doc digest, not a shared NULL)
+    assert got == [1, 2, 3, 4, 6, 7]
 
 
 def test_band_keys_match_batch_minhash(spark, sf_dir):
