@@ -236,14 +236,31 @@ def curate_and_prepare(
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # Every stage below except mixing/redaction is a SELF-JOIN (d joined
+    # against a statistic derived from d).  Stacking self-joins without a
+    # lineage cut doubles the upstream DAG per stage — k stages recompute
+    # the base chain up to 2^k times (measured: the all-stages config took
+    # ~400 s at sf0.001 uncut, ~20 s cut).  So: cut lineage right before a
+    # self-joining stage whenever an earlier stage already transformed d.
+    # On a cluster the cuts become persisted intermediates — the standard
+    # shape for a multi-stage curation job.
+    dirty = False
+
+    def _cut(df):
+        return df.localCheckpoint() if dirty else df
+
     if mix_rates is not None:
         d = stratified_sample(d, mix_rates)
+        dirty = True
     if max_dup_gram_frac is not None:
+        d = _cut(d)
         ok = repetition_stats(d).filter(
             F.col("dup_gram_frac") <= max_dup_gram_frac
         )
         d = d.join(ok.select("doc_id"), "doc_id")
+        dirty = True
     if benchmark is not None:
+        d = _cut(d)
         bad = (
             ngram_contamination(d, benchmark, n=contamination_n)
             .filter(F.col("frac_bench_matched") >= contamination_frac)
@@ -251,17 +268,21 @@ def curate_and_prepare(
             .distinct()
         )
         d = d.join(bad, "doc_id", "left_anti")
+        dirty = True
     if strip_dup_spans_k is not None:
         from .dedup import strip_duplicate_spans
 
-        d = strip_duplicate_spans(d, k=strip_dup_spans_k)
+        d = strip_duplicate_spans(_cut(d), k=strip_dup_spans_k)
+        dirty = True
     if classifier_weights is not None:
         from .text import classifier_score
 
+        d = _cut(d)
         keep = classifier_score(
             d, classifier_weights, bias=classifier_bias
         ).filter(F.col("score") >= classifier_floor)
         d = d.join(keep.select("doc_id"), "doc_id")
+        dirty = True
     if semantic_threshold is not None:
         from .similarity import semantic_dedup
 
@@ -281,6 +302,18 @@ def curate_and_prepare(
             .select(F.col("vec_id").alias("doc_id"))
         )
         d = d.join(dupes, "doc_id", "left_anti")
+        dirty = True
     if redact:
         d = redact_pii(d, with_counts=False)
+        dirty = True
+    if dirty and (
+        strip_dup_spans_k is not None
+        or classifier_weights is not None
+        or semantic_threshold is not None
+        or redact
+    ):
+        # Final cut before the manifest pipeline: it runs SEVERAL actions
+        # (dedup, canonicalization, packing each materialize), and each
+        # would otherwise re-execute the remaining front-end tail.
+        d = d.localCheckpoint()
     return prepare_training_corpus(spark, sf_dir, docs=d, **prepare_kwargs)

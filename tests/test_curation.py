@@ -337,3 +337,36 @@ def test_semantic_stage_keeps_docs_without_embeddings(spark, sf_dir, tmp_path):
     # isotropic corpus: zero semantic groups -> the stage must be a no-op
     # even though half the docs have no embedding
     assert got == base
+
+
+def test_curate_and_prepare_all_stages_compose(spark, sf_dir):
+    """Every opt-in stage enabled at once — guards stage INTERACTION (each
+    stage consumes the previous stage's filtered/rewritten docs)."""
+    from hive_serde_schema_gen_spark.operators.corpus import curate_and_prepare
+    from hive_serde_schema_gen_spark.operators.curation import (
+        stratum_counts,
+        temperature_mix_rates,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter("doc_id < 3").selectExpr("doc_id AS bench_id", "text")
+    rates = temperature_mix_rates(stratum_counts(d), alpha=0.5)
+    out = curate_and_prepare(
+        spark,
+        sf_dir,
+        benchmark=bench,
+        contamination_frac=0.5,
+        max_dup_gram_frac=0.9,
+        mix_rates=rates,
+        redact=True,
+        strip_dup_spans_k=20,
+        classifier_weights={},
+        classifier_floor=0.4,
+        semantic_threshold=0.9,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # the contaminated docs are gone even after every other stage ran
+    kept = {r["doc_id"] for r in rows}
+    assert not (kept & {0, 1, 2})
