@@ -405,30 +405,44 @@ def hashed_ngram_terms(
     pmod n_buckets — the classic hashing trick: fixed feature space, no
     vocabulary to build, ship, or keep consistent across a 100-TB corpus.
 
-    ONE scan: every gram length's array is built row-locally
-    (``transform(sequence(...)) → concat_ws(element_at...)``) and the
-    per-n arrays concatenate into a single exploded column — a union of
-    per-n DataFrames would re-scan and re-tokenize the input ``max_ngram``
-    times.  Occurrences are NOT deduped because the scorer averages over
-    all of them (fastText semantics)."""
+    Same arrays_zip/slice n-gram formulation as ``repetition_stats``
+    (plain expressions, whole-stage codegen), one exploded scan PER gram
+    length, unioned.  Measured against the tempting single-scan
+    alternative (``transform(sequence(...)) → concat_ws(element_at...)``,
+    one pass but a nested interpreted lambda): at 50 000 docs the
+    max_ngram codegen'd scans take 1.9 s vs 70 s for the one
+    lambda-interpreted scan — per-element interpreter overhead dwarfs a
+    second columnar read, so "fewer scans" loses by 37×.  Occurrences are
+    NOT deduped because the scorer averages over all of them (fastText
+    semantics)."""
     words = _tokens(F.lower(F.col(text_col)))
-    size = F.size(words)
-
-    def _grams(n):
+    grams = []
+    for n in range(1, max_ngram + 1):
         if n == 1:
-            return words
-        return F.when(
-            size >= n,
-            F.transform(
-                F.sequence(F.lit(1), size - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, i + off) for off in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+            g = d.select(id_col, F.explode(words).alias("g"))
+        else:
+            z = F.arrays_zip(
+                words.alias("t0"),
+                *[
+                    F.slice(
+                        words, i + 1, F.greatest(F.size(words) - i, F.lit(0))
+                    ).alias(f"t{i}")
+                    for i in range(1, n)
+                ],
+            )
+            g = (
+                d.select(id_col, F.explode(z).alias("s"))
+                .filter(F.col(f"s.t{n - 1}").isNotNull())
+                .select(
+                    id_col,
+                    F.concat_ws(" ", *[f"s.t{i}" for i in range(n)]).alias("g"),
+                )
+            )
+        grams.append(g)
+    from functools import reduce
 
-    allg = F.concat(*[_grams(n) for n in range(1, max_ngram + 1)])
-    return d.select(id_col, F.explode(allg).alias("g")).select(
+    allg = reduce(lambda a, b: a.unionByName(b), grams)
+    return allg.select(
         id_col, F.pmod(F.xxhash64("g"), F.lit(n_buckets)).alias("bucket")
     )
 

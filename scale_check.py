@@ -115,6 +115,13 @@ def main() -> None:
     # every kept stratum at an explicit rate; unlisted default to 0
     MIX = {f"src{i}": 0.05 * (i % 4) + 0.2 for i in range(20)}
 
+    def _classifier(s, d):
+        from hive_serde_schema_gen_spark.operators.text import classifier_score
+
+        return classifier_score(
+            _docs(s, d), {i: 0.01 * i for i in range(64)}
+        ).filter("score >= 0")
+
     targets = {
         "dedup_minhash_lsh_xxhash64": lambda s, d: minhash_lsh_pairs(
             s, d, hash_fn="xxhash64", sort=False
@@ -137,7 +144,11 @@ def main() -> None:
         "curation_stratified_sample": lambda s, d: stratified_sample(
             _docs(s, d), MIX
         ),
+        # toy sparse model: the cost being measured is hashing + broadcast
+        # join + per-doc mean, which is weight-independent
+        "text_classifier_score": lambda s, d: _classifier(s, d),
     }
+
     if args.max_df is not None:
         targets["dedup_minhash_lsh_xxhash64_maxdf"] = (
             lambda s, d: minhash_lsh_pairs(
