@@ -242,3 +242,48 @@ def stratum_counts(d: DataFrame, stratum_col: str = "source") -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+
+
+_URL_RE = r"https?://[^\s<>\"')\]]+"
+_DOMAIN_RE = r"https?://(?:[^/\s@]*@)?([^/\s:?#]+)"
+
+
+def extract_urls(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per URL occurrence in the text: (id, url, domain) — the raw
+    material of web-corpus curation (domain allow/deny lists, per-domain
+    caps, citation graphs).  ``regexp_extract_all`` + explode, fully
+    codegen'd, narrow until the explode; the domain is lowercased and
+    stripped of a leading ``www.`` so aggregation keys are canonical."""
+    urls = d.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+        ).alias("url"),
+    )
+    domain = F.lower(F.regexp_extract(F.col("url"), _DOMAIN_RE, 1))
+    return urls.select(
+        id_col,
+        "url",
+        F.regexp_replace(domain, r"^www\.", "").alias("domain"),
+    )
+
+
+def domain_stats(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus statistics: (domain, n_urls, n_docs) ordered by
+    frequency — feeds per-domain caps (a handful of boilerplate-heavy
+    domains dominating a crawl is the classic skew) and deny-list review.
+    One extract pass + one map-side-combined aggregate; the shuffle
+    carries (domain, partial counts) only."""
+    return (
+        extract_urls(d, id_col, text_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_urls").desc(), "domain")
+    )

@@ -370,3 +370,53 @@ def test_curate_and_prepare_all_stages_compose(spark, sf_dir):
     # the contaminated docs are gone even after every other stage ran
     kept = {r["doc_id"] for r in rows}
     assert not (kept & {0, 1, 2})
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction
+# ---------------------------------------------------------------------------
+
+
+def test_extract_urls_and_domain_stats(spark):
+    from hive_serde_schema_gen_spark.operators.curation import (
+        domain_stats,
+        extract_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://www.Example.com/a?q=1 and http://sub.other.org/p"),
+            (2, "dup link https://example.com/b (https://example.com/b) end"),
+            (3, "no links here"),
+            (4, "auth http://user:pw@Example.com/x and https://example.com:8080/y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = extract_urls(docs).collect()
+    got = {(r["doc_id"], r["url"], r["domain"]) for r in rows}
+    assert (1, "https://www.Example.com/a?q=1", "example.com") in got
+    assert (1, "http://sub.other.org/p", "sub.other.org") in got
+    # trailing ')' must not ride along; both occurrences counted
+    assert sum(1 for r in rows if r["doc_id"] == 2) == 2
+    assert all(r["url"] == "https://example.com/b" for r in rows if r["doc_id"] == 2)
+    # userinfo and port stripped from the domain key
+    assert {(d) for (i, u, d) in got if i == 4} == {"example.com"}
+    assert not any(r["doc_id"] == 3 for r in rows)
+
+    stats = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in domain_stats(docs).collect()}
+    assert stats["example.com"] == (5, 3)
+    assert stats["sub.other.org"] == (1, 1)
+
+
+def test_extract_urls_narrow_and_no_python(spark, sf_dir):
+    from hive_serde_schema_gen_spark.operators.curation import extract_urls
+    from hive_serde_schema_gen_spark.plans.explain import (
+        assert_no_python_udf,
+        explain_str,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    df = extract_urls(load_table(spark, sf_dir, "documents"))
+    assert_no_python_udf(df)
+    assert "Exchange" not in explain_str(df)
+    df.count()  # runs on real data without error
