@@ -847,6 +847,116 @@ def duplicate_spans(
     return spans
 
 
+def line_postings(docs: DataFrame, delim: str = "\n") -> DataFrame:
+    """One row per line per document: ``(doc_id, line_no, line, lhash)``.
+    ``lhash`` is xxhash64 of the TRIMMED line, so leading/trailing whitespace
+    differences don't split a boilerplate class.  Row-local (split +
+    posexplode) — nothing shuffles here."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), delim, -1)).alias("line_no", "line"),
+    ).withColumn("lhash", F.xxhash64(F.trim(F.col("line"))))
+
+
+def boilerplate_lines(
+    docs: DataFrame, min_docs: int = 2, delim: str = "\n"
+) -> DataFrame:
+    """Lines (paragraphs) appearing in >= ``min_docs`` DISTINCT documents —
+    the CCNet-style boilerplate set: ``(lhash, line, n_docs)`` with one
+    representative ``line`` string per hash.
+
+    Scale shape: per-hash aggregate only (Spark plans countDistinct as
+    partial-distinct + final, both map-side combined) — there is NO doc-pair
+    join, so a navbar line shared by 10^8 pages is one output row.  Empty
+    lines are excluded: they are structure, not boilerplate."""
+    p = line_postings(docs, delim).filter(F.trim(F.col("line")) != "")
+    return (
+        p.groupBy("lhash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("line").alias("line"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lhash", "line", "n_docs")
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    keep_first: bool = False,
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove boilerplate lines — lines occurring in >= ``min_docs`` distinct
+    documents — from every document's ``text`` (CCNet paragraph dedup, the
+    line-granularity sibling of :func:`strip_duplicate_spans`).
+
+    ``keep_first=False`` (default) drops ALL occurrences — the Gopher/CCNet
+    boilerplate-removal policy ("subscribe to our newsletter" carries no
+    training signal anywhere).  ``keep_first=True`` keeps the globally first
+    occurrence (min (doc_id, line_no), a map-side-combinable min(struct))
+    so the corpus retains exactly one copy per duplicated line.  Both modes
+    are idempotent: after a pass no line reaches ``min_docs`` documents.
+
+    Scale design: (1) flagging is a per-hash aggregate — never a doc-pair
+    join; (2) the postings↔flagged join keys on an 8-byte hash and the
+    flagged side is small by construction (AQE broadcasts it); (3) the
+    rebuild groupBy partitions by doc_id, bounded by document size.  Docs
+    with no flagged line pass through BYTE-IDENTICAL (left join + coalesce
+    on the untouched branch — their text is never re-split/re-joined); a
+    fully-boilerplate doc comes back with empty text, for the caller's
+    length filter to drop.  Empty lines are never stripped.  A 2^-64 hash
+    collision can only merge two line classes (over-flagging one line),
+    never corrupt coordinates."""
+    p = line_postings(docs, delim)
+    flagged_hashes = (
+        p.filter(F.trim(F.col("line")) != "")
+        .groupBy("lhash")
+        .agg(
+            F.countDistinct("doc_id").alias("__n_docs"),
+            F.min(F.struct("doc_id", "line_no")).alias("__first"),
+        )
+        .filter(F.col("__n_docs") >= min_docs)
+    )
+    flagged = p.join(flagged_hashes, "lhash")
+    if keep_first:
+        flagged = flagged.filter(
+            ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("line_no") == F.col("__first.line_no"))
+            )
+        )
+    flagged = flagged.select("doc_id", "line_no")
+    touched = flagged.select("doc_id").distinct()
+    rebuilt = (
+        p.join(flagged, ["doc_id", "line_no"], "left_anti")
+        .join(touched, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                delim,
+            ).alias("__new_text")
+        )
+    )
+    return (
+        docs.join(
+            touched.withColumn("__touched", F.lit(True)), "doc_id", "left"
+        )
+        .join(rebuilt, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(F.col("__touched").isNull(), F.col("text")).otherwise(
+                F.coalesce(F.col("__new_text"), F.lit(""))
+            ),
+        )
+        .drop("__touched", "__new_text")
+    )
+
+
 def strip_duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
     """Rewrite ``text`` with every duplicated >= k-token span removed EXCEPT
     its globally-first occurrence (``duplicate_spans(keep_first=True)``) —
