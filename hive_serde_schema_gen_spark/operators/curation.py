@@ -196,7 +196,10 @@ def repetition_stats(
 
 
 def temperature_mix_rates(
-    counts: dict, alpha: float = 0.7, total: int | None = None
+    counts: dict,
+    alpha: float = 0.7,
+    total: int | None = None,
+    max_rate: float | None = 1.0,
 ) -> dict:
     """Temperature-sampling keep-rates from per-stratum corpus counts — the
     standard multilingual/source rebalancing rule (public recipe: the
@@ -206,10 +209,12 @@ def temperature_mix_rates(
     proportions.
 
     Returns per-stratum rates for :func:`stratified_sample`:
-    ``rate_s = q_s · total / n_s`` capped at 1.0 (a stratum cannot yield
-    more than it has — the cap means tiny strata are kept whole and the
-    realized total can undershoot ``total``; pass a larger ``total`` or
-    upsample offline if exact shares matter).  ``total=None`` scales to
+    ``rate_s = q_s · total / n_s`` capped at ``max_rate`` (default 1.0: a
+    stratum cannot yield more than it has, so tiny strata are kept whole
+    and the realized total can undershoot ``total``).  Pass
+    ``max_rate=None`` (or > 1) to emit UPSAMPLING rates — feed those to
+    :func:`materialize_mixture`, which replicates rows (epochs) instead of
+    filtering, so exact target shares are achievable.  ``total=None`` scales to
     the largest feasible target: the biggest total for which no rate
     exceeds 1, so the most-boosted stratum is kept in full and everything
     else is subsampled to match its share.
@@ -228,7 +233,55 @@ def temperature_mix_rates(
     if total is None:
         # largest total with all rates <= 1:  total = min_s n_s / q_s
         total = min(counts[s] / q[s] for s in q)
-    return {s: min(1.0, q[s] * total / counts[s]) for s in q}
+    if max_rate is None:
+        return {s: q[s] * total / counts[s] for s in q}
+    return {s: min(max_rate, q[s] * total / counts[s]) for s in q}
+
+
+def materialize_mixture(
+    d: DataFrame,
+    rates: dict,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a domain mixture with rates that may EXCEED 1.0 — the
+    upsampling twin of :func:`stratified_sample` ("4 epochs of wiki, 0.3 of
+    web").  Each row is replicated ``floor(rate)`` times, plus one more for
+    the deterministic hash-threshold fraction of rows selected by the
+    FRACTIONAL part — so realized counts hit ``rate · n_s`` in expectation
+    with the same retry-proof determinism as the downsampler (membership
+    and copy-count are pure functions of (salt, key)).  An ``epoch_col``
+    (1-based copy index) distinguishes replicas so downstream packing /
+    split assignment can shuffle epochs apart instead of emitting byte-
+    identical neighbors.
+
+    For rates <= 1 this keeps EXACTLY the rows ``stratified_sample`` keeps
+    (same salt, same bucket predicate) — asserted in tests, so a pipeline
+    can swap the filter for the materializer without changing its sample.
+
+    Scale: narrow transformation — a literal CASE chain for the rate, one
+    ``explode(sequence(1, copies))`` per surviving row; no shuffle, no
+    driver state.  Replication multiplies bytes, not keys, so it cannot
+    introduce join skew that wasn't already in the data; unlisted strata
+    default to rate 0 (allowlist-shaped, like the downsampler)."""
+    rate = F.lit(0.0)
+    for stratum, r in sorted(rates.items()):
+        if r < 0:
+            raise ValueError(f"negative rate for stratum {stratum!r}")
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(key_col)), F.lit(1_000_000))
+    copies = (
+        F.floor(rate).cast("int")
+        + (bucket < (rate - F.floor(rate)) * 1_000_000).cast("int")
+    )
+    return (
+        d.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies")
+    )
 
 
 def stratum_counts(d: DataFrame, stratum_col: str = "source") -> dict:

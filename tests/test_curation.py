@@ -420,3 +420,86 @@ def test_extract_urls_narrow_and_no_python(spark, sf_dir):
     assert_no_python_udf(df)
     assert "Exchange" not in explain_str(df)
     df.count()  # runs on real data without error
+
+
+# ---------------------------------------------------------------------------
+# Mixture materialization (upsampling with fractional repeats)
+# ---------------------------------------------------------------------------
+
+
+def _mix_corpus(spark, n=400):
+    rows = [
+        (i, "wiki" if i % 4 == 0 else "web", f"doc {i} text")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, source string, text string")
+
+
+def test_materialize_integer_rate_exact_epochs(spark):
+    from hive_serde_schema_gen_spark.operators.curation import materialize_mixture
+
+    d = _mix_corpus(spark)
+    out = materialize_mixture(d, {"wiki": 2.0}).collect()
+    n_wiki = d.filter("source = 'wiki'").count()
+    assert len(out) == 2 * n_wiki
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(e) == [1, 2] for e in per_doc.values())
+    # unlisted stratum (web) dropped entirely
+    assert all(r["source"] == "wiki" for r in out)
+
+
+def test_materialize_fractional_rate_deterministic_and_accurate(spark):
+    from hive_serde_schema_gen_spark.operators.curation import materialize_mixture
+
+    d = _mix_corpus(spark, n=2000)
+    out = materialize_mixture(d, {"web": 2.5})
+    got = out.count()
+    n_web = d.filter("source = 'web'").count()
+    assert 2 * n_web <= got <= 3 * n_web
+    assert abs(got - 2.5 * n_web) < 0.1 * n_web  # hash threshold ≈ rate
+    assert out.count() == got  # deterministic re-run
+
+
+def test_materialize_subunit_rate_matches_stratified_sample(spark):
+    from hive_serde_schema_gen_spark.operators.curation import (
+        materialize_mixture,
+        stratified_sample,
+    )
+
+    d = _mix_corpus(spark, n=1000)
+    rates = {"wiki": 1.0, "web": 0.3}
+    filt = {r["doc_id"] for r in stratified_sample(d, rates).collect()}
+    mat = [r for r in materialize_mixture(d, rates).collect()]
+    assert {r["doc_id"] for r in mat} == filt
+    assert all(r["epoch"] == 1 for r in mat)
+
+
+def test_uncapped_temperature_rates_hit_target_shares(spark):
+    from hive_serde_schema_gen_spark.operators.curation import (
+        materialize_mixture,
+        temperature_mix_rates,
+    )
+
+    counts = {"wiki": 500, "web": 1500}
+    rates = temperature_mix_rates(counts, alpha=0.0, total=4000, max_rate=None)
+    assert rates["wiki"] == pytest.approx(4.0)  # 2000/500 — upsampling
+    assert rates["web"] == pytest.approx(2000 / 1500)
+    d = _mix_corpus(spark, n=2000)  # 500 wiki / 1500 web
+    got = {
+        r["source"]: r["n"]
+        for r in materialize_mixture(d, rates)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["wiki"] == 2000  # integer rate → exact
+    assert abs(got["web"] - 2000) < 150  # fractional → approximate
+
+
+def test_materialize_no_python_udf(spark):
+    from hive_serde_schema_gen_spark.operators.curation import materialize_mixture
+    from hive_serde_schema_gen_spark.plans.explain import assert_no_python_udf
+
+    assert_no_python_udf(materialize_mixture(_mix_corpus(spark), {"wiki": 2.5}))
