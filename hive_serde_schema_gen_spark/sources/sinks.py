@@ -10,6 +10,12 @@ of the 100 TB story.
 - ``write_curated``: the corpus-output composition of the above — partition
   dirs + in-partition sort for parquet row-group min/max pruning + per-file
   record cap (asserted in tests/test_sinks.py).
+- ``write_zordered``: multi-dimensional clustering (Z-order / Morton curve,
+  the Delta/Iceberg OPTIMIZE ZORDER feature Spark lacks natively) — a
+  single sort key interleaving the quantile-bucket bits of several columns,
+  so parquet row-group min/max statistics prune selective filters on ANY of
+  the clustered dimensions, where a linear sort prunes only its leading
+  column (asserted against raw parquet footers in tests/test_zorder.py).
 
 (The reference's only sink is stdout plus a generated ``LOAD DATA``
 statement — ``Generator.scala:4``, ``Schemer.scala:114``.)
@@ -19,7 +25,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -73,4 +80,86 @@ def write_curated(
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def zorder_value(
+    df: DataFrame, cols: Sequence[str], n_bits: int = 8
+) -> Column:
+    """Z-order (Morton) sort key over ``cols``: each column is mapped to its
+    quantile bucket in ``[0, 2^n_bits)`` and the buckets' bits are
+    interleaved into one long, so rows close on the Z-curve are close in
+    EVERY clustered dimension simultaneously.
+
+    Quantile bucketing (one driver-side ``approxQuantile`` per column at
+    write time, boundaries ride the plan as an array literal), not
+    min/max-uniform ``width_bucket``: a skewed column would otherwise
+    collapse most rows into a few bins and lose its share of the
+    interleave.  The per-row bucket lookup is ``size(filter(bounds, b ->
+    b <= v))`` over the 2^n_bits-element literal — an interpreted
+    higher-order lambda, acceptable at WRITE time (reads, where the win
+    lives, never evaluate it); 8 bits/dim keeps the scan short and is
+    plenty for row-group-granularity skipping.  NULLs land in bucket 0
+    (cluster first).  Bit budget: ``n_bits * len(cols)`` must fit a long —
+    8 bits × up to 7 dims does."""
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    n_bins = 1 << n_bits
+    if n_bits * len(cols) > 62:
+        raise ValueError("n_bits * len(cols) must be <= 62")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    rel_err = 1.0 / (4 * n_bins)
+    buckets = []
+    for c in cols:
+        bounds = sorted(
+            set(
+                df.select(F.col(c).cast("double").alias("__v")).approxQuantile(
+                    "__v", probs, rel_err
+                )
+            )
+        )
+        v = F.col(c).cast("double")
+        buckets.append(
+            F.size(F.filter(F.lit(bounds), lambda b: b <= v)).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(n_bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * len(cols) + j)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    n_files: int = 32,
+    n_bits: int = 8,
+    max_records_per_file: Optional[int] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet globally clustered on the Z-curve of ``zorder_cols``.
+
+    ``repartitionByRange`` on the z-value splits the curve into ``n_files``
+    contiguous segments (one range-shuffle — the same cost a global
+    ``orderBy`` would pay) and ``sortWithinPartitions`` orders rows inside
+    each, so every parquet row group covers a small Z-interval ≈ a small
+    hyper-rectangle in the clustered dimensions.  A reader filtering
+    selectively on ANY clustered column then skips most row groups via
+    min/max statistics — the multi-dimensional generalization of
+    ``write_curated``'s single-key ``sort_within``.  At 100 TB this is the
+    difference between "point lookups on (user, day) read one file" and
+    "every query scans the corpus": pick 2–4 genuinely-filtered columns;
+    more dims dilute each one's locality."""
+    z = zorder_value(df, zorder_cols, n_bits=n_bits)
+    clustered = (
+        df.withColumn("__zval", z)
+        .repartitionByRange(n_files, "__zval")
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+    )
+    writer = clustered.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(path)
