@@ -375,6 +375,27 @@ def minhash_signatures(shd: DataFrame, hash_fn: str = "md5") -> DataFrame:
     return base.groupBy("doc_id").agg(*aggs)
 
 
+def band_keys_from_signatures(mh: DataFrame, hash_fn: str = "md5") -> DataFrame:
+    """(doc_id, band, band_key) from a signature frame — the banding of
+    ``minhash_lsh_pairs``, extracted so the persisted-index build and probe
+    paths (``dedup_index.py``) band IDENTICALLY to the batch self-join.
+
+    xxhash64 configuration: band buckets as 8-byte longs instead of ~40-byte
+    strings — smaller shuffle payload for every banding join.  A band-key
+    hash collision only MERGES buckets (extra candidates the verify
+    removes); it can never split one, so recall is unchanged.  The md5 path
+    keeps the string keys the DuckDB oracle reproduces bit-for-bit."""
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{j * BAND_SIZE + k}") for k in range(BAND_SIZE)])
+        for j in range(N_HASHES // BAND_SIZE)
+    ]
+    if hash_fn == "xxhash64":
+        band_cols = [F.xxhash64(c) for c in band_cols]
+    return mh.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_key")
+    )
+
+
 def _mh_mins_sql() -> str:
     return ",\n             ".join(
         f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
@@ -496,22 +517,7 @@ def minhash_lsh_pairs(
     # when the DataFrame is GC'd (same rationale as operators/corpus.py).
     shd = shd.localCheckpoint()
     mh = minhash_signatures(shd, hash_fn)
-    band_cols = [
-        F.concat_ws(",", *[F.col(f"mh{j * BAND_SIZE + k}") for k in range(BAND_SIZE)])
-        for j in range(N_HASHES // BAND_SIZE)
-    ]
-    if hash_fn == "xxhash64":
-        # production path: band buckets as 8-byte longs instead of ~40-byte
-        # strings — smaller shuffle payload for the banding self-join.  A
-        # band-key hash collision only MERGES buckets (extra candidates the
-        # exact verify removes); it can never split one, so recall is
-        # unchanged.  The md5 path keeps the string keys the DuckDB oracle
-        # reproduces bit-for-bit.
-        band_cols = [F.xxhash64(c) for c in band_cols]
-    band_keys = F.array(*band_cols)
-    bands = mh.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
-    )
+    bands = band_keys_from_signatures(mh, hash_fn)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

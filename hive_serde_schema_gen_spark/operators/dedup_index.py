@@ -1,0 +1,187 @@
+"""Incremental near-dup dedup against a PERSISTED MinHash index — the
+production ingest pattern: a new batch dedups against the historical corpus
+by probing an on-disk artifact, never re-shingling the 100 TB already
+processed.  (Batch twin: ``dedup.minhash_lsh_pairs``; streaming twin:
+``streaming/dedup.py``.  The reference has no persistence at all —
+``Schemer.scala`` folds a single file in memory — so this whole module is
+engine-side scale machinery.)
+
+Index layout (parquet, under one directory):
+
+- ``bands/``  — ``(band, band_key, doc_id)``, range-clustered + sorted on
+  ``(band, band_key)`` so a probe batch's band keys prune row groups via
+  min/max footers (the same mechanics as ``sinks.write_curated``).
+- ``sigs/``   — ``(doc_id, mh0..mh{n-1})``: one row per indexed doc, the
+  16-minhash signature used for verification.
+- ``meta/``   — one row pinning (version, n_hashes, band_size, shingle,
+  hash_fn); probes assert it matches the module constants, so an index
+  built under different parameters fails loudly instead of silently
+  missing every candidate.
+
+Verification is SIGNATURE-estimated Jaccard (matching-minhash fraction,
+granularity 1/n_hashes) — the standard index trade: storing signatures
+costs ~136 bytes/doc regardless of document size, where exact-Jaccard
+verification would require persisting every shingle set (≈ the corpus
+itself).  With 16 hashes and threshold 0.8 a candidate needs >= 13
+matching minhashes; E[estimate] = true Jaccard, so borderline pairs can
+flip either way within ±1/16 — callers needing exact verification re-read
+the matched docs' text (ids are in the output) and run the batch verifier
+on that tiny subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    BAND_SIZE,
+    JACCARD_THRESHOLD,
+    N_HASHES,
+    SHINGLE,
+    band_keys_from_signatures,
+    cap_shingles,
+    minhash_signatures,
+    shingles_df,
+)
+
+INDEX_VERSION = 1
+_SIG_COLS = [f"mh{i}" for i in range(N_HASHES)]
+
+
+def _signatures(docs: DataFrame, max_df: float | None) -> DataFrame:
+    """(doc_id, mh0..mh15) under the production xxhash64 configuration."""
+    shd = shingles_df(docs, hashed=True)
+    if max_df is not None:
+        shd = cap_shingles(shd, docs.count(), max_df)
+    return minhash_signatures(shd, "xxhash64")
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    max_df: float | None = None,
+    n_files: int = 32,
+) -> None:
+    """Build the persisted index from a (doc_id, text) corpus.
+
+    One corpus pass: shingle → signatures (one map-side-combined groupBy)
+    → bands.  The bands relation is range-clustered on (band, band_key) at
+    write time so probe-side lookups skip row groups; signatures cluster
+    on doc_id for the verification join."""
+    spark = docs.sparkSession
+    mh = _signatures(docs, max_df).localCheckpoint()
+    bands = band_keys_from_signatures(mh, "xxhash64")
+    (
+        bands.repartitionByRange(n_files, "band", "band_key")
+        .sortWithinPartitions("band", "band_key")
+        .write.mode("overwrite")
+        .parquet(f"{path}/bands")
+    )
+    (
+        mh.repartitionByRange(max(1, n_files // 4), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/sigs")
+    )
+    spark.createDataFrame(
+        [(INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, "xxhash64")],
+        "version int, n_hashes int, band_size int, shingle int, hash_fn string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def extend_minhash_index(docs: DataFrame, path: str) -> None:
+    """Append a new batch's bands + signatures to an existing index (run
+    AFTER dedup: index the batch's SURVIVORS, or every later batch matches
+    the duplicates you just rejected).  Appends are new parquet files —
+    no rewrite of existing data, so ingest cost is O(batch), not O(index);
+    the appended files lose the range-clustering of the initial build
+    (probes still work — they just prune less inside the appended tail)
+    until the next ``build_minhash_index`` compaction."""
+    _check_meta(docs.sparkSession, path)
+    mh = _signatures(docs, None).localCheckpoint()
+    band_keys_from_signatures(mh, "xxhash64").write.mode("append").parquet(
+        f"{path}/bands"
+    )
+    mh.write.mode("append").parquet(f"{path}/sigs")
+
+
+def _check_meta(spark: SparkSession, path: str) -> None:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    got = (m["version"], m["n_hashes"], m["band_size"], m["shingle"], m["hash_fn"])
+    want = (INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, "xxhash64")
+    if got != want:
+        raise ValueError(
+            f"minhash index at {path} was built with parameters {got}, "
+            f"this build expects {want} — rebuild the index"
+        )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = JACCARD_THRESHOLD,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Probe the index with a new batch: returns ``(doc_id, matched_doc_id,
+    est_jaccard)`` — one row per (new doc, indexed doc) pair sharing >= 1
+    LSH band with signature-estimated Jaccard >= ``threshold``.  New docs
+    with no row are novel; the caller anti-joins to keep them, then calls
+    :func:`extend_minhash_index` with the survivors.
+
+    Scale shape: the batch side (signatures + bands for the NEW docs only)
+    is broadcast by default — the candidate join against the on-disk bands
+    relation then runs map-side over the index scan, with the band-key
+    range clustering pruning row groups; NO shuffle of index data ever
+    happens.  The verification join reads only candidate signatures.  Set
+    ``broadcast_batch=False`` for a batch too large to broadcast (then it
+    is a plain shuffle join on 8-byte band keys)."""
+    spark = new_docs.sparkSession
+    _check_meta(spark, path)
+    min_matches = -(-threshold * N_HASHES // 1)  # ceil
+    mh_new = _signatures(new_docs, None).localCheckpoint()
+    bands_new = band_keys_from_signatures(mh_new, "xxhash64")
+    if broadcast_batch:
+        bands_new = F.broadcast(bands_new)
+    bands_idx = spark.read.parquet(f"{path}/bands")
+    cand = (
+        bands_idx.alias("i")
+        .join(
+            bands_new.alias("n"),
+            (F.col("i.band") == F.col("n.band"))
+            & (F.col("i.band_key") == F.col("n.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("i.doc_id").alias("matched_doc_id"),
+        )
+        .distinct()
+    )
+    sigs_idx = spark.read.parquet(f"{path}/sigs")
+    matches = sum(
+        (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int") for c in _SIG_COLS
+    )
+    est = matches.cast("double") / F.lit(N_HASHES)
+    return (
+        cand.join(
+            mh_new.alias("a"), cand["doc_id"] == F.col("a.doc_id")
+        )
+        .join(sigs_idx.alias("b"), cand["matched_doc_id"] == F.col("b.doc_id"))
+        .select(
+            cand["doc_id"],
+            cand["matched_doc_id"],
+            est.alias("est_jaccard"),
+            matches.alias("__m"),
+        )
+        .filter(F.col("__m") >= F.lit(int(min_matches)))
+        .drop("__m")
+    )
+
+
+def novel_docs(new_docs: DataFrame, matches: DataFrame) -> DataFrame:
+    """The batch rows with no index match — the survivors to keep and
+    index.  Left-anti on doc_id; pairs frames from
+    :func:`dedup_against_index` pass straight in."""
+    return new_docs.join(
+        matches.select("doc_id").distinct(), "doc_id", "left_anti"
+    )

@@ -1,0 +1,135 @@
+"""Persisted MinHash index: build → probe → extend round-trip, parity with
+the batch LSH path, meta pinning, and the broadcast probe plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_serde_schema_gen_spark.operators.dedup_index import (
+    build_minhash_index,
+    dedup_against_index,
+    extend_minhash_index,
+    novel_docs,
+)
+from hive_serde_schema_gen_spark.plans.explain import assert_no_python_udf
+
+
+def _doc(i, words):
+    return (i, " ".join(words))
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mhidx") / "idx")
+    base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 1
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "red orange yellow green blue indigo violet pink brown black"),
+        ],
+        "doc_id int, text string",
+    )
+    build_minhash_index(corpus, path, n_files=2)
+    del base
+    return path, corpus
+
+
+def test_probe_finds_exact_and_near_dup(spark, index):
+    path, _ = index
+    batch = spark.createDataFrame(
+        [
+            # exact copy of doc 1
+            (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # near-dup of doc 2: one word appended (J = 8/10 of shingles)
+            (102, "one two three four five six seven eight nine ten eleven"),
+            # fresh document
+            (103, "totally novel content nothing shared with any indexed doc"),
+        ],
+        "doc_id int, text string",
+    )
+    got = dedup_against_index(batch, path).collect()
+    by_doc = {(r["doc_id"], r["matched_doc_id"]): r["est_jaccard"] for r in got}
+    assert by_doc[(101, 1)] == 1.0
+    assert (102, 2) in by_doc and by_doc[(102, 2)] >= 0.8
+    assert not any(d == 103 for d, _ in by_doc)
+    surv = sorted(r["doc_id"] for r in novel_docs(batch, _df(spark, got)).collect())
+    assert surv == [103]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id int, matched_doc_id int, est_jaccard double"
+    )
+
+
+def test_extend_makes_novel_doc_findable(spark, index):
+    path, _ = index
+    fresh = spark.createDataFrame(
+        [(103, "totally novel content nothing shared with any indexed doc")],
+        "doc_id int, text string",
+    )
+    extend_minhash_index(fresh, path)
+    probe = spark.createDataFrame(
+        [(201, "totally novel content nothing shared with any indexed doc")],
+        "doc_id int, text string",
+    )
+    got = dedup_against_index(probe, path).collect()
+    assert {(r["doc_id"], r["matched_doc_id"]) for r in got} == {(201, 103)}
+    assert got[0]["est_jaccard"] == 1.0
+
+
+def test_meta_pinning_rejects_mismatched_index(spark, index, tmp_path):
+    path, corpus = index
+    # corrupt the meta: pretend the index used different banding
+    bad = str(tmp_path / "bad_idx")
+    spark.read.parquet(f"{path}/bands").write.parquet(f"{bad}/bands")
+    spark.read.parquet(f"{path}/sigs").write.parquet(f"{bad}/sigs")
+    spark.createDataFrame(
+        [(1, 32, 8, 3, "xxhash64")],
+        "version int, n_hashes int, band_size int, shingle int, hash_fn string",
+    ).write.parquet(f"{bad}/meta")
+    with pytest.raises(ValueError, match="rebuild the index"):
+        dedup_against_index(corpus, bad)
+
+
+def test_probe_plan_broadcasts_batch_and_no_udf(spark, index):
+    path, _ = index
+    batch = spark.createDataFrame(
+        [(301, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    out = dedup_against_index(batch, path)
+    assert_no_python_udf(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # index side never shuffles
+
+
+def test_probe_matches_batch_lsh_on_same_corpus(spark, index, tmp_path):
+    """Index-probe of corpus B against corpus A must find the same cross
+    pairs the batch self-join finds on A ∪ B (restricted to cross pairs,
+    up to the estimated-vs-exact verification)."""
+    from hive_serde_schema_gen_spark.operators.dedup import minhash_lsh_pairs
+
+    path, corpus = index
+    batch = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (102, "one two three four five six seven eight nine ten eleven"),
+        ],
+        "doc_id int, text string",
+    )
+    union = corpus.union(batch)
+    batch_pairs = {
+        (r["doc_b"], r["doc_a"])
+        for r in minhash_lsh_pairs(
+            spark, None, hash_fn="xxhash64", docs=union, sort=False
+        ).collect()
+        if r["doc_b"] >= 100 and r["doc_a"] < 100  # cross pairs only
+    }
+    idx_pairs = {
+        (r["doc_id"], r["matched_doc_id"])
+        for r in dedup_against_index(batch, path).collect()
+    }
+    assert batch_pairs == idx_pairs
