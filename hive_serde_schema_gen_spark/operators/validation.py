@@ -1,0 +1,159 @@
+"""Single-pass data-quality validation (the Deequ/Great-Expectations step a
+production pipeline runs between every two stages): declarative constraints
+— completeness, uniqueness, ranges, predicates, row count — compiled into
+ONE aggregate job over the data, however many checks are registered.
+
+Scale design: every constraint lowers to a map-side-combinable aggregate
+expression (avg of a 0/1 indicator, min/max, count, approx_count_distinct),
+so N checks cost one pass and one 1-row shuffle — never N jobs.  Exact
+uniqueness (``approx=False``) is the one exception worth knowing about:
+multiple exact count-distincts make Catalyst plan an Expand (one input-row
+replica per distinct column), so at 100 TB keep uniqueness checks on the
+default HyperLogLog estimate (rsd 1.5%) and reserve exact mode for
+small/keyed relations.  The metrics row is O(checks) — collecting it is
+driver-bounded regardless of data size.
+
+(The reference has no validation surface — ``Schemer.scala`` rejects rows
+only on type conflicts; this module is engine-side pipeline machinery.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: ``metric`` (an aggregate Column), compared with
+    ``op`` against ``threshold``.  Use the factory functions below."""
+
+    name: str
+    metric: object  # Column
+    op: str  # ">=", "<=", "=="
+    threshold: float
+
+
+def completeness(col: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of rows with ``col`` non-null >= min_ratio."""
+    return Check(
+        f"completeness({col})>={min_ratio}",
+        F.avg(F.col(col).isNotNull().cast("double")),
+        ">=",
+        min_ratio,
+    )
+
+
+def uniqueness(col: str, min_ratio: float = 1.0, approx: bool = True) -> Check:
+    """distinct(col)/count >= min_ratio.  ``approx`` (default) uses
+    HyperLogLog — the 100-TB configuration; exact mode plans an Expand."""
+    d = F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    return Check(
+        f"uniqueness({col})>={min_ratio}",
+        d.cast("double") / F.count(F.lit(1)),
+        ">=",
+        min_ratio,
+    )
+
+
+def in_range(col: str, lo: float, hi: float, min_ratio: float = 1.0) -> Check:
+    """Fraction of non-null values inside [lo, hi] >= min_ratio (a null
+    neither passes nor fails the range — pair with ``completeness``)."""
+    ok = F.col(col).between(lo, hi).cast("double")
+    return Check(
+        f"in_range({col},[{lo},{hi}])>={min_ratio}",
+        F.coalesce(F.avg(ok), F.lit(1.0)),
+        ">=",
+        min_ratio,
+    )
+
+
+def satisfies(predicate: str, min_ratio: float = 1.0, name: str | None = None) -> Check:
+    """Fraction of rows satisfying a SQL predicate >= min_ratio (nulls fail:
+    a predicate you can't evaluate is not satisfied)."""
+    ok = F.coalesce(F.expr(predicate).cast("double"), F.lit(0.0))
+    return Check(
+        name or f"satisfies({predicate})>={min_ratio}", F.avg(ok), ">=", min_ratio
+    )
+
+
+def row_count(min_rows: int = 1, max_rows: float = float("inf")) -> list:
+    """Row count within [min_rows, max_rows] — the empty-upstream /
+    runaway-join canary.  Returns two checks."""
+    cnt = F.count(F.lit(1)).cast("double")
+    out = [Check(f"row_count>={min_rows}", cnt, ">=", float(min_rows))]
+    if max_rows != float("inf"):
+        out.append(Check(f"row_count<={max_rows}", cnt, "<=", float(max_rows)))
+    return out
+
+
+def matches_regex(col: str, pattern: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of non-null values matching ``pattern`` >= min_ratio."""
+    ok = F.col(col).rlike(pattern).cast("double")
+    return Check(
+        f"matches_regex({col})>={min_ratio}",
+        F.coalesce(F.avg(ok), F.lit(1.0)),
+        ">=",
+        min_ratio,
+    )
+
+
+_OPS = {
+    ">=": lambda m, t: m >= t,
+    "<=": lambda m, t: m <= t,
+    "==": lambda m, t: m == t,
+}
+
+
+def _flatten(checks) -> list:
+    out = []
+    for c in checks:
+        out.extend(c) if isinstance(c, list) else out.append(c)
+    return out
+
+
+def validate(df: DataFrame, checks) -> list:
+    """Run all checks in one aggregate pass.  Returns a list of result dicts
+    ``{name, metric, op, threshold, passed}`` (driver-side: the metrics row
+    is O(checks), never O(rows))."""
+    checks = _flatten(checks)
+    if not checks:
+        return []
+    row = df.agg(
+        *[c.metric.cast("double").alias(f"m{i}") for i, c in enumerate(checks)]
+    ).collect()[0]
+    results = []
+    for i, c in enumerate(checks):
+        m = row[f"m{i}"]
+        passed = m is not None and bool(_OPS[c.op](m, c.threshold))
+        results.append(
+            {
+                "name": c.name,
+                "metric": m,
+                "op": c.op,
+                "threshold": c.threshold,
+                "passed": passed,
+            }
+        )
+    return results
+
+
+class ValidationError(AssertionError):
+    def __init__(self, failures):
+        self.failures = failures
+        lines = ", ".join(
+            f"{f['name']} (metric={f['metric']})" for f in failures
+        )
+        super().__init__(f"{len(failures)} check(s) failed: {lines}")
+
+
+def expect(df: DataFrame, checks) -> list:
+    """``validate`` + raise :class:`ValidationError` when any check fails —
+    the form a pipeline wires between stages."""
+    results = validate(df, checks)
+    failures = [r for r in results if not r["passed"]]
+    if failures:
+        raise ValidationError(failures)
+    return results

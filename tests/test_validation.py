@@ -1,0 +1,90 @@
+"""Deequ-style validation: one aggregate pass for N checks, correct
+metrics, single-job plan shape, and the expect() raise path."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_serde_schema_gen_spark.operators.validation import (
+    ValidationError,
+    completeness,
+    expect,
+    in_range,
+    matches_regex,
+    row_count,
+    satisfies,
+    uniqueness,
+    validate,
+)
+
+
+@pytest.fixture(scope="module")
+def d(spark):
+    rows = [
+        (1, "a@x.com", 10.0),
+        (2, "b@y.org", 20.0),
+        (3, None, 30.0),
+        (4, "not-an-email", -5.0),
+        (4, "d@z.net", 40.0),  # duplicate id
+    ]
+    return spark.createDataFrame(rows, "id int, email string, amount double")
+
+
+def test_metrics_values(d):
+    res = {
+        r["name"]: r
+        for r in validate(
+            d,
+            [
+                completeness("email", 0.9),
+                uniqueness("id", 1.0, approx=False),
+                in_range("amount", 0, 100, 0.9),
+                satisfies("amount > 0", 0.8),
+                row_count(1),
+                matches_regex("email", r"^[^@]+@[^@]+\.[a-z]+$", 0.9),
+            ],
+        )
+    }
+    assert res["completeness(email)>=0.9"]["metric"] == pytest.approx(0.8)
+    assert not res["completeness(email)>=0.9"]["passed"]
+    assert res["uniqueness(id)>=1.0"]["metric"] == pytest.approx(4 / 5)
+    assert res["in_range(amount,[0,100])>=0.9"]["metric"] == pytest.approx(0.8)
+    assert res["satisfies(amount > 0)>=0.8"]["metric"] == pytest.approx(0.8)
+    assert res["satisfies(amount > 0)>=0.8"]["passed"]
+    assert res["row_count>=1"]["passed"]
+    # 3 of 4 non-null emails match
+    assert res["matches_regex(email)>=0.9"]["metric"] == pytest.approx(0.75)
+
+
+def test_empty_relation_edge_cases(spark):
+    empty = spark.createDataFrame([], "id int, v double")
+    res = {r["name"]: r for r in validate(empty, [row_count(1), in_range("v", 0, 1)])}
+    assert not res["row_count>=1"]["passed"]
+    assert res["in_range(v,[0,1])>=1.0"]["passed"]  # vacuously true
+
+
+def test_null_metric_fails_not_crashes(spark):
+    # avg over all-null column -> null metric must count as failed
+    d = spark.createDataFrame([(None,), (None,)], "v double")
+    res = validate(d, [completeness("v", 0.5)])
+    assert res[0]["metric"] == 0.0 and not res[0]["passed"]
+
+
+def test_single_pass_plan(d):
+    """All checks compile into one aggregate — the physical plan has exactly
+    one HashAggregate pair (partial+final) and no extra jobs."""
+    import pyspark.sql.functions as F
+
+    checks = [completeness("email"), in_range("amount", 0, 100), *row_count(1)]
+    agg = d.agg(
+        *[c.metric.cast("double").alias(f"m{i}") for i, c in enumerate(checks)]
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") == 2  # partial + final, one pass
+
+
+def test_expect_raises_with_failures(d):
+    with pytest.raises(ValidationError, match="completeness"):
+        expect(d, [completeness("email", 0.99), row_count(1)])
+    # passing set returns results
+    assert expect(d, [row_count(1)])[0]["passed"]
