@@ -1,0 +1,86 @@
+"""JL random projection: linearity, determinism, norm preservation in
+expectation, neighbor preservation on a clustered corpus, and plan hygiene."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hive_serde_schema_gen_spark.operators.projection import random_projection
+from hive_serde_schema_gen_spark.plans.explain import assert_no_python_udf
+
+IN_DIM, OUT_DIM = 64, 32
+
+
+def _vecs_df(spark, arrs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(arrs)],
+        "vec_id int, embedding array<double>",
+    )
+
+
+def _project(spark, arrs, **kw):
+    d = _vecs_df(spark, arrs)
+    out = random_projection(d, out_dim=OUT_DIM, in_dim=IN_DIM, **kw).collect()
+    return {r["vec_id"]: np.array(r["embedding_rp"]) for r in out}
+
+
+def test_deterministic_and_identical_inputs_agree(spark):
+    rng = np.random.RandomState(0)
+    v = rng.randn(IN_DIM)
+    got = _project(spark, [v, v.copy()])
+    assert np.allclose(got[0], got[1])
+    again = _project(spark, [v])
+    assert np.allclose(got[0], again[0])
+    # a different seed gives a different projection
+    other = _project(spark, [v], seed="rp-v2")
+    assert not np.allclose(got[0], other[0])
+
+
+def test_linearity(spark):
+    rng = np.random.RandomState(1)
+    a, b = rng.randn(IN_DIM), rng.randn(IN_DIM)
+    got = _project(spark, [a, b, a + b])
+    assert np.allclose(got[0] + got[1], got[2], atol=1e-9)
+
+
+def test_norms_preserved_in_expectation(spark):
+    rng = np.random.RandomState(2)
+    arrs = [rng.randn(IN_DIM) for _ in range(50)]
+    got = _project(spark, arrs)
+    ratios = [
+        np.dot(got[i], got[i]) / np.dot(arrs[i], arrs[i]) for i in range(len(arrs))
+    ]
+    assert 0.85 <= float(np.mean(ratios)) <= 1.15  # E[ratio] = 1
+
+
+def test_neighbors_preserved_on_clustered_corpus(spark):
+    # 5 tight clusters: nearest neighbor after projection stays in-cluster
+    rng = np.random.RandomState(3)
+    centers = [rng.randn(IN_DIM) * 3 for _ in range(5)]
+    arrs, labels = [], []
+    for ci, c in enumerate(centers):
+        for _ in range(10):
+            arrs.append(c + rng.randn(IN_DIM) * 0.1)
+            labels.append(ci)
+    got = _project(spark, arrs)
+    ok = 0
+    for i in range(len(arrs)):
+        dists = [
+            (np.linalg.norm(got[i] - got[j]), labels[j])
+            for j in range(len(arrs))
+            if j != i
+        ]
+        ok += min(dists)[1] == labels[i]
+    assert ok / len(arrs) >= 0.95
+
+
+def test_keeps_other_columns_and_no_udf(spark):
+    d = spark.createDataFrame(
+        [(0, [1.0] * IN_DIM, "x")], "vec_id int, embedding array<double>, tag string"
+    )
+    out = random_projection(d, out_dim=4, in_dim=IN_DIM)
+    assert_no_python_udf(out)
+    row = out.collect()[0]
+    assert row["tag"] == "x" and len(row["embedding_rp"]) == 4
+    assert len(row["embedding"]) == IN_DIM  # original retained
