@@ -114,6 +114,16 @@ def _flatten(checks) -> list:
     return out
 
 
+def metrics_frame(df: DataFrame, checks) -> DataFrame:
+    """The ONE-row DataFrame of all check metrics (columns ``m0..mN``) —
+    the single aggregate pass ``validate`` collects; exposed so harnesses
+    (scale_check) can measure the pass without the driver round-trip."""
+    checks = _flatten(checks)
+    return df.agg(
+        *[c.metric.cast("double").alias(f"m{i}") for i, c in enumerate(checks)]
+    )
+
+
 def validate(df: DataFrame, checks) -> list:
     """Run all checks in one aggregate pass.  Returns a list of result dicts
     ``{name, metric, op, threshold, passed}`` (driver-side: the metrics row
@@ -121,9 +131,7 @@ def validate(df: DataFrame, checks) -> list:
     checks = _flatten(checks)
     if not checks:
         return []
-    row = df.agg(
-        *[c.metric.cast("double").alias(f"m{i}") for i, c in enumerate(checks)]
-    ).collect()[0]
+    row = metrics_frame(df, checks).collect()[0]
     results = []
     for i, c in enumerate(checks):
         m = row[f"m{i}"]

@@ -1,7 +1,9 @@
 """Scaling evidence for the dedup/corpus/curation paths: per-row cost across
 three decades of corpus size (500 → 5 000 → 50 000 docs) for MinHash+LSH,
 the composed corpus pipeline, substring-level duplicate spans, PII
-redaction, benchmark decontamination, repetition stats, and domain mixing.
+redaction, benchmark decontamination, repetition stats, domain mixing,
+line-level boilerplate stripping, mixture materialization (upsampling),
+and the single-pass validation suite.
 
 Two targets wrap their DataFrame in a filter referencing the computed
 columns: the harness forces evaluation with ``count()``, and ``count`` alone
@@ -84,6 +86,7 @@ def main() -> None:
 
     from hive_serde_schema_gen_spark.operators.corpus import corpus_pipeline
     from hive_serde_schema_gen_spark.operators.curation import (
+        materialize_mixture,
         ngram_contamination,
         redact_pii,
         repetition_stats,
@@ -92,6 +95,15 @@ def main() -> None:
     from hive_serde_schema_gen_spark.operators.dedup import (
         duplicate_spans,
         minhash_lsh_pairs,
+        strip_boilerplate_lines,
+    )
+    from hive_serde_schema_gen_spark.operators.validation import (
+        completeness,
+        in_range,
+        metrics_frame,
+        row_count,
+        satisfies,
+        uniqueness,
     )
     from hive_serde_schema_gen_spark.session import get_spark
     from hive_serde_schema_gen_spark.sources.tables import load_table
@@ -147,6 +159,29 @@ def main() -> None:
         # toy sparse model: the cost being measured is hashing + broadcast
         # join + per-doc mean, which is weight-independent
         "text_classifier_score": lambda s, d: _classifier(s, d),
+        # the synthetic docs have no newlines, so token-as-line (delim " ")
+        # exercises the worst-case explode fan-out: one posting per token,
+        # near-universal flag rate, full rebuild of every doc
+        "dedup_strip_boilerplate_lines": lambda s, d: strip_boilerplate_lines(
+            _docs(s, d), min_docs=3, delim=" "
+        ).filter("length(text) >= 0"),
+        # upsampling: rates > 1 so the explode actually replicates (count()
+        # cannot prune an explode — it determines the row count)
+        "curation_materialize_mixture": lambda s, d: materialize_mixture(
+            _docs(s, d), {f"src{i}": 1.0 + 0.1 * (i % 5) for i in range(20)}
+        ),
+        # 6 constraints in ONE aggregate pass; the filter keeps the
+        # metrics columns alive under count()
+        "validation_six_checks": lambda s, d: metrics_frame(
+            _docs(s, d),
+            [
+                completeness("text", 0.99),
+                uniqueness("doc_id"),
+                in_range("n_chars", 0, 10**6),
+                satisfies("length(text) > 0", 0.99),
+                *row_count(1),
+            ],
+        ).filter("m0 >= 0"),
     }
 
     if args.max_df is not None:
