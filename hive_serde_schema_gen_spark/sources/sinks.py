@@ -83,6 +83,45 @@ def write_curated(
     writer.parquet(path)
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 256,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a parquet dataset into ~``target_mb``-sized files — the
+    small-files compaction every long-lived ingest needs: a streaming or
+    frequently-appended table accretes thousands of KB-scale files, and at
+    100 TB the namenode/liststatus cost plus per-file open overhead starts
+    to dominate scans (the classic small-files problem).
+
+    Output file count = ceil(total_bytes / target): sizes come from the
+    filesystem via Hadoop's FileSystem API, so the same call works on
+    file://, hdfs:// and s3a:// paths.  With ``sort_by`` the rewrite
+    range-partitions + sorts on those keys (restoring the row-group
+    clustering appends destroyed — see ``extend_minhash_index``'s caveat);
+    without, a plain ``repartition`` balances bytes evenly.  Returns the
+    output file count.  Compact into a NEW path and swap atomically at the
+    catalog/manifest layer — compact-in-place over the live path is a
+    reader race."""
+    df = spark.read.parquet(src_path)
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(jconf).getFileStatus(p).getLen()
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode(mode).parquet(dst_path)
+    return n_out
+
+
 def zorder_value(
     df: DataFrame, cols: Sequence[str], n_bits: int = 8
 ) -> Column:

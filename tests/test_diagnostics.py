@@ -1,0 +1,96 @@
+"""Skew report + parquet compaction: correct hot-key math, distributed
+top-k plan, file-count targets, and clustering restoration."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from hive_serde_schema_gen_spark.operators.diagnostics import skew_report
+from hive_serde_schema_gen_spark.sources.sinks import compact_parquet
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 1: 600 rows; keys 2..101: 4 rows each → 1000 rows, 101 keys
+    rows = [(1, i) for i in range(600)] + [
+        (2 + (i % 100), i) for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "user_id int, x int")
+
+
+def test_skew_report_math(skewed):
+    rep = skew_report(skewed, "user_id", k=3, n_partitions=10).collect()
+    assert [r["rank"] for r in rep] == [1, 2, 3]
+    top = rep[0]
+    assert top["key"] == "1" and top["count"] == 600
+    assert top["share"] == pytest.approx(0.6)
+    # mean per-key count = 1000/101; 600 / that ≈ 60.6
+    assert top["skew_factor"] == pytest.approx(600 * 101 / 1000)
+    # avg partition = 1000/10 = 100 rows → key 1 needs 6 sub-keys
+    assert top["suggested_salt"] == 6
+    assert rep[1]["suggested_salt"] == 1  # cold keys need none
+
+
+def test_skew_report_multi_column(skewed):
+    # 1000 distinct values → perfectly uniform baseline column
+    d = skewed.withColumn(
+        "flat",
+        F.when(F.col("user_id") == 1, F.col("x")).otherwise(F.col("x") + 600),
+    )
+    rep = skew_report(d, ["user_id", "flat"], k=1, n_partitions=8).collect()
+    by_col = {r["column"]: r for r in rep}
+    assert by_col["user_id"]["skew_factor"] > 50
+    assert by_col["flat"]["skew_factor"] == pytest.approx(1.0)
+
+
+def test_skew_report_distributed_topk_plan(skewed):
+    rep = skew_report(skewed, "user_id", k=5)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # not a global single-part sort
+
+
+def test_compact_parquet_hits_target(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(20000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).repartition(64).write.parquet(src)
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) == 64
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(src, "*.parquet"))
+    )
+    target_mb = 1  # force a small-but-plural file count
+    n = compact_parquet(spark, src, dst, target_mb=target_mb)
+    assert n == -(-total // (1024 * 1024))
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(files) == n < 64
+    assert spark.read.parquet(dst).count() == 20000
+
+
+def test_compact_restores_clustering(spark, tmp_path):
+    src, dst = str(tmp_path / "s2"), str(tmp_path / "d2")
+    # append-shaped input: interleaved id ranges across many small files
+    # (high-entropy pad so parquet can't compress the bytes away and the
+    # compacted output spans multiple files at target_mb=1)
+    spark.range(30000).selectExpr(
+        "id", "repeat(md5(cast(id AS string)), 8) AS pad"
+    ).repartition(32).write.parquet(src)
+    compact_parquet(spark, src, dst, target_mb=1, sort_by=["id"])
+    # output files must be RANGE-DISJOINT on id (footer min/max don't overlap)
+    spans = []
+    for f in glob.glob(os.path.join(dst, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("id")
+        spans.append(
+            (
+                min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)),
+                max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)),
+            )
+        )
+    spans.sort()
+    assert len(spans) > 1
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
