@@ -182,7 +182,9 @@ def curate_and_prepare(
     max_dup_gram_frac: float | None = None,
     mix_rates: dict | None = None,
     redact: bool = False,
+    strip_boilerplate_min_docs: int | None = None,
     strip_dup_spans_k: int | None = None,
+    expectations: list | None = None,
     classifier_weights: dict | None = None,
     classifier_floor: float = 0.5,
     classifier_bias: float = 0.0,
@@ -193,8 +195,9 @@ def curate_and_prepare(
     — the complete RefinedWeb-shaped flow in one call:
 
         [domain mixing] → [repetition filter] → [benchmark decontamination]
-        → [substring dedup] → [learned quality filter] → [semantic dedup]
-        → [PII redaction] → quality → exact dedup → near-dup canonical
+        → [boilerplate line strip] → [substring dedup]
+        → [learned quality filter] → [semantic dedup] → [PII redaction]
+        → [validation gate] → quality → exact dedup → near-dup canonical
         → pack → split
 
     Every bracketed stage is opt-in and composes as a per-row filter, a
@@ -211,6 +214,10 @@ def curate_and_prepare(
     - ``mix_rates``: deterministic per-``source`` subsampling rates
       (``temperature_mix_rates(stratum_counts(d), alpha)`` produces the
       standard temperature-rebalanced map).
+    - ``strip_boilerplate_min_docs``: strip every line occurring in >= that
+      many distinct documents (``dedup.strip_boilerplate_lines`` — the
+      CCNet paragraph pass) before the finer-grained span dedup, so
+      navbars/footers don't masquerade as duplicated spans downstream.
     - ``strip_dup_spans_k``: remove every duplicated ≥k-token span except
       its globally-first occurrence (``strip_duplicate_spans`` — the
       Lee-et-al. pass) BEFORE downstream hashing, so digests/shingles/
@@ -227,6 +234,11 @@ def curate_and_prepare(
       downstream: paraphrases embed close but share few shingles.
     - ``redact``: scrub PII in the surviving text BEFORE dedup/packing, so
       the downstream digests and token counts see the redacted form.
+    - ``expectations``: ``operators.validation`` checks asserted against
+      the curated front-end output (one aggregate pass; raises
+      ``ValidationError``) — the guard that stops an over-aggressive
+      filter configuration from silently emptying the corpus before the
+      expensive dedup/pack stages run.
     """
     from .curation import (
         ngram_contamination,
@@ -269,6 +281,11 @@ def curate_and_prepare(
         )
         d = d.join(bad, "doc_id", "left_anti")
         dirty = True
+    if strip_boilerplate_min_docs is not None:
+        from .dedup import strip_boilerplate_lines
+
+        d = strip_boilerplate_lines(_cut(d), min_docs=strip_boilerplate_min_docs)
+        dirty = True
     if strip_dup_spans_k is not None:
         from .dedup import strip_duplicate_spans
 
@@ -307,13 +324,19 @@ def curate_and_prepare(
         d = redact_pii(d, with_counts=False)
         dirty = True
     if dirty and (
-        strip_dup_spans_k is not None
+        strip_boilerplate_min_docs is not None
+        or strip_dup_spans_k is not None
         or classifier_weights is not None
         or semantic_threshold is not None
         or redact
+        or expectations
     ):
         # Final cut before the manifest pipeline: it runs SEVERAL actions
         # (dedup, canonicalization, packing each materialize), and each
         # would otherwise re-execute the remaining front-end tail.
         d = d.localCheckpoint()
+    if expectations:
+        from .validation import expect
+
+        expect(d, expectations)
     return prepare_training_corpus(spark, sf_dir, docs=d, **prepare_kwargs)

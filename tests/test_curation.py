@@ -503,3 +503,32 @@ def test_materialize_no_python_udf(spark):
     from hive_serde_schema_gen_spark.plans.explain import assert_no_python_udf
 
     assert_no_python_udf(materialize_mixture(_mix_corpus(spark), {"wiki": 2.5}))
+
+
+def test_curate_and_prepare_boilerplate_and_expectations(spark, sf_dir):
+    from hive_serde_schema_gen_spark.operators.corpus import curate_and_prepare
+    from hive_serde_schema_gen_spark.operators.validation import (
+        ValidationError,
+        row_count,
+        uniqueness,
+    )
+
+    base = curate_and_prepare(spark, sf_dir, hash_fn="xxhash64")
+    out = curate_and_prepare(
+        spark,
+        sf_dir,
+        strip_boilerplate_min_docs=5,
+        expectations=[row_count(10), uniqueness("doc_id", approx=False)],
+        hash_fn="xxhash64",
+    )
+    # the synthetic docs are single-line; min_docs=5 flags whole-doc texts
+    # shared by >=5 docs, so the stage can only shrink the survivor set
+    assert 0 < out.count() <= base.count()
+
+    with pytest.raises(ValidationError, match="row_count"):
+        curate_and_prepare(
+            spark,
+            sf_dir,
+            expectations=[row_count(10**9)],
+            hash_fn="xxhash64",
+        )
