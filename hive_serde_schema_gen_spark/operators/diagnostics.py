@@ -82,3 +82,77 @@ def skew_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _mg_summaries(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries: <= ``capacity`` (key, cnt) rows
+    per partition, where ``cnt`` UNDER-estimates the partition-local count
+    by at most ``n_partition / capacity`` — the classic bound, so every key
+    with partition frequency above that error survives.  Arrow-batched:
+    pandas ``value_counts`` per batch (vectorized), one decrement-compact
+    whenever the counter set overflows 4× capacity."""
+    import pandas as pd
+
+    def summarize(batches):
+        cnt = None
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            cnt = vc if cnt is None else cnt.add(vc, fill_value=0)
+            if len(cnt) > 4 * capacity:
+                thresh = cnt.nlargest(capacity + 1).iloc[-1]
+                cnt = cnt - thresh
+                cnt = cnt[cnt > 0]
+        if cnt is None or cnt.empty:
+            return
+        if len(cnt) > capacity:
+            thresh = cnt.nlargest(capacity + 1).iloc[-1]
+            cnt = cnt - thresh
+            cnt = cnt[cnt > 0]
+        yield pd.DataFrame(
+            {"key": cnt.index.astype(str), "cnt": cnt.values.astype("int64")}
+        )
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, "key string, cnt long"
+    )
+
+
+def frequent_items(
+    df: DataFrame, col: str, k: int = 20, capacity: int = 4096
+) -> DataFrame:
+    """EXACT top-``k`` most frequent values of ``col`` with bounded shuffle —
+    the heavy-hitters operator for key spaces too large to groupBy whole
+    (every distinct n-gram / URL / token of a 100-TB corpus).
+
+    A plain ``groupBy(col).count()`` shuffles the ENTIRE distinct key space;
+    this instead runs two scans and shuffles almost nothing:
+
+    1. Per-partition Misra–Gries summaries (``capacity`` rows each, Arrow-
+       batched) → merge lower bounds → top ``4k`` candidate keys.  Any key
+       with global frequency > N/capacity is guaranteed present in the
+       merged summaries; candidates can only miss a true top-k key if more
+       than 4k keys out-bound it — raise ``capacity`` (tighter bounds)
+       or the candidate multiple if the head of your distribution is that
+       flat.
+    2. Exact verification: broadcast the candidate keys, filtered
+       groupBy-count (map-side combined over <= 4k keys), exact top-k.
+
+    Returns ``(key, count)`` with EXACT counts, ordered desc.  The driver
+    holds <= 4k candidate keys; the shuffles carry <= capacity·partitions
+    and <= 4k rows respectively."""
+    cand = (
+        _mg_summaries(df, col, capacity)
+        .groupBy("key")
+        .agg(F.sum("cnt").alias("lower"))
+        .orderBy(F.desc("lower"), "key")
+        .limit(4 * k)
+        .select("key")
+    )
+    return (
+        df.select(F.col(col).cast("string").alias("key"))
+        .join(F.broadcast(cand), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "key")
+        .limit(k)
+    )

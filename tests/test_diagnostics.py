@@ -94,3 +94,69 @@ def test_compact_restores_clustering(spark, tmp_path):
     spans.sort()
     assert len(spans) > 1
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (Misra-Gries summaries + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_items_matches_exact_topk(spark):
+    import random
+
+    from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+
+    rng = random.Random(11)
+    # zipf-ish: key i drawn proportionally to 1/(i+1)
+    keys = [f"k{i}" for i in range(200)]
+    weights = [1.0 / (i + 1) for i in range(200)]
+    rows = [(rng.choices(keys, weights)[0],) for _ in range(20000)]
+    d = spark.createDataFrame(rows, "v string").repartition(8)
+
+    got = [(r["key"], r["count"]) for r in frequent_items(d, "v", k=10).collect()]
+    exact = [
+        (r["v"], r["n"])
+        for r in d.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "v")
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_frequent_items_tiny_capacity_still_finds_dominant(spark):
+    from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+
+    # one key = 50% of rows, the rest spread over 5000 distinct keys;
+    # capacity 64 per partition is far below the distinct count but far
+    # above N/freq for the dominant key
+    rows = [("hot",) if i % 2 == 0 else (f"cold{i}",) for i in range(10000)]
+    d = spark.createDataFrame(rows, "v string").repartition(8)
+    got = frequent_items(d, "v", k=1, capacity=64).collect()
+    assert got[0]["key"] == "hot" and got[0]["count"] == 5000
+
+
+def test_frequent_items_plan_shape(spark):
+    from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+    from hive_serde_schema_gen_spark.plans.explain import (
+        assert_no_python_udf,
+        explain_str,
+    )
+
+    d = spark.createDataFrame([("a",), ("b",), ("a",)], "v string")
+    out = frequent_items(d, "v", k=2)
+    plan = explain_str(out)
+    assert "MapInPandas" in plan  # Arrow-batched summaries, by design
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert_no_python_udf(out)  # no row-at-a-time Python eval nodes
+
+
+def test_frequent_items_nulls_ignored(spark):
+    from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+
+    d = spark.createDataFrame(
+        [("x",), (None,), ("x",), (None,), ("y",)], "v string"
+    )
+    got = [(r["key"], r["count"]) for r in frequent_items(d, "v", k=5).collect()]
+    assert got == [("x", 2), ("y", 1)]
