@@ -284,6 +284,37 @@ def materialize_mixture(
     )
 
 
+def take_per_stratum(
+    d: DataFrame,
+    k: int,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "take-v1",
+) -> DataFrame:
+    """EXACTLY ``min(k, n_s)`` rows per stratum, chosen deterministically —
+    the eval-set / human-review sampler (rate-based ``stratified_sample``
+    can't promise exact counts; this can).  Selection order is
+    ``xxhash64(salt, key)``: a pure function of the key, so the sample is
+    stable across runs/retries, changing ``k`` only extends or truncates
+    the same ordering (nested samples: the k=100 set contains the k=50
+    set), and adding rows to OTHER strata never disturbs a stratum's pick.
+
+    One window shuffle partitioned by stratum.  Skew note: the window sorts
+    each stratum's rows within one partition — fine for the low-cardinality
+    strata this is meant for; for a giant stratum, pre-filter with
+    ``stratified_sample`` at a rate that overshoots k, then take exactly."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy(
+        F.xxhash64(F.lit(salt), F.col(key_col)), key_col
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stratum_counts(d: DataFrame, stratum_col: str = "source") -> dict:
     """Per-stratum row counts as a driver dict (input to
     :func:`temperature_mix_rates`).  One map-side-combined groupBy over a

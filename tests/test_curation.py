@@ -532,3 +532,25 @@ def test_curate_and_prepare_boilerplate_and_expectations(spark, sf_dir):
             expectations=[row_count(10**9)],
             hash_fn="xxhash64",
         )
+
+
+def test_take_per_stratum_exact_nested_stable(spark):
+    from hive_serde_schema_gen_spark.operators.curation import take_per_stratum
+
+    d = _mix_corpus(spark, n=400)  # 100 wiki / 300 web
+    s50 = take_per_stratum(d, 50)
+    counts = {r["source"]: r["n"] for r in s50.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"wiki": 50, "web": 50}
+    # exact even when k exceeds a stratum
+    tiny = take_per_stratum(d.filter("doc_id < 10"), 50)
+    assert tiny.count() == 10
+    # deterministic + nested: the k=20 pick is a subset of the k=50 pick
+    ids50 = {r["doc_id"] for r in s50.collect()}
+    ids20 = {r["doc_id"] for r in take_per_stratum(d, 20).collect()}
+    assert ids20 < ids50
+    assert {r["doc_id"] for r in take_per_stratum(d, 50).collect()} == ids50
+    # adding rows to web never disturbs wiki's pick
+    wiki50 = {i for i in ids50 if i % 4 == 0}
+    d2 = d.union(spark.createDataFrame([(10_000 + i, "web", "x") for i in range(100)], d.schema))
+    ids2 = {r["doc_id"] for r in take_per_stratum(d2, 50).collect() if r["source"] == "wiki"}
+    assert ids2 == wiki50

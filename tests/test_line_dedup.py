@@ -140,3 +140,56 @@ def test_matches_brute_force_oracle(spark):
 def test_no_python_udf(corpus):
     assert_no_python_udf(strip_boilerplate_lines(corpus))
     assert_no_python_udf(boilerplate_lines(corpus))
+
+
+def test_strip_boilerplate_property_random_corpora(spark):
+    """Property check vs a brute-force oracle: random multi-line corpora
+    over a 4-line alphabet (high collision pressure), both keep-first and
+    drop-all modes.  Few examples — each is a Spark job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.sampled_from(["p", "q", "r", ""])  # includes empty lines
+    doc = st.lists(line, min_size=1, max_size=5)
+    corpus_strat = st.lists(doc, min_size=1, max_size=5)
+
+    def brute(corpus, keep_first):
+        from collections import defaultdict
+
+        per_line = defaultdict(list)  # line -> [(doc, line_no)] in order
+        for d in sorted(corpus):
+            for i, ln in enumerate(corpus[d]):
+                if ln.strip():
+                    per_line[ln.strip()].append((d, i))
+        flagged = set()
+        for occs in per_line.values():
+            if len({d for d, _ in occs}) >= 2:
+                keep = {min(occs)} if keep_first else set()
+                flagged |= set(occs) - keep
+        return {
+            d: "\n".join(
+                ln
+                for i, ln in enumerate(lines)
+                if (d, i) not in flagged
+            )
+            for d, lines in corpus.items()
+        }
+
+    @settings(max_examples=12, deadline=None)
+    @given(corpus_strat)
+    def check(docs_lines):
+        corpus = {i + 1: lines for i, lines in enumerate(docs_lines)}
+        df = _docs(
+            spark, [(d, "\n".join(lines)) for d, lines in corpus.items()]
+        )
+        for keep_first in (False, True):
+            got = {
+                r["doc_id"]: r["text"]
+                for r in strip_boilerplate_lines(
+                    df, min_docs=2, keep_first=keep_first
+                ).collect()
+            }
+            want = brute(corpus, keep_first)
+            assert got == want, (corpus, keep_first, got, want)
+
+    check()
