@@ -520,3 +520,62 @@ def classifier_score(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
         )
     )
+
+
+def normalize_text(
+    d,
+    text_col: str = "text",
+    lowercase: bool = True,
+    nfc: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> DataFrame:
+    """Canonical text normalization BEFORE any hashing stage (exact dedup,
+    shingles, k-gram postings, line hashing): byte-wise-distinct renderings
+    of the same text — CRLF vs LF, tab runs, zero-width junk, case, NFD vs
+    NFC accents — must collapse to one form, or every downstream digest
+    treats them as different documents and dedup recall silently drops.
+
+    Steps, in fixed order, replacing ``text_col`` in place:
+
+    1. ``strip_control``: drop C0/C1 control characters (except newline,
+       carriage return — step 2 owns line endings — and tab) and zero-width
+       code points (ZWSP/ZWNJ/ZWJ/BOM) — one codegen'd ``regexp_replace``.
+    2. ``collapse_whitespace``: CRLF/CR → LF, runs of spaces/tabs → one
+       space, trim each line's edges — codegen'd ``regexp_replace`` chain
+       (no split/rejoin, so the pass stays allocation-light).
+    3. ``lowercase``: ``F.lower``.
+    4. ``nfc`` (opt-in): Unicode NFC composition.  Spark SQL has no
+       normalization builtin, so this one step is an Arrow-batched
+       ``mapInPandas`` over vectorized ``pandas .str.normalize("NFC")`` —
+       the documented exception to the codegen-only rule here; leave it
+       off when inputs are known-composed (most crawls after WARC
+       extraction are).
+
+    Narrow transformation(s) only — no shuffle in any configuration; at
+    100 TB this runs at scan speed fused into whatever stage follows."""
+    c = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(
+            c,
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u0080-\\u009F\\u200B-\\u200D\\uFEFF]",
+            "",
+        )
+    if collapse_whitespace:
+        c = F.regexp_replace(c, "\\r\\n?", "\n")
+        c = F.regexp_replace(c, "[ \\t]+", " ")
+        c = F.regexp_replace(c, " ?\\n ?", "\n")
+        c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    out = d.withColumn(text_col, c)
+    if nfc:
+        schema = out.schema
+
+        def _nfc(batches):
+            for pdf in batches:
+                pdf[text_col] = pdf[text_col].str.normalize("NFC")
+                yield pdf
+
+        out = out.mapInPandas(_nfc, schema)
+    return out
