@@ -84,3 +84,46 @@ def test_keeps_other_columns_and_no_udf(spark):
     row = out.collect()[0]
     assert row["tag"] == "x" and len(row["embedding_rp"]) == 4
     assert len(row["embedding"]) == IN_DIM  # original retained
+
+
+def test_projection_feeds_brute_force_ann(spark, sf_dir):
+    """End-to-end on the driver-shipped embeddings: top-10 neighbors in
+    32-dim projection space vs full 64-dim cosine.  This corpus is
+    near-isotropic (the ANN sweep notes record cand_frac ≈ 0.33 as a
+    corpus property), so top-10 similarity gaps are tiny and rank overlap
+    after halving the dimension is modest BY THE MATH (ε ≈ √(ln n / k) ≈
+    0.44) — the assertion is "an order of magnitude above chance"
+    (random recall@10 over 500 vectors ≈ 0.02), not high recall; the
+    clustered-corpus test above covers the structured case where JL
+    projection is actually the right tool."""
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    from pyspark.sql import functions as F
+
+    proj = random_projection(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        out_dim=32,
+        in_dim=64,
+    ).collect()
+    pvecs = {r["vec_id"]: np.array(r["embedding_rp"]) for r in proj}
+
+    def topk(space, q, k=10):
+        def cos(a, b):
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        return {
+            i
+            for i, _ in sorted(
+                ((i, cos(space[q], v)) for i, v in space.items() if i != q),
+                key=lambda t: -t[1],
+            )[:k]
+        }
+
+    qs = sorted(vecs)[:20]
+    recall = sum(
+        len(topk(vecs, q) & topk(pvecs, q)) / 10 for q in qs
+    ) / len(qs)
+    assert recall >= 0.1, recall  # ~5-10× the 0.02 chance floor
