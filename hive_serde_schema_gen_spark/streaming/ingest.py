@@ -1,0 +1,81 @@
+"""Continuous-ingest dedup against the PERSISTED MinHash index — the
+production composition of ``operators/dedup_index.py`` with Structured
+Streaming: every micro-batch probes the on-disk index, keeps only novel
+documents, appends the survivors to BOTH the curated output and the index,
+so later batches (and later days) dedup against everything ever accepted.
+
+This is the third leg of the dedup-family stool:
+
+- batch:      ``dedup.minhash_lsh_pairs`` (corpus self-join)
+- streaming:  ``streaming/dedup.py`` (state within a watermark horizon)
+- ingest:     THIS — unbounded history at O(batch) cost per batch, because
+  the history lives in the index artifact, not in streaming state.
+
+Idempotence under replay (foreachBatch is at-least-once): the curated
+output is written as a deterministic per-epoch directory with overwrite —
+a replayed epoch rewrites the same files (the ``exactly_once`` sink
+recipe).  Index appends ARE duplicated by a replay, deliberately: duplicate
+band/sig rows are semantically harmless (the probe's candidate `distinct`
+collapses them; signature rows per doc are identical copies), so the index
+stays correct and the occasional duplicate row is reclaimed by the next
+``build_minhash_index`` compaction — cheaper than a transactional ledger
+on the hot ingest path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import keep_first_per_content
+from ..operators.dedup_index import (
+    dedup_against_index,
+    extend_minhash_index,
+    novel_docs,
+)
+
+
+def start_ingest_dedup(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    intra_batch: bool = True,
+    query_name: str = "ingest_dedup",
+):
+    """Start the ingest query over an input ``stream`` of (doc_id, text, …)
+    rows.  Returns the StreamingQuery.
+
+    Per micro-batch: [intra-batch exact dedup] → index probe (broadcast
+    batch, index never shuffles) → novel survivors → epoch-dir write +
+    index extend.  ``intra_batch`` keeps the smallest-id copy of exact
+    duplicates WITHIN one batch (two copies arriving together are both
+    absent from the index — the probe alone cannot see them); intra-batch
+    NEAR-dups are likewise invisible to the probe until the next batch —
+    when they matter, run the batch verifier over the (small) novel set
+    in-line before the write, at O(novel²_bounded-by-LSH) cost."""
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint()  # reused by probe + anti-join
+        if intra_batch:
+            batch = keep_first_per_content(batch).localCheckpoint()
+        matches = dedup_against_index(batch, index_path)
+        novel = novel_docs(batch, matches).localCheckpoint()
+        # deterministic per-epoch dir + overwrite = replay-idempotent
+        novel.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        extend_minhash_index(novel, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def read_ingested(spark, out_path: str) -> DataFrame:
+    """The accepted corpus across all epochs (epoch dirs are hive-style
+    partitions, so readers can also prune by epoch range)."""
+    return spark.read.option("basePath", out_path).parquet(f"{out_path}/epoch=*")

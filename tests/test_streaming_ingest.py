@@ -1,0 +1,115 @@
+"""Continuous-ingest dedup: micro-batches probe the persisted index, novel
+docs land in epoch dirs AND extend the index, duplicates (of the base
+corpus, of earlier batches, and within one batch) never land."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hive_serde_schema_gen_spark.operators.dedup_index import build_minhash_index
+from hive_serde_schema_gen_spark.streaming.ingest import (
+    read_ingested,
+    start_ingest_dedup,
+)
+
+BASE = " ".join(f"base{i}" for i in range(12))
+NEW1 = " ".join(f"n1w{i}" for i in range(12))
+NEW2 = " ".join(f"n2w{i}" for i in range(12))
+NEAR_BASE = BASE + " tail"  # near-dup of the indexed base doc
+
+
+def _write(path, rows):
+    ids, texts = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+@pytest.fixture()
+def dirs():
+    root = tempfile.mkdtemp(prefix="ingest_dedup_")
+    d = {
+        n: os.path.join(root, n)
+        for n in ("in", "index", "out", "chk")
+    }
+    os.makedirs(d["in"])
+    yield d
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ingest_dedup_end_to_end(spark, dirs):
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    build_minhash_index(corpus, dirs["index"], n_files=2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["in"])
+    )
+    q = start_ingest_dedup(
+        stream,
+        dirs["index"],
+        dirs["out"],
+        dirs["chk"],
+        query_name=f"ingest_{int(time.time() * 1000)}",
+    )
+    try:
+        # batch 1: novel doc + exact copy of the indexed base + an
+        # intra-batch exact duplicate pair
+        _write(
+            os.path.join(dirs["in"], "b1.parquet"),
+            [(101, NEW1), (102, BASE), (103, NEW2), (104, NEW2)],
+        )
+        q.processAllAvailable()
+        # batch 2: near-dup of base, exact copy of batch-1's NEW1 (only in
+        # the index via the extend), and one genuinely novel doc
+        _write(
+            os.path.join(dirs["in"], "b2.parquet"),
+            [(201, NEAR_BASE), (202, NEW1), (203, "fresh unseen words entirely")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"] for r in read_ingested(spark, dirs["out"]).collect()}
+    assert got == {101, 103, 203}
+
+    # the survivors are now all in the index: re-probing any of them flags
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        dedup_against_index,
+    )
+
+    probe = spark.createDataFrame(
+        [(301, NEW2), (302, "fresh unseen words entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_id"], r["matched_doc_id"])
+        for r in dedup_against_index(probe, dirs["index"]).collect()
+    }
+    assert pairs == {(301, 103), (302, 203)}
+
+
+def test_epoch_dirs_are_replay_idempotent(spark, dirs):
+    """Rewriting an epoch dir (what a foreachBatch replay does) leaves the
+    read-side union unchanged."""
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    build_minhash_index(corpus, dirs["index"], n_files=2)
+    d = spark.createDataFrame([(7, NEW1)], "doc_id long, text string")
+    for _ in range(2):  # the "replay"
+        d.write.mode("overwrite").parquet(f"{dirs['out']}/epoch=0")
+    got = read_ingested(spark, dirs["out"]).collect()
+    assert [r["doc_id"] for r in got] == [7]
