@@ -84,6 +84,66 @@ def skew_report(
     return out
 
 
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+
+
+def column_profile(df: DataFrame, cols=None) -> list:
+    """One-pass column profiling (the Deequ-profiles step that decides which
+    ``validation`` checks to pin): per column — type, null count/fraction,
+    approx distinct (HyperLogLog), min/max, and for numerics mean, stddev,
+    p50/p95 (``percentile_approx``).
+
+    ALL columns profile in ONE map-side-combined aggregate pass regardless
+    of count — the profile row is O(columns), so collecting it is driver-
+    bounded at any data size.  String min/max are computed on length (the
+    lexicographic min of a text column is rarely the question; its length
+    envelope — think VARCHAR sizing, the Layer-A question — is)."""
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if cols is None:
+        cols = list(fields)
+    aggs, layout = [], []
+    for i, c in enumerate(cols):
+        t = fields[c]
+        num = any(t.startswith(p) for p in _NUMERIC)
+        v = F.col(c) if num else F.length(F.col(c).cast("string"))
+        pre = f"c{i}"
+        aggs += [
+            F.count(F.lit(1)).alias(f"{pre}_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{pre}_nulls"),
+            F.approx_count_distinct(c).alias(f"{pre}_distinct"),
+            F.min(v).cast("double").alias(f"{pre}_min"),
+            F.max(v).cast("double").alias(f"{pre}_max"),
+            F.avg(v).cast("double").alias(f"{pre}_mean"),
+            F.stddev(v).cast("double").alias(f"{pre}_stddev"),
+            F.percentile_approx(v, 0.5).cast("double").alias(f"{pre}_p50"),
+            F.percentile_approx(v, 0.95).cast("double").alias(f"{pre}_p95"),
+        ]
+        layout.append((c, t, num, pre))
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c, t, num, pre in layout:
+        rows = row[f"{pre}_rows"]
+        nulls = row[f"{pre}_nulls"] or 0
+        out.append(
+            {
+                "column": c,
+                "type": t,
+                "rows": rows,
+                "nulls": nulls,
+                "null_frac": (nulls / rows) if rows else 0.0,
+                "approx_distinct": row[f"{pre}_distinct"],
+                "measured": "value" if num else "length",
+                "min": row[f"{pre}_min"],
+                "max": row[f"{pre}_max"],
+                "mean": row[f"{pre}_mean"],
+                "stddev": row[f"{pre}_stddev"],
+                "p50": row[f"{pre}_p50"],
+                "p95": row[f"{pre}_p95"],
+            }
+        )
+    return out
+
+
 def _mg_summaries(df: DataFrame, col: str, capacity: int) -> DataFrame:
     """Per-partition Misra–Gries summaries: <= ``capacity`` (key, cnt) rows
     per partition, where ``cnt`` UNDER-estimates the partition-local count

@@ -160,3 +160,48 @@ def test_frequent_items_nulls_ignored(spark):
     )
     got = [(r["key"], r["count"]) for r in frequent_items(d, "v", k=5).collect()]
     assert got == [("x", 2), ("y", 1)]
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (one aggregate pass)
+# ---------------------------------------------------------------------------
+
+
+def test_column_profile_values(spark):
+    from hive_serde_schema_gen_spark.operators.diagnostics import column_profile
+
+    d = spark.createDataFrame(
+        [(1, 10.0, "aa"), (2, 20.0, "bbbb"), (3, None, None), (4, 40.0, "cc")],
+        "id int, v double, s string",
+    )
+    prof = {p["column"]: p for p in column_profile(d)}
+    assert prof["id"]["rows"] == 4 and prof["id"]["nulls"] == 0
+    assert prof["id"]["min"] == 1.0 and prof["id"]["max"] == 4.0
+    assert prof["v"]["nulls"] == 1 and prof["v"]["null_frac"] == 0.25
+    assert prof["v"]["mean"] == pytest.approx(70 / 3)
+    assert prof["v"]["measured"] == "value"
+    # strings profile LENGTH
+    assert prof["s"]["measured"] == "length"
+    assert prof["s"]["min"] == 2.0 and prof["s"]["max"] == 4.0
+    assert 2 <= prof["s"]["approx_distinct"] <= 4
+
+
+def test_column_profile_single_pass_plan(spark):
+    from hive_serde_schema_gen_spark.operators.diagnostics import _NUMERIC  # noqa
+
+    # the profile of N columns must be ONE aggregate job: assert by plan on
+    # the same expression set column_profile builds
+    d = spark.createDataFrame([(1, "x")], "a int, b string")
+    agg = d.agg(
+        F.count(F.lit(1)), F.approx_count_distinct("a"), F.percentile_approx("a", 0.5)
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 2
+
+
+def test_column_profile_empty_frame(spark):
+    from hive_serde_schema_gen_spark.operators.diagnostics import column_profile
+
+    d = spark.createDataFrame([], "x int")
+    p = column_profile(d)[0]
+    assert p["rows"] == 0 and p["null_frac"] == 0.0
