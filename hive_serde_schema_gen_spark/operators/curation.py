@@ -354,6 +354,48 @@ def extract_urls(
     )
 
 
+def canonical_url(col) -> F.Column:
+    """Canonical form of a URL column — the normalization before URL-keyed
+    dedup or crawl-frontier joins, where ``HTTP://Example.com:80/a?b=2&a=1#x``
+    and ``http://example.com/a?a=1&b=2`` must hash identically:
+
+    - scheme and host lowercased (path/query case is preserved — it is
+      significant on most servers);
+    - fragment dropped; default ports (``:80`` http / ``:443`` https)
+      dropped; empty path → ``/``;
+    - query parameters sorted (``split('&') → array_sort → array_join``,
+      the standard order-insensitive canonicalization).
+
+    Pure codegen'd regexp/array expressions — usable inside any filter,
+    groupBy key, or join condition at scan speed.  Values that don't look
+    like absolute URLs pass through trimmed-but-unchanged rather than
+    corrupted."""
+    c = F.regexp_replace(F.trim(col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+        ),
+    )
+    return F.when(scheme == "", F.trim(col)).otherwise(canon)
+
+
 def domain_stats(
     d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

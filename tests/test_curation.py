@@ -554,3 +554,26 @@ def test_take_per_stratum_exact_nested_stable(spark):
     d2 = d.union(spark.createDataFrame([(10_000 + i, "web", "x") for i in range(100)], d.schema))
     ids2 = {r["doc_id"] for r in take_per_stratum(d2, 50).collect() if r["source"] == "wiki"}
     assert ids2 == wiki50
+
+
+def test_canonical_url(spark):
+    from hive_serde_schema_gen_spark.operators.curation import canonical_url
+    from hive_serde_schema_gen_spark.plans.explain import assert_no_python_udf
+
+    cases = [
+        # variants of one resource all collapse to one canonical form
+        ("HTTP://Example.com:80/a?b=2&a=1#frag", "http://example.com/a?a=1&b=2"),
+        ("http://example.com/a?a=1&b=2", "http://example.com/a?a=1&b=2"),
+        ("https://Example.COM:443/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        # path case is preserved; non-default port kept
+        ("https://h.io:8443/CaseSensitive", "https://h.io:8443/CaseSensitive"),
+        # non-URL passes through trimmed
+        ("  not a url  ", "not a url"),
+    ]
+    d = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
+    out = d.select("i", canonical_url(F.col("u")).alias("c"))
+    assert_no_python_udf(out)
+    got = {r["i"]: r["c"] for r in out.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
