@@ -354,6 +354,56 @@ def extract_urls(
     )
 
 
+def semantic_contamination(
+    emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    bench_id_col: str = "bench_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling of
+    :func:`ngram_contamination`: flag corpus vectors whose cosine with ANY
+    benchmark vector reaches ``threshold`` (paraphrased eval items share
+    few n-grams but embed close; a pipeline runs BOTH filters).
+
+    Returns ``(vec_id, max_bench_sim, nearest_bench_id)`` for flagged
+    vectors only; callers ``left_anti`` on ``vec_id`` to drop them.
+
+    Scale shape: the benchmark side is BROADCAST (eval sets are thousands
+    of rows; the corpus is the big side) — the corpus never shuffles for
+    candidate generation, the per-(doc, bench) similarities are computed
+    map-side and collapse to one row per doc in a partial max before the
+    one O(flagged docs)-sized aggregate shuffle.  Norms are precomputed
+    per side so the inner loop is one fold per pair, and the doc-side
+    norm is computed once per row, not once per benchmark pair."""
+    from ..functions.vector import dot, l2_norm
+
+    b = F.broadcast(
+        bench_emb.select(
+            F.col(id_col).alias(bench_id_col),
+            F.col(emb_col).alias("__bemb"),
+            l2_norm(emb_col).alias("__bnorm"),
+        )
+    )
+    e = emb.select(
+        id_col, F.col(emb_col).alias("__demb"), l2_norm(emb_col).alias("__dnorm")
+    )
+    sim = dot("__demb", "__bemb") / (F.col("__dnorm") * F.col("__bnorm"))
+    return (
+        e.crossJoin(b)
+        .select(id_col, sim.alias("__sim"), F.col(bench_id_col))
+        .groupBy(id_col)
+        .agg(F.max(F.struct("__sim", bench_id_col)).alias("__m"))
+        .select(
+            id_col,
+            F.col(f"__m.__sim").alias("max_bench_sim"),
+            F.col(f"__m.{bench_id_col}").alias("nearest_bench_id"),
+        )
+        .filter(F.col("max_bench_sim") >= threshold)
+    )
+
+
 def canonical_url(col) -> F.Column:
     """Canonical form of a URL column — the normalization before URL-keyed
     dedup or crawl-frontier joins, where ``HTTP://Example.com:80/a?b=2&a=1#x``

@@ -577,3 +577,38 @@ def test_canonical_url(spark):
     got = {r["i"]: r["c"] for r in out.collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_semantic_contamination(spark, sf_dir):
+    import numpy as np
+
+    from hive_serde_schema_gen_spark.operators.curation import (
+        semantic_contamination,
+    )
+    from hive_serde_schema_gen_spark.plans.explain import explain_str
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    # benchmark = 3 corpus vectors verbatim + 1 slightly perturbed copy
+    ids = sorted(vecs)[:4]
+    bench = [
+        (100 + i, (vecs[v] + (0.001 * (i == 3))).tolist()) for i, v in enumerate(ids)
+    ]
+    b = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+
+    flagged = semantic_contamination(e, b, threshold=0.999)
+    got = {r["vec_id"]: r for r in flagged.collect()}
+    assert set(got) == set(ids)
+    for i, v in enumerate(ids):
+        assert got[v]["nearest_bench_id"] == 100 + i
+        assert got[v]["max_bench_sim"] >= 0.999
+    # oracle: numpy max-cos for one flagged vector
+    bm = {bid: np.array(emb) for bid, emb in bench}
+    def cos(a, c):
+        return float(np.dot(a, c) / (np.linalg.norm(a) * np.linalg.norm(c)))
+    want = max(cos(vecs[ids[0]], c) for c in bm.values())
+    assert got[ids[0]]["max_bench_sim"] == pytest.approx(want, abs=1e-9)
+    # scale posture: the benchmark side broadcasts
+    assert "Broadcast" in explain_str(flagged)
