@@ -179,6 +179,8 @@ def curate_and_prepare(
     benchmark: DataFrame | None = None,
     contamination_frac: float = 0.5,
     contamination_n: int = 8,
+    benchmark_emb: DataFrame | None = None,
+    semantic_contamination_threshold: float = 0.95,
     max_dup_gram_frac: float | None = None,
     mix_rates: dict | None = None,
     redact: bool = False,
@@ -195,7 +197,8 @@ def curate_and_prepare(
     — the complete RefinedWeb-shaped flow in one call:
 
         [domain mixing] → [repetition filter] → [benchmark decontamination]
-        → [boilerplate line strip] → [substring dedup]
+        → [semantic decontamination] → [boilerplate line strip]
+        → [substring dedup]
         → [learned quality filter] → [semantic dedup] → [PII redaction]
         → [validation gate] → quality → exact dedup → near-dup canonical
         → pack → split
@@ -209,6 +212,11 @@ def curate_and_prepare(
     - ``benchmark`` + ``contamination_frac``: drop documents whose shared
       ``contamination_n``-gram fraction with ANY benchmark item reaches the
       threshold (eval-set leakage).
+    - ``benchmark_emb`` (+ ``semantic_contamination_threshold``): ALSO drop
+      documents whose embedding is within cosine threshold of any
+      benchmark embedding (``curation.semantic_contamination`` — catches
+      the paraphrased leakage the n-gram filter misses; doc_id ≡ vec_id,
+      docs without an embeddings row pass through).
     - ``max_dup_gram_frac``: drop template/boilerplate docs whose
       intra-document duplicate-trigram fraction exceeds the cap.
     - ``mix_rates``: deterministic per-``source`` subsampling rates
@@ -279,6 +287,15 @@ def curate_and_prepare(
             .select("doc_id")
             .distinct()
         )
+        d = d.join(bad, "doc_id", "left_anti")
+        dirty = True
+    if benchmark_emb is not None:
+        from .curation import semantic_contamination
+
+        e = load_table(spark, sf_dir, "embeddings")
+        bad = semantic_contamination(
+            e, benchmark_emb, threshold=semantic_contamination_threshold
+        ).select(F.col("vec_id").alias("doc_id"))
         d = d.join(bad, "doc_id", "left_anti")
         dirty = True
     if strip_boilerplate_min_docs is not None:

@@ -612,3 +612,30 @@ def test_semantic_contamination(spark, sf_dir):
     assert got[ids[0]]["max_bench_sim"] == pytest.approx(want, abs=1e-9)
     # scale posture: the benchmark side broadcasts
     assert "Broadcast" in explain_str(flagged)
+
+
+def test_curate_and_prepare_semantic_decontamination(spark, sf_dir):
+    from hive_serde_schema_gen_spark.operators.corpus import curate_and_prepare
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # benchmark = verbatim copies of two corpus embeddings
+    bench = e.filter("vec_id IN (0, 1)").selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    )
+    base = curate_and_prepare(spark, sf_dir, hash_fn="xxhash64")
+    out = curate_and_prepare(
+        spark,
+        sf_dir,
+        benchmark_emb=bench,
+        semantic_contamination_threshold=0.999,
+        hash_fn="xxhash64",
+    )
+    base_ids = {r["doc_id"] for r in base.collect()}
+    out_ids = {r["doc_id"] for r in out.collect()}
+    # flagged docs vanish; every other base survivor remains.  (Strict
+    # equality would be wrong: dropping a flagged doc can PROMOTE one of
+    # its near-dups to canonical downstream, adding it to the output.)
+    assert {0, 1} & out_ids == set()
+    assert {0, 1} & base_ids != set()  # the filter actually changed something
+    assert base_ids - {0, 1} <= out_ids
