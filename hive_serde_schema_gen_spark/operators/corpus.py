@@ -340,17 +340,13 @@ def curate_and_prepare(
     if redact:
         d = redact_pii(d, with_counts=False)
         dirty = True
-    if dirty and (
-        strip_boilerplate_min_docs is not None
-        or strip_dup_spans_k is not None
-        or classifier_weights is not None
-        or semantic_threshold is not None
-        or redact
-        or expectations
-    ):
+    if dirty:
         # Final cut before the manifest pipeline: it runs SEVERAL actions
         # (dedup, canonicalization, packing each materialize), and each
-        # would otherwise re-execute the remaining front-end tail.
+        # would otherwise re-execute the whole front-end tail — ANY enabled
+        # stage (a review pass found the cheap-looking ones too: the
+        # decontamination crossJoin, the repetition self-join) multiplies
+        # by the number of downstream actions if left uncut.
         d = d.localCheckpoint()
     if expectations:
         from .validation import expect

@@ -856,11 +856,18 @@ def duplicate_spans(
 def line_postings(docs: DataFrame, delim: str = "\n") -> DataFrame:
     """One row per line per document: ``(doc_id, line_no, line, lhash)``.
     ``lhash`` is xxhash64 of the TRIMMED line, so leading/trailing whitespace
-    differences don't split a boilerplate class.  Row-local (split +
-    posexplode) — nothing shuffles here."""
+    differences don't split a boilerplate class.  ``delim`` is a LITERAL
+    separator (regex-quoted with ``\\Q…\\E`` before the split — the rebuild
+    in ``strip_boilerplate_lines`` rejoins with the same literal, and a
+    regex/literal asymmetry would corrupt rebuilt docs for metachar
+    delimiters like ``'.'`` or ``'|'``).  Row-local (split + posexplode) —
+    nothing shuffles here."""
+    if "\\E" in delim:
+        raise ValueError(r"delim may not contain '\E' (regex quote sentinel)")
+    pat = "\\Q" + delim + "\\E"
     return docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), delim, -1)).alias("line_no", "line"),
+        F.posexplode(F.split(F.col("text"), pat, -1)).alias("line_no", "line"),
     ).withColumn("lhash", F.xxhash64(F.trim(F.col("line"))))
 
 

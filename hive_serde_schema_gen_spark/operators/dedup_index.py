@@ -14,9 +14,13 @@ Index layout (parquet, under one directory):
 - ``sigs/``   — ``(doc_id, mh0..mh{n-1})``: one row per indexed doc, the
   16-minhash signature used for verification.
 - ``meta/``   — one row pinning (version, n_hashes, band_size, shingle,
-  hash_fn); probes assert it matches the module constants, so an index
-  built under different parameters fails loudly instead of silently
-  missing every candidate.
+  hash_fn, max_df); probes assert the constants match and REUSE the pinned
+  ``max_df``, so an index built under different parameters fails loudly —
+  and a df-capped index is probed with the same capping — instead of
+  silently missing candidates.  (The cap threshold is computed against
+  each frame's own document count, the standard relative-df semantics;
+  a tiny probe batch therefore caps little, which only ADDS candidates
+  for the signature verify to reject.)
 
 Verification is SIGNATURE-estimated Jaccard (matching-minhash fraction,
 granularity 1/n_hashes) — the standard index trade: storing signatures
@@ -85,8 +89,9 @@ def build_minhash_index(
         .parquet(f"{path}/sigs")
     )
     spark.createDataFrame(
-        [(INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, "xxhash64")],
-        "version int, n_hashes int, band_size int, shingle int, hash_fn string",
+        [(INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, "xxhash64", max_df)],
+        "version int, n_hashes int, band_size int, shingle int, "
+        "hash_fn string, max_df double",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -97,16 +102,20 @@ def extend_minhash_index(docs: DataFrame, path: str) -> None:
     no rewrite of existing data, so ingest cost is O(batch), not O(index);
     the appended files lose the range-clustering of the initial build
     (probes still work — they just prune less inside the appended tail)
-    until the next ``build_minhash_index`` compaction."""
-    _check_meta(docs.sparkSession, path)
-    mh = _signatures(docs, None).localCheckpoint()
+    until the next ``build_minhash_index`` compaction.  Signatures use the
+    index's pinned ``max_df``."""
+    max_df = _check_meta(docs.sparkSession, path)
+    mh = _signatures(docs, max_df).localCheckpoint()
     band_keys_from_signatures(mh, "xxhash64").write.mode("append").parquet(
         f"{path}/bands"
     )
     mh.write.mode("append").parquet(f"{path}/sigs")
 
 
-def _check_meta(spark: SparkSession, path: str) -> None:
+def _check_meta(spark: SparkSession, path: str) -> float | None:
+    """Validate the pinned parameters; returns the index's ``max_df`` so
+    probe/extend signatures are computed under the same df-capping the
+    index was built with."""
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     got = (m["version"], m["n_hashes"], m["band_size"], m["shingle"], m["hash_fn"])
     want = (INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, "xxhash64")
@@ -115,6 +124,8 @@ def _check_meta(spark: SparkSession, path: str) -> None:
             f"minhash index at {path} was built with parameters {got}, "
             f"this build expects {want} — rebuild the index"
         )
+    # pre-max_df indexes (no column) behave as uncapped
+    return m["max_df"] if "max_df" in m.__fields__ else None
 
 
 def dedup_against_index(
@@ -137,9 +148,9 @@ def dedup_against_index(
     ``broadcast_batch=False`` for a batch too large to broadcast (then it
     is a plain shuffle join on 8-byte band keys)."""
     spark = new_docs.sparkSession
-    _check_meta(spark, path)
+    max_df = _check_meta(spark, path)
     min_matches = -(-threshold * N_HASHES // 1)  # ceil
-    mh_new = _signatures(new_docs, None).localCheckpoint()
+    mh_new = _signatures(new_docs, max_df).localCheckpoint()
     bands_new = band_keys_from_signatures(mh_new, "xxhash64")
     if broadcast_batch:
         bands_new = F.broadcast(bands_new)

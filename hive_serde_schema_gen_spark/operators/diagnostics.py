@@ -33,10 +33,14 @@ def skew_report(
       to about an average one (1 = no salting needed).  ``n_partitions``
       defaults to ``spark.sql.shuffle.partitions``.
 
-    One groupBy-count per column (map-side combined — a hot key is ONE row
-    after partial aggregation, so the diagnostic itself cannot skew) + a
-    driver-bounded top-k.  Run it on the join key of both sides before
-    sizing ``SALT_BUCKETS``; re-run per ingest era, hot keys drift."""
+    Per column: one groupBy-count feeding a distributed top-k
+    (TakeOrderedAndProject) plus one shuffle-FREE scan for the totals
+    (``count`` + HyperLogLog distinct — so ``skew_factor`` uses the ~2%
+    approx distinct; hot-key detection doesn't care).  Both aggregates are
+    map-side combined — a hot key is ONE row after partial aggregation, so
+    the diagnostic itself cannot skew.  Run it on the join key of both
+    sides before sizing ``SALT_BUCKETS``; re-run per ingest era, hot keys
+    drift."""
     from pyspark.sql.window import Window as W
 
     if isinstance(cols, str):
@@ -48,8 +52,13 @@ def skew_report(
         counts = df.groupBy(F.col(c).cast("string").alias("key")).agg(
             F.count(F.lit(1)).alias("count")
         )
-        totals = counts.agg(
-            F.sum("count").alias("__rows"), F.count(F.lit(1)).alias("__keys")
+        # totals come from a scan of df itself, NOT an aggregate over
+        # `counts`: referencing the groupBy subtree from two plan branches
+        # would execute the full count-shuffle twice; this branch shuffles
+        # nothing (global agg, HLL distinct)
+        totals = df.agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.approx_count_distinct(c).alias("__keys"),
         )
         # orderBy+limit plans as TakeOrderedAndProject — a distributed
         # per-partition top-k then driver merge, NEVER a single-partition
@@ -84,9 +93,6 @@ def skew_report(
     return out
 
 
-_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
-
-
 def column_profile(df: DataFrame, cols=None) -> list:
     """One-pass column profiling (the Deequ-profiles step that decides which
     ``validation`` checks to pin): per column — type, null count/fraction,
@@ -98,13 +104,17 @@ def column_profile(df: DataFrame, cols=None) -> list:
     bounded at any data size.  String min/max are computed on length (the
     lexicographic min of a text column is rarely the question; its length
     envelope — think VARCHAR sizing, the Layer-A question — is)."""
-    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    from pyspark.sql import types as T
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
     if cols is None:
         cols = list(fields)
     aggs, layout = [], []
     for i, c in enumerate(cols):
-        t = fields[c]
-        num = any(t.startswith(p) for p in _NUMERIC)
+        t = fields[c].simpleString()
+        # real type check, not a name-prefix match ("interval day to
+        # second" starts with "int" but cannot cast to double)
+        num = isinstance(fields[c], T.NumericType)
         v = F.col(c) if num else F.length(F.col(c).cast("string"))
         pre = f"c{i}"
         aggs += [

@@ -44,7 +44,12 @@ def random_projection(
 
     Linear by construction (tested), so dot products — hence cosine
     similarity up to JL distortion ε ≈ √(ln n / out_dim) — survive the
-    projection.  Rows keep all their other columns."""
+    projection.  Rows keep all their other columns; a row with a NULL
+    embedding keeps a NULL ``out_col`` (left join back) rather than
+    silently vanishing.  A vector whose length differs from ``in_dim``
+    raises at execution time (``assert_true`` guard) — the silent
+    alternative would be projecting a truncated prefix, which voids the
+    JL guarantee with no error anywhere downstream."""
     spark = e.sparkSession
     weights = spark.createDataFrame(
         [
@@ -55,8 +60,19 @@ def random_projection(
         "pos int, j int, w int",
     )
     scale = 1.0 / out_dim**0.5
+    checked = F.when(
+        F.col(col).isNull() | (F.size(col) == in_dim), F.col(col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_projection: embedding length != in_dim={in_dim} (got "),
+                F.size(col).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     ex = e.select(
-        id_col, F.posexplode(F.col(col).cast("array<double>")).alias("pos", "v")
+        id_col, F.posexplode(checked.cast("array<double>")).alias("pos", "v")
     )
     comps = (
         ex.join(F.broadcast(weights), "pos")
@@ -69,4 +85,4 @@ def random_projection(
             lambda st: st["s"] * F.lit(scale),
         ).alias(out_col)
     )
-    return e.join(packed, id_col)
+    return e.join(packed, id_col, "left")

@@ -542,7 +542,9 @@ def normalize_text(
        carriage return — step 2 owns line endings — and tab) and zero-width
        code points (ZWSP/ZWNJ/ZWJ/BOM) — one codegen'd ``regexp_replace``.
     2. ``collapse_whitespace``: CRLF/CR → LF, runs of spaces/tabs → one
-       space, trim each line's edges — codegen'd ``regexp_replace`` chain
+       space, trim each line's edges AND the document's leading/trailing
+       newlines ('abc' and 'abc\\n' must digest identically — ``F.trim``
+       alone strips only spaces) — codegen'd ``regexp_replace`` chain
        (no split/rejoin, so the pass stays allocation-light).
     3. ``lowercase``: ``F.lower``.
     4. ``nfc`` (opt-in): Unicode NFC composition.  Spark SQL has no
@@ -565,7 +567,7 @@ def normalize_text(
         c = F.regexp_replace(c, "\\r\\n?", "\n")
         c = F.regexp_replace(c, "[ \\t]+", " ")
         c = F.regexp_replace(c, " ?\\n ?", "\n")
-        c = F.trim(c)
+        c = F.regexp_replace(F.trim(c), "^\\n+|\\n+$", "")
     if lowercase:
         c = F.lower(c)
     out = d.withColumn(text_col, c)

@@ -16,6 +16,20 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 
+def file_sizes(spark: SparkSession, df) -> list:
+    """Byte size of every file backing ``df``, via Hadoop's FileSystem API
+    (storage-agnostic: file://, hdfs://, s3a://).  Shared by
+    :func:`layout_report` and ``sinks.compact_parquet`` so the FS access
+    pattern lives in one place."""
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    sizes = []
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        sizes.append(p.getFileSystem(jconf).getFileStatus(p).getLen())
+    return sizes
+
+
 def layout_report(spark: SparkSession, path: str, target_mb: int = 256) -> dict:
     """File-layout health of a parquet dataset: count, bytes, size quantiles,
     the small-file fraction, and the file count a compaction at
@@ -28,13 +42,7 @@ def layout_report(spark: SparkSession, path: str, target_mb: int = 256) -> dict:
     thumb: compact when the fraction of files under target/4 exceeds ~0.5
     (exactly the ``needs_compaction`` flag)."""
     df = spark.read.parquet(path)
-    jconf = spark.sparkContext._jsc.hadoopConfiguration()
-    jvm = spark.sparkContext._jvm
-    sizes = []
-    for f in df.inputFiles():
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        sizes.append(p.getFileSystem(jconf).getFileStatus(p).getLen())
-    sizes.sort()
+    sizes = sorted(file_sizes(spark, df))
     n = len(sizes)
     total = sum(sizes)
     target = target_mb * 1024 * 1024

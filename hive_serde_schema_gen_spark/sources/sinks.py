@@ -106,13 +106,10 @@ def compact_parquet(
     output file count.  Compact into a NEW path and swap atomically at the
     catalog/manifest layer — compact-in-place over the live path is a
     reader race."""
+    from .layout import file_sizes
+
     df = spark.read.parquet(src_path)
-    jconf = spark.sparkContext._jsc.hadoopConfiguration()
-    jvm = spark.sparkContext._jvm
-    total = 0
-    for f in df.inputFiles():
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        total += p.getFileSystem(jconf).getFileStatus(p).getLen()
+    total = sum(file_sizes(spark, df))
     n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
     if sort_by:
         df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)

@@ -11,15 +11,22 @@ This is the third leg of the dedup-family stool:
 - ingest:     THIS — unbounded history at O(batch) cost per batch, because
   the history lives in the index artifact, not in streaming state.
 
-Idempotence under replay (foreachBatch is at-least-once): the curated
-output is written as a deterministic per-epoch directory with overwrite —
-a replayed epoch rewrites the same files (the ``exactly_once`` sink
-recipe).  Index appends ARE duplicated by a replay, deliberately: duplicate
-band/sig rows are semantically harmless (the probe's candidate `distinct`
-collapses them; signature rows per doc are identical copies), so the index
-stays correct and the occasional duplicate row is reclaimed by the next
-``build_minhash_index`` compaction — cheaper than a transactional ledger
-on the hot ingest path.
+Idempotence under replay (foreachBatch is at-least-once): two mechanisms.
+(1) The curated output is a deterministic per-epoch directory with
+overwrite — a replayed epoch rewrites the same files (the ``exactly_once``
+sink recipe).  (2) The probe IGNORES matches against doc_ids present in
+the incoming batch itself: when an epoch replays after its index extend
+already committed, every batch doc is now in the index and would match
+ITSELF (est_jaccard 1.0), which would empty ``novel`` and overwrite the
+epoch dir with nothing — permanently losing the accepted docs.  Filtering
+out batch-self matches makes the replay recompute the same ``novel`` set;
+in a normal (non-replayed) epoch the filter is a no-op because the index
+cannot contain ids that only arrive in this batch.  Index appends ARE
+duplicated by a replay, deliberately: duplicate band/sig rows are
+semantically harmless (the probe's candidate `distinct` collapses them;
+signature rows per doc are identical copies) and are reclaimed by the
+next ``build_minhash_index`` compaction — cheaper than a transactional
+ledger on the hot ingest path.
 """
 
 from __future__ import annotations
@@ -35,6 +42,33 @@ from ..operators.dedup_index import (
 )
 
 
+def process_ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_path: str,
+    intra_batch: bool = True,
+) -> None:
+    """One micro-batch: [intra-batch exact dedup] → index probe (broadcast
+    batch, index never shuffles; batch-self matches excluded — see module
+    docstring) → novel survivors → epoch-dir write + index extend.
+    Exposed as a plain function so the replay path is directly testable."""
+    if batch.isEmpty():
+        return
+    batch = batch.localCheckpoint()  # reused by probe + anti-join
+    if intra_batch:
+        batch = keep_first_per_content(batch).localCheckpoint()
+    matches = dedup_against_index(batch, index_path).join(
+        batch.select(F.col("doc_id").alias("matched_doc_id")),
+        "matched_doc_id",
+        "left_anti",
+    )
+    novel = novel_docs(batch, matches).localCheckpoint()
+    # deterministic per-epoch dir + overwrite = replay-idempotent
+    novel.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+    extend_minhash_index(novel, index_path)
+
+
 def start_ingest_dedup(
     stream: DataFrame,
     index_path: str,
@@ -46,26 +80,17 @@ def start_ingest_dedup(
     """Start the ingest query over an input ``stream`` of (doc_id, text, …)
     rows.  Returns the StreamingQuery.
 
-    Per micro-batch: [intra-batch exact dedup] → index probe (broadcast
-    batch, index never shuffles) → novel survivors → epoch-dir write +
-    index extend.  ``intra_batch`` keeps the smallest-id copy of exact
-    duplicates WITHIN one batch (two copies arriving together are both
-    absent from the index — the probe alone cannot see them); intra-batch
-    NEAR-dups are likewise invisible to the probe until the next batch —
-    when they matter, run the batch verifier over the (small) novel set
-    in-line before the write, at O(novel²_bounded-by-LSH) cost."""
+    ``intra_batch`` keeps the smallest-id copy of exact duplicates WITHIN
+    one batch (two copies arriving together are both absent from the index
+    — the probe alone cannot see them); intra-batch NEAR-dups are likewise
+    invisible to the probe until the next batch — when they matter, run
+    the batch verifier over the (small) novel set in-line before the
+    write, at O(novel² bounded-by-LSH) cost."""
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        batch = batch.localCheckpoint()  # reused by probe + anti-join
-        if intra_batch:
-            batch = keep_first_per_content(batch).localCheckpoint()
-        matches = dedup_against_index(batch, index_path)
-        novel = novel_docs(batch, matches).localCheckpoint()
-        # deterministic per-epoch dir + overwrite = replay-idempotent
-        novel.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-        extend_minhash_index(novel, index_path)
+        process_ingest_batch(
+            batch, epoch_id, index_path, out_path, intra_batch=intra_batch
+        )
 
     return (
         stream.writeStream.foreachBatch(_process)

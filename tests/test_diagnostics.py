@@ -29,8 +29,9 @@ def test_skew_report_math(skewed):
     top = rep[0]
     assert top["key"] == "1" and top["count"] == 600
     assert top["share"] == pytest.approx(0.6)
-    # mean per-key count = 1000/101; 600 / that ≈ 60.6
-    assert top["skew_factor"] == pytest.approx(600 * 101 / 1000)
+    # mean per-key count = 1000/101; 600 / that ≈ 60.6 (distinct is HLL →
+    # small relative tolerance)
+    assert top["skew_factor"] == pytest.approx(600 * 101 / 1000, rel=0.05)
     # avg partition = 1000/10 = 100 rows → key 1 needs 6 sub-keys
     assert top["suggested_salt"] == 6
     assert rep[1]["suggested_salt"] == 1  # cold keys need none
@@ -45,7 +46,7 @@ def test_skew_report_multi_column(skewed):
     rep = skew_report(d, ["user_id", "flat"], k=1, n_partitions=8).collect()
     by_col = {r["column"]: r for r in rep}
     assert by_col["user_id"]["skew_factor"] > 50
-    assert by_col["flat"]["skew_factor"] == pytest.approx(1.0)
+    assert by_col["flat"]["skew_factor"] == pytest.approx(1.0, rel=0.05)
 
 
 def test_skew_report_distributed_topk_plan(skewed):
@@ -187,8 +188,6 @@ def test_column_profile_values(spark):
 
 
 def test_column_profile_single_pass_plan(spark):
-    from hive_serde_schema_gen_spark.operators.diagnostics import _NUMERIC  # noqa
-
     # the profile of N columns must be ONE aggregate job: assert by plan on
     # the same expression set column_profile builds
     d = spark.createDataFrame([(1, "x")], "a int, b string")
@@ -205,3 +204,15 @@ def test_column_profile_empty_frame(spark):
     d = spark.createDataFrame([], "x int")
     p = column_profile(d)[0]
     assert p["rows"] == 0 and p["null_frac"] == 0.0
+
+
+def test_column_profile_interval_column(spark):
+    # regression: 'interval day to second' must NOT classify as numeric
+    # (simpleString starts with 'int'); it profiles as length instead of
+    # crashing on cast-to-double
+    from hive_serde_schema_gen_spark.operators.diagnostics import column_profile
+
+    d = spark.sql("SELECT 1 AS id, INTERVAL '1 02:03:04' DAY TO SECOND AS iv")
+    prof = {p["column"]: p for p in column_profile(d)}
+    assert prof["iv"]["measured"] == "length"
+    assert prof["id"]["measured"] == "value"

@@ -193,3 +193,22 @@ def test_strip_boilerplate_property_random_corpora(spark):
             assert got == want, (corpus, keep_first, got, want)
 
     check()
+
+
+def test_metachar_delimiter_is_literal(spark):
+    # '.' as delimiter must split on literal dots, not "any char"
+    docs = _docs(
+        spark,
+        [
+            (1, "shared seg.unique one"),
+            (2, "shared seg.unique two"),
+            (3, "standalone text"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_lines(docs, min_docs=2, delim=".").collect()
+    }
+    assert out[1] == "unique one"
+    assert out[2] == "unique two"
+    assert out[3] == "standalone text"

@@ -64,3 +64,10 @@ def test_idempotent(spark):
     t = "  Mixed\tCASE \r\n with​ junk \x01 everywhere "
     once = _norm(spark, t)
     assert _norm(spark, once) == once
+
+
+def test_edge_newlines_collapse(spark):
+    # 'abc' and 'abc\n' (and '\nabc') must digest identically
+    assert _norm(spark, "abc\n") == "abc"
+    assert _norm(spark, "\n\nabc") == "abc"
+    assert _norm(spark, " \nabc\n ") == "abc"

@@ -103,13 +103,27 @@ def test_ingest_dedup_end_to_end(spark, dirs):
     assert pairs == {(301, 103), (302, 203)}
 
 
-def test_epoch_dirs_are_replay_idempotent(spark, dirs):
-    """Rewriting an epoch dir (what a foreachBatch replay does) leaves the
-    read-side union unchanged."""
+def test_full_replay_after_index_extend_is_idempotent(spark, dirs):
+    """THE replay hazard: an epoch whose index extend already committed is
+    re-processed (crash before the streaming checkpoint commit).  The
+    replayed docs are now IN the index; without the batch-self match
+    exclusion they'd all match themselves, ``novel`` would be empty, and
+    the overwrite would erase the epoch's accepted docs.  Runs the actual
+    batch processor twice — probe, write, extend included."""
+    from hive_serde_schema_gen_spark.streaming.ingest import process_ingest_batch
+
     corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
     build_minhash_index(corpus, dirs["index"], n_files=2)
-    d = spark.createDataFrame([(7, NEW1)], "doc_id long, text string")
-    for _ in range(2):  # the "replay"
-        d.write.mode("overwrite").parquet(f"{dirs['out']}/epoch=0")
-    got = read_ingested(spark, dirs["out"]).collect()
-    assert [r["doc_id"] for r in got] == [7]
+    batch = spark.createDataFrame(
+        # novel doc + dup-of-base + an intra-batch NEAR-dup pair (102/103)
+        # — near-dups pass the probe together and both get indexed, so the
+        # replay must not let 103 match 102 either
+        [(101, NEW1), (100, BASE), (102, NEW2), (103, NEW2 + " tail")],
+        "doc_id long, text string",
+    )
+    for _ in range(2):  # first run, then the replay
+        process_ingest_batch(batch, 0, dirs["index"], dirs["out"])
+        got = sorted(
+            r["doc_id"] for r in read_ingested(spark, dirs["out"]).collect()
+        )
+        assert got == [101, 102, 103]
