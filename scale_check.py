@@ -97,6 +97,9 @@ def main() -> None:
         minhash_lsh_pairs,
         strip_boilerplate_lines,
     )
+    from pyspark.sql import functions as F
+
+    from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
     from hive_serde_schema_gen_spark.operators.validation import (
         completeness,
         in_range,
@@ -169,6 +172,16 @@ def main() -> None:
         # cannot prune an explode — it determines the row count)
         "curation_materialize_mixture": lambda s, d: materialize_mixture(
             _docs(s, d), {f"src{i}": 1.0 + 0.1 * (i % 5) for i in range(20)}
+        ),
+        # heavy hitters over the token vocabulary: the MG summaries bound
+        # the shuffle to capacity×partitions rows however large the
+        # vocabulary grows (explode is the honest cost driver here)
+        "diagnostics_frequent_tokens": lambda s, d: frequent_items(
+            _docs(s, d).select(
+                F.explode(F.split(F.col("text"), " ")).alias("tok")
+            ),
+            "tok",
+            k=20,
         ),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
