@@ -581,3 +581,61 @@ def normalize_text(
 
         out = out.mapInPandas(_nfc, schema)
     return out
+
+
+def bm25_topk(
+    d: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-``k`` documents for a query string
+    — the sparse-retrieval complement of the ANN entry points (hybrid
+    pipelines run both and fuse).  Standard formula:
+
+        score(D,Q) = Σ_t idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)     = ln(1 + (N − df + 0.5) / (df + 0.5))
+
+    Scale shape — everything prunes on the QUERY terms before anything
+    aggregates: the token explode filters to query terms immediately (the
+    per-(doc, term) tf shuffle carries only matching postings, not the
+    vocabulary), document length is a narrow ``size(split(...))``
+    expression, corpus stats (N, avgdl) are a 1-row broadcast, per-term
+    document frequencies are a |Q|-row broadcast, and the final top-k is
+    a distributed TakeOrdered — never a global sort.  At 100 TB serve
+    repeated queries from a persisted postings index instead; this is the
+    scan-time form whose plan that index would replay."""
+    terms = sorted({t for t in query.strip().lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = d.select(id_col, F.size(toks).alias("__dl"), F.explode(toks).alias("__t"))
+    tf = (
+        base.filter(F.col("__t").isin(terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.size(toks)).alias("__avgdl"),
+    )
+    dfreq = tf.groupBy("__t").agg(F.countDistinct(id_col).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, (idf * F.col("__tf") / denom).alias("__s"))
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
