@@ -639,3 +639,39 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
+
+
+def rrf_fuse(ranked: list, k: int = 60, id_col: str = "doc_id", topk: int | None = None):
+    """Reciprocal-rank fusion of N ranked result lists (the standard
+    score-free hybrid-retrieval combiner — e.g. BM25 ∪ ANN cosine):
+    ``score(d) = Σ_lists 1 / (k + rank_d)`` with ranks 1-based in each
+    list's OWN ordering; documents absent from a list simply contribute
+    nothing.  Score-free on purpose: BM25 and cosine live on incomparable
+    scales, ranks always fuse.
+
+    Each input is a DataFrame whose row order is its ranking (the shape
+    ``bm25_topk``/ANN entry points return).  Candidate lists are top-k
+    sized — tiny; ranks attach via a single-partition window per list,
+    bounded by that k, then one union + aggregate.  Returns (id, rrf)
+    descending, ``topk``-limited if given."""
+    from pyspark.sql.window import Window as W
+
+    if not ranked:
+        raise ValueError("no result lists to fuse")
+    scored = []
+    for df in ranked:
+        w = W.orderBy(F.monotonically_increasing_id())
+        scored.append(
+            df.select(id_col)
+            .withColumn("__r", F.row_number().over(w))
+            .select(id_col, (1.0 / (F.lit(k) + F.col("__r"))).alias("__s"))
+        )
+    out = scored[0]
+    for s in scored[1:]:
+        out = out.unionByName(s)
+    fused = (
+        out.groupBy(id_col)
+        .agg(F.sum("__s").alias("rrf"))
+        .orderBy(F.desc("rrf"), id_col)
+    )
+    return fused.limit(topk) if topk else fused

@@ -85,3 +85,25 @@ def test_bm25_empty_query_raises(corpus):
     _, df = corpus
     with pytest.raises(ValueError):
         bm25_topk(df, "   ")
+
+
+def test_rrf_fusion(corpus, spark):
+    from hive_serde_schema_gen_spark.operators.text import rrf_fuse
+
+    _, df = corpus
+    lex = bm25_topk(df, "quick brown fox", k=3)
+    # a fake "dense" ranking disagreeing with the lexical one
+    dense = spark.createDataFrame([(4,), (5,), (2,)], "doc_id int")
+    fused = rrf_fuse([lex, dense], k=60).collect()
+    got = {r["doc_id"]: r["rrf"] for r in fused}
+    lex_ids = [r["doc_id"] for r in lex.collect()]
+    # oracle
+    want = {}
+    for lst in (lex_ids, [4, 5, 2]):
+        for i, d in enumerate(lst):
+            want[d] = want.get(d, 0.0) + 1.0 / (60 + i + 1)
+    assert got == pytest.approx(want)
+    # doc 5 appears high in both lists -> top fused
+    assert fused[0]["doc_id"] == 5
+    with pytest.raises(ValueError):
+        rrf_fuse([])
