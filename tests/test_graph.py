@@ -1,0 +1,69 @@
+"""PageRank: exact agreement with a numpy power-iteration oracle on small
+graphs, dangling-mass conservation, convergence, and early stop."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hive_serde_schema_gen_spark.operators.graph import pagerank
+
+
+def _oracle(edges, iters, damping=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[v]] for v in nodes if deg[v] == 0)
+        for s, d in edges:
+            nxt[idx[d]] += r[idx[s]] / deg[s]
+        r = (1 - damping) / n + damping * (nxt + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # simple chain with a dangling sink
+        [("a", "b"), ("b", "c"), ("a", "c")],
+        # cycle + hub with multi-edge
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("a", "b")],
+    ],
+)
+def test_pagerank_matches_oracle(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+    want = _oracle(edges, iters=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0)  # mass conserved
+
+
+def test_pagerank_authority_ordering(spark):
+    # everyone links to 'hub'; hub links to one spoke — hub must dominate
+    edges = [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=15).collect()}
+    assert got["hub"] == max(got.values())
+    assert got["s1"] > got["s2"] == pytest.approx(got["s3"])
+
+
+def test_pagerank_early_stop(spark):
+    edges = [("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # symmetric 2-cycle converges immediately; tol stops it and the result
+    # is the fixed point
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=50, tol=1e-9).collect()}
+    assert got["a"] == pytest.approx(0.5)
+    assert got["b"] == pytest.approx(0.5)
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df, iters=3).collect() == []
