@@ -67,3 +67,21 @@ def test_pagerank_early_stop(spark):
 def test_pagerank_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df, iters=3).collect() == []
+
+
+def test_domain_pagerank_on_url_docs(spark):
+    from hive_serde_schema_gen_spark.operators.graph import domain_pagerank
+
+    docs = [
+        (1, "see https://hub.com/x and https://a.org/y plus https://b.net/z"),
+        (2, "refs https://hub.com/q and https://b.net/w"),
+        (3, "only https://a.org/k here with https://hub.com/v"),
+        (4, "no urls at all"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id int, text string")
+    ranks = {r["node"]: r["rank"] for r in domain_pagerank(d, iters=8).collect()}
+    # hub.com co-occurs with both others and sorts after 'a.org'/'b.net'
+    # lexicographically (edges point earlier->later), so it RECEIVES links
+    assert set(ranks) == {"hub.com", "a.org", "b.net"}
+    assert ranks["hub.com"] == max(ranks.values())
+    assert sum(ranks.values()) == pytest.approx(1.0)
