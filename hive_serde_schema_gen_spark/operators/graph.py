@@ -45,8 +45,11 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
-        F.count(F.lit(1)).alias("__deg")
+    out_deg = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint()  # O(nodes); uncut, every iteration's dangling
+        # join would re-run the full edges scan + groupBy
     )
     # stable big relation, partitioned once on the join key and reused
     contrib_edges = (
@@ -106,7 +109,11 @@ def domain_pagerank(
     (page_domain, linked_domain) edges to :func:`pagerank` directly)."""
     from .curation import extract_urls
 
-    u = extract_urls(d, id_col, text_col).select(id_col, "domain")
+    # distinct per (doc, domain): one doc mentioning a pair of domains
+    # 10× each must contribute ONE co-mention link, not a 100-weight
+    # multi-edge — repeated mentions are exactly the link-spam pattern
+    # this rank exists to resist
+    u = extract_urls(d, id_col, text_col).select(id_col, "domain").distinct()
     a, b = u.alias("a"), u.alias("b")
     edges = (
         a.join(b, F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))

@@ -87,13 +87,16 @@ def overlap_estimates(sketches: DataFrame) -> DataFrame:
 
 def merged_quantiles(sketches: DataFrame, probs) -> list:
     """Quantiles of the merged KLL sketch across all rows — e.g. the p50/p99
-    document length over every epoch, from artifacts only."""
-    cols = [
-        F.expr(
-            f"kll_sketch_get_quantile_double(kll_merge_agg_double(kll), "
-            f"CAST({float(p)} AS DOUBLE))"
-        ).alias(f"q{i}")
-        for i, p in enumerate(probs)
-    ]
-    row = sketches.agg(*cols).collect()[0]
+    document length over every epoch, from artifacts only.  The merge runs
+    ONCE (one ``kll_merge_agg_double``), then each probability is a scalar
+    query against the merged sketch."""
+    merged = sketches.agg(F.expr("kll_merge_agg_double(kll)").alias("m"))
+    row = merged.select(
+        *[
+            F.expr(
+                f"kll_sketch_get_quantile_double(m, CAST({float(p)} AS DOUBLE))"
+            ).alias(f"q{i}")
+            for i, p in enumerate(probs)
+        ]
+    ).collect()[0]
     return [row[f"q{i}"] for i in range(len(probs))]

@@ -611,7 +611,9 @@ def bm25_topk(
     terms = sorted({t for t in query.strip().lower().split() if t})
     if not terms:
         raise ValueError("empty query")
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # _tokens carries the empty-text guard (a bare split('') yields [''],
+    # which would count phantom 1-token docs into avgdl)
+    toks = _tokens(F.lower(F.col(text_col)))
     base = d.select(id_col, F.size(toks).alias("__dl"), F.explode(toks).alias("__t"))
     tf = (
         base.filter(F.col("__t").isin(terms))
@@ -674,4 +676,4 @@ def rrf_fuse(ranked: list, k: int = 60, id_col: str = "doc_id", topk: int | None
         .agg(F.sum("__s").alias("rrf"))
         .orderBy(F.desc("rrf"), id_col)
     )
-    return fused.limit(topk) if topk else fused
+    return fused.limit(topk) if topk is not None else fused

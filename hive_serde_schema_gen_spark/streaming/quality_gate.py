@@ -7,9 +7,12 @@ never fails on bad data, it routes it:
 - **batch level**: the surviving rows run the declarative check suite in
   one aggregate; a failing batch routes WHOLE to quarantine ("stop the
   line": a schema-drifted or half-empty upstream batch must not pollute
-  the curated output), and every batch's check results land in
-  ``reports/epoch=N`` either way — the monitoring table an orchestrator
-  alerts on.
+  the curated output), and EVERY epoch — including an empty one, which
+  writes a single ``__empty_batch`` row — lands a result set in the
+  report table (its own root, ``report_path``, NOT inside the curated
+  directory: mixing a second schema under ``good_path`` would break
+  plain ``spark.read.parquet(good_path)`` readers), so an orchestrator
+  can distinguish "gate ran, batch empty" from "epoch lost".
 
 All writes are deterministic per-epoch directories with overwrite, so
 foreachBatch replays rewrite the same files (the ``exactly_once`` /
@@ -25,17 +28,38 @@ from pyspark.sql import functions as F
 from ..operators.validation import validate
 
 
+_REPORT_SCHEMA = (
+    "epoch long, check string, metric double, op string, "
+    "threshold double, passed boolean"
+)
+
+
+def _write_report(spark, rows, report_path: str, epoch_id: int) -> None:
+    spark.createDataFrame(rows, _REPORT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{report_path}/epoch={epoch_id}")
+
+
 def process_gated_batch(
     batch: DataFrame,
     epoch_id: int,
     checks,
     good_path: str,
     quarantine_path: str,
+    report_path: str,
     row_predicate: str | None = None,
 ) -> list:
     """One micro-batch through the gate; returns the check results (exposed
     as a plain function so replay and routing are directly testable)."""
+    spark = batch.sparkSession
     if batch.isEmpty():
+        # still a report row: "gate ran, nothing arrived" ≠ "epoch lost"
+        _write_report(
+            spark,
+            [(epoch_id, "__empty_batch", None, "==", 0.0, True)],
+            report_path,
+            epoch_id,
+        )
         return []
     batch = batch.localCheckpoint()  # consumed by split + checks + write
     if row_predicate is not None:
@@ -47,8 +71,8 @@ def process_gated_batch(
         ok_rows, bad_rows = batch, None
     results = validate(ok_rows, checks)
     batch_ok = all(r["passed"] for r in results)
-    spark = batch.sparkSession
-    report = spark.createDataFrame(
+    _write_report(
+        spark,
         [
             (
                 epoch_id,
@@ -60,11 +84,8 @@ def process_gated_batch(
             )
             for r in results
         ],
-        "epoch long, check string, metric double, op string, "
-        "threshold double, passed boolean",
-    )
-    report.coalesce(1).write.mode("overwrite").parquet(
-        f"{good_path}/reports/epoch={epoch_id}"
+        report_path,
+        epoch_id,
     )
     if batch_ok:
         ok_rows.write.mode("overwrite").parquet(f"{good_path}/epoch={epoch_id}")
@@ -86,6 +107,7 @@ def start_quality_gate(
     checks,
     good_path: str,
     quarantine_path: str,
+    report_path: str,
     checkpoint: str,
     row_predicate: str | None = None,
     query_name: str = "quality_gate",
@@ -99,6 +121,7 @@ def start_quality_gate(
             checks,
             good_path,
             quarantine_path,
+            report_path,
             row_predicate=row_predicate,
         )
 

@@ -85,3 +85,26 @@ def test_domain_pagerank_on_url_docs(spark):
     assert set(ranks) == {"hub.com", "a.org", "b.net"}
     assert ranks["hub.com"] == max(ranks.values())
     assert sum(ranks.values()) == pytest.approx(1.0)
+
+
+def test_domain_pagerank_repeated_mentions_count_once(spark):
+    """A doc spamming one domain many times must not SKEW how the source's
+    rank mass splits among co-mentioned domains.  (Parallel edges to a
+    single target are self-normalizing; the occurrence-product bug showed
+    up as an uneven split: 10 mentions of v1 vs 1 of v2 gave v1 100/110 of
+    the mass instead of 1/2.)"""
+    from hive_serde_schema_gen_spark.operators.graph import domain_pagerank
+
+    spam = (
+        " ".join("https://aaa-spam.com/x https://v1.org/y" for _ in range(10))
+        + " https://v2.org/z"
+    )
+    clean = "https://aaa-spam.com/x https://v1.org/y https://v2.org/z"
+    for_spam = spark.createDataFrame([(1, spam)], "doc_id int, text string")
+    for_clean = spark.createDataFrame([(1, clean)], "doc_id int, text string")
+    r_spam = {r["node"]: r["rank"] for r in domain_pagerank(for_spam, iters=8).collect()}
+    r_clean = {r["node"]: r["rank"] for r in domain_pagerank(for_clean, iters=8).collect()}
+    # repetition invariance: 10× mentions rank identically to 1× mentions
+    assert set(r_spam) == set(r_clean)
+    for k in r_clean:
+        assert r_spam[k] == pytest.approx(r_clean[k], abs=1e-12)

@@ -31,7 +31,7 @@ PRED = "text IS NOT NULL AND length(text) > 0"
 @pytest.fixture()
 def dirs():
     root = tempfile.mkdtemp(prefix="qgate_")
-    d = {n: os.path.join(root, n) for n in ("good", "quar")}
+    d = {n: os.path.join(root, n) for n in ("good", "quar", "rep")}
     yield d
     shutil.rmtree(root, ignore_errors=True)
 
@@ -42,13 +42,13 @@ def test_healthy_batch_splits_rows(spark, dirs):
         "doc_id int, text string",
     )
     results = process_gated_batch(
-        batch, 0, _checks(), dirs["good"], dirs["quar"], row_predicate=PRED
+        batch, 0, _checks(), dirs["good"], dirs["quar"], dirs["rep"], row_predicate=PRED
     )
     assert all(r["passed"] for r in results)
     good = {r["doc_id"] for r in spark.read.parquet(f"{dirs['good']}/epoch=0").collect()}
     quar = {r["doc_id"] for r in spark.read.parquet(f"{dirs['quar']}/epoch=0").collect()}
     assert good == {1, 2} and quar == {3, 4}
-    rep = spark.read.parquet(f"{dirs['good']}/reports/epoch=0").collect()
+    rep = spark.read.parquet(f"{dirs['rep']}/epoch=0").collect()
     assert len(rep) == len(results) and all(r["passed"] for r in rep)
 
 
@@ -58,13 +58,13 @@ def test_failing_batch_stops_the_line(spark, dirs):
         [(1, "only survivor"), (2, None), (3, None)], "doc_id int, text string"
     )
     results = process_gated_batch(
-        batch, 5, _checks(), dirs["good"], dirs["quar"], row_predicate=PRED
+        batch, 5, _checks(), dirs["good"], dirs["quar"], dirs["rep"], row_predicate=PRED
     )
     assert not all(r["passed"] for r in results)
     assert not os.path.exists(f"{dirs['good']}/epoch=5")
     quar = {r["doc_id"] for r in spark.read.parquet(f"{dirs['quar']}/epoch=5").collect()}
     assert quar == {1, 2, 3}  # the WHOLE batch, predicate-passers included
-    rep = spark.read.parquet(f"{dirs['good']}/reports/epoch=5").collect()
+    rep = spark.read.parquet(f"{dirs['rep']}/epoch=5").collect()
     assert any(not r["passed"] for r in rep)
 
 
@@ -74,7 +74,34 @@ def test_replay_idempotent(spark, dirs):
     )
     for _ in range(2):
         process_gated_batch(
-            batch, 9, _checks(), dirs["good"], dirs["quar"], row_predicate=PRED
+            batch, 9, _checks(), dirs["good"], dirs["quar"], dirs["rep"], row_predicate=PRED
         )
         good = spark.read.parquet(f"{dirs['good']}/epoch=9").collect()
         assert {r["doc_id"] for r in good} == {1, 2}
+
+
+def test_empty_batch_still_reports(spark, dirs):
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    results = process_gated_batch(
+        empty, 3, _checks(), dirs["good"], dirs["quar"], dirs["rep"],
+        row_predicate=PRED,
+    )
+    assert results == []
+    rep = spark.read.parquet(f"{dirs['rep']}/epoch=3").collect()
+    assert [r["check"] for r in rep] == ["__empty_batch"]
+    assert rep[0]["passed"]
+
+
+def test_good_path_is_cleanly_readable(spark, dirs):
+    # reports live OUTSIDE good_path: a plain read of good_path must work
+    batch = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id int, text string")
+    process_gated_batch(
+        batch, 0, _checks(), dirs["good"], dirs["quar"], dirs["rep"],
+        row_predicate=PRED,
+    )
+    got = spark.read.option("basePath", dirs["good"]).parquet(
+        f"{dirs['good']}/epoch=*"
+    )
+    assert got.count() == 2
+    import glob
+    assert not glob.glob(f"{dirs['good']}/reports*")
