@@ -273,3 +273,105 @@ def chunk_documents(
             F.concat_ws(" ", "c.toks").alias("chunk_text"),
         )
     )
+
+
+def pack_documents_best_fit(
+    docs: DataFrame,
+    context_len: int,
+    group_size: int = 8192,
+    id_col: str = "doc_id",
+    token_count_col=None,
+) -> DataFrame:
+    """Pack WHOLE documents into ``context_len``-token examples ("bins"),
+    minimizing padding — the boundary-preserving alternative to
+    :func:`chunk_token_stream` (SFT / long-context recipes keep documents
+    intact and pad, so padding fraction is the efficiency metric; naive
+    arrival-order packing wastes 2-3× more pad tokens than best-fit).
+
+    Output: ``(doc_id, n_tokens, bin_id, truncated)`` — every input doc
+    appears exactly once; a doc longer than ``context_len`` gets its own
+    bin with ``truncated = true`` (the trainer clips it).
+
+    Distributed shape: bin packing is inherently sequential, so the corpus
+    hash-partitions into groups of ~``group_size`` docs and best-fit-
+    decreasing runs WITHIN each group as one Arrow-batched
+    ``applyInPandas`` task (a bounded per-group Python loop over a bisect
+    structure — the honest exception to the codegen rule, like the
+    Misra-Gries summaries; the loop is O(docs·log bins) per group).
+    Group-local packing costs at most one under-filled bin per group vs a
+    global pack — amortized to nothing when groups hold thousands of
+    docs — and groups pack in parallel across executors.  ``bin_id`` is
+    globally unique: ``group * 2^32 + local``."""
+    import pandas as pd
+
+    n_tok = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        )
+    )
+    n_docs = docs.count()
+    n_groups = max(1, -(-n_docs // group_size))
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("__grp"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        grp = int(pdf["__grp"].iloc[0])
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        rem = []  # sorted list of (remaining, bin_local_id)
+        next_bin = 0
+        bins, trunc = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n >= context_len:
+                bins.append(next_bin)
+                trunc.append(n > context_len)
+                next_bin += 1
+                continue
+            # best fit: smallest remaining capacity that still fits
+            i = bisect.bisect_left(rem, (n, -1))
+            if i < len(rem):
+                cap, b = rem.pop(i)
+                left = cap - n
+                if left > 0:
+                    bisect.insort(rem, (left, b))
+                bins.append(b)
+            else:
+                bins.append(next_bin)
+                if context_len - n > 0:
+                    bisect.insort(rem, (context_len - n, next_bin))
+                next_bin += 1
+            trunc.append(False)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "bin_id": [grp * (1 << 32) + b for b in bins],
+                "truncated": trunc,
+            }
+        )
+
+    return d.groupBy("__grp").applyInPandas(
+        pack, "doc_id long, n_tokens long, bin_id long, truncated boolean"
+    )
+
+
+def padding_waste(packed: DataFrame, context_len: int) -> float:
+    """Fraction of the packed token budget that is padding:
+    ``1 − Σ min(n_tokens, L) / (n_bins · L)`` — THE efficiency number a
+    packing strategy is judged by.  One map-side-combined aggregate."""
+    row = packed.agg(
+        F.sum(F.least(F.col("n_tokens"), F.lit(context_len))).alias("t"),
+        F.countDistinct("bin_id").alias("b"),
+    ).collect()[0]
+    if not row["b"]:
+        return 0.0
+    return 1.0 - row["t"] / (row["b"] * context_len)
