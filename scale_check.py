@@ -100,6 +100,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+    from hive_serde_schema_gen_spark.operators.packing import (
+        pack_documents_best_fit,
+    )
     from hive_serde_schema_gen_spark.operators.validation import (
         completeness,
         in_range,
@@ -182,6 +185,11 @@ def main() -> None:
             ),
             "tok",
             k=20,
+        ),
+        # best-fit packing: the per-group Python loop is the honest cost;
+        # groups pack in parallel so per-row cost should stay flat
+        "packing_best_fit": lambda s, d: pack_documents_best_fit(
+            _docs(s, d), context_len=512
         ),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
