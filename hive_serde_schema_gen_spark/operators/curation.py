@@ -463,3 +463,79 @@ def domain_stats(
         )
         .orderBy(F.col("n_urls").desc(), "domain")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff between two corpus snapshots: one row per
+    changed document — ``(doc_id, change)`` with ``change ∈ {added,
+    removed, modified}`` (same id, different content digest).  The audit
+    table a data-versioning workflow stores next to each release; at
+    100 TB both sides reduce to (id, 16-byte digest) before anything
+    shuffles, so the diff joins digests, never text."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("__od"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("__nd"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("__od").isNull(), F.lit("added"))
+        .when(F.col("__nd").isNull(), F.lit("removed"))
+        .when(F.col("__od") != F.col("__nd"), F.lit("modified"))
+        .otherwise(F.lit(None))
+        .alias("change"),
+    ).filter(F.col("change").isNotNull())
+
+
+def vocab_coverage(
+    d: DataFrame,
+    vocab,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage against a reference token set —
+    the tokenizer-fit signal (a corpus whose OOV rate jumps is in the
+    wrong language/domain/encoding for the tokenizer it will be fed to):
+    ``(doc_id, n_tokens, n_oov, oov_rate)``.
+
+    The vocab broadcasts as a DataFrame (a tokenizer vocab is 10⁴–10⁵
+    rows — KBs as 8-byte hashes); the token stream LEFT-joins it and
+    counts misses map-side.  Tokens are matched lowercase-exact; plug a
+    subword ``token_count_col`` upstream for BPE-accurate coverage."""
+    spark = d.sparkSession
+    vdf = F.broadcast(
+        spark.createDataFrame(
+            [(w.lower(),) for w in set(vocab)], "__w string"
+        )
+    )
+    toks = d.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("__t"),
+    )
+    joined = toks.join(vdf, toks["__t"] == vdf["__w"], "left")
+    stats = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("__w").isNull().cast("long")).alias("n_oov"),
+    )
+    return d.select(id_col).join(stats, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.coalesce(
+            F.col("n_oov") / F.col("n_tokens"), F.lit(0.0)
+        ).alias("oov_rate"),
+    )

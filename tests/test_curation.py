@@ -639,3 +639,41 @@ def test_curate_and_prepare_semantic_decontamination(spark, sf_dir):
     assert {0, 1} & out_ids == set()
     assert {0, 1} & base_ids != set()  # the filter actually changed something
     assert base_ids - {0, 1} <= out_ids
+
+
+def test_corpus_diff(spark):
+    from hive_serde_schema_gen_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed"), (4, "brand new")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["change"] for r in corpus_diff(old, new).collect()}
+    assert got == {2: "modified", 3: "removed", 4: "added"}
+    # identical snapshots diff to nothing
+    assert corpus_diff(old, old).count() == 0
+
+
+def test_vocab_coverage(spark):
+    from hive_serde_schema_gen_spark.operators.curation import vocab_coverage
+    from hive_serde_schema_gen_spark.plans.explain import explain_str
+
+    d = spark.createDataFrame(
+        [
+            (1, "The cat sat"),          # all in vocab (case-folded)
+            (2, "cat zorblax qux"),      # 2/3 OOV
+            (3, ""),                     # empty doc
+        ],
+        "doc_id int, text string",
+    )
+    out = vocab_coverage(d, ["the", "cat", "sat", "dog"])
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_oov"] == 0 and got[1]["oov_rate"] == 0.0
+    assert got[2]["n_tokens"] == 3 and got[2]["n_oov"] == 2
+    assert got[2]["oov_rate"] == pytest.approx(2 / 3)
+    assert got[3]["n_tokens"] == 0 and got[3]["oov_rate"] == 0.0
+    assert "Broadcast" in explain_str(out)  # vocab broadcasts
