@@ -165,3 +165,49 @@ def expect(df: DataFrame, checks) -> list:
     if failures:
         raise ValidationError(failures)
     return results
+
+
+def metric_anomalies(
+    reports: DataFrame,
+    k: float = 3.0,
+    min_history: int = 5,
+    window: int = 100,
+) -> DataFrame:
+    """Anomalous epochs in a quality-gate report table (the
+    ``streaming/quality_gate`` output): for each check, flag epochs whose
+    metric deviates more than ``k`` trailing standard deviations from the
+    trailing mean — the drift detector that catches a metric that still
+    PASSES its threshold but has shifted regime (completeness sliding
+    0.999 → 0.991 is invisible to a 0.99 threshold and screams here).
+
+    Output: ``(check, epoch, metric, trail_mean, trail_std, z)`` for
+    flagged rows only.  Trailing window = previous ``window`` epochs per
+    check (never the current row — a spike must not mask itself), with at
+    least ``min_history`` observations before anything is flagged.  One
+    window shuffle partitioned by check — the report table is O(epochs ×
+    checks), metadata-sized at any corpus scale."""
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("check")
+        .orderBy("epoch")
+        .rowsBetween(-window, -1)
+    )
+    scored = reports.select(
+        "check",
+        "epoch",
+        "metric",
+        F.avg("metric").over(w).alias("trail_mean"),
+        F.stddev("metric").over(w).alias("trail_std"),
+        F.count("metric").over(w).alias("__n"),
+    )
+    z = (F.col("metric") - F.col("trail_mean")) / F.col("trail_std")
+    return (
+        scored.filter(
+            (F.col("__n") >= min_history)
+            & F.col("trail_std").isNotNull()
+            & (F.col("trail_std") > 0)
+            & (F.abs(z) > k)
+        )
+        .select("check", "epoch", "metric", "trail_mean", "trail_std", z.alias("z"))
+    )

@@ -88,3 +88,19 @@ def test_expect_raises_with_failures(d):
         expect(d, [completeness("email", 0.99), row_count(1)])
     # passing set returns results
     assert expect(d, [row_count(1)])[0]["passed"]
+
+
+def test_metric_anomalies(spark):
+    from hive_serde_schema_gen_spark.operators.validation import metric_anomalies
+
+    # 20 stable epochs ~0.999, then a regime shift the threshold would pass
+    rows = [(e, "completeness(text)", 0.999 + 0.0002 * (e % 3)) for e in range(20)]
+    rows += [(20, "completeness(text)", 0.991)]
+    # a second check that stays flat — never flagged
+    rows += [(e, "row_count", 1000.0) for e in range(21)]
+    d = spark.createDataFrame(rows, "epoch long, check string, metric double")
+    got = metric_anomalies(d, k=3.0).collect()
+    assert [(r["check"], r["epoch"]) for r in got] == [("completeness(text)", 20)]
+    assert got[0]["z"] < -3
+    # early epochs (insufficient history) and zero-variance checks: silent
+    assert not [r for r in got if r["check"] == "row_count"]
