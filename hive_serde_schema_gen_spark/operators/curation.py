@@ -477,14 +477,14 @@ def corpus_diff(
     table a data-versioning workflow stores next to each release; at
     100 TB both sides reduce to (id, 16-byte digest) before anything
     shuffles, so the diff joins digests, never text."""
-    o = old.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col).cast("binary")).alias("__od"),
+    # NULL text must digest to a sentinel, not NULL: md5(NULL)=NULL would
+    # make a present-with-null-text row indistinguishable from an absent
+    # row, misreporting it as added/removed
+    digest = lambda c: F.coalesce(  # noqa: E731
+        F.md5(F.col(c).cast("binary")), F.lit("__NULL_TEXT__")
     )
-    n = new.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col).cast("binary")).alias("__nd"),
-    )
+    o = old.select(F.col(id_col).alias("doc_id"), digest(text_col).alias("__od"))
+    n = new.select(F.col(id_col).alias("doc_id"), digest(text_col).alias("__nd"))
     j = o.join(n, "doc_id", "full_outer")
     return j.select(
         "doc_id",
@@ -512,9 +512,11 @@ def vocab_coverage(
     counts misses map-side.  Tokens are matched lowercase-exact; plug a
     subword ``token_count_col`` upstream for BPE-accurate coverage."""
     spark = d.sparkSession
+    # lowercase BEFORE dedup: {"The", "the"} must become ONE broadcast row,
+    # or the left join fans out and inflates every match's token count
     vdf = F.broadcast(
         spark.createDataFrame(
-            [(w.lower(),) for w in set(vocab)], "__w string"
+            [(w,) for w in {v.lower() for v in vocab}], "__w string"
         )
     )
     toks = d.select(

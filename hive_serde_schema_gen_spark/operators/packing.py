@@ -33,6 +33,19 @@ from ..sources.tables import load_table
 SHARD_SIZE = 10_000  # docs per prefix-sum shard; #shards = corpus/10k
 
 
+def ws_token_count(text_col: str = "text") -> F.Column:
+    """Whitespace token count with the empty-token guard (``split('')``
+    yields ``['']``) — THE shared definition for this module's chunker and
+    packer, so a tokenization tweak cannot diverge between them.  NULL
+    text counts 0 tokens (a metadata-only row must degrade, not crash)."""
+    return F.coalesce(
+        F.size(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ),
+        F.lit(0),
+    )
+
+
 def chunk_token_stream(
     docs: DataFrame,
     context_len: int,
@@ -60,13 +73,7 @@ def chunk_token_stream(
     ``split`` on an empty string yields ``['']``, which would otherwise
     charge every empty doc one token slot).
     """
-    n_tok = (
-        token_count_col
-        if token_count_col is not None
-        else F.size(
-            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-        )
-    )
+    n_tok = token_count_col if token_count_col is not None else ws_token_count()
     base = docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
@@ -304,19 +311,19 @@ def pack_documents_best_fit(
     globally unique: ``group * 2^32 + local``."""
     import pandas as pd
 
-    n_tok = (
-        token_count_col
-        if token_count_col is not None
-        else F.size(
-            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-        )
-    )
-    n_docs = docs.count()
-    n_groups = max(1, -(-n_docs // group_size))
+    n_tok = token_count_col if token_count_col is not None else ws_token_count()
+    id_type = docs.schema[id_col].dataType.simpleString()
+    # one tokenization pass: checkpoint the narrow projection, count THAT
+    # (counting `docs` directly would re-run the upstream pipeline — the
+    # double-scan chunk_token_stream's shard comment warns about)
     d = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        n_tok.cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("__grp"),
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
+    ).localCheckpoint()
+    n_docs = d.count()
+    n_groups = max(1, -(-n_docs // group_size))
+    d = d.withColumn(
+        "__grp", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_groups))
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -360,7 +367,7 @@ def pack_documents_best_fit(
         )
 
     return d.groupBy("__grp").applyInPandas(
-        pack, "doc_id long, n_tokens long, bin_id long, truncated boolean"
+        pack, f"doc_id {id_type}, n_tokens long, bin_id long, truncated boolean"
     )
 
 

@@ -81,3 +81,17 @@ def test_exact_fit_zero_waste(spark):
     packed = pack_documents_best_fit(d, L)
     assert padding_waste(packed, L) == pytest.approx(0.0)
     assert packed.select("bin_id").distinct().count() == 3
+
+
+def test_null_text_and_string_ids(spark):
+    # NULL text packs as a 0-token doc (degrades, never crashes); string
+    # ids survive with their type intact
+    d = spark.createDataFrame(
+        [("doc-a", "five words of real text"), ("doc-b", None), ("doc-c", "x")],
+        "doc_id string, text string",
+    )
+    packed = pack_documents_best_fit(d, L).collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    assert set(by_id) == {"doc-a", "doc-b", "doc-c"}
+    assert by_id["doc-b"]["n_tokens"] == 0
+    assert not by_id["doc-b"]["truncated"]

@@ -677,3 +677,27 @@ def test_vocab_coverage(spark):
     assert got[2]["oov_rate"] == pytest.approx(2 / 3)
     assert got[3]["n_tokens"] == 0 and got[3]["oov_rate"] == 0.0
     assert "Broadcast" in explain_str(out)  # vocab broadcasts
+
+
+def test_corpus_diff_null_text(spark):
+    from hive_serde_schema_gen_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now has text"), (2, None), (3, None)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r["change"] for r in corpus_diff(old, new).collect()}
+    # NULL→text and text→NULL are MODIFICATIONS, not add/remove; NULL→NULL
+    # is unchanged
+    assert got == {1: "modified", 2: "modified"}
+
+
+def test_vocab_coverage_case_variant_vocab(spark):
+    from hive_serde_schema_gen_spark.operators.curation import vocab_coverage
+
+    d = spark.createDataFrame([(1, "the cat")], "doc_id int, text string")
+    # case-variant duplicates in the vocab must not fan the join out
+    out = vocab_coverage(d, ["The", "the", "THE", "cat"]).collect()[0]
+    assert out["n_tokens"] == 2 and out["n_oov"] == 0
