@@ -1,0 +1,144 @@
+"""A minimal transactional manifest layer over parquet — snapshot-atomic
+commits, time travel, and safe compaction swaps (the mechanism the
+``compact_parquet`` docstring defers to: "swap atomically at the
+catalog/manifest layer").  Public design lineage: the snapshot/manifest
+idea of Iceberg/Delta, reduced to the two properties this engine needs:
+
+1. **Readers never see a partial write.** Data files land under
+   ``data/<uuid>/`` first; a snapshot becomes visible only when its
+   manifest (the list of file paths) is committed — readers resolve the
+   current version and read exactly the listed files.
+2. **Old snapshots stay readable** (time travel): a commit ADDS a
+   manifest; it never deletes data another snapshot references.  A
+   compaction rewrites files into a new data dir and commits a manifest
+   pointing at them — concurrent readers of version N are untouched.
+
+Commits are optimistic: ``commit(expected_version=...)`` fails if another
+writer advanced the table first (version = count of committed manifests;
+the marker write is create-exclusive).  The version marker protocol is
+one empty file ``manifests/committed-v{N}`` written AFTER the manifest
+parquet — on filesystems with atomic create (HDFS, local) this is a real
+transaction boundary; on eventually-consistent object stores you'd back
+the marker with a CAS service, the same caveat Delta's LogStore documents.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestTable:
+    """Handle to a manifest-managed parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._jvm = spark.sparkContext._jvm
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    # -- filesystem helpers (Hadoop FS: file://, hdfs://, s3a://) --------
+    def _p(self, *parts):
+        return self._jvm.org.apache.hadoop.fs.Path(
+            "/".join([self.path, *parts])
+        )
+
+    def _fs(self):
+        return self._p().getFileSystem(self._conf)
+
+    def _exists(self, *parts) -> bool:
+        return self._fs().exists(self._p(*parts))
+
+    # -- versions --------------------------------------------------------
+    def current_version(self) -> int:
+        """Highest committed version, or -1 for an empty table."""
+        v = -1
+        while self._exists("manifests", f"committed-v{v + 1}"):
+            v += 1
+        return v
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self.path}/manifests/v{version}"
+
+    # -- write path ------------------------------------------------------
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        expected_version: int | None = None,
+    ) -> int:
+        """Write ``df`` as a new snapshot and return its version.
+
+        ``mode='append'``: the new snapshot = previous snapshot's files +
+        the new files.  ``mode='overwrite'``: the new snapshot = the new
+        files only (previous snapshots remain readable — nothing is
+        deleted).  ``expected_version`` (optimistic concurrency): raise
+        ``ConflictError`` if the table has moved past it."""
+        cur = self.current_version()
+        if expected_version is not None and cur != expected_version:
+            raise ConflictError(
+                f"table at version {cur}, expected {expected_version}"
+            )
+        data_dir = f"{self.path}/data/{uuid.uuid4().hex}"
+        df.write.parquet(data_dir)
+        files = sorted(self.spark.read.parquet(data_dir).inputFiles())
+        if mode == "append" and cur >= 0:
+            files = self._files(cur) + files
+        elif mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown mode {mode!r}")
+        new_v = cur + 1
+        self.spark.createDataFrame(
+            [(f,) for f in files], "file string"
+        ).coalesce(1).write.mode("overwrite").parquet(self._manifest_path(new_v))
+        # transaction boundary: create-exclusive marker AFTER the manifest
+        marker = self._p("manifests", f"committed-v{new_v}")
+        if not self._fs().createNewFile(marker):
+            raise ConflictError(f"concurrent commit of version {new_v}")
+        return new_v
+
+    def compact(self, target_mb: int = 256, sort_by=()) -> int:
+        """Rewrite the CURRENT snapshot into ~target-sized files and commit
+        the result as a new overwrite snapshot — the safe form of
+        ``sinks.compact_parquet`` (readers of older versions race nothing:
+        their files are untouched)."""
+        cur = self.current_version()
+        if cur < 0:
+            raise ValueError("empty table")
+        df = self.read(cur)
+        from .layout import file_sizes
+
+        total = sum(file_sizes(self.spark, df))
+        n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+        if sort_by:
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.repartition(n_out)
+        return self.commit(df, mode="overwrite", expected_version=cur)
+
+    # -- read path -------------------------------------------------------
+    def _files(self, version: int) -> list:
+        return sorted(
+            r["file"]
+            for r in self.spark.read.parquet(
+                self._manifest_path(version)
+            ).collect()
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The snapshot at ``version`` (default: current) — reads exactly
+        the manifest's files; uncommitted data dirs are invisible."""
+        if version is None:
+            version = self.current_version()
+        if version < 0:
+            raise ValueError("empty table")
+        if not self._exists("manifests", f"committed-v{version}"):
+            raise ValueError(f"version {version} was never committed")
+        return self.spark.read.parquet(*self._files(version))
+
+
+class ConflictError(RuntimeError):
+    """Another writer committed first — re-read and retry."""

@@ -1,0 +1,73 @@
+"""Manifest table: snapshot atomicity, append/overwrite semantics, time
+travel, compaction swap, conflict detection, and invisibility of
+uncommitted data."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from hive_serde_schema_gen_spark.sources.manifest import ConflictError, ManifestTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return ManifestTable(spark, str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_and_time_travel(spark, table):
+    assert table.current_version() == -1
+    v0 = table.commit(_df(spark, 0, 10))
+    v1 = table.commit(_df(spark, 10, 30))
+    assert (v0, v1) == (0, 1)
+    assert table.read(0).count() == 10  # old snapshot intact
+    assert table.read(1).count() == 30
+    assert table.read().count() == 30  # default = current
+
+
+def test_overwrite_keeps_history(spark, table):
+    table.commit(_df(spark, 0, 10))
+    v1 = table.commit(_df(spark, 100, 105), mode="overwrite")
+    assert sorted(r["id"] for r in table.read(v1).collect()) == list(range(100, 105))
+    assert table.read(0).count() == 10  # time travel across overwrite
+
+
+def test_uncommitted_data_invisible(spark, table):
+    table.commit(_df(spark, 0, 10))
+    # simulate a writer crash: data files land but no manifest/marker
+    _df(spark, 900, 950).write.parquet(f"{table.path}/data/orphan")
+    assert table.read().count() == 10
+    assert table.current_version() == 0
+
+
+def test_compaction_swap(spark, table):
+    table.commit(_df(spark, 0, 5000).repartition(32))
+    n_files_before = len(table._files(0))
+    assert n_files_before > 1
+    v = table.compact(target_mb=1024, sort_by=["id"])
+    assert v == 1
+    assert len(table._files(1)) < n_files_before
+    got = sorted(r["id"] for r in table.read(1).collect())
+    assert got == list(range(5000))  # data identical through the swap
+    assert table.read(0).count() == 5000  # pre-compaction snapshot readable
+
+
+def test_conflict_detection(spark, table):
+    table.commit(_df(spark, 0, 10))
+    with pytest.raises(ConflictError):
+        table.commit(_df(spark, 10, 20), expected_version=-1)
+    # correct expectation passes
+    table.commit(_df(spark, 10, 20), expected_version=0)
+    assert table.current_version() == 1
+
+
+def test_read_uncommitted_version_raises(spark, table):
+    table.commit(_df(spark, 0, 3))
+    with pytest.raises(ValueError, match="never committed"):
+        table.read(7)
