@@ -105,7 +105,8 @@ def compact_parquet(
     without, a plain ``repartition`` balances bytes evenly.  Returns the
     output file count.  Compact into a NEW path and swap atomically at the
     catalog/manifest layer — compact-in-place over the live path is a
-    reader race."""
+    reader race; ``sources.manifest.ManifestTable.compact`` is that safe
+    form (snapshot-atomic, old versions stay readable)."""
     from .layout import file_sizes
 
     df = spark.read.parquet(src_path)
