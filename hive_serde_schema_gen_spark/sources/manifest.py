@@ -98,6 +98,43 @@ class ManifestTable:
             raise ConflictError(f"concurrent commit of version {new_v}")
         return new_v
 
+    def commit_once(
+        self, df: DataFrame, key: str, mode: str = "append"
+    ) -> int | None:
+        """Idempotent keyed commit — the exactly-once primitive for
+        at-least-once writers (``foreachBatch``: key = epoch id).  The
+        first commit with a given ``key`` wins; a replay returns ``None``
+        without writing.
+
+        Replay safety across EVERY crash point: the data dir is
+        DETERMINISTIC per key (``data/by-key/<key>``); a replay REUSES a
+        completed dir (``_SUCCESS`` present) rather than rewriting it —
+        rewriting would orphan the filenames an already-committed manifest
+        references — and only overwrites a dir left incomplete by a crash
+        mid-write.  Appended file lists are set-deduplicated, so a crash
+        after the snapshot commit but before the key marker can at worst
+        add a redundant version whose file set (hence content) is
+        identical to the previous one."""
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in str(key))
+        if self._exists("manifests", f"key-{safe}"):
+            return None
+        data_dir = f"{self.path}/data/by-key/{safe}"
+        if not self._exists("data", "by-key", safe, "_SUCCESS"):
+            df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(self.spark.read.parquet(data_dir).inputFiles())
+        cur = self.current_version()
+        if mode == "append" and cur >= 0:
+            files = sorted(set(self._files(cur)) | set(files))
+        new_v = cur + 1
+        self.spark.createDataFrame(
+            [(f,) for f in files], "file string"
+        ).coalesce(1).write.mode("overwrite").parquet(self._manifest_path(new_v))
+        marker = self._p("manifests", f"committed-v{new_v}")
+        if not self._fs().createNewFile(marker):
+            raise ConflictError(f"concurrent commit of version {new_v}")
+        self._fs().createNewFile(self._p("manifests", f"key-{safe}"))
+        return new_v
+
     def compact(self, target_mb: int = 256, sort_by=()) -> int:
         """Rewrite the CURRENT snapshot into ~target-sized files and commit
         the result as a new overwrite snapshot — the safe form of

@@ -71,3 +71,29 @@ def test_read_uncommitted_version_raises(spark, table):
     table.commit(_df(spark, 0, 3))
     with pytest.raises(ValueError, match="never committed"):
         table.read(7)
+
+
+def test_commit_once_replay_is_noop(spark, table):
+    d = _df(spark, 0, 20)
+    v = table.commit_once(d, key=7)
+    assert v == 0
+    assert table.commit_once(d, key=7) is None  # replay
+    assert table.current_version() == 0
+    assert table.read().count() == 20
+    # a different key commits normally
+    assert table.commit_once(_df(spark, 20, 25), key=8) == 1
+    assert table.read().count() == 25
+
+
+def test_commit_once_crash_before_key_marker(spark, table):
+    """Crash window: snapshot committed, key marker missing → the replay
+    may add a redundant version, but the readable content is identical."""
+    table.commit_once(_df(spark, 0, 10), key="e1")
+    # simulate the crash: remove only the key marker
+    fs = table._fs()
+    fs.delete(table._p("manifests", "key-e1"), False)
+    v = table.commit_once(_df(spark, 0, 10), key="e1")
+    assert v == 1  # redundant version...
+    a = sorted(r["id"] for r in table.read(0).collect())
+    b = sorted(r["id"] for r in table.read(1).collect())
+    assert a == b == list(range(10))  # ...with identical content
