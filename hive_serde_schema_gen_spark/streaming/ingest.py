@@ -104,3 +104,34 @@ def read_ingested(spark, out_path: str) -> DataFrame:
     """The accepted corpus across all epochs (epoch dirs are hive-style
     partitions, so readers can also prune by epoch range)."""
     return spark.read.option("basePath", out_path).parquet(f"{out_path}/epoch=*")
+
+
+def process_ingest_batch_manifest(
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    table,
+    intra_batch: bool = True,
+) -> None:
+    """Manifest-backed twin of :func:`process_ingest_batch`: novel docs
+    commit to a ``sources.manifest.ManifestTable`` via ``commit_once(key=
+    epoch)`` — replays are version-level no-ops, readers get ATOMIC
+    current-snapshot reads (``table.read()``) instead of epoch-dir globs,
+    and the accepted corpus gains time travel and safe compaction for
+    free.  The index extend stays duplicate-tolerant as before."""
+    if batch.isEmpty():
+        return
+    batch = batch.localCheckpoint()
+    if intra_batch:
+        batch = keep_first_per_content(batch).localCheckpoint()
+    matches = dedup_against_index(batch, index_path).join(
+        batch.select(F.col("doc_id").alias("matched_doc_id")),
+        "matched_doc_id",
+        "left_anti",
+    )
+    novel = novel_docs(batch, matches).localCheckpoint()
+    if table.commit_once(novel, key=epoch_id) is not None:
+        # first processing of this epoch — extend the index; a replay
+        # (commit_once → None) skips the extend too, so the index never
+        # double-ingests an epoch
+        extend_minhash_index(novel, index_path)

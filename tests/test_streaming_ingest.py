@@ -127,3 +127,30 @@ def test_full_replay_after_index_extend_is_idempotent(spark, dirs):
             r["doc_id"] for r in read_ingested(spark, dirs["out"]).collect()
         )
         assert got == [101, 102, 103]
+
+
+def test_manifest_backed_ingest_with_replay(spark, dirs):
+    from hive_serde_schema_gen_spark.sources.manifest import ManifestTable
+    from hive_serde_schema_gen_spark.streaming.ingest import (
+        process_ingest_batch_manifest,
+    )
+
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    build_minhash_index(corpus, dirs["index"], n_files=2)
+    table = ManifestTable(spark, os.path.join(dirs["out"], "tbl"))
+
+    b1 = spark.createDataFrame(
+        [(101, NEW1), (102, BASE)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(201, NEW2), (202, NEW1)], "doc_id long, text string"
+    )
+    process_ingest_batch_manifest(b1, 0, dirs["index"], table)
+    process_ingest_batch_manifest(b1, 0, dirs["index"], table)  # replay
+    process_ingest_batch_manifest(b2, 1, dirs["index"], table)
+
+    got = sorted(r["doc_id"] for r in table.read().collect())
+    assert got == [101, 201]  # 102 dup-of-base, 202 dup-of-epoch-0's 101
+    assert table.current_version() == 1  # replay added no version
+    # epoch-0 snapshot time-travels
+    assert sorted(r["doc_id"] for r in table.read(0).collect()) == [101]
