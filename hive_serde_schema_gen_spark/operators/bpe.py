@@ -1,0 +1,171 @@
+"""BPE vocabulary induction and encoding — domain-specific tokenizer
+training over the corpus (public recipe: Sennrich et al. 2016, the
+word-frequency formulation every BPE trainer uses).
+
+Why it scales: training never iterates over the CORPUS — it iterates over
+the **distinct-word frequency table** (one corpus aggregate up front; a
+100-TB crawl has a vocabulary orders of magnitude smaller than its token
+stream).  Each merge step is then:
+
+1. one map-side-combined aggregate over the word table (adjacent-pair
+   counts weighted by word frequency),
+2. a driver-side argmax (TakeOrdered 1 — a single row),
+3. one Arrow-batched rewrite of the symbol arrays of words CONTAINING the
+   winning pair (the inherently sequential in-word merge runs in
+   ``mapInPandas``, like the Misra–Gries summaries — bounded per word,
+   parallel across the table), lineage cut per iteration (the 2^k
+   lesson).
+
+``encode_bpe`` applies a trained merge list to the corpus in one
+Arrow-batched pass (per-word memoized — each distinct word in a batch is
+encoded once however often it repeats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker (standard: lets merges learn suffixes)
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, freq) over the corpus — the ONE corpus-sized pass of BPE
+    training.  Map-side combined; the shuffle carries the vocabulary."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    return (
+        docs.select(F.explode(F.split(F.trim(c), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> list:
+    """Learn ``n_merges`` BPE merges; returns them in order as (left,
+    right) symbol pairs.  Deterministic: ties on pair count break
+    lexicographically.  Stops early when no pair occurs twice."""
+    import pandas as pd
+
+    wf = word_frequencies(docs, text_col, lowercase)
+    syms = wf.select(
+        "freq",
+        (
+            F.concat(
+                F.split(F.col("word"), ""),  # characters
+                F.array(F.lit(END)),
+            )
+        ).alias("s"),
+    ).localCheckpoint()
+
+    merges: list = []
+    for _ in range(n_merges):
+        pairs = (
+            syms.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.filter(F.col("n") >= 2).orderBy(
+            F.desc("n"), "l", "r"
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for s in pdf["s"]:
+                    s = list(s)
+                    i, res = 0, []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                pdf["s"] = out
+                yield pdf
+
+        syms = syms.mapInPandas(
+            apply_merge, "freq long, s array<string>"
+        ).localCheckpoint()
+    return merges
+
+
+def _encode_word(word: str, ranks: dict) -> list:
+    s = list(word) + [END]
+    while len(s) > 1:
+        best, bi = None, -1
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        s[bi : bi + 2] = [s[bi] + s[bi + 1]]
+    return s
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Append ``out_col``: the BPE token array for each document under the
+    trained ``merges`` (earlier merge = higher priority, the standard
+    rank-greedy encode).  One Arrow-batched pass; within a batch each
+    DISTINCT word encodes once (memo dict), so repetitive corpora pay
+    per-vocabulary, not per-token.  NULL text yields an empty array."""
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add MUTATES the frame's cached schema
+    schema_out = T.StructType(
+        list(docs.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def enc(batches):
+        memo: dict = {}
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                if t is None or not t.strip():
+                    toks.append([])
+                    continue
+                words = (t.lower() if lowercase else t).strip().split()
+                row: list = []
+                for w in words:
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = _encode_word(w, ranks)
+                    row.extend(got)
+                toks.append(row)
+            pdf[out_col] = toks
+            yield pdf
+
+    return docs.mapInPandas(enc, schema_out)

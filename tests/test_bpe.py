@@ -1,0 +1,110 @@
+"""BPE training/encoding: merge-for-merge parity with a reference Python
+implementation (Sennrich-style), deterministic ties, early stop, and the
+encode round-trip."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from hive_serde_schema_gen_spark.operators.bpe import (
+    END,
+    encode_bpe,
+    train_bpe,
+    word_frequencies,
+)
+
+
+def _ref_train(texts, n_merges):
+    """Reference BPE trainer over the word-frequency table."""
+    wf = Counter()
+    for t in texts:
+        wf.update(t.lower().split())
+    vocab = {tuple(list(w) + [END]): f for w, f in wf.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        cands = [(n, p) for p, n in pairs.items() if n >= 2]
+        if not cands:
+            break
+        # deterministic tie-break: highest count, then lexicographic pair
+        top_n = max(n for n, _ in cands)
+        best = min(p for n, p in cands if n == top_n)
+        merges.append(best)
+        new_vocab = {}
+        for syms, f in vocab.items():
+            s, i, res = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    res.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "low newer wide wider",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+
+
+def test_word_frequencies(docs):
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert wf["low"] == 4 and wf["newer"] == 3 and wf["wide"] == 1
+
+
+def test_merges_match_reference(docs):
+    got = train_bpe(docs, n_merges=8)
+    want = _ref_train(TEXTS, 8)
+    assert got == want
+
+
+def test_early_stop_when_no_repeats(spark):
+    d = spark.createDataFrame([(1, "ab cd ef")], "doc_id int, text string")
+    # every word unique, every char pair occurs once per word → count < 2
+    # for all pairs except none; 100 requested merges stop early
+    merges = train_bpe(d, n_merges=100)
+    assert len(merges) < 100
+
+
+def test_encode_uses_merges(docs):
+    merges = train_bpe(docs, n_merges=8)
+    out = {r["doc_id"]: r["bpe_tokens"] for r in encode_bpe(docs, merges).collect()}
+    # encoding is consistent with the reference greedy-by-rank encode
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    from hive_serde_schema_gen_spark.operators.bpe import _encode_word
+
+    for i, t in enumerate(TEXTS):
+        want = []
+        for w in t.lower().split():
+            want.extend(_encode_word(w, ranks))
+        assert out[i] == want
+    # merged symbols actually appear (fewer tokens than characters)
+    n_chars = sum(len(w) + 1 for w in TEXTS[0].split())
+    assert 0 < len(out[0]) < n_chars
+
+
+def test_encode_null_and_empty(spark):
+    d = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "low")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["bpe_tokens"] for r in encode_bpe(d, [("l", "o")]).collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["lo", "w", END]
