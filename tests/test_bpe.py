@@ -108,3 +108,24 @@ def test_encode_null_and_empty(spark):
     out = {r["doc_id"]: r["bpe_tokens"] for r in encode_bpe(d, [("l", "o")]).collect()}
     assert out[1] == [] and out[2] == []
     assert out[3] == ["lo", "w", END]
+
+
+def test_bpe_counts_feed_packing(spark, docs):
+    """Composition: BPE-encoded token counts drive best-fit packing via
+    the existing token_count_col hook — the BPE-accurate packing path."""
+    import pyspark.sql.functions as F
+
+    from hive_serde_schema_gen_spark.operators.packing import (
+        pack_documents_best_fit,
+    )
+
+    merges = train_bpe(docs, n_merges=6)
+    enc = encode_bpe(docs, merges)
+    packed = pack_documents_best_fit(
+        enc, context_len=30, token_count_col=F.size("bpe_tokens")
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in packed}
+    enc_rows = {r["doc_id"]: r["bpe_tokens"] for r in enc.collect()}
+    assert set(by_doc) == set(enc_rows)
+    for d, toks in enc_rows.items():
+        assert by_doc[d]["n_tokens"] == len(toks)
