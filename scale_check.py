@@ -100,6 +100,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+    from hive_serde_schema_gen_spark.operators.bpe import encode_bpe
     from hive_serde_schema_gen_spark.operators.packing import (
         pack_documents_best_fit,
     )
@@ -191,6 +192,12 @@ def main() -> None:
         "packing_best_fit": lambda s, d: pack_documents_best_fit(
             _docs(s, d), context_len=512
         ),
+        # BPE encode under a fixed merge list (training excluded — the
+        # timed path is the per-token Arrow encode with word memoization;
+        # size() filter keeps the array alive under count)
+        "bpe_encode": lambda s, d: encode_bpe(
+            _docs(s, d), [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")]
+        ).filter("size(bpe_tokens) >= 0"),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
         "validation_six_checks": lambda s, d: metrics_frame(
