@@ -68,6 +68,7 @@ def train_bpe(
     ).localCheckpoint()
 
     merges: list = []
+    prev = None  # release the previous iteration's checkpoint blocks
     for _ in range(n_merges):
         pairs = (
             syms.select(
@@ -108,9 +109,14 @@ def train_bpe(
                 pdf["s"] = out
                 yield pdf
 
+        prev = syms
         syms = syms.mapInPandas(
             apply_merge, "freq long, s array<string>"
         ).localCheckpoint()
+        # the old checkpoint's blocks would otherwise pile up until GC +
+        # ContextCleaner get around to them — n_merges cached copies of
+        # the word table; explicit unpersist bounds it to two
+        prev.unpersist()
     return merges
 
 
@@ -148,16 +154,24 @@ def encode_bpe(
         + [T.StructField(out_col, T.ArrayType(T.StringType()))]
     )
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # split on EXACTLY Java's \s class ([ \t\n\x0B\f\r]) — training
+    # tokenizes with Spark's regex split, and Python str.split() treats
+    # Unicode whitespace (NBSP etc.) as separators where Java does not;
+    # a train/encode mismatch would void learned merges on crawl text
+    import re
+
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def enc(batches):
         memo: dict = {}
         for pdf in batches:
             toks = []
             for t in pdf[text_col]:
-                if t is None or not t.strip():
+                if t is None or not t.strip(" \t\n\x0b\f\r"):
                     toks.append([])
                     continue
-                words = (t.lower() if lowercase else t).strip().split()
+                s = (t.lower() if lowercase else t).strip(" \t\n\x0b\f\r")
+                words = [w for w in _ws.split(s) if w]
                 row: list = []
                 for w in words:
                     got = memo.get(w)

@@ -14,12 +14,20 @@ idea of Iceberg/Delta, reduced to the two properties this engine needs:
    pointing at them — concurrent readers of version N are untouched.
 
 Commits are optimistic: ``commit(expected_version=...)`` fails if another
-writer advanced the table first (version = count of committed manifests;
-the marker write is create-exclusive).  The version marker protocol is
-one empty file ``manifests/committed-v{N}`` written AFTER the manifest
-parquet — on filesystems with atomic create (HDFS, local) this is a real
-transaction boundary; on eventually-consistent object stores you'd back
-the marker with a CAS service, the same caveat Delta's LogStore documents.
+writer advanced the table first.  The protocol per version N: the
+manifest parquet is written to ``manifests/v{N}`` with ``errorIfExists``
+(a live racer fails LOUDLY at the write instead of clobbering the
+winner's committed manifest), a dead prior attempt — manifest present
+but marker absent — is cleaned up first (readers can't have seen it:
+every read requires the marker), and the empty create-exclusive marker
+``manifests/committed-v{N}`` lands LAST as the transaction boundary.
+On filesystems with atomic create (HDFS, local) version linearity is
+fully protected; two writers racing the SAME version can both fail and
+retry, never corrupt.  On eventually-consistent object stores you'd back
+the marker with a CAS service — the same caveat Delta's LogStore
+documents — and in all cases concurrent COMMITS should come from one
+writer per table (the streaming-ingest shape), with concurrency handled
+by ``expected_version``.
 """
 
 from __future__ import annotations
@@ -53,11 +61,20 @@ class ManifestTable:
 
     # -- versions --------------------------------------------------------
     def current_version(self) -> int:
-        """Highest committed version, or -1 for an empty table."""
-        v = -1
-        while self._exists("manifests", f"committed-v{v + 1}"):
-            v += 1
-        return v
+        """Highest committed version, or -1 for an empty table.  ONE
+        listStatus of the manifests dir (not one exists() RPC per version
+        — that would be O(versions) per call and quadratic over a
+        streaming writer's lifetime)."""
+        mdir = self._p("manifests")
+        fs = self._fs()
+        if not fs.exists(mdir):
+            return -1
+        best = -1
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("committed-v"):
+                best = max(best, int(name[len("committed-v"):]))
+        return best
 
     def _manifest_path(self, version: int) -> str:
         return f"{self.path}/manifests/v{version}"
@@ -76,6 +93,8 @@ class ManifestTable:
         files only (previous snapshots remain readable — nothing is
         deleted).  ``expected_version`` (optimistic concurrency): raise
         ``ConflictError`` if the table has moved past it."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown mode {mode!r}")  # BEFORE any write
         cur = self.current_version()
         if expected_version is not None and cur != expected_version:
             raise ConflictError(
@@ -86,15 +105,27 @@ class ManifestTable:
         files = sorted(self.spark.read.parquet(data_dir).inputFiles())
         if mode == "append" and cur >= 0:
             files = self._files(cur) + files
-        elif mode not in ("append", "overwrite"):
-            raise ValueError(f"unknown mode {mode!r}")
-        new_v = cur + 1
+        return self._commit_manifest(files, cur + 1)
+
+    def _commit_manifest(self, files: list, new_v: int) -> int:
+        """Write manifest v{new_v} (errorIfExists — a live racer fails
+        loudly, never clobbers a committed manifest) then the
+        create-exclusive marker.  A DEAD prior attempt (manifest present,
+        marker absent) is cleaned up first: no reader can have seen it,
+        every read path requires the marker."""
+        fs = self._fs()
+        mpath = self._p("manifests", f"v{new_v}")
+        if fs.exists(mpath) and not self._exists(
+            "manifests", f"committed-v{new_v}"
+        ):
+            fs.delete(mpath, True)
         self.spark.createDataFrame(
             [(f,) for f in files], "file string"
-        ).coalesce(1).write.mode("overwrite").parquet(self._manifest_path(new_v))
-        # transaction boundary: create-exclusive marker AFTER the manifest
+        ).coalesce(1).write.mode("errorifexists").parquet(
+            self._manifest_path(new_v)
+        )
         marker = self._p("manifests", f"committed-v{new_v}")
-        if not self._fs().createNewFile(marker):
+        if not fs.createNewFile(marker):
             raise ConflictError(f"concurrent commit of version {new_v}")
         return new_v
 
@@ -115,7 +146,18 @@ class ManifestTable:
         after the snapshot commit but before the key marker can at worst
         add a redundant version whose file set (hence content) is
         identical to the previous one."""
-        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in str(key))
+        import hashlib
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown mode {mode!r}")
+        raw = str(key)
+        # sanitized name + hash of the RAW key: 'a b' and 'a_b' must not
+        # collide into one marker (the second would silently drop data)
+        safe = (
+            "".join(c if c.isalnum() or c in "-_." else "_" for c in raw)
+            + "-"
+            + hashlib.md5(raw.encode()).hexdigest()[:8]
+        )
         if self._exists("manifests", f"key-{safe}"):
             return None
         data_dir = f"{self.path}/data/by-key/{safe}"
@@ -125,13 +167,7 @@ class ManifestTable:
         cur = self.current_version()
         if mode == "append" and cur >= 0:
             files = sorted(set(self._files(cur)) | set(files))
-        new_v = cur + 1
-        self.spark.createDataFrame(
-            [(f,) for f in files], "file string"
-        ).coalesce(1).write.mode("overwrite").parquet(self._manifest_path(new_v))
-        marker = self._p("manifests", f"committed-v{new_v}")
-        if not self._fs().createNewFile(marker):
-            raise ConflictError(f"concurrent commit of version {new_v}")
+        new_v = self._commit_manifest(files, cur + 1)
         self._fs().createNewFile(self._p("manifests", f"key-{safe}"))
         return new_v
 

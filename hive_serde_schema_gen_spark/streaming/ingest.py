@@ -42,19 +42,16 @@ from ..operators.dedup_index import (
 )
 
 
-def process_ingest_batch(
-    batch: DataFrame,
-    epoch_id: int,
-    index_path: str,
-    out_path: str,
-    intra_batch: bool = True,
-) -> None:
-    """One micro-batch: [intra-batch exact dedup] → index probe (broadcast
-    batch, index never shuffles; batch-self matches excluded — see module
-    docstring) → novel survivors → epoch-dir write + index extend.
-    Exposed as a plain function so the replay path is directly testable."""
+def _novel_for_batch(
+    batch: DataFrame, index_path: str, intra_batch: bool
+) -> DataFrame | None:
+    """The shared probe pipeline: [intra-batch exact dedup] → index probe
+    (broadcast batch, index never shuffles; batch-self matches excluded —
+    see module docstring) → checkpointed novel survivors.  ONE definition
+    on purpose: the batch-self-match exclusion is the subtle
+    replay-correctness join, and two copies would drift."""
     if batch.isEmpty():
-        return
+        return None
     batch = batch.localCheckpoint()  # reused by probe + anti-join
     if intra_batch:
         batch = keep_first_per_content(batch).localCheckpoint()
@@ -63,7 +60,21 @@ def process_ingest_batch(
         "matched_doc_id",
         "left_anti",
     )
-    novel = novel_docs(batch, matches).localCheckpoint()
+    return novel_docs(batch, matches).localCheckpoint()
+
+
+def process_ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_path: str,
+    intra_batch: bool = True,
+) -> None:
+    """One micro-batch → novel survivors → epoch-dir write + index extend.
+    Exposed as a plain function so the replay path is directly testable."""
+    novel = _novel_for_batch(batch, index_path, intra_batch)
+    if novel is None:
+        return
     # deterministic per-epoch dir + overwrite = replay-idempotent
     novel.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
     extend_minhash_index(novel, index_path)
@@ -118,20 +129,18 @@ def process_ingest_batch_manifest(
     epoch)`` — replays are version-level no-ops, readers get ATOMIC
     current-snapshot reads (``table.read()``) instead of epoch-dir globs,
     and the accepted corpus gains time travel and safe compaction for
-    free.  The index extend stays duplicate-tolerant as before."""
-    if batch.isEmpty():
+    free.
+
+    Ordering matters: the index extend runs BEFORE (and regardless of)
+    the commit.  Gating the extend on a successful first commit would
+    open a crash window — commit lands, driver dies before the extend,
+    every replay sees the key marker and skips the extend FOREVER, and
+    later duplicates of this epoch's docs probe clean and get admitted.
+    Extend-first means a replay at worst re-extends (duplicate index rows
+    are tolerated by design) and the key marker guarantees at most one
+    corpus commit."""
+    novel = _novel_for_batch(batch, index_path, intra_batch)
+    if novel is None:
         return
-    batch = batch.localCheckpoint()
-    if intra_batch:
-        batch = keep_first_per_content(batch).localCheckpoint()
-    matches = dedup_against_index(batch, index_path).join(
-        batch.select(F.col("doc_id").alias("matched_doc_id")),
-        "matched_doc_id",
-        "left_anti",
-    )
-    novel = novel_docs(batch, matches).localCheckpoint()
-    if table.commit_once(novel, key=epoch_id) is not None:
-        # first processing of this epoch — extend the index; a replay
-        # (commit_once → None) skips the extend too, so the index never
-        # double-ingests an epoch
-        extend_minhash_index(novel, index_path)
+    extend_minhash_index(novel, index_path)
+    table.commit_once(novel, key=epoch_id)

@@ -129,3 +129,20 @@ def test_bpe_counts_feed_packing(spark, docs):
     assert set(by_doc) == set(enc_rows)
     for d, toks in enc_rows.items():
         assert by_doc[d]["n_tokens"] == len(toks)
+
+
+def test_nbsp_word_consistent_between_train_and_encode(spark):
+    """Non-ASCII whitespace (NBSP) is NOT a separator in Java's \\s — the
+    encoder must agree, or merges learned across the NBSP never apply."""
+    t = "foo bar foo bar foo bar"
+    d = spark.createDataFrame([(1, t)], "doc_id int, text string")
+    wf = {r["word"]: r["freq"] for r in word_frequencies(d).collect()}
+    assert wf == {"foo bar": 3}  # one word, not two
+    merges = train_bpe(d, n_merges=3)
+    out = encode_bpe(d, merges).collect()[0]["bpe_tokens"]
+    # encoder saw the same single-word tokenization: 3 repeats of the
+    # same encoding, each ending with exactly one END marker
+    assert len(out) % 3 == 0
+    third = len(out) // 3
+    assert out[:third] == out[third : 2 * third] == out[2 * third :]
+    assert out[:third][-1].endswith(END)

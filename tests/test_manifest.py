@@ -88,12 +88,47 @@ def test_commit_once_replay_is_noop(spark, table):
 def test_commit_once_crash_before_key_marker(spark, table):
     """Crash window: snapshot committed, key marker missing → the replay
     may add a redundant version, but the readable content is identical."""
+    import hashlib
+
     table.commit_once(_df(spark, 0, 10), key="e1")
-    # simulate the crash: remove only the key marker
+    # simulate the crash: remove only the key marker (sanitized name
+    # carries the raw-key hash suffix)
+    safe = "e1-" + hashlib.md5(b"e1").hexdigest()[:8]
     fs = table._fs()
-    fs.delete(table._p("manifests", "key-e1"), False)
+    fs.delete(table._p("manifests", f"key-{safe}"), False)
     v = table.commit_once(_df(spark, 0, 10), key="e1")
     assert v == 1  # redundant version...
     a = sorted(r["id"] for r in table.read(0).collect())
     b = sorted(r["id"] for r in table.read(1).collect())
     assert a == b == list(range(10))  # ...with identical content
+
+
+def test_commit_once_distinct_keys_never_collide(spark, table):
+    # 'a b' and 'a_b' sanitize identically but are DIFFERENT keys — the
+    # raw-key hash suffix keeps them apart (the second must not be
+    # silently dropped as a replay)
+    assert table.commit_once(_df(spark, 0, 5), key="a b") == 0
+    assert table.commit_once(_df(spark, 5, 9), key="a_b") == 1
+    assert table.read().count() == 9
+
+
+def test_commit_mode_validated_before_write(spark, table, tmp_path):
+    with pytest.raises(ValueError, match="unknown mode"):
+        table.commit(_df(spark, 0, 5), mode="apend")
+    # nothing was written: table still empty, no orphan data dirs
+    assert table.current_version() == -1
+    import glob
+    assert not glob.glob(f"{table.path}/data/*")
+
+
+def test_loser_cannot_clobber_committed_manifest(spark, table):
+    """Race shape: writer A computes new_v from a stale read, writer B
+    commits that version first.  A's manifest write must FAIL (loudly),
+    leaving B's committed manifest intact."""
+    table.commit(_df(spark, 0, 10))  # B commits v0
+    files_b = table._files(0)
+    with pytest.raises(Exception):
+        # A attempts v0 directly (the stale-new_v path)
+        table._commit_manifest(["phantom.parquet"], 0)
+    assert table._files(0) == files_b  # B's manifest untouched
+    assert table.read(0).count() == 10
