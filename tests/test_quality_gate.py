@@ -105,3 +105,42 @@ def test_good_path_is_cleanly_readable(spark, dirs):
     assert got.count() == 2
     import glob
     assert not glob.glob(f"{dirs['good']}/reports*")
+
+
+def test_anomaly_detector_consumes_gate_reports(spark, dirs):
+    """Contract binding: metric_anomalies runs directly on the report
+    table the gate writes (schema + semantics, not just a synthetic
+    frame)."""
+    from hive_serde_schema_gen_spark.operators.validation import (
+        completeness,
+        metric_anomalies,
+    )
+
+    # 8 healthy epochs with slight completeness wobble, then a shifted one
+    for e in range(8):
+        n_null = 1 if e % 2 == 0 else 0
+        rows = [(i, None if i < n_null else f"text {i}") for i in range(100)]
+        process_gated_batch(
+            spark.createDataFrame(rows, "doc_id int, text string"),
+            e,
+            [completeness("text", 0.5)],
+            dirs["good"],
+            dirs["quar"],
+            dirs["rep"],
+        )
+    rows = [(i, None if i < 20 else f"text {i}") for i in range(100)]
+    process_gated_batch(
+        spark.createDataFrame(rows, "doc_id int, text string"),
+        8,
+        [completeness("text", 0.5)],
+        dirs["good"],
+        dirs["quar"],
+        dirs["rep"],
+    )
+    reports = spark.read.option("basePath", dirs["rep"]).parquet(
+        f"{dirs['rep']}/epoch=*"
+    )
+    flagged = metric_anomalies(reports, k=3.0, min_history=5).collect()
+    assert [(r["check"], r["epoch"]) for r in flagged] == [
+        ("completeness(text)>=0.5", 8)
+    ]
