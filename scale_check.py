@@ -134,6 +134,15 @@ def main() -> None:
     # every kept stratum at an explicit rate; unlisted default to 0
     MIX = {f"src{i}": 0.05 * (i % 4) + 0.2 for i in range(20)}
 
+    def _bpe_train_probe(s, d):
+        # train_bpe is eager (driver loop of aggregates) — running it
+        # inside the timed fn() puts the full training cost on the clock;
+        # the returned 1-row frame satisfies the harness's count()
+        from hive_serde_schema_gen_spark.operators.bpe import train_bpe
+
+        merges = train_bpe(_docs(s, d), n_merges=4)
+        return s.createDataFrame([(len(merges),)], "n int")
+
     def _classifier(s, d):
         from hive_serde_schema_gen_spark.operators.text import classifier_score
 
@@ -198,6 +207,10 @@ def main() -> None:
         "bpe_encode": lambda s, d: encode_bpe(
             _docs(s, d), [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")]
         ).filter("size(bpe_tokens) >= 0"),
+        # BPE training (4 merges): per-row cost should FALL steeply with
+        # corpus size — training iterates over the VOCABULARY, and the
+        # synthetic vocab grows far slower than the corpus
+        "bpe_train_4merges": lambda s, d: _bpe_train_probe(s, d),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
         "validation_six_checks": lambda s, d: metrics_frame(
