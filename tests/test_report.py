@@ -1,0 +1,48 @@
+"""Corpus report: section values verified on a constructed corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_serde_schema_gen_spark.operators.report import corpus_report
+
+A = " ".join(f"w{i}" for i in range(30))
+
+
+@pytest.fixture(scope="module")
+def report(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, A, "en", "wiki"),
+            (2, A, "en", "web"),                      # exact dup of 1
+            (3, A + " tail", "en", "web"),            # near dup of 1
+            (4, "buy now " * 20, "en", "web"),        # template
+            (5, "short text plus https://ex.org/a", "de", "web"),
+        ],
+        "doc_id int, text string, lang string, source string",
+    )
+    return corpus_report(docs)
+
+
+def test_size_and_mixes(report):
+    assert report["n_docs"] == 5
+    assert report["lang_mix"] == {"en": 4, "de": 1}
+    assert report["source_mix"] == {"wiki": 1, "web": 4}
+    assert report["null_text_frac"] == 0.0
+    assert report["text_len"]["min"] > 0
+
+
+def test_dup_rates(report):
+    assert report["exact_dup_frac"] == pytest.approx(1 / 5)  # doc 2
+    # near-dup pass flags doc 3 (vs 1) and the exact copy too
+    assert report["near_dup_frac"] >= 1 / 5
+
+
+def test_repetition_and_domains(report):
+    assert report["repetition"]["frac_templatey"] == pytest.approx(1 / 5)
+    assert ("ex.org", 1) in report["top_domains"]
+
+
+def test_quality_section(report):
+    assert 0.0 <= report["quality"]["mean"] <= 1.0
+    assert 0.0 <= report["quality"]["frac_low"] <= 1.0
