@@ -25,11 +25,15 @@ def corpus_report(
 ) -> dict:
     """Statistics sheet for a (doc_id, text[, lang, source]) corpus."""
     from .curation import domain_stats, repetition_stats
-    from .dedup import keep_first_per_content
     from .diagnostics import column_profile
     from .text import quality_features
 
     cols = set(docs.columns)
+    # ~8 independent jobs consume this frame — cut lineage ONCE so a
+    # derived input (curate_and_prepare output, the natural datasheet
+    # subject) doesn't re-run its whole pipeline per section (the same
+    # multi-consumer convention as quality_gate / minhash_lsh_pairs)
+    docs = docs.localCheckpoint()
     out: dict = {}
 
     # size + length envelope (one-pass profiler; strings profile LENGTH)
@@ -48,16 +52,30 @@ def corpus_report(
     ).collect()[0]
     out["quality"] = {k: q[k] for k in ("mean", "p50", "frac_low")}
 
-    # composition mixes (bounded group-bys)
+    # composition mixes — TOP-50 strata only (TakeOrdered, driver-bounded:
+    # provenance columns can be arbitrarily high-cardinality; an unbounded
+    # collect here would be the one driver-OOM hole in the report)
     for c in ("lang", "source"):
         if c in cols:
-            out[f"{c}_mix"] = {
-                r[c]: r["n"]
-                for r in docs.groupBy(c).agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+            top = (
+                docs.groupBy(c)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), c)
+                .limit(51)
+                .collect()
+            )
+            out[f"{c}_mix"] = {r[c]: r["n"] for r in top[:50]}
+            out[f"{c}_mix_truncated"] = len(top) > 50
 
-    # exact-dup rate (digest groupBy) + optional near-dup rate (banded LSH)
-    n_unique = keep_first_per_content(docs).count()
+    # exact-dup rate: ONE map-side-combined aggregate over digests (no
+    # window sort — we need the unique count, not the surviving rows)
+    n_unique = docs.agg(
+        F.countDistinct(
+            F.coalesce(  # NULL text is one content class, not zero
+                F.md5(F.col("text").cast("binary")), F.lit("__NULL_TEXT__")
+            )
+        )
+    ).collect()[0][0]
     out["exact_dup_frac"] = 1.0 - n_unique / out["n_docs"] if out["n_docs"] else 0.0
     if near_dup:
         from .dedup import minhash_lsh_pairs

@@ -46,3 +46,22 @@ def test_repetition_and_domains(report):
 def test_quality_section(report):
     assert 0.0 <= report["quality"]["mean"] <= 1.0
     assert 0.0 <= report["quality"]["frac_low"] <= 1.0
+
+
+def test_null_text_counts_as_one_content_class(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real")], "doc_id int, text string"
+    )
+    rep = corpus_report(docs, near_dup=False)
+    # 3 docs, 2 content classes (NULL, "real") → dup frac 1/3
+    assert rep["exact_dup_frac"] == pytest.approx(1 / 3)
+
+
+def test_mix_truncation_flag(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", f"src{i}") for i in range(60)],
+        "doc_id int, text string, lang string, source string",
+    )
+    rep = corpus_report(docs, near_dup=False)
+    assert len(rep["source_mix"]) == 50 and rep["source_mix_truncated"]
+    assert not rep["lang_mix_truncated"]
