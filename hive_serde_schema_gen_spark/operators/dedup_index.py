@@ -83,7 +83,8 @@ def build_minhash_index(
         .parquet(f"{path}/bands")
     )
     (
-        mh.repartitionByRange(max(1, n_files // 4), "doc_id")
+        mh.withColumn("epoch", F.lit(None).cast("long"))
+        .repartitionByRange(max(1, n_files // 4), "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(f"{path}/sigs")
@@ -95,7 +96,9 @@ def build_minhash_index(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def extend_minhash_index(docs: DataFrame, path: str) -> None:
+def extend_minhash_index(
+    docs: DataFrame, path: str, epoch: int | None = None
+) -> None:
     """Append a new batch's bands + signatures to an existing index (run
     AFTER dedup: index the batch's SURVIVORS, or every later batch matches
     the duplicates you just rejected).  Appends are new parquet files —
@@ -103,13 +106,21 @@ def extend_minhash_index(docs: DataFrame, path: str) -> None:
     the appended files lose the range-clustering of the initial build
     (probes still work — they just prune less inside the appended tail)
     until the next ``build_minhash_index`` compaction.  Signatures use the
-    index's pinned ``max_df``."""
+    index's pinned ``max_df``.
+
+    ``epoch`` stamps the signature rows with the writing micro-batch's
+    epoch id — the attribution ``streaming/ingest.py`` uses to tell a
+    REPLAY of the same epoch (ids must pass, the write is idempotent)
+    from a cross-epoch RE-DELIVERY of an already-accepted id (ids must be
+    rejected).  Batch/compaction writers leave it None."""
     max_df = _check_meta(docs.sparkSession, path)
     mh = _signatures(docs, max_df).localCheckpoint()
     band_keys_from_signatures(mh, "xxhash64").write.mode("append").parquet(
         f"{path}/bands"
     )
-    mh.write.mode("append").parquet(f"{path}/sigs")
+    mh.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
+        "append"
+    ).parquet(f"{path}/sigs")
 
 
 def _check_meta(spark: SparkSession, path: str) -> float | None:

@@ -188,7 +188,12 @@ def _mg_summaries(df: DataFrame, col: str, capacity: int) -> DataFrame:
 
 
 def frequent_items(
-    df: DataFrame, col: str, k: int = 20, capacity: int = 4096
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+    candidate_multiple: int = 4,
+    with_validity: bool = False,
 ) -> DataFrame:
     """EXACT top-``k`` most frequent values of ``col`` with bounded shuffle —
     the heavy-hitters operator for key spaces too large to groupBy whole
@@ -198,31 +203,61 @@ def frequent_items(
     this instead runs two scans and shuffles almost nothing:
 
     1. Per-partition Misra–Gries summaries (``capacity`` rows each, Arrow-
-       batched) → merge lower bounds → top ``4k`` candidate keys.  Any key
-       with global frequency > N/capacity is guaranteed present in the
-       merged summaries; candidates can only miss a true top-k key if more
-       than 4k keys out-bound it — raise ``capacity`` (tighter bounds)
-       or the candidate multiple if the head of your distribution is that
+       batched) → merge lower bounds → top ``candidate_multiple * k``
+       candidate keys.  Any key with global frequency > N/capacity is
+       guaranteed present in the merged summaries; candidates can only
+       miss a true top-k key if more than ``candidate_multiple * k`` keys
+       out-bound it — raise ``capacity`` (tighter bounds) or
+       ``candidate_multiple`` if the head of your distribution is that
        flat.
     2. Exact verification: broadcast the candidate keys, filtered
-       groupBy-count (map-side combined over <= 4k keys), exact top-k.
+       groupBy-count (map-side combined over the candidates), exact top-k.
 
-    Returns ``(key, count)`` with EXACT counts, ordered desc.  The driver
-    holds <= 4k candidate keys; the shuffles carry <= capacity·partitions
-    and <= 4k rows respectively."""
-    cand = (
+    Returns ``(key, count)`` with EXACT counts, ordered desc.  The counts
+    are always exact; the RANKING is guaranteed complete only when no
+    excluded key could out-count the k-th result.  ``with_validity=True``
+    checks that guarantee explicitly (two extra driver-bounded jobs) and
+    appends a constant ``guaranteed`` boolean column: any key outside the
+    candidate set has true count <= cut + N/capacity, where ``cut`` is the
+    smallest merged lower bound that survived the candidate limit (0 when
+    the limit didn't bind) and N/capacity bounds the total MG
+    underestimate — ``guaranteed`` compares the k-th exact count against
+    that bound, so a silent top-k miss cannot happen without the flag
+    dropping to false.  The driver holds <= candidate_multiple·k candidate
+    keys; the shuffles carry <= capacity·partitions and <=
+    candidate_multiple·k rows respectively."""
+    n_cand = candidate_multiple * k
+    cand_full = (
         _mg_summaries(df, col, capacity)
         .groupBy("key")
         .agg(F.sum("cnt").alias("lower"))
         .orderBy(F.desc("lower"), "key")
-        .limit(4 * k)
-        .select("key")
+        .limit(n_cand)
     )
-    return (
+    if with_validity:
+        cand_full = cand_full.localCheckpoint()  # reused by top + bound
+    top = (
         df.select(F.col(col).cast("string").alias("key"))
-        .join(F.broadcast(cand), "key")
+        .join(F.broadcast(cand_full.select("key")), "key")
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.desc("count"), "key")
         .limit(k)
     )
+    if not with_validity:
+        return top
+    stats = cand_full.agg(
+        F.count(F.lit(1)).alias("n"), F.min("lower").alias("cut")
+    ).collect()[0]
+    n_nonnull = df.filter(F.col(col).isNotNull()).count()
+    # bound on the true count of ANY key excluded from the candidates
+    bound = n_nonnull / capacity + (
+        stats["cut"] if stats["n"] == n_cand else 0
+    )
+    rows = top.localCheckpoint()
+    collected = rows.collect()
+    kth = min((r["count"] for r in collected), default=0)
+    # strict >: at equality an excluded key could tie (and under k results
+    # an excluded key could claim a free slot unless no key can reach 1)
+    guaranteed = kth > bound if len(collected) >= k else bound < 1
+    return rows.withColumn("guaranteed", F.lit(bool(guaranteed)))

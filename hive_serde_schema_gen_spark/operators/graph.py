@@ -61,11 +61,14 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         prev = ranks
-        with_deg = ranks.join(out_deg, "node", "left")
-        dangling = (
-            with_deg.filter(F.col("__deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # Dangling mass folds into the SAME job as the rank rebuild: the
+        # 1-row aggregate joins in via a broadcast cross join (a broadcast
+        # exchange stage of the one job), instead of a driver collect()
+        # that forced a second job per iteration.
+        dangling_row = (
+            ranks.join(out_deg, "node", "left")
+            .filter(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
         contribs = (
             contrib_edges.join(ranks, "node")
@@ -76,13 +79,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling_row))
             .select(
                 "node",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("__dangling") / n
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint()  # cut per iteration — no 2^k DAG
@@ -104,20 +109,36 @@ def domain_pagerank(
     """PageRank over the document→domain citation graph: an edge from the
     document's OWN source domain is unknowable here, so the graph is
     (citing doc's domains) — each pair of domains co-mentioned in one
-    document contributes a link from the earlier-mentioned to the later
-    (a pragmatic proxy citation graph; with real crawl metadata, feed
-    (page_domain, linked_domain) edges to :func:`pagerank` directly)."""
-    from .curation import extract_urls
+    document contributes a link from the FIRST-mentioned to the later
+    (mention order by text position, a pragmatic proxy citation graph;
+    with real crawl metadata, feed (page_domain, linked_domain) edges to
+    :func:`pagerank` directly)."""
+    from .curation import _DOMAIN_RE, _URL_RE
 
-    # distinct per (doc, domain): one doc mentioning a pair of domains
-    # 10× each must contribute ONE co-mention link, not a 100-weight
-    # multi-edge — repeated mentions are exactly the link-spam pattern
-    # this rank exists to resist
-    u = extract_urls(d, id_col, text_col).select(id_col, "domain").distinct()
+    # min occurrence position per (doc, domain): one doc mentioning a pair
+    # of domains 10× each must contribute ONE co-mention link, not a
+    # 100-weight multi-edge — repeated mentions are exactly the link-spam
+    # pattern this rank exists to resist
+    occ = d.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+        ).alias("pos", "url"),
+    )
+    domain = F.lower(F.regexp_extract(F.col("url"), _DOMAIN_RE, 1))
+    u = (
+        occ.select(
+            id_col, F.regexp_replace(domain, r"^www\.", "").alias("domain"), "pos"
+        )
+        .groupBy(id_col, "domain")
+        .agg(F.min("pos").alias("pos"))
+    )
     a, b = u.alias("a"), u.alias("b")
     edges = (
         a.join(b, F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
-        .filter(F.col("a.domain") < F.col("b.domain"))
+        # min positions per domain within a doc are distinct occurrence
+        # indexes, so < is a total order — no tie branch needed
+        .filter(F.col("a.pos") < F.col("b.pos"))
         .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
     )
     return pagerank(edges, iters=iters)

@@ -20,10 +20,14 @@ manifest parquet is written to ``manifests/v{N}`` with ``errorIfExists``
 winner's committed manifest), a dead prior attempt — manifest present
 but marker absent — is cleaned up first (readers can't have seen it:
 every read requires the marker), and the empty create-exclusive marker
-``manifests/committed-v{N}`` lands LAST as the transaction boundary.
-On filesystems with atomic create (HDFS, local) version linearity is
-fully protected; two writers racing the SAME version can both fail and
-retry, never corrupt.  On eventually-consistent object stores you'd back
+``manifests/committed-v{N}`` lands LAST as the transaction boundary,
+after which the writer RE-READS the committed manifest and verifies it
+lists its own files — a stalled writer whose dead-looking attempt was
+cleaned up and rewritten by a racer raises ``ConflictError`` instead of
+mis-reporting success over the racer's data.  On filesystems with atomic
+create (HDFS, local) version linearity is fully protected; two writers
+racing the SAME version can both fail and retry — the committed manifest
+is always one writer's coherent file list, never a blend.  On eventually-consistent object stores you'd back
 the marker with a CAS service — the same caveat Delta's LogStore
 documents — and in all cases concurrent COMMITS should come from one
 writer per table (the streaming-ingest shape), with concurrency handled
@@ -124,9 +128,29 @@ class ManifestTable:
         ).coalesce(1).write.mode("errorifexists").parquet(
             self._manifest_path(new_v)
         )
+        return self._seal(files, new_v)
+
+    def _seal(self, files: list, new_v: int) -> int:
+        """Marker create + post-marker verification, the commit's last two
+        steps (separate method so the stalled-writer interleaving is
+        directly testable)."""
         marker = self._p("manifests", f"committed-v{new_v}")
-        if not fs.createNewFile(marker):
+        if not self._fs().createNewFile(marker):
             raise ConflictError(f"concurrent commit of version {new_v}")
+        # Post-marker verification closes the stalled-writer window: writer1
+        # writes v{N} then stalls before the marker; writer2 deems the
+        # attempt dead, deletes and rewrites v{N}; writer1 wakes and its
+        # createNewFile still succeeds — committing writer2's file list
+        # while writer1 would report success with its own data orphaned.
+        # Re-reading the committed manifest and checking it lists THIS
+        # writer's files turns that silent corruption into a loud
+        # ConflictError (both racers fail; the committed snapshot is
+        # writer2's coherent list, never a blend).
+        if self._files_at(self._manifest_path(new_v)) != sorted(files):
+            raise ConflictError(
+                f"version {new_v} was rewritten by a concurrent writer "
+                "between manifest write and marker create"
+            )
         return new_v
 
     def commit_once(
@@ -193,13 +217,14 @@ class ManifestTable:
         return self.commit(df, mode="overwrite", expected_version=cur)
 
     # -- read path -------------------------------------------------------
-    def _files(self, version: int) -> list:
+    def _files_at(self, manifest_path: str) -> list:
         return sorted(
             r["file"]
-            for r in self.spark.read.parquet(
-                self._manifest_path(version)
-            ).collect()
+            for r in self.spark.read.parquet(manifest_path).collect()
         )
+
+    def _files(self, version: int) -> list:
+        return self._files_at(self._manifest_path(version))
 
     def read(self, version: int | None = None) -> DataFrame:
         """The snapshot at ``version`` (default: current) — reads exactly

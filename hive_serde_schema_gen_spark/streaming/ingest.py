@@ -19,9 +19,13 @@ the incoming batch itself: when an epoch replays after its index extend
 already committed, every batch doc is now in the index and would match
 ITSELF (est_jaccard 1.0), which would empty ``novel`` and overwrite the
 epoch dir with nothing — permanently losing the accepted docs.  Filtering
-out batch-self matches makes the replay recompute the same ``novel`` set;
-in a normal (non-replayed) epoch the filter is a no-op because the index
-cannot contain ids that only arrive in this batch.  Index appends ARE
+out batch-self matches makes the replay recompute the same ``novel`` set.
+The exclusion is safe against cross-epoch RE-DELIVERY (the same doc_id
+re-sent in a later epoch — the most common duplication pattern in real
+feeds) because index signature rows are stamped with the epoch that wrote
+them: before probing, batch ids already indexed under a DIFFERENT epoch
+(or a None epoch: batch-built history) are rejected outright, so only
+this epoch's own replayed entries ever reach the self-match exclusion.  Index appends ARE
 duplicated by a replay, deliberately: duplicate band/sig rows are
 semantically harmless (the probe's candidate `distinct` collapses them;
 signature rows per doc are identical copies) and are reclaimed by the
@@ -43,18 +47,42 @@ from ..operators.dedup_index import (
 
 
 def _novel_for_batch(
-    batch: DataFrame, index_path: str, intra_batch: bool
+    batch: DataFrame, index_path: str, intra_batch: bool, epoch_id: int
 ) -> DataFrame | None:
-    """The shared probe pipeline: [intra-batch exact dedup] → index probe
-    (broadcast batch, index never shuffles; batch-self matches excluded —
-    see module docstring) → checkpointed novel survivors.  ONE definition
-    on purpose: the batch-self-match exclusion is the subtle
-    replay-correctness join, and two copies would drift."""
+    """The shared probe pipeline: [intra-batch exact dedup] → cross-epoch
+    re-delivery rejection → index probe (broadcast batch, index never
+    shuffles; batch-self matches excluded — see module docstring) →
+    checkpointed novel survivors.  ONE definition on purpose: the
+    re-delivery guard and the batch-self-match exclusion are the subtle
+    replay-correctness joins, and two copies would drift.
+
+    Re-delivery guard: a doc_id already in the index under a DIFFERENT
+    epoch (or a None epoch: batch-built history) is a re-sent id — without
+    this it would match its own index entry, have the match discarded as
+    a batch-self match, and be silently re-admitted.  Same-epoch entries
+    are this epoch's own replayed extend and must NOT reject (that is the
+    data-loss replay bug the self-match exclusion fixes).  Scale shape:
+    the index side is a column-pruned (doc_id, epoch) scan semi-joined
+    against the BROADCAST batch ids — map-side over the index scan, the
+    hits are <= batch-sized, and the final anti-join broadcasts them."""
     if batch.isEmpty():
         return None
     batch = batch.localCheckpoint()  # reused by probe + anti-join
     if intra_batch:
         batch = keep_first_per_content(batch).localCheckpoint()
+    sigs = batch.sparkSession.read.parquet(f"{index_path}/sigs")
+    if "epoch" in sigs.columns:
+        foreign = (
+            sigs.filter(~F.col("epoch").eqNullSafe(F.lit(epoch_id)))
+            .select("doc_id")
+            .join(F.broadcast(batch.select("doc_id")), "doc_id", "left_semi")
+            .distinct()
+        )
+        batch = batch.join(
+            F.broadcast(foreign), "doc_id", "left_anti"
+        ).localCheckpoint()
+        if batch.isEmpty():
+            return None
     matches = dedup_against_index(batch, index_path).join(
         batch.select(F.col("doc_id").alias("matched_doc_id")),
         "matched_doc_id",
@@ -72,12 +100,12 @@ def process_ingest_batch(
 ) -> None:
     """One micro-batch → novel survivors → epoch-dir write + index extend.
     Exposed as a plain function so the replay path is directly testable."""
-    novel = _novel_for_batch(batch, index_path, intra_batch)
+    novel = _novel_for_batch(batch, index_path, intra_batch, epoch_id)
     if novel is None:
         return
     # deterministic per-epoch dir + overwrite = replay-idempotent
     novel.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-    extend_minhash_index(novel, index_path)
+    extend_minhash_index(novel, index_path, epoch=epoch_id)
 
 
 def start_ingest_dedup(
@@ -139,8 +167,8 @@ def process_ingest_batch_manifest(
     Extend-first means a replay at worst re-extends (duplicate index rows
     are tolerated by design) and the key marker guarantees at most one
     corpus commit."""
-    novel = _novel_for_batch(batch, index_path, intra_batch)
+    novel = _novel_for_batch(batch, index_path, intra_batch, epoch_id)
     if novel is None:
         return
-    extend_minhash_index(novel, index_path)
+    extend_minhash_index(novel, index_path, epoch=epoch_id)
     table.commit_once(novel, key=epoch_id)

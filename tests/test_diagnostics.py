@@ -216,3 +216,26 @@ def test_column_profile_interval_column(spark):
     prof = {p["column"]: p for p in column_profile(d)}
     assert prof["iv"]["measured"] == "length"
     assert prof["id"]["measured"] == "value"
+
+
+def test_frequent_items_validity_signal(spark):
+    """with_validity=True: a clearly-separated head must come back
+    guaranteed=True; a flat distribution whose keys out-bound the
+    candidate budget must drop the flag instead of silently returning a
+    possibly-wrong ranking."""
+    from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+
+    head = [("hot", ) for _ in range(500)] + [(f"k{i}",) for i in range(50)]
+    d = spark.createDataFrame(head, "v string").repartition(4)
+    rows = frequent_items(d, "v", k=1, with_validity=True).collect()
+    assert rows[0]["key"] == "hot" and rows[0]["count"] == 500
+    assert rows[0]["guaranteed"] is True
+
+    # flat: 4000 distinct keys, tiny capacity => bound swamps the k-th count
+    flat = spark.createDataFrame(
+        [(f"k{i % 4000}",) for i in range(8000)], "v string"
+    ).repartition(8)
+    rows = frequent_items(
+        flat, "v", k=5, capacity=16, candidate_multiple=2, with_validity=True
+    ).collect()
+    assert all(r["guaranteed"] is False for r in rows)

@@ -80,10 +80,11 @@ def test_domain_pagerank_on_url_docs(spark):
     ]
     d = spark.createDataFrame(docs, "doc_id int, text string")
     ranks = {r["node"]: r["rank"] for r in domain_pagerank(d, iters=8).collect()}
-    # hub.com co-occurs with both others and sorts after 'a.org'/'b.net'
-    # lexicographically (edges point earlier->later), so it RECEIVES links
+    # edges point first-mentioned -> later-mentioned: doc1 gives hub->a,
+    # hub->b, a->b; doc2 hub->b; doc3 a->hub.  b.net is cited latest
+    # everywhere it appears, so it RECEIVES the most mass
     assert set(ranks) == {"hub.com", "a.org", "b.net"}
-    assert ranks["hub.com"] == max(ranks.values())
+    assert ranks["b.net"] == max(ranks.values())
     assert sum(ranks.values()) == pytest.approx(1.0)
 
 

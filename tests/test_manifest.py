@@ -132,3 +132,38 @@ def test_loser_cannot_clobber_committed_manifest(spark, table):
         table._commit_manifest(["phantom.parquet"], 0)
     assert table._files(0) == files_b  # B's manifest untouched
     assert table.read(0).count() == 10
+
+
+def test_stalled_writer_detects_cleanup_rewrite(spark, table):
+    """The stalled-writer interleaving: writer1 writes manifests/v0 then
+    stalls BEFORE the marker; writer2 deems the attempt dead, deletes and
+    rewrites v0 with its own files; writer1 wakes and its marker create
+    succeeds.  Pre-fix writer1 reported success while the committed
+    manifest listed writer2's files (writer1's data silently orphaned);
+    the post-marker verification must make BOTH writers fail loudly and
+    leave writer2's coherent list as the committed content."""
+    fs = table._fs()
+    # writer1: data + manifest write, then stall (no marker)
+    d1 = f"{table.path}/data/w1"
+    _df(spark, 0, 5).write.parquet(d1)
+    files1 = sorted(spark.read.parquet(d1).inputFiles())
+    spark.createDataFrame([(f,) for f in files1], "file string").coalesce(
+        1
+    ).write.parquet(table._manifest_path(0))
+    # writer2: cleanup (manifest present, marker absent => dead), rewrite
+    d2 = f"{table.path}/data/w2"
+    _df(spark, 100, 110).write.parquet(d2)
+    files2 = sorted(spark.read.parquet(d2).inputFiles())
+    fs.delete(table._p("manifests", "v0"), True)
+    spark.createDataFrame([(f,) for f in files2], "file string").coalesce(
+        1
+    ).write.parquet(table._manifest_path(0))
+    # writer1 wakes: marker create succeeds, verification must catch the swap
+    with pytest.raises(ConflictError):
+        table._seal(files1, 0)
+    # writer2 resumes: marker already exists => loud failure too
+    with pytest.raises(ConflictError):
+        table._seal(files2, 0)
+    # the committed content is writer2's coherent list, never a blend
+    assert table._files(0) == files2
+    assert table.read(0).count() == 10

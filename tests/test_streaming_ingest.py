@@ -154,3 +154,37 @@ def test_manifest_backed_ingest_with_replay(spark, dirs):
     assert table.current_version() == 1  # replay added no version
     # epoch-0 snapshot time-travels
     assert sorted(r["doc_id"] for r in table.read(0).collect()) == [101]
+
+
+def test_cross_epoch_redelivery_of_same_id_rejected(spark, dirs):
+    """A doc accepted in epoch 0 is RE-SENT (same doc_id, same text) in a
+    later epoch — the most common duplication pattern in real feeds.
+    Pre-fix it matched its own index entry, the match was discarded as a
+    batch-self match, and the duplicate was re-admitted and re-indexed.
+    The epoch-attribution guard must reject it while leaving same-epoch
+    replay (the previous test) intact — including when the re-sent text
+    was REVISED (id collision, near-dup content)."""
+    from hive_serde_schema_gen_spark.streaming.ingest import process_ingest_batch
+
+    corpus = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    build_minhash_index(corpus, dirs["index"], n_files=2)
+
+    b1 = spark.createDataFrame([(101, NEW1)], "doc_id long, text string")
+    process_ingest_batch(b1, 0, dirs["index"], dirs["out"])
+    # epoch 1: exact re-delivery of id 101, revised re-delivery of the
+    # BASE corpus id 1 (epoch None in the index), and one novel doc
+    b2 = spark.createDataFrame(
+        [(101, NEW1), (1, BASE + " revised"), (201, NEW2)],
+        "doc_id long, text string",
+    )
+    process_ingest_batch(b2, 1, dirs["index"], dirs["out"])
+    got = sorted(r["doc_id"] for r in read_ingested(spark, dirs["out"]).collect())
+    assert got == [101, 201]
+    # and the re-sent id was NOT re-indexed: a later near-dup of NEW1
+    # still matches exactly one index entry per surviving doc
+    b3 = spark.createDataFrame(
+        [(301, NEW1 + " tail")], "doc_id long, text string"
+    )
+    process_ingest_batch(b3, 2, dirs["index"], dirs["out"])
+    got = sorted(r["doc_id"] for r in read_ingested(spark, dirs["out"]).collect())
+    assert got == [101, 201]  # 301 caught as near-dup of the single entry
