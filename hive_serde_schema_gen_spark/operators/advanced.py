@@ -10,6 +10,7 @@ from pyspark.sql.window import Window as W
 from ..functions.decimal_safe import money_sum
 from ..registry import query
 from ..sources.tables import load_table
+from .relational import _HISTOGRAM_SQL, histogram_totalprice
 
 SALT_BUCKETS = 8
 
@@ -72,9 +73,7 @@ def asof_join_last_order(spark, sf_dir):
     )
 
 
-@query(
-    "median_disc_price",
-    oracle="""
+_MEDIAN_SQL = """
     SELECT l_returnflag, l_extendedprice AS median_price FROM (
         SELECT l_returnflag, l_extendedprice,
                ROW_NUMBER() OVER (PARTITION BY l_returnflag
@@ -82,15 +81,16 @@ def asof_join_last_order(spark, sf_dir):
                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
         FROM lineitem)
     WHERE rn = (n + 1) // 2
-    ORDER BY l_returnflag
-    """,
-)
+"""
+
+
 def median_disc_price(spark, sf_dir):
     """Discrete median per group, deterministically: the ⌈n/2⌉-th element in
     a total order (value + unique tiebreak).  Interpolated medians differ
     across engines in the last ulp of the midpoint arithmetic; element
     selection cannot.  At scale prefer ``percentile_approx`` (see
-    ``approx_stats``) — an exact median costs a per-group sort."""
+    ``approx_stats``) — an exact median costs a per-group sort.
+    Registry-merged into ``stats_summary`` in round 8."""
     l = load_table(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
@@ -404,9 +404,7 @@ def _exact_pct_x100(pct: int):
     )
 
 
-@query(
-    "approx_stats",
-    oracle=f"""
+_APPROX_SQL = f"""
     WITH c AS (
       SELECT l_returnflag, l_partkey,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
@@ -432,9 +430,10 @@ def _exact_pct_x100(pct: int):
       FROM lineitem GROUP BY l_returnflag)
     SELECT q.l_returnflag, d.exact_parts, q.exact_p50_x100, q.exact_p99_x100,
            TRUE AS ok_parts, TRUE AS ok_median, TRUE AS ok_p99
-    FROM q JOIN d USING (l_returnflag) ORDER BY l_returnflag
-    """,
-)
+    FROM q JOIN d USING (l_returnflag)
+"""
+
+
 def approx_stats(spark, sf_dir):
     """Approximate aggregates — the sketches that replace exact
     distinct/quantiles at 100 TB: HyperLogLog++ distinct counts (constant
@@ -513,4 +512,77 @@ def approx_stats(spark, sf_dir):
             ok(F.col("approx_p99_c") * 100, "exact_p99_x100", "ok_p99"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "stats_summary",
+    oracle=f"""
+    SELECT * FROM (
+    SELECT 'approx' AS op, l_returnflag AS grp, CAST(NULL AS INTEGER) AS bucket,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS median_price,
+           exact_parts, exact_p50_x100, exact_p99_x100,
+           ok_parts, ok_median, ok_p99
+    FROM ({_APPROX_SQL})
+    UNION ALL
+    SELECT 'median', l_returnflag, NULL, NULL, median_price,
+           NULL, NULL, NULL, NULL, NULL, NULL
+    FROM ({_MEDIAN_SQL})
+    UNION ALL
+    SELECT 'hist', NULL, bucket, n, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM ({_HISTOGRAM_SQL})
+    ) ORDER BY op, COALESCE(grp, ''), COALESCE(bucket, -1)
+    """,
+)
+def stats_summary(spark, sf_dir):
+    """The distribution-statistics family in ONE driver slot (round-8
+    tagged-union merge of ``approx_stats`` + ``median_disc_price`` +
+    ``histogram_totalprice`` — the merge freed registry room for round-7
+    operators; each component plan is unchanged and the approx sketches
+    keep their accuracy-contract booleans).  See the component docstrings
+    for the per-operator scale notes."""
+    nulls = lambda typ, name: F.lit(None).cast(typ).alias(name)  # noqa: E731
+    approx = approx_stats(spark, sf_dir).select(
+        F.lit("approx").alias("op"),
+        F.col("l_returnflag").alias("grp"),
+        nulls("int", "bucket"),
+        nulls("bigint", "n"),
+        nulls("double", "median_price"),
+        "exact_parts",
+        "exact_p50_x100",
+        "exact_p99_x100",
+        "ok_parts",
+        "ok_median",
+        "ok_p99",
+    )
+    med = median_disc_price(spark, sf_dir).select(
+        F.lit("median").alias("op"),
+        F.col("l_returnflag").alias("grp"),
+        nulls("int", "bucket"),
+        nulls("bigint", "n"),
+        "median_price",
+        nulls("bigint", "exact_parts"),
+        nulls("bigint", "exact_p50_x100"),
+        nulls("bigint", "exact_p99_x100"),
+        nulls("boolean", "ok_parts"),
+        nulls("boolean", "ok_median"),
+        nulls("boolean", "ok_p99"),
+    )
+    hist = histogram_totalprice(spark, sf_dir).select(
+        F.lit("hist").alias("op"),
+        nulls("string", "grp"),
+        "bucket",
+        "n",
+        nulls("double", "median_price"),
+        nulls("bigint", "exact_parts"),
+        nulls("bigint", "exact_p50_x100"),
+        nulls("bigint", "exact_p99_x100"),
+        nulls("boolean", "ok_parts"),
+        nulls("boolean", "ok_median"),
+        nulls("boolean", "ok_p99"),
+    )
+    return (
+        approx.unionAll(med)
+        .unionAll(hist)
+        .orderBy("op", F.coalesce("grp", F.lit("")), F.coalesce("bucket", F.lit(-1)))
     )

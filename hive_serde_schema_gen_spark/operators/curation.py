@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..registry import query
+
 
 def word_ngrams(
     d: DataFrame,
@@ -227,8 +229,13 @@ def temperature_mix_rates(
         return {}
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
+    import math
+
     shares = {s: float(n) ** alpha for s, n in counts.items() if n > 0}
-    z = sum(shares.values())
+    # fsum: exactly-rounded and ORDER-INDEPENDENT — `counts` arrives from a
+    # collect() whose row order is not deterministic, and a naive sum would
+    # make the rates vary by an ULP between runs
+    z = math.fsum(shares.values())
     q = {s: v / z for s, v in shares.items()}
     if total is None:
         # largest total with all rates <= 1:  total = min_s n_s / q_s
@@ -541,3 +548,45 @@ def vocab_coverage(
             F.col("n_oov") / F.col("n_tokens"), F.lit(0.0)
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 driver-oracle slot
+# ---------------------------------------------------------------------------
+
+
+def curation_mix_query(spark, sf_dir):
+    """Driver slot for :func:`temperature_mix_rates` (round-7 mixing):
+    α = 0.5 temperature keep-rates over the per-language strata of
+    ``documents``.  Runs the REAL driver-side operator on a collected
+    count map (strata counts are tiny by construction) and returns
+    ``(lang, n_docs, rate)``; the oracle re-derives the exponentiated-
+    share rule in SQL with every float op in the same order.  Both sides
+    round to 6 dp: the only cross-engine wiggle is the share-sum Z
+    (fsum vs SQL SUM, <= 1 ULP) and pow, nine orders below the rounding."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_mix_rates(counts, alpha=0.5, total=None, max_rate=1.0)
+    rows = [(s, counts[s], rates[s]) for s in sorted(rates)]
+    out = spark.createDataFrame(rows, "lang string, n_docs long, rate double")
+    return out.select(
+        "lang", "n_docs", F.round("rate", 6).alias("rate")
+    ).orderBy("lang")
+
+
+query(
+    "curation_mix",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    z AS (SELECT SUM(power(CAST(n AS DOUBLE), 0.5)) AS z FROM c),
+    q AS (SELECT lang, n, power(CAST(n AS DOUBLE), 0.5) / z.z AS q FROM c, z),
+    t AS (SELECT MIN(n / q) AS total FROM q)
+    SELECT lang, n AS n_docs, round(LEAST(1.0, q * t.total / n), 6) AS rate
+    FROM q, t ORDER BY lang
+    """,
+)(curation_mix_query)

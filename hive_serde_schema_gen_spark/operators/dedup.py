@@ -623,17 +623,11 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH {_SQL_SIMHASH}
-    SELECT doc_id, simhash FROM sig ORDER BY doc_id
-    """,
-)
-def dedup_simhash(spark, sf_dir):
+def dedup_simhash_sigs(spark, sf_dir):
     """32-bit SimHash signature per document (see ``simhash_signatures``).
     Near-dups are then low-Hamming-distance pairs — the pairing query is
-    ``dedup_simhash_pairs``."""
+    ``dedup_simhash_pairs``.  Registry-merged into the ``dedup_simhash``
+    union slot in round 8."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_signatures(d).orderBy("doc_id")
 
@@ -642,9 +636,7 @@ SIMHASH_BANDS = 4  # 8-bit bands over the 32-bit signature
 HAMMING_MAX = 3  # pigeonhole: ≤3 differing bits over 4 bands ⇒ one band equal
 
 
-@query(
-    "dedup_simhash_pairs",
-    oracle=f"""
+_SIMHASH_PAIRS_SQL = f"""
     WITH {_SQL_SIMHASH},
     bands AS (
       SELECT doc_id, simhash, b.band,
@@ -659,9 +651,9 @@ HAMMING_MAX = 3  # pigeonhole: ≤3 differing bits over 4 bands ⇒ one band equ
            CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
     FROM cand
     WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
-    ORDER BY doc_a, doc_b
-    """,
-)
+"""
+
+
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairing: bucket signatures on {b} 8-bit bands
     (LSH-band style); docs sharing any band become candidates; verify with
@@ -706,6 +698,43 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 dedup_simhash_pairs.__doc__ = dedup_simhash_pairs.__doc__ and dedup_simhash_pairs.__doc__.format(b=SIMHASH_BANDS, h=HAMMING_MAX)
+dedup_simhash_pairs.__doc__ = (dedup_simhash_pairs.__doc__ or "") + (
+    "\n    Registry-merged into the ``dedup_simhash`` union slot in round 8"
+    " (plan shape still asserted in tests/test_plans.py)."
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT 'sig' AS op, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           simhash AS val
+    FROM (WITH {_SQL_SIMHASH} SELECT doc_id, simhash FROM sig)
+    UNION ALL
+    SELECT 'pair' AS op, doc_a, doc_b, CAST(hamming AS BIGINT) AS val
+    FROM ({_SIMHASH_PAIRS_SQL})
+    ORDER BY op, id_a, id_b
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """The SimHash family in ONE driver slot (round-8 tagged-union merge of
+    the per-doc signature query and the banded near-dup pairing query —
+    component docstrings carry the algorithm and scale notes).  ``sig``
+    rows: (doc_id, 32-bit signature); ``pair`` rows: (doc_a, doc_b,
+    Hamming distance <= {HAMMING_MAX})."""
+    sigs = dedup_simhash_sigs(spark, sf_dir).select(
+        F.lit("sig").alias("op"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("simhash").alias("val"),
+    )
+    pairs = dedup_simhash_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("op"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("hamming").cast("long").alias("val"),
+    )
+    return sigs.unionAll(pairs).orderBy("op", "id_a", "id_b")
 
 
 
@@ -999,4 +1028,123 @@ def strip_duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
             ),
         )
         .drop("__spans")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 driver-oracle slots for the round-7 substring/line dedup operators
+# ---------------------------------------------------------------------------
+
+SPAN_K = 6  # span gram width for the driver slot (docs are ~30-90 tokens)
+
+
+@query(
+    "dedup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,
+             array_to_string(w[t.i : t.i + {SPAN_K - 1}], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) - {SPAN_K} + 2)) AS i) t
+      WHERE len(w) >= {SPAN_K}
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY gram) AS n_occ,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ),
+    dup AS (SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn > 1),
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {SPAN_K}) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(pos + {SPAN_K}) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS newspan
+      FROM dup
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      FROM marks
+    )
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + {SPAN_K} - MIN(pos) AS span_len,
+           COUNT(*) AS n_grams
+    FROM sp GROUP BY doc_id, span
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_spans(spark, sf_dir):
+    """Driver slot for :func:`duplicate_spans` (round-7 substring-level
+    exact dedup, Lee et al. keep-first policy): maximal duplicated
+    >= {k}-token spans per document in integer token coordinates — exactly
+    re-derivable in the oracle with window functions, so the whole
+    postings -> per-gram first-occurrence -> interval-merge pipeline is
+    hash-checked end to end.  The Spark side is the production operator
+    (per-gram map-side-combinable aggregates, min(struct) first-occurrence,
+    NO doc-pair join); the oracle is an independent SQL formulation over
+    raw gram strings."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_spans(d, k=SPAN_K, keep_first=True).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+dedup_spans.__doc__ = dedup_spans.__doc__ and dedup_spans.__doc__.format(k=SPAN_K)
+
+
+_BP_NEWS = "Subscribe to our newsletter today"
+_BP_COPY = "Copyright 2026 Example Corp - All rights reserved"
+
+
+@query(
+    "dedup_boilerplate",
+    oracle=f"""
+    WITH built AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+                 CAST(doc_id AS VARCHAR) || ': ' || text,
+                 CASE WHEN doc_id % 3 = 0 THEN '{_BP_NEWS}' END,
+                 CASE WHEN doc_id % 5 = 0 THEN '{_BP_COPY}' END) AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, t.i - 1 AS line_no, ls[t.i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM built),
+           LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) t),
+    flagged AS (
+      SELECT trim(line) AS key FROM lines WHERE trim(line) <> ''
+      GROUP BY trim(line) HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+    FROM lines WHERE trim(line) NOT IN (SELECT key FROM flagged)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_boilerplate(spark, sf_dir):
+    """Driver slot for :func:`strip_boilerplate_lines` (round-7 CCNet-style
+    line/paragraph dedup).  The flat synthetic corpus has no newlines, so
+    the query PLANTS deterministic multi-line structure — a unique
+    id-prefixed first line plus boilerplate lines on doc_id % 3 / % 5 —
+    identically on both sides, then runs the production operator
+    (per-line-hash countDistinct flagging, hash-keyed anti-join rebuild,
+    byte-identical passthrough for untouched docs); the oracle re-derives
+    the strip from raw trimmed-line strings, so the whole flag->strip->
+    rebuild path is hash-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("doc_id").cast("string"), F.lit(": "), F.col("text")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BP_NEWS)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_BP_COPY)),
+        ).alias("text"),
+    )
+    return (
+        strip_boilerplate_lines(built, min_docs=2)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import query
+
 
 def pagerank(
     edges: DataFrame,
@@ -142,3 +144,73 @@ def domain_pagerank(
         .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
     )
     return pagerank(edges, iters=iters)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 driver-oracle slot
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 8
+PR_DAMPING = 0.85
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Unrolled fixed-iteration PageRank in pure SQL (DuckDB disallows
+    aggregates in recursive CTEs, and unrolling keeps every float op in
+    the same order as the Spark side: base, dangling, and contrib terms
+    add left-to-right exactly like ``pagerank``'s rank expression)."""
+    parts = [
+        """edges AS (
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem),
+    nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+             FROM r{i - 1} r LEFT JOIN deg ON deg.node = r.node
+             WHERE deg.node IS NULL),
+    c{i} AS (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS contrib
+             FROM edges e JOIN r{i - 1} r ON r.node = e.src
+             JOIN deg ON deg.node = e.src GROUP BY e.dst),
+    r{i} AS (SELECT n.node,
+                    (1.0 - {d}) / nn.n + {d} * d{i}.dm / nn.n
+                    + {d} * COALESCE(c.contrib, 0.0) AS rank
+             FROM nodes n LEFT JOIN c{i} c ON c.node = n.node, nn, d{i})"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\n    SELECT node, round(rank, 9) AS rank FROM r{iters} ORDER BY node"
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """Driver slot for :func:`pagerank` (round-7 join-based power
+    iteration): 8 fixed iterations over the lineitem supplier->part
+    bipartite multigraph — every part node is DANGLING, so the
+    dangling-mass redistribution term is exercised on most of the mass,
+    and parallel (supplier, part) edges exercise multi-edge weighting.
+    The oracle unrolls the same 8 iterations in SQL with every float op
+    in the same order; the only cross-engine nondeterminism is contrib
+    SUM association (ULP-level), so both sides round to 9 dp — nine
+    orders above the compounded drift."""
+    from ..sources.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    edges = l.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return (
+        pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING)
+        .select("node", F.round("rank", 9).alias("rank"))
+        .orderBy("node")
+    )

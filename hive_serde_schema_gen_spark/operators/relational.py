@@ -262,19 +262,11 @@ def q10_returned_items(spark, sf_dir):
     )
 
 
-@query(
-    "explode_top_tokens",
-    oracle="""
-    SELECT tok, COUNT(*) AS n
-    FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS tok
-          FROM documents)
-    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
-    """,
-)
 def explode_top_tokens(spark, sf_dir):
     """Flatten (explode ≡ LATERAL unnest) + count + top-k: the generator
     operator family.  The explode is map-side; only (token, partial count)
-    pairs shuffle thanks to partial aggregation."""
+    pairs shuffle thanks to partial aggregation.  Registry-merged into
+    ``semistructured_ops`` in round 8."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(
@@ -287,22 +279,22 @@ def explode_top_tokens(spark, sf_dir):
     )
 
 
-@query(
-    "histogram_totalprice",
-    oracle="""
+_HISTOGRAM_SQL = """
     SELECT CASE WHEN o_totalprice < 0 THEN 0
                 WHEN o_totalprice >= 500000 THEN 21
                 ELSE CAST(FLOOR(o_totalprice / 25000.0) + 1 AS INTEGER)
            END AS bucket,
            COUNT(*) AS n
-    FROM orders GROUP BY 1 ORDER BY bucket
-    """,
-)
+    FROM orders GROUP BY 1
+"""
+
+
 def histogram_totalprice(spark, sf_dir):
     """Histogram via width_bucket: fixed-width binning + count — the
     single-pass distribution sketch.  DuckDB 1.0 has no width_bucket, so
     the oracle reproduces the exact bucket arithmetic
-    (floor(x/width)+1 with under/overflow buckets 0 and n+1)."""
+    (floor(x/width)+1 with under/overflow buckets 0 and n+1).
+    Registry-merged into ``stats_summary`` (advanced.py) in round 8."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select(
@@ -442,23 +434,12 @@ def join_broadcast_dim(spark, sf_dir):
     )
 
 
-@query(
-    "join_semi_anti",
-    oracle="""
-    SELECT 'semi' AS op, c_custkey, c_name FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
-    UNION ALL
-    SELECT 'anti' AS op, c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    ORDER BY op, c_custkey
-    """,
-)
 def join_semi_anti(spark, sf_dir):
     """LEFT SEMI (≡ EXISTS: big spenders) + LEFT ANTI (≡ NOT EXISTS:
     never-ordered customers) in one tagged union.  Neither join duplicates
     the left side, and the right side reduces to its join keys before the
-    shuffle."""
+    shuffle.  Registry-merged into ``join_variants`` in round 8 (plan
+    shape still asserted in tests/test_plans.py)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     big = o.filter(F.col("o_totalprice") > 400000)
@@ -473,17 +454,10 @@ def join_semi_anti(spark, sf_dir):
     return semi.unionAll(anti).orderBy("op", "c_custkey")
 
 
-@query(
-    "join_outer_agg",
-    oracle="""
-    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
-    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_custkey ORDER BY c.c_custkey
-    """,
-)
 def join_outer_agg(spark, sf_dir):
     """LEFT OUTER join preserving customers with zero orders (COUNT of the
-    nullable key counts 0 for them)."""
+    nullable key counts 0 for them).  Registry-merged into
+    ``join_variants`` in round 8."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -494,32 +468,56 @@ def join_outer_agg(spark, sf_dir):
     )
 
 
+@query(
+    "join_variants",
+    oracle="""
+    SELECT 'semi' AS op, c_custkey, c_name, CAST(NULL AS BIGINT) AS n_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name, NULL FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'outer' AS op, c.c_custkey, NULL, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY op, c_custkey
+    """,
+)
+def join_variants(spark, sf_dir):
+    """The non-inner join family in ONE driver slot (round-8 tagged-union
+    merge of ``join_semi_anti`` + ``join_outer_agg``): LEFT SEMI, LEFT
+    ANTI, and LEFT OUTER + aggregate — each component plan unchanged."""
+    nulls = lambda typ, name: F.lit(None).cast(typ).alias(name)  # noqa: E731
+    sa = join_semi_anti(spark, sf_dir).select(
+        "op", "c_custkey", "c_name", nulls("bigint", "n_orders")
+    )
+    outer = join_outer_agg(spark, sf_dir).select(
+        F.lit("outer").alias("op"),
+        "c_custkey",
+        nulls("string", "c_name"),
+        "n_orders",
+    )
+    return sa.unionAll(outer).orderBy("op", "c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Scans / filters / projections / sort / limit
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "filter_project",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity,
-           l_extendedprice * (1.0 + l_tax) AS gross,
-           ABS(l_discount - 0.05)                        AS disc_dev,
-           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
-           CAST(CEIL(l_quantity / 7.0) AS BIGINT)        AS qty_weeks,
-           SQRT(l_quantity)                              AS qty_sqrt
-    FROM lineitem
-    WHERE l_quantity >= 48 AND l_discount < 0.02
-      AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
-    ORDER BY l_orderkey, l_linenumber
-    """,
-)
 def filter_project(spark, sf_dir):
     """Scan+filter+project with the scalar-math surface (abs/floor/ceil/sqrt
     — IEEE-exact per row, sqrt correctly rounded): both predicates and the
     projection reach the parquet reader (PushedFilters/ReadSchema — asserted
     in tests/test_plans.py).  Per-row double arithmetic is deterministic (no
-    reduction), so no decimal dance is needed."""
+    reduction), so no decimal dance is needed.
+
+    Registry-evicted in round 8 (slot ceded to round-7 operators): its
+    surface — pushdown, pruning, per-row scalar math — is exercised by
+    virtually every other registered query, and the pushdown/pruning plan
+    assertions keep running here via direct import."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.filter(
@@ -588,25 +586,14 @@ def window_topk_per_group(spark, sf_dir):
     )
 
 
-@query(
-    "window_running_lag",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
-           o_totalprice - LAG(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_vs_prev
-    FROM orders ORDER BY o_custkey, o_orderkey
-    """,
-)
 def window_running_lag(spark, sf_dir):
     """Running total + LAG delta per customer over one window spec (both
     frames share a single shuffle+sort on o_custkey).  The window SUM runs
     over decimal: window implementations are free to reassociate (DuckDB
     uses a segment tree), so only exact arithmetic is order-proof; the LAG
-    delta is per-row double subtraction (deterministic, no reduction)."""
+    delta is per-row double subtraction (deterministic, no reduction).
+    Registry-merged into ``window_analytics`` in round 8 (plan shape still
+    asserted in tests/test_plans.py)."""
     o = load_table(spark, sf_dir, "orders")
     wsum = (
         W.partitionBy("o_custkey")
@@ -626,18 +613,10 @@ def window_running_lag(spark, sf_dir):
     )
 
 
-@query(
-    "window_share_of_total",
-    oracle="""
-    SELECT o_orderstatus, n,
-           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
-    FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus)
-    ORDER BY o_orderstatus
-    """,
-)
 def window_share_of_total(spark, sf_dir):
     """Aggregate + unpartitioned window over the (tiny) aggregate result —
-    the OVER () runs on 3 rows, not the fact table."""
+    the OVER () runs on 3 rows, not the fact table.  Registry-merged into
+    ``window_analytics`` in round 8."""
     o = load_table(spark, sf_dir, "orders")
     counts = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
     return counts.select(
@@ -645,6 +624,58 @@ def window_share_of_total(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.sum("n").over(W.partitionBy())).alias("share"),
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "window_analytics",
+    oracle="""
+    SELECT 'running' AS op, o_custkey AS k, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           o_totalprice - LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_vs_prev,
+           CAST(NULL AS VARCHAR) AS o_orderstatus,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS share
+    FROM orders
+    UNION ALL
+    SELECT 'share' AS op, NULL, NULL, NULL, NULL, o_orderstatus, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus)
+    ORDER BY op, k, o_orderkey, o_orderstatus
+    """,
+)
+def window_analytics(spark, sf_dir):
+    """The window-frame surface in ONE driver slot (round-8 tagged-union
+    merge of ``window_running_lag`` + ``window_share_of_total``): a
+    running-frame SUM + LAG sharing one partitioned sort, and an
+    unpartitioned OVER () share-of-total over a pre-aggregated 3-row
+    input — component plans unchanged."""
+    nulls = lambda typ, name: F.lit(None).cast(typ).alias(name)  # noqa: E731
+    running = window_running_lag(spark, sf_dir).select(
+        F.lit("running").alias("op"),
+        F.col("o_custkey").alias("k"),
+        "o_orderkey",
+        "running_spend",
+        "delta_vs_prev",
+        nulls("string", "o_orderstatus"),
+        nulls("bigint", "n"),
+        nulls("double", "share"),
+    )
+    share = window_share_of_total(spark, sf_dir).select(
+        F.lit("share").alias("op"),
+        nulls("bigint", "k"),
+        nulls("bigint", "o_orderkey"),
+        nulls("double", "running_spend"),
+        nulls("double", "delta_vs_prev"),
+        "o_orderstatus",
+        "n",
+        "share",
+    )
+    return running.unionAll(share).orderBy(
+        "op", "k", "o_orderkey", "o_orderstatus"
+    )
 
 
 @query(
@@ -735,9 +766,7 @@ def set_ops(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "scalar_string_funcs",
-    oracle="""
+_SCALAR_STRING_SQL = """
     SELECT 'scalar' AS op, CAST(p_partkey AS VARCHAR) AS k,
            UPPER(p_name)                        AS name_upper,
            SUBSTR(p_name, 1, 8)                 AS name_prefix,
@@ -752,11 +781,13 @@ def set_ops(spark, sf_dir):
            string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
-    ORDER BY op, k
-    """,
-)
+"""
+
+
 def scalar_string_funcs(spark, sf_dir):
-    """String function surface in one tagged union:
+    """String function surface in one tagged union (registry-merged into
+    ``scalar_funcs`` in round 8 — slot ceded to round-7 operators; the
+    driver still hashes these rows through the merged query):
 
     - ``scalar`` rows: upper/substr/length/concat/replace/LIKE — all JVM
       expressions inside whole-stage codegen.
@@ -801,19 +832,10 @@ def scalar_string_funcs(spark, sf_dir):
     return scalar.unionAll(agg).orderBy("op", "k")
 
 
-@query(
-    "scalar_date_funcs",
-    oracle="""
-    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)    AS y,
-           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)   AS m,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monthly_total
-    FROM orders GROUP BY 1, 2 ORDER BY y, m
-    """,
-)
 def scalar_date_funcs(spark, sf_dir):
     """Date part extraction + monthly aggregate (timestamps leave the result
-    as ints — raw timestamps never cross the oracle boundary)."""
+    as ints — raw timestamps never cross the oracle boundary).
+    Registry-merged into ``scalar_funcs`` in round 8."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy(
@@ -828,18 +850,65 @@ def scalar_date_funcs(spark, sf_dir):
 
 
 @query(
-    "json_extract_events",
-    oracle="""
-    SELECT event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-    FROM events GROUP BY event_type ORDER BY event_type
+    "scalar_funcs",
+    oracle=f"""
+    SELECT 'str' AS fam, op, k, name_upper, name_prefix, name_len,
+           brand_type, brand_short, nations,
+           CAST(NULL AS BIGINT) AS n_orders, CAST(NULL AS DOUBLE) AS monthly_total
+    FROM ({_SCALAR_STRING_SQL})
+    UNION ALL
+    SELECT 'date' AS fam, 'month' AS op, printf('%04d-%02d', y, m) AS k,
+           NULL, NULL, NULL, NULL, NULL, NULL, n_orders, monthly_total
+    FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)  AS y,
+                 CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monthly_total
+          FROM orders GROUP BY 1, 2)
+    ORDER BY fam, op, k
     """,
 )
+def scalar_funcs(spark, sf_dir):
+    """The scalar-function surface in ONE driver slot (round-8 tagged-union
+    merge of ``scalar_string_funcs`` + ``scalar_date_funcs`` — the merge
+    freed registry room for round-7 operators; both component plans are
+    unchanged and still individually plan-asserted in tests/test_plans.py).
+    Date rows key on a printf'd year-month so no raw timestamp crosses the
+    oracle boundary."""
+    nulls = lambda typ, name: F.lit(None).cast(typ).alias(name)  # noqa: E731
+    strings = scalar_string_funcs(spark, sf_dir).select(
+        F.lit("str").alias("fam"),
+        "op",
+        "k",
+        "name_upper",
+        "name_prefix",
+        "name_len",
+        "brand_type",
+        "brand_short",
+        "nations",
+        nulls("bigint", "n_orders"),
+        nulls("double", "monthly_total"),
+    )
+    dates = scalar_date_funcs(spark, sf_dir).select(
+        F.lit("date").alias("fam"),
+        F.lit("month").alias("op"),
+        F.format_string("%04d-%02d", F.col("y"), F.col("m")).alias("k"),
+        nulls("string", "name_upper"),
+        nulls("string", "name_prefix"),
+        nulls("int", "name_len"),
+        nulls("string", "brand_type"),
+        nulls("string", "brand_short"),
+        nulls("string", "nations"),
+        "n_orders",
+        "monthly_total",
+    )
+    return strings.unionAll(dates).orderBy("fam", "op", "k")
+
+
 def json_extract_events(spark, sf_dir):
     """Semi-structured access: get_json_object on the raw props column (the
     schema-on-read path; the schema-inferred typed path is the flagship
-    ``infer_props_schema``).  Integer sums are exact."""
+    ``infer_props_schema``).  Integer sums are exact.  Registry-merged
+    into ``semistructured_ops`` in round 8."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
@@ -849,6 +918,38 @@ def json_extract_events(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "semistructured_ops",
+    oracle="""
+    SELECT 'tokens' AS op, tok AS key, n, CAST(NULL AS BIGINT) AS sum_k
+    FROM (SELECT tok, COUNT(*) AS n
+          FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS tok
+                FROM documents)
+          GROUP BY tok ORDER BY n DESC, tok LIMIT 20)
+    UNION ALL
+    SELECT 'json' AS op, event_type AS key, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    ORDER BY op, n DESC, key
+    """,
+)
+def semistructured_ops(spark, sf_dir):
+    """The semi-structured/generator surface in ONE driver slot (round-8
+    tagged-union merge of ``explode_top_tokens`` + ``json_extract_events``):
+    LATERAL-style explode + top-k token counts, and get_json_object
+    aggregation over raw JSON props — component plans unchanged."""
+    toks = explode_top_tokens(spark, sf_dir).select(
+        F.lit("tokens").alias("op"),
+        F.col("tok").alias("key"),
+        "n",
+        F.lit(None).cast("bigint").alias("sum_k"),
+    )
+    js = json_extract_events(spark, sf_dir).select(
+        F.lit("json").alias("op"), F.col("event_type").alias("key"), "n", "sum_k"
+    )
+    return toks.unionAll(js).orderBy("op", F.desc("n"), "key")
 
 
 _SUBQUERIES_SQL = """

@@ -632,12 +632,29 @@ def bm25_topk(
     denom = F.col("__tf") + k1 * (
         1.0 - b + b * F.col("__dl") / F.col("__avgdl")
     )
-    return (
+    # Per-doc score: one conditional aggregate per query term, added in
+    # FIXED (sorted-term) order — not an unordered float SUM.  Each term
+    # has exactly one (doc, term) row, so every per-term aggregate is a
+    # single element and the final score is bit-deterministic across
+    # engines and runs (a reassociating float sum is not); cost is |Q|
+    # aggregate columns over the same single shuffle.
+    scored = (
         tf.join(F.broadcast(dfreq), "__t")
         .crossJoin(F.broadcast(stats))
-        .select(id_col, (idf * F.col("__tf") / denom).alias("__s"))
+        .select(id_col, "__t", (idf * F.col("__tf") / denom).alias("__s"))
         .groupBy(id_col)
-        .agg(F.sum("__s").alias("bm25"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("__t") == t, F.col("__s"))).alias(f"__s{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    score = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    return (
+        scored.select(id_col, score.alias("bm25"))
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
@@ -677,3 +694,52 @@ def rrf_fuse(ranked: list, k: int = 60, id_col: str = "doc_id", topk: int | None
         .orderBy(F.desc("rrf"), id_col)
     )
     return fused.limit(topk) if topk is not None else fused
+
+
+_BM25_TERMS = ("join", "spark", "window")  # sorted — mirrors bm25_topk's order
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+      FROM documents),
+    base AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM toks),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM base WHERE t IN ('join', 'spark', 'window')
+      GROUP BY doc_id, t),
+    stats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM toks),
+    dfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+    s AS (
+      SELECT tf.doc_id, tf.t,
+             ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS sc
+      FROM tf JOIN dfq ON dfq.t = tf.t, stats)
+    SELECT doc_id, round(
+           COALESCE(MAX(CASE WHEN t = 'join'   THEN sc END), 0)
+         + COALESCE(MAX(CASE WHEN t = 'spark'  THEN sc END), 0)
+         + COALESCE(MAX(CASE WHEN t = 'window' THEN sc END), 0), 9) AS bm25
+    FROM s GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """Driver slot for :func:`bm25_topk` (round-7 Okapi BM25 lexical
+    retrieval): top-20 documents for the fixed query ``"spark join
+    window"``.  Hash-exact across engines because every reduction in the
+    score is order-free (integer tf/df/dl counts, an exact integer-sum
+    avgdl) and the final per-doc score adds its per-term components in
+    fixed sorted order on both sides.  The one exception is ``ln``: JVM
+    ``Math.log`` and DuckDB's libm disagree by 1 ULP on some inputs
+    (measured: idf('join') differs in the 17th digit at sf0.01), so the
+    REPORTED score is rounded to 9 dp on both sides — score gaps at the
+    top-20 cut are ~3e-4, nine orders above the discrepancy, so the cut
+    and the rounded values are stable."""
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, " ".join(_BM25_TERMS), k=20).select(
+        "doc_id", F.round("bm25", 9).alias("bm25")
+    )

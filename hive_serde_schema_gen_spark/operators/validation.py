@@ -24,6 +24,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import query
+
 
 @dataclass(frozen=True)
 class Check:
@@ -211,3 +213,72 @@ def metric_anomalies(
         )
         .select("check", "epoch", "metric", "trail_mean", "trail_std", z.alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 driver-oracle slot
+# ---------------------------------------------------------------------------
+
+
+def _driver_checks():
+    """The fixed check list of the ``validation_checks`` slot.  Exact
+    uniqueness (not the HLL default) on purpose: the driver hash-compares
+    values, and countDistinct/count is bit-exact in both engines."""
+    return [
+        completeness("text"),
+        completeness("lang"),
+        uniqueness("doc_id", approx=False),
+        in_range("n_chars", 1, 100000),
+        satisfies("n_chars = length(text)", name="satisfies(n_chars=length)"),
+        matches_regex("lang", "^[a-z]{2}$"),
+        row_count(min_rows=1),
+    ]
+
+
+@query(
+    "validation_checks",
+    oracle="""
+    SELECT 'completeness(text)>=1.0' AS "check",
+           AVG(CAST(text IS NOT NULL AS DOUBLE)) AS metric FROM documents
+    UNION ALL
+    SELECT 'completeness(lang)>=1.0',
+           AVG(CAST(lang IS NOT NULL AS DOUBLE)) FROM documents
+    UNION ALL
+    SELECT 'uniqueness(doc_id)>=1.0',
+           CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / COUNT(*) FROM documents
+    UNION ALL
+    SELECT 'in_range(n_chars,[1,100000])>=1.0',
+           COALESCE(AVG(CAST(n_chars BETWEEN 1 AND 100000 AS DOUBLE)), 1.0)
+    FROM documents
+    UNION ALL
+    SELECT 'satisfies(n_chars=length)',
+           AVG(COALESCE(CAST(n_chars = LENGTH(text) AS DOUBLE), 0.0))
+    FROM documents
+    UNION ALL
+    SELECT 'matches_regex(lang)>=1.0',
+           COALESCE(AVG(CAST(regexp_matches(lang, '^[a-z]{2}$') AS DOUBLE)), 1.0)
+    FROM documents
+    UNION ALL
+    SELECT 'row_count>=1', CAST(COUNT(*) AS DOUBLE) FROM documents
+    ORDER BY "check"
+    """,
+)
+def validation_checks(spark, sf_dir):
+    """Driver slot for the round-7 declarative validation layer: the REAL
+    ``metrics_frame`` single-aggregate pass over ``documents`` (seven
+    constraint families — completeness, exact uniqueness, range,
+    predicate, regex, row count — lowered into ONE HashAggregate pair),
+    stacked to tidy ``(check, metric)`` rows.  Every metric is an exact
+    ratio of integer counts (order-free), so the driver hash-compares
+    doubles bit-for-bit against the oracle's independent SQL aggregates."""
+    from ..sources.tables import load_table
+
+    checks = _flatten(_driver_checks())
+    d = load_table(spark, sf_dir, "documents")
+    mf = metrics_frame(d, checks)
+    pairs = []
+    for i, c in enumerate(checks):
+        pairs.extend([F.lit(c.name), F.col(f"m{i}")])
+    return mf.select(
+        F.stack(F.lit(len(checks)), *pairs).alias("check", "metric")
+    ).orderBy("check")

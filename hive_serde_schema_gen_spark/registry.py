@@ -88,5 +88,8 @@ def _load() -> None:
     from .operators import inference  # noqa: F401
     from .operators import advanced  # noqa: F401
     from .operators import relational  # noqa: F401
+    from .operators import graph  # noqa: F401
+    from .operators import validation  # noqa: F401
+    from .operators import curation  # noqa: F401
 
     _loaded = True

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from hive_serde_schema_gen_spark.registry import all_queries
 from hive_serde_schema_gen_spark.sources.tables import load_table
 
+from hive_serde_schema_gen_spark.operators.advanced import approx_stats
+
 QUERIES = all_queries()
 
 
@@ -15,7 +17,7 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     """The ok_* booleans ARE the sketch-accuracy evidence (rel_err ≤ 0.05
     vs the exact column); exact_parts must equal an independent exact
     countDistinct."""
-    rows = {r["l_returnflag"]: r for r in QUERIES["approx_stats"](spark, sf_dir).collect()}
+    rows = {r["l_returnflag"]: r for r in approx_stats(spark, sf_dir).collect()}
     l = load_table(spark, sf_dir, "lineitem")
     exact = {
         r["l_returnflag"]: r["n"]
@@ -31,7 +33,7 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
 def test_approx_quantiles_sane(spark, sf_dir):
     """Exact interpolated percentiles (cents ×100) must bracket sanely and
     every sketch must sit inside its rel-err floor (the ok_* booleans)."""
-    rows = QUERIES["approx_stats"](spark, sf_dir).collect()
+    rows = approx_stats(spark, sf_dir).collect()
     l = load_table(spark, sf_dir, "lineitem")
     lo, hi = l.agg(
         F.min("l_extendedprice"), F.max("l_extendedprice")

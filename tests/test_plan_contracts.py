@@ -24,7 +24,7 @@ _NESTED_LOOP_OK = {
     "text_tfidf_top_terms",
     "similarity_ivf_topk",
     "similarity_lsh_bucketed",
-    "approx_stats",
+    "stats_summary",
     "similarity_pairs_threshold",
 }
 

@@ -10,9 +10,14 @@ from hive_serde_schema_gen_spark.plans import (
     pushed_filters,
 )
 from hive_serde_schema_gen_spark.operators.clustering import dedup_canonical_query
+from hive_serde_schema_gen_spark.operators.dedup import dedup_simhash_pairs
 from hive_serde_schema_gen_spark.operators.relational import (
+    filter_project,
     join_broadcast_dim,
+    join_semi_anti,
+    scalar_string_funcs,
     topk_orders,
+    window_running_lag,
 )
 from hive_serde_schema_gen_spark.registry import all_queries
 
@@ -22,6 +27,15 @@ QUERIES = all_queries()
 QUERIES["join_broadcast_dim"] = join_broadcast_dim
 QUERIES["topk_orders"] = topk_orders
 QUERIES["dedup_canonical"] = dedup_canonical_query
+# round-8 merges/evictions (slots ceded to round-7 operators): component
+# plans stay asserted via direct import — the registry now carries them
+# inside tagged-union slots (scalar_funcs, window_analytics, join_variants,
+# dedup_simhash, stats_summary, semistructured_ops)
+QUERIES["filter_project"] = filter_project
+QUERIES["join_semi_anti"] = join_semi_anti
+QUERIES["scalar_string_funcs"] = scalar_string_funcs
+QUERIES["window_running_lag"] = window_running_lag
+QUERIES["dedup_simhash_pairs"] = dedup_simhash_pairs
 
 # Queries whose hot path must stay fully JVM-side (no Python eval nodes).
 JVM_ONLY = [
