@@ -368,6 +368,7 @@ def semantic_contamination(
     id_col: str = "vec_id",
     bench_id_col: str = "bench_id",
     emb_col: str = "embedding",
+    exact_below: int = 10_000,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic sibling of
     :func:`ngram_contamination`: flag corpus vectors whose cosine with ANY
@@ -377,15 +378,26 @@ def semantic_contamination(
     Returns ``(vec_id, max_bench_sim, nearest_bench_id)`` for flagged
     vectors only; callers ``left_anti`` on ``vec_id`` to drop them.
 
-    Scale shape: the benchmark side is BROADCAST (eval sets are thousands
-    of rows; the corpus is the big side) — the corpus never shuffles for
-    candidate generation, the per-(doc, bench) similarities are computed
-    map-side and collapse to one row per doc in a partial max before the
-    one O(flagged docs)-sized aggregate shuffle.  Norms are precomputed
-    per side so the inner loop is one fold per pair, and the doc-side
-    norm is computed once per row, not once per benchmark pair."""
+    Two physical strategies behind one contract:
+
+    - benchmark <= ``exact_below`` rows (the common single-eval-set case):
+      exact ``crossJoin(broadcast(bench))`` — the corpus never shuffles,
+      per-(doc, bench) similarities compute map-side and collapse in a
+      partial max, norms precompute per side.
+    - larger benchmark suites (10⁴–10⁵ items across many evals): the
+      crossJoin's per-row cost dominates, so candidates come from the
+      existing LSH bucket machinery (``similarity.lsh_buckets``) — docs
+      keep their exact buckets, the BROADCAST benchmark side expands each
+      bucket to Hamming distance <= 1 (per-table multiprobe), docs and
+      benchmark join on (table, bucket), and the exact cosine runs only on
+      collisions.  For a pair at cosine 0.95 the per-table ≤1-bit-flip
+      collision probability is ~0.58; across 12 OR'd tables the miss
+      probability is ~(1-0.58)¹² ≈ 3e-5 — and exact verification of
+      candidates means NO false positives, ever.  Force either path with
+      ``exact_below=0`` (always LSH) or a large value (always exact)."""
     from ..functions.vector import dot, l2_norm
 
+    bench_n = bench_emb.count()
     b = F.broadcast(
         bench_emb.select(
             F.col(id_col).alias(bench_id_col),
@@ -397,17 +409,69 @@ def semantic_contamination(
         id_col, F.col(emb_col).alias("__demb"), l2_norm(emb_col).alias("__dnorm")
     )
     sim = dot("__demb", "__bemb") / (F.col("__dnorm") * F.col("__bnorm"))
+    if bench_n <= exact_below:
+        pairs = e.crossJoin(b)
+    else:
+        cand = _lsh_contamination_candidates(
+            emb, bench_emb, id_col, bench_id_col, emb_col
+        )
+        pairs = cand.join(e, id_col).join(b, bench_id_col)
     return (
-        e.crossJoin(b)
-        .select(id_col, sim.alias("__sim"), F.col(bench_id_col))
+        pairs.select(F.col(id_col), sim.alias("__sim"), F.col(bench_id_col))
         .groupBy(id_col)
         .agg(F.max(F.struct("__sim", bench_id_col)).alias("__m"))
         .select(
             id_col,
-            F.col(f"__m.__sim").alias("max_bench_sim"),
+            F.col("__m.__sim").alias("max_bench_sim"),
             F.col(f"__m.{bench_id_col}").alias("nearest_bench_id"),
         )
         .filter(F.col("max_bench_sim") >= threshold)
+    )
+
+
+def _lsh_contamination_candidates(
+    emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str,
+    bench_id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """(id, bench_id) candidate pairs sharing >= 1 LSH bucket in >= 1
+    table, with the BENCHMARK side multiprobed to Hamming <= 1.  The doc
+    side melts its 12 bucket columns to (id, table, bucket) rows — a
+    narrow explode, no shuffle of embeddings; the benchmark side
+    (buckets × (1 + planes) probe rows per item) broadcasts, so candidate
+    generation is one map-side hash join however big the corpus is."""
+    from .similarity import N_TABLES, PLANES_PER_TABLE, lsh_buckets
+
+    def melted(frame, out_id):
+        b = lsh_buckets(
+            frame.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+        )
+        pairs = []
+        for t in range(N_TABLES):
+            pairs.extend([F.lit(t), F.col(f"b{t}")])
+        return b.select(
+            F.col("vec_id").alias(out_id),
+            F.stack(F.lit(N_TABLES), *pairs).alias("t", "bucket"),
+        )
+
+    docs = melted(emb, "__doc_id")
+    bench = melted(bench_emb, bench_id_col)
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(PLANES_PER_TABLE)
+        ],
+    )
+    bench_probed = bench.select(
+        bench_id_col, "t", F.explode(probes).alias("bucket")
+    )
+    return (
+        docs.join(F.broadcast(bench_probed), ["t", "bucket"])
+        .select(F.col("__doc_id").alias(id_col), bench_id_col)
+        .distinct()
     )
 
 

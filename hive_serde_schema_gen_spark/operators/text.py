@@ -743,3 +743,106 @@ def text_bm25(spark, sf_dir):
     return bm25_topk(d, " ".join(_BM25_TERMS), k=20).select(
         "doc_id", F.round("bm25", 9).alias("bm25")
     )
+
+
+# ---------------------------------------------------------------------------
+# CJK / multilingual tokenization fallback (round 8)
+# ---------------------------------------------------------------------------
+
+# BMP ranges: CJK unified (+ext A), Hiragana, Katakana, Hangul syllables.
+CJK_RANGES = "一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯"
+_CJK_CLASS = f"[{CJK_RANGES}]"
+
+
+def pretokenize_cjk(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-fallback pre-tokenization for scripts without whitespace:
+    every CJK codepoint becomes its own whitespace-delimited token (the
+    standard character-segmentation fallback when no language-specific
+    segmenter is deployed), so EVERY downstream whitespace-based operator
+    — ``shingles_df`` n-gram dedup, ``kgram_postings`` span dedup, BPE
+    pre-tokenization, ``ws_token_count``-style stats, token packing —
+    works on CJK text unchanged.  Without this, a CJK document degenerates
+    to one "token" per line: shingling yields nothing, MinHash can't see
+    near-duplicates, and BPE learns line-sized "words".
+
+    Narrow codegen'd projection (one regexp_replace), zero shuffles —
+    compose it in front of the dedup/BPE chain for multilingual corpora.
+    Latin/space-delimited text passes through with token boundaries
+    unchanged (only spacing widths differ, which ``\\s+`` splitting
+    absorbs)."""
+    spaced = F.regexp_replace(F.col(text_col), f"({_CJK_CLASS})", " $1 ")
+    return d.withColumn(text_col, spaced)
+
+
+def script_token_stats(d: DataFrame, text_col: str = "text"):
+    """Script-aware token statistics as appended columns: ``n_cjk_chars``,
+    ``cjk_ratio`` (of non-whitespace chars), ``is_cjk`` (ratio >= 0.3),
+    and a script-aware ``n_tokens`` = whitespace tokens of the non-CJK
+    remainder + one token per CJK char — the count a char-fallback
+    tokenizer would produce, correct for pure-CJK, mixed, and Latin text
+    alike.  All per-row integer arithmetic (deterministic, order-free)."""
+    t = F.col(text_col)
+    n_cjk = F.length(t) - F.length(F.regexp_replace(t, _CJK_CLASS, ""))
+    rest = F.regexp_replace(t, _CJK_CLASS, " ")
+    n_ws = F.size(_tokens(rest))
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    ratio = n_cjk.cast("double") / F.greatest(nonspace, F.lit(1)).cast("double")
+    return (
+        d.withColumn("n_cjk_chars", n_cjk.cast("int"))
+        .withColumn("cjk_ratio", ratio)
+        .withColumn("is_cjk", ratio >= 0.3)
+        .withColumn("n_tokens", (n_ws + n_cjk).cast("int"))
+    )
+
+
+_CJK_SAMPLE = "大数据处理引擎测试"  # 9 chars
+
+
+@query(
+    "text_cjk_tokens",
+    oracle=f"""
+    WITH built AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN '{_CJK_SAMPLE}' || ' ' || text
+                  ELSE text END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             LENGTH(text) - LENGTH(regexp_replace(text, '{_CJK_CLASS}', '', 'g')) AS n_cjk,
+             LENGTH(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             CASE WHEN LENGTH(TRIM(regexp_replace(text, '{_CJK_CLASS}', ' ', 'g'))) = 0
+                  THEN 0
+                  ELSE len(string_split_regex(
+                       TRIM(regexp_replace(text, '{_CJK_CLASS}', ' ', 'g')), '\\s+')) END AS n_ws
+      FROM built)
+    SELECT doc_id,
+           CAST(n_ws + n_cjk AS INTEGER) AS n_tokens,
+           CAST(n_cjk AS INTEGER) AS n_cjk_chars,
+           CAST(n_cjk AS DOUBLE) / GREATEST(nonspace, 1) >= 0.3 AS is_cjk
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_cjk_tokens(spark, sf_dir):
+    """Driver slot for the round-8 CJK tokenization fallback: injects a
+    fixed CJK prefix on doc_id % 7 (identically on both sides — the
+    synthetic corpus is whitespace-delimited Latin) and hash-checks
+    :func:`script_token_stats`'s script-aware token counts, CJK char
+    counts, and the is_cjk routing flag against an independent SQL
+    re-derivation."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_CJK_SAMPLE), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        script_token_stats(built)
+        .select("doc_id", "n_tokens", "n_cjk_chars", "is_cjk")
+        .orderBy("doc_id")
+    )

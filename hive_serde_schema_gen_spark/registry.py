@@ -91,5 +91,6 @@ def _load() -> None:
     from .operators import graph  # noqa: F401
     from .operators import validation  # noqa: F401
     from .operators import curation  # noqa: F401
+    from .operators import html  # noqa: F401
 
     _loaded = True

@@ -701,3 +701,47 @@ def test_vocab_coverage_case_variant_vocab(spark):
     # case-variant duplicates in the vocab must not fan the join out
     out = vocab_coverage(d, ["The", "the", "THE", "cat"]).collect()[0]
     assert out["n_tokens"] == 2 and out["n_oov"] == 0
+
+
+def test_semantic_contamination_lsh_prefilter_parity(spark, sf_dir):
+    """The LSH-prefiltered path (exact_below=0 forces it) must agree with
+    the exact crossJoin path: identical flagged ids, nearest ids, and
+    sims for the planted verbatim/paraphrase benchmark items (cosine ~1
+    pairs share every bucket, so their recall is deterministic), and NO
+    false positives anywhere (candidates are exact-verified)."""
+    import numpy as np
+
+    from hive_serde_schema_gen_spark.operators.curation import (
+        semantic_contamination,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    ids = sorted(vecs)[:4]
+    bench = [
+        (100 + i, (vecs[v] + (0.001 * (i == 3))).tolist())
+        for i, v in enumerate(ids)
+    ]
+    b = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+
+    exact = {
+        r["vec_id"]: r
+        for r in semantic_contamination(e, b, threshold=0.999).collect()
+    }
+    lsh = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            e, b, threshold=0.999, exact_below=0
+        ).collect()
+    }
+    # no false positives: every LSH hit is an exact hit with the same sim
+    for vid, r in lsh.items():
+        assert vid in exact
+        assert r["max_bench_sim"] == exact[vid]["max_bench_sim"]
+        assert r["nearest_bench_id"] == exact[vid]["nearest_bench_id"]
+    # planted items (verbatim + paraphrase) are all caught by the LSH path
+    assert set(ids) <= set(lsh)
+    # full parity on this corpus
+    assert set(lsh) == set(exact)

@@ -26,6 +26,7 @@ _NESTED_LOOP_OK = {
     "similarity_lsh_bucketed",
     "stats_summary",
     "similarity_pairs_threshold",
+    "text_bm25",  # 1-row corpus-stats broadcast (N, avgdl)
 }
 
 

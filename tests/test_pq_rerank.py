@@ -151,3 +151,30 @@ def test_zero_norm_vectors_never_poison_the_shortlist(spark):
     assert all(not m.isnan(r["cos_sim"]) for r in top)
     sims = [r["cos_sim"] for r in top]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_pq_recall_parity_with_full_vector_rerank(spark, corpus, pq_index):
+    """IVF-PQ composition (round-8): over the same probed cells, the
+    PQ-first-pass path must find (nearly) the same top-10 as the
+    full-vector IVF re-rank, and both must return exactly k rows."""
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_pq,
+        build_ivf_index,
+    )
+
+    ivf = build_ivf_index(corpus)
+    full = [r["vec_id"] for r in ann_topk_ivf(corpus, 10, index=ivf).collect()]
+    pq = [
+        r["vec_id"]
+        for r in ann_topk_ivf_pq(corpus, 10, index=ivf, pq=pq_index).collect()
+    ]
+    assert len(full) == 10 and len(pq) == 10
+    overlap = len(set(full) & set(pq))
+    assert overlap >= 7, (overlap, full, pq)
+    # determinism: a second run returns the identical ranking
+    pq2 = [
+        r["vec_id"]
+        for r in ann_topk_ivf_pq(corpus, 10, index=ivf, pq=pq_index).collect()
+    ]
+    assert pq == pq2
