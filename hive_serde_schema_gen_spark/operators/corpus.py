@@ -183,6 +183,8 @@ def curate_and_prepare(
     semantic_contamination_threshold: float = 0.95,
     max_dup_gram_frac: float | None = None,
     mix_rates: dict | None = None,
+    html: bool = False,
+    cjk_fallback: bool = False,
     redact: bool = False,
     strip_boilerplate_min_docs: int | None = None,
     strip_dup_spans_k: int | None = None,
@@ -196,12 +198,20 @@ def curate_and_prepare(
     """The FULL curation front-end chained onto ``prepare_training_corpus``
     — the complete RefinedWeb-shaped flow in one call:
 
-        [domain mixing] → [repetition filter] → [benchmark decontamination]
+        [HTML→text] → [CJK pre-tokenization] → [domain mixing]
+        → [repetition filter] → [benchmark decontamination]
         → [semantic decontamination] → [boilerplate line strip]
         → [substring dedup]
         → [learned quality filter] → [semantic dedup] → [PII redaction]
         → [validation gate] → quality → exact dedup → near-dup canonical
         → pack → split
+
+    - ``html``: the text column holds raw crawl HTML — run
+      ``operators.html.html_to_text`` first (narrow regexp chain, scan
+      speed) so every downstream stage sees clean block-structured text.
+    - ``cjk_fallback``: apply ``text.pretokenize_cjk`` (each CJK char
+      becomes its own token) so shingling/span-dedup/packing work on
+      scripts without whitespace.
 
     Every bracketed stage is opt-in and composes as a per-row filter, a
     broadcast/left-anti join against a per-doc statistic, or (substring
@@ -269,6 +279,16 @@ def curate_and_prepare(
     def _cut(df):
         return df.localCheckpoint() if dirty else df
 
+    if html:
+        from .html import html_to_text
+
+        d = html_to_text(d)
+        dirty = True
+    if cjk_fallback:
+        from .text import pretokenize_cjk
+
+        d = pretokenize_cjk(d)
+        dirty = True
     if mix_rates is not None:
         d = stratified_sample(d, mix_rates)
         dirty = True

@@ -100,6 +100,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+    from hive_serde_schema_gen_spark.operators.html import html_to_text
+    from hive_serde_schema_gen_spark.operators.text import script_token_stats
     from hive_serde_schema_gen_spark.operators.bpe import encode_bpe
     from hive_serde_schema_gen_spark.operators.packing import (
         pack_documents_best_fit,
@@ -211,6 +213,24 @@ def main() -> None:
         # corpus size — training iterates over the VOCABULARY, and the
         # synthetic vocab grows far slower than the corpus
         "bpe_train_4merges": lambda s, d: _bpe_train_probe(s, d),
+        # HTML->text extraction over synthetic page wraps: the cost is the
+        # codegen'd regexp chain; the length filter keeps it alive under
+        # count()
+        "html_extract_chain": lambda s, d: html_to_text(
+            _docs(s, d).select(
+                "doc_id",
+                F.concat(
+                    F.lit("<html><body><script>x()</script><p>"),
+                    F.col("text"),
+                    F.lit("</p><div>Home &amp; About</div></body></html>"),
+                ).alias("text"),
+            )
+        ).filter("length(text) >= 0"),
+        # script-aware token stats (CJK fallback counters): four regexp
+        # passes per row, narrow
+        "text_cjk_stats": lambda s, d: script_token_stats(
+            _docs(s, d)
+        ).filter("n_tokens >= 0"),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
         "validation_six_checks": lambda s, d: metrics_frame(

@@ -72,3 +72,38 @@ def test_corpus_pipeline_reproducible(spark, sf_dir):
     a = [tuple(r) for r in _manifest(spark, sf_dir)]
     b = [tuple(r) for r in _manifest(spark, sf_dir)]
     assert a == b
+
+
+def test_curate_and_prepare_html_front_end(spark, sf_dir, tmp_path):
+    """html=True: a corpus whose text column is raw crawl HTML flows
+    through the full pipeline — extraction runs first, so quality/dedup/
+    packing see clean text, and planted HTML noise never reaches the
+    output manifest."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from hive_serde_schema_gen_spark.operators.corpus import curate_and_prepare
+
+    scratch = str(tmp_path / "sf_html")
+    os.makedirs(scratch)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{scratch}/{t}.parquet")
+    # wrap every document's text in an HTML page with script noise
+    duckdb.connect().execute(
+        f"""COPY (SELECT doc_id,
+              '<html><body><script>junk()</script><p>' || text || '</p></body></html>' AS text,
+              lang, source, n_chars
+            FROM '{sf_dir}/documents.parquet')
+            TO '{scratch}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    plain = curate_and_prepare(spark, sf_dir, hash_fn="xxhash64")
+    via_html = curate_and_prepare(spark, scratch, html=True, hash_fn="xxhash64")
+    a = {(r["doc_id"], r["n_tokens"]) for r in plain.select("doc_id", "n_tokens").collect()}
+    b = {(r["doc_id"], r["n_tokens"]) for r in via_html.select("doc_id", "n_tokens").collect()}
+    # extraction recovers the original text, so the curated manifests match
+    assert a == b

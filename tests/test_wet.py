@@ -1,0 +1,123 @@
+"""WET source: record splitting, header extraction, warcinfo filtering,
+LF/CRLF normalization, and the bridge into the curation chain."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hive_serde_schema_gen_spark.sources.wet import read_wet, wet_to_documents
+
+
+def _rec(nl: str, headers: list, payload: str) -> str:
+    """One spec-shaped record: headers + Content-Length (byte-accurate)
+    + blank line + exactly-that-many payload bytes + two blank lines."""
+    hdrs = headers + [f"Content-Length: {len(payload.encode())}"]
+    return nl.join(hdrs) + nl + nl + payload + nl + nl
+
+
+def _wet_bytes(crlf: bool = True) -> str:
+    nl = "\r\n" if crlf else "\n"
+    return "".join(
+        [
+            _rec(
+                nl,
+                ["WARC/1.0", "WARC-Type: warcinfo",
+                 "WARC-Record-ID: <urn:uuid:info-1>"],
+                "robots: ok",
+            ),
+            _rec(
+                nl,
+                ["WARC/1.0", "WARC-Type: conversion",
+                 "WARC-Target-URI: https://www.example.com/page1",
+                 "WARC-Date: 2026-08-14T00:00:00Z",
+                 "WARC-Record-ID: <urn:uuid:rec-1>"],
+                "First document payload.",
+            ),
+            _rec(
+                nl,
+                ["WARC/1.0", "WARC-Type: conversion",
+                 "WARC-Target-URI: http://other.org/a/b",
+                 "WARC-Date: 2026-08-14T00:00:01Z",
+                 "WARC-Record-ID: <urn:uuid:rec-2>"],
+                # payload with an INTERNAL blank line: only Content-Length
+                # parsing can split this correctly
+                "Second doc." + nl + nl + "With an internal newline.",
+            ),
+        ]
+    )
+
+
+@pytest.fixture(params=[True, False], ids=["crlf", "lf"])
+def wet_path(request, tmp_path):
+    p = tmp_path / "part-000.wet"
+    p.write_text(_wet_bytes(crlf=request.param))
+    return str(p)
+
+
+def test_read_wet_parses_conversion_records(spark, wet_path):
+    rows = {r["warc_record_id"]: r for r in read_wet(spark, wet_path).collect()}
+    assert set(rows) == {"<urn:uuid:rec-1>", "<urn:uuid:rec-2>"}  # warcinfo dropped
+    r1 = rows["<urn:uuid:rec-1>"]
+    assert r1["url"] == "https://www.example.com/page1"
+    assert r1["date"] == "2026-08-14T00:00:00Z"
+    assert r1["length"] == 23
+    assert r1["text"] == "First document payload."
+
+
+def test_payload_with_internal_blank_line(spark, wet_path):
+    """The rec-2 payload contains a blank line — a delimiter-regex split
+    would truncate it; Content-Length parsing must not."""
+    rows = {r["warc_record_id"]: r for r in read_wet(spark, wet_path).collect()}
+    r2 = rows["<urn:uuid:rec-2>"]
+    assert r2["text"].startswith("Second doc.")
+    assert r2["text"].endswith("With an internal newline.")
+    assert r2["length"] == len(r2["text"].encode())
+
+
+def test_wet_to_documents_bridge(spark, wet_path):
+    docs = wet_to_documents(spark, wet_path).collect()
+    assert len(docs) == 2
+    by_src = {r["source"]: r for r in docs}
+    assert set(by_src) == {"example.com", "other.org"}
+    for r in docs:
+        assert r["n_chars"] == len(r["text"])
+        assert isinstance(r["doc_id"], int)
+
+
+def test_wet_feeds_curation_chain(spark, tmp_path):
+    """End-to-end: WET payloads carrying raw HTML -> documents ->
+    html_to_text -> boilerplate strip."""
+    from hive_serde_schema_gen_spark.operators.dedup import (
+        strip_boilerplate_lines,
+    )
+    from hive_serde_schema_gen_spark.operators.html import html_to_text
+
+    nl = "\r\n"
+    recs = []
+    for i in range(4):
+        payload = (
+            f"<html><body><div>Shared navbar</div><p>Page {i} unique body.</p>"
+            "</body></html>"
+        )
+        recs.append(
+            _rec(
+                nl,
+                ["WARC/1.0", "WARC-Type: conversion",
+                 f"WARC-Target-URI: https://site.com/p{i}",
+                 f"WARC-Record-ID: <urn:uuid:page-{i}>"],
+                payload,
+            )
+        )
+    p = tmp_path / "crawl.wet"
+    p.write_text("".join(recs))
+    docs = wet_to_documents(spark, str(p))
+    cleaned = strip_boilerplate_lines(html_to_text(docs), min_docs=2)
+    texts = sorted(r["text"] for r in cleaned.collect())
+    assert texts == sorted(f"Page {i} unique body." for i in range(4))
+
+
+def test_per_record_gzip_rejected(spark):
+    with pytest.raises(NotImplementedError):
+        read_wet(spark, "/data/crawl/part-000.warc.wet.gz")
