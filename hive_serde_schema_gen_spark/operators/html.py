@@ -72,11 +72,36 @@ def html_text_expr(col) -> "F.Column":
     return F.trim(c)
 
 
-def html_to_text(d: DataFrame, text_col: str = "text") -> DataFrame:
+def html_to_text(
+    d: DataFrame, text_col: str = "text", full_entities: bool = False
+) -> DataFrame:
     """Replace ``text_col`` (raw HTML) with extracted plain text, one line
     per block-level element.  Pure narrow projection — composes with
-    ``curate_and_prepare`` as the ingestion front-end."""
-    return d.withColumn(text_col, html_text_expr(text_col))
+    ``curate_and_prepare`` as the ingestion front-end.
+
+    ``full_entities=True`` additionally decodes the COMPLETE entity set —
+    numeric character references (``&#233;``/``&#x2014;``) and all HTML5
+    named entities — via Python's ``html.unescape`` in an Arrow-batched
+    ``mapInPandas`` pass AFTER the codegen'd chain (which has already
+    handled the five standard names).  Opt-in because it moves the text
+    through Python once; the default chain stays whole-stage codegen at
+    scan speed and leaves exotic references as-is (the documented
+    limitation)."""
+    out = d.withColumn(text_col, html_text_expr(text_col))
+    if not full_entities:
+        return out
+    import html as _html
+
+    schema = out.schema
+
+    def _unescape(batches):
+        for pdf in batches:
+            pdf[text_col] = pdf[text_col].map(
+                lambda s: _html.unescape(s) if s is not None else None
+            )
+            yield pdf
+
+    return out.mapInPandas(_unescape, schema)
 
 
 def sql_html_chain(expr: str) -> str:

@@ -1,0 +1,153 @@
+"""Persisted BM25 postings index — the serve-path artifact
+``text.bm25_topk``'s docstring defers to ("at 100 TB serve repeated
+queries from a persisted postings index; this is the scan-time form whose
+plan that index would replay").  Same layered design as the MinHash
+ingest index (``operators/dedup_index.py``): one corpus pass at ingest
+writes term-clustered artifacts; each query then reads ONLY its own
+terms' row groups.
+
+Layout under ``path``:
+
+- ``postings/``  — (term, doc_id, tf), repartitionByRange on term and
+  sorted within partitions, so a query's ``term IN (...)`` pushdown skips
+  row groups for every term it doesn't mention;
+- ``df/``       — (term, df) per-term document frequency, same
+  clustering (tiny relation, broadcast at query time);
+- ``doclens/``  — (doc_id, dl) document lengths (joined only for the
+  matching postings);
+- ``stats/``    — one row (n_docs, avgdl);
+- ``meta/``     — version + tokenizer pin (lowercase whitespace tokens,
+  the exact ``text._tokens`` contract) so a probe never scores against
+  an index built with a different tokenization.
+
+Query cost: O(query-term postings) — the shuffle never carries the
+vocabulary, exactly like the scan-time form, but the corpus scan itself
+is gone.  ``bm25_topk_indexed`` reproduces ``bm25_topk``'s arithmetic
+bit-for-bit (same fixed-order per-term addition), parity-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import _tokens
+
+INDEX_VERSION = 1
+_TOKENIZER = "lower-ws"
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 32,
+) -> None:
+    """One corpus pass → the four artifacts above."""
+    spark = docs.sparkSession
+    toks = _tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("__dl"),
+        F.explode(toks).alias("term"),
+    )
+    tf = (
+        base.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    (
+        tf.repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .repartitionByRange(max(1, n_files // 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/df")
+    )
+    (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
+        )
+        .repartitionByRange(max(1, n_files // 8), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/doclens")
+    )
+    docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size(toks)).alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    spark.createDataFrame(
+        [(INDEX_VERSION, _TOKENIZER)], "version int, tokenizer string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _check_meta(spark: SparkSession, path: str) -> None:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    got = (m["version"], m["tokenizer"])
+    want = (INDEX_VERSION, _TOKENIZER)
+    if got != want:
+        raise ValueError(
+            f"text index at {path} was built with {got}, this build "
+            f"expects {want} — rebuild the index"
+        )
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` served from the persisted index — identical
+    arithmetic to ``text.bm25_topk`` (same formula, same fixed sorted-term
+    addition order → bit-identical scores), but the only data read is the
+    query terms' postings/df row groups plus the 1-row stats."""
+    _check_meta(spark, path)
+    terms = sorted({t for t in query.strip().lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    dfreq = spark.read.parquet(f"{path}/df").filter(F.col("term").isin(terms))
+    stats = spark.read.parquet(f"{path}/stats")
+    doclens = spark.read.parquet(f"{path}/doclens")
+    tf = postings.join(doclens, "doc_id").select(
+        "doc_id", F.col("term").alias("__t"), F.col("tf").alias("__tf"),
+        F.col("dl").alias("__dl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq.withColumnRenamed("term", "__t")), "__t")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "__t", (idf * F.col("__tf") / denom).alias("__s"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("__t") == t, F.col("__s"))).alias(f"__s{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    score = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    return (
+        scored.select("doc_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )

@@ -109,3 +109,39 @@ def test_domain_pagerank_repeated_mentions_count_once(spark):
     assert set(r_spam) == set(r_clean)
     for k in r_clean:
         assert r_spam[k] == pytest.approx(r_clean[k], abs=1e-12)
+
+
+def test_pagerank_job_count_per_iteration(spark):
+    """Round-8 regression guard for the dangling-mass fold: each
+    iteration costs exactly TWO Spark jobs — the broadcast of the 1-row
+    dangling aggregate (Spark executes broadcast exchanges as their own
+    job) and the rank localCheckpoint.  The pre-fix driver collect()
+    added a third blocking round-trip per iteration.  Measured with AQE
+    OFF: under AQE every materialized shuffle stage is reported as its
+    own job (measured 12 "jobs"/iter for the same work), so raw job
+    counts only reflect plan structure without it.  Setup jobs are
+    excluded by differencing two iteration counts."""
+    from hive_serde_schema_gen_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 40) for i in range(200)], "src long, dst long"
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_for(iters, group):
+        sc.setJobGroup(group, group)
+        try:
+            pagerank(edges, iters=iters).count()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j2 = jobs_for(2, "pr-iters2")
+        j6 = jobs_for(6, "pr-iters6")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    per_iter = (j6 - j2) / 4.0
+    assert per_iter <= 2.0, (j2, j6, per_iter)

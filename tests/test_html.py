@@ -97,3 +97,17 @@ def test_html_front_end_feeds_boilerplate_strip(spark):
     rows = {r["doc_id"]: r["text"] for r in cleaned.collect()}
     for i in range(6):
         assert rows[i] == f"Unique content for page {i} speaking of topic {i * i}."
+
+
+def test_full_entities_decodes_numeric_references(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    d = spark.createDataFrame(
+        [(1, "<p>caf&#233; &#x2014; r&eacute;sum&eacute; &amp; more</p>")],
+        "doc_id int, text string",
+    )
+    default = html_to_text(d).collect()[0]["text"]
+    full = html_to_text(d, full_entities=True).collect()[0]["text"]
+    # default chain: the five standard names only; numerics left as-is
+    assert default == "caf&#233; &#x2014; r&eacute;sum&eacute; & more"
+    assert full == "café — résumé & more"
