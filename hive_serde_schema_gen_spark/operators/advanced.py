@@ -541,48 +541,39 @@ def stats_summary(spark, sf_dir):
     operators; each component plan is unchanged and the approx sketches
     keep their accuracy-contract booleans).  See the component docstrings
     for the per-operator scale notes."""
-    nulls = lambda typ, name: F.lit(None).cast(typ).alias(name)  # noqa: E731
-    approx = approx_stats(spark, sf_dir).select(
-        F.lit("approx").alias("op"),
-        F.col("l_returnflag").alias("grp"),
-        nulls("int", "bucket"),
-        nulls("bigint", "n"),
-        nulls("double", "median_price"),
-        "exact_parts",
-        "exact_p50_x100",
-        "exact_p99_x100",
-        "ok_parts",
-        "ok_median",
-        "ok_p99",
-    )
-    med = median_disc_price(spark, sf_dir).select(
-        F.lit("median").alias("op"),
-        F.col("l_returnflag").alias("grp"),
-        nulls("int", "bucket"),
-        nulls("bigint", "n"),
-        "median_price",
-        nulls("bigint", "exact_parts"),
-        nulls("bigint", "exact_p50_x100"),
-        nulls("bigint", "exact_p99_x100"),
-        nulls("boolean", "ok_parts"),
-        nulls("boolean", "ok_median"),
-        nulls("boolean", "ok_p99"),
-    )
-    hist = histogram_totalprice(spark, sf_dir).select(
-        F.lit("hist").alias("op"),
-        nulls("string", "grp"),
-        "bucket",
-        "n",
-        nulls("double", "median_price"),
-        nulls("bigint", "exact_parts"),
-        nulls("bigint", "exact_p50_x100"),
-        nulls("bigint", "exact_p99_x100"),
-        nulls("boolean", "ok_parts"),
-        nulls("boolean", "ok_median"),
-        nulls("boolean", "ok_p99"),
-    )
-    return (
-        approx.unionAll(med)
-        .unionAll(hist)
-        .orderBy("op", F.coalesce("grp", F.lit("")), F.coalesce("bucket", F.lit(-1)))
+    from ..functions.union import pad_union
+
+    schema = [
+        ("op", "string"), ("grp", "string"), ("bucket", "int"),
+        ("n", "bigint"), ("median_price", "double"),
+        ("exact_parts", "bigint"), ("exact_p50_x100", "bigint"),
+        ("exact_p99_x100", "bigint"), ("ok_parts", "boolean"),
+        ("ok_median", "boolean"), ("ok_p99", "boolean"),
+    ]
+    return pad_union(
+        schema,
+        (
+            approx_stats(spark, sf_dir),
+            {
+                "op": F.lit("approx"), "grp": "l_returnflag",
+                "exact_parts": "exact_parts",
+                "exact_p50_x100": "exact_p50_x100",
+                "exact_p99_x100": "exact_p99_x100",
+                "ok_parts": "ok_parts", "ok_median": "ok_median",
+                "ok_p99": "ok_p99",
+            },
+        ),
+        (
+            median_disc_price(spark, sf_dir),
+            {
+                "op": F.lit("median"), "grp": "l_returnflag",
+                "median_price": "median_price",
+            },
+        ),
+        (
+            histogram_totalprice(spark, sf_dir),
+            {"op": F.lit("hist"), "bucket": "bucket", "n": "n"},
+        ),
+    ).orderBy(
+        "op", F.coalesce("grp", F.lit("")), F.coalesce("bucket", F.lit(-1))
     )

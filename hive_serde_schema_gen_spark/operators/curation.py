@@ -340,24 +340,34 @@ _DOMAIN_RE = r"https?://(?:[^/\s@]*@)?([^/\s:?#]+)"
 
 
 def extract_urls(
-    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    d: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_pos: bool = False,
 ) -> DataFrame:
     """One row per URL occurrence in the text: (id, url, domain) — the raw
     material of web-corpus curation (domain allow/deny lists, per-domain
     caps, citation graphs).  ``regexp_extract_all`` + explode, fully
     codegen'd, narrow until the explode; the domain is lowercased and
-    stripped of a leading ``www.`` so aggregation keys are canonical."""
-    urls = d.select(
-        id_col,
-        F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
-        ).alias("url"),
-    )
+    stripped of a leading ``www.`` so aggregation keys are canonical.
+    ``with_pos=True`` adds the 0-based occurrence index ``pos``
+    (mention order — ``graph.domain_pagerank`` directs citation edges by
+    it).  THE single definition of URL→domain canonicalization: every
+    domain-keyed operator must key through here, or two operators would
+    silently canonicalize differently."""
+    matches = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+    if with_pos:
+        urls = d.select(
+            id_col, F.posexplode(matches).alias("pos", "url")
+        )
+    else:
+        urls = d.select(id_col, F.explode(matches).alias("url"))
     domain = F.lower(F.regexp_extract(F.col("url"), _DOMAIN_RE, 1))
     return urls.select(
         id_col,
         "url",
         F.regexp_replace(domain, r"^www\.", "").alias("domain"),
+        *(["pos"] if with_pos else []),
     )
 
 
@@ -654,3 +664,56 @@ query(
     FROM q, t ORDER BY lang
     """,
 )(curation_mix_query)
+
+
+def filter_by_domain(
+    d: DataFrame,
+    allow: list | None = None,
+    deny: list | None = None,
+    source_col: str = "source",
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Domain allow/deny policy filter over the ``source`` column (the
+    crawl host, as ``sources.wet.wet_to_documents`` emits it) — the
+    URL-policy step of web-corpus curation (spam/SEO-farm deny lists,
+    curated allow lists).
+
+    ``allow`` keeps ONLY listed domains; ``deny`` then removes listed
+    domains (both given: allow first, deny wins on conflict — the safe
+    order for "allow the TLD, deny the known-bad subdomain").
+    ``include_subdomains`` matches ``blog.example.com`` against an
+    ``example.com`` entry via a suffix test.  NULL sources are DROPPED
+    under an allow list (unattributable docs can't be allowed) and KEPT
+    under a pure deny list (a deny list names known-bad hosts only).
+
+    Scale shape: each list becomes ONE set-membership expression — a
+    plain IN-set over the host for exact matching, or (with subdomains)
+    an IN-set probed once per dot-suffix of the host (``a.b.example.com``
+    has <= label-count suffixes, so the per-row cost is O(labels), not
+    O(list)).  A per-domain OR chain would instead put thousands of Or
+    nodes in the plan — quadratic Catalyst analysis and a codegen
+    fallback past the 64KB method limit.  Millions of entries belong in
+    a broadcast-join table; up to that, this is a narrow filter, zero
+    shuffles, scan speed."""
+    if not allow and not deny:
+        return d
+    s = F.lower(F.col(source_col))
+    labels = F.split(s, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+    def matches(domains):
+        doms = sorted({str(x).lower() for x in domains})
+        if include_subdomains:
+            return F.exists(suffixes, lambda x: x.isin(*doms))
+        return s.isin(*doms)
+
+    out = d
+    if allow:
+        out = out.filter(s.isNotNull() & matches(allow))
+    if deny:
+        out = out.filter(s.isNull() | ~matches(deny))
+    return out

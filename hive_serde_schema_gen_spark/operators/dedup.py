@@ -721,20 +721,30 @@ def dedup_simhash(spark, sf_dir):
     the per-doc signature query and the banded near-dup pairing query —
     component docstrings carry the algorithm and scale notes).  ``sig``
     rows: (doc_id, 32-bit signature); ``pair`` rows: (doc_a, doc_b,
-    Hamming distance <= {HAMMING_MAX})."""
-    sigs = dedup_simhash_sigs(spark, sf_dir).select(
-        F.lit("sig").alias("op"),
-        F.col("doc_id").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        F.col("simhash").alias("val"),
-    )
-    pairs = dedup_simhash_pairs(spark, sf_dir).select(
-        F.lit("pair").alias("op"),
-        F.col("doc_a").alias("id_a"),
-        F.col("doc_b").alias("id_b"),
-        F.col("hamming").cast("long").alias("val"),
-    )
-    return sigs.unionAll(pairs).orderBy("op", "id_a", "id_b")
+    Hamming distance <= {h})."""
+    from ..functions.union import pad_union
+
+    schema = [
+        ("op", "string"), ("id_a", "bigint"),
+        ("id_b", "bigint"), ("val", "bigint"),
+    ]
+    return pad_union(
+        schema,
+        (
+            dedup_simhash_sigs(spark, sf_dir),
+            {"op": F.lit("sig"), "id_a": "doc_id", "val": "simhash"},
+        ),
+        (
+            dedup_simhash_pairs(spark, sf_dir),
+            {
+                "op": F.lit("pair"), "id_a": "doc_a", "id_b": "doc_b",
+                "val": F.col("hamming").cast("long"),
+            },
+        ),
+    ).orderBy("op", "id_a", "id_b")
+
+
+dedup_simhash.__doc__ = dedup_simhash.__doc__ and dedup_simhash.__doc__.format(h=HAMMING_MAX)
 
 
 

@@ -49,7 +49,15 @@ from .dedup import (
     shingles_df,
 )
 
-INDEX_VERSION = 1
+# v2 (round 8): sigs rows carry an `epoch` attribution column — the
+# cross-epoch re-delivery guard in streaming/ingest.py depends on it.
+# The bump makes a pre-epoch index fail LOUDLY at _check_meta ("rebuild
+# the index") instead of the alternative failure mode: extending a v1
+# index would mix epoch-less and epoch-stamped parquet files in one dir,
+# and spark.read.parquet (no mergeSchema) takes its schema from an
+# arbitrary file — whether the guard ran would then vary with file
+# listing order, silently re-admitting re-delivered ids on some runs.
+INDEX_VERSION = 2
 _SIG_COLS = [f"mh{i}" for i in range(N_HASHES)]
 
 

@@ -115,23 +115,15 @@ def domain_pagerank(
     (mention order by text position, a pragmatic proxy citation graph;
     with real crawl metadata, feed (page_domain, linked_domain) edges to
     :func:`pagerank` directly)."""
-    from .curation import _DOMAIN_RE, _URL_RE
+    from .curation import extract_urls
 
     # min occurrence position per (doc, domain): one doc mentioning a pair
     # of domains 10× each must contribute ONE co-mention link, not a
     # 100-weight multi-edge — repeated mentions are exactly the link-spam
-    # pattern this rank exists to resist
-    occ = d.select(
-        id_col,
-        F.posexplode(
-            F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
-        ).alias("pos", "url"),
-    )
-    domain = F.lower(F.regexp_extract(F.col("url"), _DOMAIN_RE, 1))
+    # pattern this rank exists to resist.  extract_urls is THE single
+    # URL→domain canonicalization (a local copy would silently drift).
     u = (
-        occ.select(
-            id_col, F.regexp_replace(domain, r"^www\.", "").alias("domain"), "pos"
-        )
+        extract_urls(d, id_col, text_col, with_pos=True)
         .groupBy(id_col, "domain")
         .agg(F.min("pos").alias("pos"))
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.union import pad_union
 from ..functions.decimal_safe import dec, money_sum, one
 from ..registry import query
 from ..sources.tables import load_table
@@ -489,17 +490,25 @@ def join_variants(spark, sf_dir):
     """The non-inner join family in ONE driver slot (round-8 tagged-union
     merge of ``join_semi_anti`` + ``join_outer_agg``): LEFT SEMI, LEFT
     ANTI, and LEFT OUTER + aggregate — each component plan unchanged."""
-    nulls = lambda typ, name: F.lit(None).cast(typ).alias(name)  # noqa: E731
-    sa = join_semi_anti(spark, sf_dir).select(
-        "op", "c_custkey", "c_name", nulls("bigint", "n_orders")
-    )
-    outer = join_outer_agg(spark, sf_dir).select(
-        F.lit("outer").alias("op"),
-        "c_custkey",
-        nulls("string", "c_name"),
-        "n_orders",
-    )
-    return sa.unionAll(outer).orderBy("op", "c_custkey")
+    schema = [
+        ("op", "string"), ("c_custkey", "bigint"),
+        ("c_name", "string"), ("n_orders", "bigint"),
+    ]
+    return pad_union(
+        schema,
+        (
+            join_semi_anti(spark, sf_dir),
+            {"op": "op", "c_custkey": "c_custkey", "c_name": "c_name"},
+        ),
+        (
+            join_outer_agg(spark, sf_dir),
+            {
+                "op": F.lit("outer"),
+                "c_custkey": "c_custkey",
+                "n_orders": "n_orders",
+            },
+        ),
+    ).orderBy("op", "c_custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -652,30 +661,30 @@ def window_analytics(spark, sf_dir):
     running-frame SUM + LAG sharing one partitioned sort, and an
     unpartitioned OVER () share-of-total over a pre-aggregated 3-row
     input — component plans unchanged."""
-    nulls = lambda typ, name: F.lit(None).cast(typ).alias(name)  # noqa: E731
-    running = window_running_lag(spark, sf_dir).select(
-        F.lit("running").alias("op"),
-        F.col("o_custkey").alias("k"),
-        "o_orderkey",
-        "running_spend",
-        "delta_vs_prev",
-        nulls("string", "o_orderstatus"),
-        nulls("bigint", "n"),
-        nulls("double", "share"),
-    )
-    share = window_share_of_total(spark, sf_dir).select(
-        F.lit("share").alias("op"),
-        nulls("bigint", "k"),
-        nulls("bigint", "o_orderkey"),
-        nulls("double", "running_spend"),
-        nulls("double", "delta_vs_prev"),
-        "o_orderstatus",
-        "n",
-        "share",
-    )
-    return running.unionAll(share).orderBy(
-        "op", "k", "o_orderkey", "o_orderstatus"
-    )
+    schema = [
+        ("op", "string"), ("k", "bigint"), ("o_orderkey", "bigint"),
+        ("running_spend", "double"), ("delta_vs_prev", "double"),
+        ("o_orderstatus", "string"), ("n", "bigint"), ("share", "double"),
+    ]
+    return pad_union(
+        schema,
+        (
+            window_running_lag(spark, sf_dir),
+            {
+                "op": F.lit("running"), "k": "o_custkey",
+                "o_orderkey": "o_orderkey",
+                "running_spend": "running_spend",
+                "delta_vs_prev": "delta_vs_prev",
+            },
+        ),
+        (
+            window_share_of_total(spark, sf_dir),
+            {
+                "op": F.lit("share"), "o_orderstatus": "o_orderstatus",
+                "n": "n", "share": "share",
+            },
+        ),
+    ).orderBy("op", "k", "o_orderkey", "o_orderstatus")
 
 
 @query(
@@ -874,34 +883,33 @@ def scalar_funcs(spark, sf_dir):
     unchanged and still individually plan-asserted in tests/test_plans.py).
     Date rows key on a printf'd year-month so no raw timestamp crosses the
     oracle boundary."""
-    nulls = lambda typ, name: F.lit(None).cast(typ).alias(name)  # noqa: E731
-    strings = scalar_string_funcs(spark, sf_dir).select(
-        F.lit("str").alias("fam"),
-        "op",
-        "k",
-        "name_upper",
-        "name_prefix",
-        "name_len",
-        "brand_type",
-        "brand_short",
-        "nations",
-        nulls("bigint", "n_orders"),
-        nulls("double", "monthly_total"),
-    )
-    dates = scalar_date_funcs(spark, sf_dir).select(
-        F.lit("date").alias("fam"),
-        F.lit("month").alias("op"),
-        F.format_string("%04d-%02d", F.col("y"), F.col("m")).alias("k"),
-        nulls("string", "name_upper"),
-        nulls("string", "name_prefix"),
-        nulls("int", "name_len"),
-        nulls("string", "brand_type"),
-        nulls("string", "brand_short"),
-        nulls("string", "nations"),
-        "n_orders",
-        "monthly_total",
-    )
-    return strings.unionAll(dates).orderBy("fam", "op", "k")
+    schema = [
+        ("fam", "string"), ("op", "string"), ("k", "string"),
+        ("name_upper", "string"), ("name_prefix", "string"),
+        ("name_len", "int"), ("brand_type", "string"),
+        ("brand_short", "string"), ("nations", "string"),
+        ("n_orders", "bigint"), ("monthly_total", "double"),
+    ]
+    return pad_union(
+        schema,
+        (
+            scalar_string_funcs(spark, sf_dir),
+            {
+                "fam": F.lit("str"), "op": "op", "k": "k",
+                "name_upper": "name_upper", "name_prefix": "name_prefix",
+                "name_len": "name_len", "brand_type": "brand_type",
+                "brand_short": "brand_short", "nations": "nations",
+            },
+        ),
+        (
+            scalar_date_funcs(spark, sf_dir),
+            {
+                "fam": F.lit("date"), "op": F.lit("month"),
+                "k": F.format_string("%04d-%02d", F.col("y"), F.col("m")),
+                "n_orders": "n_orders", "monthly_total": "monthly_total",
+            },
+        ),
+    ).orderBy("fam", "op", "k")
 
 
 def json_extract_events(spark, sf_dir):

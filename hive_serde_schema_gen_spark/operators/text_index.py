@@ -46,9 +46,11 @@ def build_text_index(
     """One corpus pass → the four artifacts above."""
     spark = docs.sparkSession
     toks = _tokens(F.lower(F.col(text_col)))
+    # doc lengths are written as their own artifact — carrying a per-token
+    # length column through the explode would widen the build's largest
+    # intermediate for nothing
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("__dl"),
         F.explode(toks).alias("term"),
     )
     tf = (

@@ -27,16 +27,19 @@ declared byte length splits records correctly.  Both CRLF (spec) and
 bare-LF (hand-made fixtures) header termination are accepted.
 
 Real archives are gzip-per-record; this reader takes the UNCOMPRESSED
-form (whole-file .gz also works — Spark's text reader decompresses it
-transparently).  The per-record-gzip variant needs a record-aware
-InputFormat and is rejected loudly via ``NotImplementedError`` rather
-than silently mis-split.
+form (a whole-file .gz of the concatenated records also works — it is
+decompressed in the parse pass).  The per-record-gzip variant needs a
+record-aware InputFormat and is rejected loudly via
+``NotImplementedError`` rather than silently mis-split.
 
-Scale shape: ``spark.read.text(wholetext=True)`` gives one row per file;
-WET files are written ~1 GiB each precisely so file-granular parallelism
-is sufficient (the standard Common Crawl processing shape: thousands of
-files, one task each).  The record walk is per-file local — no shuffle
-anywhere; downstream operators repartition as they need.
+Scale shape: ``spark.read.format("binaryFile")`` gives one RAW-BYTES row
+per file (raw on purpose: a text read would substitute U+FFFD for any
+invalid UTF-8 byte and shift every later Content-Length offset —
+regression-tested); WET files are written ~1 GiB each precisely so
+file-granular parallelism is sufficient (the standard Common Crawl
+processing shape: thousands of files, one task each).  The record walk
+is per-file local — no shuffle anywhere; downstream operators
+repartition as they need.
 """
 
 from __future__ import annotations
@@ -106,15 +109,26 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
             "pre-decompress to .wet (a whole-file .gz of the concatenated "
             "records also works) and point read_wet at that"
         )
-    files = spark.read.text(path, wholetext=True)
+    # binaryFile, NOT read.text(wholetext): text decoding replaces invalid
+    # UTF-8 bytes with U+FFFD (1 byte -> 3 re-encoded), which would shift
+    # every subsequent Content-Length offset — one bad byte in one payload
+    # would truncate that record and silently drop the rest of the file.
+    # Raw bytes keep the declared lengths exact; only the extracted
+    # payload/headers are decoded (with replacement), never the offsets.
+    files = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
         import pandas as pd
 
+        import gzip
+
         for pdf in batches:
             rows = []
-            for content in pdf["value"]:
-                rows.extend(_parse_file(content.encode("utf-8")))
+            for p, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if p.endswith(".gz"):  # whole-file gzip of the record stream
+                    raw = gzip.decompress(raw)
+                rows.extend(_parse_file(raw))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -745,3 +745,33 @@ def test_semantic_contamination_lsh_prefilter_parity(spark, sf_dir):
     assert set(ids) <= set(lsh)
     # full parity on this corpus
     assert set(lsh) == set(exact)
+
+
+def test_filter_by_domain_policy(spark):
+    from hive_serde_schema_gen_spark.operators.curation import filter_by_domain
+
+    d = spark.createDataFrame(
+        [
+            (1, "example.com"),
+            (2, "blog.example.com"),
+            (3, "spam.biz"),
+            (4, "other.org"),
+            (5, None),
+        ],
+        "doc_id long, source string",
+    )
+    ids = lambda df: sorted(r["doc_id"] for r in df.collect())  # noqa: E731
+    # pure deny: named hosts (and subdomains) go, NULL stays
+    assert ids(filter_by_domain(d, deny=["spam.biz"])) == [1, 2, 4, 5]
+    # allow: only listed (+subdomains), NULL dropped
+    assert ids(filter_by_domain(d, allow=["example.com"])) == [1, 2]
+    # allow then deny: deny wins on the subdomain
+    assert ids(
+        filter_by_domain(d, allow=["example.com"], deny=["blog.example.com"])
+    ) == [1]
+    # exact-only matching
+    assert ids(
+        filter_by_domain(d, allow=["example.com"], include_subdomains=False)
+    ) == [1]
+    # no policy = no-op
+    assert ids(filter_by_domain(d)) == [1, 2, 3, 4, 5]

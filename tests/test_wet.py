@@ -121,3 +121,45 @@ def test_wet_feeds_curation_chain(spark, tmp_path):
 def test_per_record_gzip_rejected(spark):
     with pytest.raises(NotImplementedError):
         read_wet(spark, "/data/crawl/part-000.warc.wet.gz")
+
+
+def test_invalid_utf8_byte_does_not_desync_record_walk(spark, tmp_path):
+    """Review-found bug: a text-decoded read replaces an invalid UTF-8
+    byte with U+FFFD (1 byte -> 3 re-encoded), shifting every later
+    Content-Length offset — truncating that record and silently dropping
+    the rest of the file.  The raw-bytes read must keep both records,
+    byte lengths intact."""
+    nl = b"\r\n"
+    p1 = b"hello \xff world"  # one invalid UTF-8 byte
+    p2 = b"clean second payload"
+    recs = b""
+    for i, payload in enumerate((p1, p2)):
+        hdrs = nl.join(
+            [
+                b"WARC/1.0",
+                b"WARC-Type: conversion",
+                b"WARC-Target-URI: https://x.org/" + str(i).encode(),
+                b"WARC-Record-ID: <urn:uuid:bin-" + str(i).encode() + b">",
+                b"Content-Length: " + str(len(payload)).encode(),
+            ]
+        )
+        recs += hdrs + nl + nl + payload + nl + nl
+    f = tmp_path / "bin.wet"
+    f.write_bytes(recs)
+    rows = {r["warc_record_id"]: r for r in read_wet(spark, str(f)).collect()}
+    assert set(rows) == {"<urn:uuid:bin-0>", "<urn:uuid:bin-1>"}
+    assert rows["<urn:uuid:bin-0>"]["length"] == len(p1)
+    assert rows["<urn:uuid:bin-0>"]["text"] == p1.decode("utf-8", "replace")
+    assert rows["<urn:uuid:bin-1>"]["text"] == "clean second payload"
+
+
+def test_whole_file_gzip_supported(spark, tmp_path):
+    import gzip
+
+    raw = _wet_bytes(crlf=True).encode()
+    f = tmp_path / "part-000.wet.gz"
+    f.write_bytes(gzip.compress(raw))
+    rows = read_wet(spark, str(f)).collect()
+    assert {r["warc_record_id"] for r in rows} == {
+        "<urn:uuid:rec-1>", "<urn:uuid:rec-2>",
+    }
