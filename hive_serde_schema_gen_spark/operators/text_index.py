@@ -15,15 +15,29 @@ Layout under ``path``:
   clustering (tiny relation, broadcast at query time);
 - ``doclens/``  — (doc_id, dl) document lengths (joined only for the
   matching postings);
-- ``stats/``    — one row (n_docs, avgdl);
+- ``stats/``    — (n_docs, sum_dl) batch rows; the probe derives exact
+  corpus stats by SUMMING them (avgdl = Σ sum_dl / Σ n_docs — the same
+  single double division Spark's AVG performs, so bit-identical);
 - ``meta/``     — version + tokenizer pin (lowercase whitespace tokens,
   the exact ``text._tokens`` contract) so a probe never scores against
   an index built with a different tokenization.
 
+Every artifact is APPEND-ONLY and additive — ``extend_text_index``
+appends a new batch's postings/df/doclens/stats files and the probe
+aggregates (SUM of per-batch df rows per term, SUM of stats rows), so
+continuous ingest never rewrites existing data and a reader never sees
+a half-overwritten artifact.  Appends assume batch doc_ids are disjoint
+from the indexed corpus (dedup upstream — the ``streaming/ingest``
+composition guarantees it); appended files lose the term clustering of
+the initial build until a rebuild compacts them, exactly like the
+MinHash index's documented extend behavior.
+
 Query cost: O(query-term postings) — the shuffle never carries the
 vocabulary, exactly like the scan-time form, but the corpus scan itself
 is gone.  ``bm25_topk_indexed`` reproduces ``bm25_topk``'s arithmetic
-bit-for-bit (same fixed-order per-term addition), parity-tested.
+bit-for-bit (same fixed-order per-term addition), parity-tested — and
+a built+extended index scores identically to a from-scratch build over
+the union corpus (parity-tested too).
 """
 
 from __future__ import annotations
@@ -36,15 +50,16 @@ INDEX_VERSION = 1
 _TOKENIZER = "lower-ws"
 
 
-def build_text_index(
+def _write_batch(
     docs: DataFrame,
     path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_files: int = 32,
+    id_col: str,
+    text_col: str,
+    n_files: int,
+    mode: str,
 ) -> None:
-    """One corpus pass → the four artifacts above."""
-    spark = docs.sparkSession
+    """One corpus pass → postings/df/doclens/stats for THIS batch, written
+    with ``mode`` (overwrite = initial build, append = extend)."""
     toks = _tokens(F.lower(F.col(text_col)))
     # doc lengths are written as their own artifact — carrying a per-token
     # length column through the explode would widen the build's largest
@@ -61,7 +76,7 @@ def build_text_index(
     (
         tf.repartitionByRange(n_files, "term")
         .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path}/postings")
     )
     (
@@ -69,7 +84,7 @@ def build_text_index(
         .agg(F.countDistinct("doc_id").alias("df"))
         .repartitionByRange(max(1, n_files // 8), "term")
         .sortWithinPartitions("term")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path}/df")
     )
     (
@@ -78,15 +93,41 @@ def build_text_index(
         )
         .repartitionByRange(max(1, n_files // 8), "doc_id")
         .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path}/doclens")
     )
     docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size(toks)).alias("avgdl")
-    ).write.mode("overwrite").parquet(f"{path}/stats")
-    spark.createDataFrame(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("sum_dl"),
+    ).write.mode(mode).parquet(f"{path}/stats")
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 32,
+) -> None:
+    """Initial build: one corpus pass → the artifacts above."""
+    _write_batch(docs, path, id_col, text_col, n_files, "overwrite")
+    docs.sparkSession.createDataFrame(
         [(INDEX_VERSION, _TOKENIZER)], "version int, tokenizer string"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def extend_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 4,
+) -> None:
+    """Append a new batch to an existing index — O(batch), no rewrite of
+    existing data (see module docstring for the additive-artifact
+    design and the disjoint-doc_ids assumption)."""
+    _check_meta(docs.sparkSession, path)
+    _write_batch(docs, path, id_col, text_col, n_files, "append")
 
 
 def _check_meta(spark: SparkSession, path: str) -> None:
@@ -119,8 +160,21 @@ def bm25_topk_indexed(
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("term").isin(terms)
     )
-    dfreq = spark.read.parquet(f"{path}/df").filter(F.col("term").isin(terms))
-    stats = spark.read.parquet(f"{path}/stats")
+    # per-batch df/stats rows are ADDITIVE (batch doc sets are disjoint):
+    # aggregate them so a built+extended index probes exactly like a
+    # from-scratch build
+    dfreq = (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        (
+            F.sum("sum_dl").cast("double") / F.sum("n_docs")
+        ).alias("avgdl"),
+    )
     doclens = spark.read.parquet(f"{path}/doclens")
     tf = postings.join(doclens, "doc_id").select(
         "doc_id", F.col("term").alias("__t"), F.col("tf").alias("__tf"),

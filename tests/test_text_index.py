@@ -52,3 +52,60 @@ def test_meta_pin_rejects_foreign_index(spark, tmp_path):
 def test_empty_query_rejected(spark, index_path):
     with pytest.raises(ValueError, match="empty query"):
         bm25_topk_indexed(spark, index_path, "   ")
+
+
+def test_extend_matches_fresh_build_and_scan_form(spark, sf_dir, tmp_path):
+    """Incremental ingest parity: build on half the corpus, extend with
+    the other half — scores must be bit-identical to both a from-scratch
+    build over the union AND the scan-time bm25_topk."""
+    from hive_serde_schema_gen_spark.operators.text_index import (
+        extend_text_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    half_a = d.filter("doc_id % 2 = 0")
+    half_b = d.filter("doc_id % 2 = 1")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_text_index(half_a, inc, n_files=4)
+    extend_text_index(half_b, inc)
+    build_text_index(d, full, n_files=4)
+    q = "spark join window"
+    rows = lambda p: [  # noqa: E731
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk_indexed(spark, p, q, k=15).collect()
+    ]
+    scan = [(r["doc_id"], r["bm25"]) for r in bm25_topk(d, q, k=15).collect()]
+    assert rows(inc) == rows(full) == scan
+
+
+def test_hybrid_retrieval_end_to_end(spark, sf_dir, index_path):
+    """The full serve-path composition: persisted-BM25 lexical top-k +
+    LSH-ANN dense top-k fused by reciprocal rank — the hybrid retrieval
+    recipe the operator docstrings describe, run across three persisted/
+    prebuilt artifacts (BM25 postings index, LSH buckets, embeddings)."""
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        ann_topk_lsh,
+        build_lsh_index,
+    )
+    from hive_serde_schema_gen_spark.operators.text import rrf_fuse
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk_indexed(spark, index_path, "spark join window", k=10)
+    dense = ann_topk_lsh(emb, 10, index=build_lsh_index(emb)).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    fused = rrf_fuse([lex.select("doc_id"), dense], k=60, topk=10)
+    rows = fused.collect()
+    assert len(rows) == 10
+    # fused scores are descending and positive; a doc present in BOTH
+    # lists (if any) outranks a doc of equal rank in one list
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    lex_ids = {r["doc_id"] for r in lex.collect()}
+    dense_ids = {r["doc_id"] for r in dense.collect()}
+    both = lex_ids & dense_ids
+    fused_ids = [r["doc_id"] for r in rows]
+    for b in both:
+        assert b in fused_ids  # double-listed docs always survive fusion
