@@ -100,6 +100,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+    from hive_serde_schema_gen_spark.operators.embedding import embed_text
     from hive_serde_schema_gen_spark.operators.html import html_to_text
     from hive_serde_schema_gen_spark.operators.text import script_token_stats
     from hive_serde_schema_gen_spark.operators.bpe import encode_bpe
@@ -231,6 +232,11 @@ def main() -> None:
         "text_cjk_stats": lambda s, d: script_token_stats(
             _docs(s, d)
         ).filter("n_tokens >= 0"),
+        # hashed bag-of-ngrams embedding: explode + two doc-keyed
+        # map-side-combined aggregates + per-row normalize
+        "text_embed_hashed": lambda s, d: embed_text(_docs(s, d)).filter(
+            "size(embedding) = 64"
+        ),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
         "validation_six_checks": lambda s, d: metrics_frame(
