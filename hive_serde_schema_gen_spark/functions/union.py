@@ -35,7 +35,15 @@ def pad_union(schema: list, *parts) -> DataFrame:
         for name, typ in schema:
             if name in mapping:
                 v = mapping[name]
-                cols.append((F.col(v) if isinstance(v, str) else v).alias(name))
+                # cast to the DECLARED type: without it a component
+                # supplying e.g. int where the schema says bigint would
+                # either fail the union or let set-operation widening
+                # silently override the declaration
+                cols.append(
+                    (F.col(v) if isinstance(v, str) else v)
+                    .cast(typ)
+                    .alias(name)
+                )
             else:
                 cols.append(F.lit(None).cast(typ).alias(name))
         frames.append(df.select(*cols))

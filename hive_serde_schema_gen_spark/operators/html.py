@@ -60,11 +60,20 @@ _RULES = (
 )
 
 
-def html_text_expr(col) -> "F.Column":
+def html_text_expr(col, entities: bool = True) -> "F.Column":
     """The extraction chain as a single Column expression (compose it into
-    any projection)."""
+    any projection).  ``entities=False`` skips the five SEMANTIC entity
+    decodes (lt/gt/quot/#39/amp — ``&nbsp;``→space stays: it is pure
+    whitespace and idempotent under a later full decode) for the
+    ``full_entities`` mode, where ``html.unescape`` must be the one and
+    only decoder — stacking it on already-decoded text would decode
+    twice (``&amp;lt;`` → ``&lt;`` → ``<``, corrupting text that
+    legitimately displays entity syntax)."""
+    skip = () if entities else ("&lt;", "&gt;", "&quot;", "&#39;", "&amp;")
     c = F.col(col) if isinstance(col, str) else col
     for kind, pat, repl in _RULES:
+        if kind == "literal" and pat in skip:
+            continue
         if kind == "regex":
             c = F.regexp_replace(c, pat, repl)
         else:
@@ -79,19 +88,23 @@ def html_to_text(
     per block-level element.  Pure narrow projection — composes with
     ``curate_and_prepare`` as the ingestion front-end.
 
-    ``full_entities=True`` additionally decodes the COMPLETE entity set —
-    numeric character references (``&#233;``/``&#x2014;``) and all HTML5
-    named entities — via Python's ``html.unescape`` in an Arrow-batched
-    ``mapInPandas`` pass AFTER the codegen'd chain (which has already
-    handled the five standard names).  Opt-in because it moves the text
-    through Python once; the default chain stays whole-stage codegen at
-    scan speed and leaves exotic references as-is (the documented
-    limitation)."""
-    out = d.withColumn(text_col, html_text_expr(text_col))
+    ``full_entities=True`` decodes the COMPLETE entity set — numeric
+    character references (``&#233;``/``&#x2014;``) and all HTML5 named
+    entities — via Python's ``html.unescape`` in an Arrow-batched
+    ``mapInPandas`` pass.  In this mode unescape is the SOLE semantic
+    decoder (the codegen chain skips its five literal decodes — running
+    both would decode doubly-escaped text twice: ``&amp;lt;`` must yield
+    the literal ``&lt;``, never ``<``), and because decoded references
+    can themselves be whitespace (``&#10;``, ``&#160;``), the whitespace
+    reconstruction re-runs AFTER the decode.  Opt-in because it moves
+    the text through Python once; the default chain stays whole-stage
+    codegen at scan speed and leaves exotic references as-is (the
+    documented limitation)."""
     if not full_entities:
-        return out
+        return d.withColumn(text_col, html_text_expr(text_col))
     import html as _html
 
+    out = d.withColumn(text_col, html_text_expr(text_col, entities=False))
     schema = out.schema
 
     def _unescape(batches):
@@ -101,7 +114,14 @@ def html_to_text(
             )
             yield pdf
 
-    return out.mapInPandas(_unescape, schema)
+    decoded = out.mapInPandas(_unescape, schema)
+    # re-normalize: decoded refs may be whitespace (incl. U+00A0)
+    c = F.col(text_col)
+    c = F.regexp_replace(c, "[ \\t\\r\\f\\u00a0]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{2,}", "\n")
+    c = F.regexp_replace(c, "^\\n+|\\n+$", "")
+    return decoded.withColumn(text_col, F.trim(c))
 
 
 def sql_html_chain(expr: str) -> str:

@@ -625,6 +625,23 @@ def bm25_topk(
         F.avg(F.size(toks)).alias("__avgdl"),
     )
     dfreq = tf.groupBy("__t").agg(F.countDistinct(id_col).alias("__df"))
+    return bm25_score_topk(tf, dfreq, stats, terms, k, k1, b, id_col)
+
+
+def bm25_score_topk(tf, dfreq, stats, terms, k, k1, b, id_col="doc_id"):
+    """The SHARED BM25 scoring tail — one definition for the scan-time
+    form above and the persisted-index probe (``text_index.
+    bm25_topk_indexed``), so their bit-exact parity is structural, not
+    merely test-enforced.  Contracts: ``tf`` carries (id, __t, __tf,
+    __dl); ``dfreq`` (__t, __df); ``stats`` one row (__n, __avgdl);
+    ``terms`` sorted.
+
+    Per-doc score: one conditional aggregate per query term, added in
+    FIXED (sorted-term) order — not an unordered float SUM.  Each term
+    has exactly one (doc, term) row, so every per-term aggregate is a
+    single element and the final score is bit-deterministic across
+    engines and runs (a reassociating float sum is not); cost is |Q|
+    aggregate columns over the same single shuffle."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
@@ -632,12 +649,6 @@ def bm25_topk(
     denom = F.col("__tf") + k1 * (
         1.0 - b + b * F.col("__dl") / F.col("__avgdl")
     )
-    # Per-doc score: one conditional aggregate per query term, added in
-    # FIXED (sorted-term) order — not an unordered float SUM.  Each term
-    # has exactly one (doc, term) row, so every per-term aggregate is a
-    # single element and the final score is bit-deterministic across
-    # engines and runs (a reassociating float sum is not); cost is |Q|
-    # aggregate columns over the same single shuffle.
     scored = (
         tf.join(F.broadcast(dfreq), "__t")
         .crossJoin(F.broadcast(stats))

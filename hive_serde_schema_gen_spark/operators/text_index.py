@@ -34,17 +34,17 @@ MinHash index's documented extend behavior.
 
 Query cost: O(query-term postings) — the shuffle never carries the
 vocabulary, exactly like the scan-time form, but the corpus scan itself
-is gone.  ``bm25_topk_indexed`` reproduces ``bm25_topk``'s arithmetic
-bit-for-bit (same fixed-order per-term addition), parity-tested — and
-a built+extended index scores identically to a from-scratch build over
-the union corpus (parity-tested too).
+is gone.  ``bm25_topk_indexed`` and ``bm25_topk`` share ONE scoring
+tail (``text.bm25_score_topk``), so their bit-exact parity is
+structural; the parity tests pin it — and a built+extended index scores
+identically to a from-scratch build over the union corpus.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .text import _tokens
+from .text import _tokens, bm25_score_topk
 
 INDEX_VERSION = 1
 _TOKENIZER = "lower-ws"
@@ -87,18 +87,24 @@ def _write_batch(
         .write.mode(mode)
         .parquet(f"{path}/df")
     )
+    # one tokenization pass serves doclens AND stats (the checkpoint cuts
+    # the second corpus scan the stats aggregate would otherwise re-run)
+    doclens = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
+    ).localCheckpoint()
     (
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
-        )
-        .repartitionByRange(max(1, n_files // 8), "doc_id")
+        doclens.repartitionByRange(max(1, n_files // 8), "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode(mode)
         .parquet(f"{path}/doclens")
     )
-    docs.agg(
+    # n_docs counts ALL docs (idf's N); n_len counts docs with a non-null
+    # token count — the denominator Spark's AVG uses, so a corpus with
+    # NULL-text rows still probes bit-identically to scan-time bm25_topk
+    doclens.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).alias("sum_dl"),
+        F.count("dl").alias("n_len"),
+        F.sum("dl").alias("sum_dl"),
     ).write.mode(mode).parquet(f"{path}/stats")
 
 
@@ -170,40 +176,27 @@ def bm25_topk_indexed(
         .agg(F.sum("df").alias("df"))
     )
     stats = spark.read.parquet(f"{path}/stats").agg(
-        F.sum("n_docs").alias("n_docs"),
-        (
-            F.sum("sum_dl").cast("double") / F.sum("n_docs")
-        ).alias("avgdl"),
+        F.sum("n_docs").alias("__n"),
+        # long-sum / long-count in one double division == Spark's AVG over
+        # the union corpus, bit-for-bit; n_len (not n_docs) is the
+        # denominator so NULL-text docs count into N but not avgdl,
+        # exactly like the scan-time form
+        (F.sum("sum_dl").cast("double") / F.sum("n_len")).alias("__avgdl"),
     )
     doclens = spark.read.parquet(f"{path}/doclens")
     tf = postings.join(doclens, "doc_id").select(
         "doc_id", F.col("term").alias("__t"), F.col("tf").alias("__tf"),
         F.col("dl").alias("__dl"),
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("__tf") + k1 * (
-        1.0 - b + b * F.col("__dl") / F.col("avgdl")
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq.withColumnRenamed("term", "__t")), "__t")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "__t", (idf * F.col("__tf") / denom).alias("__s"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("__t") == t, F.col("__s"))).alias(f"__s{i}")
-                for i, t in enumerate(terms)
-            ]
-        )
-    )
-    score = F.coalesce(F.col("__s0"), F.lit(0.0))
-    for i in range(1, len(terms)):
-        score = score + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
-    return (
-        scored.select("doc_id", score.alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(k)
+    # the scoring tail is text.bm25_score_topk — ONE definition shared
+    # with the scan-time form, so parity is structural
+    return bm25_score_topk(
+        tf,
+        dfreq.select(F.col("term").alias("__t"), F.col("df").alias("__df")),
+        stats,
+        terms,
+        k,
+        k1,
+        b,
+        id_col="doc_id",
     )

@@ -111,3 +111,67 @@ def test_full_entities_decodes_numeric_references(spark):
     # default chain: the five standard names only; numerics left as-is
     assert default == "caf&#233; &#x2014; r&eacute;sum&eacute; & more"
     assert full == "café — résumé & more"
+
+
+def test_full_entities_never_double_decodes(spark):
+    """Review-found bug: stacking html.unescape on the chain's decoded
+    output decoded doubly-escaped text twice.  An author displaying
+    entity SYNTAX (&amp;lt;) must come out as the literal '&lt;', and
+    whitespace-decoding refs (&#10;, &#160;) must still be collapsed by
+    the post-decode normalization."""
+    d = spark.createDataFrame(
+        [
+            (1, "<p>5 &amp;lt; 10 and &amp;amp; and &amp;#233;</p>"),
+            (2, "<p>a&#10;&#10;b&#160;&#160;c</p>"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in html_to_text(d, full_entities=True).collect()
+    }
+    assert rows[1] == "5 &lt; 10 and &amp; and &#233;"
+    assert rows[2] == "a\nb c"
+
+
+def test_randomized_cross_engine_parity(spark):
+    """200 seeded-random gnarly inputs — nested/unclosed/uppercase tags,
+    entities (incl. doubled &amp;amp;), stray <> and quotes, CRLF, blank
+    lines, unicode — must extract byte-identically through the Spark
+    chain and the DuckDB rendering.  This is the property the
+    html_extract driver slot's trustworthiness rests on."""
+    import random
+
+    rng = random.Random(42)
+    frags = [
+        "<p>", "</p>", "<div class='x'>", "</div>", "<br>", "<BR/>",
+        "<b>", "</b>", "<a href=\"/x?a=1&b=2\">", "</a>", "<h2>", "</H2>",
+        "<script>var x = 1 < 2;</script>", "<style>p{}</style>",
+        "<!-- c -->", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;",
+        "&amp;amp;", "&nbsp;", "plain", "wörds", "x<y", "a > b", "\r\n",
+        "\n\n", "   ", "\t", "mixed 文字 text", "<ul><li>i</li></ul>",
+        "<unclosed", "lone > bracket", '"quoted"',
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))
+        for _ in range(200)
+    ]
+    spark_out = [
+        r["text"]
+        for r in html_to_text(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cases)], "doc_id int, text string"
+            )
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    expr = sql_html_chain("?")
+    duck_out = [con.execute(f"SELECT {expr}", [c]).fetchone()[0] for c in cases]
+    mismatches = [
+        (i, cases[i][:80], spark_out[i][:80], duck_out[i][:80])
+        for i in range(len(cases))
+        if spark_out[i] != duck_out[i]
+    ]
+    assert not mismatches, mismatches[:3]

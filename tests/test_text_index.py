@@ -109,3 +109,27 @@ def test_hybrid_retrieval_end_to_end(spark, sf_dir, index_path):
     fused_ids = [r["doc_id"] for r in rows]
     for b in both:
         assert b in fused_ids  # double-listed docs always survive fusion
+
+
+def test_null_text_docs_probe_identically_to_scan_form(spark, tmp_path):
+    """Review-found parity gap: NULL-text docs count into idf's N but
+    must NOT count into avgdl's denominator (Spark's AVG skips them) —
+    the index stats now record both counts, so a corpus containing
+    NULL-text rows probes bit-identically to bm25_topk."""
+    d = spark.createDataFrame(
+        [
+            (1, "spark joins data"),
+            (2, "spark shuffles data frames"),
+            (3, None),
+            (4, "window functions in spark"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "nulidx")
+    build_text_index(d, path, n_files=2)
+    scan = [(r["doc_id"], r["bm25"]) for r in bm25_topk(d, "spark data", k=4).collect()]
+    idx = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk_indexed(spark, path, "spark data", k=4).collect()
+    ]
+    assert scan == idx
