@@ -382,3 +382,36 @@ def padding_waste(packed: DataFrame, context_len: int) -> float:
     if not row["b"]:
         return 0.0
     return 1.0 - row["t"] / (row["b"] * context_len)
+
+
+def epoch_shuffle(
+    d: DataFrame,
+    epoch: int,
+    n_shards: int | None = None,
+    key_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the training-order export
+    step: every epoch reads the corpus in a different pseudo-random order,
+    and every re-run (or task retry) of the same epoch reproduces the
+    SAME order, because the sort key is a pure hash of (salt, epoch, key),
+    never an RNG draw.
+
+    Returns ``d`` totally ordered by ``xxhash64(salt, epoch, key)`` (key
+    as tiebreak for the 2⁻⁶⁴ collision), with an optional ``shard``
+    column (``pmod(hash, n_shards)``) for shard-file assignment — shard
+    membership is hash-stable too, so a resumed export rewrites identical
+    shards.
+
+    Scale shape: ONE range shuffle (Spark samples the hash distribution
+    to build balanced range bounds — hashes are uniform, so shards come
+    out even without skew handling) + in-partition sort; writing with
+    ``partitionBy("shard")`` afterwards gives the standard
+    training-shard layout."""
+    h = F.xxhash64(F.lit(salt), F.lit(epoch).cast("long"), F.col(key_col))
+    out = d.withColumn("__order", h)
+    if n_shards is not None:
+        out = out.withColumn(
+            "shard", F.pmod(F.col("__order"), F.lit(n_shards)).cast("int")
+        )
+    return out.orderBy("__order", key_col).drop("__order")

@@ -125,3 +125,34 @@ def test_chunk_documents_narrow_plan(spark, sf_dir):
     assert "Exchange" not in explain_str(df)  # narrow: no shuffle
     # every document yields >= 1 chunk
     assert df.select("doc_id").distinct().count() == d.count()
+
+
+def test_epoch_shuffle_deterministic_permutation(spark):
+    from hive_serde_schema_gen_spark.operators.packing import epoch_shuffle
+
+    d = spark.range(500).withColumnRenamed("id", "doc_id")
+    e0a = [r["doc_id"] for r in epoch_shuffle(d, 0).collect()]
+    e0b = [r["doc_id"] for r in epoch_shuffle(d, 0).collect()]
+    e1 = [r["doc_id"] for r in epoch_shuffle(d, 1).collect()]
+    assert e0a == e0b                       # same epoch -> identical order
+    assert sorted(e0a) == list(range(500))  # a permutation, nothing lost
+    assert e0a != e1                        # epochs differ
+    assert sorted(e1) == list(range(500))
+    assert e0a != list(range(500))          # actually shuffled
+
+
+def test_epoch_shuffle_shards_stable_and_balanced(spark):
+    from hive_serde_schema_gen_spark.operators.packing import epoch_shuffle
+
+    d = spark.range(2000).withColumnRenamed("id", "doc_id")
+    rows = epoch_shuffle(d, 3, n_shards=8).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+    assert set(by_shard) == set(range(8))
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] > 150  # uniform hash -> no empty/starved shard
+    # shard membership is a pure hash: a second run assigns identically
+    again = {r["doc_id"]: r["shard"] for r in epoch_shuffle(d, 3, n_shards=8).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["shard"]
