@@ -775,3 +775,66 @@ def test_filter_by_domain_policy(spark):
     ) == [1]
     # no policy = no-op
     assert ids(filter_by_domain(d)) == [1, 2, 3, 4, 5]
+
+
+def test_filter_by_domain_randomized_vs_python_reference(spark):
+    """300 seeded-random (host, policy) scenarios vs an independent
+    pure-Python implementation of the documented semantics — guards the
+    suffix-probe rewrite against edge drift (dots, case, partial-label
+    lookalikes such as notexample.com vs example.com)."""
+    import random
+
+    from hive_serde_schema_gen_spark.operators.curation import filter_by_domain
+
+    rng = random.Random(7)
+    labels = ["example", "spam", "blog", "www", "a", "bb", "notexample", "x2"]
+    tlds = ["com", "org", "biz"]
+
+    def host():
+        if rng.random() < 0.05:
+            return None
+        n = rng.randint(1, 4)
+        return ".".join(rng.choice(labels) for _ in range(n)) + "." + rng.choice(tlds)
+
+    def policy():
+        k = rng.randint(1, 4)
+        return [
+            ".".join(rng.choice(labels) for _ in range(rng.randint(1, 2)))
+            + "."
+            + rng.choice(tlds)
+            for _ in range(k)
+        ]
+
+    def ref_match(h, doms, subs):
+        if h is None:
+            return False
+        h = h.lower()
+        for dom in {d.lower() for d in doms}:
+            if h == dom or (subs and h.endswith("." + dom)):
+                return True
+        return False
+
+    hosts = [host() for _ in range(300)]
+    d = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, source string"
+    ).localCheckpoint()
+    for subs in (True, False):
+        for _ in range(6):
+            allow = policy() if rng.random() < 0.7 else None
+            deny = policy() if rng.random() < 0.7 else None
+            got = {
+                r["doc_id"]
+                for r in filter_by_domain(
+                    d, allow=allow, deny=deny, include_subdomains=subs
+                ).collect()
+            }
+            want = set()
+            for i, h in enumerate(hosts):
+                keep = True
+                if allow:
+                    keep = ref_match(h, allow, subs)
+                if keep and deny:
+                    keep = h is None or not ref_match(h, deny, subs)
+                if keep:
+                    want.add(i)
+            assert got == want, (allow, deny, subs, sorted(got ^ want)[:5])
