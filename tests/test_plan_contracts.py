@@ -69,3 +69,29 @@ def test_parquet_scans_prune_columns(plans):
     for name, p in plans.items():
         if "Scan parquet" in p:
             assert "ReadSchema" in p, f"{name}: parquet scan without ReadSchema"
+
+
+def test_round8_library_operators_stay_jvm_side(spark, sf_dir):
+    """The round-8 library surface (not in the 50-slot registry) holds the
+    same plan contracts as the registered queries: no Python eval in the
+    default paths (only the OPT-IN full-entity decode and the WET byte
+    walk are Arrow passes, by design), no cartesian products."""
+    from hive_serde_schema_gen_spark.operators.curation import filter_by_domain
+    from hive_serde_schema_gen_spark.operators.embedding import embed_text
+    from hive_serde_schema_gen_spark.operators.html import html_to_text
+    from hive_serde_schema_gen_spark.operators.packing import epoch_shuffle
+    from hive_serde_schema_gen_spark.plans import assert_no_python_udf
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = {
+        "html_to_text": html_to_text(d),
+        "embed_text": embed_text(d),
+        "filter_by_domain": filter_by_domain(
+            d, allow=["src1", "src2"], deny=["src3"]
+        ),
+        "epoch_shuffle": epoch_shuffle(d, epoch=2, n_shards=4),
+    }
+    for name, df in frames.items():
+        assert_no_python_udf(df)
+        assert "CartesianProduct" not in explain_str(df), name
