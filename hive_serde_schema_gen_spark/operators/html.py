@@ -41,7 +41,7 @@ _BLOCK = (
 # rendered as chr(10) on the SQL side.  `regex` rules use RE2-compatible
 # syntax (inline (?is) flags, lazy quantifiers, no lookaround) so Java and
 # DuckDB interpret them identically.
-_RULES = (
+_TAG_RULES = (
     ("regex", r"(?s)<!--.*?-->", " "),
     ("regex", r"(?is)<script\b[^>]*>.*?</script>", " "),
     ("regex", r"(?is)<style\b[^>]*>.*?</style>", " "),
@@ -53,11 +53,22 @@ _RULES = (
     ("literal", "&quot;", '"'),
     ("literal", "&#39;", "'"),
     ("literal", "&amp;", "&"),
-    ("regex", r"[ \t\r\f]+", " "),
+)
+
+# Whitespace reconstruction — a SEPARATE tuple because the full_entities
+# path must re-run exactly these rules after html.unescape (decoded refs
+# can be whitespace); a hand-copied renorm would drift.  U+00A0 counts as
+# collapsible whitespace in BOTH modes (raw NBSP chars are ubiquitous in
+# crawl text; treating them differently per mode would make the two
+# modes disagree on entity-free documents).
+_WS_RULES = (
+    ("regex", "[ \t\r\f\u00a0]+", " "),
     ("regex", r" ?\n ?", "\n"),
     ("regex", r"\n{2,}", "\n"),
     ("regex", r"^\n+|\n+$", ""),
 )
+
+_RULES = _TAG_RULES + _WS_RULES
 
 
 def html_text_expr(col, entities: bool = True) -> "F.Column":
@@ -115,12 +126,11 @@ def html_to_text(
             yield pdf
 
     decoded = out.mapInPandas(_unescape, schema)
-    # re-normalize: decoded refs may be whitespace (incl. U+00A0)
+    # re-normalize with THE SAME whitespace rules (decoded refs may be
+    # whitespace, incl. U+00A0)
     c = F.col(text_col)
-    c = F.regexp_replace(c, "[ \\t\\r\\f\\u00a0]+", " ")
-    c = F.regexp_replace(c, " ?\\n ?", "\n")
-    c = F.regexp_replace(c, "\\n{2,}", "\n")
-    c = F.regexp_replace(c, "^\\n+|\\n+$", "")
+    for _, pat, repl in _WS_RULES:
+        c = F.regexp_replace(c, pat, repl)
     return decoded.withColumn(text_col, F.trim(c))
 
 

@@ -403,15 +403,25 @@ def epoch_shuffle(
     membership is hash-stable too, so a resumed export rewrites identical
     shards.
 
-    Scale shape: ONE range shuffle (Spark samples the hash distribution
-    to build balanced range bounds — hashes are uniform, so shards come
-    out even without skew handling) + in-partition sort; writing with
-    ``partitionBy("shard")`` afterwards gives the standard
-    training-shard layout."""
+    Scale shape — two physical strategies, picked by ``n_shards``:
+    without shards, ONE range shuffle (Spark samples the uniform hash
+    distribution, so ranges balance without skew handling) gives a
+    global order.  WITH shards, rows are hash-partitioned BY SHARD and
+    sorted within each shard: shard boundaries then align with task
+    boundaries, so ``write.partitionBy("shard")`` emits one file per
+    shard — a range-sort-by-hash would instead spray every task across
+    every shard (tasks × shards small files, the classic blowup).
+    ``shard``/an internal ``__order`` column on the input are
+    overwritten."""
     h = F.xxhash64(F.lit(salt), F.lit(epoch).cast("long"), F.col(key_col))
     out = d.withColumn("__order", h)
-    if n_shards is not None:
-        out = out.withColumn(
+    if n_shards is None:
+        return out.orderBy("__order", key_col).drop("__order")
+    return (
+        out.withColumn(
             "shard", F.pmod(F.col("__order"), F.lit(n_shards)).cast("int")
         )
-    return out.orderBy("__order", key_col).drop("__order")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("__order", key_col)
+        .drop("__order")
+    )

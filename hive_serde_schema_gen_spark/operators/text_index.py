@@ -15,9 +15,11 @@ Layout under ``path``:
   clustering (tiny relation, broadcast at query time);
 - ``doclens/``  — (doc_id, dl) document lengths (joined only for the
   matching postings);
-- ``stats/``    — (n_docs, sum_dl) batch rows; the probe derives exact
-  corpus stats by SUMMING them (avgdl = Σ sum_dl / Σ n_docs — the same
-  single double division Spark's AVG performs, so bit-identical);
+- ``stats/``    — (n_docs, n_len, sum_dl) batch rows; the probe derives
+  exact corpus stats by SUMMING them: idf's N = Σ n_docs (ALL docs),
+  avgdl = Σ sum_dl / Σ n_len (n_len counts docs with a non-null token
+  count — the denominator Spark's AVG uses, so NULL-text corpora probe
+  bit-identically to the scan-time form);
 - ``meta/``     — version + tokenizer pin (lowercase whitespace tokens,
   the exact ``text._tokens`` contract) so a probe never scores against
   an index built with a different tokenization.
@@ -46,7 +48,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .text import _tokens, bm25_score_topk
 
-INDEX_VERSION = 1
+# v2: stats rows gained n_len (the AVG denominator excluding NULL-text
+# docs) — the bump makes a v1 index fail LOUDLY at _check_meta instead
+# of the mixed-parquet-schema failure an extend would otherwise create
+# (schema sampled per file-listing order; reproduced scoring silently
+# wrong), the same bug class the MinHash index's v2 bump closed.
+INDEX_VERSION = 2
 _TOKENIZER = "lower-ws"
 
 

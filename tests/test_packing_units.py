@@ -156,3 +156,16 @@ def test_epoch_shuffle_shards_stable_and_balanced(spark):
     again = {r["doc_id"]: r["shard"] for r in epoch_shuffle(d, 3, n_shards=8).collect()}
     for r in rows:
         assert again[r["doc_id"]] == r["shard"]
+    # within each shard the rows follow the epoch hash order (toPandas
+    # preserves partition-internal order), so partitionBy('shard') writes
+    # reproduce the training order shard by shard
+    import pyspark.sql.functions as F
+
+    df = epoch_shuffle(d, 3, n_shards=8).withColumn(
+        "__h", F.xxhash64(F.lit("shuffle-v1"), F.lit(3).cast("long"), F.col("doc_id"))
+    )
+    per_shard = {}
+    for r in df.collect():
+        per_shard.setdefault(r["shard"], []).append(r["__h"])
+    for shard, hs in per_shard.items():
+        assert hs == sorted(hs), f"shard {shard} not in hash order"
