@@ -84,7 +84,7 @@ _MEDIAN_SQL = """
 """
 
 
-def median_disc_price(spark, sf_dir):
+def median_disc_price(spark, sf_dir, sort: bool = True):
     """Discrete median per group, deterministically: the ⌈n/2⌉-th element in
     a total order (value + unique tiebreak).  Interpolated medians differ
     across engines in the last ulp of the midpoint arithmetic; element
@@ -96,7 +96,7 @@ def median_disc_price(spark, sf_dir):
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
     wn = W.partitionBy("l_returnflag")
-    return (
+    out = (
         l.select(
             "l_returnflag",
             "l_extendedprice",
@@ -105,8 +105,8 @@ def median_disc_price(spark, sf_dir):
         )
         .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
         .select("l_returnflag", F.col("l_extendedprice").alias("median_price"))
-        .orderBy("l_returnflag")
     )
+    return out.orderBy("l_returnflag") if sort else out
 
 
 @query(
@@ -434,7 +434,7 @@ _APPROX_SQL = f"""
 """
 
 
-def approx_stats(spark, sf_dir):
+def approx_stats(spark, sf_dir, sort: bool = True):
     """Approximate aggregates — the sketches that replace exact
     distinct/quantiles at 100 TB: HyperLogLog++ distinct counts (constant
     memory vs a distinct shuffle) and t-digest-style quantiles (one pass).
@@ -493,7 +493,7 @@ def approx_stats(spark, sf_dir):
             <= F.lit(APPROX_REL_ERR) * F.col(exact_x100).cast("double")
         ).alias(name)
 
-    return (
+    out = (
         exact_q.join(exact_d, "l_returnflag")
         .join(sketches, "l_returnflag")
         .select(
@@ -511,8 +511,8 @@ def approx_stats(spark, sf_dir):
             ok(F.col("approx_p50_c") * 100, "exact_p50_x100", "ok_median"),
             ok(F.col("approx_p99_c") * 100, "exact_p99_x100", "ok_p99"),
         )
-        .orderBy("l_returnflag")
     )
+    return out.orderBy("l_returnflag") if sort else out
 
 
 @query(
@@ -553,7 +553,7 @@ def stats_summary(spark, sf_dir):
     return pad_union(
         schema,
         (
-            approx_stats(spark, sf_dir),
+            approx_stats(spark, sf_dir, sort=False),
             {
                 "op": F.lit("approx"), "grp": "l_returnflag",
                 "exact_parts": "exact_parts",
@@ -564,14 +564,14 @@ def stats_summary(spark, sf_dir):
             },
         ),
         (
-            median_disc_price(spark, sf_dir),
+            median_disc_price(spark, sf_dir, sort=False),
             {
                 "op": F.lit("median"), "grp": "l_returnflag",
                 "median_price": "median_price",
             },
         ),
         (
-            histogram_totalprice(spark, sf_dir),
+            histogram_totalprice(spark, sf_dir, sort=False),
             {"op": F.lit("hist"), "bucket": "bucket", "n": "n"},
         ),
     ).orderBy(

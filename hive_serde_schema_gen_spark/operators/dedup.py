@@ -623,13 +623,14 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     )
 
 
-def dedup_simhash_sigs(spark, sf_dir):
+def dedup_simhash_sigs(spark, sf_dir, sort: bool = True):
     """32-bit SimHash signature per document (see ``simhash_signatures``).
     Near-dups are then low-Hamming-distance pairs — the pairing query is
     ``dedup_simhash_pairs``.  Registry-merged into the ``dedup_simhash``
     union slot in round 8."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_signatures(d).orderBy("doc_id")
+    out = simhash_signatures(d)
+    return out.orderBy("doc_id") if sort else out
 
 
 SIMHASH_BANDS = 4  # 8-bit bands over the 32-bit signature
@@ -654,7 +655,7 @@ _SIMHASH_PAIRS_SQL = f"""
 """
 
 
-def dedup_simhash_pairs(spark, sf_dir):
+def dedup_simhash_pairs(spark, sf_dir, sort: bool = True):
     """SimHash near-dup pairing: bucket signatures on {b} 8-bit bands
     (LSH-band style); docs sharing any band become candidates; verify with
     ``bit_count(xor)`` ≤ {h}.
@@ -690,11 +691,11 @@ def dedup_simhash_pairs(spark, sf_dir):
         .distinct()
     )
     hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("int")
-    return (
+    out = (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 dedup_simhash_pairs.__doc__ = dedup_simhash_pairs.__doc__ and dedup_simhash_pairs.__doc__.format(b=SIMHASH_BANDS, h=HAMMING_MAX)
@@ -731,11 +732,11 @@ def dedup_simhash(spark, sf_dir):
     return pad_union(
         schema,
         (
-            dedup_simhash_sigs(spark, sf_dir),
+            dedup_simhash_sigs(spark, sf_dir, sort=False),
             {"op": F.lit("sig"), "id_a": "doc_id", "val": "simhash"},
         ),
         (
-            dedup_simhash_pairs(spark, sf_dir),
+            dedup_simhash_pairs(spark, sf_dir, sort=False),
             {
                 "op": F.lit("pair"), "id_a": "doc_a", "id_b": "doc_b",
                 "val": F.col("hamming").cast("long"),

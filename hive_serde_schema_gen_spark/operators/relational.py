@@ -290,14 +290,14 @@ _HISTOGRAM_SQL = """
 """
 
 
-def histogram_totalprice(spark, sf_dir):
+def histogram_totalprice(spark, sf_dir, sort: bool = True):
     """Histogram via width_bucket: fixed-width binning + count — the
     single-pass distribution sketch.  DuckDB 1.0 has no width_bucket, so
     the oracle reproduces the exact bucket arithmetic
     (floor(x/width)+1 with under/overflow buckets 0 and n+1).
     Registry-merged into ``stats_summary`` (advanced.py) in round 8."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    out = (
         o.select(
             F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20))
             .cast("int")
@@ -305,8 +305,8 @@ def histogram_totalprice(spark, sf_dir):
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("bucket")
     )
+    return out.orderBy("bucket") if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -435,7 +435,7 @@ def join_broadcast_dim(spark, sf_dir):
     )
 
 
-def join_semi_anti(spark, sf_dir):
+def join_semi_anti(spark, sf_dir, sort: bool = True):
     """LEFT SEMI (≡ EXISTS: big spenders) + LEFT ANTI (≡ NOT EXISTS:
     never-ordered customers) in one tagged union.  Neither join duplicates
     the left side, and the right side reduces to its join keys before the
@@ -452,21 +452,22 @@ def join_semi_anti(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
     )
-    return semi.unionAll(anti).orderBy("op", "c_custkey")
+    out = semi.unionAll(anti)
+    return out.orderBy("op", "c_custkey") if sort else out
 
 
-def join_outer_agg(spark, sf_dir):
+def join_outer_agg(spark, sf_dir, sort: bool = True):
     """LEFT OUTER join preserving customers with zero orders (COUNT of the
     nullable key counts 0 for them).  Registry-merged into
     ``join_variants`` in round 8."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
+    out = (
         c.join(o, o.o_custkey == c.c_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
-        .orderBy("c_custkey")
     )
+    return out.orderBy("c_custkey") if sort else out
 
 
 @query(
@@ -497,11 +498,11 @@ def join_variants(spark, sf_dir):
     return pad_union(
         schema,
         (
-            join_semi_anti(spark, sf_dir),
+            join_semi_anti(spark, sf_dir, sort=False),
             {"op": "op", "c_custkey": "c_custkey", "c_name": "c_name"},
         ),
         (
-            join_outer_agg(spark, sf_dir),
+            join_outer_agg(spark, sf_dir, sort=False),
             {
                 "op": F.lit("outer"),
                 "c_custkey": "c_custkey",
@@ -595,7 +596,7 @@ def window_topk_per_group(spark, sf_dir):
     )
 
 
-def window_running_lag(spark, sf_dir):
+def window_running_lag(spark, sf_dir, sort: bool = True):
     """Running total + LAG delta per customer over one window spec (both
     frames share a single shuffle+sort on o_custkey).  The window SUM runs
     over decimal: window implementations are free to reassociate (DuckDB
@@ -610,7 +611,7 @@ def window_running_lag(spark, sf_dir):
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wlag = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
+    out = (
         o.select(
             "o_custkey",
             "o_orderkey",
@@ -618,21 +619,23 @@ def window_running_lag(spark, sf_dir):
             (F.col("o_totalprice") - F.lag("o_totalprice").over(wlag)).alias(
                 "delta_vs_prev"
             ),
-        ).orderBy("o_custkey", "o_orderkey")
+        )
     )
+    return out.orderBy("o_custkey", "o_orderkey") if sort else out
 
 
-def window_share_of_total(spark, sf_dir):
+def window_share_of_total(spark, sf_dir, sort: bool = True):
     """Aggregate + unpartitioned window over the (tiny) aggregate result —
     the OVER () runs on 3 rows, not the fact table.  Registry-merged into
     ``window_analytics`` in round 8."""
     o = load_table(spark, sf_dir, "orders")
     counts = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
-    return counts.select(
+    out = counts.select(
         "o_orderstatus",
         "n",
         (F.col("n").cast("double") / F.sum("n").over(W.partitionBy())).alias("share"),
-    ).orderBy("o_orderstatus")
+    )
+    return out.orderBy("o_orderstatus") if sort else out
 
 
 @query(
@@ -669,7 +672,7 @@ def window_analytics(spark, sf_dir):
     return pad_union(
         schema,
         (
-            window_running_lag(spark, sf_dir),
+            window_running_lag(spark, sf_dir, sort=False),
             {
                 "op": F.lit("running"), "k": "o_custkey",
                 "o_orderkey": "o_orderkey",
@@ -678,7 +681,7 @@ def window_analytics(spark, sf_dir):
             },
         ),
         (
-            window_share_of_total(spark, sf_dir),
+            window_share_of_total(spark, sf_dir, sort=False),
             {
                 "op": F.lit("share"), "o_orderstatus": "o_orderstatus",
                 "n": "n", "share": "share",
@@ -793,7 +796,7 @@ _SCALAR_STRING_SQL = """
 """
 
 
-def scalar_string_funcs(spark, sf_dir):
+def scalar_string_funcs(spark, sf_dir, sort: bool = True):
     """String function surface in one tagged union (registry-merged into
     ``scalar_funcs`` in round 8 — slot ceded to round-7 operators; the
     driver still hashes these rows through the merged query):
@@ -838,15 +841,16 @@ def scalar_string_funcs(spark, sf_dir):
             "nations",
         )
     )
-    return scalar.unionAll(agg).orderBy("op", "k")
+    out = scalar.unionAll(agg)
+    return out.orderBy("op", "k") if sort else out
 
 
-def scalar_date_funcs(spark, sf_dir):
+def scalar_date_funcs(spark, sf_dir, sort: bool = True):
     """Date part extraction + monthly aggregate (timestamps leave the result
     as ints — raw timestamps never cross the oracle boundary).
     Registry-merged into ``scalar_funcs`` in round 8."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    out = (
         o.groupBy(
             F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
         )
@@ -854,8 +858,8 @@ def scalar_date_funcs(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             money_sum("o_totalprice").alias("monthly_total"),
         )
-        .orderBy("y", "m")
     )
+    return out.orderBy("y", "m") if sort else out
 
 
 @query(
@@ -893,7 +897,7 @@ def scalar_funcs(spark, sf_dir):
     return pad_union(
         schema,
         (
-            scalar_string_funcs(spark, sf_dir),
+            scalar_string_funcs(spark, sf_dir, sort=False),
             {
                 "fam": F.lit("str"), "op": "op", "k": "k",
                 "name_upper": "name_upper", "name_prefix": "name_prefix",
@@ -902,7 +906,7 @@ def scalar_funcs(spark, sf_dir):
             },
         ),
         (
-            scalar_date_funcs(spark, sf_dir),
+            scalar_date_funcs(spark, sf_dir, sort=False),
             {
                 "fam": F.lit("date"), "op": F.lit("month"),
                 "k": F.format_string("%04d-%02d", F.col("y"), F.col("m")),
@@ -912,20 +916,20 @@ def scalar_funcs(spark, sf_dir):
     ).orderBy("fam", "op", "k")
 
 
-def json_extract_events(spark, sf_dir):
+def json_extract_events(spark, sf_dir, sort: bool = True):
     """Semi-structured access: get_json_object on the raw props column (the
     schema-on-read path; the schema-inferred typed path is the flagship
     ``infer_props_schema``).  Integer sums are exact.  Registry-merged
     into ``semistructured_ops`` in round 8."""
     e = load_table(spark, sf_dir, "events")
-    return (
+    out = (
         e.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         )
-        .orderBy("event_type")
     )
+    return out.orderBy("event_type") if sort else out
 
 
 @query(
@@ -954,7 +958,7 @@ def semistructured_ops(spark, sf_dir):
         "n",
         F.lit(None).cast("bigint").alias("sum_k"),
     )
-    js = json_extract_events(spark, sf_dir).select(
+    js = json_extract_events(spark, sf_dir, sort=False).select(
         F.lit("json").alias("op"), F.col("event_type").alias("key"), "n", "sum_k"
     )
     return toks.unionAll(js).orderBy("op", F.desc("n"), "key")
