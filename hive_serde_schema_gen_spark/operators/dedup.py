@@ -772,6 +772,42 @@ dedup_simhash.__doc__ = dedup_simhash.__doc__ and dedup_simhash.__doc__.format(h
 # 100 TB where the suffix-array formulation of Lee et al. is single-node.
 
 
+# Mixed-radix first-occurrence encoding: min over (id, pos) lexicographic
+# == min over the single value id*S + pos when 0 <= pos < S.  The point is
+# PHYSICAL: Spark cannot hash-aggregate min(struct(...)) (struct agg
+# buffers force SortAggregate — a per-partition sort on the gram/hash key,
+# the largest intermediate of both dedup passes); min over a DECIMAL is
+# HashAggregate-eligible, so the per-gram aggregate stays a hash map-side
+# combine with NO sort anywhere.  S = 10^12 bounds positions (a 10^12-token
+# document does not exist); decimal(38,0) holds |id| < 10^25 with room.
+# Negative ids (xxhash64-derived doc ids) stay correctly ordered: the
+# encoding is monotone in (id, pos) for any sign of id since 0 <= pos < S.
+_FIRST_POS_SCALE = 10 ** 12
+
+
+def _first_key(id_col: str, pos_col: str):
+    return (
+        F.col(id_col).cast("decimal(24,0)") * F.lit(_FIRST_POS_SCALE)
+        + F.col(pos_col)
+    ).cast("decimal(38,0)")
+
+
+def _is_first(id_col: str, pos_col: str, key_col: str):
+    first_id = F.floor(
+        F.col(key_col) / F.lit(_FIRST_POS_SCALE)
+    ).cast("decimal(24,0)")
+    first_pos = (
+        F.col(key_col) - first_id.cast("decimal(38,0)") * F.lit(_FIRST_POS_SCALE)
+    )
+    return (F.col(id_col).cast("decimal(24,0)") == first_id) & (
+        F.col(pos_col).cast("decimal(38,0)") == first_pos
+    )
+
+
+def _integral_id(df: DataFrame, id_col: str = "doc_id") -> bool:
+    return dict(df.dtypes).get(id_col) in ("tinyint", "smallint", "int", "bigint")
+
+
 def kgram_postings(d: DataFrame, k: int, hashed: bool = True) -> DataFrame:
     """Rolling word-k-gram postings ``(doc_id, pos, gram)`` — one row per
     token position p with p + k <= n_tokens; ``pos`` is the 0-based token
@@ -859,18 +895,29 @@ def duplicate_spans(
     from pyspark.sql.window import Window as W
 
     p = (postings or kgram_postings)(docs, k)
+    # Integral ids take the mixed-radix encoding (HashAggregate — see
+    # _first_key); anything else falls back to min(struct), which plans
+    # a SortAggregate but accepts any orderable id type.
+    encoded = _integral_id(p)
+    first_agg = (
+        F.min(_first_key("doc_id", "pos"))
+        if encoded
+        else F.min(F.struct("doc_id", "pos"))
+    ).alias("__first")
     per_gram = p.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("__n_occ"),
-        F.min(F.struct("doc_id", "pos")).alias("__first"),
+        F.count(F.lit(1)).alias("__n_occ"), first_agg
     )
     dup = p.join(per_gram.filter(F.col("__n_occ") >= 2), "gram")
     if keep_first:
-        dup = dup.filter(
-            ~(
+        is_first = (
+            _is_first("doc_id", "pos", "__first")
+            if encoded
+            else (
                 (F.col("doc_id") == F.col("__first.doc_id"))
                 & (F.col("pos") == F.col("__first.pos"))
             )
         )
+        dup = dup.filter(~is_first)
     w = W.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
         w.rowsBetween(W.unboundedPreceding, -1)
@@ -962,23 +1009,29 @@ def strip_boilerplate_lines(
     collision can only merge two line classes (over-flagging one line),
     never corrupt coordinates."""
     p = line_postings(docs, delim)
+    encoded = _integral_id(p)
+    first_agg = (
+        F.min(_first_key("doc_id", "line_no"))
+        if encoded
+        else F.min(F.struct("doc_id", "line_no"))
+    ).alias("__first")
     flagged_hashes = (
         p.filter(F.trim(F.col("line")) != "")
         .groupBy("lhash")
-        .agg(
-            F.countDistinct("doc_id").alias("__n_docs"),
-            F.min(F.struct("doc_id", "line_no")).alias("__first"),
-        )
+        .agg(F.countDistinct("doc_id").alias("__n_docs"), first_agg)
         .filter(F.col("__n_docs") >= min_docs)
     )
     flagged = p.join(flagged_hashes, "lhash")
     if keep_first:
-        flagged = flagged.filter(
-            ~(
+        is_first = (
+            _is_first("doc_id", "line_no", "__first")
+            if encoded
+            else (
                 (F.col("doc_id") == F.col("__first.doc_id"))
                 & (F.col("line_no") == F.col("__first.line_no"))
             )
         )
+        flagged = flagged.filter(~is_first)
     flagged = flagged.select("doc_id", "line_no")
     touched = flagged.select("doc_id").distinct()
     rebuilt = (

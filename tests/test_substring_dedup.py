@@ -187,3 +187,24 @@ def test_no_shuffle_postings_emit_identical_rows(spark, docs, corpus):
     s1 = _got(duplicate_spans(docs, k=K))
     s2 = _got(duplicate_spans(docs, k=K, postings=kgram_postings_no_shuffle))
     assert s1 == s2
+
+
+def test_keep_first_with_negative_doc_ids(spark):
+    """The round-8 mixed-radix first-occurrence encoding must stay
+    monotone for NEGATIVE ids (wet_to_documents derives doc_ids via
+    xxhash64, which is signed): globally-first = smallest (id, pos),
+    so the span flags the copy in the LARGER id."""
+    from hive_serde_schema_gen_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    d = spark.createDataFrame(
+        [(-50, shared + " tail_a"), (40, "lead_b " + shared)],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(d, k=6, keep_first=True).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # -50 < 40: the -50 occurrence is globally first and kept; the copy
+    # in doc 40 (starting at token 1) is the flagged span
+    assert s["doc_id"] == 40 and s["span_start"] == 1
+    assert s["span_len"] == 10
