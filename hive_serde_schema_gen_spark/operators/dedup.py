@@ -793,15 +793,12 @@ def _first_key(id_col: str, pos_col: str):
 
 
 def _is_first(id_col: str, pos_col: str, key_col: str):
-    first_id = F.floor(
-        F.col(key_col) / F.lit(_FIRST_POS_SCALE)
-    ).cast("decimal(24,0)")
-    first_pos = (
-        F.col(key_col) - first_id.cast("decimal(38,0)") * F.lit(_FIRST_POS_SCALE)
-    )
-    return (F.col(id_col).cast("decimal(24,0)") == first_id) & (
-        F.col(pos_col).cast("decimal(38,0)") == first_pos
-    )
+    # No decode needed (and none attempted: Spark's decimal division
+    # rounds at scale 6, which would mis-decode positions within 5e5 of
+    # the scale bound) — a row IS the first occurrence iff its OWN
+    # encoding equals the per-gram minimum, and the encoding is injective
+    # for 0 <= pos < S.
+    return _first_key(id_col, pos_col) == F.col(key_col)
 
 
 def _integral_id(df: DataFrame, id_col: str = "doc_id") -> bool:
