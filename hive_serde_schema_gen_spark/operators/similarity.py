@@ -593,11 +593,23 @@ def _pq_codebook_df(spark, codebook: dict) -> DataFrame:
     )
 
 
+_PQ_CODE_RADIX = 4096  # > max n_codes; keeps (d2, code) in ONE long
+
+
 def _pq_assign(ex: DataFrame, codebook: dict) -> DataFrame:
     """(vec_id, s, code): nearest codebook entry per subspace, by exact
     integer L2 (Σ(v-w)² over the subdim components — LONG arithmetic, so
     assignment is partition-order-independent); ties break to the lowest
-    code via the min(struct) trick."""
+    code.
+
+    The argmin is a mixed-radix LONG min (``d2 * 4096 + code`` — monotone
+    in (d2, code) since code < 4096), NOT ``min(struct(d2, code))``:
+    struct aggregation buffers force Spark onto SortAggregate, a
+    per-partition sort of the (vec × code) distance relation — the
+    ingest-time PQ build's largest intermediate — while a long min stays
+    a pure HashAggregate with map-side combine.  Range check: d2 <=
+    subdim · (2·max|q|)² ≈ 10⁹ at this corpus's quantization, times 4096
+    is far under 2⁶³."""
     spark = ex.sparkSession
     ct = _pq_codebook_df(spark, codebook)
     d2 = (
@@ -610,9 +622,15 @@ def _pq_assign(ex: DataFrame, codebook: dict) -> DataFrame:
         )
     )
     best = d2.groupBy("vec_id", "s").agg(
-        F.min(F.struct("d2", "code")).alias("best")
+        F.min(
+            F.col("d2") * F.lit(_PQ_CODE_RADIX) + F.col("code")
+        ).alias("__best")
     )
-    return best.select("vec_id", "s", F.col("best.code").alias("code"))
+    return best.select(
+        "vec_id",
+        "s",
+        F.pmod(F.col("__best"), F.lit(_PQ_CODE_RADIX)).cast("int").alias("code"),
+    )
 
 
 def build_pq_index(
@@ -637,6 +655,11 @@ def build_pq_index(
     dim = len(e.select(quantized("embedding").alias("q")).first()["q"])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    if n_codes > _PQ_CODE_RADIX:
+        raise ValueError(
+            f"n_codes {n_codes} exceeds the argmin encoding radix "
+            f"{_PQ_CODE_RADIX}"
+        )
     subdim = dim // n_subspaces
     ex = _pq_exploded(e, n_subspaces, subdim).localCheckpoint()
     seeds = (
