@@ -339,6 +339,20 @@ _URL_RE = r"https?://[^\s<>\"')\]]+"
 _DOMAIN_RE = r"https?://(?:[^/\s@]*@)?([^/\s:?#]+)"
 
 
+def url_domain(url: F.Column) -> F.Column:
+    """THE single URL→domain canonicalization: case-insensitive scheme
+    (the URL is lowercased before matching — domains are case-insensitive
+    anyway), userinfo stripped (``http://user@spam.com`` keys to
+    ``spam.com``, not ``user@spam.com`` — a denylist-evasion vector when
+    a caller once used its own regex), port/path/query dropped, leading
+    ``www.`` removed.  Every domain-keyed operator (``extract_urls``,
+    ``wet.wet_to_documents``, ``filter_by_domain`` callers) must key
+    through here, or two operators would silently canonicalize
+    differently."""
+    d = F.regexp_extract(F.lower(url), _DOMAIN_RE, 1)
+    return F.regexp_replace(d, r"^www\.", "")
+
+
 def extract_urls(
     d: DataFrame,
     id_col: str = "doc_id",
@@ -352,9 +366,8 @@ def extract_urls(
     stripped of a leading ``www.`` so aggregation keys are canonical.
     ``with_pos=True`` adds the 0-based occurrence index ``pos``
     (mention order — ``graph.domain_pagerank`` directs citation edges by
-    it).  THE single definition of URL→domain canonicalization: every
-    domain-keyed operator must key through here, or two operators would
-    silently canonicalize differently."""
+    it).  Domains come from :func:`url_domain`, THE single URL→domain
+    canonicalization."""
     matches = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
     if with_pos:
         urls = d.select(
@@ -362,11 +375,10 @@ def extract_urls(
         )
     else:
         urls = d.select(id_col, F.explode(matches).alias("url"))
-    domain = F.lower(F.regexp_extract(F.col("url"), _DOMAIN_RE, 1))
     return urls.select(
         id_col,
         "url",
-        F.regexp_replace(domain, r"^www\.", "").alias("domain"),
+        url_domain(F.col("url")).alias("domain"),
         *(["pos"] if with_pos else []),
     )
 

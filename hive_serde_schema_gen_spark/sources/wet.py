@@ -26,11 +26,28 @@ contain blank lines and even ``WARC/1.0``-looking text, so only the
 declared byte length splits records correctly.  Both CRLF (spec) and
 bare-LF (hand-made fixtures) header termination are accepted.
 
-Real archives are gzip-per-record; this reader takes the UNCOMPRESSED
-form (a whole-file .gz of the concatenated records also works — it is
-decompressed in the parse pass).  The per-record-gzip variant needs a
-record-aware InputFormat and is rejected loudly via
-``NotImplementedError`` rather than silently mis-split.
+Compression: real Common Crawl archives are PER-RECORD gzip — each
+record is its own gzip member and the file is the members concatenated
+(``.warc.wet.gz``).  Because concatenated members decompress to exactly
+the concatenated record stream, the reader handles per-record gzip,
+whole-file gzip, and uncompressed files identically: any content
+starting with the gzip magic is walked member by member
+(``zlib.decompressobj``; ``unused_data`` locates each member boundary)
+and the decompressed stream feeds the same Content-Length walk.
+Detection is by MAGIC BYTES, not extension, so misnamed files parse
+correctly too.
+
+Malformed input is OBSERVABLE, never an infinite loop: a record whose
+Content-Length is missing, unparseable, or NEGATIVE (a crafted negative
+length would otherwise move the cursor backwards and re-match the same
+header forever — adversarial-review finding), and trailing bytes that
+form no complete header block or no complete gzip member, each stop the
+walk for that file and emit ONE diagnostic row with
+``warc_type='__malformed__'``, ``url`` = the file path, ``length`` = the
+count of unparsed bytes skipped, ``text`` = the reason.  The default
+``read_wet`` filter drops these rows (the happy path is unchanged);
+``include_malformed=True`` keeps them so pipelines can count / alert on
+truncation at scale instead of silently losing the tail of a file.
 
 Scale shape: ``spark.read.format("binaryFile")`` gives one RAW-BYTES row
 per file (raw on purpose: a text read would substitute U+FFFD for any
@@ -54,11 +71,57 @@ _SCHEMA = (
 )
 
 _HDR_END = re.compile(rb"\r?\n\r?\n")
-_NL = (b"\r\n", b"\n")
+_GZIP_MAGIC = b"\x1f\x8b"
+MALFORMED = "__malformed__"
 
 
-def _parse_file(data: bytes):
-    """Yield (type, record_id, url, date, length, text) per record."""
+def _gunzip_members(data: bytes):
+    """Decompress a concatenated-gzip-member stream (the per-record-gzip
+    WET layout; a whole-file gzip is the 1-member special case).
+
+    Returns ``(decompressed_bytes, junk_bytes, reason)`` where
+    ``junk_bytes`` counts trailing bytes that formed no complete member
+    (0 on clean input) and ``reason`` describes why the walk stopped."""
+    import zlib
+
+    out = []
+    i = 0
+    n = len(data)
+    reason = None
+    while i < n:
+        if data[i : i + 2] != _GZIP_MAGIC:
+            reason = "trailing non-gzip bytes after last member"
+            break
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data[i:]))
+            out.append(d.flush())
+        except zlib.error:
+            reason = "corrupt gzip member"
+            break
+        if not d.eof:
+            reason = "truncated gzip member"
+            break
+        consumed = (n - i) - len(d.unused_data)
+        if consumed <= 0:  # defensive: cannot stall the walk
+            reason = "gzip member consumed no input"
+            break
+        i += consumed
+    return b"".join(out), n - i, reason
+
+
+def _parse_file(data: bytes, src: str = ""):
+    """Yield (type, record_id, url, date, length, text) per record.
+
+    On malformed input the walk STOPS for this file (consistent with the
+    Content-Length discipline: once a length is untrustworthy every later
+    offset is too) and yields one ``MALFORMED`` diagnostic row carrying
+    the unparsed byte count and the reason — truncation is observable,
+    never silent."""
+    if data[:2] == _GZIP_MAGIC:
+        data, junk, gz_reason = _gunzip_members(data)
+        if junk:
+            yield (MALFORMED, None, src, None, junk, gz_reason)
     i = 0
     n = len(data)
     while i < n:
@@ -74,7 +137,11 @@ def _parse_file(data: bytes):
             break
         m = _HDR_END.search(data, i)
         if m is None:
-            break  # trailing junk without a complete header block
+            yield (
+                MALFORMED, None, src, None, n - i,
+                "trailing bytes without a complete header block",
+            )
+            break
         headers = {}
         for line in data[i : m.start()].decode("utf-8", "replace").splitlines():
             if ":" in line:
@@ -84,10 +151,18 @@ def _parse_file(data: bytes):
             length = int(headers.get("Content-Length", ""))
         except ValueError:
             length = None
-        if length is None:
-            break  # malformed record: cannot locate the payload end
+        if length is None or length < 0:
+            # missing/unparseable/NEGATIVE length: the payload end is
+            # unlocatable (and a negative length would move the cursor
+            # BACKWARDS — the infinite-loop finding); stop, observably.
+            yield (
+                MALFORMED, None, src, None, n - i,
+                f"malformed Content-Length "
+                f"{headers.get('Content-Length')!r}",
+            )
+            break
         body = data[m.end() : m.end() + length]
-        i = m.end() + length
+        i = m.end() + length  # > header start: the cursor always advances
         yield (
             headers.get("WARC-Type"),
             headers.get("WARC-Record-ID"),
@@ -98,17 +173,22 @@ def _parse_file(data: bytes):
         )
 
 
-def read_wet(spark: SparkSession, path: str) -> DataFrame:
+def read_wet(
+    spark: SparkSession, path: str, include_malformed: bool = False
+) -> DataFrame:
     """Parse WET files under ``path`` into one row per conversion record:
     ``(warc_record_id, url, date, length, text)``.  ``length`` is the
     declared Content-Length (bytes); ``text`` is the decoded payload.
-    ``warcinfo``/non-conversion records are filtered out."""
-    if path.endswith(".warc.wet.gz") or path.endswith(".warc.gz"):
-        raise NotImplementedError(
-            "per-record-gzip WET archives need a record-aware InputFormat; "
-            "pre-decompress to .wet (a whole-file .gz of the concatenated "
-            "records also works) and point read_wet at that"
-        )
+    ``warcinfo``/non-conversion records are filtered out.
+
+    Accepts uncompressed ``.wet``, whole-file gzip, and the per-record
+    gzip ``.warc.wet.gz`` layout Common Crawl distributes — compression
+    is detected by magic bytes and handled in the same per-file pass.
+
+    ``include_malformed=True`` keeps the ``warc_type`` column and adds
+    one ``'__malformed__'`` diagnostic row per file whose walk stopped
+    early (url = file path, length = bytes skipped, text = reason), so
+    ingest jobs can count dropped data instead of losing it silently."""
     # binaryFile, NOT read.text(wholetext): text decoding replaces invalid
     # UTF-8 bytes with U+FFFD (1 byte -> 3 re-encoded), which would shift
     # every subsequent Content-Length offset — one bad byte in one payload
@@ -120,15 +200,10 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     def parse(batches):
         import pandas as pd
 
-        import gzip
-
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if p.endswith(".gz"):  # whole-file gzip of the record stream
-                    raw = gzip.decompress(raw)
-                rows.extend(_parse_file(raw))
+                rows.extend(_parse_file(bytes(content), src=p))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -142,6 +217,10 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
             )
 
     out = files.mapInPandas(parse, _SCHEMA)
+    if include_malformed:
+        return out.filter(
+            F.col("warc_type").isin("conversion", MALFORMED)
+        )
     return out.filter(F.col("warc_type") == "conversion").drop("warc_type")
 
 
@@ -149,15 +228,18 @@ def wet_to_documents(spark: SparkSession, path: str) -> DataFrame:
     """The bridge into the curation chain: WET records as a ``documents``-
     shaped frame ``(doc_id, text, lang, source, n_chars)`` — doc_id is the
     xxhash64 of the record id (stable across re-reads), source is the URL
-    host, lang is left for ``text_lang_id``-style detection downstream."""
+    host canonicalized by ``curation.url_domain`` (THE single URL→domain
+    rule: userinfo stripped, case-folded, ``www.`` removed — a local
+    regex here once diverged and let ``http://user@spam.com`` evade a
+    domain denylist; adversarial-review finding), lang is left for
+    ``text_lang_id``-style detection downstream."""
+    from ..operators.curation import url_domain
+
     r = read_wet(spark, path)
-    host = F.lower(
-        F.regexp_extract(F.col("url"), r"^[a-z]+://(?:www\.)?([^/:]+)", 1)
-    )
     return r.select(
         F.xxhash64("warc_record_id").alias("doc_id"),
         "text",
         F.lit(None).cast("string").alias("lang"),
-        host.alias("source"),
+        url_domain(F.col("url")).alias("source"),
         F.length("text").alias("n_chars"),
     )

@@ -118,9 +118,123 @@ def test_wet_feeds_curation_chain(spark, tmp_path):
     assert texts == sorted(f"Page {i} unique body." for i in range(4))
 
 
-def test_per_record_gzip_rejected(spark):
-    with pytest.raises(NotImplementedError):
-        read_wet(spark, "/data/crawl/part-000.warc.wet.gz")
+def test_per_record_gzip_parses_identically(spark, tmp_path):
+    """The layout Common Crawl actually ships: each record its own gzip
+    member, members concatenated.  Must parse byte-identically to the
+    uncompressed form — including a member whose payload carries an
+    invalid UTF-8 byte (lengths are byte-accurate through decompression)."""
+    import gzip
+
+    nl = b"\r\n"
+    payloads = [b"first doc", b"bad \xff byte doc", b"third doc"]
+    members = []
+    plain = b""
+    for i, payload in enumerate(payloads):
+        rec = (
+            nl.join(
+                [
+                    b"WARC/1.0",
+                    b"WARC-Type: conversion",
+                    b"WARC-Target-URI: https://x.org/" + str(i).encode(),
+                    b"WARC-Record-ID: <urn:uuid:gz-" + str(i).encode() + b">",
+                    b"Content-Length: " + str(len(payload)).encode(),
+                ]
+            )
+            + nl + nl + payload + nl + nl
+        )
+        plain += rec
+        members.append(gzip.compress(rec))
+    gz = tmp_path / "part-000.warc.wet.gz"
+    gz.write_bytes(b"".join(members))
+    flat = tmp_path / "part-000.wet"
+    flat.write_bytes(plain)
+    got_gz = sorted(read_wet(spark, str(gz)).collect())
+    got_flat = sorted(read_wet(spark, str(flat)).collect())
+    assert got_gz == got_flat
+    assert len(got_gz) == 3
+    by_id = {r["warc_record_id"]: r for r in got_gz}
+    assert by_id["<urn:uuid:gz-1>"]["text"] == payloads[1].decode(
+        "utf-8", "replace"
+    )
+    assert by_id["<urn:uuid:gz-1>"]["length"] == len(payloads[1])
+
+
+def test_negative_content_length_terminates_with_diagnostic(spark, tmp_path):
+    """Adversarial-review finding: a crafted negative Content-Length moved
+    the cursor backwards so the header re-matched forever (executor hang).
+    Must stop parsing the file AND surface the dropped bytes."""
+    nl = b"\r\n"
+    good = (
+        nl.join(
+            [
+                b"WARC/1.0", b"WARC-Type: conversion",
+                b"WARC-Target-URI: https://ok.org/a",
+                b"WARC-Record-ID: <urn:uuid:ok-1>",
+                b"Content-Length: 2",
+            ]
+        )
+        + nl + nl + b"ok" + nl + nl
+    )
+    evil = b"WARC/1.0" + nl + b"Content-Length: -21" + nl + nl + b"payload..."
+    f = tmp_path / "evil.wet"
+    f.write_bytes(good + evil)
+    rows = read_wet(spark, str(f), include_malformed=True).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["warc_type"], []).append(r)
+    assert [r["warc_record_id"] for r in by_type["conversion"]] == [
+        "<urn:uuid:ok-1>"
+    ]
+    (bad,) = by_type["__malformed__"]
+    assert bad["length"] == len(evil)  # every unparsed byte accounted for
+    assert "Content-Length" in bad["text"]
+    assert bad["url"].endswith("evil.wet")
+    # default mode: diagnostics filtered, good record still parsed
+    assert [
+        r["warc_record_id"] for r in read_wet(spark, str(f)).collect()
+    ] == ["<urn:uuid:ok-1>"]
+
+
+def test_corrupt_midfile_record_reports_bytes_dropped(spark, tmp_path):
+    """A record whose header block never terminates: earlier records
+    parse, the tail is counted in one diagnostic row."""
+    nl = b"\r\n"
+    good = (
+        nl.join(
+            [
+                b"WARC/1.0", b"WARC-Type: conversion",
+                b"WARC-Target-URI: https://ok.org/a",
+                b"WARC-Record-ID: <urn:uuid:ok-1>",
+                b"Content-Length: 5",
+            ]
+        )
+        + nl + nl + b"hello" + nl + nl
+    )
+    tail = b"WARC/1.0" + nl + b"WARC-Type: conversion"  # no blank line ever
+    f = tmp_path / "trunc.wet"
+    f.write_bytes(good + tail)
+    rows = read_wet(spark, str(f), include_malformed=True).collect()
+    mal = [r for r in rows if r["warc_type"] == "__malformed__"]
+    assert len(mal) == 1
+    assert mal[0]["length"] == len(tail)
+    assert len([r for r in rows if r["warc_type"] == "conversion"]) == 1
+
+
+def test_gzip_trailing_junk_reported(spark, tmp_path):
+    import gzip
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:uuid:j-1>\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"
+    )
+    f = tmp_path / "junk.warc.wet.gz"
+    f.write_bytes(gzip.compress(rec) + b"NOT GZIP DATA")
+    rows = read_wet(spark, str(f), include_malformed=True).collect()
+    mal = [r for r in rows if r["warc_type"] == "__malformed__"]
+    assert len(mal) == 1 and mal[0]["length"] == len(b"NOT GZIP DATA")
+    assert [r["warc_record_id"] for r in rows if r["warc_type"] == "conversion"] == [
+        "<urn:uuid:j-1>"
+    ]
 
 
 def test_invalid_utf8_byte_does_not_desync_record_walk(spark, tmp_path):
@@ -151,6 +265,42 @@ def test_invalid_utf8_byte_does_not_desync_record_walk(spark, tmp_path):
     assert rows["<urn:uuid:bin-0>"]["length"] == len(p1)
     assert rows["<urn:uuid:bin-0>"]["text"] == p1.decode("utf-8", "replace")
     assert rows["<urn:uuid:bin-1>"]["text"] == "clean second payload"
+
+
+def test_source_domain_uses_shared_canonicalization(spark, tmp_path):
+    """Review finding: a local host regex kept userinfo
+    (http://user@spam.com -> 'user@spam.com') and missed uppercase
+    schemes, evading filter_by_domain denylists.  wet_to_documents must
+    key through curation.url_domain."""
+    nl = "\r\n"
+    recs = "".join(
+        [
+            _rec(
+                nl,
+                ["WARC/1.0", "WARC-Type: conversion",
+                 "WARC-Target-URI: http://user@spam.com/x",
+                 "WARC-Record-ID: <urn:uuid:d-0>"],
+                "userinfo url",
+            ),
+            _rec(
+                nl,
+                ["WARC/1.0", "WARC-Type: conversion",
+                 "WARC-Target-URI: HTTPS://WWW.Example.COM/y",
+                 "WARC-Record-ID: <urn:uuid:d-1>"],
+                "uppercase scheme",
+            ),
+        ]
+    )
+    p = tmp_path / "dom.wet"
+    p.write_text(recs)
+    sources = {
+        r["text"]: r["source"]
+        for r in wet_to_documents(spark, str(p)).collect()
+    }
+    assert sources == {
+        "userinfo url": "spam.com",
+        "uppercase scheme": "example.com",
+    }
 
 
 def test_whole_file_gzip_supported(spark, tmp_path):
