@@ -100,7 +100,7 @@ def similarity_topk_cosine(spark, sf_dir):
     WITH e AS (
       SELECT vec_id, label, {_SQL_QUANT} AS v,
              generate_subscripts(embedding, 1) AS i
-      FROM embeddings WHERE vec_id < 200),
+      FROM embeddings WHERE vec_id < 500),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              CAST(SUM(a.v * b.v) AS DOUBLE) AS dot,
@@ -109,17 +109,24 @@ def similarity_topk_cosine(spark, sf_dir):
       FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
       GROUP BY a.vec_id, b.vec_id)
     SELECT vec_a, vec_b, dot / (sqrt(na) * sqrt(nb)) AS cos_sim
-    FROM pairs WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.9
+    FROM pairs WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.40
     ORDER BY vec_a, vec_b
     """,
 )
 def similarity_pairs_threshold(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (≥0.9) over a bounded id range — the
+    """Embedding-cosine near-dup pairs (≥0.40) over a bounded id range — the
     exact quadratic baseline.  The range bound keeps the demo pairwise join
-    honest; the unbounded-scale version is the LSH-bucketed query."""
+    honest; the unbounded-scale version is the LSH-bucketed query.
+
+    Threshold calibration: the synthetic embeddings are near-orthogonal
+    (max pairwise cosine over the whole sf0.01 corpus is ~0.51), so the
+    original 0.9 threshold returned ZERO rows every round — a green hash
+    that only proved both engines found nothing (round-8 verdict).  0.40
+    over vec_id < 500 yields a stable non-empty set (59 pairs at sf0.01),
+    making the slot real evidence of the pairwise arithmetic."""
     e = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 200)
+        .filter(F.col("vec_id") < 500)
         .select("vec_id", quantized("embedding").alias("qe"))
     )
     a = e.alias("a")
@@ -135,7 +142,7 @@ def similarity_pairs_threshold(spark, sf_dir):
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.9)
+        .filter(F.col("cos_sim") >= 0.40)
         .orderBy("vec_a", "vec_b")
     )
 

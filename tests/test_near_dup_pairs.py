@@ -1,7 +1,8 @@
 """LSH-bucketed embedding near-dup pairs vs brute force on planted dupes.
 
-The driver's embeddings corpus is measured-isotropic (no pairs above
-cos 0.9 — ``similarity_pairs_threshold`` returns 0 rows), so a meaningful
+The driver's embeddings corpus is measured-isotropic (max pairwise cosine
+~0.51 at sf0.01 — ``similarity_pairs_threshold`` calibrates its threshold
+to 0.40 for that reason), so a meaningful
 recall test needs PLANTED near-duplicates: a deterministic synthetic corpus
 of base vectors plus slightly-perturbed copies (cos ≈ 0.99).  The bucketed
 operator must return exactly the brute-force pair set at the threshold.
