@@ -37,7 +37,11 @@ def pagerank(
     pre-``distinct`` the frame if simple-graph semantics are wanted.
 
     ``tol``: optional early stop when the L1 delta between iterations
-    drops below it (costs one extra aggregate per iteration)."""
+    drops below it.  FREE: the previous rank rides the rebuild and the
+    delta aggregate doubles as the action that materializes the lazy
+    per-iteration checkpoint, so the per-iteration job count equals the
+    fixed-iteration path (same fold discipline as the dangling mass —
+    the pre-fix form ran a separate driver collect() per iteration)."""
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
@@ -81,25 +85,35 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling_row))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("__dangling") / n
-                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()  # cut per iteration — no 2^k DAG
+        new_rank = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("__dangling") / n
+            + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+        ).alias("rank")
+        built = nodes.join(contribs, "node", "left").crossJoin(
+            F.broadcast(dangling_row)
         )
-        if tol is not None:
-            delta = (
-                ranks.join(prev.withColumnRenamed("rank", "__p"), "node")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("__p"))))
-                .collect()[0][0]
+        if tol is None:
+            # cut per iteration — no 2^k DAG
+            ranks = built.select("node", new_rank).localCheckpoint()
+        else:
+            # The delta is folded into the SAME job that materializes the
+            # per-iteration checkpoint: prev's rank rides the rebuild
+            # (one more co-partitioned join on the node key), the
+            # checkpoint is LAZY, and the L1 aggregate is the action that
+            # realizes it — job count identical to the fixed-iteration
+            # path, where the old form collect()ed a second job.
+            with_prev = (
+                built.join(
+                    prev.select("node", F.col("rank").alias("__p")), "node"
+                )
+                .select("node", new_rank, "__p")
+                .localCheckpoint(eager=False)
             )
+            delta = with_prev.agg(
+                F.sum(F.abs(F.col("rank") - F.col("__p")))
+            ).collect()[0][0]
+            ranks = with_prev.select("node", "rank")
             if delta < tol:
                 break
     return ranks

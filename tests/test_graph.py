@@ -145,3 +145,48 @@ def test_pagerank_job_count_per_iteration(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     per_iter = (j6 - j2) / 4.0
     assert per_iter <= 2.0, (j2, j6, per_iter)
+
+
+def test_pagerank_tol_job_count_matches_fixed_iterations(spark):
+    """Round-9: the L1-delta early-stop is folded into the job that
+    materializes the per-iteration checkpoint (lazy localCheckpoint +
+    the delta aggregate as its action), so setting ``tol`` adds ZERO
+    jobs per iteration — the pre-fix form ran a driver collect() per
+    iteration on top.  tol is set unreachably small so both runs do the
+    same number of iterations."""
+    from hive_serde_schema_gen_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 30) for i in range(150)], "src long, dst long"
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_for(group, **kw):
+        sc.setJobGroup(group, group)
+        try:
+            pagerank(edges, **kw).count()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j2 = jobs_for("prtol-i2", iters=2, tol=0.0)
+        j6 = jobs_for("prtol-i6", iters=6, tol=0.0)
+        f2 = jobs_for("prfix-i2", iters=2)
+        f6 = jobs_for("prfix-i6", iters=6)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert (j6 - j2) == (f6 - f2), (j2, j6, f2, f6)
+
+
+def test_pagerank_tol_early_stop_result_matches_fixed(spark):
+    """With tol folded into the rebuild, converged ranks must equal the
+    fixed-iteration result (the 2-cycle converges in one step)."""
+    from hive_serde_schema_gen_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=50, tol=1e-9).collect()}
+    want = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    assert got == pytest.approx(want)
