@@ -391,6 +391,7 @@ def semantic_contamination(
     bench_id_col: str = "bench_id",
     emb_col: str = "embedding",
     exact_below: int = 10_000,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic sibling of
     :func:`ngram_contamination`: flag corpus vectors whose cosine with ANY
@@ -415,11 +416,31 @@ def semantic_contamination(
       collisions.  For a pair at cosine 0.95 the per-table ≤1-bit-flip
       collision probability is ~0.58; across 12 OR'd tables the miss
       probability is ~(1-0.58)¹² ≈ 3e-5 — and exact verification of
-      candidates means NO false positives, ever.  Force either path with
-      ``exact_below=0`` (always LSH) or a large value (always exact)."""
+      candidates means NO false positives, ever.
+
+    ``strategy``: ``'exact'`` / ``'lsh'`` force a path WITHOUT the eager
+    ``bench_emb.count()`` job the auto heuristic needs (callers looping
+    over many benchmark suites pass it to skip one job per call);
+    ``'auto'`` counts and compares against ``exact_below``.  The chosen
+    path is logged (INFO) either way — a decontamination gate silently
+    switching to the probabilistic path (~3e-5 miss rate at 0.95) is an
+    auditability hole flagged by adversarial review."""
+    import logging
+
     from ..functions.vector import dot, l2_norm
 
-    bench_n = bench_emb.count()
+    if strategy not in ("auto", "exact", "lsh"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        # exact_below=0 pins the LSH path — no job needed to decide
+        strategy = (
+            "lsh"
+            if exact_below == 0 or bench_emb.count() > exact_below
+            else "exact"
+        )
+    logging.getLogger(__name__).info(
+        "semantic_contamination: %s path (threshold=%s)", strategy, threshold
+    )
     b = F.broadcast(
         bench_emb.select(
             F.col(id_col).alias(bench_id_col),
@@ -431,7 +452,7 @@ def semantic_contamination(
         id_col, F.col(emb_col).alias("__demb"), l2_norm(emb_col).alias("__dnorm")
     )
     sim = dot("__demb", "__bemb") / (F.col("__dnorm") * F.col("__bnorm"))
-    if bench_n <= exact_below:
+    if strategy == "exact":
         pairs = e.crossJoin(b)
     else:
         cand = _lsh_contamination_candidates(

@@ -838,3 +838,76 @@ def test_filter_by_domain_randomized_vs_python_reference(spark):
                 if keep:
                     want.add(i)
             assert got == want, (allow, deny, subs, sorted(got ^ want)[:5])
+
+
+def test_semantic_contamination_strategy_flag(spark, sf_dir):
+    """Round-9 review fix: forcing ``strategy='exact'``/``'lsh'`` must
+    (a) produce the same result as the auto heuristic's matching path and
+    (b) skip the eager bench_emb.count() job the heuristic needs —
+    measured by job-group counting."""
+    import numpy as np
+    import pytest as _pt
+
+    from hive_serde_schema_gen_spark.operators.curation import (
+        semantic_contamination,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.limit(50).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    ids = sorted(vecs)[:2]
+    b = spark.createDataFrame(
+        [(100 + i, vecs[v].tolist()) for i, v in enumerate(ids)],
+        "vec_id long, embedding array<double>",
+    )
+
+    auto = sorted(
+        map(tuple, semantic_contamination(e, b, threshold=0.999).collect())
+    )
+    forced = sorted(
+        map(
+            tuple,
+            semantic_contamination(
+                e, b, threshold=0.999, strategy="exact"
+            ).collect(),
+        )
+    )
+    assert auto == forced and len(forced) == 2
+
+    lsh_auto = sorted(
+        map(
+            tuple,
+            semantic_contamination(
+                e, b, threshold=0.999, exact_below=0
+            ).collect(),
+        )
+    )
+    lsh_forced = sorted(
+        map(
+            tuple,
+            semantic_contamination(
+                e, b, threshold=0.999, strategy="lsh"
+            ).collect(),
+        )
+    )
+    assert lsh_auto == lsh_forced
+
+    with _pt.raises(ValueError):
+        semantic_contamination(e, b, strategy="bogus")
+
+    # forced path runs fewer jobs than auto (no bench count)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs(group, **kw):
+        sc.setJobGroup(group, group)
+        try:
+            semantic_contamination(e, b, threshold=0.999, **kw).count()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    j_auto = jobs("sc-auto")
+    j_forced = jobs("sc-forced", strategy="exact")
+    assert j_forced < j_auto, (j_forced, j_auto)
