@@ -133,7 +133,22 @@ class ManifestTable:
     def _seal(self, files: list, new_v: int) -> int:
         """Marker create + post-marker verification, the commit's last two
         steps (separate method so the stalled-writer interleaving is
-        directly testable)."""
+        directly testable).
+
+        PHANTOM-COMMIT outcome (explicit contract): when the verification
+        below fails, the marker this stalled writer just created is LEFT
+        IN PLACE — version ``new_v`` is committed and reader-visible as
+        the racer's coherent file list even though BOTH racing writers
+        raise ``ConflictError``.  Removing the marker is not an option
+        (a reader may already have resolved it; un-committing a visible
+        snapshot breaks snapshot immutability).  Consequence for RETRIES:
+        after this conflict the conflicting data may already be live in
+        ``new_v``, so a blind ``commit(df, mode='append')`` retry —
+        which writes a fresh uuid data dir — would append the same ROWS
+        a second time.  Retry with :meth:`commit_once` (deterministic
+        per-key data dir + set-deduplicated file lists: a replay commits
+        an identical file set, never a duplicate), or re-read the current
+        snapshot and reconcile before appending."""
         marker = self._p("manifests", f"committed-v{new_v}")
         if not self._fs().createNewFile(marker):
             raise ConflictError(f"concurrent commit of version {new_v}")
@@ -149,7 +164,10 @@ class ManifestTable:
         if self._files_at(self._manifest_path(new_v)) != sorted(files):
             raise ConflictError(
                 f"version {new_v} was rewritten by a concurrent writer "
-                "between manifest write and marker create"
+                "between manifest write and marker create; the version IS "
+                "committed with the other writer's file list (phantom "
+                "commit) — retry with commit_once or reconcile against "
+                "the current snapshot before appending"
             )
         return new_v
 

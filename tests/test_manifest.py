@@ -167,3 +167,43 @@ def test_stalled_writer_detects_cleanup_rewrite(spark, table):
     # the committed content is writer2's coherent list, never a blend
     assert table._files(0) == files2
     assert table.read(0).count() == 10
+
+
+def test_phantom_commit_visible_and_commit_once_retry_safe(spark, table):
+    """Round-9 review contract: after the stalled-writer race, the
+    contested version IS committed (reader-visible, the racer's coherent
+    list) even though both writers raised — and the documented retry
+    path (commit_once, deterministic per-key data dir + set-deduped
+    lists) cannot double-append the rows that are already live."""
+    fs = table._fs()
+    # build the phantom: writer1 stalls pre-marker, writer2 rewrites v0
+    d1 = f"{table.path}/data/w1"
+    _df(spark, 0, 5).write.parquet(d1)
+    files1 = sorted(spark.read.parquet(d1).inputFiles())
+    spark.createDataFrame([(f,) for f in files1], "file string").coalesce(
+        1
+    ).write.parquet(table._manifest_path(0))
+    fs.delete(table._p("manifests", "v0"), True)
+    # writer2 is a commit_once writer that crashes before its key marker
+    key = "epoch-7"
+    import hashlib
+
+    safe = key + "-" + hashlib.md5(key.encode()).hexdigest()[:8]
+    d2 = f"{table.path}/data/by-key/{safe}"
+    _df(spark, 100, 110).write.parquet(d2)
+    files2 = sorted(spark.read.parquet(d2).inputFiles())
+    spark.createDataFrame([(f,) for f in files2], "file string").coalesce(
+        1
+    ).write.parquet(table._manifest_path(0))
+    with pytest.raises(ConflictError):
+        table._seal(files1, 0)  # writer1 wakes: phantom-commits writer2's list
+    # the phantom IS the committed, reader-visible state
+    assert table.current_version() == 0
+    assert table._files(0) == files2
+    assert table.read(0).count() == 10
+    # writer2's retry via commit_once: same key -> same data dir -> the
+    # appended list set-dedupes to the identical file set, rows NOT doubled
+    v = table.commit_once(_df(spark, 100, 110), key=key)
+    assert v == 1
+    assert table._files(1) == files2
+    assert table.read(1).count() == 10  # not 20
