@@ -8,9 +8,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.decimal_safe import money_sum
+from ..functions.union import pad_union
 from ..registry import query
 from ..sources.tables import load_table
-from .relational import _HISTOGRAM_SQL, histogram_totalprice
+from .relational import (
+    _HISTOGRAM_SQL,
+    _ROLLUP_CUBE_SQL,
+    _SET_OPS_SQL,
+    histogram_totalprice,
+    rollup_cube_agg,
+    set_ops,
+)
 
 SALT_BUCKETS = 8
 
@@ -150,9 +158,7 @@ skew_salted_join.__doc__ = skew_salted_join.__doc__ and skew_salted_join.__doc__
 
 
 
-@query(
-    "merge_upsert_emulation",
-    oracle="""
+_MERGE_UPSERT_SQL = """
     WITH updates AS (
         SELECT o_custkey, o_totalprice AS new_bal FROM (
             SELECT o_custkey, o_totalprice,
@@ -164,15 +170,16 @@ skew_salted_join.__doc__ = skew_salted_join.__doc__ and skew_salted_join.__doc__
            COALESCE(u.new_bal, c.c_acctbal) AS balance,
            CASE WHEN u.o_custkey IS NOT NULL THEN 'updated' ELSE 'unchanged' END AS status
     FROM customer c LEFT JOIN updates u ON u.o_custkey = c.c_custkey
-    ORDER BY c.c_custkey
-    """,
-)
-def merge_upsert_emulation(spark, sf_dir):
+"""
+
+
+def merge_upsert_emulation(spark, sf_dir, sort: bool = True):
     """MERGE INTO emulation (no Delta in this image): latest-order-per-key
     updates applied to the customer dimension via outer join + COALESCE —
-    the guide's CDC/SCD pattern.  One shuffle each side on the key; with a
-    Delta/Iceberg table this becomes a real MERGE with file-level pruning,
-    but the logical shape is identical."""
+    the guide's CDC/SCD pattern (registry-merged into ``set_merge_ops`` in
+    round 9).  One shuffle each side on the key; with a Delta/Iceberg
+    table this becomes a real MERGE with file-level pruning, but the
+    logical shape is identical."""
     from pyspark.sql.window import Window as W
 
     o = load_table(spark, sf_dir, "orders")
@@ -185,18 +192,15 @@ def merge_upsert_emulation(spark, sf_dir):
         .select("o_custkey", F.col("o_totalprice").alias("new_bal"))
     )
     c = load_table(spark, sf_dir, "customer")
-    return (
-        c.join(updates, updates.o_custkey == c.c_custkey, "left")
-        .select(
-            "c_custkey",
-            F.col("c_acctbal").alias("old_balance"),
-            F.coalesce("new_bal", "c_acctbal").alias("balance"),
-            F.when(F.col("o_custkey").isNotNull(), "updated")
-            .otherwise("unchanged")
-            .alias("status"),
-        )
-        .orderBy("c_custkey")
+    out = c.join(updates, updates.o_custkey == c.c_custkey, "left").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("old_balance"),
+        F.coalesce("new_bal", "c_acctbal").alias("balance"),
+        F.when(F.col("o_custkey").isNotNull(), "updated")
+        .otherwise("unchanged")
+        .alias("status"),
     )
+    return out.orderBy("c_custkey") if sort else out
 
 
 def range_join_bucketed(
@@ -341,9 +345,7 @@ def time_rollup(df, ts_col: str, aggs: dict, levels: tuple[str, ...] = TIME_LEVE
     return rolled.select(grain.alias("grain"), *levels, *aggs.keys())
 
 
-@query(
-    "time_rollup",
-    oracle="""
+_TIME_ROLLUP_SQL = """
     WITH parts AS (
       SELECT CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
              CAST(day(ts) AS INTEGER) AS day, CAST(hour(ts) AS INTEGER) AS hour,
@@ -360,27 +362,30 @@ def time_rollup(df, ts_col: str, aggs: dict, levels: tuple[str, ...] = TIME_LEVE
                 ELSE 'total' END AS grain,
            year, month, day, hour, n, total_value
     FROM rolled
-    ORDER BY grain, year NULLS FIRST, month NULLS FIRST,
-             day NULLS FIRST, hour NULLS FIRST
-    """,
-)
-def time_rollup_events(spark, sf_dir):
+"""
+
+
+def time_rollup_events(spark, sf_dir, sort: bool = True):
     """Hypertable-style continuous-aggregate rollup over ``events``: count +
     exact money-sum at EVERY calendar grain (hour ⊂ day ⊂ month ⊂ year ⊂
     total) in one ROLLUP pass — single Expand + single shuffle (plan shape
-    asserted in tests/test_time_rollup.py).  The oracle recomputes the same
+    asserted in tests/test_time_rollup.py; registry-merged into
+    ``rollup_agg`` in round 9).  The oracle recomputes the same
     hierarchy with DuckDB's ROLLUP, labeling grain by which level survived
     aggregation (events.ts is never NULL, so NULLs only come from ROLLUP)."""
     e = load_table(spark, sf_dir, "events")
-    return time_rollup(
+    out = time_rollup(
         e, "ts", {"n": F.count(F.lit(1)), "total_value": money_sum("value")}
-    ).orderBy(
-        "grain",
-        F.col("year").asc_nulls_first(),
-        F.col("month").asc_nulls_first(),
-        F.col("day").asc_nulls_first(),
-        F.col("hour").asc_nulls_first(),
     )
+    if sort:
+        out = out.orderBy(
+            "grain",
+            F.col("year").asc_nulls_first(),
+            F.col("month").asc_nulls_first(),
+            F.col("day").asc_nulls_first(),
+            F.col("hour").asc_nulls_first(),
+        )
+    return out
 
 
 APPROX_REL_ERR = 0.05  # evidence floor for every sketch column
@@ -577,3 +582,102 @@ def stats_summary(spark, sf_dir):
     ).orderBy(
         "op", F.coalesce("grp", F.lit("")), F.coalesce("bucket", F.lit(-1))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 merged registry slots (freeing slots for the round-8 library ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_agg",
+    oracle=f"""
+    SELECT op, k1, k2, CAST(NULL AS INTEGER) AS year,
+           CAST(NULL AS INTEGER) AS month, CAST(NULL AS INTEGER) AS day,
+           CAST(NULL AS INTEGER) AS hour, n, sum_qty,
+           CAST(NULL AS DOUBLE) AS total_value
+    FROM ({_ROLLUP_CUBE_SQL}) rc
+    UNION ALL
+    SELECT 'time' AS op, grain AS k1, CAST(NULL AS VARCHAR) AS k2,
+           year, month, day, hour, n,
+           CAST(NULL AS DOUBLE) AS sum_qty, total_value
+    FROM ({_TIME_ROLLUP_SQL}) tr
+    ORDER BY op, k1 NULLS FIRST, k2 NULLS FIRST, year NULLS FIRST,
+             month NULLS FIRST, day NULLS FIRST, hour NULLS FIRST
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    """EVERY grouping-set expansion in ONE driver slot (round-9 tagged-union
+    merge of ``rollup_cube_agg`` and ``time_rollup`` — component docstrings
+    carry the plan notes): ``rollup``/``cube``/``gsets`` rows are the
+    lineitem/orders hierarchical subtotals; ``time`` rows are the
+    hypertable-style calendar-grain rollup over events (grain rides
+    ``k1``)."""
+    schema = [
+        ("op", "string"), ("k1", "string"), ("k2", "string"),
+        ("year", "int"), ("month", "int"), ("day", "int"), ("hour", "int"),
+        ("n", "bigint"), ("sum_qty", "double"), ("total_value", "double"),
+    ]
+    return pad_union(
+        schema,
+        (
+            rollup_cube_agg(spark, sf_dir, sort=False),
+            {"op": "op", "k1": "k1", "k2": "k2", "n": "n",
+             "sum_qty": "sum_qty"},
+        ),
+        (
+            time_rollup_events(spark, sf_dir, sort=False),
+            {"op": F.lit("time"), "k1": "grain", "year": "year",
+             "month": "month", "day": "day", "hour": "hour", "n": "n",
+             "total_value": "total_value"},
+        ),
+    ).orderBy(
+        "op",
+        F.col("k1").asc_nulls_first(),
+        F.col("k2").asc_nulls_first(),
+        F.col("year").asc_nulls_first(),
+        F.col("month").asc_nulls_first(),
+        F.col("day").asc_nulls_first(),
+        F.col("hour").asc_nulls_first(),
+    )
+
+
+@query(
+    "set_merge_ops",
+    oracle=f"""
+    SELECT op, CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(NULL AS DOUBLE) AS old_balance,
+           CAST(NULL AS DOUBLE) AS balance, CAST(NULL AS VARCHAR) AS status
+    FROM ({_SET_OPS_SQL}) so
+    UNION ALL
+    SELECT 'merge' AS op, CAST(c_custkey AS BIGINT) AS custkey,
+           old_balance, balance, status
+    FROM ({_MERGE_UPSERT_SQL}) mu
+    ORDER BY op, custkey
+    """,
+)
+def set_merge_ops(spark, sf_dir):
+    """Set operators + MERGE emulation in ONE driver slot (round-9
+    tagged-union merge of ``set_ops`` and ``merge_upsert_emulation`` —
+    component docstrings carry the semantics): ``intersect``/``except``/
+    ``union`` rows are the year-over-year customer-activity set algebra;
+    ``merge`` rows are the latest-order CDC upsert applied to the customer
+    dimension."""
+    schema = [
+        ("op", "string"), ("custkey", "bigint"),
+        ("old_balance", "double"), ("balance", "double"),
+        ("status", "string"),
+    ]
+    return pad_union(
+        schema,
+        (
+            set_ops(spark, sf_dir, sort=False),
+            {"op": "op", "custkey": "o_custkey"},
+        ),
+        (
+            merge_upsert_emulation(spark, sf_dir, sort=False),
+            {"op": F.lit("merge"), "custkey": "c_custkey",
+             "old_balance": "old_balance", "balance": "balance",
+             "status": "status"},
+        ),
+    ).orderBy("op", "custkey")

@@ -1099,9 +1099,7 @@ def strip_duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
 SPAN_K = 6  # span gram width for the driver slot (docs are ~30-90 tokens)
 
 
-@query(
-    "dedup_spans",
-    oracle=f"""
+_SPANS_SQL = f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
@@ -1136,9 +1134,9 @@ SPAN_K = 6  # span gram width for the driver slot (docs are ~30-90 tokens)
            MAX(pos) + {SPAN_K} - MIN(pos) AS span_len,
            COUNT(*) AS n_grams
     FROM sp GROUP BY doc_id, span
-    ORDER BY doc_id, span_start
-    """,
-)
+    """
+
+
 def dedup_spans(spark, sf_dir):
     """Driver slot for :func:`duplicate_spans` (round-7 substring-level
     exact dedup, Lee et al. keep-first policy): maximal duplicated
@@ -1162,9 +1160,7 @@ _BP_NEWS = "Subscribe to our newsletter today"
 _BP_COPY = "Copyright 2026 Example Corp - All rights reserved"
 
 
-@query(
-    "dedup_boilerplate",
-    oracle=f"""
+_BP_SQL = f"""
     WITH built AS (
       SELECT doc_id,
              concat_ws(chr(10),
@@ -1181,9 +1177,10 @@ _BP_COPY = "Copyright 2026 Example Corp - All rights reserved"
       GROUP BY trim(line) HAVING COUNT(DISTINCT doc_id) >= 2)
     SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
     FROM lines WHERE trim(line) NOT IN (SELECT key FROM flagged)
-    GROUP BY doc_id ORDER BY doc_id
-    """,
-)
+    GROUP BY doc_id
+    """
+
+
 def dedup_boilerplate(spark, sf_dir):
     """Driver slot for :func:`strip_boilerplate_lines` (round-7 CCNet-style
     line/paragraph dedup).  The flat synthetic corpus has no newlines, so
@@ -1209,3 +1206,49 @@ def dedup_boilerplate(spark, sf_dir):
         .select("doc_id", "text")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_textual",
+    oracle=f"""
+    SELECT 'spans' AS op, doc_id, span_start, span_len, n_grams,
+           CAST(NULL AS VARCHAR) AS text
+    FROM ({_SPANS_SQL}) sp_
+    UNION ALL
+    SELECT 'lines' AS op, doc_id, CAST(NULL AS BIGINT) AS span_start,
+           CAST(NULL AS BIGINT) AS span_len, CAST(NULL AS BIGINT) AS n_grams,
+           text
+    FROM ({_BP_SQL}) bp_
+    ORDER BY op, doc_id, span_start NULLS FIRST
+    """,
+)
+def dedup_textual(spark, sf_dir):
+    """The sub-document textual dedup family in ONE driver slot (round-9
+    tagged-union merge of ``dedup_spans`` and ``dedup_boilerplate`` —
+    component docstrings carry the algorithms and scale notes).
+    ``spans`` rows: maximal duplicated >= 6-token spans per document
+    (:func:`duplicate_spans`, Lee et al. keep-first) in integer token
+    coordinates; ``lines`` rows: documents after CCNet-style boilerplate
+    line stripping (:func:`strip_boilerplate_lines`) over the planted
+    multi-line corpus."""
+    from ..functions.union import pad_union
+
+    schema = [
+        ("op", "string"), ("doc_id", "bigint"), ("span_start", "bigint"),
+        ("span_len", "bigint"), ("n_grams", "bigint"), ("text", "string"),
+    ]
+    return pad_union(
+        schema,
+        (
+            dedup_spans(spark, sf_dir),
+            {
+                "op": F.lit("spans"), "doc_id": "doc_id",
+                "span_start": "span_start", "span_len": "span_len",
+                "n_grams": "n_grams",
+            },
+        ),
+        (
+            dedup_boilerplate(spark, sf_dir),
+            {"op": F.lit("lines"), "doc_id": "doc_id", "text": "text"},
+        ),
+    ).orderBy("op", "doc_id", F.col("span_start").asc_nulls_first())

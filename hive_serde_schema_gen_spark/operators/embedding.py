@@ -27,7 +27,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..registry import query
 from .text import _tokens
+
+
+def _gram_hash(col: F.Column, salt_str: str, hash_fn: str) -> F.Column:
+    """Non-negative-ish 64-bit gram hash.  ``xxhash64`` is the production
+    configuration (native, fastest); ``md5`` (first 8 hex digits → int,
+    the same scheme ``dedup._shingle_hash`` uses) exists solely so the
+    DuckDB oracle can reproduce the slot/sign bits bit-for-bit — the
+    feature-hashing construction is hash-agnostic."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(salt_str), col)
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt_str + "|"), col).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def embed_text(
@@ -37,6 +59,7 @@ def embed_text(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "embed-v1",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, embedding array<double>): L2-normalized hashed bag-of-ngrams.
 
@@ -62,9 +85,10 @@ def embed_text(
         ).otherwise(F.array().cast("array<string>")),
     )
     g = d.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
-    slot = F.pmod(F.xxhash64(F.lit(salt), F.col("__g")), F.lit(dim)).cast("int")
+    slot = F.pmod(_gram_hash(F.col("__g"), salt, hash_fn), F.lit(dim)).cast("int")
     sign = (
-        F.pmod(F.xxhash64(F.lit(salt + ":sign"), F.col("__g")), F.lit(2)) * 2 - 1
+        F.pmod(_gram_hash(F.col("__g"), salt + ":sign", hash_fn), F.lit(2)) * 2
+        - 1
     ).cast("double")
     sums = (
         g.select("__id", slot.alias("__s"), sign.alias("__v"))
@@ -101,3 +125,69 @@ def embed_text(
             F.coalesce("embedding", zeros).alias("embedding"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 driver slot: the hashed-embedding featurizer, oracled end to end
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 16  # slot config: small dim keeps the oracle result compact
+_EMB_SALT = "embed-v1"
+# md5 slot/sign hashes, DuckDB-side: 32-bit int from the first 8 hex digits
+_SQL_H = "CAST(concat('0x', substr(md5('{salt}|' || g), 1, 8)) AS BIGINT)"
+
+
+def _embed_oracle() -> str:
+    h_slot = _SQL_H.format(salt=_EMB_SALT)
+    h_sign = _SQL_H.format(salt=_EMB_SALT + ":sign")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+      FROM documents WHERE doc_id % 10 = 0),
+    uni AS (SELECT doc_id, unnest(w) AS g FROM toks),
+    bi AS (
+      SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      WHERE len(w) > 1),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    hashed AS (
+      SELECT doc_id,
+             CAST({h_slot} % {_EMB_DIM} AS INTEGER) AS s,
+             CAST({h_sign} % 2 * 2 - 1 AS DOUBLE) AS v
+      FROM grams),
+    sums AS (SELECT doc_id, s, SUM(v) AS w FROM hashed GROUP BY doc_id, s),
+    slots AS (
+      SELECT d.doc_id, p.s
+      FROM (SELECT DISTINCT doc_id FROM toks) d,
+           (SELECT CAST(unnest(range(0, {_EMB_DIM})) AS INTEGER) AS s) p),
+    vec AS (
+      SELECT slots.doc_id, slots.s, COALESCE(sums.w, 0.0) AS w
+      FROM slots LEFT JOIN sums
+        ON sums.doc_id = slots.doc_id AND sums.s = slots.s),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM vec GROUP BY doc_id)
+    SELECT vec.doc_id, vec.s AS pos,
+           CASE WHEN norms.nrm > 0 THEN vec.w / norms.nrm ELSE vec.w END AS val
+    FROM vec JOIN norms USING (doc_id)
+    ORDER BY vec.doc_id, pos
+    """
+
+
+@query("embed_text", oracle=_embed_oracle())
+def embed_text_vectors(spark, sf_dir):
+    """Driver slot for :func:`embed_text` (deterministic hashed
+    bag-of-ngrams embeddings): the L2-normalized ``dim=16`` vectors for
+    every tenth document, emitted EXPLODED as (doc_id, pos, val) rows so
+    the hash compare works on scalars rather than engine-specific array
+    encodings.  The ``md5`` hash configuration makes slot/sign
+    re-derivable in the oracle (the same scheme the MinHash family uses);
+    every value is exact-integer sums followed by one sqrt and one divide,
+    so ``val`` reproduces bit-for-bit with no rounding."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    emb = embed_text(d, dim=_EMB_DIM, bigrams=True, hash_fn="md5")
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    ).orderBy("doc_id", "pos")

@@ -110,9 +110,7 @@ def agg_distinct(spark, sf_dir):
     )
 
 
-@query(
-    "rollup_cube_agg",
-    oracle="""
+_ROLLUP_CUBE_SQL = """
     SELECT 'rollup' AS op, l_returnflag AS k1, l_linestatus AS k2,
            SUM(l_quantity) AS sum_qty, COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -124,12 +122,13 @@ def agg_distinct(spark, sf_dir):
     SELECT 'gsets' AS op, o_orderstatus AS k1, o_orderpriority AS k2,
            CAST(NULL AS DOUBLE) AS sum_qty, COUNT(*) AS n
     FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-    ORDER BY op, k1 NULLS FIRST, k2 NULLS FIRST
-    """,
-)
-def rollup_cube_agg(spark, sf_dir):
+"""
+
+
+def rollup_cube_agg(spark, sf_dir, sort: bool = True):
     """ROLLUP + CUBE + GROUPING SETS hierarchical subtotals, tagged and
-    unioned (one driver slot covers all three grouping-set expansions).
+    unioned (registry-merged into ``rollup_agg`` in round 9 — one driver
+    slot covers every grouping-set expansion plus the time-grain rollup).
     Each branch expands its grouping sets map-side before a single exchange;
     the GROUPING SETS branch exercises the SQL API (same Catalyst plan as
     the DataFrame form — the SQL surface is first-class in this engine)."""
@@ -154,16 +153,18 @@ def rollup_cube_agg(spark, sf_dir):
         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
-    return (
+    out = (
         agg_of(l.rollup("l_returnflag", "l_linestatus"), "rollup")
         .unionAll(agg_of(l.cube("l_returnflag", "l_linestatus"), "cube"))
         .unionAll(gsets)
-        .orderBy(
+    )
+    if sort:
+        out = out.orderBy(
             "op",
             F.col("k1").asc_nulls_first(),
             F.col("k2").asc_nulls_first(),
         )
-    )
+    return out
 
 
 @query(
@@ -738,9 +739,7 @@ def _custkeys_in_year(spark, sf_dir, year: int):
     )
 
 
-@query(
-    "set_ops",
-    oracle="""
+_SET_OPS_SQL = """
     SELECT 'intersect' AS op, o_custkey FROM (
         SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
         INTERSECT
@@ -755,22 +754,22 @@ def _custkeys_in_year(spark, sf_dir, year: int):
         SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
         UNION
         SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
-    ORDER BY op, o_custkey
-    """,
-)
-def set_ops(spark, sf_dir):
+"""
+
+
+def set_ops(spark, sf_dir, sort: bool = True):
     """INTERSECT (active both years) / EXCEPT (churned) / UNION (either
     year), tagged and unioned into one result — the whole set-operator
-    family in a single driver slot."""
+    family (registry-merged into ``set_merge_ops`` in round 9)."""
     a = _custkeys_in_year(spark, sf_dir, 1996)
     b = _custkeys_in_year(spark, sf_dir, 1997)
     tag = lambda df, op: df.select(F.lit(op).alias("op"), "o_custkey")  # noqa: E731
-    return (
+    out = (
         tag(a.intersect(b), "intersect")
         .unionAll(tag(a.exceptAll(b).distinct(), "except"))
         .unionAll(tag(a.union(b).distinct(), "union"))
-        .orderBy("op", "o_custkey")
     )
+    return out.orderBy("op", "o_custkey") if sort else out
 
 
 # ---------------------------------------------------------------------------

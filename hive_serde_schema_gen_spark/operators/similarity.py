@@ -886,13 +886,11 @@ _LSH_ORACLE = f"""
 """
 
 
-def _ivf_oracle() -> str:
-    """DuckDB rendition of the FULL quantized IVF pipeline — seed centroids,
-    KMEANS_ITERS Lloyd iterations (integer means, engine-rounded), final
-    assignment, probe-cell selection, candidate re-rank, evidence columns.
-    Every arithmetic step is either exact integer math or a single
-    correctly-rounded double op (sqrt / divide on exactly-representable
-    ints), so it reproduces Spark bit-for-bit."""
+def _ivf_ctes() -> list:
+    """The IVF pipeline as a CTE list ending at ``cand`` (probed-cell
+    candidate vec_ids) — shared by the plain-IVF oracle (which appends the
+    evidence re-rank) and the IVF-PQ oracle (which appends the PQ
+    codebook/ADC pipeline)."""
     asg = (
         "{a} AS (SELECT vec_id, cell FROM ("
         "SELECT d.vec_id, d.cell, ROW_NUMBER() OVER ("
@@ -939,7 +937,17 @@ def _ivf_oracle() -> str:
         f"cand AS (SELECT a.vec_id FROM a{K} a JOIN pcells USING (cell)"
         f" WHERE a.vec_id <> {QUERY_VEC_ID})"
     )
-    return "WITH " + ",\n    ".join(ctes) + ",\n" + _SQL_RERANK
+    return ctes
+
+
+def _ivf_oracle() -> str:
+    """DuckDB rendition of the FULL quantized IVF pipeline — seed centroids,
+    KMEANS_ITERS Lloyd iterations (integer means, engine-rounded), final
+    assignment, probe-cell selection, candidate re-rank, evidence columns.
+    Every arithmetic step is either exact integer math or a single
+    correctly-rounded double op (sqrt / divide on exactly-representable
+    ints), so it reproduces Spark bit-for-bit."""
+    return "WITH " + ",\n    ".join(_ivf_ctes()) + ",\n" + _SQL_RERANK
 
 
 def _cell_assignments(eq: DataFrame, cents: dict) -> DataFrame:
@@ -1412,3 +1420,121 @@ def semantic_dedup(
         canonical.alias("canonical_id"),
         (canonical == F.col("vec_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ driver slot (round 9): the full production composition, oracled
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB rendition of the FULL ``ann_topk_ivf_pq`` pipeline: the IVF
+    CTEs (shared via :func:`_ivf_ctes` — seeds, Lloyd rounds, probe cells,
+    candidate set), then PQ codebook training (first-``PQ_CODES``-vectors
+    seeding, ``KMEANS_ITERS`` joint Lloyd rounds with engine-side
+    ``round(sum/count)`` integer means, empty codes keeping their
+    centroid), exact-integer-L2 code assignment with the (d2, code)
+    tie-break, the broadcast-ADC approximate scoring with the zero-norm
+    ``-1`` sentinel, the ``k × rerank_mult`` shortlist, and the exact
+    integer-cosine re-rank.  Same determinism discipline as
+    ``_ivf_oracle``: every reduction is exact integer math; every double
+    op (sqrt, divide, the multiply in the denominator) is a single
+    correctly-rounded step performed in the same order as the Spark
+    expressions, so the scores — and therefore the sort and both cuts —
+    reproduce bit-for-bit."""
+    S, C, IT = PQ_SUBSPACES, PQ_CODES, KMEANS_ITERS
+    SD = 64 // S
+    K, MULT, Q = 10, PQ_RERANK_MULT, QUERY_VEC_ID
+    ctes = list(_ivf_ctes())
+    ctes.append(
+        f"px AS (SELECT vec_id, CAST((i-1)//{SD} AS INTEGER) AS s,"
+        f" CAST((i-1)%{SD} AS INTEGER) AS p, v FROM e)"
+    )
+    ctes.append(
+        "pseed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        " AS INTEGER) AS code, vec_id FROM"
+        f" (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT {C}) t)"
+    )
+    ctes.append(
+        "pc0 AS (SELECT px.s, sd.code, px.p, px.v AS c"
+        " FROM pseed sd JOIN px USING (vec_id))"
+    )
+    for k in range(IT + 1):
+        ctes.append(
+            f"pd{k} AS (SELECT px.vec_id, px.s, c.code,"
+            " SUM((px.v - c.c) * (px.v - c.c)) AS d2"
+            f" FROM px JOIN pc{k} c ON c.s = px.s AND c.p = px.p"
+            " GROUP BY px.vec_id, px.s, c.code)"
+        )
+        ctes.append(
+            f"pa{k} AS (SELECT vec_id, s, code FROM ("
+            "SELECT vec_id, s, code, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id, s ORDER BY d2, code) AS rn"
+            f" FROM pd{k}) t WHERE rn = 1)"
+        )
+        if k < IT:
+            ctes.append(
+                f"pm{k} AS (SELECT a.s, a.code, px.p,"
+                " CAST(round(CAST(SUM(px.v) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+                f" AS c FROM pa{k} a JOIN px"
+                " ON px.vec_id = a.vec_id AND px.s = a.s"
+                " GROUP BY a.s, a.code, px.p)"
+            )
+            ctes.append(
+                f"pc{k + 1} AS (SELECT c.s, c.code, c.p, COALESCE(m.c, c.c)"
+                f" AS c FROM pc{k} c LEFT JOIN pm{k} m"
+                " ON m.s = c.s AND m.code = c.code AND m.p = c.p)"
+            )
+    ctes.append(
+        f"qsub AS (SELECT CAST((i-1)//{SD} AS INTEGER) AS s,"
+        f" CAST((i-1)%{SD} AS INTEGER) AS p, v FROM e WHERE vec_id = {Q})"
+    )
+    ctes.append(
+        f"lut AS (SELECT c.s, c.code, SUM(q.v * c.c) AS pdot,"
+        f" SUM(c.c * c.c) AS pn2 FROM pc{IT} c JOIN qsub q"
+        " ON q.s = c.s AND q.p = c.p GROUP BY c.s, c.code)"
+    )
+    ctes.append(
+        "qn AS (SELECT sqrt(CAST(SUM(v * v) AS DOUBLE)) AS qn"
+        f" FROM e WHERE vec_id = {Q})"
+    )
+    ctes.append(
+        f"approx AS (SELECT a.vec_id, SUM(l.pdot) AS adot, SUM(l.pn2) AS an2"
+        f" FROM pa{IT} a JOIN lut l ON l.s = a.s AND l.code = a.code"
+        " JOIN cand ON cand.vec_id = a.vec_id GROUP BY a.vec_id)"
+    )
+    ctes.append(
+        "ascore AS (SELECT approx.vec_id, CASE WHEN an2 > 0 AND qn.qn > 0"
+        " THEN CAST(adot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * qn.qn)"
+        " ELSE -1.0 END AS approx_cos FROM approx, qn)"
+    )
+    ctes.append(
+        "short AS (SELECT vec_id FROM ascore"
+        f" ORDER BY approx_cos DESC, vec_id LIMIT {K * MULT})"
+    )
+    ctes.append(
+        "scored2 AS (SELECT e.vec_id, CAST(SUM(e.v * q2.v) AS DOUBLE) AS dot,"
+        " CAST(SUM(e.v * e.v) AS DOUBLE) AS nv,"
+        " CAST(SUM(q2.v * q2.v) AS DOUBLE) AS nq"
+        f" FROM e JOIN (SELECT v, i FROM e WHERE vec_id = {Q}) q2 USING (i)"
+        " JOIN short ON short.vec_id = e.vec_id GROUP BY e.vec_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT vec_id, dot / (sqrt(nv) * sqrt(nq)) AS cos_sim"
+        f" FROM scored2 ORDER BY cos_sim DESC, vec_id LIMIT {K}"
+    )
+
+
+@query("ann_topk_ivf_pq", oracle=_ivf_pq_oracle())
+def similarity_ivf_pq_topk(spark, sf_dir):
+    """Driver slot for :func:`ann_topk_ivf_pq` — the production IVF-PQ
+    composition (Jégou et al.; FAISS's ``IVFx,PQy`` configuration): IVF
+    k-means + probed-cell candidates, PQ codebook training + ADC
+    first-pass scoring against the broadcast per-query lookup table, and
+    an exact integer-cosine re-rank of only the top ``k × rerank_mult``
+    approximate hits.  The oracle re-derives BOTH trainings and the ADC
+    arithmetic end to end in SQL, so the entire two-index pipeline —
+    not just the re-rank — is hash-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf_pq(e, k=10)

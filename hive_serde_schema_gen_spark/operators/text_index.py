@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..registry import query
 from .text import _tokens, bm25_score_topk
 
 # v2: stats rows gained n_len (the AVG denominator excluding NULL-text
@@ -206,4 +207,65 @@ def bm25_topk_indexed(
         k1,
         b,
         id_col="doc_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 driver slot: build + extend + probe, oracled end to end
+# ---------------------------------------------------------------------------
+
+_IDX_TERMS = ("data", "filter", "group")  # distinct from text_bm25's query
+
+
+@query(
+    "bm25_topk_indexed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+      FROM documents),
+    base AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM toks),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM base WHERE t IN ('data', 'filter', 'group')
+      GROUP BY doc_id, t),
+    stats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM toks),
+    dfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+    s AS (
+      SELECT tf.doc_id, tf.t,
+             ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS sc
+      FROM tf JOIN dfq ON dfq.t = tf.t, stats)
+    SELECT doc_id, round(
+           COALESCE(MAX(CASE WHEN t = 'data'   THEN sc END), 0)
+         + COALESCE(MAX(CASE WHEN t = 'filter' THEN sc END), 0)
+         + COALESCE(MAX(CASE WHEN t = 'group'  THEN sc END), 0), 9) AS bm25
+    FROM s GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_indexed_probe(spark, sf_dir):
+    """Driver slot for the PERSISTED BM25 index: builds the index over the
+    even-doc_id half of the corpus, ``extend``s it with the odd half, then
+    probes top-20 for ``"data filter group"`` — so the batch-additive
+    df/stats arithmetic (SUM of per-batch df rows, Σsum_dl/Σn_len avgdl)
+    is hash-checked against an oracle that recomputes BM25 from the RAW
+    text of the union corpus.  A green hash therefore proves
+    build + extend + probe ≡ scan-time BM25 over the whole corpus, the
+    module's central parity claim, under the driver gate rather than
+    pytest only.  The index lands in a fresh temp dir per call (the
+    returned frame lazily reads it — cleanup is the OS tempdir's).
+    Rounding note: scores are reported at 9 dp for the same 1-ULP ``ln``
+    reason as ``text_bm25``."""
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25-idx-slot-")
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    extend_text_index(d.filter(F.col("doc_id") % 2 == 1), path)
+    return bm25_topk_indexed(spark, path, " ".join(_IDX_TERMS), k=20).select(
+        "doc_id", F.round("bm25", 9).alias("bm25")
     )

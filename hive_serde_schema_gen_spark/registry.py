@@ -92,5 +92,7 @@ def _load() -> None:
     from .operators import validation  # noqa: F401
     from .operators import curation  # noqa: F401
     from .operators import html  # noqa: F401
+    from .operators import embedding  # noqa: F401
+    from .operators import text_index  # noqa: F401
 
     _loaded = True

@@ -27,6 +27,8 @@ _NESTED_LOOP_OK = {
     "stats_summary",
     "similarity_pairs_threshold",
     "text_bm25",  # 1-row corpus-stats broadcast (N, avgdl)
+    "bm25_topk_indexed",  # same 1-row stats broadcast, from the index
+    "ann_topk_ivf_pq",  # shares similarity_ivf_topk's probe shape
 }
 
 

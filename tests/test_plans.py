@@ -9,13 +9,23 @@ from hive_serde_schema_gen_spark.plans import (
     has_node,
     pushed_filters,
 )
+from hive_serde_schema_gen_spark.operators.advanced import (
+    merge_upsert_emulation,
+    time_rollup_events,
+)
 from hive_serde_schema_gen_spark.operators.clustering import dedup_canonical_query
-from hive_serde_schema_gen_spark.operators.dedup import dedup_simhash_pairs
+from hive_serde_schema_gen_spark.operators.dedup import (
+    dedup_boilerplate,
+    dedup_simhash_pairs,
+    dedup_spans,
+)
 from hive_serde_schema_gen_spark.operators.relational import (
     filter_project,
     join_broadcast_dim,
     join_semi_anti,
+    rollup_cube_agg,
     scalar_string_funcs,
+    set_ops,
     topk_orders,
     window_running_lag,
 )
@@ -36,6 +46,14 @@ QUERIES["join_semi_anti"] = join_semi_anti
 QUERIES["scalar_string_funcs"] = scalar_string_funcs
 QUERIES["window_running_lag"] = window_running_lag
 QUERIES["dedup_simhash_pairs"] = dedup_simhash_pairs
+# round-9 merges (slots ceded to the round-8 library operators): components
+# of dedup_textual / rollup_agg / set_merge_ops stay asserted directly
+QUERIES["dedup_spans"] = dedup_spans
+QUERIES["dedup_boilerplate"] = dedup_boilerplate
+QUERIES["set_ops"] = set_ops
+QUERIES["rollup_cube_agg"] = rollup_cube_agg
+QUERIES["time_rollup"] = time_rollup_events
+QUERIES["merge_upsert_emulation"] = merge_upsert_emulation
 
 # Queries whose hot path must stay fully JVM-side (no Python eval nodes).
 JVM_ONLY = [
@@ -67,6 +85,12 @@ JVM_ONLY = [
     "time_rollup",
     "token_packing_splits",
     "dedup_canonical",
+    # round-9 merged slots + new library slots
+    "dedup_textual",
+    "rollup_agg",
+    "set_merge_ops",
+    "embed_text",
+    "merge_upsert_emulation",
 ]
 
 
