@@ -113,8 +113,8 @@ def extend_minhash_index(
     no rewrite of existing data, so ingest cost is O(batch), not O(index);
     the appended files lose the range-clustering of the initial build
     (probes still work — they just prune less inside the appended tail)
-    until the next ``build_minhash_index`` compaction.  Signatures use the
-    index's pinned ``max_df``.
+    until :func:`compact_minhash_index` re-clusters them (O(index rows),
+    no re-shingling).  Signatures use the index's pinned ``max_df``.
 
     ``epoch`` stamps the signature rows with the writing micro-batch's
     epoch id — the attribution ``streaming/ingest.py`` uses to tell a
@@ -214,4 +214,46 @@ def novel_docs(new_docs: DataFrame, matches: DataFrame) -> DataFrame:
     :func:`dedup_against_index` pass straight in."""
     return new_docs.join(
         matches.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+
+
+def compact_minhash_index(
+    spark: SparkSession, path: str, n_files: int = 32
+) -> None:
+    """Rewrite an appended-to MinHash index back into its initial-build
+    clustering — the compaction ``extend_minhash_index`` documents
+    ("the appended files lose the range-clustering ... until the next
+    compaction") — WITHOUT re-shingling anything: cost is O(index rows),
+    a read + clustered rewrite, never a corpus re-scan.
+
+    - ``bands``: re-clustered ``repartitionByRange(band, band_key)`` +
+      sorted, so probe band keys prune row groups across the WHOLE index
+      again (the appended tail included);
+    - ``sigs``: re-clustered on doc_id; the ``epoch`` attribution column
+      is PRESERVED row-for-row — the cross-epoch re-delivery guard in
+      ``streaming/ingest.py`` keeps working on a compacted index;
+    - ``meta``: untouched (same version, same pinned parameters, same
+      ``max_df``).
+
+    Probe parity is structural (the probe never depended on file layout,
+    only on row content); pinned with a pre/post ``dedup_against_index``
+    equality test in tests/test_index_compaction.py.  Swap semantics are
+    ``text_index._swap_rewrite``'s (delete+rename; run under the manifest
+    layer for crash-safe swaps)."""
+    from .text_index import _swap_rewrite
+
+    _check_meta(spark, path)
+    bands = spark.read.parquet(f"{path}/bands")
+    _swap_rewrite(
+        spark, path, "bands",
+        lambda tmp: bands.repartitionByRange(n_files, "band", "band_key")
+        .sortWithinPartitions("band", "band_key")
+        .write.parquet(tmp),
+    )
+    sigs = spark.read.parquet(f"{path}/sigs")
+    _swap_rewrite(
+        spark, path, "sigs",
+        lambda tmp: sigs.repartitionByRange(max(1, n_files // 4), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.parquet(tmp),
     )

@@ -31,8 +31,9 @@ continuous ingest never rewrites existing data and a reader never sees
 a half-overwritten artifact.  Appends assume batch doc_ids are disjoint
 from the indexed corpus (dedup upstream — the ``streaming/ingest``
 composition guarantees it); appended files lose the term clustering of
-the initial build until a rebuild compacts them, exactly like the
-MinHash index's documented extend behavior.
+the initial build until :func:`compact_text_index` rewrites them back
+into the clustered layout (O(index) — no re-tokenization), exactly like
+the MinHash index's extend/compact pair.
 
 Query cost: O(query-term postings) — the shuffle never carries the
 vocabulary, exactly like the scan-time form, but the corpus scan itself
@@ -268,4 +269,93 @@ def bm25_indexed_probe(spark, sf_dir):
     extend_text_index(d.filter(F.col("doc_id") % 2 == 1), path)
     return bm25_topk_indexed(spark, path, " ".join(_IDX_TERMS), k=20).select(
         "doc_id", F.round("bm25", 9).alias("bm25")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: index compaction (restores clustering lost by appends)
+# ---------------------------------------------------------------------------
+
+
+def _swap_rewrite(spark: SparkSession, path: str, artifact: str, writer):
+    """Rewrite one index artifact via a temp dir + delete/rename swap.
+
+    ``writer(tmp_path)`` must WRITE the replacement (an eager Spark write
+    reading the OLD files — lazy plans would read a dir we then delete).
+    The swap itself is delete-then-rename (Hadoop FS, so file://, hdfs://
+    and s3a:// all work): a crash between the two steps loses the
+    artifact dir, which is why production deployments run compaction
+    under the manifest layer (``sources.manifest.ManifestTable.compact``
+    — commit-then-swap, readers never see a partial state); the bare form
+    here matches the bare append-only index contract."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp = hpath(f"{path}/.compact-{artifact}")
+    dst = hpath(f"{path}/{artifact}")
+    fs = dst.getFileSystem(conf)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    writer(f"{path}/.compact-{artifact}")
+    fs.delete(dst, True)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"compaction swap failed for {path}/{artifact}")
+
+
+def compact_text_index(
+    spark: SparkSession, path: str, n_files: int = 32
+) -> None:
+    """Rewrite an appended-to BM25 index back into its initial-build
+    layout — the compaction ``extend_text_index`` documents ("appended
+    files lose the term clustering ... until a rebuild compacts them"),
+    WITHOUT re-tokenizing anything: cost is O(index), a read + clustered
+    rewrite of the existing artifacts, not O(corpus re-scan).
+
+    - ``postings``: re-clustered ``repartitionByRange(term)`` + sorted, so
+      ``term IN`` probes prune row groups across the WHOLE index again;
+    - ``df``: per-batch additive rows merged to one row per term (probes
+      SUM them, and batch doc sets are disjoint — the merged sum is the
+      union df, so probe arithmetic is unchanged);
+    - ``doclens``: re-clustered on doc_id;
+    - ``stats``: per-batch rows summed to one (the additive contract:
+      probes derive N = Σn_docs, avgdl = Σsum_dl/Σn_len — identical
+      sums, identical division);
+    - ``meta``: untouched (same version, same tokenizer pin).
+
+    Probe parity is structural — the probe aggregates per-batch rows
+    anyway, so pre/post-compaction ``bm25_topk_indexed`` results are
+    bit-identical (pinned in tests/test_index_compaction.py)."""
+    _check_meta(spark, path)
+    postings = spark.read.parquet(f"{path}/postings")
+    _swap_rewrite(
+        spark, path, "postings",
+        lambda tmp: postings.repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(tmp),
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    _swap_rewrite(
+        spark, path, "df",
+        lambda tmp: dfreq.repartitionByRange(max(1, n_files // 8), "term")
+        .sortWithinPartitions("term")
+        .write.parquet(tmp),
+    )
+    doclens = spark.read.parquet(f"{path}/doclens")
+    _swap_rewrite(
+        spark, path, "doclens",
+        lambda tmp: doclens.repartitionByRange(max(1, n_files // 8), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.parquet(tmp),
+    )
+    stats = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_len").cast("long").alias("n_len"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    _swap_rewrite(
+        spark, path, "stats", lambda tmp: stats.coalesce(1).write.parquet(tmp)
     )
