@@ -762,7 +762,24 @@ def text_bm25(spark, sf_dir):
 
 # BMP ranges: CJK unified (+ext A), Hiragana, Katakana, Hangul syllables.
 CJK_RANGES = "一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯"
-_CJK_CLASS = f"[{CJK_RANGES}]"
+# Supplementary-plane CJK (round 9): ext B..ext F (U+20000-U+2FFFF, which
+# also covers compat supplement) and ext G (U+30000-U+3134F).  \x{...}
+# syntax parses identically in Java regex (Spark) and RE2 (DuckDB), and
+# both engines count a supplementary char as ONE character in length() —
+# so the char-fallback arithmetic stays cross-engine exact.
+CJK_SUPP_RANGES = r"\x{20000}-\x{2FFFF}\x{30000}-\x{3134F}"
+_CJK_CLASS = f"[{CJK_RANGES}{CJK_SUPP_RANGES}]"
+
+# Southeast-Asian scriptio-continua scripts (no word spaces, but UNLIKE
+# CJK a per-CHARACTER split is wrong — orthographic syllables span
+# several codepoints with combining vowels/tone marks, so char-splitting
+# would shred them).  Policy: DETECTED AND FLAGGED, never split — the
+# honest fallback until a real segmenter (ICU/newmm-style) is deployed;
+# ``script_token_stats`` exposes the flag so pipelines can route these
+# docs away from the whitespace-token operators instead of silently
+# treating each line as one token.
+SEA_RANGES = "฀-๿຀-໿က-႟ក-៿"
+_SEA_CLASS = f"[{SEA_RANGES}]"
 
 
 def pretokenize_cjk(d: DataFrame, text_col: str = "text") -> DataFrame:
@@ -790,23 +807,39 @@ def script_token_stats(d: DataFrame, text_col: str = "text"):
     ``cjk_ratio`` (of non-whitespace chars), ``is_cjk`` (ratio >= 0.3),
     and a script-aware ``n_tokens`` = whitespace tokens of the non-CJK
     remainder + one token per CJK char — the count a char-fallback
-    tokenizer would produce, correct for pure-CJK, mixed, and Latin text
-    alike.  All per-row integer arithmetic (deterministic, order-free)."""
+    tokenizer would produce, correct for pure-CJK (BMP AND supplementary
+    planes, ext B+), mixed, and Latin text alike.
+
+    Round 9 adds the Thai-family columns ``n_sea_chars`` / ``sea_ratio``
+    / ``is_sea`` (Thai, Lao, Myanmar, Khmer — scriptio continua where a
+    char split would shred orthographic syllables): these docs are
+    DETECTED AND FLAGGED, never char-split, so their ``n_tokens`` stays
+    whitespace-based — an explicit under-count that routes them to a real
+    segmenter rather than silently producing garbage shingles.  All
+    per-row integer arithmetic (deterministic, order-free)."""
     t = F.col(text_col)
     n_cjk = F.length(t) - F.length(F.regexp_replace(t, _CJK_CLASS, ""))
+    n_sea = F.length(t) - F.length(F.regexp_replace(t, _SEA_CLASS, ""))
     rest = F.regexp_replace(t, _CJK_CLASS, " ")
     n_ws = F.size(_tokens(rest))
     nonspace = F.length(F.regexp_replace(t, r"\s", ""))
-    ratio = n_cjk.cast("double") / F.greatest(nonspace, F.lit(1)).cast("double")
+    denom = F.greatest(nonspace, F.lit(1)).cast("double")
+    ratio = n_cjk.cast("double") / denom
+    sea_ratio = n_sea.cast("double") / denom
     return (
         d.withColumn("n_cjk_chars", n_cjk.cast("int"))
         .withColumn("cjk_ratio", ratio)
         .withColumn("is_cjk", ratio >= 0.3)
+        .withColumn("n_sea_chars", n_sea.cast("int"))
+        .withColumn("sea_ratio", sea_ratio)
+        .withColumn("is_sea", sea_ratio >= 0.3)
         .withColumn("n_tokens", (n_ws + n_cjk).cast("int"))
     )
 
 
 _CJK_SAMPLE = "大数据处理引擎测试"  # 9 chars
+_CJK_EXTB_SAMPLE = "𠀀𠀁𠀂引擎"  # 3 ext-B chars (U+20000..2) + 2 BMP chars
+_SEA_SAMPLE = "การประมวลผลข้อมูล"  # Thai, no word spaces
 
 
 @query(
@@ -815,11 +848,14 @@ _CJK_SAMPLE = "大数据处理引擎测试"  # 9 chars
     WITH built AS (
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN '{_CJK_SAMPLE}' || ' ' || text
+                  WHEN doc_id % 11 = 3 THEN '{_SEA_SAMPLE}'
+                  WHEN doc_id % 13 = 5 THEN '{_CJK_EXTB_SAMPLE}' || ' ' || text
                   ELSE text END AS text
       FROM documents),
     m AS (
       SELECT doc_id, text,
              LENGTH(text) - LENGTH(regexp_replace(text, '{_CJK_CLASS}', '', 'g')) AS n_cjk,
+             LENGTH(text) - LENGTH(regexp_replace(text, '{_SEA_CLASS}', '', 'g')) AS n_sea,
              LENGTH(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
              CASE WHEN LENGTH(TRIM(regexp_replace(text, '{_CJK_CLASS}', ' ', 'g'))) = 0
                   THEN 0
@@ -829,17 +865,22 @@ _CJK_SAMPLE = "大数据处理引擎测试"  # 9 chars
     SELECT doc_id,
            CAST(n_ws + n_cjk AS INTEGER) AS n_tokens,
            CAST(n_cjk AS INTEGER) AS n_cjk_chars,
-           CAST(n_cjk AS DOUBLE) / GREATEST(nonspace, 1) >= 0.3 AS is_cjk
+           CAST(n_cjk AS DOUBLE) / GREATEST(nonspace, 1) >= 0.3 AS is_cjk,
+           CAST(n_sea AS INTEGER) AS n_sea_chars,
+           CAST(n_sea AS DOUBLE) / GREATEST(nonspace, 1) >= 0.3 AS is_sea
     FROM m ORDER BY doc_id
     """,
 )
 def text_cjk_tokens(spark, sf_dir):
-    """Driver slot for the round-8 CJK tokenization fallback: injects a
-    fixed CJK prefix on doc_id % 7 (identically on both sides — the
-    synthetic corpus is whitespace-delimited Latin) and hash-checks
-    :func:`script_token_stats`'s script-aware token counts, CJK char
-    counts, and the is_cjk routing flag against an independent SQL
-    re-derivation."""
+    """Driver slot for the script-aware tokenization fallback: injects
+    fixed prefixes (identically on both sides — the synthetic corpus is
+    whitespace-delimited Latin) — BMP CJK on doc_id % 7, a Thai
+    scriptio-continua sample on % 11 = 3, and supplementary-plane ext-B
+    CJK on % 13 = 5 — and hash-checks :func:`script_token_stats`'s
+    char-fallback token counts (ext-B chars each counting as one token),
+    CJK char counts, the is_cjk routing flag, AND the round-9
+    detected-not-split Thai-family columns (n_sea_chars / is_sea) against
+    an independent SQL re-derivation."""
     from ..sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
@@ -849,11 +890,19 @@ def text_cjk_tokens(spark, sf_dir):
             F.col("doc_id") % 7 == 0,
             F.concat(F.lit(_CJK_SAMPLE), F.lit(" "), F.col("text")),
         )
+        .when(F.col("doc_id") % 11 == 3, F.lit(_SEA_SAMPLE))
+        .when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(F.lit(_CJK_EXTB_SAMPLE), F.lit(" "), F.col("text")),
+        )
         .otherwise(F.col("text"))
         .alias("text"),
     )
     return (
         script_token_stats(built)
-        .select("doc_id", "n_tokens", "n_cjk_chars", "is_cjk")
+        .select(
+            "doc_id", "n_tokens", "n_cjk_chars", "is_cjk",
+            "n_sea_chars", "is_sea",
+        )
         .orderBy("doc_id")
     )

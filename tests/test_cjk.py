@@ -130,3 +130,45 @@ def test_bpe_pretokenization_composes(spark):
     assert merges[0] == ("据", "</w>")
     # raw unsegmented corpus: (数,据) is the unique max (4 vs <= 3)
     assert merges_raw[0] == ("数", "据")
+
+
+def test_supplementary_plane_cjk_is_char_split(spark):
+    """Round 9: ext-B+ CJK (U+20000 and up) was previously invisible to
+    the char fallback — a pure-ext-B doc degenerated to one token per
+    line.  Both the splitter and the stats must treat each supplementary
+    codepoint as one character/token."""
+    extb = "\U00020000\U00020001\U00020002"  # 3 ext-B chars
+    d = spark.createDataFrame([(1, extb), (2, f"latin {extb} mix")],
+                              "doc_id int, text string")
+    stats = {r["doc_id"]: r for r in script_token_stats(d).collect()}
+    assert stats[1]["n_cjk_chars"] == 3
+    assert stats[1]["n_tokens"] == 3
+    assert stats[1]["is_cjk"]
+    assert stats[2]["n_cjk_chars"] == 3
+    assert stats[2]["n_tokens"] == 5  # latin + mix + 3 chars
+    toks = pretokenize_cjk(d).collect()
+    split1 = [r["text"] for r in toks if r["doc_id"] == 1][0].split()
+    assert split1 == list(extb)
+
+
+def test_thai_family_detected_not_split(spark):
+    """Round 9 policy: Thai/Lao/Myanmar/Khmer (scriptio continua, but
+    char-splitting would shred orthographic syllables) are FLAGGED via
+    is_sea and left unsplit — n_tokens stays the honest whitespace count
+    so pipelines route them to a real segmenter."""
+    thai = "การประมวลผลข้อมูลขนาดใหญ่"
+    khmer = "ការដំណើរការទិន្នន័យ"
+    d = spark.createDataFrame(
+        [(1, thai), (2, khmer), (3, "plain latin text")],
+        "doc_id int, text string",
+    )
+    stats = {r["doc_id"]: r for r in script_token_stats(d).collect()}
+    for i, sample in ((1, thai), (2, khmer)):
+        assert stats[i]["is_sea"], stats[i]
+        assert stats[i]["n_sea_chars"] == len(sample)
+        assert stats[i]["n_tokens"] == 1  # detected, NOT split
+        assert not stats[i]["is_cjk"]
+    assert not stats[3]["is_sea"] and stats[3]["n_sea_chars"] == 0
+    # pretokenize_cjk leaves SEA text byte-identical (no char shredding)
+    out = {r["doc_id"]: r["text"] for r in pretokenize_cjk(d).collect()}
+    assert out[1] == thai and out[2] == khmer
