@@ -1,0 +1,69 @@
+"""Hybrid retrieval serve path — the single entry point the BM25-index
+and ANN docstrings defer to: lexical top-k from the PERSISTED BM25
+postings index (``text_index.bm25_topk_indexed``), semantic top-k from
+the LSH+PQ ANN path (``similarity.ann_topk_lsh_pq``), fused score-free
+with reciprocal-rank fusion (``text.rrf_fuse``).
+
+Why both: BM25 retrieves documents containing the query's (possibly
+rare) TERMS but is blind to paraphrases that use none of them; embedding
+ANN retrieves token-distribution neighbors but dilutes a couple of rare
+must-match terms in the overall mass.  RRF fuses the two rankings on
+ranks alone (the scales are incomparable), so a document surfaced by
+EITHER retriever outranks one surfaced by neither — the standard hybrid
+recall win, demonstrated on a planted keyword+paraphrase corpus in
+tests/test_hybrid.py.
+
+Query contract (query-by-example): the query is (a) a term string for
+the lexical side and (b) a vector already present in the embedding
+frame under ``query_vec_id`` — the shape of "find documents related to
+THIS one".  For free-text queries, embed the query text with
+``embedding.embed_text`` (same salt/dim as the corpus) and union the
+1-row result in under a reserved id; the hashing featurizer is a pure
+function, so the query embeds identically to a corpus doc.
+
+Serve-path cost at 100 TB: the BM25 side reads only the query terms'
+postings row groups from the compacted index; the ANN side reads the
+Hamming-ball buckets' PQ codes plus k×4 full vectors; the fuse is a
+union of two k-row lists.  Nothing scans the corpus.  Pass
+``lsh_index=build_lsh_index(e)`` / ``pq=build_pq_index(e)`` to amortize
+the ANN ingest artifacts across queries, exactly like the BM25 index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .similarity import PQ_RERANK_MULT, QUERY_VEC_ID, ann_topk_lsh_pq
+from .text import rrf_fuse
+from .text_index import bm25_topk_indexed
+
+
+def hybrid_topk(
+    spark: SparkSession,
+    text_index_path: str,
+    query: str,
+    e: DataFrame,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = 10,
+    rrf_k: int = 60,
+    depth_mult: int = 2,
+    lsh_index: DataFrame | None = None,
+    pq=None,
+) -> DataFrame:
+    """Top-``k`` (doc_id, rrf) for the hybrid query — see module docstring.
+
+    Each retriever runs at depth ``k × depth_mult`` before fusion (the
+    standard over-retrieve: a doc ranked k+1 by both sides can still fuse
+    into the top k).  Both inputs arrive ranked; RRF attaches 1-based
+    ranks per list and sums ``1/(rrf_k + rank)``."""
+    depth = k * depth_mult
+    lex = bm25_topk_indexed(spark, text_index_path, query, k=depth)
+    sem = ann_topk_lsh_pq(
+        e,
+        k=depth,
+        query_vec_id=query_vec_id,
+        index=lsh_index,
+        pq=pq,
+        rerank_mult=PQ_RERANK_MULT,
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([lex, sem], k=rrf_k, topk=k)
