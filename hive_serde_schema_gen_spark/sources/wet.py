@@ -161,6 +161,16 @@ def _parse_file(data: bytes, src: str = ""):
                 f"{headers.get('Content-Length')!r}",
             )
             break
+        if m.end() + length > n:
+            # declared payload runs past EOF (truncated download): a
+            # short body under the declared length would silently corrupt
+            # the record — report the whole tail as dropped instead.
+            yield (
+                MALFORMED, None, src, None, n - i,
+                f"payload truncated: Content-Length {length} exceeds "
+                f"remaining {n - m.end()} bytes",
+            )
+            break
         body = data[m.end() : m.end() + length]
         i = m.end() + length  # > header start: the cursor always advances
         yield (

@@ -313,3 +313,33 @@ def test_whole_file_gzip_supported(spark, tmp_path):
     assert {r["warc_record_id"] for r in rows} == {
         "<urn:uuid:rec-1>", "<urn:uuid:rec-2>",
     }
+
+
+def test_truncated_payload_reported_not_silently_shortened(spark, tmp_path):
+    """A record whose declared Content-Length runs past EOF (truncated
+    download) must become a diagnostic row, never a silently-short
+    payload."""
+    nl = b"\r\n"
+    good = (
+        nl.join(
+            [
+                b"WARC/1.0", b"WARC-Type: conversion",
+                b"WARC-Record-ID: <urn:uuid:t-0>", b"Content-Length: 3",
+            ]
+        )
+        + nl + nl + b"abc" + nl + nl
+    )
+    cut = (
+        b"WARC/1.0" + nl + b"WARC-Type: conversion" + nl
+        + b"WARC-Record-ID: <urn:uuid:t-1>" + nl
+        + b"Content-Length: 1000" + nl + nl + b"only a few bytes"
+    )
+    f = tmp_path / "cut.wet"
+    f.write_bytes(good + cut)
+    rows = read_wet(spark, str(f), include_malformed=True).collect()
+    conv = [r for r in rows if r["warc_type"] == "conversion"]
+    mal = [r for r in rows if r["warc_type"] == "__malformed__"]
+    assert [r["warc_record_id"] for r in conv] == ["<urn:uuid:t-0>"]
+    assert len(mal) == 1
+    assert mal[0]["length"] == len(cut)
+    assert "truncated" in mal[0]["text"]
