@@ -1538,3 +1538,89 @@ def similarity_ivf_pq_topk(spark, sf_dir):
     not just the re-rank — is hash-checked."""
     e = load_table(spark, sf_dir, "embeddings")
     return ann_topk_ivf_pq(e, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Round-9: persisted cell-partitioned IVF index (the on-disk ANN artifact)
+# ---------------------------------------------------------------------------
+
+IVF_INDEX_VERSION = 1
+
+
+def persist_ivf_index(e: DataFrame, path: str) -> None:
+    """Write ``build_ivf_index``'s artifact to disk in the layout its
+    docstring promises: ``cells/`` is the (vec_id, q) table HIVE-PARTITIONED
+    on the IVF cell, so a probe's ``cell IN (probed…)`` filter prunes at
+    the DIRECTORY level — only ``N_PROBE``/``N_CENTROIDS`` of the stored
+    bytes are ever listed, let alone read (PartitionFilters evidence in
+    tests/test_ivf_persisted.py); ``centroids/`` is the 16×64 integer
+    centroid table (tiny — the probe collects it to rank cells
+    driver-side, the same arithmetic as the in-memory path); ``meta/``
+    pins version + the k-means configuration so a probe fails loudly
+    against an index trained under different constants.
+
+    This is the same ingest-artifact discipline as the BM25 and MinHash
+    indexes: one corpus-pass build amortized across every subsequent
+    query, with the probe cost bounded by the probed partitions."""
+    spark = e.sparkSession
+    cents, assigned = build_ivf_index(e)
+    (
+        assigned.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark.createDataFrame(
+        [
+            (cell, pos, int(c))
+            for cell, vec in cents.items()
+            for pos, c in enumerate(vec)
+        ],
+        "cell int, pos int, c long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(IVF_INDEX_VERSION, N_CENTROIDS, N_PROBE, KMEANS_ITERS)],
+        "version int, n_centroids int, n_probe int, kmeans_iters int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _check_ivf_meta(spark, path: str) -> None:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    got = (m["version"], m["n_centroids"], m["n_probe"], m["kmeans_iters"])
+    want = (IVF_INDEX_VERSION, N_CENTROIDS, N_PROBE, KMEANS_ITERS)
+    if got != want:
+        raise ValueError(
+            f"IVF index at {path} was built with {got}, this build "
+            f"expects {want} — rebuild the index"
+        )
+
+
+def ann_topk_ivf_persisted(
+    spark, path: str, k: int = 10, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
+    """IVF ANN top-k served from the on-disk index — identical results to
+    ``ann_topk_ivf`` over the same corpus (parity-tested), but the scan
+    touches ONLY the probed cells' partitions: centroids load driver-side
+    (16 rows), the query vector comes from its own cell's partition, and
+    the candidate read carries ``cell IN (probed)`` as a partition filter.
+    The 100-TB shape: probe cost is |probed cells| / |cells| of the
+    artifact, independent of corpus size."""
+    _check_ivf_meta(spark, path)
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+    cents = {
+        cell: [v[p] for p in range(len(v))] for cell, v in by_cell.items()
+    }
+    cells = spark.read.parquet(f"{path}/cells")
+    qrow = cells.filter(F.col("vec_id") == query_vec_id).collect()
+    if not qrow:
+        raise ValueError(f"query vec_id {query_vec_id} not in the index")
+    qvec = [int(x) for x in qrow[0]["q"]]
+    pcells = _probe_cells(cents, qvec)
+    cand_q = cells.filter(
+        F.col("cell").isin(pcells) & (F.col("vec_id") != query_vec_id)
+    ).select("vec_id", "q")
+    return _rerank_candidates(cand_q, qvec, k)

@@ -1,0 +1,73 @@
+"""Persisted cell-partitioned IVF index: probe parity with the in-memory
+path, and PHYSICAL partition-pruning evidence — the probe's plan carries
+the probed cells as PartitionFilters, so only N_PROBE/N_CENTROIDS of the
+artifact's directories are scanned."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_serde_schema_gen_spark.operators.similarity import (
+    N_CENTROIDS,
+    N_PROBE,
+    ann_topk_ivf,
+    ann_topk_ivf_persisted,
+    persist_ivf_index,
+)
+from hive_serde_schema_gen_spark.plans.explain import explain_str
+from hive_serde_schema_gen_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir, tmp_path_factory):
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivf-idx"))
+    persist_ivf_index(e, path)
+    return path
+
+
+def test_persisted_probe_matches_in_memory(spark, sf_dir, index_path):
+    e = load_table(spark, sf_dir, "embeddings")
+    mem = [tuple(r) for r in ann_topk_ivf(e, k=10).collect()]
+    disk = [tuple(r) for r in ann_topk_ivf_persisted(spark, index_path, k=10).collect()]
+    assert mem == disk
+    assert len(disk) == 10
+
+
+def test_probe_plan_prunes_cell_partitions(spark, index_path):
+    df = ann_topk_ivf_persisted(spark, index_path, k=10)
+    plan = explain_str(df)
+    scan_lines = [
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    ]
+    assert scan_lines, plan
+    # the candidate scan carries cell IN (...) — the pruning predicate
+    assert any("cell" in l for l in scan_lines), scan_lines
+
+
+def test_artifact_layout_is_cell_partitioned(spark, index_path):
+    import glob
+    import os
+
+    dirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(f"{index_path}/cells/cell=*")
+    )
+    assert len(dirs) == N_CENTROIDS
+    # meta pins the probe configuration
+    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    assert (m["n_centroids"], m["n_probe"]) == (N_CENTROIDS, N_PROBE)
+
+
+def test_meta_mismatch_fails_loudly(spark, index_path, tmp_path):
+    bad = str(tmp_path / "bad-ivf")
+    import shutil
+
+    shutil.copytree(index_path, bad)
+    spark.createDataFrame(
+        [(99, 8, 2, 1)],
+        "version int, n_centroids int, n_probe int, kmeans_iters int",
+    ).write.mode("overwrite").parquet(f"{bad}/meta")
+    with pytest.raises(ValueError, match="rebuild the index"):
+        ann_topk_ivf_persisted(spark, bad, k=10)
