@@ -31,11 +31,16 @@ the ANN ingest artifacts across queries, exactly like the BM25 index.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .similarity import PQ_RERANK_MULT, QUERY_VEC_ID, ann_topk_lsh_pq
 from .text import rrf_fuse
 from .text_index import bm25_topk_indexed
+
+# Reserved query id for free-text queries — far outside any real doc-id
+# space (xxhash64 doc ids are full-range longs, but a corpus id equal to
+# this exact value is astronomically unlikely AND checked at call time).
+QUERY_TEXT_ID = -(2**62) - 3
 
 
 def hybrid_topk(
@@ -67,3 +72,59 @@ def hybrid_topk(
         rerank_mult=PQ_RERANK_MULT,
     ).withColumnRenamed("vec_id", "doc_id")
     return rrf_fuse([lex, sem], k=rrf_k, topk=k)
+
+
+def hybrid_topk_text(
+    spark: SparkSession,
+    text_index_path: str,
+    query: str,
+    e: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    depth_mult: int = 2,
+    lsh_index: DataFrame | None = None,
+    pq=None,
+    embed_salt: str = "embed-v1",
+    embed_hash_fn: str = "xxhash64",
+    bigrams: bool = True,
+) -> DataFrame:
+    """FREE-TEXT hybrid query — no query-by-example doc needed: the query
+    string is embedded with the SAME hashing featurizer configuration as
+    the corpus (``embedding.embed_text`` is a pure function of
+    (salt, text), so the query embeds exactly as a corpus doc would),
+    its LSH buckets/quantized vector are computed on the 1-row frame and
+    UNIONED into the passed index (the corpus artifact is never rebuilt —
+    serve-path cost stays O(query)), and the composition then runs as
+    :func:`hybrid_topk` under the reserved ``QUERY_TEXT_ID``.
+
+    Only meaningful when the corpus embeddings came from ``embed_text``
+    with the same (dim, salt, hash_fn, bigrams) — pass the corpus
+    configuration explicitly for anything non-default."""
+    from .embedding import embed_text
+    from .similarity import build_lsh_index, build_pq_index, lsh_buckets, quantized
+
+    if e.filter(F.col("vec_id") == QUERY_TEXT_ID).limit(1).count():
+        raise ValueError(f"corpus contains the reserved id {QUERY_TEXT_ID}")
+    dim = len(e.select("embedding").first()["embedding"])
+    qdoc = spark.createDataFrame(
+        [(QUERY_TEXT_ID, query)], "doc_id long, text string"
+    )
+    qe = embed_text(
+        qdoc, dim=dim, bigrams=bigrams, salt=embed_salt, hash_fn=embed_hash_fn
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    base = lsh_index if lsh_index is not None else build_lsh_index(e)
+    qrow = qe.select("vec_id", quantized("embedding").alias("q")).join(
+        lsh_buckets(qe), "vec_id"
+    )
+    return hybrid_topk(
+        spark,
+        text_index_path,
+        query,
+        e,
+        query_vec_id=QUERY_TEXT_ID,
+        k=k,
+        rrf_k=rrf_k,
+        depth_mult=depth_mult,
+        lsh_index=base.unionByName(qrow),
+        pq=pq if pq is not None else build_pq_index(e),
+    )

@@ -109,3 +109,40 @@ def test_hybrid_is_deterministic(spark, artifacts):
         for _ in range(2)
     ]
     assert runs[0] == runs[1]
+
+
+def test_free_text_query_matches_query_by_example(spark, artifacts):
+    """hybrid_topk_text embeds the query string with the corpus's
+    featurizer config and unions its buckets into the passed index — the
+    result must equal query-by-example with the same text (the fixture's
+    query doc IS this text), at O(query) serve cost (corpus artifacts
+    reused, never rebuilt)."""
+    from hive_serde_schema_gen_spark.operators.hybrid import (
+        QUERY_TEXT_ID,
+        hybrid_topk_text,
+    )
+
+    path, e, lsh, pq = artifacts
+    corpus_e = e.filter(F.col("vec_id") != QUERY_DOC_ID)
+    corpus_lsh = lsh.filter(F.col("vec_id") != QUERY_DOC_ID)
+    got = [
+        tuple(r)
+        for r in hybrid_topk_text(
+            spark, path, f"{QUERY_TERMS} {TOPIC}", corpus_e,
+            k=K, lsh_index=corpus_lsh, pq=pq,
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in hybrid_topk(
+            spark, path, f"{QUERY_TERMS} {TOPIC}", e,
+            query_vec_id=QUERY_DOC_ID, k=K, lsh_index=lsh, pq=pq,
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    # with the full sentence as the lexical query too, the paraphrase docs
+    # also score lexically and fusion ties shuffle the tail — recall stays
+    # high but the exact-set guarantee belongs to the two-list fixture of
+    # test_hybrid_beats_single_retrievers
+    assert len({g[0] for g in got} & RELEVANT) >= 5
+    assert QUERY_TEXT_ID not in {g[0] for g in got}
