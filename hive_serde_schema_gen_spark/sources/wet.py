@@ -183,29 +183,17 @@ def _parse_file(data: bytes, src: str = ""):
         )
 
 
-def read_wet(
-    spark: SparkSession, path: str, include_malformed: bool = False
-) -> DataFrame:
-    """Parse WET files under ``path`` into one row per conversion record:
-    ``(warc_record_id, url, date, length, text)``.  ``length`` is the
-    declared Content-Length (bytes); ``text`` is the decoded payload.
-    ``warcinfo``/non-conversion records are filtered out.
+# binaryFile's fixed schema — needed explicitly for the STREAMING reader
+# (file streaming sources require a user schema).
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
 
-    Accepts uncompressed ``.wet``, whole-file gzip, and the per-record
-    gzip ``.warc.wet.gz`` layout Common Crawl distributes — compression
-    is detected by magic bytes and handled in the same per-file pass.
 
-    ``include_malformed=True`` keeps the ``warc_type`` column and adds
-    one ``'__malformed__'`` diagnostic row per file whose walk stopped
-    early (url = file path, length = bytes skipped, text = reason), so
-    ingest jobs can count dropped data instead of losing it silently."""
-    # binaryFile, NOT read.text(wholetext): text decoding replaces invalid
-    # UTF-8 bytes with U+FFFD (1 byte -> 3 re-encoded), which would shift
-    # every subsequent Content-Length offset — one bad byte in one payload
-    # would truncate that record and silently drop the rest of the file.
-    # Raw bytes keep the declared lengths exact; only the extracted
-    # payload/headers are decoded (with replacement), never the offsets.
-    files = spark.read.format("binaryFile").load(path)
+def _records_of(files: DataFrame, include_malformed: bool) -> DataFrame:
+    """The shared parse tail over a (batch OR streaming) binaryFile frame —
+    the mapInPandas walk is stateless, so the identical pipeline serves
+    both execution modes."""
 
     def parse(batches):
         import pandas as pd
@@ -234,6 +222,65 @@ def read_wet(
     return out.filter(F.col("warc_type") == "conversion").drop("warc_type")
 
 
+def read_wet(
+    spark: SparkSession, path: str, include_malformed: bool = False
+) -> DataFrame:
+    """Parse WET files under ``path`` into one row per conversion record:
+    ``(warc_record_id, url, date, length, text)``.  ``length`` is the
+    declared Content-Length (bytes); ``text`` is the decoded payload.
+    ``warcinfo``/non-conversion records are filtered out.
+
+    Accepts uncompressed ``.wet``, whole-file gzip, and the per-record
+    gzip ``.warc.wet.gz`` layout Common Crawl distributes — compression
+    is detected by magic bytes and handled in the same per-file pass.
+
+    ``include_malformed=True`` keeps the ``warc_type`` column and adds
+    one ``'__malformed__'`` diagnostic row per file whose walk stopped
+    early (url = file path, length = bytes skipped, text = reason), so
+    ingest jobs can count dropped data instead of losing it silently."""
+    # binaryFile, NOT read.text(wholetext): text decoding replaces invalid
+    # UTF-8 bytes with U+FFFD (1 byte -> 3 re-encoded), which would shift
+    # every subsequent Content-Length offset — one bad byte in one payload
+    # would truncate that record and silently drop the rest of the file.
+    # Raw bytes keep the declared lengths exact; only the extracted
+    # payload/headers are decoded (with replacement), never the offsets.
+    files = spark.read.format("binaryFile").load(path)
+    return _records_of(files, include_malformed)
+
+
+def read_wet_stream(
+    spark: SparkSession, path: str, include_malformed: bool = False
+) -> DataFrame:
+    """STREAMING form of :func:`read_wet` — the continuous-crawl front
+    end: new ``.wet`` / ``.warc.wet.gz`` files landing under ``path``
+    become micro-batches of conversion records (binaryFile is a standard
+    file streaming source once given its schema; each file is parsed
+    exactly once, tracked by the query's checkpoint).  Identical parse
+    pipeline to the batch form — compose with
+    ``streaming.ingest.start_ingest_dedup`` via
+    :func:`wet_documents_stream` for the full crawl → dedup-gated corpus
+    path (tested end to end in tests/test_wet_stream.py)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+    )
+    return _records_of(files, include_malformed)
+
+
+def _documents_projection(records: DataFrame) -> DataFrame:
+    """records → ``documents``-shaped frame (shared batch/stream tail)."""
+    from ..operators.curation import url_domain
+
+    return records.select(
+        F.xxhash64("warc_record_id").alias("doc_id"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        url_domain(F.col("url")).alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 def wet_to_documents(spark: SparkSession, path: str) -> DataFrame:
     """The bridge into the curation chain: WET records as a ``documents``-
     shaped frame ``(doc_id, text, lang, source, n_chars)`` — doc_id is the
@@ -243,13 +290,13 @@ def wet_to_documents(spark: SparkSession, path: str) -> DataFrame:
     regex here once diverged and let ``http://user@spam.com`` evade a
     domain denylist; adversarial-review finding), lang is left for
     ``text_lang_id``-style detection downstream."""
-    from ..operators.curation import url_domain
+    return _documents_projection(read_wet(spark, path))
 
-    r = read_wet(spark, path)
-    return r.select(
-        F.xxhash64("warc_record_id").alias("doc_id"),
-        "text",
-        F.lit(None).cast("string").alias("lang"),
-        url_domain(F.col("url")).alias("source"),
-        F.length("text").alias("n_chars"),
-    )
+
+def wet_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING ``wet_to_documents`` — the continuous-crawl composition
+    point: feed directly to ``streaming.ingest.start_ingest_dedup`` so
+    every arriving WET file is parsed, probed against the persisted
+    MinHash index, and only novel documents land in the curated corpus
+    and extend the index.  Same projection as the batch form."""
+    return _documents_projection(read_wet_stream(spark, path))
