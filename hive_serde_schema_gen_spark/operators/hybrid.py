@@ -87,6 +87,7 @@ def hybrid_topk_text(
     embed_salt: str = "embed-v1",
     embed_hash_fn: str = "xxhash64",
     bigrams: bool = True,
+    check_reserved: bool = True,
 ) -> DataFrame:
     """FREE-TEXT hybrid query — no query-by-example doc needed: the query
     string is embedded with the SAME hashing featurizer configuration as
@@ -99,11 +100,19 @@ def hybrid_topk_text(
 
     Only meaningful when the corpus embeddings came from ``embed_text``
     with the same (dim, salt, hash_fn, bigrams) — pass the corpus
-    configuration explicitly for anything non-default."""
+    configuration explicitly for anything non-default.
+
+    ``check_reserved``: the reserved-id collision guard costs one tiny
+    Spark job per call — serving tiers looping over queries against a
+    corpus they already validated pass ``False`` to skip it (the same
+    skip-the-eager-job discipline as ``semantic_contamination``'s
+    ``strategy`` flag)."""
     from .embedding import embed_text
     from .similarity import build_lsh_index, build_pq_index, lsh_buckets, quantized
 
-    if e.filter(F.col("vec_id") == QUERY_TEXT_ID).limit(1).count():
+    if check_reserved and e.filter(
+        F.col("vec_id") == QUERY_TEXT_ID
+    ).limit(1).count():
         raise ValueError(f"corpus contains the reserved id {QUERY_TEXT_ID}")
     dim = len(e.select("embedding").first()["embedding"])
     qdoc = spark.createDataFrame(

@@ -1597,15 +1597,21 @@ def _check_ivf_meta(spark, path: str) -> None:
 
 
 def ann_topk_ivf_persisted(
-    spark, path: str, k: int = 10, query_vec_id: int = QUERY_VEC_ID
+    spark, path: str, k: int = 10, query_vec_id: int = QUERY_VEC_ID,
+    qvec=None,
 ) -> DataFrame:
     """IVF ANN top-k served from the on-disk index — identical results to
-    ``ann_topk_ivf`` over the same corpus (parity-tested), but the scan
-    touches ONLY the probed cells' partitions: centroids load driver-side
-    (16 rows), the query vector comes from its own cell's partition, and
-    the candidate read carries ``cell IN (probed)`` as a partition filter.
-    The 100-TB shape: probe cost is |probed cells| / |cells| of the
-    artifact, independent of corpus size."""
+    ``ann_topk_ivf`` over the same corpus (parity-tested), but the
+    candidate scan touches ONLY the probed cells' partitions: centroids
+    load driver-side (16 rows) and the candidate read carries
+    ``cell IN (probed)`` as a partition filter.  The 100-TB shape: probe
+    cost is |probed cells| / |cells| of the artifact, independent of
+    corpus size.
+
+    ``qvec``: pass the query's QUANTIZED vector directly (a serving tier
+    holds query vectors anyway) to skip the by-id lookup.  Without it the
+    id lookup scans one vec_id-sorted row group per cell partition —
+    bounded, but a cross-partition read the caller can avoid."""
     _check_ivf_meta(spark, path)
     rows = spark.read.parquet(f"{path}/centroids").collect()
     by_cell: dict = {}
@@ -1615,10 +1621,13 @@ def ann_topk_ivf_persisted(
         cell: [v[p] for p in range(len(v))] for cell, v in by_cell.items()
     }
     cells = spark.read.parquet(f"{path}/cells")
-    qrow = cells.filter(F.col("vec_id") == query_vec_id).collect()
-    if not qrow:
-        raise ValueError(f"query vec_id {query_vec_id} not in the index")
-    qvec = [int(x) for x in qrow[0]["q"]]
+    if qvec is None:
+        qrow = cells.filter(F.col("vec_id") == query_vec_id).collect()
+        if not qrow:
+            raise ValueError(f"query vec_id {query_vec_id} not in the index")
+        qvec = [int(x) for x in qrow[0]["q"]]
+    else:
+        qvec = [int(x) for x in qvec]
     pcells = _probe_cells(cents, qvec)
     cand_q = cells.filter(
         F.col("cell").isin(pcells) & (F.col("vec_id") != query_vec_id)

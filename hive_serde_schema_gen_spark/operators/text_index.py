@@ -324,7 +324,14 @@ def compact_text_index(
 
     Probe parity is structural — the probe aggregates per-batch rows
     anyway, so pre/post-compaction ``bm25_topk_indexed`` results are
-    bit-identical (pinned in tests/test_index_compaction.py)."""
+    bit-identical (pinned in tests/test_index_compaction.py).
+
+    CONCURRENCY: do not run compaction while an extend is in flight —
+    the rewrite's file listing is captured when compaction starts, so a
+    batch appended mid-compaction would be dropped by the swap.  Single
+    maintenance writer per index (the same discipline the manifest layer
+    documents); probes are safe throughout except during the brief
+    delete/rename window."""
     _check_meta(spark, path)
     postings = spark.read.parquet(f"{path}/postings")
     _swap_rewrite(

@@ -85,16 +85,21 @@ def _gunzip_members(data: bytes):
     import zlib
 
     out = []
+    # memoryview: a real Common Crawl file holds tens of thousands of
+    # members, and a bytes slice per member would copy the remaining
+    # tail each time — O(members × filesize) memory traffic.  Viewing
+    # makes each per-member slice O(1).
+    mv = memoryview(data)
     i = 0
     n = len(data)
     reason = None
     while i < n:
-        if data[i : i + 2] != _GZIP_MAGIC:
+        if bytes(mv[i : i + 2]) != _GZIP_MAGIC:
             reason = "trailing non-gzip bytes after last member"
             break
         d = zlib.decompressobj(wbits=31)
         try:
-            out.append(d.decompress(data[i:]))
+            out.append(d.decompress(mv[i:]))
             out.append(d.flush())
         except zlib.error:
             reason = "corrupt gzip member"

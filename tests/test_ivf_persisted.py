@@ -71,3 +71,23 @@ def test_meta_mismatch_fails_loudly(spark, index_path, tmp_path):
     ).write.mode("overwrite").parquet(f"{bad}/meta")
     with pytest.raises(ValueError, match="rebuild the index"):
         ann_topk_ivf_persisted(spark, bad, k=10)
+
+
+def test_probe_with_supplied_qvec_skips_lookup_and_matches(spark, sf_dir, index_path):
+    from hive_serde_schema_gen_spark.operators.similarity import quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        int(x)
+        for x in e.filter(F.col("vec_id") == 0)
+        .select(quantized("embedding").alias("q"))
+        .collect()[0]["q"]
+    ]
+    by_id = [tuple(r) for r in ann_topk_ivf_persisted(spark, index_path, k=10).collect()]
+    by_vec = [
+        tuple(r)
+        for r in ann_topk_ivf_persisted(
+            spark, index_path, k=10, qvec=qvec
+        ).collect()
+    ]
+    assert by_id == by_vec
