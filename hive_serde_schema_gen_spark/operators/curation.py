@@ -518,7 +518,15 @@ def _lsh_contamination_candidates(
     )
 
 
-def canonical_url(col) -> F.Column:
+# Tracking parameters that multiply one page into many crawl URLs —
+# the standard strip list (utm campaign tags, ad-click ids).  A single
+# anchored regex over each split query component keeps it codegen'd.
+_TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)="
+)
+
+
+def canonical_url(col, strip_tracking: bool = False) -> F.Column:
     """Canonical form of a URL column — the normalization before URL-keyed
     dedup or crawl-frontier joins, where ``HTTP://Example.com:80/a?b=2&a=1#x``
     and ``http://example.com/a?a=1&b=2`` must hash identically:
@@ -528,7 +536,12 @@ def canonical_url(col) -> F.Column:
     - fragment dropped; default ports (``:80`` http / ``:443`` https)
       dropped; empty path → ``/``;
     - query parameters sorted (``split('&') → array_sort → array_join``,
-      the standard order-insensitive canonicalization).
+      the standard order-insensitive canonicalization);
+    - ``strip_tracking=True`` additionally drops the click/campaign
+      parameters (utm_*, gclid, fbclid, …) that multiply one page into
+      many crawl URLs — the dominant URL-level duplication source in web
+      dumps.  Off by default: stripping is lossy, and frontier joins may
+      legitimately key on full query strings.
 
     Pure codegen'd regexp/array expressions — usable inside any filter,
     groupBy key, or join condition at scan speed.  Values that don't look
@@ -548,16 +561,53 @@ def canonical_url(col) -> F.Column:
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.split(query, "&")
+    if strip_tracking:
+        params = F.filter(
+            params, lambda p: ~p.rlike(_TRACKING_PARAM_RE)
+        )
+    qjoined = F.array_join(F.array_sort(params), "&")
     canon = F.concat(
         scheme,
         F.lit("://"),
         hostport,
         path,
         F.when(query == "", F.lit("")).otherwise(
-            F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+            F.when(qjoined == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), qjoined)
+            )
         ),
     )
     return F.when(scheme == "", F.trim(col)).otherwise(canon)
+
+
+def dedup_by_url(
+    d: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_tracking: bool = True,
+) -> DataFrame:
+    """URL-level exact dedup — the cheapest dedup pass in a crawl
+    pipeline, run BEFORE any content hashing: the same page crawled under
+    ``?utm_source=x`` / ``?utm_source=y`` / reordered params collapses to
+    one row (smallest ``id_col`` kept, the same deterministic keep-first
+    rule as ``dedup.keep_first_per_content``).  Keys on
+    ``canonical_url(strip_tracking=True)`` by default — the tracking
+    parameters are exactly what multiplies one page into many URLs.
+
+    One hash-partitioned window on the canonical key; the shuffle carries
+    the key + row, no text comparison anywhere.  Content-level dedup
+    (exact digest, MinHash) still runs downstream — URL dedup only
+    removes the self-evident republications."""
+    from pyspark.sql.window import Window as W
+
+    key = canonical_url(F.col(url_col), strip_tracking=strip_tracking)
+    w = W.partitionBy(key).orderBy(id_col)
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def domain_stats(

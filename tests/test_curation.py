@@ -911,3 +911,49 @@ def test_semantic_contamination_strategy_flag(spark, sf_dir):
     j_auto = jobs("sc-auto")
     j_forced = jobs("sc-forced", strategy="exact")
     assert j_forced < j_auto, (j_forced, j_auto)
+
+
+def test_canonical_url_strip_tracking(spark):
+    from hive_serde_schema_gen_spark.operators.curation import canonical_url
+
+    d = spark.createDataFrame(
+        [
+            (1, "https://ex.com/a?utm_source=tw&id=7&utm_campaign=x"),
+            (2, "https://ex.com/a?id=7"),
+            (3, "https://ex.com/a?gclid=abc123"),
+            (4, "https://ex.com/a"),
+            # ref= stripped only as a PARAMETER name, not a value substring
+            (5, "https://ex.com/a?href=1"),
+        ],
+        "i int, u string",
+    )
+    out = {
+        r["i"]: r["c"]
+        for r in d.select(
+            "i", canonical_url(F.col("u"), strip_tracking=True).alias("c")
+        ).collect()
+    }
+    assert out[1] == out[2] == "https://ex.com/a?id=7"
+    assert out[3] == out[4] == "https://ex.com/a"
+    assert out[5] == "https://ex.com/a?href=1"
+    # default mode unchanged: tracking params preserved (sorted)
+    from hive_serde_schema_gen_spark.operators.curation import canonical_url as cu
+
+    kept = d.filter("i = 1").select(cu(F.col("u")).alias("c")).collect()[0]["c"]
+    assert "utm_source=tw" in kept
+
+
+def test_dedup_by_url_collapses_tracking_variants(spark):
+    from hive_serde_schema_gen_spark.operators.curation import dedup_by_url
+
+    d = spark.createDataFrame(
+        [
+            (10, "https://ex.com/p?utm_source=a", "copy one"),
+            (11, "https://EX.com:443/p?utm_source=b", "copy two"),
+            (12, "https://ex.com/p?v=2", "different page"),
+            (13, "https://other.org/p", "other site"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_by_url(d).collect())
+    assert kept == [10, 12, 13]  # smallest id per canonical URL survives
