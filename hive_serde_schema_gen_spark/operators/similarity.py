@@ -1633,3 +1633,41 @@ def ann_topk_ivf_persisted(
         F.col("cell").isin(pcells) & (F.col("vec_id") != query_vec_id)
     ).select("vec_id", "q")
     return _rerank_candidates(cand_q, qvec, k)
+
+
+def extend_ivf_index(e_new: DataFrame, path: str) -> None:
+    """Incrementally add a batch of vectors to a persisted IVF index —
+    the FAISS ``add()`` contract: new vectors are assigned to the
+    EXISTING centroids (no retraining — cost is O(batch), one broadcast
+    assignment pass) and appended into their cells' hive partitions, so
+    the very next probe sees them with no other change.  Batch vec_ids
+    must be disjoint from the indexed corpus (dedup upstream, the same
+    assumption as every other index extend here).
+
+    Centroid drift is the documented trade: a corpus whose distribution
+    moves will pack new mass into few cells and probe recall decays —
+    re-train by re-running :func:`persist_ivf_index` over the union when
+    cell-size diagnostics (`cells/` row counts per partition) skew."""
+    spark = e_new.sparkSession
+    _check_ivf_meta(spark, path)
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+    cents = {
+        cell: [v[p] for p in range(len(v))] for cell, v in by_cell.items()
+    }
+    eq = e_new.select(
+        "vec_id", F.posexplode(quantized("embedding")).alias("pos", "v")
+    ).localCheckpoint()
+    assigned = (
+        e_new.select("vec_id", quantized("embedding").alias("q"))
+        .join(_cell_assignments(eq, cents), "vec_id")
+    )
+    (
+        assigned.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
