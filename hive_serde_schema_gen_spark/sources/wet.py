@@ -115,8 +115,11 @@ def _gunzip_members(data: bytes):
     return b"".join(out), n - i, reason
 
 
-def _parse_file(data: bytes, src: str = ""):
-    """Yield (type, record_id, url, date, length, text) per record.
+def _parse_file(data: bytes, src: str = "", raw: bool = False):
+    """Yield (type, record_id, url, date, length, text) per record;
+    ``raw=True`` yields the payload as BYTES instead of a replace-decoded
+    string (the WARC-response path splits HTTP headers byte-accurately
+    before deciding how to decode the body).
 
     On malformed input the walk STOPS for this file (consistent with the
     Content-Length discipline: once a length is untrustworthy every later
@@ -184,7 +187,7 @@ def _parse_file(data: bytes, src: str = ""):
             headers.get("WARC-Target-URI"),
             headers.get("WARC-Date"),
             length,
-            body.decode("utf-8", "replace"),
+            body if raw else body.decode("utf-8", "replace"),
         )
 
 
@@ -305,3 +308,106 @@ def wet_documents_stream(spark: SparkSession, path: str) -> DataFrame:
     MinHash index, and only novel documents land in the curated corpus
     and extend the index.  Same projection as the batch form."""
     return _documents_projection(read_wet_stream(spark, path))
+
+
+# ---------------------------------------------------------------------------
+# WARC response records (raw-HTML crawls — the non-WET Common Crawl layout)
+# ---------------------------------------------------------------------------
+
+_HTTP_HDR_END = re.compile(rb"\r?\n\r?\n")
+
+
+def _split_http_payload(payload: bytes):
+    """A WARC ``response`` record's payload is a full HTTP response:
+    status line + headers + blank line + body.  Returns
+    (status_code, content_type, body_bytes); a payload with no header
+    terminator is treated as all-body with unknown status (lenient — the
+    caller filters on content_type when it matters)."""
+    m = _HTTP_HDR_END.search(payload)
+    if m is None:
+        return None, None, payload
+    head = payload[: m.start()].decode("utf-8", "replace")
+    lines = head.splitlines()
+    status = None
+    if lines and lines[0].upper().startswith("HTTP/"):
+        parts = lines[0].split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    ctype = None
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            if k.strip().lower() == "content-type":
+                ctype = v.strip()
+                break
+    return status, ctype, payload[m.end() :]
+
+
+def read_warc_responses(
+    spark: SparkSession,
+    path: str,
+    html_only: bool = True,
+) -> DataFrame:
+    """Parse RAW WARC archives (``.warc`` / ``.warc.gz``, the response
+    layout Common Crawl ships alongside WET) into one row per fetched
+    page: ``(warc_record_id, url, date, status, content_type, length,
+    text)`` where ``text`` is the HTTP BODY (raw HTML for pages) — feed
+    straight into ``operators.html.html_to_text``.
+
+    Same byte-accurate Content-Length walk, per-record-gzip handling, and
+    malformed-input discipline as :func:`read_wet` (one shared
+    ``_parse_file``); the only addition is the HTTP response split inside
+    each record payload.  ``html_only=True`` keeps 2xx responses whose
+    Content-Type says html (the crawl-pipeline default); pass ``False``
+    for the full fetch log (redirects, assets, errors)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        import pandas as pd
+
+        cols = [
+            "warc_record_id", "url", "date", "status", "content_type",
+            "length", "text",
+        ]
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for (
+                    wtype, rid, url, date, length, payload
+                ) in _parse_file(bytes(content), src=p, raw=True):
+                    if wtype != "response":
+                        continue
+                    status, ctype, body = _split_http_payload(payload)
+                    rows.append(
+                        (
+                            rid, url, date, status, ctype,
+                            len(body), body.decode("utf-8", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = files.mapInPandas(
+        parse,
+        "warc_record_id string, url string, date string, status int, "
+        "content_type string, length long, text string",
+    )
+    if html_only:
+        out = out.filter(
+            (F.col("status") >= 200) & (F.col("status") < 300)
+            & F.lower(F.col("content_type")).contains("html")
+        )
+    return out
+
+
+def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
+    """WARC responses → ``documents``-shaped frame with the HTML already
+    stripped to text: the complete raw-crawl ingestion front-end
+    (``read_warc_responses`` → ``html.html_to_text`` → the shared
+    documents projection).  Compose the result with
+    ``corpus.curate_and_prepare`` exactly like ``wet_to_documents``."""
+    from ..operators.html import html_to_text
+
+    # strip FIRST: the projection's n_chars must describe the extracted
+    # text the row carries, not the raw HTML it came from
+    r = html_to_text(read_warc_responses(spark, path))
+    return _documents_projection(r)

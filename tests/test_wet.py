@@ -343,3 +343,89 @@ def test_truncated_payload_reported_not_silently_shortened(spark, tmp_path):
     assert len(mal) == 1
     assert mal[0]["length"] == len(cut)
     assert "truncated" in mal[0]["text"]
+
+
+def _warc_response(rid, url, status, ctype, body: bytes, nl=b"\r\n"):
+    http = (
+        f"HTTP/1.1 {status} X".encode() + nl
+        + f"Content-Type: {ctype}".encode() + nl
+        + b"Server: test" + nl + nl + body
+    )
+    return (
+        nl.join(
+            [
+                b"WARC/1.0",
+                b"WARC-Type: response",
+                b"WARC-Target-URI: " + url.encode(),
+                b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
+                b"Content-Length: " + str(len(http)).encode(),
+            ]
+        )
+        + nl + nl + http + nl + nl
+    )
+
+
+def test_warc_responses_html_filter_and_gzip_parity(spark, tmp_path):
+    from hive_serde_schema_gen_spark.sources.wet import read_warc_responses
+
+    recs = [
+        _warc_response("w-1", "https://a.org/x", 200, "text/html; charset=utf-8",
+                       b"<html><body><p>Hello page</p></body></html>"),
+        _warc_response("w-2", "https://a.org/404", 404, "text/html",
+                       b"<html>not found</html>"),
+        _warc_response("w-3", "https://a.org/img", 200, "image/png",
+                       b"\x89PNG fake"),
+        _warc_response("w-4", "https://b.org/y", 200, "application/xhtml+xml",
+                       b"<html><body>Second page</body></html>"),
+    ]
+    plain = b"".join(recs)
+    f = tmp_path / "crawl.warc"
+    f.write_bytes(plain)
+    import gzip
+
+    gz = tmp_path / "crawl2.warc.gz"
+    gz.write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    rows = {r["warc_record_id"]: r for r in read_warc_responses(spark, str(f)).collect()}
+    # 2xx + html-ish only
+    assert set(rows) == {"<urn:uuid:w-1>", "<urn:uuid:w-4>"}
+    assert rows["<urn:uuid:w-1>"]["status"] == 200
+    assert rows["<urn:uuid:w-1>"]["text"].startswith("<html>")
+    assert "Hello page" in rows["<urn:uuid:w-1>"]["text"]
+    # full fetch log keeps everything
+    all_rows = read_warc_responses(spark, str(f), html_only=False).collect()
+    assert len(all_rows) == 4
+    # per-record gzip parses identically
+    got_gz = sorted(map(tuple, read_warc_responses(spark, str(gz)).collect()))
+    got_flat = sorted(map(tuple, read_warc_responses(spark, str(f)).collect()))
+    assert got_gz == got_flat
+
+
+def test_warc_to_documents_strips_html(spark, tmp_path):
+    from hive_serde_schema_gen_spark.sources.wet import warc_to_documents
+
+    f = tmp_path / "crawl.warc"
+    f.write_bytes(
+        _warc_response(
+            "w-9", "HTTPS://WWW.Site.ORG/p", 200, "text/html",
+            b"<html><body><h1>Title</h1><p>Body text here.</p></body></html>",
+        )
+    )
+    docs = warc_to_documents(spark, str(f)).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["source"] == "site.org"
+    assert "Title" in d["text"] and "Body text here." in d["text"]
+    assert "<" not in d["text"]
+
+
+def test_warc_documents_n_chars_describes_stripped_text(spark, tmp_path):
+    from hive_serde_schema_gen_spark.sources.wet import warc_to_documents
+
+    f = tmp_path / "c.warc"
+    f.write_bytes(
+        _warc_response("w-8", "https://s.org/q", 200, "text/html",
+                       b"<html><body><p>abc</p></body></html>")
+    )
+    d = warc_to_documents(spark, str(f)).collect()[0]
+    assert d["n_chars"] == len(d["text"])  # post-strip, not raw HTML
