@@ -1671,3 +1671,32 @@ def extend_ivf_index(e_new: DataFrame, path: str) -> None:
         .partitionBy("cell")
         .parquet(f"{path}/cells")
     )
+
+
+def ivf_cell_stats(spark, path: str) -> DataFrame:
+    """Per-cell occupancy of a persisted IVF index — the retrain trigger
+    ``extend_ivf_index`` documents: (cell, n_vecs, frac, balance) where
+    ``balance`` = n_vecs / (total / n_cells), so 1.0 is perfectly even and
+    a drifting corpus shows up as a few cells with balance >> 1 (their
+    probes re-rank ever-larger candidate sets).  One partition-pruned
+    count aggregate over the artifact's partition column — reads parquet
+    footers' row counts, not vector data (the `cell` partition key plus a
+    count(*) never touches the q column)."""
+    _check_ivf_meta(spark, path)
+    from pyspark.sql.window import Window as W
+
+    counts = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    # the per-cell relation is N_CENTROIDS rows — a global window over it
+    # is driver-trivial, no second scan of the artifact
+    total = F.sum("n_vecs").over(W.partitionBy())
+    n_cells = F.count(F.lit(1)).over(W.partitionBy())
+    return counts.select(
+        "cell",
+        "n_vecs",
+        (F.col("n_vecs") / total).alias("frac"),
+        (F.col("n_vecs") * n_cells / total).alias("balance"),
+    ).orderBy("cell")

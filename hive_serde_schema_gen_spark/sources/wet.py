@@ -1,8 +1,13 @@
-"""WET (WARC-converted text) source — the raw-crawl entry point of the
-web-ingestion chain: Common-Crawl-style ``.wet`` files → one row per
-document ``(warc_record_id, url, date, length, text)`` → feed
-``operators.html.html_to_text`` (for raw-HTML WARC responses) or directly
-into ``operators.corpus.curate_and_prepare``.
+"""WET / WARC crawl sources — the raw-crawl entry points of the
+web-ingestion chain.  Three readers over one shared record walk:
+
+- :func:`read_wet` — Common-Crawl ``.wet`` conversion records (already
+  extracted text) → ``operators.corpus.curate_and_prepare``;
+- :func:`read_wet_stream` / :func:`wet_documents_stream` — the same as a
+  Structured Streaming source for continuous-crawl ingest;
+- :func:`read_warc_responses` / :func:`warc_to_documents` — RAW ``.warc``
+  response archives (full HTTP responses with HTML bodies) →
+  ``operators.html.html_to_text`` → the same curation chain.
 
 Format (public spec, ISO 28500 WARC 1.0 applied to the conversion
 profile): a WET file is a sequence of records, each
@@ -347,6 +352,7 @@ def read_warc_responses(
     spark: SparkSession,
     path: str,
     html_only: bool = True,
+    include_malformed: bool = False,
 ) -> DataFrame:
     """Parse RAW WARC archives (``.warc`` / ``.warc.gz``, the response
     layout Common Crawl ships alongside WET) into one row per fetched
@@ -359,7 +365,11 @@ def read_warc_responses(
     ``_parse_file``); the only addition is the HTTP response split inside
     each record payload.  ``html_only=True`` keeps 2xx responses whose
     Content-Type says html (the crawl-pipeline default); pass ``False``
-    for the full fetch log (redirects, assets, errors)."""
+    for the full fetch log (redirects, assets, errors).
+    ``include_malformed=True`` adds one diagnostic row per file whose
+    record walk stopped early (``content_type='__malformed__'``, url =
+    file path, length = bytes skipped, text = reason) — the same
+    truncation observability as :func:`read_wet`."""
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
@@ -375,6 +385,13 @@ def read_warc_responses(
                 for (
                     wtype, rid, url, date, length, payload
                 ) in _parse_file(bytes(content), src=p, raw=True):
+                    if wtype == MALFORMED:
+                        if include_malformed:
+                            rows.append(
+                                (None, url, None, None, MALFORMED,
+                                 length, payload)
+                            )
+                        continue
                     if wtype != "response":
                         continue
                     status, ctype, body = _split_http_payload(payload)
@@ -392,10 +409,13 @@ def read_warc_responses(
         "content_type string, length long, text string",
     )
     if html_only:
-        out = out.filter(
+        keep = (
             (F.col("status") >= 200) & (F.col("status") < 300)
             & F.lower(F.col("content_type")).contains("html")
         )
+        if include_malformed:  # diagnostics survive the page filter
+            keep = keep | (F.col("content_type") == MALFORMED)
+        out = out.filter(keep)
     return out
 
 

@@ -132,3 +132,14 @@ def test_extend_appends_under_existing_centroids(spark, sf_dir, tmp_path):
         for r in ann_topk_ivf_persisted(spark, path, k=100).collect()
     }
     assert any(v >= 400 for v in wide)
+
+
+def test_cell_stats_balance(spark, index_path):
+    from hive_serde_schema_gen_spark.operators.similarity import ivf_cell_stats
+
+    rows = ivf_cell_stats(spark, index_path).collect()
+    assert len(rows) == N_CENTROIDS
+    assert sum(r["n_vecs"] for r in rows) == 500  # whole corpus indexed
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-12
+    mean_balance = sum(r["balance"] for r in rows) / len(rows)
+    assert abs(mean_balance - 1.0) < 1e-12
