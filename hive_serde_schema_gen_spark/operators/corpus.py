@@ -193,6 +193,7 @@ def curate_and_prepare(
     classifier_floor: float = 0.5,
     classifier_bias: float = 0.0,
     semantic_threshold: float | None = None,
+    docs: DataFrame | None = None,
     **prepare_kwargs,
 ) -> DataFrame:
     """The FULL curation front-end chained onto ``prepare_training_corpus``
@@ -265,7 +266,10 @@ def curate_and_prepare(
         stratified_sample,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # docs= overrides the table load, the same escape hatch
+    # prepare_training_corpus has — the crawl front end
+    # (web_corpus_from_crawl) feeds WET/WARC-derived frames through here
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     # Every stage below except mixing/redaction is a SELF-JOIN (d joined
     # against a statistic derived from d).  Stacking self-joins without a
     # lineage cut doubles the upstream DAG per stage — k stages recompute
@@ -373,3 +377,42 @@ def curate_and_prepare(
 
         expect(d, expectations)
     return prepare_training_corpus(spark, sf_dir, docs=d, **prepare_kwargs)
+
+
+def web_corpus_from_crawl(
+    spark,
+    crawl_path: str,
+    kind: str = "wet",
+    url_dedup: bool = True,
+    **curate_kwargs,
+):
+    """Crawl archives → training-ready corpus manifest, one call — the
+    production composition of the whole round-9 ingestion front end:
+
+    - ``kind='wet'``: Common Crawl ``.wet``/``.warc.wet.gz`` conversion
+      records (text already extracted) via ``sources.wet.wet_to_documents``;
+    - ``kind='warc'``: raw ``.warc``/``.warc.gz`` response archives — the
+      HTML is stripped by ``html_to_text`` inside ``warc_to_documents``;
+    - ``url_dedup``: collapse tracking-parameter republications FIRST
+      (``curation.dedup_by_url`` — the cheapest pass, one window on the
+      canonical URL, before any content hashing runs);
+    - then the full :func:`curate_and_prepare` chain (quality gate, exact
+      + near dedup, optional boilerplate/span stripping, contamination
+      filters, packing, splits) with ``curate_kwargs`` passed through.
+
+    Every stage is the already-tested operator — this entry only fixes
+    the order (URL dedup before content work; HTML stripped before
+    n_chars is computed, which ``warc_to_documents`` guarantees)."""
+    from ..sources.wet import warc_to_documents, wet_to_documents
+
+    if kind == "wet":
+        docs = wet_to_documents(spark, crawl_path)
+    elif kind == "warc":
+        docs = warc_to_documents(spark, crawl_path)
+    else:
+        raise ValueError(f"unknown crawl kind {kind!r}")
+    if url_dedup:
+        from .curation import dedup_by_url
+
+        docs = dedup_by_url(docs)
+    return curate_and_prepare(spark, "", docs=docs.drop("url"), **curate_kwargs)

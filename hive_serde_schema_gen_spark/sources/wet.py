@@ -282,7 +282,10 @@ def read_wet_stream(
 
 
 def _documents_projection(records: DataFrame) -> DataFrame:
-    """records → ``documents``-shaped frame (shared batch/stream tail)."""
+    """records → ``documents``-shaped frame (shared batch/stream tail).
+    Carries the raw ``url`` as an extra column beyond the core documents
+    shape — URL-level dedup (``curation.dedup_by_url``) keys on it, and
+    every other operator simply ignores it."""
     from ..operators.curation import url_domain
 
     return records.select(
@@ -291,6 +294,7 @@ def _documents_projection(records: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("lang"),
         url_domain(F.col("url")).alias("source"),
         F.length("text").alias("n_chars"),
+        "url",
     )
 
 

@@ -429,3 +429,50 @@ def test_warc_documents_n_chars_describes_stripped_text(spark, tmp_path):
     )
     d = warc_to_documents(spark, str(f)).collect()[0]
     assert d["n_chars"] == len(d["text"])  # post-strip, not raw HTML
+
+
+def test_web_corpus_from_crawl_end_to_end(spark, tmp_path):
+    """The one-call crawl → manifest composition: URL-level dedup collapses
+    tracking-parameter republications before content work, then the full
+    curation chain produces the packed/split manifest."""
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        web_corpus_from_crawl,
+    )
+
+    nl = "\r\n"
+    body_a = " ".join(f"alpha{i} the of to is" for i in range(20))
+    body_b = " ".join(f"beta{i} and a it for" for i in range(20))
+    recs = "".join(
+        [
+            _rec(
+                nl,
+                ["WARC/1.0", "WARC-Type: conversion",
+                 "WARC-Target-URI: https://s.org/a?utm_source=tw",
+                 "WARC-Record-ID: <urn:uuid:c-0>"],
+                body_a,
+            ),
+            # same page, different campaign tag: URL dedup must collapse it
+            _rec(
+                nl,
+                ["WARC/1.0", "WARC-Type: conversion",
+                 "WARC-Target-URI: https://s.org/a?utm_source=fb",
+                 "WARC-Record-ID: <urn:uuid:c-1>"],
+                body_a,
+            ),
+            _rec(
+                nl,
+                ["WARC/1.0", "WARC-Type: conversion",
+                 "WARC-Target-URI: https://s.org/b",
+                 "WARC-Record-ID: <urn:uuid:c-2>"],
+                body_b,
+            ),
+        ]
+    )
+    p = tmp_path / "crawl.wet"
+    p.write_text(recs)
+    manifest = web_corpus_from_crawl(
+        spark, str(p), kind="wet", quality_floor=0.0
+    ).collect()
+    assert len(manifest) == 2  # one per distinct page
+    assert all(r["n_chunks"] >= 1 and r["split"] in ("train", "val", "test")
+               for r in manifest)
