@@ -800,3 +800,122 @@ def filter_by_domain(
     if deny:
         out = out.filter(s.isNull() | ~matches(deny))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-9 driver slot: URL canonicalization + keep-first dedup, oracled
+# ---------------------------------------------------------------------------
+
+# Planted URL variants (a pure function of doc_id, identical on both
+# sides): groups of doc_ids sharing g = doc_id % 100 carry the SAME page
+# under scheme/host case, default-port, fragment, param-order, and
+# tracking-param variations — every canonicalization rule is exercised —
+# while variant 3 is a unique page per doc.  The oracle re-implements the
+# FULL general canonicalization in SQL (scheme/host extraction, port
+# strip, param filter+sort), not a shortcut over the planted shape.
+_URL_VARIANTS_SQL = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'https://ex' || (doc_id % 100) % 7 || '.org/page/'
+                         || doc_id % 100 || '?id=' || doc_id % 100 || '&x=1'
+             WHEN 1 THEN 'HTTPS://EX' || (doc_id % 100) % 7 || '.ORG:443/page/'
+                         || doc_id % 100 || '?x=1&id=' || doc_id % 100 || '#frag'
+             WHEN 2 THEN 'https://ex' || (doc_id % 100) % 7 || '.org/page/'
+                         || doc_id % 100 || '?id=' || doc_id % 100
+                         || '&utm_source=tw&x=1'
+             ELSE 'https://ex' || (doc_id % 100) % 7 || '.org/other/' || doc_id
+           END AS url
+    FROM documents
+"""
+
+
+@query(
+    "dedup_url",
+    oracle=f"""
+    WITH built AS ({_URL_VARIANTS_SQL}),
+    c AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM built),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+      FROM c),
+    norm AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS hostport,
+             CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+                  ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+             regexp_extract(rest, '\\?(.*)$', 1) AS query
+      FROM parts),
+    q AS (
+      SELECT doc_id, scheme, hostport, path, query,
+             array_to_string(list_sort(list_filter(string_split(query, '&'),
+               p -> NOT regexp_matches(p,
+                 '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)='))),
+               '&') AS qs
+      FROM norm),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || hostport || path ||
+             CASE WHEN query = '' OR qs = '' THEN '' ELSE '?' || qs END AS canon
+      FROM q),
+    kept AS (
+      SELECT doc_id, canon,
+             ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      FROM canon)
+    SELECT doc_id, canon FROM kept WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_url_query(spark, sf_dir):
+    """Driver slot for :func:`canonical_url` + :func:`dedup_by_url`:
+    plants deterministic URL variants per doc_id (case, default port,
+    fragment, parameter order, tracking parameters — every rule gets
+    exercised), keeps the smallest doc_id per canonical URL, and returns
+    (doc_id, canon).  The oracle re-derives the FULL canonicalization in
+    SQL, so the normalization arithmetic and the keep-first window are
+    hash-checked end to end."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    g = F.col("doc_id") % 100
+    host = F.concat(F.lit("ex"), (g % 7).cast("string"), F.lit(".org"))
+    HOST = F.concat(F.lit("EX"), (g % 7).cast("string"), F.lit(".ORG:443"))
+    page = F.concat(F.lit("/page/"), g.cast("string"))
+    idq = F.concat(F.lit("?id="), g.cast("string"))
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://"), host, page, idq, F.lit("&x=1")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://"), HOST, page, F.lit("?x=1&id="),
+                g.cast("string"), F.lit("#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"), host, page, idq,
+                F.lit("&utm_source=tw&x=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, F.lit("/other/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    built = d.select("doc_id", url.alias("url"))
+    return (
+        dedup_by_url(built, strip_tracking=True)
+        .select(
+            "doc_id",
+            canonical_url(F.col("url"), strip_tracking=True).alias("canon"),
+        )
+        .orderBy("doc_id")
+    )

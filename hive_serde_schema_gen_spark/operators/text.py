@@ -42,22 +42,23 @@ _SQL_TOKENS = (
 )
 
 
-@query(
-    "text_token_count",
-    oracle=f"""
+_TOKEN_COUNT_SQL = f"""
     SELECT doc_id,
            CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
            CAST(LENGTH(text) AS INTEGER)       AS n_chars_computed,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_subtokens
-    FROM documents ORDER BY doc_id
-    """,
-)
-def text_token_count(spark, sf_dir):
+    FROM documents
+"""
+
+
+def text_token_count(spark, sf_dir, sort: bool = True):
     """Token counting, both flavors in one pass: whitespace tokens and
     BPE-ish subwords (alpha runs, digit runs, lone symbols — a common
-    pre-tokenizer shape).  Pure narrow transformation — no shuffle."""
+    pre-tokenizer shape).  Pure narrow transformation — no shuffle.
+    Registry-merged into ``text_token_count`` (the joined
+    tokens+fingerprint slot) in round 9."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    out = d.select(
         "doc_id",
         F.size(_tokens("text")).alias("n_tokens"),
         F.length("text").cast("int").alias("n_chars_computed"),
@@ -66,7 +67,8 @@ def text_token_count(spark, sf_dir):
                 F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
             )
         ).alias("n_subtokens"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if sort else out
 
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for")
@@ -268,8 +270,7 @@ def _rolling_oracle() -> str:
     """
 
 
-@query("text_fingerprint", oracle=_rolling_oracle())
-def text_fingerprint(spark, sf_dir):
+def text_fingerprint(spark, sf_dir, sort: bool = True):
     """Document fingerprinting, both granularities in one pass:
 
     - ``fingerprint``: md5 of the lowercased trimmed body — the exact-dedup
@@ -317,14 +318,36 @@ def text_fingerprint(spark, sf_dir):
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fingerprint"),
     )
+    out = base.join(sketch, "doc_id", "left").select(
+        "doc_id",
+        "fingerprint",
+        "rolling_min",
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+@query(
+    "text_token_count",
+    oracle=(
+        "WITH tc AS (" + _TOKEN_COUNT_SQL + "),\n"
+        "    fp AS (" + _rolling_oracle() + ")\n"
+        "    SELECT tc.doc_id, tc.n_tokens, tc.n_chars_computed,"
+        " tc.n_subtokens, fp.fingerprint, fp.rolling_min, fp.n_windows\n"
+        "    FROM tc JOIN fp USING (doc_id) ORDER BY tc.doc_id"
+    ),
+)
+def text_doc_profile(spark, sf_dir):
+    """The per-document text profile in ONE driver slot (round-9 join of
+    the former ``text_token_count`` and ``text_fingerprint`` slots — both
+    emit exactly one row per doc, so the merge is a doc_id equi-join, not
+    a tagged union): whitespace/subword token counts, chars, the md5
+    exact-dedup fingerprint, and the Rabin-Karp winnowing sketch.
+    Component docstrings carry the algorithms; both cores stay
+    independently importable."""
     return (
-        base.join(sketch, "doc_id", "left")
-        .select(
-            "doc_id",
-            "fingerprint",
-            "rolling_min",
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-        )
+        text_token_count(spark, sf_dir, sort=False)
+        .join(text_fingerprint(spark, sf_dir, sort=False), "doc_id")
         .orderBy("doc_id")
     )
 

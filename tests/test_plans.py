@@ -19,6 +19,7 @@ from hive_serde_schema_gen_spark.operators.dedup import (
     dedup_simhash_pairs,
     dedup_spans,
 )
+from hive_serde_schema_gen_spark.operators.text import text_fingerprint
 from hive_serde_schema_gen_spark.operators.relational import (
     filter_project,
     join_broadcast_dim,
@@ -54,6 +55,7 @@ QUERIES["set_ops"] = set_ops
 QUERIES["rollup_cube_agg"] = rollup_cube_agg
 QUERIES["time_rollup"] = time_rollup_events
 QUERIES["merge_upsert_emulation"] = merge_upsert_emulation
+QUERIES["text_fingerprint"] = text_fingerprint
 
 # Queries whose hot path must stay fully JVM-side (no Python eval nodes).
 JVM_ONLY = [
@@ -91,6 +93,7 @@ JVM_ONLY = [
     "set_merge_ops",
     "embed_text",
     "merge_upsert_emulation",
+    "dedup_url",
 ]
 
 
