@@ -375,6 +375,14 @@ def read_warc_responses(
     file path, length = bytes skipped, text = reason) — the same
     truncation observability as :func:`read_wet`."""
     files = spark.read.format("binaryFile").load(path)
+    return _warc_records_of(files, html_only, include_malformed)
+
+
+def _warc_records_of(
+    files: DataFrame, html_only: bool, include_malformed: bool
+) -> DataFrame:
+    """The shared WARC-response parse tail over a (batch OR streaming)
+    binaryFile frame — stateless, so one pipeline serves both modes."""
 
     def parse(batches):
         import pandas as pd
@@ -435,3 +443,47 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     # text the row carries, not the raw HTML it came from
     r = html_to_text(read_warc_responses(spark, path))
     return _documents_projection(r)
+
+
+def crawl_report(spark: SparkSession, path: str) -> DataFrame:
+    """One-aggregate health summary of a crawl directory — the
+    observability face of the malformed-row discipline: conversion-record
+    count (warcinfo excluded), malformed-file count, dropped bytes,
+    payload bytes, empty-payload count.
+    ``bytes_dropped`` sums the diagnostic rows' skipped-byte counts, so
+    "how much of this crawl did we fail to parse" is one number instead
+    of a silent loss.  Runs the same per-file walk as ``read_wet`` — one
+    pass, no shuffle beyond the final 1-row aggregate."""
+    r = read_wet(spark, path, include_malformed=True)
+    is_mal = F.col("warc_type") == MALFORMED
+    return r.agg(
+        F.countDistinct(F.when(is_mal, F.col("url"))).alias(
+            "n_malformed_files"
+        ),
+        F.sum(F.when(is_mal, F.col("length")).otherwise(0)).alias(
+            "bytes_dropped"
+        ),
+        F.count(F.when(~is_mal, 1)).alias("n_records"),
+        F.sum(F.when(~is_mal, F.col("length")).otherwise(0)).alias(
+            "total_payload_bytes"
+        ),
+        F.count(
+            F.when(~is_mal & (F.col("length") == 0), 1)
+        ).alias("n_empty"),
+    )
+
+
+def read_warc_responses_stream(
+    spark: SparkSession, path: str, html_only: bool = True
+) -> DataFrame:
+    """STREAMING form of :func:`read_warc_responses` — new raw ``.warc.gz``
+    files landing under ``path`` become micro-batches of fetched pages
+    (the same explicit-schema binaryFile source as
+    :func:`read_wet_stream`).  Compose with ``html.html_to_text`` +
+    ``streaming.ingest`` for a continuous raw-HTML crawl pipeline."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+    )
+    return _warc_records_of(files, html_only, include_malformed=False)

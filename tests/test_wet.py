@@ -476,3 +476,20 @@ def test_web_corpus_from_crawl_end_to_end(spark, tmp_path):
     assert len(manifest) == 2  # one per distinct page
     assert all(r["n_chunks"] >= 1 and r["split"] in ("train", "val", "test")
                for r in manifest)
+
+
+def test_crawl_report(spark, tmp_path):
+    from hive_serde_schema_gen_spark.sources.wet import crawl_report
+
+    nl = "\r\n"
+    (tmp_path / "good.wet").write_text(_wet_bytes(crlf=True))
+    (tmp_path / "bad.wet").write_bytes(
+        b"WARC/1.0\r\nContent-Length: -5\r\n\r\nxxxx"
+    )
+    r = crawl_report(spark, str(tmp_path / "*.wet")).collect()[0]
+    assert r["n_records"] == 2  # conversion records (warcinfo excluded)
+    assert r["n_malformed_files"] == 1
+    assert r["bytes_dropped"] == len(
+        b"WARC/1.0\r\nContent-Length: -5\r\n\r\nxxxx"
+    )
+    assert r["total_payload_bytes"] > 0 and r["n_empty"] == 0

@@ -83,3 +83,41 @@ def test_streaming_wet_ingest_end_to_end(spark, dirs):
     # the documents projection rode through: source is the canonical host
     srcs = {r["source"] for r in read_ingested(spark, dirs["out"]).collect()}
     assert srcs == {"crawl.example"}
+
+
+def test_streaming_warc_responses(spark, tmp_path):
+    """read_warc_responses_stream: raw .warc.gz files landing in a dir
+    become micro-batches of fetched html pages."""
+    import gzip
+    import os
+
+    from hive_serde_schema_gen_spark.sources.wet import (
+        read_warc_responses_stream,
+    )
+
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    body = b"<html><body><p>streamed page</p></body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://s.org/p\r\n"
+        b"WARC-Record-ID: <urn:uuid:ws-1>\r\n"
+        + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    (indir / "c-000.warc.gz").write_bytes(gzip.compress(rec))
+    q = (
+        read_warc_responses_stream(spark, str(indir))
+        .writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM warc_stream_t").collect()
+    assert len(rows) == 1
+    assert rows[0]["warc_record_id"] == "<urn:uuid:ws-1>"
+    assert "streamed page" in rows[0]["text"]
