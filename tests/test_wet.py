@@ -493,3 +493,27 @@ def test_crawl_report(spark, tmp_path):
         b"WARC/1.0\r\nContent-Length: -5\r\n\r\nxxxx"
     )
     assert r["total_payload_bytes"] > 0 and r["n_empty"] == 0
+
+
+def test_web_corpus_from_crawl_warc_kind(spark, tmp_path):
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        web_corpus_from_crawl,
+    )
+
+    body = (
+        "<html><body><p>"
+        + " ".join(f"gamma{i} the of to is and a" for i in range(15))
+        + "</p></body></html>"
+    ).encode()
+    f = tmp_path / "c.warc"
+    f.write_bytes(
+        _warc_response("wc-1", "https://w.org/a?utm_source=x", 200,
+                       "text/html", body)
+        + _warc_response("wc-2", "https://w.org/a?utm_source=y", 200,
+                         "text/html", body)  # URL-dedup collapses
+    )
+    manifest = web_corpus_from_crawl(
+        spark, str(f), kind="warc", quality_floor=0.0
+    ).collect()
+    assert len(manifest) == 1
+    assert manifest[0]["n_chunks"] >= 1
