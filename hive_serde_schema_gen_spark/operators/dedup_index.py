@@ -226,12 +226,17 @@ def compact_minhash_index(
     compaction") — WITHOUT re-shingling anything: cost is O(index rows),
     a read + clustered rewrite, never a corpus re-scan.
 
-    - ``bands``: re-clustered ``repartitionByRange(band, band_key)`` +
-      sorted, so probe band keys prune row groups across the WHOLE index
-      again (the appended tail included);
-    - ``sigs``: re-clustered on doc_id; the ``epoch`` attribution column
-      is PRESERVED row-for-row — the cross-epoch re-delivery guard in
-      ``streaming/ingest.py`` keeps working on a compacted index;
+    - ``bands``: EXACT-duplicate rows dropped (an epoch replay appends
+      identical band rows by design — ``streaming/ingest.py`` defers
+      their reclamation to "the next compaction", which is THIS), then
+      re-clustered ``repartitionByRange(band, band_key)`` + sorted, so
+      probe band keys prune row groups across the WHOLE index again (the
+      appended tail included);
+    - ``sigs``: exact-duplicate rows dropped (a replayed extend stamps
+      the same epoch, so its copies are row-identical; distinct can
+      never merge DIFFERENT attributions), re-clustered on doc_id; the
+      ``epoch`` column is otherwise preserved row-for-row — the
+      cross-epoch re-delivery guard keeps working on a compacted index;
     - ``meta``: untouched (same version, same pinned parameters, same
       ``max_df``).
 
@@ -243,14 +248,14 @@ def compact_minhash_index(
     from .text_index import _swap_rewrite
 
     _check_meta(spark, path)
-    bands = spark.read.parquet(f"{path}/bands")
+    bands = spark.read.parquet(f"{path}/bands").distinct()
     _swap_rewrite(
         spark, path, "bands",
         lambda tmp: bands.repartitionByRange(n_files, "band", "band_key")
         .sortWithinPartitions("band", "band_key")
         .write.parquet(tmp),
     )
-    sigs = spark.read.parquet(f"{path}/sigs")
+    sigs = spark.read.parquet(f"{path}/sigs").distinct()
     _swap_rewrite(
         spark, path, "sigs",
         lambda tmp: sigs.repartitionByRange(max(1, n_files // 4), "doc_id")

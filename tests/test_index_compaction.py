@@ -181,3 +181,24 @@ def test_minhash_compaction_preserves_epoch_attribution(spark, mh_index):
     ranges = _file_ranges(f"{mh_index}/bands", "band")
     assert len(ranges) > 1
     assert all(hi[0] - lo[0] <= 1 for lo, hi in ranges), ranges
+
+
+def test_minhash_compaction_reclaims_replay_duplicates(spark, docs, tmp_path):
+    """streaming/ingest defers replay-duplicate reclamation to 'the next
+    compaction' — compaction must actually drop the row-identical copies
+    a replayed extend appends, while probing identically."""
+    path = str(tmp_path / "mh-replay")
+    base = docs.limit(60)
+    batch = docs.filter(F.col("doc_id") >= 200).limit(40)
+    build_minhash_index(base, path, n_files=4)
+    extend_minhash_index(batch, path, epoch=3)
+    extend_minhash_index(batch, path, epoch=3)  # the replay
+    sigs_before = spark.read.parquet(f"{path}/sigs").count()
+    probe = docs.limit(30)
+    before = sorted(map(tuple, dedup_against_index(probe, path).collect()))
+    compact_minhash_index(spark, path, n_files=4)
+    sigs_after = spark.read.parquet(f"{path}/sigs").count()
+    assert sigs_before == 60 + 2 * 40
+    assert sigs_after == 60 + 40  # replay copies reclaimed
+    after = sorted(map(tuple, dedup_against_index(probe, path).collect()))
+    assert before == after
