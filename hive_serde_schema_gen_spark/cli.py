@@ -35,6 +35,16 @@ def main(argv=None) -> int:
         "default keeps the reference's strings-stay-strings behavior)",
     )
     p.add_argument(
+        "--infer-maps",
+        type=int,
+        default=None,
+        metavar="N",
+        help="rewrite nested structs with >= N keys of one unified value "
+        "type as MAP<STRING, T> (opt-in deviation for key-as-data objects "
+        "— per-user dicts, counters — whose key set never converges; the "
+        "reference has no MAP type, so the default output is unchanged)",
+    )
+    p.add_argument(
         "--evolve-from",
         metavar="OLD_FILE",
         default=None,
@@ -49,6 +59,10 @@ def main(argv=None) -> int:
             spark, args.file, mode=args.mode, sampling_ratio=args.sampling_ratio,
             detect_dates=args.detect_dates,
         )
+        if args.infer_maps is not None:
+            from .schema_infer.lattice import structs_to_maps
+
+            result.schema = structs_to_maps(result.schema, args.infer_maps)
         if args.evolve_from is not None:
             from .schema_infer import alter_statements
 

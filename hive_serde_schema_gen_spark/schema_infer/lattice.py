@@ -428,3 +428,78 @@ def num_bounds_precision(num: Num) -> int:
     """Decimal precision needed for the worst bound at ``max_scale``."""
     d = max(int_digits(num.lo), int_digits(num.hi))
     return max(1, d + num.max_scale)
+
+
+# ---------------------------------------------------------------------------
+# MAP inference (round-9 opt-in extension; the reference has no MAP type —
+# SURVEY §1.3 lists it as unsupported, so this is flag-gated and the
+# default output stays byte-identical to the reference contract)
+# ---------------------------------------------------------------------------
+
+
+class MapOf(Descriptor):
+    """``MAP<STRING, value>`` — produced ONLY by :func:`structs_to_maps`
+    (never by the observe/merge fold, which stays exactly the reference's
+    lattice).  Keys are always strings: JSON object keys are."""
+
+    __slots__ = ("value",)
+    kind = "map"
+
+    def __init__(self, value: Descriptor):
+        self.value = value
+
+    def copy(self) -> "MapOf":
+        return MapOf(self.value.copy())
+
+    def __repr__(self) -> str:
+        return f"MapOf({self.value!r})"
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, MapOf) and other.value == self.value
+
+    def __hash__(self) -> int:
+        return hash(("map", self.value))
+
+
+def structs_to_maps(
+    desc: Descriptor, threshold: int, _root: bool = True
+) -> Descriptor:
+    """Post-merge rewrite: any NESTED struct with >= ``threshold`` fields
+    whose field types UNIFY under the lattice becomes
+    ``MAP<STRING, unified>`` — the standard heuristic for key-as-data
+    objects (per-user dicts, counters, feature bags) whose key set would
+    otherwise grow one schema column per observed key and never converge.
+
+    Driver-side over the already-merged descriptor tree (O(schema), not
+    O(data)); bottom-up, so an inner dict-of-dicts collapses before its
+    parent is considered.  The TOP-LEVEL struct is never rewritten — its
+    fields are the table's columns.  A struct whose field types conflict
+    (e.g. mixed string/number values) stays a struct: lossy coercion is
+    exactly what this engine refuses to do silently.  All-``UNKNOWN``
+    structs also stay: there is no evidence of a value type to map to."""
+    from .errors import SchemaGenError
+
+    if isinstance(desc, Arr):
+        return Arr(structs_to_maps(desc.element, threshold, _root=False))
+    if isinstance(desc, MapOf):
+        return MapOf(structs_to_maps(desc.value, threshold, _root=False))
+    if not isinstance(desc, Struct):
+        return desc
+    if not _root and len(desc.fields) >= threshold:
+        # unify the ORIGINAL (reference-lattice) field descriptors — the
+        # fold happens before any child becomes a MapOf, which merge()
+        # deliberately does not know — then rewrite the unified value
+        unified: Descriptor = Unknown()
+        try:
+            for v in desc.fields.values():
+                unified = merge(unified.copy(), v.copy())
+        except SchemaGenError:
+            unified = None  # heterogeneous values: keep the struct
+        if unified is not None and not isinstance(unified, Unknown):
+            return MapOf(structs_to_maps(unified, threshold, _root=False))
+    return Struct(
+        {
+            k: structs_to_maps(v, threshold, _root=False)
+            for k, v in desc.fields.items()
+        }
+    )

@@ -23,6 +23,7 @@ Faithfulness notes (each a documented decision, SURVEY §7):
 from __future__ import annotations
 
 from .lattice import (
+    MapOf,
     Arr,
     Bool,
     Descriptor,
@@ -85,6 +86,14 @@ def render_type(desc: Descriptor, indent: int = 0, key: str | None = None) -> st
     if isinstance(desc, Arr):
         return "\n".join(
             [prefix + "ARRAY<", render_type(desc.element, indent + 1), pad + ">"]
+        )
+    if isinstance(desc, MapOf):  # opt-in structs_to_maps deviation
+        return "\n".join(
+            [
+                prefix + "MAP<STRING,",
+                render_type(desc.value, indent + 1),
+                pad + ">",
+            ]
         )
     if isinstance(desc, Struct):
         lines = [prefix + "STRUCT<"]

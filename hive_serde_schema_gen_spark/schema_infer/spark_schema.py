@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from .lattice import (
+    MapOf,
     Arr,
     Bool,
     Descriptor,
@@ -38,6 +39,12 @@ def to_spark_type(
     without the legacy flag)."""
     if isinstance(desc, Unknown):
         return T.StringType() if unknown_as_string else T.NullType()
+    if isinstance(desc, MapOf):  # opt-in structs_to_maps deviation
+        return T.MapType(
+            T.StringType(),
+            to_spark_type(desc.value, unknown_as_string, varchar_as_string),
+            True,
+        )
     if isinstance(desc, Bool):
         return T.BooleanType()
     if isinstance(desc, Ts):
