@@ -71,6 +71,10 @@ def main(argv=None) -> int:
                 sampling_ratio=args.sampling_ratio,
                 detect_dates=args.detect_dates,
             )
+            if args.infer_maps is not None:
+                # both sides rewritten, or every mapped column would
+                # show up as a spurious STRUCT->MAP type change
+                old.schema = structs_to_maps(old.schema, args.infer_maps)
             stmts = alter_statements(args.table, old.schema, result.schema)
             print(
                 "\n".join(stmts)

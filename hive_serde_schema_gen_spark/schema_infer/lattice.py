@@ -367,6 +367,11 @@ def merge(a: Descriptor, b: Descriptor, line: Optional[int] = None) -> Descripto
             av = fields.get(k)
             fields[k] = bv if av is None else merge(av, bv, line)
         return Struct(fields)
+    # MapOf never arises from observe() — the reference lattice above is
+    # untouched — but rewritten schemas meet in evolve's diff, where two
+    # map columns must widen by their VALUE types, not flag incompatible
+    if a.kind == "map" and b.kind == "map":
+        return type(a)(merge(a.value, b.value, line))
     raise RowMismatch(a, b, line=line)
 
 

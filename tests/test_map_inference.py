@@ -120,3 +120,26 @@ def test_cli_flag_end_to_end(tmp_path, capsys):
     assert main([str(p), "t"]) == 0
     out2 = capsys.readouterr().out
     assert "MAP<" not in out2 and "STRUCT<" in out2
+
+
+def test_evolve_widens_map_value_type(tmp_path, capsys):
+    from hive_serde_schema_gen_spark.cli import main
+
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps({"counts": {f"u{j}": j for j in range(15)}}))
+    new_p.write_text(
+        json.dumps({"counts": {f"u{j}": j * 100 for j in range(15)}})
+    )
+    assert main([str(new_p), "t", "--infer-maps", "10",
+                 "--evolve-from", str(old_p)]) == 0
+    out = capsys.readouterr().out
+    assert "CHANGE COLUMN" in out and "SMALLINT" in out
+    assert "INCOMPATIBLE" not in out
+
+
+def test_merge_map_with_nonmap_still_mismatch():
+    from hive_serde_schema_gen_spark.schema_infer.errors import RowMismatch
+
+    m = MapOf(Num(0, 1, 0))
+    with pytest.raises(RowMismatch):
+        merge(m, Str(3))
