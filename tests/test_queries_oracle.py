@@ -70,3 +70,14 @@ def test_rows_only_queries_run(name, spark, sf_dir_oracle):
     sdf = QUERIES[name](spark, sf_dir_oracle)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+def test_registry_holds_exactly_fifty_fully_oracled_slots():
+    """The driver evaluates at most 50 entries and the project contract is
+    ALL of them oracle-checked — a slot added without a merge (51) or an
+    oracle dropped in a refactor must fail HERE, not in the driver run."""
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert len(qs) == 50, sorted(qs)
+    assert set(os_) == set(qs), set(qs) ^ set(os_)
