@@ -36,6 +36,7 @@ class SchemaGen:
         spark: Optional[SparkSession] = None,
         mode: str = "FAILFAST",
         sampling_ratio: Optional[float] = None,
+        infer_maps: Optional[int] = None,
     ) -> None:
         if spark is None:
             from ..session import get_spark
@@ -46,6 +47,11 @@ class SchemaGen:
         result: InferenceResult = infer_path(
             spark, file, mode=mode, sampling_ratio=sampling_ratio
         )
+        if infer_maps is not None:
+            from .lattice import structs_to_maps
+
+            # CLI parity (--infer-maps): key-as-data structs -> MAP
+            result.schema = structs_to_maps(result.schema, infer_maps)
         self.schema: Descriptor = result.schema
         self.lines: int = result.lines
         self.errors = result.errors

@@ -143,3 +143,15 @@ def test_merge_map_with_nonmap_still_mismatch():
     m = MapOf(Num(0, 1, 0))
     with pytest.raises(RowMismatch):
         merge(m, Str(3))
+
+
+def test_schemagen_class_infer_maps_parity(tmp_path, spark):
+    from hive_serde_schema_gen_spark.schema_infer.api import SchemaGen
+
+    p = tmp_path / "wide.json"
+    p.write_text(json.dumps({"counts": {f"u{j}": j for j in range(15)}}))
+    g = SchemaGen(str(p), spark=spark, infer_maps=10)
+    assert "MAP<STRING," in g.definition()
+    from pyspark.sql import types as T
+
+    assert isinstance(g.spark_schema()["counts"].dataType, T.MapType)
