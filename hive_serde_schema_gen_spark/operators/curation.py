@@ -829,18 +829,21 @@ _URL_VARIANTS_SQL = """
 """
 
 
-@query(
-    "dedup_url",
-    oracle=f"""
-    WITH built AS ({_URL_VARIANTS_SQL}),
-    c AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM built),
-    parts AS (
+def _sql_canon_ctes(src: str, p: str = "u") -> str:
+    """CTE chain re-deriving :func:`canonical_url` (strip_tracking=True) in
+    SQL over ``src(doc_id, url)`` → final CTE ``{p}canon(doc_id, canon)``.
+    ``p`` prefixes every CTE name so composed oracles (the crawl-chain
+    slot embeds this next to the corpus-pipeline CTEs) cannot collide.
+    Shared by the ``dedup_url`` and ``web_corpus_from_crawl`` oracles —
+    ONE SQL rendition of the normalization arithmetic."""
+    return f"""{p}c AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM {src}),
+    {p}parts AS (
       SELECT doc_id,
              lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
              regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
-      FROM c),
-    norm AS (
+      FROM {p}c),
+    {p}norm AS (
       SELECT doc_id, scheme,
              CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                   WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
@@ -848,23 +851,30 @@ _URL_VARIANTS_SQL = """
              CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
                   ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
              regexp_extract(rest, '\\?(.*)$', 1) AS query
-      FROM parts),
-    q AS (
+      FROM {p}parts),
+    {p}q AS (
       SELECT doc_id, scheme, hostport, path, query,
              array_to_string(list_sort(list_filter(string_split(query, '&'),
                p -> NOT regexp_matches(p,
                  '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)='))),
                '&') AS qs
-      FROM norm),
-    canon AS (
+      FROM {p}norm),
+    {p}canon AS (
       SELECT doc_id,
              scheme || '://' || hostport || path ||
              CASE WHEN query = '' OR qs = '' THEN '' ELSE '?' || qs END AS canon
-      FROM q),
+      FROM {p}q)"""
+
+
+@query(
+    "dedup_url",
+    oracle=f"""
+    WITH built AS ({_URL_VARIANTS_SQL}),
+    {_sql_canon_ctes('built')},
     kept AS (
       SELECT doc_id, canon,
              ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
-      FROM canon)
+      FROM ucanon)
     SELECT doc_id, canon FROM kept WHERE rn = 1 ORDER BY doc_id
     """,
 )

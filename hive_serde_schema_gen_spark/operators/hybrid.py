@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..registry import query
 from .similarity import PQ_RERANK_MULT, QUERY_VEC_ID, ann_topk_lsh_pq
 from .text import rrf_fuse
 from .text_index import bm25_topk_indexed
@@ -136,4 +137,116 @@ def hybrid_topk_text(
         depth_mult=depth_mult,
         lsh_index=base.unionByName(qrow),
         pq=pq if pq is not None else build_pq_index(e),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 driver slot: the full hybrid composition, oracled end to end
+# ---------------------------------------------------------------------------
+
+# Distinct from text_bm25's ("join","spark","window") and
+# bm25_topk_indexed's ("data","filter","group"); already sorted (the fixed
+# per-term addition order both engines share).
+_HYBRID_TERMS = ("batch", "merge", "sort")
+_HYBRID_K = 10
+_RRF_K = 60
+
+
+def _lex_ctes(terms, depth: int) -> str:
+    """CTE fragments re-deriving BM25 top-``depth`` over the raw documents
+    text — same arithmetic as the ``bm25_topk_indexed`` oracle
+    (``text_index.py``), parameterized by query terms.  ``lx`` prefix
+    keeps names clear of the LSH/PQ CTEs this composes with."""
+    terms = sorted(terms)
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    fixed_sum = "\n         + ".join(
+        f"COALESCE(MAX(CASE WHEN t = '{t}' THEN sc END), 0)" for t in terms
+    )
+    return f"""lxtoks AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+      FROM documents),
+    lxbase AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM lxtoks),
+    lxtf AS (
+      SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM lxbase WHERE t IN ({inlist})
+      GROUP BY doc_id, t),
+    lxstats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM lxtoks),
+    lxdfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM lxtf GROUP BY t),
+    lxs AS (
+      SELECT lxtf.doc_id, lxtf.t,
+             ln(1.0 + (lxstats.n - lxdfq.df + 0.5) / (lxdfq.df + 0.5)) * lxtf.tf
+             / (lxtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lxtf.dl / lxstats.avgdl)) AS sc
+      FROM lxtf JOIN lxdfq ON lxdfq.t = lxtf.t, lxstats),
+    lex AS (
+      SELECT doc_id, {fixed_sum} AS bm25
+      FROM lxs GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT {depth})"""
+
+
+def _hybrid_oracle() -> str:
+    """DuckDB rendition of the FULL :func:`hybrid_topk` serve path: BM25
+    top-``depth`` re-derived from raw text (the persisted index is
+    arithmetic-transparent — ``bm25_topk_indexed``'s own slot proves
+    build+extend+probe ≡ scan-time BM25), the LSH multiprobe candidate set
+    (shared ``_LSH_CAND_CTES``), PQ codebook training + ADC shortlist +
+    exact integer-cosine re-rank (shared ``_pq_ann_ctes`` — the identical
+    SQL the ``ann_topk_ivf_pq`` oracle runs), then reciprocal-rank fusion
+    as pure rank arithmetic.  Rank determinism: both lists carry a total
+    (score DESC, id) order and each 1/(k+r) term is one IEEE division;
+    the fused score is a sum of at most two doubles (commutative-exact),
+    so the final (rrf DESC, doc_id) order reproduces bit-for-bit."""
+    from .similarity import _LSH_CAND_CTES, _SQL_E, _pq_ann_ctes
+
+    depth = _HYBRID_K * 2  # hybrid_topk's default depth_mult
+    ctes = [f"e AS ({_SQL_E})", _LSH_CAND_CTES]
+    ctes.extend(_pq_ann_ctes(k=depth, mult=PQ_RERANK_MULT))
+    ctes.append(
+        "sem AS (SELECT vec_id, dot / (sqrt(nv) * sqrt(nq)) AS cos_sim"
+        f" FROM scored2 ORDER BY cos_sim DESC, vec_id LIMIT {depth})"
+    )
+    ctes.append(_lex_ctes(_HYBRID_TERMS, depth))
+    ctes.append(
+        "lexr AS (SELECT doc_id, ROW_NUMBER() OVER"
+        " (ORDER BY bm25 DESC, doc_id) AS r FROM lex)"
+    )
+    ctes.append(
+        "semr AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER"
+        " (ORDER BY cos_sim DESC, vec_id) AS r FROM sem)"
+    )
+    ctes.append(
+        f"ru AS (SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM lexr"
+        f" UNION ALL SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM semr)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT doc_id, SUM(s) AS rrf FROM ru GROUP BY doc_id"
+        f" ORDER BY rrf DESC, doc_id LIMIT {_HYBRID_K}"
+    )
+
+
+@query("hybrid_topk", oracle=_hybrid_oracle())
+def hybrid_retrieval_topk(spark, sf_dir):
+    """Driver slot for :func:`hybrid_topk` — the flagship serve-path
+    composition: a PERSISTED BM25 postings index built over the documents
+    table (fresh temp dir per call, same lifecycle as the
+    ``bm25_topk_indexed`` slot), LSH+PQ ANN over the embeddings table
+    (query-by-example under the shared ``QUERY_VEC_ID`` probe — the
+    documents/embeddings tables share the 0..N id space), fused with
+    reciprocal-rank fusion.  The oracle re-derives the lexical ranks, the
+    semantic ranks (including PQ training and the ADC shortlist), and the
+    fused top-k in ONE DuckDB statement, so the whole composition — not
+    just its ingredients — is hash-checked."""
+    import tempfile
+
+    from ..sources.tables import load_table
+    from .text_index import build_text_index
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="hybrid-idx-slot-")
+    build_text_index(d, path)
+    return hybrid_topk(
+        spark, path, " ".join(_HYBRID_TERMS), e, k=_HYBRID_K, rrf_k=_RRF_K
     )

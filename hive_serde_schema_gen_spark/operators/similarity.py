@@ -52,9 +52,7 @@ _SQL_QUANT = (
 )
 
 
-@query(
-    "similarity_topk_cosine",
-    oracle=f"""
+_TOPK_SQL = f"""
     WITH e AS (
       SELECT vec_id, {_SQL_QUANT} AS v,
              generate_subscripts(embedding, 1) AS i
@@ -70,8 +68,9 @@ _SQL_QUANT = (
     FROM dots
     WHERE vec_id <> {QUERY_VEC_ID}
     ORDER BY cos_sim DESC, vec_id LIMIT 10
-    """,
-)
+    """
+
+
 def similarity_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-10 for one probe vector.
 
@@ -94,9 +93,7 @@ def similarity_topk_cosine(spark, sf_dir):
     )
 
 
-@query(
-    "similarity_pairs_threshold",
-    oracle=f"""
+_PAIRS_SQL = f"""
     WITH e AS (
       SELECT vec_id, label, {_SQL_QUANT} AS v,
              generate_subscripts(embedding, 1) AS i
@@ -111,8 +108,9 @@ def similarity_topk_cosine(spark, sf_dir):
     SELECT vec_a, vec_b, dot / (sqrt(na) * sqrt(nb)) AS cos_sim
     FROM pairs WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.40
     ORDER BY vec_a, vec_b
-    """,
-)
+    """
+
+
 def similarity_pairs_threshold(spark, sf_dir):
     """Embedding-cosine near-dup pairs (≥0.40) over a bounded id range — the
     exact quadratic baseline.  The range bound keeps the demo pairwise join
@@ -147,9 +145,7 @@ def similarity_pairs_threshold(spark, sf_dir):
     )
 
 
-@query(
-    "embedding_norms",
-    oracle=f"""
+_NORMS_SQL = f"""
     WITH norms AS (
       SELECT vec_id, label,
              sqrt(CAST(SUM(v * v) AS DOUBLE)) / 10000 AS l2_norm
@@ -161,8 +157,9 @@ def similarity_pairs_threshold(spark, sf_dir):
            CAST(len(list_filter(e.embedding, x -> x > 0)) AS INTEGER)    AS n_positive,
            CAST(round(CAST(list_max(e.embedding) AS DOUBLE) * 10000) AS BIGINT) AS q_max
     FROM norms n JOIN embeddings e USING (vec_id) ORDER BY n.vec_id
-    """,
-)
+    """
+
+
 def embedding_norms(spark, sf_dir):
     """Per-vector L2 norms (quantized-exact) plus the array-function surface
     (size / element access / filter / max — JVM-side higher-order functions,
@@ -181,6 +178,72 @@ def embedding_norms(spark, sf_dir):
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
         ql(F.array_max("embedding")).alias("q_max"),
     ).orderBy("vec_id")
+
+
+@query(
+    "similarity_brute",
+    oracle=f"""
+    SELECT 'topk' AS op, vec_id, CAST(NULL AS BIGINT) AS vec_b,
+           CAST(NULL AS VARCHAR) AS label, cos_sim,
+           CAST(NULL AS DOUBLE) AS l2_norm, CAST(NULL AS INTEGER) AS dim,
+           CAST(NULL AS BIGINT) AS q_first,
+           CAST(NULL AS INTEGER) AS n_positive, CAST(NULL AS BIGINT) AS q_max
+    FROM ({_TOPK_SQL}) tk_
+    UNION ALL
+    SELECT 'pairs' AS op, vec_a AS vec_id, vec_b,
+           CAST(NULL AS VARCHAR) AS label, cos_sim,
+           CAST(NULL AS DOUBLE) AS l2_norm, CAST(NULL AS INTEGER) AS dim,
+           CAST(NULL AS BIGINT) AS q_first,
+           CAST(NULL AS INTEGER) AS n_positive, CAST(NULL AS BIGINT) AS q_max
+    FROM ({_PAIRS_SQL}) pr_
+    UNION ALL
+    SELECT 'norms' AS op, vec_id, CAST(NULL AS BIGINT) AS vec_b, label,
+           CAST(NULL AS DOUBLE) AS cos_sim, l2_norm, dim, q_first,
+           n_positive, q_max
+    FROM ({_NORMS_SQL}) nm_
+    ORDER BY op, vec_id, vec_b NULLS FIRST
+    """,
+)
+def similarity_brute(spark, sf_dir):
+    """The brute-force similarity family in ONE driver slot (round-10
+    tagged-union merge of ``similarity_topk_cosine``,
+    ``similarity_pairs_threshold`` and ``embedding_norms`` — component
+    docstrings above carry the algorithms, determinism tricks and scale
+    notes; slots freed for ``hybrid_topk`` / ``web_corpus_from_crawl``).
+    ``topk`` rows: the exact cosine top-10 recall baseline every ANN
+    variant is verified against; ``pairs`` rows: the quadratic near-dup
+    pair baseline (>= 0.40 over vec_id < 500); ``norms`` rows: per-vector
+    L2 norms + the array-function surface."""
+    from ..functions.union import pad_union
+
+    schema = [
+        ("op", "string"), ("vec_id", "bigint"), ("vec_b", "bigint"),
+        ("label", "string"), ("cos_sim", "double"), ("l2_norm", "double"),
+        ("dim", "int"), ("q_first", "bigint"), ("n_positive", "int"),
+        ("q_max", "bigint"),
+    ]
+    return pad_union(
+        schema,
+        (
+            similarity_topk_cosine(spark, sf_dir),
+            {"op": F.lit("topk"), "vec_id": "vec_id", "cos_sim": "cos_sim"},
+        ),
+        (
+            similarity_pairs_threshold(spark, sf_dir),
+            {
+                "op": F.lit("pairs"), "vec_id": "vec_a", "vec_b": "vec_b",
+                "cos_sim": "cos_sim",
+            },
+        ),
+        (
+            embedding_norms(spark, sf_dir),
+            {
+                "op": F.lit("norms"), "vec_id": "vec_id", "label": "label",
+                "l2_norm": "l2_norm", "dim": "dim", "q_first": "q_first",
+                "n_positive": "n_positive", "q_max": "q_max",
+            },
+        ),
+    ).orderBy("op", "vec_id", F.col("vec_b").asc_nulls_first())
 
 
 
@@ -862,9 +925,10 @@ _SQL_E = (
     " FROM embeddings"
 )
 
-_LSH_ORACLE = f"""
-    WITH e AS ({_SQL_E}),
-    w AS (
+# LSH candidate-set CTEs (assume CTE `e` = quantized exploded embeddings;
+# produce CTE `cand` = the multiprobe candidate vec_id set).  Shared between
+# the `similarity_lsh_bucketed` oracle and the hybrid-retrieval oracle.
+_LSH_CAND_CTES = f"""w AS (
       SELECT t.t AS t, p.p AS p, d.d + 1 AS i,
              CAST(concat('0x', substr(md5(t.t || ':' || p.p || ':' || d.d), 1, 8))
                   AS BIGINT) % 2001 - 1000 AS w
@@ -881,7 +945,11 @@ _LSH_ORACLE = f"""
       SELECT DISTINCT buck.vec_id
       FROM buck JOIN pb USING (t)
       WHERE bit_count(xor(buck.b, pb.pbkt)) <= {MULTIPROBE_FLIPS}
-        AND buck.vec_id <> {QUERY_VEC_ID}),
+        AND buck.vec_id <> {QUERY_VEC_ID})"""
+
+_LSH_ORACLE = f"""
+    WITH e AS ({_SQL_E}),
+    {_LSH_CAND_CTES},
     {_SQL_RERANK}
 """
 
@@ -1442,10 +1510,28 @@ def _ivf_pq_oracle() -> str:
     correctly-rounded step performed in the same order as the Spark
     expressions, so the scores — and therefore the sort and both cuts —
     reproduce bit-for-bit."""
+    K = 10
+    ctes = list(_ivf_ctes())
+    ctes.extend(_pq_ann_ctes(k=K, mult=PQ_RERANK_MULT))
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT vec_id, dot / (sqrt(nv) * sqrt(nq)) AS cos_sim"
+        f" FROM scored2 ORDER BY cos_sim DESC, vec_id LIMIT {K}"
+    )
+
+
+def _pq_ann_ctes(k: int, mult: int) -> list:
+    """CTE fragments for the PQ half of an ANN oracle, parameterized by the
+    re-rank cut (``k × mult`` shortlist, exact re-rank of CTE ``scored2``).
+    Assumes CTEs ``e`` (quantized exploded embeddings) and ``cand`` (the
+    candidate vec_id set — IVF probed cells or the LSH multiprobe ball)
+    already exist; the caller selects the final top-``k`` from ``scored2``.
+    Shared by ``_ivf_pq_oracle`` and the hybrid-retrieval oracle so the
+    PQ-training SQL can never drift between the two slots."""
     S, C, IT = PQ_SUBSPACES, PQ_CODES, KMEANS_ITERS
     SD = 64 // S
-    K, MULT, Q = 10, PQ_RERANK_MULT, QUERY_VEC_ID
-    ctes = list(_ivf_ctes())
+    K, MULT, Q = k, mult, QUERY_VEC_ID
+    ctes = []
     ctes.append(
         f"px AS (SELECT vec_id, CAST((i-1)//{SD} AS INTEGER) AS s,"
         f" CAST((i-1)%{SD} AS INTEGER) AS p, v FROM e)"
@@ -1519,11 +1605,7 @@ def _ivf_pq_oracle() -> str:
         f" FROM e JOIN (SELECT v, i FROM e WHERE vec_id = {Q}) q2 USING (i)"
         " JOIN short ON short.vec_id = e.vec_id GROUP BY e.vec_id)"
     )
-    return (
-        "WITH " + ",\n    ".join(ctes)
-        + "\n    SELECT vec_id, dot / (sqrt(nv) * sqrt(nq)) AS cos_sim"
-        f" FROM scored2 ORDER BY cos_sim DESC, vec_id LIMIT {K}"
-    )
+    return ctes
 
 
 @query("ann_topk_ivf_pq", oracle=_ivf_pq_oracle())

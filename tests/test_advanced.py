@@ -48,7 +48,11 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir, ann):
     """ANN top-10 must overlap the exact top-10 — the recall contract.
     Both variants should find a meaningful share of the true neighbors at
     this corpus size while scanning a bounded candidate fraction."""
-    exact = [r["vec_id"] for r in QUERIES["similarity_topk_cosine"](spark, sf_dir).collect()]
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        similarity_topk_cosine,
+    )
+
+    exact = [r["vec_id"] for r in similarity_topk_cosine(spark, sf_dir).collect()]
     ann_rows = QUERIES[ann](spark, sf_dir).collect()
     approx = [r["vec_id"] for r in ann_rows]
     assert len(approx) > 0

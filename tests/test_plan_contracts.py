@@ -25,10 +25,11 @@ _NESTED_LOOP_OK = {
     "similarity_ivf_topk",
     "similarity_lsh_bucketed",
     "stats_summary",
-    "similarity_pairs_threshold",
+    "similarity_brute",  # r10 merge: carries similarity_pairs_threshold
     "text_bm25",  # 1-row corpus-stats broadcast (N, avgdl)
     "bm25_topk_indexed",  # same 1-row stats broadcast, from the index
     "ann_topk_ivf_pq",  # shares similarity_ivf_topk's probe shape
+    "hybrid_topk",  # composes bm25's stats broadcast + the ANN probe shape
 }
 
 

@@ -47,6 +47,15 @@ QUERIES["join_semi_anti"] = join_semi_anti
 QUERIES["scalar_string_funcs"] = scalar_string_funcs
 QUERIES["window_running_lag"] = window_running_lag
 QUERIES["dedup_simhash_pairs"] = dedup_simhash_pairs
+# round-10 merge (slots ceded to hybrid_topk / web_corpus_from_crawl):
+# components of similarity_brute stay asserted directly
+from hive_serde_schema_gen_spark.operators.similarity import (  # noqa: E402
+    embedding_norms,
+    similarity_topk_cosine,
+)
+
+QUERIES["similarity_topk_cosine"] = similarity_topk_cosine
+QUERIES["embedding_norms"] = embedding_norms
 # round-9 merges (slots ceded to the round-8 library operators): components
 # of dedup_textual / rollup_agg / set_merge_ops stay asserted directly
 QUERIES["dedup_spans"] = dedup_spans
