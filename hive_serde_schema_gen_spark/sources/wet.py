@@ -325,6 +325,81 @@ def wet_documents_stream(spark: SparkSession, path: str) -> DataFrame:
 
 _HTTP_HDR_END = re.compile(rb"\r?\n\r?\n")
 
+# charset=<token> — works on both the HTTP Content-Type header value and
+# the raw <meta> bytes of an HTML head (attribute quoting optional).
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:-]+)", re.I)
+# HTML5's encoding prescan examines the first 1024 bytes for <meta>.
+_META_SNIFF_WINDOW = 1024
+
+# WHATWG Encoding Standard label→codec choices for the big real-crawl
+# offenders: latin-1 labels mean windows-1252 in browsers (the superset
+# every server that says iso-8859-1 actually serves), gb2312 means GBK,
+# shift_jis means windows-31j (cp932).  Everything else goes through
+# Python's codec registry by its own name.
+_CHARSET_ALIASES = {
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "us-ascii": "cp1252",
+    "ascii": "cp1252",
+    "gb2312": "gbk",
+    "gb_2312-80": "gbk",
+    "shift_jis": "cp932",
+    "shift-jis": "cp932",
+    "sjis": "cp932",
+    "x-sjis": "cp932",
+    "utf8": "utf-8",
+}
+
+
+def _resolve_charset(label: bytes):
+    """charset label bytes → Python codec name, or None if unknown (the
+    caller falls back to utf-8-replace rather than guessing)."""
+    import codecs
+
+    name = label.decode("ascii", "replace").strip().lower()
+    name = _CHARSET_ALIASES.get(name, name)
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        return None
+    return name
+
+
+def _decode_body(body: bytes, content_type) -> str:
+    """Charset-aware decode of an HTTP body (round-10: real crawls ship
+    latin-1 / shift-jis / gbk pages whose text the old utf-8-replace
+    decode mojibake'd before ``html_to_text`` ever saw it).  Precedence
+    per the WHATWG sniffing order:
+
+    1. a byte-order mark (UTF-8 / UTF-16 LE / BE) wins outright;
+    2. the HTTP ``Content-Type`` header's ``charset`` parameter;
+    3. an HTML ``<meta charset>`` / ``http-equiv`` declaration within the
+       first 1024 bytes (the spec's prescan window), matched on RAW bytes
+       so the sniff itself needs no decode;
+    4. fallback: utf-8 with replacement (unchanged prior behavior).
+
+    Always ``errors="replace"`` — a lying charset degrades to U+FFFD
+    noise, never a parse abort.  Only the extracted body is ever decoded;
+    the Content-Length record walk stays on raw bytes."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return body.decode("utf-8-sig", "replace")
+    if body[:2] == b"\xff\xfe":
+        return body.decode("utf-16-le", "replace")[1:]
+    if body[:2] == b"\xfe\xff":
+        return body.decode("utf-16-be", "replace")[1:]
+    codec = None
+    if content_type:
+        m = _CHARSET_RE.search(content_type.encode("ascii", "replace"))
+        if m:
+            codec = _resolve_charset(m.group(1))
+    if codec is None:
+        m = _CHARSET_RE.search(body[:_META_SNIFF_WINDOW])
+        if m:
+            codec = _resolve_charset(m.group(1))
+    return body.decode(codec or "utf-8", "replace")
+
 
 def _split_http_payload(payload: bytes):
     """A WARC ``response`` record's payload is a full HTTP response:
@@ -410,7 +485,7 @@ def _warc_records_of(
                     rows.append(
                         (
                             rid, url, date, status, ctype,
-                            len(body), body.decode("utf-8", "replace"),
+                            len(body), _decode_body(body, ctype),
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)

@@ -517,3 +517,134 @@ def test_web_corpus_from_crawl_warc_kind(spark, tmp_path):
     ).collect()
     assert len(manifest) == 1
     assert manifest[0]["n_chunks"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Round-10: charset-aware body decode (HTTP header / <meta> / BOM sniffing)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_charset_from_http_header_latin1(spark, tmp_path):
+    """A page declaring charset=iso-8859-1 in the HTTP header decodes via
+    windows-1252 (the WHATWG label mapping), not mojibake'd utf-8."""
+    from hive_serde_schema_gen_spark.sources.wet import read_warc_responses
+
+    text = "caféré à côté"
+    body = f"<html><body><p>{text}</p></body></html>".encode("latin-1")
+    f = tmp_path / "l1.warc"
+    f.write_bytes(
+        _warc_response(
+            "cs-1", "https://l.org/a", 200,
+            "text/html; charset=iso-8859-1", body,
+        )
+    )
+    rows = read_warc_responses(spark, str(f)).collect()
+    assert len(rows) == 1
+    assert text in rows[0]["text"]
+    assert "�" not in rows[0]["text"]
+
+
+def test_warc_charset_from_meta_tag_shift_jis(spark, tmp_path):
+    """No charset in the HTTP header: the <meta> declaration within the
+    1024-byte prescan window drives the decode (shift_jis → cp932)."""
+    from hive_serde_schema_gen_spark.sources.wet import read_warc_responses
+
+    text = "日本語のページです"
+    html = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=shift_jis"></head>'
+        f"<body><p>{text}</p></body></html>"
+    )
+    body = html.encode("cp932")
+    f = tmp_path / "sj.warc"
+    f.write_bytes(
+        _warc_response("cs-2", "https://j.example/p", 200, "text/html", body)
+    )
+    rows = read_warc_responses(spark, str(f)).collect()
+    assert len(rows) == 1
+    assert text in rows[0]["text"]
+    assert "�" not in rows[0]["text"]
+
+
+def test_warc_charset_header_beats_meta(spark, tmp_path):
+    """HTTP-header charset outranks a conflicting <meta> (the WHATWG
+    precedence): a cp932 body whose meta lies utf-8 still decodes right
+    when the header says shift_jis."""
+    from hive_serde_schema_gen_spark.sources.wet import read_warc_responses
+
+    text = "表計算ソフト"
+    html = f'<html><head><meta charset="utf-8"></head><body>{text}</body></html>'
+    body = html.encode("cp932")
+    f = tmp_path / "hm.warc"
+    f.write_bytes(
+        _warc_response(
+            "cs-3", "https://j.example/q", 200,
+            "text/html; charset=shift_jis", body,
+        )
+    )
+    rows = read_warc_responses(spark, str(f)).collect()
+    assert text in rows[0]["text"]
+
+
+def test_warc_charset_bom_wins(spark, tmp_path):
+    """A UTF-8 BOM outranks everything — and is stripped from the text."""
+    from hive_serde_schema_gen_spark.sources.wet import read_warc_responses
+
+    text = "straße"
+    body = b"\xef\xbb\xbf" + f"<html><body>{text}</body></html>".encode("utf-8")
+    f = tmp_path / "bom.warc"
+    f.write_bytes(
+        _warc_response(
+            "cs-4", "https://b.example/r", 200,
+            "text/html; charset=iso-8859-1", body,
+        )
+    )
+    rows = read_warc_responses(spark, str(f)).collect()
+    assert text in rows[0]["text"]
+    assert "﻿" not in rows[0]["text"]
+
+
+def test_warc_charset_unknown_falls_back_utf8(spark, tmp_path):
+    """A bogus charset label degrades to the prior utf-8-replace behavior,
+    never an abort; valid UTF-8 pages are bit-identical to before."""
+    from hive_serde_schema_gen_spark.sources.wet import read_warc_responses
+
+    text = "plain utf-8 Ωμέγα"
+    body = f"<html><body>{text}</body></html>".encode("utf-8")
+    f = tmp_path / "bogus.warc"
+    f.write_bytes(
+        _warc_response(
+            "cs-5", "https://u.example/s", 200,
+            "text/html; charset=no-such-encoding-9x", body,
+        )
+        + _warc_response("cs-6", "https://u.example/t", 200, "text/html", body)
+    )
+    rows = {
+        r["warc_record_id"]: r
+        for r in read_warc_responses(spark, str(f)).collect()
+    }
+    assert text in rows["<urn:uuid:cs-5>"]["text"]
+    assert text in rows["<urn:uuid:cs-6>"]["text"]
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The pure-Python XXH64 (functions.xxh) that precomputes the crawl
+    slot's oracle id mapping must equal Spark's F.xxhash64 bit-for-bit —
+    over the actual record-id shapes plus length-edge cases (empty,
+    <4, <8, <32, >=32 bytes)."""
+    from pyspark.sql import functions as F
+
+    from hive_serde_schema_gen_spark.functions.xxh import xxhash64
+    from hive_serde_schema_gen_spark.operators.corpus import _crawl_record_id
+
+    samples = [_crawl_record_id(o) for o in (0, 7, 59, 119)] + [
+        "", "a", "abc", "abcdefg", "0123456789abcdef",
+        "x" * 31, "x" * 32, "x" * 100, "日本語テキスト",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    for s in samples:
+        assert got[s] == xxhash64(s.encode("utf-8")), s
