@@ -12,6 +12,38 @@ per-process one-off costs (3-4 s for the codegen-heavy queries) that a
 long-lived cluster amortizes to zero, so the timed numbers measure the
 per-SF marginal cost — the quantity that actually extrapolates to 100 TB.
 Set SPARK_GRAFT_COLD=1 to skip the warmup and measure cold-start instead.
+
+Calibration — making host noise attributable: this box's throughput
+drifts between rounds (r8→r9 showed a uniform 1.22-1.62× multiplier on
+byte-identical query code — a sustained slow host window that min-of-N
+interleaving cannot correct).  To make such drift *measurable*, every
+timed sweep also runs four FROZEN synthetic workloads in the same
+session, one per execution regime the headline queries live in:
+
+  - jvm:     128M-row xxhash64 chain → bit_xor.  Pure whole-stage-codegen
+             CPU across all 32 cores, zero I/O.
+  - scan:    parquet scan of lineitem at the bench SF → row-hash bit_xor.
+             Parquet decode + page-cache/disk regime.
+  - shuffle: 8M rows → 100k-key groupBy → re-aggregate.  Exchange +
+             hash-aggregate machinery.
+  - arrow:   16M rows through a mapInPandas multiply-reduce.  The
+             Python-worker + Arrow-serialization regime
+             (infer_props_schema, multimodal live here).
+
+All four produce deterministic results that are ASSERTED every run (the
+scan constant is per-SF: asserted for sweep-to-sweep stability always,
+and against the recorded sf0.1 constant when benching sf0.1), so the
+yardstick can never silently change shape.  The JSON line reports
+per-component `calibration` times (min-of-N, same estimator as the
+queries), per-component drift factors, a combined `host_factor`
+(Σ measured / Σ reference — the component mix approximates the headline
+mix), and `queries_norm` = raw / host_factor.  The reference constants
+below were recorded in round 10 in a full bench run on this host
+(BASELINE.md §measurement-protocol); a future round that sees raw
+numbers drift while `queries_norm` holds steady has *proven* the drift
+is the host, not the code — and the per-component factors say WHICH
+regime (e.g. r10 measured Python-worker drift at 2.7× while JVM CPU sat
+at 1.08×, invisible to any single-factor design).
 """
 
 from __future__ import annotations
@@ -42,6 +74,87 @@ HEADLINE = [
     "infer_props_schema",
 ]
 
+# Reference calibration times (sec), recorded round 10 (2026-08-14) from a
+# full bench run on the then-current host window; BENCH_r10.json's raw
+# numbers were taken in the same kind of session, so host_factor ≈ 1.0
+# defines that round's window as the yardstick.  Do not retune these
+# casually: the whole point is that they stay FIXED so cross-round host
+# drift shows up in host_factor instead of silently inflating per-query
+# seconds.
+CAL_REF = {"jvm": 0.57, "scan": 0.30, "shuffle": 1.00, "arrow": 2.50}
+
+# Deterministic results of the calibration workloads — asserted on every
+# run so the yardstick can never silently change shape.  `scan` hashes
+# real table bytes, so its constant is per-SF; only the sf0.1 value (the
+# driver's bench SF) is pinned — at other SFs the run asserts
+# sweep-to-sweep stability instead.
+_CAL_EXPECT = {
+    "jvm": -6366918926092166270,
+    "shuffle": -8696676770792073530,
+    "arrow": 33176928256,
+}
+_CAL_EXPECT_SCAN_SF01 = 8129958389196522784
+
+
+def _calibration_jobs(spark, sf_dir):
+    """Fixed synthetic workloads timed alongside the headline queries — one
+    per execution regime (see module docstring).  FROZEN: edits here
+    invalidate every prior round's host_factor comparison.
+
+    Returns {name: thunk} where each thunk runs the workload and returns
+    its (deterministic) scalar result.  Sized so one sweep costs ~2.5 s:
+    large enough that scheduler jitter is <10% of each reading, small
+    enough not to dominate the bench.
+    """
+    from pyspark.sql import functions as F
+
+    def jvm():
+        df = spark.range(0, 32 * 4_000_000, 1, 32)
+        expr = F.col("id")
+        for _ in range(8):
+            expr = F.xxhash64(expr)
+        return df.select(F.bit_xor(expr).alias("s")).collect()[0][0]
+
+    def scan():
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            df.select(
+                F.xxhash64(
+                    "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+                ).alias("h")
+            )
+            .agg(F.bit_xor("h").alias("s"))
+            .collect()[0][0]
+        )
+
+    def shuffle():
+        df = spark.range(0, 8_000_000, 1, 32)
+        g = df.groupBy((F.col("id") % 100_000).alias("k")).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("id")).alias("x"),
+        )
+        return g.agg(
+            F.bit_xor(F.xxhash64("k", "c", "x")).alias("s")
+        ).collect()[0][0]
+
+    def arrow():
+        import pandas as pd
+
+        def work(it):
+            for pdf in it:
+                yield pd.DataFrame(
+                    {"x": [int((pdf["id"] * 2654435761 % 2**31).sum())]}
+                )
+
+        return (
+            spark.range(0, 32 * 500_000, 1, 32)
+            .mapInPandas(work, schema="x long")
+            .agg(F.bit_xor("x").alias("s"))
+            .collect()[0][0]
+        )
+
+    return {"jvm": jvm, "scan": scan, "shuffle": shuffle, "arrow": arrow}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,6 +176,17 @@ def main() -> None:
     queries["dedup_minhash_lsh_xxhash64"] = lambda s, d: minhash_lsh_pairs(
         s, d, hash_fn="xxhash64"
     )
+
+    # Registry-retired in round 10 (merged into the similarity_brute slot)
+    # but kept as headline entries under their own names so the per-query
+    # series stays comparable across rounds.
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        embedding_norms,
+        similarity_topk_cosine,
+    )
+
+    queries["similarity_topk_cosine"] = similarity_topk_cosine
+    queries["embedding_norms"] = embedding_norms
 
     # warmup: JVM + parquet footer reads + Python worker pool, then one
     # tiny-SF pass per headline query to compile its codegen stages (see
@@ -93,12 +217,41 @@ def main() -> None:
     # onto the flat part of that curve.  (Skipped in COLD mode, which
     # exists precisely to measure the unwarmed state.)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    cal_jobs = _calibration_jobs(spark, sf_dir)
     if os.environ.get("SPARK_GRAFT_COLD", "0") != "1":
+        for job in cal_jobs.values():
+            job()
         for name in HEADLINE:
             queries[name](spark, sf_dir).collect()
             spark.catalog.clearCache()
     timings = {}
+    cal_timings = {}
+    cal_results = {}
     for _ in range(reps):
+        # Calibration first in each sweep: if a slow host window spans the
+        # sweep, it inflates the calibration reading by the same factor as
+        # the query readings taken seconds later.
+        for cal_name, job in cal_jobs.items():
+            # Two back-to-back runs per sweep: the calibration jobs are
+            # cheap relative to the queries, and the min-of-6 (vs min-of-3)
+            # materially tightens the noisier components (shuffle/arrow).
+            for _inner in range(2):
+                t0 = time.perf_counter()
+                result = job()
+                dt = time.perf_counter() - t0
+                expect = _CAL_EXPECT.get(cal_name, cal_results.get(cal_name))
+                if cal_name == "scan" and abs((sf or 0) - 0.1) < 1e-9:
+                    expect = _CAL_EXPECT_SCAN_SF01
+                assert expect is None or result == expect, (
+                    f"calibration workload '{cal_name}' changed: {result}"
+                )
+                cal_results[cal_name] = result
+                prev = cal_timings.get(cal_name)
+                cal_timings[cal_name] = dt if prev is None else min(prev, dt)
         for name in HEADLINE:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
@@ -107,11 +260,22 @@ def main() -> None:
             prev = timings.get(name)
             timings[name] = dt if prev is None else min(prev, dt)
     timings = {name: round(dt, 3) for name, dt in timings.items()}
+    cal_timings = {name: round(dt, 3) for name, dt in cal_timings.items()}
+    # Combined factor: total measured calibration cost over total
+    # reference cost — the four-regime mix approximates the headline mix,
+    # and every regime enters so e.g. a Python-worker-only slowdown
+    # (distinct failure signature from JVM CPU contention) still moves the
+    # factor.  The per-component factors stay in the JSON for attribution.
+    host_factor = round(
+        sum(cal_timings.values()) / sum(CAL_REF.values()), 3
+    )
+    cal_factors = {
+        name: round(cal_timings[name] / CAL_REF[name], 3) for name in CAL_REF
+    }
+    queries_norm = {
+        name: round(dt / host_factor, 3) for name, dt in timings.items()
+    }
 
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = None
     print(
         json.dumps(
             {
@@ -120,6 +284,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": cal_timings,
+                "calibration_sec": round(sum(cal_timings.values()), 3),
+                "calibration_ref": CAL_REF,
+                "calibration_factors": cal_factors,
+                "host_factor": host_factor,
+                "value_norm": round(sum(queries_norm.values()), 3),
+                "queries_norm": queries_norm,
             }
         )
     )
