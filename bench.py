@@ -188,6 +188,15 @@ def main() -> None:
     queries["similarity_topk_cosine"] = similarity_topk_cosine
     queries["embedding_norms"] = embedding_norms
 
+    # The registry slot became a tagged union (props + --infer-maps) in
+    # round 10; the headline keeps timing the original props-only
+    # inference so its series stays comparable.
+    from hive_serde_schema_gen_spark.operators.inference import (
+        infer_props_schema,
+    )
+
+    queries["infer_props_schema"] = infer_props_schema
+
     # warmup: JVM + parquet footer reads + Python worker pool, then one
     # tiny-SF pass per headline query to compile its codegen stages (see
     # module docstring)

@@ -74,38 +74,44 @@ def build_minhash_index(
     path: str,
     max_df: float | None = None,
     n_files: int = 32,
+    owner: str | None = None,
 ) -> None:
     """Build the persisted index from a (doc_id, text) corpus.
 
     One corpus pass: shingle → signatures (one map-side-combined groupBy)
     → bands.  The bands relation is range-clustered on (band, band_key) at
     write time so probe-side lookups skip row groups; signatures cluster
-    on doc_id for the verification join."""
+    on doc_id for the verification join.  Mutating writers hold the
+    single-writer lease (``manifest.index_writer_lock``)."""
+    from ..sources.manifest import index_writer_lock
+
     spark = docs.sparkSession
-    mh = _signatures(docs, max_df).localCheckpoint()
-    bands = band_keys_from_signatures(mh, "xxhash64")
-    (
-        bands.repartitionByRange(n_files, "band", "band_key")
-        .sortWithinPartitions("band", "band_key")
-        .write.mode("overwrite")
-        .parquet(f"{path}/bands")
-    )
-    (
-        mh.withColumn("epoch", F.lit(None).cast("long"))
-        .repartitionByRange(max(1, n_files // 4), "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{path}/sigs")
-    )
-    spark.createDataFrame(
-        [(INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, "xxhash64", max_df)],
-        "version int, n_hashes int, band_size int, shingle int, "
-        "hash_fn string, max_df double",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with index_writer_lock(spark, path, owner):
+        mh = _signatures(docs, max_df).localCheckpoint()
+        bands = band_keys_from_signatures(mh, "xxhash64")
+        (
+            bands.repartitionByRange(n_files, "band", "band_key")
+            .sortWithinPartitions("band", "band_key")
+            .write.mode("overwrite")
+            .parquet(f"{path}/bands")
+        )
+        (
+            mh.withColumn("epoch", F.lit(None).cast("long"))
+            .repartitionByRange(max(1, n_files // 4), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/sigs")
+        )
+        spark.createDataFrame(
+            [(INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, "xxhash64", max_df)],
+            "version int, n_hashes int, band_size int, shingle int, "
+            "hash_fn string, max_df double",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def extend_minhash_index(
-    docs: DataFrame, path: str, epoch: int | None = None
+    docs: DataFrame, path: str, epoch: int | None = None,
+    owner: str | None = None,
 ) -> None:
     """Append a new batch's bands + signatures to an existing index (run
     AFTER dedup: index the batch's SURVIVORS, or every later batch matches
@@ -120,15 +126,24 @@ def extend_minhash_index(
     epoch id — the attribution ``streaming/ingest.py`` uses to tell a
     REPLAY of the same epoch (ids must pass, the write is idempotent)
     from a cross-epoch RE-DELIVERY of an already-accepted id (ids must be
-    rejected).  Batch/compaction writers leave it None."""
-    max_df = _check_meta(docs.sparkSession, path)
-    mh = _signatures(docs, max_df).localCheckpoint()
-    band_keys_from_signatures(mh, "xxhash64").write.mode("append").parquet(
-        f"{path}/bands"
-    )
-    mh.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
-        "append"
-    ).parquet(f"{path}/sigs")
+    rejected).  Batch/compaction writers leave it None.
+
+    Holds the single-writer lease for the append (an extend racing a
+    compaction would otherwise lose its batch to the swap — ConflictError
+    instead, nothing lost).  Streaming writers pass their stable pipeline
+    identity as ``owner`` so a post-crash restart re-acquires its own
+    stale lease instead of deadlocking."""
+    from ..sources.manifest import index_writer_lock
+
+    with index_writer_lock(docs.sparkSession, path, owner):
+        max_df = _check_meta(docs.sparkSession, path)
+        mh = _signatures(docs, max_df).localCheckpoint()
+        band_keys_from_signatures(mh, "xxhash64").write.mode("append").parquet(
+            f"{path}/bands"
+        )
+        mh.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
+            "append"
+        ).parquet(f"{path}/sigs")
 
 
 def _check_meta(spark: SparkSession, path: str) -> float | None:
@@ -218,7 +233,8 @@ def novel_docs(new_docs: DataFrame, matches: DataFrame) -> DataFrame:
 
 
 def compact_minhash_index(
-    spark: SparkSession, path: str, n_files: int = 32
+    spark: SparkSession, path: str, n_files: int = 32,
+    owner: str | None = None,
 ) -> None:
     """Rewrite an appended-to MinHash index back into its initial-build
     clustering — the compaction ``extend_minhash_index`` documents
@@ -244,21 +260,25 @@ def compact_minhash_index(
     only on row content); pinned with a pre/post ``dedup_against_index``
     equality test in tests/test_index_compaction.py.  Swap semantics are
     ``text_index._swap_rewrite``'s (delete+rename; run under the manifest
-    layer for crash-safe swaps)."""
+    layer for crash-safe swaps).  The whole rewrite holds the
+    single-writer lease — a concurrent extend gets ``ConflictError``
+    instead of losing its batch to the swap."""
+    from ..sources.manifest import index_writer_lock
     from .text_index import _swap_rewrite
 
-    _check_meta(spark, path)
-    bands = spark.read.parquet(f"{path}/bands").distinct()
-    _swap_rewrite(
-        spark, path, "bands",
-        lambda tmp: bands.repartitionByRange(n_files, "band", "band_key")
-        .sortWithinPartitions("band", "band_key")
-        .write.parquet(tmp),
-    )
-    sigs = spark.read.parquet(f"{path}/sigs").distinct()
-    _swap_rewrite(
-        spark, path, "sigs",
-        lambda tmp: sigs.repartitionByRange(max(1, n_files // 4), "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.parquet(tmp),
-    )
+    with index_writer_lock(spark, path, owner):
+        _check_meta(spark, path)
+        bands = spark.read.parquet(f"{path}/bands").distinct()
+        _swap_rewrite(
+            spark, path, "bands",
+            lambda tmp: bands.repartitionByRange(n_files, "band", "band_key")
+            .sortWithinPartitions("band", "band_key")
+            .write.parquet(tmp),
+        )
+        sigs = spark.read.parquet(f"{path}/sigs").distinct()
+        _swap_rewrite(
+            spark, path, "sigs",
+            lambda tmp: sigs.repartitionByRange(max(1, n_files // 4), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.parquet(tmp),
+        )

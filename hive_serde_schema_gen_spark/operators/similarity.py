@@ -1629,7 +1629,9 @@ def similarity_ivf_pq_topk(spark, sf_dir):
 IVF_INDEX_VERSION = 1
 
 
-def persist_ivf_index(e: DataFrame, path: str) -> None:
+def persist_ivf_index(
+    e: DataFrame, path: str, owner: str | None = None
+) -> None:
     """Write ``build_ivf_index``'s artifact to disk in the layout its
     docstring promises: ``cells/`` is the (vec_id, q) table HIVE-PARTITIONED
     on the IVF cell, so a probe's ``cell IN (probed…)`` filter prunes at
@@ -1643,28 +1645,33 @@ def persist_ivf_index(e: DataFrame, path: str) -> None:
 
     This is the same ingest-artifact discipline as the BM25 and MinHash
     indexes: one corpus-pass build amortized across every subsequent
-    query, with the probe cost bounded by the probed partitions."""
+    query, with the probe cost bounded by the probed partitions — and
+    the same round-10 single-writer lease (``manifest.index_writer_lock``)
+    excluding concurrent mutators."""
+    from ..sources.manifest import index_writer_lock
+
     spark = e.sparkSession
-    cents, assigned = build_ivf_index(e)
-    (
-        assigned.repartition("cell")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
-    )
-    spark.createDataFrame(
-        [
-            (cell, pos, int(c))
-            for cell, vec in cents.items()
-            for pos, c in enumerate(vec)
-        ],
-        "cell int, pos int, c long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [(IVF_INDEX_VERSION, N_CENTROIDS, N_PROBE, KMEANS_ITERS)],
-        "version int, n_centroids int, n_probe int, kmeans_iters int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with index_writer_lock(spark, path, owner):
+        cents, assigned = build_ivf_index(e)
+        (
+            assigned.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
+        spark.createDataFrame(
+            [
+                (cell, pos, int(c))
+                for cell, vec in cents.items()
+                for pos, c in enumerate(vec)
+            ],
+            "cell int, pos int, c long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [(IVF_INDEX_VERSION, N_CENTROIDS, N_PROBE, KMEANS_ITERS)],
+            "version int, n_centroids int, n_probe int, kmeans_iters int",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _check_ivf_meta(spark, path: str) -> None:
@@ -1717,7 +1724,9 @@ def ann_topk_ivf_persisted(
     return _rerank_candidates(cand_q, qvec, k)
 
 
-def extend_ivf_index(e_new: DataFrame, path: str) -> None:
+def extend_ivf_index(
+    e_new: DataFrame, path: str, owner: str | None = None
+) -> None:
     """Incrementally add a batch of vectors to a persisted IVF index —
     the FAISS ``add()`` contract: new vectors are assigned to the
     EXISTING centroids (no retraining — cost is O(batch), one broadcast
@@ -1729,30 +1738,35 @@ def extend_ivf_index(e_new: DataFrame, path: str) -> None:
     Centroid drift is the documented trade: a corpus whose distribution
     moves will pack new mass into few cells and probe recall decays —
     re-train by re-running :func:`persist_ivf_index` over the union when
-    cell-size diagnostics (`cells/` row counts per partition) skew."""
+    cell-size diagnostics (`cells/` row counts per partition) skew.
+    Holds the single-writer lease: an extend racing a retrain
+    (``persist_ivf_index`` overwrite) would otherwise be lost."""
+    from ..sources.manifest import index_writer_lock
+
     spark = e_new.sparkSession
-    _check_ivf_meta(spark, path)
-    rows = spark.read.parquet(f"{path}/centroids").collect()
-    by_cell: dict = {}
-    for r in rows:
-        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
-    cents = {
-        cell: [v[p] for p in range(len(v))] for cell, v in by_cell.items()
-    }
-    eq = e_new.select(
-        "vec_id", F.posexplode(quantized("embedding")).alias("pos", "v")
-    ).localCheckpoint()
-    assigned = (
-        e_new.select("vec_id", quantized("embedding").alias("q"))
-        .join(_cell_assignments(eq, cents), "vec_id")
-    )
-    (
-        assigned.repartition("cell")
-        .sortWithinPartitions("vec_id")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
-    )
+    with index_writer_lock(spark, path, owner):
+        _check_ivf_meta(spark, path)
+        rows = spark.read.parquet(f"{path}/centroids").collect()
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+        cents = {
+            cell: [v[p] for p in range(len(v))] for cell, v in by_cell.items()
+        }
+        eq = e_new.select(
+            "vec_id", F.posexplode(quantized("embedding")).alias("pos", "v")
+        ).localCheckpoint()
+        assigned = (
+            e_new.select("vec_id", quantized("embedding").alias("q"))
+            .join(_cell_assignments(eq, cents), "vec_id")
+        )
+        (
+            assigned.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
 
 
 def ivf_cell_stats(spark, path: str) -> DataFrame:

@@ -258,3 +258,99 @@ class ManifestTable:
 
 class ConflictError(RuntimeError):
     """Another writer committed first — re-read and retry."""
+
+
+# ---------------------------------------------------------------------------
+# Round-10: single-writer lease for append-only index directories
+# ---------------------------------------------------------------------------
+
+_LOCK_NAME = ".writer-lock"
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+
+class index_writer_lock:
+    """Single-writer mutex over an append-only index directory — ENFORCES
+    the rule the round-9 compaction docstrings only documented: an extend
+    racing a compaction would have its appended files silently dropped by
+    the swap (the rewrite's input listing predates the append), so
+    mutating writers must exclude each other.
+
+    Built on the same primitive the manifest commit protocol rests on:
+    Hadoop ``FileSystem.create(overwrite=false)`` is atomic on HDFS/local
+    (object stores need a CAS service, exactly the manifest-layer caveat).
+    The lock file records its holder, so the loser's ``ConflictError``
+    names who is in flight.
+
+    ``owner``: a stable pipeline identity (e.g. a streaming query's
+    checkpoint id).  A held lock whose recorded owner EQUALS ``owner``
+    is re-acquired instead of refused — a restart of the same pipeline
+    after a crash mid-batch must not deadlock on its own stale lease.
+    Two writers sharing an owner string forfeit mutual exclusion; owners
+    therefore name ONE logical writer, never a writer class.
+
+    A crashed anonymous writer leaves a stale lock: verify the writer is
+    dead, then :func:`break_index_lock`.  READERS never touch the lock —
+    probes stay lock-free (the append-only artifacts make any point-in-
+    time file listing a coherent index; only rewrites need exclusion,
+    and those writers hold this lease)."""
+
+    def __init__(self, spark: SparkSession, path: str, owner: str | None = None):
+        self.spark = spark
+        self.path = path
+        self.owner = owner
+
+    def _read_owner(self, fs, lock) -> str:
+        try:
+            stream = fs.open(lock)
+            try:
+                data = bytes(
+                    stream.readAllBytes()
+                    if hasattr(stream, "readAllBytes")
+                    else b""
+                )
+            finally:
+                stream.close()
+            return data.decode("utf-8", "replace")
+        except Exception:
+            return ""
+
+    def __enter__(self):
+        fs, hpath = _hadoop(self.spark, self.path)
+        lock = hpath(f"{self.path}/{_LOCK_NAME}")
+        token = (self.owner or "").encode("utf-8")
+        try:
+            out = fs.create(lock, False)  # atomic create-exclusive
+            try:
+                out.write(token)
+            finally:
+                out.close()
+            return self
+        except Exception:
+            holder = self._read_owner(fs, lock)
+            if self.owner is not None and holder == self.owner:
+                return self  # same pipeline re-entering after a restart
+            raise ConflictError(
+                f"index at {self.path} has a writer in flight"
+                + (f" (owner {holder!r})" if holder else "")
+                + " — extends and compactions are single-writer; retry "
+                "after it finishes, or break_index_lock() if it is dead"
+            ) from None
+
+    def __exit__(self, *exc):
+        fs, hpath = _hadoop(self.spark, self.path)
+        fs.delete(hpath(f"{self.path}/{_LOCK_NAME}"), False)
+        return False
+
+
+def break_index_lock(spark: SparkSession, path: str) -> bool:
+    """Remove a stale writer lease (after verifying the writer is dead —
+    this is the manual recovery step, never an automatic timeout).
+    Returns True if a lock existed."""
+    fs, hpath = _hadoop(spark, path)
+    return bool(fs.delete(hpath(f"{path}/{_LOCK_NAME}"), False))

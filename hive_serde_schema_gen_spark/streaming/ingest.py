@@ -105,7 +105,13 @@ def process_ingest_batch(
         return
     # deterministic per-epoch dir + overwrite = replay-idempotent
     novel.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-    extend_minhash_index(novel, index_path, epoch=epoch_id)
+    # owner = the pipeline's stable identity (one ingest query per output
+    # corpus): a post-crash restart re-acquires its own stale writer lease
+    # instead of deadlocking on it, while a FOREIGN writer (a maintenance
+    # compaction) still conflicts loudly.
+    extend_minhash_index(
+        novel, index_path, epoch=epoch_id, owner=f"ingest:{out_path}"
+    )
 
 
 def start_ingest_dedup(
@@ -170,5 +176,7 @@ def process_ingest_batch_manifest(
     novel = _novel_for_batch(batch, index_path, intra_batch, epoch_id)
     if novel is None:
         return
-    extend_minhash_index(novel, index_path, epoch=epoch_id)
+    extend_minhash_index(
+        novel, index_path, epoch=epoch_id, owner=f"ingest:{table.path}"
+    )
     table.commit_once(novel, key=epoch_id)
