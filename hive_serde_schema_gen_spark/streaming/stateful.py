@@ -21,6 +21,24 @@ try:  # structured-streaming stateful API (present in pyspark >= 3.4)
 except ImportError:  # pragma: no cover
     HAVE_STATE_API = False
 
+
+def _require_state_api() -> None:
+    """Fail fast WITH the version contract (README pins the floor): the
+    registered ``streaming_window_counts`` slot depends on this API, so
+    an unsupported PySpark must name the floor and the fallback, never
+    raise a bare NotImplementedError at driver time."""
+    if not HAVE_STATE_API:  # pragma: no cover
+        import pyspark
+
+        raise NotImplementedError(
+            "applyInPandasWithState requires pyspark >= 3.4 (found "
+            f"{pyspark.__version__}); the streaming_window_counts slot's "
+            "stateful component depends on it — upgrade PySpark, or use "
+            "the stateless windowed-aggregation path in streaming/"
+            "windows.py which expresses the same counters without custom "
+            "state"
+        )
+
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 STATE_SCHEMA = "n long, total double"
 
@@ -41,8 +59,7 @@ def _update(
 def running_user_totals(stream_df):
     """events stream → per-user running (count, total value), updated each
     micro-batch."""
-    if not HAVE_STATE_API:  # pragma: no cover
-        raise NotImplementedError("pyspark streaming state API unavailable")
+    _require_state_api()
     return (
         stream_df.select("user_id", "value")
         .groupBy("user_id")
@@ -83,8 +100,7 @@ def running_user_cents(stream_df):
     matter how the stream is micro-batched — which is what lets this
     operator sit inside a driver-hashed correctness row
     (``streaming_window_counts``) rather than a rows-only check."""
-    if not HAVE_STATE_API:  # pragma: no cover
-        raise NotImplementedError("pyspark streaming state API unavailable")
+    _require_state_api()
     from pyspark.sql import functions as F
 
     return (

@@ -125,3 +125,52 @@ def test_windowed_agg_runs_in_append_mode(spark, sf_dir):
         n = df.count()
     assert seen_modes == ["append", "update"]
     assert n > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-10: the PySpark version contract for applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+
+def test_state_api_present_on_supported_pyspark():
+    """This environment (pyspark >= 3.4 per README's floor) must expose
+    the stateful API — HAVE_STATE_API False here means an environment
+    regression, not an acceptable fallback."""
+    import pyspark
+
+    from hive_serde_schema_gen_spark.streaming import stateful
+
+    major, minor = (int(x) for x in pyspark.__version__.split(".")[:2])
+    assert (major, minor) >= (3, 4)
+    assert stateful.HAVE_STATE_API is True
+
+
+def test_missing_state_api_names_the_version_floor(monkeypatch):
+    """On an unsupported PySpark the stateful operators fail FAST with the
+    documented contract — the floor, the dependent slot, and the
+    stateless fallback — never a bare NotImplementedError at driver
+    time."""
+    import pytest as _pytest
+
+    from hive_serde_schema_gen_spark.streaming import stateful
+
+    monkeypatch.setattr(stateful, "HAVE_STATE_API", False)
+    with _pytest.raises(NotImplementedError) as ei:
+        stateful.running_user_cents(None)
+    msg = str(ei.value)
+    assert "pyspark >= 3.4" in msg
+    assert "streaming_window_counts" in msg
+    assert "windows.py" in msg
+    with _pytest.raises(NotImplementedError):
+        stateful.running_user_totals(None)
+
+
+@pytest.mark.skip(
+    reason="documents the fallback story only: on pyspark < 3.4 the "
+    "stateful component is unavailable by design and the "
+    "streaming_window_counts slot's stateful rows would be served by the "
+    "stateless windowed-aggregation path (streaming/windows.py); this "
+    "repo pins >= 3.4 so the branch is never exercised here"
+)
+def test_fallback_on_old_pyspark():  # pragma: no cover
+    pass
