@@ -188,6 +188,16 @@ def main() -> None:
     queries["similarity_topk_cosine"] = similarity_topk_cosine
     queries["embedding_norms"] = embedding_norms
 
+    # Same treatment for the round-10 text_quality_lang merge: the headline
+    # keeps timing the components under their original names.
+    from hive_serde_schema_gen_spark.operators.text import (
+        text_lang_id,
+        text_quality_score,
+    )
+
+    queries["text_quality_score"] = text_quality_score
+    queries["text_lang_id"] = text_lang_id
+
     # The registry slot became a tagged union (props + --infer-maps) in
     # round 10; the headline keeps timing the original props-only
     # inference so its series stays comparable.

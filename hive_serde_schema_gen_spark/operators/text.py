@@ -142,21 +142,15 @@ def quality_features(docs):
     return feat.select("*", quality)
 
 
-@query(
-    "text_quality_score",
-    oracle=f"""
-    WITH {_sql_quality_cte()}
-    SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords, quality
-    FROM qual ORDER BY doc_id
-    """,
-)
-def text_quality_score(spark, sf_dir):
+def text_quality_score(spark, sf_dir, sort: bool = True):
     """Heuristic document quality per row — see ``quality_features`` for
-    the shared definition."""
+    the shared definition.  Registry-merged into ``text_quality_lang``
+    (the quality + language-ID tagged union) in round 10."""
     d = load_table(spark, sf_dir, "documents")
-    return quality_features(d).select(
+    out = quality_features(d).select(
         "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords", "quality"
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if sort else out
 
 
 def _lang_score_sql(langs=("en", "de", "fr", "es", "zh")):
@@ -169,9 +163,7 @@ def _lang_score_sql(langs=("en", "de", "fr", "es", "zh")):
     return ",\n               ".join(cols)
 
 
-@query(
-    "text_lang_id",
-    oracle=f"""
+_LANG_ID_SQL = f"""
     WITH scores AS (
         SELECT doc_id, lang,
                {_lang_score_sql()}
@@ -184,13 +176,15 @@ def _lang_score_sql(langs=("en", "de", "fr", "es", "zh")):
              WHEN s_es >= s_zh THEN 'es'
              ELSE 'zh'
            END AS predicted
-    FROM scores ORDER BY doc_id
-    """,
-)
-def text_lang_id(spark, sf_dir):
+    FROM scores
+"""
+
+
+def text_lang_id(spark, sf_dir, sort: bool = True):
     """Stopword-profile language ID: count profile hits per language, argmax
     with a fixed tie-break order (en > de > fr > es > zh).  The fixed CASE
-    chain makes the argmax deterministic in both engines."""
+    chain makes the argmax deterministic in both engines.  Registry-merged
+    into ``text_quality_lang`` in round 10."""
     d = load_table(spark, sf_dir, "documents")
     # Tokenize ONCE into a materialized array column: the five per-language
     # filters would otherwise each inline (and re-execute) the split — 5×
@@ -225,7 +219,58 @@ def text_lang_id(spark, sf_dir):
         .otherwise("zh")
         .alias("predicted")
     )
-    return scored.select("doc_id", "lang", predicted).orderBy("doc_id")
+    out = scored.select("doc_id", "lang", predicted)
+    return out.orderBy("doc_id") if sort else out
+
+
+@query(
+    "text_quality_lang",
+    oracle=f"""
+    SELECT 'lang' AS op, doc_id, lang, predicted,
+           CAST(NULL AS INTEGER) AS n_chars, CAST(NULL AS INTEGER) AS n_tokens,
+           CAST(NULL AS INTEGER) AS n_punct, CAST(NULL AS INTEGER) AS n_stopwords,
+           CAST(NULL AS DOUBLE) AS quality
+    FROM ({_LANG_ID_SQL})
+    UNION ALL
+    SELECT 'quality', doc_id, NULL, NULL,
+           n_chars, n_tokens, n_punct, n_stopwords, quality
+    FROM (WITH {_sql_quality_cte()}
+          SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords, quality
+          FROM qual)
+    ORDER BY op, doc_id
+    """,
+)
+def text_quality_lang(spark, sf_dir):
+    """The per-document text-scoring family in ONE driver slot (round-10
+    tagged-union merge of ``text_quality_score`` + ``text_lang_id``, freeing
+    a slot for the bigram-LM perplexity entry).  Both components stay pure
+    narrow projections — zero shuffle; see their docstrings."""
+    from ..functions.union import pad_union
+
+    schema = [
+        ("op", "string"), ("doc_id", "bigint"), ("lang", "string"),
+        ("predicted", "string"), ("n_chars", "int"), ("n_tokens", "int"),
+        ("n_punct", "int"), ("n_stopwords", "int"), ("quality", "double"),
+    ]
+    return pad_union(
+        schema,
+        (
+            text_lang_id(spark, sf_dir, sort=False),
+            {
+                "op": F.lit("lang"), "doc_id": "doc_id",
+                "lang": "lang", "predicted": "predicted",
+            },
+        ),
+        (
+            text_quality_score(spark, sf_dir, sort=False),
+            {
+                "op": F.lit("quality"), "doc_id": "doc_id",
+                "n_chars": "n_chars", "n_tokens": "n_tokens",
+                "n_punct": "n_punct", "n_stopwords": "n_stopwords",
+                "quality": "quality",
+            },
+        ),
+    ).orderBy("op", "doc_id")
 
 
 # Rolling-hash parameters.  Horner evaluation reduces mod ROLL_P at every

@@ -95,5 +95,6 @@ def _load() -> None:
     from .operators import embedding  # noqa: F401
     from .operators import text_index  # noqa: F401
     from .operators import hybrid  # noqa: F401
+    from .operators import lm  # noqa: F401
 
     _loaded = True

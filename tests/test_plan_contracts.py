@@ -30,6 +30,7 @@ _NESTED_LOOP_OK = {
     "bm25_topk_indexed",  # same 1-row stats broadcast, from the index
     "ann_topk_ivf_pq",  # shares similarity_ivf_topk's probe shape
     "hybrid_topk",  # composes bm25's stats broadcast + the ANN probe shape
+    "lm_perplexity",  # 1-row vocabulary-size broadcast (V)
 }
 
 

@@ -56,6 +56,15 @@ from hive_serde_schema_gen_spark.operators.similarity import (  # noqa: E402
 
 QUERIES["similarity_topk_cosine"] = similarity_topk_cosine
 QUERIES["embedding_norms"] = embedding_norms
+# round-10 text_quality_lang merge (slot ceded to lm_perplexity):
+# components stay asserted directly
+from hive_serde_schema_gen_spark.operators.text import (  # noqa: E402
+    text_lang_id,
+    text_quality_score,
+)
+
+QUERIES["text_quality_score"] = text_quality_score
+QUERIES["text_lang_id"] = text_lang_id
 # round-9 merges (slots ceded to the round-8 library operators): components
 # of dedup_textual / rollup_agg / set_merge_ops stay asserted directly
 QUERIES["dedup_spans"] = dedup_spans
@@ -103,6 +112,9 @@ JVM_ONLY = [
     "embed_text",
     "merge_upsert_emulation",
     "dedup_url",
+    # round-10 merged slot + the bigram-LM entry
+    "text_quality_lang",
+    "lm_perplexity",
 ]
 
 
