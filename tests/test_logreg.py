@@ -1,0 +1,135 @@
+"""Distributed logistic-regression training (`operators/logreg.py`):
+gradient-descent parity with a numpy reference on the engine's own
+features, end-to-end separation of planted quality classes, and the
+serve-path composition with ``classifier_score``."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hive_serde_schema_gen_spark.operators.logreg import (
+    BIAS_BUCKET,
+    classifier_features,
+    split_weights,
+    train_classifier,
+    train_quality_classifier,
+)
+
+GOOD = "the quick study of careful prose yields clear thought and sound judgment"
+BAD = "click here buy now free offer winner prize casino jackpot spam deal"
+
+
+def _corpus(spark, n=40):
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(n):
+        words = (GOOD if i % 2 == 0 else BAD).split()
+        rng.shuffle(words)
+        rows.append((i, " ".join(words[:8]), float(1 - i % 2)))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in rows], "doc_id long, y double"
+    )
+    return docs, labels
+
+
+def _numpy_gd(feats_rows, label_map, iters, lr, l2):
+    """Same arithmetic as train_classifier, dense numpy: err = sigmoid(Xw) - y,
+    grad = X^T err / N (+ l2 on non-bias), w -= lr*grad."""
+    buckets = sorted({b for _, b, _ in feats_rows})
+    b_idx = {b: j for j, b in enumerate(buckets)}
+    ids = sorted(label_map)
+    d_idx = {d: i for i, d in enumerate(ids)}
+    X = np.zeros((len(ids), len(buckets)))
+    for d, b, x in feats_rows:
+        X[d_idx[d], b_idx[b]] += x
+    y = np.array([label_map[d] for d in ids])
+    w = np.zeros(len(buckets))
+    reg = np.array([0.0 if b == BIAS_BUCKET else l2 for b in buckets])
+    for _ in range(iters):
+        err = 1.0 / (1.0 + np.exp(-(X @ w))) - y
+        w -= lr * (X.T @ err / len(ids) + reg * w)
+    return {b: w[j] for b, j in b_idx.items()}
+
+
+@pytest.mark.parametrize("l2", [0.0, 0.01])
+def test_gd_matches_numpy_reference(spark, l2):
+    docs, labels = _corpus(spark, n=20)
+    feats = [
+        (r["doc_id"], r["bucket"], r["x"])
+        for r in classifier_features(docs, n_buckets=1 << 10).collect()
+    ]
+    label_map = {r["doc_id"]: r["y"] for r in labels.collect()}
+    want = _numpy_gd(feats, label_map, iters=10, lr=1.5, l2=l2)
+    got = {
+        r["bucket"]: r["w"]
+        for r in train_classifier(
+            docs, labels, n_buckets=1 << 10, iters=10, lr=1.5, l2=l2
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for b in want:
+        # float sums reassociate across partitions — tolerance, not equality
+        assert got[b] == pytest.approx(want[b], abs=1e-9), b
+
+
+def test_trained_model_separates_planted_classes(spark):
+    docs, labels = _corpus(spark, n=40)
+    scored = train_quality_classifier(
+        docs, labels, n_buckets=1 << 12, iters=30, lr=2.0
+    )
+    joined = {r["doc_id"]: r["score"] for r in scored.collect()}
+    y = {r["doc_id"]: r["y"] for r in labels.collect()}
+    acc = np.mean([(joined[d] >= 0.5) == (y[d] == 1.0) for d in y])
+    assert acc >= 0.95, acc
+    # scores are genuine probabilities, split around the boundary
+    good = [s for d, s in joined.items() if y[d] == 1.0]
+    bad = [s for d, s in joined.items() if y[d] == 0.0]
+    assert min(good) > max(bad)
+
+
+def test_bias_only_training_on_empty_text(spark):
+    """Docs with no features still train: the intercept moves toward the
+    base rate instead of the docs dropping out of the feature join."""
+    docs = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, ""), (3, "")], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0), (2, 1.0), (3, 0.0)], "doc_id long, y double"
+    )
+    w = train_classifier(docs, labels, iters=50, lr=2.0)
+    _, bias = split_weights(w)
+    # base rate 0.75 -> positive intercept near ln(3)
+    assert 0.2 < bias < 3.0
+
+
+def test_scoring_composition_matches_manual_split(spark):
+    docs, labels = _corpus(spark, n=20)
+    w = train_classifier(docs, labels, n_buckets=1 << 10, iters=5)
+    fw, bias = split_weights(w)
+    from hive_serde_schema_gen_spark.operators.text import classifier_score
+
+    a = {
+        r["doc_id"]: r["score"]
+        for r in classifier_score(docs, fw, bias=bias, n_buckets=1 << 10).collect()
+    }
+    b = {
+        r["doc_id"]: r["score"]
+        for r in train_quality_classifier(
+            docs, labels, n_buckets=1 << 10, iters=5
+        ).collect()
+    }
+    assert a.keys() == b.keys()
+    for d in a:
+        assert a[d] == pytest.approx(b[d], abs=1e-12)
+
+
+def test_training_plan_stays_jvm_side(spark):
+    docs, labels = _corpus(spark, n=8)
+    w = train_classifier(docs, labels, n_buckets=1 << 10, iters=2)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
