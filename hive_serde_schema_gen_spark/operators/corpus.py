@@ -197,6 +197,9 @@ def curate_and_prepare(
     classifier_weights: dict | None = None,
     classifier_floor: float = 0.5,
     classifier_bias: float = 0.0,
+    ppl_max: float | None = None,
+    ppl_min: float | None = None,
+    lm_model=None,
     semantic_threshold: float | None = None,
     docs: DataFrame | None = None,
     **prepare_kwargs,
@@ -208,7 +211,8 @@ def curate_and_prepare(
         → [repetition filter] → [benchmark decontamination]
         → [semantic decontamination] → [boilerplate line strip]
         → [substring dedup]
-        → [learned quality filter] → [semantic dedup] → [PII redaction]
+        → [learned quality filter] → [perplexity band] → [semantic dedup]
+        → [PII redaction]
         → [validation gate] → quality → exact dedup → near-dup canonical
         → pack → split
 
@@ -250,6 +254,12 @@ def curate_and_prepare(
       drop documents the hashed-ngram linear scorer
       (``text.classifier_score``) rates below the floor — the learned
       filter between the heuristic quality floor and LLM judging.
+    - ``ppl_max`` / ``ppl_min`` (+ ``lm_model``): CCNet perplexity band —
+      drop documents whose bigram-LM perplexity (``lm.lm_score``) falls
+      outside [ppl_min, ppl_max]; the high tail is gibberish/OCR noise,
+      the low tail is degenerate repetition.  ``lm_model``: a
+      ``lm.train_bigram_lm`` triple (e.g. trained on a reference corpus);
+      ``None`` self-trains on the surviving documents at this stage.
     - ``semantic_threshold``: embedding-space dedup (SemDeDup recipe,
       ``similarity.semantic_dedup`` over the aligned ``embeddings`` table
       — doc_id ≡ vec_id in this schema): for each group of documents
@@ -344,6 +354,17 @@ def curate_and_prepare(
         keep = classifier_score(
             d, classifier_weights, bias=classifier_bias
         ).filter(F.col("score") >= classifier_floor)
+        d = d.join(keep.select("doc_id"), "doc_id")
+        dirty = True
+    if ppl_max is not None or ppl_min is not None:
+        from .lm import lm_score
+
+        d = _cut(d)
+        keep = lm_score(d, model=lm_model)
+        if ppl_max is not None:
+            keep = keep.filter(F.col("ppl") <= ppl_max)
+        if ppl_min is not None:
+            keep = keep.filter(F.col("ppl") >= ppl_min)
         d = d.join(keep.select("doc_id"), "doc_id")
         dirty = True
     if semantic_threshold is not None:

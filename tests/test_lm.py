@@ -110,3 +110,31 @@ def test_plan_has_no_python_eval(spark, docs):
     plan = lm_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curate_and_prepare_perplexity_band(spark, sf_dir):
+    """The CCNet perplexity stage composes into the curation front-end:
+    a wide-open band is a no-op, a hostile ceiling empties the corpus,
+    and a cross-corpus model changes which documents survive."""
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        curate_and_prepare,
+        prepare_training_corpus,
+    )
+
+    base_rows = prepare_training_corpus(spark, sf_dir).count()
+
+    wide = curate_and_prepare(spark, sf_dir, ppl_max=1e18)
+    assert wide.count() == base_rows
+
+    hostile = curate_and_prepare(spark, sf_dir, ppl_max=1.0 + 1e-9)
+    assert hostile.count() == 0
+
+    # a mid-band cut keeps a strict, non-empty subset
+    from hive_serde_schema_gen_spark.operators.lm import lm_score
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    ppls = sorted(r["ppl"] for r in lm_score(d).collect())
+    cut = ppls[len(ppls) // 2]
+    banded = curate_and_prepare(spark, sf_dir, ppl_max=cut)
+    assert 0 < banded.count() < base_rows
