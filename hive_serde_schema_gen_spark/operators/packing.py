@@ -201,37 +201,101 @@ def _sql_chunk_split_cols(context_len: int = CONTEXT_LEN) -> str:
                 ELSE 'test' END AS split"""
 
 
-@query(
-    "token_packing_splits",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
-                                  t -> t <> '')) AS INTEGER) AS n_tokens
-      FROM documents),
-    cum AS (
-      SELECT doc_id, n_tokens,
-             CAST(COALESCE(SUM(n_tokens) OVER (
-                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-               0) AS BIGINT) AS "offset"
-      FROM tok)
-    SELECT doc_id, n_tokens, "offset",
-           {_sql_chunk_split_cols()}
-    FROM cum ORDER BY doc_id
-    """,
-)
-def token_packing_splits(spark, sf_dir):
+def token_packing_splits(spark, sf_dir, sort: bool = True):
     """Token-stream packing + deterministic splits over ``documents`` in one
     pass: each doc's offset in the concatenated corpus, its context-window
     chunk range ({L}-token windows), and its md5-mod train/val/test split
     (98/1/1).  See ``chunk_token_stream`` / ``assign_split`` for the scale
-    design (distributed prefix sum; pure per-row split function)."""
+    design (distributed prefix sum; pure per-row split function).
+    Registry-merged into ``packing_ops`` (+ epoch shuffle) in round 10."""
     d = load_table(spark, sf_dir, "documents")
     chunks = chunk_token_stream(d, CONTEXT_LEN)
-    return assign_split(chunks, SPLIT_FRACTIONS).orderBy("doc_id")
+    out = assign_split(chunks, SPLIT_FRACTIONS)
+    return out.orderBy("doc_id") if sort else out
 
 
 token_packing_splits.__doc__ = token_packing_splits.__doc__ and token_packing_splits.__doc__.format(L=CONTEXT_LEN)
+
+EPOCH, EPOCH_SHARDS, EPOCH_SALT = 3, 8, "shuffle-v1"
+
+_EPOCH_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(concat_ws(':', 'shuffle-v1', '3', "
+    "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "packing_ops",
+    oracle=f"""
+    SELECT 'pack' AS op, doc_id, n_tokens, "offset",
+           chunk_first, chunk_last, n_chunks, split,
+           CAST(NULL AS BIGINT) AS order_hash, CAST(NULL AS INTEGER) AS shard
+    FROM (
+      WITH tok AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                    t -> t <> '')) AS INTEGER) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS "offset"
+        FROM tok)
+      SELECT doc_id, n_tokens, "offset",
+             {_sql_chunk_split_cols()}
+      FROM cum)
+    UNION ALL
+    SELECT 'epoch', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
+           {_EPOCH_HASH_SQL},
+           CAST({_EPOCH_HASH_SQL} % {{shards}} AS INTEGER)
+    FROM documents
+    ORDER BY op, doc_id
+    """.replace("{shards}", str(EPOCH_SHARDS)),
+)
+def packing_ops(spark, sf_dir):
+    """The training-order export family in ONE driver slot (round-10
+    tagged-union merge): ``token_packing_splits`` (distributed prefix-sum
+    chunking + md5 splits) plus the deterministic EPOCH SHUFFLE evidence —
+    ``epoch_shuffle`` in its md5 oracle configuration (epoch 3, 8 shards),
+    emitting the order hash and the shard assignment per document.  The
+    hash IS the permutation, so the order-insensitive driver compare still
+    pins the complete epoch order and every shard assignment; the oracle
+    re-derives both from the same md5 arithmetic.  (Production runs the
+    native ``xxhash64`` configuration — identical plan; see
+    ``epoch_shuffle``.)"""
+    from ..functions.union import pad_union
+
+    schema = [
+        ("op", "string"), ("doc_id", "bigint"), ("n_tokens", "int"),
+        ("offset", "bigint"), ("chunk_first", "bigint"),
+        ("chunk_last", "bigint"), ("n_chunks", "int"), ("split", "string"),
+        ("order_hash", "bigint"), ("shard", "int"),
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    shuffled = epoch_shuffle(
+        d.select("doc_id"), epoch=EPOCH, n_shards=EPOCH_SHARDS,
+        hash_fn="md5", keep_order_col=True,
+    )
+    return pad_union(
+        schema,
+        (
+            token_packing_splits(spark, sf_dir, sort=False),
+            {
+                "op": F.lit("pack"), "doc_id": "doc_id",
+                "n_tokens": "n_tokens", "offset": "offset",
+                "chunk_first": "chunk_first", "chunk_last": "chunk_last",
+                "n_chunks": "n_chunks", "split": "split",
+            },
+        ),
+        (
+            shuffled,
+            {
+                "op": F.lit("epoch"), "doc_id": "doc_id",
+                "order_hash": "order_hash", "shard": "shard",
+            },
+        ),
+    ).orderBy("op", "doc_id")
 
 
 def chunk_documents(
@@ -390,6 +454,8 @@ def epoch_shuffle(
     n_shards: int | None = None,
     key_col: str = "doc_id",
     salt: str = "shuffle-v1",
+    hash_fn: str = "xxhash64",
+    keep_order_col: bool = False,
 ) -> DataFrame:
     """Deterministic per-epoch global shuffle — the training-order export
     step: every epoch reads the corpus in a different pseudo-random order,
@@ -412,16 +478,53 @@ def epoch_shuffle(
     shard — a range-sort-by-hash would instead spray every task across
     every shard (tasks × shards small files, the classic blowup).
     ``shard``/an internal ``__order`` column on the input are
-    overwritten."""
-    h = F.xxhash64(F.lit(salt), F.lit(epoch).cast("long"), F.col(key_col))
+    overwritten.
+
+    ``hash_fn``: ``xxhash64`` (production — native JVM hash) or ``md5``
+    (the DuckDB-reproducible configuration the oracle slot uses — same
+    precedent as ``dedup.minhash_lsh_pairs``; identical plan shape).
+    ``keep_order_col``: retain the order hash as ``order_hash`` — the
+    hash IS the permutation (sorting by it reproduces the epoch order),
+    which lets an order-insensitive row-set comparison still pin the
+    full shuffle order without materializing a global rank."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(salt), F.lit(epoch).cast("long"), F.col(key_col))
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.lit(epoch).cast("string"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     out = d.withColumn("__order", h)
     if n_shards is None:
-        return out.orderBy("__order", key_col).drop("__order")
-    return (
+        out = out.orderBy("__order", key_col)
+        return (
+            out.withColumnRenamed("__order", "order_hash")
+            if keep_order_col
+            else out.drop("__order")
+        )
+    out = (
         out.withColumn(
             "shard", F.pmod(F.col("__order"), F.lit(n_shards)).cast("int")
         )
         .repartition(n_shards, "shard")
         .sortWithinPartitions("__order", key_col)
-        .drop("__order")
+    )
+    return (
+        out.withColumnRenamed("__order", "order_hash")
+        if keep_order_col
+        else out.drop("__order")
     )

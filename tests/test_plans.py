@@ -65,6 +65,13 @@ from hive_serde_schema_gen_spark.operators.text import (  # noqa: E402
 
 QUERIES["text_quality_score"] = text_quality_score
 QUERIES["text_lang_id"] = text_lang_id
+# round-10 packing_ops merge (slot gained the epoch-shuffle evidence):
+# the packing component stays asserted directly
+from hive_serde_schema_gen_spark.operators.packing import (  # noqa: E402
+    token_packing_splits,
+)
+
+QUERIES["token_packing_splits"] = token_packing_splits
 # round-9 merges (slots ceded to the round-8 library operators): components
 # of dedup_textual / rollup_agg / set_merge_ops stay asserted directly
 QUERIES["dedup_spans"] = dedup_spans
@@ -112,9 +119,10 @@ JVM_ONLY = [
     "embed_text",
     "merge_upsert_emulation",
     "dedup_url",
-    # round-10 merged slot + the bigram-LM entry
+    # round-10 merged slots + the bigram-LM entry
     "text_quality_lang",
     "lm_perplexity",
+    "packing_ops",
 ]
 
 
