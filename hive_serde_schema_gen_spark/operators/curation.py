@@ -392,6 +392,7 @@ def semantic_contamination(
     emb_col: str = "embedding",
     exact_below: int = 10_000,
     strategy: str = "auto",
+    quantize: bool = False,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic sibling of
     :func:`ngram_contamination`: flag corpus vectors whose cosine with ANY
@@ -424,7 +425,15 @@ def semantic_contamination(
     ``'auto'`` counts and compares against ``exact_below``.  The chosen
     path is logged (INFO) either way — a decontamination gate silently
     switching to the probabilistic path (~3e-5 miss rate at 0.95) is an
-    auditability hole flagged by adversarial review."""
+    auditability hole flagged by adversarial review.
+
+    ``quantize``: run the similarity arithmetic on round(x·10⁴) integer
+    vectors (``similarity.quantized``/``qdot``) — integer dot products
+    are order-free, which is what lets the ``curation_ops`` driver slot
+    hash-check this operator against a DuckDB re-derivation (the same
+    quantized-oracle precedent as every ANN slot).  Production default
+    stays the float path (no quantization error; per-row sequential fold,
+    deterministic within the engine)."""
     import logging
 
     from ..functions.vector import dot, l2_norm
@@ -441,17 +450,37 @@ def semantic_contamination(
     logging.getLogger(__name__).info(
         "semantic_contamination: %s path (threshold=%s)", strategy, threshold
     )
+    if quantize:
+        from .similarity import qdot, quantized
+
+        def _emb(c):
+            return quantized(c)
+
+        def _norm(c):
+            q = quantized(c)
+            return F.sqrt(qdot(q, q).cast("double"))
+
+        def _dot(a, b):
+            return qdot(F.col(a), F.col(b)).cast("double")
+
+    else:
+        _emb = F.col
+        _norm = l2_norm
+
+        def _dot(a, b):
+            return dot(a, b)
+
     b = F.broadcast(
         bench_emb.select(
             F.col(id_col).alias(bench_id_col),
-            F.col(emb_col).alias("__bemb"),
-            l2_norm(emb_col).alias("__bnorm"),
+            _emb(emb_col).alias("__bemb"),
+            _norm(emb_col).alias("__bnorm"),
         )
     )
     e = emb.select(
-        id_col, F.col(emb_col).alias("__demb"), l2_norm(emb_col).alias("__dnorm")
+        id_col, _emb(emb_col).alias("__demb"), _norm(emb_col).alias("__dnorm")
     )
-    sim = dot("__demb", "__bemb") / (F.col("__dnorm") * F.col("__bnorm"))
+    sim = _dot("__demb", "__bemb") / (F.col("__dnorm") * F.col("__bnorm"))
     if strategy == "exact":
         pairs = e.crossJoin(b)
     else:
@@ -736,17 +765,108 @@ def curation_mix_query(spark, sf_dir):
     ).orderBy("lang")
 
 
-query(
-    "curation_mix",
-    oracle="""
+_MIX_SQL = """
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
     z AS (SELECT SUM(power(CAST(n AS DOUBLE), 0.5)) AS z FROM c),
     q AS (SELECT lang, n, power(CAST(n AS DOUBLE), 0.5) / z.z AS q FROM c, z),
     t AS (SELECT MIN(n / q) AS total FROM q)
     SELECT lang, n AS n_docs, round(LEAST(1.0, q * t.total / n), 6) AS rate
-    FROM q, t ORDER BY lang
+    FROM q, t
+"""
+
+# Quantized exact-strategy semantic decontamination: benchmark = the first
+# 20 embeddings, threshold 0.40 (the corpus's measured max pairwise cosine
+# is ~0.51, so the flag set is non-trivial — the similarity_pairs_threshold
+# calibration lesson), tie-break = larger bench_id (Spark's struct-max).
+_SEM_BENCH_MAX_ID = 20
+_SEM_THRESHOLD = 0.40
+_SEM_SQL = f"""
+    WITH qe AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+    bench AS (SELECT vec_id AS bench_id, v, i FROM qe
+              WHERE vec_id < {_SEM_BENCH_MAX_ID}),
+    dots AS (
+      SELECT e.vec_id, b.bench_id,
+             CAST(SUM(e.v * b.v) AS DOUBLE) AS dot,
+             CAST(SUM(e.v * e.v) AS DOUBLE) AS nd,
+             CAST(SUM(b.v * b.v) AS DOUBLE) AS nb
+      FROM qe e JOIN bench b USING (i)
+      GROUP BY e.vec_id, b.bench_id),
+    sims AS (SELECT vec_id, bench_id,
+                    dot / (sqrt(nd) * sqrt(nb)) AS sim FROM dots),
+    best AS (
+      SELECT vec_id, sim, bench_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, bench_id DESC) AS rn
+      FROM sims)
+    SELECT vec_id, sim AS max_bench_sim, bench_id AS nearest_bench_id
+    FROM best WHERE rn = 1 AND sim >= {_SEM_THRESHOLD}
+"""
+
+
+@query(
+    "curation_ops",
+    oracle=f"""
+    SELECT * FROM (
+    SELECT 'mix' AS op, lang, n_docs, rate,
+           CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS max_bench_sim,
+           CAST(NULL AS BIGINT) AS nearest_bench_id
+    FROM ({_MIX_SQL})
+    UNION ALL
+    SELECT 'sem', NULL, NULL, NULL, vec_id, max_bench_sim, nearest_bench_id
+    FROM ({_SEM_SQL})
+    ) ORDER BY op, COALESCE(lang, ''), COALESCE(vec_id, -1)
     """,
-)(curation_mix_query)
+)
+def curation_ops(spark, sf_dir):
+    """The corpus-composition curation family in ONE driver slot (round-10
+    tagged-union merge of ``curation_mix`` + the until-now library-only
+    ``semantic_contamination``): temperature mix rates over the language
+    strata, plus embedding-space benchmark decontamination run through the
+    REAL operator in its quantized exact-strategy oracle configuration —
+    benchmark = first {_SEM_BENCH_MAX_ID} vectors (broadcast),
+    threshold {_SEM_THRESHOLD}, per-vector max similarity + nearest
+    benchmark id (struct-max tie-break), all integer-exact under the
+    driver hash.  The LSH candidate path's parity with exact is
+    pytest-held (`tests/test_curation.py`); its designed operating point
+    (0.95) is above this corpus's max cross-vector cosine, so the slot
+    pins the exact arithmetic the LSH path verifies against."""
+    from ..functions.union import pad_union
+    from ..sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < _SEM_BENCH_MAX_ID)
+    sem = semantic_contamination(
+        e, bench, threshold=_SEM_THRESHOLD, strategy="exact", quantize=True
+    )
+    schema = [
+        ("op", "string"), ("lang", "string"), ("n_docs", "bigint"),
+        ("rate", "double"), ("vec_id", "bigint"),
+        ("max_bench_sim", "double"), ("nearest_bench_id", "bigint"),
+    ]
+    return pad_union(
+        schema,
+        (
+            curation_mix_query(spark, sf_dir),
+            {
+                "op": F.lit("mix"), "lang": "lang",
+                "n_docs": "n_docs", "rate": "rate",
+            },
+        ),
+        (
+            sem,
+            {
+                "op": F.lit("sem"), "vec_id": "vec_id",
+                "max_bench_sim": "max_bench_sim",
+                "nearest_bench_id": "nearest_bench_id",
+            },
+        ),
+    ).orderBy(
+        "op", F.coalesce("lang", F.lit("")), F.coalesce("vec_id", F.lit(-1))
+    )
 
 
 def filter_by_domain(

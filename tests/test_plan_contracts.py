@@ -31,6 +31,7 @@ _NESTED_LOOP_OK = {
     "ann_topk_ivf_pq",  # shares similarity_ivf_topk's probe shape
     "hybrid_topk",  # composes bm25's stats broadcast + the ANN probe shape
     "lm_perplexity",  # 1-row vocabulary-size broadcast (V)
+    "curation_ops",  # broadcast benchmark crossJoin (exact decontamination)
 }
 
 
