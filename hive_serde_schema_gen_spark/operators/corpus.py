@@ -529,7 +529,43 @@ def _crawl_oracle() -> str:
     return _pipeline_oracle(src="urlkept", prelude=prelude)
 
 
-@query("web_corpus_from_crawl", oracle=_crawl_oracle())
+# Planted unparsable member for the crawl-report rows: 15 bytes of valid
+# gzip whose decompressed content has no WARC header block, so the walk
+# drops ALL 15 bytes with one diagnostic row — the malformed-accounting
+# columns are then non-vacuous literals the oracle re-states.
+_CRAWL_JUNK = b"NOT A WARC FILE"
+
+_CRAWL_REPORT_SQL = f"""
+    SELECT CAST(1 AS BIGINT) AS n_malformed_files,
+           CAST({len(_CRAWL_JUNK)} AS BIGINT) AS bytes_dropped,
+           COUNT(*) AS n_records,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_payload_bytes,
+           CAST(SUM(CASE WHEN strlen(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty
+    FROM documents WHERE doc_id < {{n}}
+""".replace("{n}", str(_CRAWL_DOCS))
+
+
+@query(
+    "web_corpus_from_crawl",
+    oracle=f"""
+    SELECT * FROM (
+    SELECT 'doc' AS op, doc_id, n_tokens, "offset", chunk_first, chunk_last,
+           n_chunks, split, n_merged,
+           CAST(NULL AS BIGINT) AS n_malformed_files,
+           CAST(NULL AS BIGINT) AS bytes_dropped,
+           CAST(NULL AS BIGINT) AS n_records,
+           CAST(NULL AS BIGINT) AS total_payload_bytes,
+           CAST(NULL AS BIGINT) AS n_empty
+    FROM ({_crawl_oracle()})
+    UNION ALL
+    SELECT 'report', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           n_malformed_files, bytes_dropped, n_records,
+           total_payload_bytes, n_empty
+    FROM ({_CRAWL_REPORT_SQL})
+    ) ORDER BY op, COALESCE(doc_id, -1)
+    """,
+)
 def web_corpus_crawl_query(spark, sf_dir):
     """Driver slot for :func:`web_corpus_from_crawl` — crawl archive →
     URL dedup → curation → manifest, end to end: synthesizes a
@@ -541,18 +577,28 @@ def web_corpus_crawl_query(spark, sf_dir):
     near-dup stage is oracle-reproducible, same convention as
     ``corpus_pipeline``).
 
+    Round-10 continuation: the slot is now a tagged union with the
+    :func:`sources.wet.crawl_report` health summary over the SAME fixture
+    dir — which also plants one unparsable gzip member, so the
+    malformed-file count and dropped-byte accounting are exercised with
+    non-zero values (the conversion-record count, payload-byte total and
+    empty-payload count re-derive from ``documents`` in SQL; the junk
+    member's byte count is a construction literal).
+
     A green hash therefore proves: the byte-exact WET write→parse
     roundtrip (per-record gzip members, Content-Length walk), the
     xxhash64 id derivation, the full URL canonicalization + keep-first
-    dedup, and the entire curation tail hand-off — under the driver gate,
-    closing the round-9 verdict's "crawl chain has pytest evidence only"
-    gap.
+    dedup, the entire curation tail hand-off, AND the crawl-health
+    accounting — under the driver gate.
 
     The fixture collect is {n} rows (bounded constant — fixture writer,
-    not a data path); the file lands in a fresh temp dir per call."""
+    not a data path); the files land in a fresh temp dir per call."""
     import gzip
     import os
     import tempfile
+
+    from ..functions.union import pad_union
+    from ..sources.wet import crawl_report
 
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _CRAWL_DOCS
@@ -576,9 +622,46 @@ def web_corpus_crawl_query(spark, sf_dir):
                 f"Content-Length: {len(payload)}\r\n\r\n"
             ).encode("utf-8")
             f.write(gzip.compress(hdr + payload + b"\r\n\r\n", mtime=0))
-    return web_corpus_from_crawl(
+    with open(os.path.join(tmp, "crawl-00001-junk.warc.wet.gz"), "wb") as f:
+        f.write(gzip.compress(_CRAWL_JUNK, mtime=0))
+
+    manifest = web_corpus_from_crawl(
         spark, tmp, kind="wet", url_dedup=True, hash_fn="md5"
     )
+    report = crawl_report(spark, tmp)
+    schema = [
+        ("op", "string"), ("doc_id", "bigint"), ("n_tokens", "int"),
+        ("offset", "bigint"), ("chunk_first", "bigint"),
+        ("chunk_last", "bigint"), ("n_chunks", "int"), ("split", "string"),
+        ("n_merged", "int"),
+        ("n_malformed_files", "bigint"), ("bytes_dropped", "bigint"),
+        ("n_records", "bigint"), ("total_payload_bytes", "bigint"),
+        ("n_empty", "bigint"),
+    ]
+    return pad_union(
+        schema,
+        (
+            manifest,
+            {
+                "op": F.lit("doc"), "doc_id": "doc_id",
+                "n_tokens": "n_tokens", "offset": "offset",
+                "chunk_first": "chunk_first", "chunk_last": "chunk_last",
+                "n_chunks": "n_chunks", "split": "split",
+                "n_merged": "n_merged",
+            },
+        ),
+        (
+            report,
+            {
+                "op": F.lit("report"),
+                "n_malformed_files": "n_malformed_files",
+                "bytes_dropped": "bytes_dropped",
+                "n_records": "n_records",
+                "total_payload_bytes": "total_payload_bytes",
+                "n_empty": "n_empty",
+            },
+        ),
+    ).orderBy("op", F.coalesce("doc_id", F.lit(-1)))
 
 
 web_corpus_crawl_query.__doc__ = web_corpus_crawl_query.__doc__.format(
