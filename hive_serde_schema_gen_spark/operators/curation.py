@@ -986,18 +986,6 @@ def _sql_canon_ctes(src: str, p: str = "u") -> str:
       FROM {p}q)"""
 
 
-@query(
-    "dedup_url",
-    oracle=f"""
-    WITH built AS ({_URL_VARIANTS_SQL}),
-    {_sql_canon_ctes('built')},
-    kept AS (
-      SELECT doc_id, canon,
-             ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
-      FROM ucanon)
-    SELECT doc_id, canon FROM kept WHERE rn = 1 ORDER BY doc_id
-    """,
-)
 def dedup_url_query(spark, sf_dir):
     """Driver slot for :func:`canonical_url` + :func:`dedup_by_url`:
     plants deterministic URL variants per doc_id (case, default port,
@@ -1049,3 +1037,138 @@ def dedup_url_query(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 slot union: URL canonicalization dedup + domain policy filter
+# ---------------------------------------------------------------------------
+
+# Planted crawl hosts (a pure function of doc_id, identical in both
+# engines).  The cases are chosen to make a WRONG matcher fail the hash:
+# 'notspam.biz' string-suffix-matches the deny entry 'spam.biz' but is NOT
+# a label suffix of it; 'ex0.org.evil.com' string-PREFIX-matches the allow
+# entry 'ex0.org' but must not be allowed; 'EX0.ORG' checks case folding;
+# 'sub.sub.ex1.org' checks depth>1 suffix walk; NULL checks the
+# drop-under-allow / keep-under-deny asymmetry.
+_DOMAIN_SRC_SQL = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 10 AS INTEGER)
+             WHEN 0 THEN NULL
+             WHEN 1 THEN 'ex' || doc_id % 3 || '.org'
+             WHEN 2 THEN 'blog.ex' || doc_id % 3 || '.org'
+             WHEN 3 THEN 'spam.biz'
+             WHEN 4 THEN 'ads.spam.biz'
+             WHEN 5 THEN 'EX0.ORG'
+             WHEN 6 THEN 'other.net'
+             WHEN 7 THEN 'notspam.biz'
+             WHEN 8 THEN 'ex0.org.evil.com'
+             ELSE 'sub.sub.ex1.org'
+           END AS source
+    FROM documents
+"""
+
+_URL_OPS_ORACLE = f"""
+    WITH built AS ({_URL_VARIANTS_SQL}),
+    {_sql_canon_ctes('built')},
+    kept AS (
+      SELECT doc_id, canon,
+             ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      FROM ucanon),
+    src AS ({_DOMAIN_SRC_SQL}),
+    -- label-suffix match re-derived generally: every dot-suffix of the
+    -- lowercased host, intersected with the policy list (NOT a LIKE /
+    -- endswith shortcut — the planted traps exist to kill that)
+    suf AS (
+      SELECT doc_id, source,
+             list_transform(
+               range(1, len(string_split(lower(source), '.')) + 1),
+               i -> array_to_string(string_split(lower(source), '.')[i:], '.')
+             ) AS sufs
+      FROM src),
+    pol AS (
+      SELECT doc_id, source,
+             len(list_intersect(sufs, ['ex0.org','ex1.org','ex2.org'])) > 0 AS allowed,
+             len(list_intersect(sufs, ['spam.biz'])) > 0 AS denied
+      FROM suf),
+    unioned AS (
+      SELECT 'dedup' AS op, CAST(NULL AS VARCHAR) AS policy, doc_id, canon,
+             CAST(NULL AS VARCHAR) AS source
+      FROM kept WHERE rn = 1
+      UNION ALL
+      SELECT 'domain', 'allowdeny', doc_id, CAST(NULL AS VARCHAR), source
+      FROM pol WHERE source IS NOT NULL AND allowed AND NOT denied
+      UNION ALL
+      SELECT 'domain', 'deny', doc_id, CAST(NULL AS VARCHAR), source
+      FROM pol WHERE source IS NULL OR NOT denied)
+    SELECT op, policy, doc_id, canon, source FROM unioned
+    ORDER BY op, coalesce(policy, ''), doc_id
+"""
+
+
+def domain_filter_query(spark, sf_dir):
+    """Driver slot for :func:`filter_by_domain`: plants deterministic crawl
+    hosts per doc_id — including the two matcher traps ('notspam.biz' is a
+    string suffix of nothing on the deny list but ENDS WITH 'spam.biz';
+    'ex0.org.evil.com' STARTS WITH an allowed domain) plus case folding,
+    depth-2 subdomains, and NULL sources — then applies both policy shapes:
+    allow+deny (NULL dropped, deny wins) and pure deny (NULL kept).  The
+    oracle re-derives the label-suffix walk generally in SQL (dot-suffix
+    enumeration + set intersection), so a LIKE/endswith shortcut on either
+    side fails the hash."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 10).cast("int")
+    k = (F.col("doc_id") % 3).cast("string")
+    source = (
+        F.when(m == 0, F.lit(None).cast("string"))
+        .when(m == 1, F.concat(F.lit("ex"), k, F.lit(".org")))
+        .when(m == 2, F.concat(F.lit("blog.ex"), k, F.lit(".org")))
+        .when(m == 3, F.lit("spam.biz"))
+        .when(m == 4, F.lit("ads.spam.biz"))
+        .when(m == 5, F.lit("EX0.ORG"))
+        .when(m == 6, F.lit("other.net"))
+        .when(m == 7, F.lit("notspam.biz"))
+        .when(m == 8, F.lit("ex0.org.evil.com"))
+        .otherwise(F.lit("sub.sub.ex1.org"))
+    )
+    built = d.select("doc_id", source.alias("source"))
+    allow = ["ex0.org", "ex1.org", "ex2.org"]
+    deny = ["spam.biz"]
+    both = filter_by_domain(built, allow=allow, deny=deny).withColumn(
+        "policy", F.lit("allowdeny")
+    )
+    deny_only = filter_by_domain(built, deny=deny).withColumn(
+        "policy", F.lit("deny")
+    )
+    return both.unionAll(deny_only)
+
+
+@query("dedup_url", oracle=_URL_OPS_ORACLE)
+def url_ops_query(spark, sf_dir):
+    """Tagged union of the URL-level curation family (round-10 rotation,
+    same pattern as ``packing_ops``/``curation_ops``): op='dedup' is the
+    round-9 :func:`dedup_url_query` unchanged (full canonicalization +
+    keep-first, SQL-re-derived); op='domain' is :func:`domain_filter_query`
+    exercising :func:`filter_by_domain` under both policy shapes.  One
+    slot, two operators, every row hash-checked."""
+    from ..functions.union import pad_union
+
+    schema = [
+        ("op", "string"), ("policy", "string"), ("doc_id", "bigint"),
+        ("canon", "string"), ("source", "string"),
+    ]
+    return pad_union(
+        schema,
+        (
+            dedup_url_query(spark, sf_dir),
+            {"op": F.lit("dedup"), "doc_id": "doc_id", "canon": "canon"},
+        ),
+        (
+            domain_filter_query(spark, sf_dir),
+            {
+                "op": F.lit("domain"), "policy": "policy",
+                "doc_id": "doc_id", "source": "source",
+            },
+        ),
+    ).orderBy("op", F.coalesce("policy", F.lit("")), "doc_id")
