@@ -166,19 +166,21 @@ def cap_shingles(shd: DataFrame, n_docs: int, max_df: float) -> DataFrame:
     return shd.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-def _sql_shd(src: str = "documents") -> str:
+def _sql_shd(src: str = "documents", p: str = "") -> str:
     """CTE chain ``toks → sh → shd`` (distinct word-3-shingles per doc) over
     an arbitrary source relation — parameterized so composed oracles (the
-    corpus pipeline) can shingle an already-filtered doc set."""
+    corpus pipeline) can shingle an already-filtered doc set.  ``p``
+    prefixes the CTE names so one statement can shingle TWO relations (the
+    incremental-index oracle shingles the corpus and the probe batch)."""
     return f"""
-    toks AS (
+    {p}toks AS (
       SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
       FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks FROM {src})),
-    sh AS (
+    {p}sh AS (
       SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
-      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-                  JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
-    shd AS (SELECT DISTINCT doc_id, shingle FROM sh)
+      FROM {p}toks a JOIN {p}toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                  JOIN {p}toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+    {p}shd AS (SELECT DISTINCT doc_id, shingle FROM {p}sh)
 """
 
 
@@ -462,12 +464,168 @@ _MINHASH_ORACLE = f"""
     """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup detection, oracle configuration (md5 base hash —
     see ``minhash_lsh_pairs`` for the parameterized core and the xxhash64
-    production path)."""
+    production path).  Registered via the ``minhash_ops`` tagged union
+    (round 10) together with the persisted-index incremental probe."""
     return minhash_lsh_pairs(spark, sf_dir, hash_fn="md5")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 slot union: batch MinHash pairs + persisted-index incremental probe
+# ---------------------------------------------------------------------------
+
+# Probe-batch id offsets — far outside the corpus id space, and distinct per
+# planted family so a match row's provenance is readable in the output.
+_IDX_EXACT_OFF = 2_000_000_000
+_IDX_PERT_OFF = 3_000_000_000
+_IDX_NOVEL_OFF = 4_000_000_000
+_IDX_MIN_MATCHES = -(-JACCARD_THRESHOLD * N_HASHES // 1)  # ceil = 13 of 16
+
+# The planted probe batch as SQL (a pure function of doc_id, identical on
+# the Spark side): exact copies (must match at 16/16), perturbed copies
+# (six appended tokens — signature-estimated match, deterministic either
+# way), and novel docs whose shingles exist nowhere in the corpus.
+_IDX_BATCH_SQL = f"""
+      SELECT doc_id + {_IDX_EXACT_OFF} AS doc_id, text
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + {_IDX_PERT_OFF}, text || ' qq ww ee rr tt yy'
+      FROM documents WHERE doc_id % 20 = 10
+      UNION ALL
+      SELECT doc_id + {_IDX_NOVEL_OFF},
+             'zz' || doc_id || ' yy' || doc_id || ' xx' || doc_id || ' ww' || doc_id
+      FROM documents WHERE doc_id % 20 = 5"""
+
+
+def _minhash_ops_oracle() -> str:
+    """One DuckDB statement for BOTH branches: the batch self-join pairs
+    (the round-2 ``_MINHASH_ORACLE`` body, unchanged) and the incremental
+    probe — batch signatures re-derived under the same md5-affine scheme,
+    candidates from shared band keys against the CORPUS banding (``bands``
+    is exactly what ``build_minhash_index``+``extend_minhash_index``
+    persist), then the signature-estimated verify: matching-minhash count
+    >= ceil(threshold × n_hashes).  Novel rows assert the anti-join."""
+    mm_sum = " + ".join(
+        f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH {_SQL_SHD},
+    {_sql_minhash_pairs_cte()},
+    batch AS ({_IDX_BATCH_SQL}),
+    {_sql_shd('batch', p='b')},
+    bhashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM bshd),
+    bmh AS (
+      SELECT doc_id,
+             {_mh_mins_sql()}
+      FROM bhashed GROUP BY doc_id),
+    bbands AS (
+      SELECT doc_id,
+             unnest({_band_keys_sql()}) AS band_key,
+             generate_subscripts({_band_keys_sql()}, 1) AS band
+      FROM bmh),
+    icand AS (
+      SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS matched_doc_id
+      FROM bbands n JOIN bands i
+        ON i.band = n.band AND i.band_key = n.band_key),
+    iver AS (
+      SELECT c.doc_id, c.matched_doc_id, {mm_sum} AS mm
+      FROM icand c JOIN bmh a ON a.doc_id = c.doc_id
+                   JOIN mh b ON b.doc_id = c.matched_doc_id),
+    imatch AS (
+      SELECT doc_id, matched_doc_id, CAST(mm AS DOUBLE) / {N_HASHES} AS est
+      FROM iver WHERE mm >= {int(_IDX_MIN_MATCHES)}),
+    unioned AS (
+      SELECT 'pairs' AS op, doc_a, doc_b, jaccard FROM mh_pairs
+      UNION ALL
+      SELECT 'match', doc_id, matched_doc_id, est FROM imatch
+      UNION ALL
+      SELECT 'novel', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM imatch))
+    SELECT op, doc_a, doc_b, jaccard FROM unioned
+    ORDER BY op, doc_a, coalesce(doc_b, -1)
+    """
+
+
+def dedup_index_probe(spark, sf_dir):
+    """Driver branch for the PERSISTED MinHash index lifecycle
+    (``operators/dedup_index.py``): builds the index over the even-id half
+    of the corpus, EXTENDS it with the odd-id half (so a dropped extend
+    batch breaks the hash — the oracle's banding covers the whole corpus),
+    probes it with the planted batch, and returns match rows
+    (signature-estimated Jaccard) plus the novel anti-join — the
+    snapshot-over-snapshot ingest pattern, md5 oracle configuration."""
+    import tempfile
+
+    from .dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+        extend_minhash_index,
+        novel_docs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="mh-idx-slot-")
+    build_minhash_index(
+        d.filter(F.col("doc_id") % 2 == 0), path, n_files=4, hash_fn="md5"
+    )
+    extend_minhash_index(d.filter(F.col("doc_id") % 2 == 1), path)
+    did = F.col("doc_id")
+    exact = d.filter(did % 20 == 0).select(
+        (did + _IDX_EXACT_OFF).alias("doc_id"), "text"
+    )
+    pert = d.filter(did % 20 == 10).select(
+        (did + _IDX_PERT_OFF).alias("doc_id"),
+        F.concat("text", F.lit(" qq ww ee rr tt yy")).alias("text"),
+    )
+    s = did.cast("string")
+    novel = d.filter(did % 20 == 5).select(
+        (did + _IDX_NOVEL_OFF).alias("doc_id"),
+        F.concat(
+            F.lit("zz"), s, F.lit(" yy"), s, F.lit(" xx"), s, F.lit(" ww"), s
+        ).alias("text"),
+    )
+    batch = exact.unionAll(pert).unionAll(novel)
+    matches = dedup_against_index(batch, path)
+    return matches, novel_docs(batch, matches).select("doc_id")
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_ops_oracle())
+def minhash_ops(spark, sf_dir):
+    """Tagged union (round-10 rotation, ``packing_ops`` pattern):
+    op='pairs' is the batch MinHash+LSH self-join unchanged; op='match' /
+    op='novel' drive the persisted-index lifecycle — build on half the
+    corpus, extend with the other half, probe with a planted batch
+    (exact / perturbed / novel families) — end to end under the md5
+    configuration, hash-checked against one DuckDB statement."""
+    from ..functions.union import pad_union
+
+    matches, novel = dedup_index_probe(spark, sf_dir)
+    schema = [
+        ("op", "string"), ("doc_a", "bigint"), ("doc_b", "bigint"),
+        ("jaccard", "double"),
+    ]
+    return pad_union(
+        schema,
+        (
+            dedup_minhash_lsh(spark, sf_dir),
+            {"op": F.lit("pairs"), "doc_a": "doc_a", "doc_b": "doc_b",
+             "jaccard": "jaccard"},
+        ),
+        (
+            matches,
+            {"op": F.lit("match"), "doc_a": "doc_id",
+             "doc_b": "matched_doc_id", "jaccard": "est_jaccard"},
+        ),
+        (
+            novel,
+            {"op": F.lit("novel"), "doc_a": "doc_id"},
+        ),
+    ).orderBy("op", "doc_a", F.coalesce("doc_b", F.lit(-1)))
 
 
 def minhash_lsh_pairs(

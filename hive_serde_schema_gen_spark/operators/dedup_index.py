@@ -61,12 +61,17 @@ INDEX_VERSION = 2
 _SIG_COLS = [f"mh{i}" for i in range(N_HASHES)]
 
 
-def _signatures(docs: DataFrame, max_df: float | None) -> DataFrame:
-    """(doc_id, mh0..mh15) under the production xxhash64 configuration."""
-    shd = shingles_df(docs, hashed=True)
+def _signatures(
+    docs: DataFrame, max_df: float | None, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, mh0..mh15) under the index's pinned hash configuration:
+    ``xxhash64`` (production — shingles hashed to 8-byte longs at creation)
+    or ``md5`` (cross-engine reproducible — the oracle configuration, same
+    precedent as ``minhash_lsh_pairs``)."""
+    shd = shingles_df(docs, hashed=(hash_fn == "xxhash64"))
     if max_df is not None:
         shd = cap_shingles(shd, docs.count(), max_df)
-    return minhash_signatures(shd, "xxhash64")
+    return minhash_signatures(shd, hash_fn)
 
 
 def build_minhash_index(
@@ -75,6 +80,7 @@ def build_minhash_index(
     max_df: float | None = None,
     n_files: int = 32,
     owner: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> None:
     """Build the persisted index from a (doc_id, text) corpus.
 
@@ -82,13 +88,16 @@ def build_minhash_index(
     → bands.  The bands relation is range-clustered on (band, band_key) at
     write time so probe-side lookups skip row groups; signatures cluster
     on doc_id for the verification join.  Mutating writers hold the
-    single-writer lease (``manifest.index_writer_lock``)."""
+    single-writer lease (``manifest.index_writer_lock``).  ``hash_fn`` is
+    pinned in ``meta`` — every later extend/probe derives its signatures
+    under the SAME configuration (``_check_meta`` returns it), so an index
+    can never be probed with foreign hashes."""
     from ..sources.manifest import index_writer_lock
 
     spark = docs.sparkSession
     with index_writer_lock(spark, path, owner):
-        mh = _signatures(docs, max_df).localCheckpoint()
-        bands = band_keys_from_signatures(mh, "xxhash64")
+        mh = _signatures(docs, max_df, hash_fn).localCheckpoint()
+        bands = band_keys_from_signatures(mh, hash_fn)
         (
             bands.repartitionByRange(n_files, "band", "band_key")
             .sortWithinPartitions("band", "band_key")
@@ -103,7 +112,7 @@ def build_minhash_index(
             .parquet(f"{path}/sigs")
         )
         spark.createDataFrame(
-            [(INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, "xxhash64", max_df)],
+            [(INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, hash_fn, max_df)],
             "version int, n_hashes int, band_size int, shingle int, "
             "hash_fn string, max_df double",
         ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -136,9 +145,9 @@ def extend_minhash_index(
     from ..sources.manifest import index_writer_lock
 
     with index_writer_lock(docs.sparkSession, path, owner):
-        max_df = _check_meta(docs.sparkSession, path)
-        mh = _signatures(docs, max_df).localCheckpoint()
-        band_keys_from_signatures(mh, "xxhash64").write.mode("append").parquet(
+        max_df, hash_fn = _check_meta(docs.sparkSession, path)
+        mh = _signatures(docs, max_df, hash_fn).localCheckpoint()
+        band_keys_from_signatures(mh, hash_fn).write.mode("append").parquet(
             f"{path}/bands"
         )
         mh.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
@@ -146,20 +155,22 @@ def extend_minhash_index(
         ).parquet(f"{path}/sigs")
 
 
-def _check_meta(spark: SparkSession, path: str) -> float | None:
-    """Validate the pinned parameters; returns the index's ``max_df`` so
-    probe/extend signatures are computed under the same df-capping the
-    index was built with."""
+def _check_meta(spark: SparkSession, path: str) -> tuple:
+    """Validate the pinned parameters; returns the index's
+    ``(max_df, hash_fn)`` so probe/extend signatures are computed under the
+    same df-capping AND hash configuration the index was built with."""
     m = spark.read.parquet(f"{path}/meta").collect()[0]
-    got = (m["version"], m["n_hashes"], m["band_size"], m["shingle"], m["hash_fn"])
-    want = (INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE, "xxhash64")
-    if got != want:
+    got = (m["version"], m["n_hashes"], m["band_size"], m["shingle"])
+    want = (INDEX_VERSION, N_HASHES, BAND_SIZE, SHINGLE)
+    if got != want or m["hash_fn"] not in ("xxhash64", "md5"):
         raise ValueError(
-            f"minhash index at {path} was built with parameters {got}, "
-            f"this build expects {want} — rebuild the index"
+            f"minhash index at {path} was built with parameters "
+            f"{got + (m['hash_fn'],)}, this build expects "
+            f"{want} + hash_fn in ('xxhash64', 'md5') — rebuild the index"
         )
     # pre-max_df indexes (no column) behave as uncapped
-    return m["max_df"] if "max_df" in m.__fields__ else None
+    max_df = m["max_df"] if "max_df" in m.__fields__ else None
+    return max_df, m["hash_fn"]
 
 
 def dedup_against_index(
@@ -182,10 +193,10 @@ def dedup_against_index(
     ``broadcast_batch=False`` for a batch too large to broadcast (then it
     is a plain shuffle join on 8-byte band keys)."""
     spark = new_docs.sparkSession
-    max_df = _check_meta(spark, path)
+    max_df, hash_fn = _check_meta(spark, path)
     min_matches = -(-threshold * N_HASHES // 1)  # ceil
-    mh_new = _signatures(new_docs, max_df).localCheckpoint()
-    bands_new = band_keys_from_signatures(mh_new, "xxhash64")
+    mh_new = _signatures(new_docs, max_df, hash_fn).localCheckpoint()
+    bands_new = band_keys_from_signatures(mh_new, hash_fn)
     if broadcast_batch:
         bands_new = F.broadcast(bands_new)
     bands_idx = spark.read.parquet(f"{path}/bands")

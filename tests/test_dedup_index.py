@@ -133,3 +133,53 @@ def test_probe_matches_batch_lsh_on_same_corpus(spark, index, tmp_path):
         for r in dedup_against_index(batch, path).collect()
     }
     assert batch_pairs == idx_pairs
+
+
+def test_md5_index_probes_under_pinned_hash(spark, tmp_path):
+    """An index built with hash_fn='md5' (the oracle configuration) must
+    probe under md5 automatically — the probe reads the pinned hash from
+    meta, so exact duplicates still match 16/16 and an unknown hash_fn in
+    meta fails loudly."""
+    path = str(tmp_path / "md5_idx")
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id int, text string",
+    )
+    build_minhash_index(corpus, path, n_files=2, hash_fn="md5")
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta["hash_fn"] == "md5"
+    batch = spark.createDataFrame(
+        [(101, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    rows = dedup_against_index(batch, path).collect()
+    assert [(r["doc_id"], r["matched_doc_id"], r["est_jaccard"]) for r in rows] == [
+        (101, 1, 1.0)
+    ]
+    # extend inherits the pinned hash: the extended doc is findable
+    extend_minhash_index(
+        spark.createDataFrame(
+            [(3, "red orange yellow green blue indigo violet pink brown")],
+            "doc_id int, text string",
+        ),
+        path,
+    )
+    probe2 = spark.createDataFrame(
+        [(102, "red orange yellow green blue indigo violet pink brown")],
+        "doc_id int, text string",
+    )
+    assert dedup_against_index(probe2, path).collect()[0]["matched_doc_id"] == 3
+    # a foreign hash_fn in meta is rejected, not silently mis-probed
+    bad = str(tmp_path / "bad_hash_idx")
+    spark.read.parquet(f"{path}/bands").write.parquet(f"{bad}/bands")
+    spark.read.parquet(f"{path}/sigs").write.parquet(f"{bad}/sigs")
+    spark.createDataFrame(
+        [(2, 16, 4, 3, "sha999", None)],
+        "version int, n_hashes int, band_size int, shingle int, "
+        "hash_fn string, max_df double",
+    ).write.parquet(f"{bad}/meta")
+    with pytest.raises(ValueError, match="rebuild the index"):
+        dedup_against_index(batch, bad)
