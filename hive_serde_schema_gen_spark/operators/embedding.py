@@ -137,40 +137,54 @@ _EMB_SALT = "embed-v1"
 _SQL_H = "CAST(concat('0x', substr(md5('{salt}|' || g), 1, 8)) AS BIGINT)"
 
 
-def _embed_oracle() -> str:
+def _sql_embed_ctes(src: str, dim: int, p: str = "") -> str:
+    """CTE chain re-deriving :func:`embed_text` (md5 hash configuration,
+    bigrams on) over ``src(doc_id, text)`` → final CTE
+    ``{p}vals(doc_id, s, val)``: the L2-normalized signed-hashing embedding
+    exploded to one row per (doc, slot).  ``p`` prefixes every CTE name so
+    composed oracles (the free-text hybrid embeds the corpus AND the query
+    string in one statement) cannot collide.  ONE SQL rendition of the
+    featurizer arithmetic, shared by the ``embed_text`` slot."""
     h_slot = _SQL_H.format(salt=_EMB_SALT)
     h_sign = _SQL_H.format(salt=_EMB_SALT + ":sign")
-    return f"""
-    WITH toks AS (
+    return f"""{p}toks AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
                   ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
-      FROM documents WHERE doc_id % 10 = 0),
-    uni AS (SELECT doc_id, unnest(w) AS g FROM toks),
-    bi AS (
+      FROM {src}),
+    {p}uni AS (SELECT doc_id, unnest(w) AS g FROM {p}toks),
+    {p}bi AS (
       SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
-      FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      FROM {p}toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
       WHERE len(w) > 1),
-    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
-    hashed AS (
+    {p}grams AS (SELECT * FROM {p}uni UNION ALL SELECT * FROM {p}bi),
+    {p}hashed AS (
       SELECT doc_id,
-             CAST({h_slot} % {_EMB_DIM} AS INTEGER) AS s,
+             CAST({h_slot} % {dim} AS INTEGER) AS s,
              CAST({h_sign} % 2 * 2 - 1 AS DOUBLE) AS v
-      FROM grams),
-    sums AS (SELECT doc_id, s, SUM(v) AS w FROM hashed GROUP BY doc_id, s),
-    slots AS (
+      FROM {p}grams),
+    {p}sums AS (SELECT doc_id, s, SUM(v) AS w FROM {p}hashed GROUP BY doc_id, s),
+    {p}slots AS (
       SELECT d.doc_id, p.s
-      FROM (SELECT DISTINCT doc_id FROM toks) d,
-           (SELECT CAST(unnest(range(0, {_EMB_DIM})) AS INTEGER) AS s) p),
-    vec AS (
-      SELECT slots.doc_id, slots.s, COALESCE(sums.w, 0.0) AS w
-      FROM slots LEFT JOIN sums
-        ON sums.doc_id = slots.doc_id AND sums.s = slots.s),
-    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM vec GROUP BY doc_id)
-    SELECT vec.doc_id, vec.s AS pos,
-           CASE WHEN norms.nrm > 0 THEN vec.w / norms.nrm ELSE vec.w END AS val
-    FROM vec JOIN norms USING (doc_id)
-    ORDER BY vec.doc_id, pos
+      FROM (SELECT DISTINCT doc_id FROM {p}toks) d,
+           (SELECT CAST(unnest(range(0, {dim})) AS INTEGER) AS s) p),
+    {p}vec AS (
+      SELECT s2.doc_id, s2.s, COALESCE(su.w, 0.0) AS w
+      FROM {p}slots s2 LEFT JOIN {p}sums su
+        ON su.doc_id = s2.doc_id AND su.s = s2.s),
+    {p}norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM {p}vec GROUP BY doc_id),
+    {p}vals AS (
+      SELECT v.doc_id, v.s,
+             CASE WHEN n.nrm > 0 THEN v.w / n.nrm ELSE v.w END AS val
+      FROM {p}vec v JOIN {p}norms n USING (doc_id))"""
+
+
+def _embed_oracle() -> str:
+    return f"""
+    WITH esrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    {_sql_embed_ctes('esrc', _EMB_DIM)}
+    SELECT doc_id, s AS pos, val FROM vals
+    ORDER BY doc_id, pos
     """
 
 

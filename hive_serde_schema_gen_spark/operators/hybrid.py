@@ -152,36 +152,38 @@ _HYBRID_K = 10
 _RRF_K = 60
 
 
-def _lex_ctes(terms, depth: int) -> str:
+def _lex_ctes(terms, depth: int, p: str = "") -> str:
     """CTE fragments re-deriving BM25 top-``depth`` over the raw documents
     text — same arithmetic as the ``bm25_topk_indexed`` oracle
     (``text_index.py``), parameterized by query terms.  ``lx`` prefix
-    keeps names clear of the LSH/PQ CTEs this composes with."""
+    keeps names clear of the LSH/PQ CTEs this composes with; ``p``
+    prefixes further so the slot's example + free-text branches can both
+    run in one statement (final CTE: ``{p}lex``)."""
     terms = sorted(terms)
     inlist = ", ".join(f"'{t}'" for t in terms)
     fixed_sum = "\n         + ".join(
         f"COALESCE(MAX(CASE WHEN t = '{t}' THEN sc END), 0)" for t in terms
     )
-    return f"""lxtoks AS (
+    return f"""{p}lxtoks AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
                   ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
       FROM documents),
-    lxbase AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM lxtoks),
-    lxtf AS (
+    {p}lxbase AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM {p}lxtoks),
+    {p}lxtf AS (
       SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
-      FROM lxbase WHERE t IN ({inlist})
+      FROM {p}lxbase WHERE t IN ({inlist})
       GROUP BY doc_id, t),
-    lxstats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM lxtoks),
-    lxdfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM lxtf GROUP BY t),
-    lxs AS (
-      SELECT lxtf.doc_id, lxtf.t,
-             ln(1.0 + (lxstats.n - lxdfq.df + 0.5) / (lxdfq.df + 0.5)) * lxtf.tf
-             / (lxtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lxtf.dl / lxstats.avgdl)) AS sc
-      FROM lxtf JOIN lxdfq ON lxdfq.t = lxtf.t, lxstats),
-    lex AS (
+    {p}lxstats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM {p}lxtoks),
+    {p}lxdfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM {p}lxtf GROUP BY t),
+    {p}lxs AS (
+      SELECT tf.doc_id, tf.t,
+             ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS sc
+      FROM {p}lxtf tf JOIN {p}lxdfq dfq ON dfq.t = tf.t, {p}lxstats st),
+    {p}lex AS (
       SELECT doc_id, {fixed_sum} AS bm25
-      FROM lxs GROUP BY doc_id
+      FROM {p}lxs GROUP BY doc_id
       ORDER BY bm25 DESC, doc_id LIMIT {depth})"""
 
 
@@ -226,7 +228,6 @@ def _hybrid_oracle() -> str:
     )
 
 
-@query("hybrid_topk", oracle=_hybrid_oracle())
 def hybrid_retrieval_topk(spark, sf_dir):
     """Driver slot for :func:`hybrid_topk` — the flagship serve-path
     composition: a PERSISTED BM25 postings index built over the documents
@@ -250,3 +251,148 @@ def hybrid_retrieval_topk(spark, sf_dir):
     return hybrid_topk(
         spark, path, " ".join(_HYBRID_TERMS), e, k=_HYBRID_K, rrf_k=_RRF_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: the FREE-TEXT hybrid branch, oracled end to end
+# ---------------------------------------------------------------------------
+
+# Sorted for the fixed per-term addition order; all three terms occur in the
+# corpus (df > 0 at every SF), distinct from the example branch's terms.
+_FREETEXT_TERMS = ("filter", "query", "stream")
+_FREETEXT_QUERY = " ".join(_FREETEXT_TERMS)
+_EMB_DIM_HYBRID = 64  # the LSH planes / PQ subspace splits assume 64 dims
+
+
+def _hybrid_freetext_oracle() -> str:
+    """DuckDB rendition of :func:`hybrid_topk_text` — the serve path from a
+    RAW QUERY STRING: the query embeds through the same signed-hashing
+    featurizer as the corpus (shared ``_sql_embed_ctes`` — one rendition of
+    the arithmetic, instantiated twice: corpus + the 1-row query), both
+    quantize to integers, the LSH multiprobe candidates derive over
+    corpus∪query with the reserved probe id, PQ trains on the CORPUS ONLY
+    (exactly what ``build_pq_index(e)`` sees — the query row is unioned
+    into the LSH index only, never the codebook), ADC + exact re-rank
+    shortlist, BM25 over the same raw text, RRF fusion.  Every stage is
+    the same shared CTE text the ``embed_text`` / ``ann_topk_ivf_pq`` /
+    example-branch oracles run, so the free-text composition cannot drift
+    from its ingredients."""
+    from .embedding import _sql_embed_ctes
+    from .similarity import PQ_RERANK_MULT as _MULT
+    from .similarity import _lsh_cand_ctes, _pq_ann_ctes
+
+    depth = _HYBRID_K * 2
+    q = QUERY_TEXT_ID
+    quant = "CAST(round(val * 10000) AS BIGINT)"
+    ctes = [
+        f"qdoc AS (SELECT CAST({q} AS BIGINT) AS doc_id,"
+        f" '{_FREETEXT_QUERY}' AS text)",
+        _sql_embed_ctes("documents", _EMB_DIM_HYBRID, p="ce"),
+        _sql_embed_ctes("qdoc", _EMB_DIM_HYBRID, p="qe"),
+        f"fe AS (SELECT doc_id AS vec_id, {quant} AS v, s + 1 AS i"
+        " FROM cevals)",
+        f"feq AS (SELECT * FROM fe UNION ALL"
+        f" SELECT doc_id, {quant}, s + 1 FROM qevals)",
+        _lsh_cand_ctes(src="feq", probe=q, p="f"),
+    ]
+    ctes.extend(
+        _pq_ann_ctes(
+            depth, _MULT, src="fe", qsrc="feq", probe=q, cand="fcand", p="f"
+        )
+    )
+    ctes.append(
+        "fsem AS (SELECT vec_id, dot / (sqrt(nv) * sqrt(nq)) AS cos_sim"
+        f" FROM fscored2 ORDER BY cos_sim DESC, vec_id LIMIT {depth})"
+    )
+    ctes.append(_lex_ctes(_FREETEXT_TERMS, depth, p="f"))
+    ctes.append(
+        "flexr AS (SELECT doc_id, ROW_NUMBER() OVER"
+        " (ORDER BY bm25 DESC, doc_id) AS r FROM flex)"
+    )
+    ctes.append(
+        "fsemr AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER"
+        " (ORDER BY cos_sim DESC, vec_id) AS r FROM fsem)"
+    )
+    ctes.append(
+        f"fru AS (SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM flexr"
+        f" UNION ALL SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM fsemr)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT doc_id, SUM(s) AS rrf FROM fru GROUP BY doc_id"
+        f" ORDER BY rrf DESC, doc_id LIMIT {_HYBRID_K}"
+    )
+
+
+def hybrid_freetext_topk(spark, sf_dir):
+    """Driver branch for :func:`hybrid_topk_text`: the corpus embeds via
+    ``embed_text`` (md5 configuration, dim 64 — the LSH/PQ geometry), the
+    raw query string embeds through the identical featurizer under the
+    reserved ``QUERY_TEXT_ID``, and the whole serve path runs from the
+    string alone — no query-by-example vector anywhere."""
+    import tempfile
+
+    from ..sources.tables import load_table
+    from .embedding import embed_text
+    from .text_index import build_text_index
+
+    d = load_table(spark, sf_dir, "documents")
+    e = embed_text(
+        d, dim=_EMB_DIM_HYBRID, bigrams=True, hash_fn="md5"
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="hybrid-ft-slot-")
+    build_text_index(d, path)
+    return hybrid_topk_text(
+        spark,
+        path,
+        _FREETEXT_QUERY,
+        e,
+        k=_HYBRID_K,
+        rrf_k=_RRF_K,
+        embed_hash_fn="md5",
+    )
+
+
+def _hybrid_union_oracle() -> str:
+    ex = _hybrid_oracle().strip()
+    ft = _hybrid_freetext_oracle().strip()
+    assert ex.startswith("WITH ") and ft.startswith("WITH ")
+    # merge the two WITH clauses: CTE names are disjoint by prefixing
+    ex_body, ex_tail = ex[5:].rsplit("\n    SELECT", 1)
+    ft_body, ft_tail = ft[5:].rsplit("\n    SELECT", 1)
+    ex_sel = "SELECT" + ex_tail.replace(f" LIMIT {_HYBRID_K}", "")
+    ft_sel = "SELECT" + ft_tail.replace(f" LIMIT {_HYBRID_K}", "")
+    return f"""
+    WITH {ex_body},
+    {ft_body},
+    exk AS ({ex_sel} LIMIT {_HYBRID_K}),
+    ftk AS ({ft_sel} LIMIT {_HYBRID_K}),
+    unioned AS (
+      SELECT 'example' AS op, doc_id, rrf FROM exk
+      UNION ALL
+      SELECT 'freetext', doc_id, rrf FROM ftk)
+    SELECT op, doc_id, rrf FROM unioned ORDER BY op, rrf DESC, doc_id
+    """
+
+
+@query("hybrid_topk", oracle=_hybrid_union_oracle())
+def hybrid_ops(spark, sf_dir):
+    """Tagged union: op='example' is :func:`hybrid_retrieval_topk`
+    (query-by-example over the embeddings table) unchanged; op='freetext'
+    is :func:`hybrid_freetext_topk` (raw string → hashed embedding →
+    LSH+PQ ANN + persisted-BM25 probe → RRF).  One DuckDB statement
+    re-derives BOTH serve paths, each from its own raw inputs."""
+    from ..functions.union import pad_union
+
+    schema = [("op", "string"), ("doc_id", "bigint"), ("rrf", "double")]
+    return pad_union(
+        schema,
+        (
+            hybrid_retrieval_topk(spark, sf_dir),
+            {"op": F.lit("example"), "doc_id": "doc_id", "rrf": "rrf"},
+        ),
+        (
+            hybrid_freetext_topk(spark, sf_dir),
+            {"op": F.lit("freetext"), "doc_id": "doc_id", "rrf": "rrf"},
+        ),
+    ).orderBy("op", F.col("rrf").desc(), "doc_id")

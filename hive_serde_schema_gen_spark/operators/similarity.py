@@ -925,27 +925,35 @@ _SQL_E = (
     " FROM embeddings"
 )
 
-# LSH candidate-set CTEs (assume CTE `e` = quantized exploded embeddings;
-# produce CTE `cand` = the multiprobe candidate vec_id set).  Shared between
-# the `similarity_lsh_bucketed` oracle and the hybrid-retrieval oracle.
-_LSH_CAND_CTES = f"""w AS (
+# LSH candidate-set CTEs (assume CTE `src` = quantized exploded embeddings;
+# produce CTE `{p}cand` = the multiprobe candidate vec_id set).  Shared
+# between the `similarity_lsh_bucketed` oracle and the hybrid-retrieval
+# oracle; the free-text hybrid branch instantiates a second copy with a
+# prefix, a corpus∪query source, and the reserved probe id.
+
+
+def _lsh_cand_ctes(src: str = "e", probe: int = QUERY_VEC_ID, p: str = "") -> str:
+    return f"""{p}w AS (
       SELECT t.t AS t, p.p AS p, d.d + 1 AS i,
              CAST(concat('0x', substr(md5(t.t || ':' || p.p || ':' || d.d), 1, 8))
                   AS BIGINT) % 2001 - 1000 AS w
       FROM range({N_TABLES}) t(t), range({PLANES_PER_TABLE}) p(p), range(64) d(d)),
-    dots AS (
+    {p}dots AS (
       SELECT e.vec_id, w.t, w.p, CAST(SUM(e.v * w.w) AS BIGINT) AS d
-      FROM e JOIN w USING (i) GROUP BY e.vec_id, w.t, w.p),
-    buck AS (
+      FROM {src} e JOIN {p}w w USING (i) GROUP BY e.vec_id, w.t, w.p),
+    {p}buck AS (
       SELECT vec_id, t,
              CAST(SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS b
-      FROM dots GROUP BY vec_id, t),
-    pb AS (SELECT t, b AS pbkt FROM buck WHERE vec_id = {QUERY_VEC_ID}),
-    cand AS (
-      SELECT DISTINCT buck.vec_id
-      FROM buck JOIN pb USING (t)
-      WHERE bit_count(xor(buck.b, pb.pbkt)) <= {MULTIPROBE_FLIPS}
-        AND buck.vec_id <> {QUERY_VEC_ID})"""
+      FROM {p}dots GROUP BY vec_id, t),
+    {p}pb AS (SELECT t, b AS pbkt FROM {p}buck WHERE vec_id = {probe}),
+    {p}cand AS (
+      SELECT DISTINCT b.vec_id
+      FROM {p}buck b JOIN {p}pb pb USING (t)
+      WHERE bit_count(xor(b.b, pb.pbkt)) <= {MULTIPROBE_FLIPS}
+        AND b.vec_id <> {probe})"""
+
+
+_LSH_CAND_CTES = _lsh_cand_ctes()
 
 _LSH_ORACLE = f"""
     WITH e AS ({_SQL_E}),
@@ -1520,90 +1528,103 @@ def _ivf_pq_oracle() -> str:
     )
 
 
-def _pq_ann_ctes(k: int, mult: int) -> list:
+def _pq_ann_ctes(
+    k: int,
+    mult: int,
+    src: str = "e",
+    qsrc: str = "e",
+    probe: int = QUERY_VEC_ID,
+    cand: str = "cand",
+    p: str = "",
+) -> list:
     """CTE fragments for the PQ half of an ANN oracle, parameterized by the
-    re-rank cut (``k × mult`` shortlist, exact re-rank of CTE ``scored2``).
-    Assumes CTEs ``e`` (quantized exploded embeddings) and ``cand`` (the
-    candidate vec_id set — IVF probed cells or the LSH multiprobe ball)
-    already exist; the caller selects the final top-``k`` from ``scored2``.
-    Shared by ``_ivf_pq_oracle`` and the hybrid-retrieval oracle so the
-    PQ-training SQL can never drift between the two slots."""
+    re-rank cut (``k × mult`` shortlist, exact re-rank of CTE
+    ``{p}scored2``).  Assumes CTEs ``src`` (quantized exploded TRAINING
+    vectors — the corpus), ``qsrc`` (the relation holding the probe vector
+    under id ``probe`` — equals ``src`` for query-by-example, corpus∪query
+    for a free-text query), and ``cand`` (the candidate vec_id set — IVF
+    probed cells or the LSH multiprobe ball) already exist; the caller
+    selects the final top-``k`` from ``{p}scored2``.  ``p`` prefixes every
+    CTE name so one statement can run TWO PQ pipelines (the hybrid slot's
+    example + free-text branches).  Shared by ``_ivf_pq_oracle`` and the
+    hybrid-retrieval oracle so the PQ-training SQL can never drift between
+    the slots."""
     S, C, IT = PQ_SUBSPACES, PQ_CODES, KMEANS_ITERS
     SD = 64 // S
-    K, MULT, Q = k, mult, QUERY_VEC_ID
+    K, MULT, Q = k, mult, probe
     ctes = []
     ctes.append(
-        f"px AS (SELECT vec_id, CAST((i-1)//{SD} AS INTEGER) AS s,"
-        f" CAST((i-1)%{SD} AS INTEGER) AS p, v FROM e)"
+        f"{p}px AS (SELECT vec_id, CAST((i-1)//{SD} AS INTEGER) AS s,"
+        f" CAST((i-1)%{SD} AS INTEGER) AS p, v FROM {src})"
     )
     ctes.append(
-        "pseed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        f"{p}pseed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
         " AS INTEGER) AS code, vec_id FROM"
-        f" (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT {C}) t)"
+        f" (SELECT DISTINCT vec_id FROM {src} ORDER BY vec_id LIMIT {C}) t)"
     )
     ctes.append(
-        "pc0 AS (SELECT px.s, sd.code, px.p, px.v AS c"
-        " FROM pseed sd JOIN px USING (vec_id))"
+        f"{p}pc0 AS (SELECT px.s, sd.code, px.p, px.v AS c"
+        f" FROM {p}pseed sd JOIN {p}px px USING (vec_id))"
     )
     for k in range(IT + 1):
         ctes.append(
-            f"pd{k} AS (SELECT px.vec_id, px.s, c.code,"
+            f"{p}pd{k} AS (SELECT px.vec_id, px.s, c.code,"
             " SUM((px.v - c.c) * (px.v - c.c)) AS d2"
-            f" FROM px JOIN pc{k} c ON c.s = px.s AND c.p = px.p"
+            f" FROM {p}px px JOIN {p}pc{k} c ON c.s = px.s AND c.p = px.p"
             " GROUP BY px.vec_id, px.s, c.code)"
         )
         ctes.append(
-            f"pa{k} AS (SELECT vec_id, s, code FROM ("
+            f"{p}pa{k} AS (SELECT vec_id, s, code FROM ("
             "SELECT vec_id, s, code, ROW_NUMBER() OVER ("
             "PARTITION BY vec_id, s ORDER BY d2, code) AS rn"
-            f" FROM pd{k}) t WHERE rn = 1)"
+            f" FROM {p}pd{k}) t WHERE rn = 1)"
         )
         if k < IT:
             ctes.append(
-                f"pm{k} AS (SELECT a.s, a.code, px.p,"
+                f"{p}pm{k} AS (SELECT a.s, a.code, px.p,"
                 " CAST(round(CAST(SUM(px.v) AS DOUBLE) / COUNT(*)) AS BIGINT)"
-                f" AS c FROM pa{k} a JOIN px"
+                f" AS c FROM {p}pa{k} a JOIN {p}px px"
                 " ON px.vec_id = a.vec_id AND px.s = a.s"
                 " GROUP BY a.s, a.code, px.p)"
             )
             ctes.append(
-                f"pc{k + 1} AS (SELECT c.s, c.code, c.p, COALESCE(m.c, c.c)"
-                f" AS c FROM pc{k} c LEFT JOIN pm{k} m"
+                f"{p}pc{k + 1} AS (SELECT c.s, c.code, c.p, COALESCE(m.c, c.c)"
+                f" AS c FROM {p}pc{k} c LEFT JOIN {p}pm{k} m"
                 " ON m.s = c.s AND m.code = c.code AND m.p = c.p)"
             )
     ctes.append(
-        f"qsub AS (SELECT CAST((i-1)//{SD} AS INTEGER) AS s,"
-        f" CAST((i-1)%{SD} AS INTEGER) AS p, v FROM e WHERE vec_id = {Q})"
+        f"{p}qsub AS (SELECT CAST((i-1)//{SD} AS INTEGER) AS s,"
+        f" CAST((i-1)%{SD} AS INTEGER) AS p, v FROM {qsrc} WHERE vec_id = {Q})"
     )
     ctes.append(
-        f"lut AS (SELECT c.s, c.code, SUM(q.v * c.c) AS pdot,"
-        f" SUM(c.c * c.c) AS pn2 FROM pc{IT} c JOIN qsub q"
+        f"{p}lut AS (SELECT c.s, c.code, SUM(q.v * c.c) AS pdot,"
+        f" SUM(c.c * c.c) AS pn2 FROM {p}pc{IT} c JOIN {p}qsub q"
         " ON q.s = c.s AND q.p = c.p GROUP BY c.s, c.code)"
     )
     ctes.append(
-        "qn AS (SELECT sqrt(CAST(SUM(v * v) AS DOUBLE)) AS qn"
-        f" FROM e WHERE vec_id = {Q})"
+        f"{p}qn AS (SELECT sqrt(CAST(SUM(v * v) AS DOUBLE)) AS qn"
+        f" FROM {qsrc} WHERE vec_id = {Q})"
     )
     ctes.append(
-        f"approx AS (SELECT a.vec_id, SUM(l.pdot) AS adot, SUM(l.pn2) AS an2"
-        f" FROM pa{IT} a JOIN lut l ON l.s = a.s AND l.code = a.code"
-        " JOIN cand ON cand.vec_id = a.vec_id GROUP BY a.vec_id)"
+        f"{p}approx AS (SELECT a.vec_id, SUM(l.pdot) AS adot, SUM(l.pn2) AS an2"
+        f" FROM {p}pa{IT} a JOIN {p}lut l ON l.s = a.s AND l.code = a.code"
+        f" JOIN {cand} cd ON cd.vec_id = a.vec_id GROUP BY a.vec_id)"
     )
     ctes.append(
-        "ascore AS (SELECT approx.vec_id, CASE WHEN an2 > 0 AND qn.qn > 0"
+        f"{p}ascore AS (SELECT ap.vec_id, CASE WHEN an2 > 0 AND qn.qn > 0"
         " THEN CAST(adot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * qn.qn)"
-        " ELSE -1.0 END AS approx_cos FROM approx, qn)"
+        f" ELSE -1.0 END AS approx_cos FROM {p}approx ap, {p}qn qn)"
     )
     ctes.append(
-        "short AS (SELECT vec_id FROM ascore"
+        f"{p}short AS (SELECT vec_id FROM {p}ascore"
         f" ORDER BY approx_cos DESC, vec_id LIMIT {K * MULT})"
     )
     ctes.append(
-        "scored2 AS (SELECT e.vec_id, CAST(SUM(e.v * q2.v) AS DOUBLE) AS dot,"
+        f"{p}scored2 AS (SELECT e.vec_id, CAST(SUM(e.v * q2.v) AS DOUBLE) AS dot,"
         " CAST(SUM(e.v * e.v) AS DOUBLE) AS nv,"
         " CAST(SUM(q2.v * q2.v) AS DOUBLE) AS nq"
-        f" FROM e JOIN (SELECT v, i FROM e WHERE vec_id = {Q}) q2 USING (i)"
-        " JOIN short ON short.vec_id = e.vec_id GROUP BY e.vec_id)"
+        f" FROM {src} e JOIN (SELECT v, i FROM {qsrc} WHERE vec_id = {Q}) q2 USING (i)"
+        f" JOIN {p}short sh ON sh.vec_id = e.vec_id GROUP BY e.vec_id)"
     )
     return ctes
 
