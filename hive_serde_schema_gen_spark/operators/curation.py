@@ -807,20 +807,39 @@ _SEM_SQL = f"""
 """
 
 
-@query(
-    "curation_ops",
-    oracle=f"""
+def _curation_ops_oracle() -> str:
+    from .dsir import sql_dsir_ctes
+
+    pad_dsir = (
+        "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams, "
+        "CAST(NULL AS DOUBLE) AS logw, CAST(NULL AS DOUBLE) AS gumbel, "
+        "CAST(NULL AS INTEGER) AS sel_rank"
+    )
+    return f"""
+    WITH {sql_dsir_ctes()}
     SELECT * FROM (
     SELECT 'mix' AS op, lang, n_docs, rate,
            CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS max_bench_sim,
-           CAST(NULL AS BIGINT) AS nearest_bench_id
+           CAST(NULL AS BIGINT) AS nearest_bench_id, {pad_dsir}
     FROM ({_MIX_SQL})
     UNION ALL
-    SELECT 'sem', NULL, NULL, NULL, vec_id, max_bench_sim, nearest_bench_id
+    SELECT 'sem', NULL, NULL, NULL, vec_id, max_bench_sim, nearest_bench_id,
+           {pad_dsir}
     FROM ({_SEM_SQL})
-    ) ORDER BY op, COALESCE(lang, ''), COALESCE(vec_id, -1)
-    """,
-)
+    UNION ALL
+    SELECT 'dsir_w', NULL, NULL, NULL, NULL, NULL, NULL,
+           doc_id, n_grams, logw, CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
+    FROM dsirw WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT 'dsir_sel', NULL, NULL, NULL, NULL, NULL, NULL,
+           doc_id, n_grams, logw, gumbel, sel_rank
+    FROM dsirsel
+    ) ORDER BY op, COALESCE(lang, ''), COALESCE(vec_id, -1),
+               COALESCE(doc_id, -1)
+    """
+
+
+@query("curation_ops", oracle=_curation_ops_oracle())
 def curation_ops(spark, sf_dir):
     """The corpus-composition curation family in ONE driver slot (round-10
     tagged-union merge of ``curation_mix`` + the until-now library-only
@@ -833,9 +852,18 @@ def curation_ops(spark, sf_dir):
     driver hash.  The LSH candidate path's parity with exact is
     pytest-held (`tests/test_curation.py`); its designed operating point
     (0.95) is above this corpus's max cross-vector cosine, so the slot
-    pins the exact arithmetic the LSH path verifies against."""
+    pins the exact arithmetic the LSH path verifies against.
+
+    Round-10 continuation: the union also carries the DSIR
+    importance-resampling evidence (`operators/dsir.py`) — op='dsir_w'
+    pins every 10th document's hashed-ngram log importance weight
+    against the lang='zh' target slice, op='dsir_sel' pins the
+    Gumbel-top-20 without-replacement sample (weights + noise + rank);
+    the oracle re-derives hashing, both model fits, the 9-dp-quantized
+    log ratio, the exact decimal reduction, and the Gumbel keys."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
+    from .dsir import dsir_selected_rows, dsir_weight_rows
 
     e = load_table(spark, sf_dir, "embeddings")
     bench = e.filter(F.col("vec_id") < _SEM_BENCH_MAX_ID)
@@ -846,6 +874,8 @@ def curation_ops(spark, sf_dir):
         ("op", "string"), ("lang", "string"), ("n_docs", "bigint"),
         ("rate", "double"), ("vec_id", "bigint"),
         ("max_bench_sim", "double"), ("nearest_bench_id", "bigint"),
+        ("doc_id", "bigint"), ("n_grams", "bigint"), ("logw", "double"),
+        ("gumbel", "double"), ("sel_rank", "int"),
     ]
     return pad_union(
         schema,
@@ -864,8 +894,26 @@ def curation_ops(spark, sf_dir):
                 "nearest_bench_id": "nearest_bench_id",
             },
         ),
+        (
+            dsir_weight_rows(spark, sf_dir),
+            {
+                "op": F.lit("dsir_w"), "doc_id": "doc_id",
+                "n_grams": "n_grams", "logw": "logw_q9",
+            },
+        ),
+        (
+            dsir_selected_rows(spark, sf_dir),
+            {
+                "op": F.lit("dsir_sel"), "doc_id": "doc_id",
+                "n_grams": "n_grams", "logw": "logw_q9",
+                "gumbel": "gumbel_q9", "sel_rank": "sel_rank",
+            },
+        ),
     ).orderBy(
-        "op", F.coalesce("lang", F.lit("")), F.coalesce("vec_id", F.lit(-1))
+        "op",
+        F.coalesce("lang", F.lit("")),
+        F.coalesce("vec_id", F.lit(-1)),
+        F.coalesce("doc_id", F.lit(-1)),
     )
 
 

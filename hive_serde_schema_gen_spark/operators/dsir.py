@@ -293,3 +293,106 @@ def dsir_sample(
         .over(Window.orderBy(F.col("__key").desc(), F.col(id_col)))
         .alias("sel_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-slot configuration (rides the `curation_ops` tagged union) and the
+# DuckDB re-derivation of the full pipeline
+# ---------------------------------------------------------------------------
+
+#: Slot config: md5 hashes (oracle-re-derivable), 256 buckets (the zh
+#: target slice carries ~8k grams at sf0.01 — above the smoothing floor
+#: the module docstring warns about), target = lang='zh', k = 20.
+_SLOT_M = 256
+_SLOT_K = 20
+_SLOT_LANG = "zh"
+_U_MOD = 1 << _U_BITS
+
+
+def dsir_weight_rows(spark, sf_dir):
+    """The op='dsir_w' branch: importance weights of every 10th document
+    against the lang='zh' target slice — pins the weight arithmetic
+    across the corpus distribution, selected or not."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == _SLOT_LANG)
+    w = dsir_weights(d, target, m=_SLOT_M, hash_fn="md5")
+    return w.filter(F.col("doc_id") % 10 == 0)
+
+
+def dsir_selected_rows(spark, sf_dir):
+    """The op='dsir_sel' branch: the Gumbel-top-k resampled set with
+    ranks — pins weights + noise + the without-replacement ordering."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == _SLOT_LANG)
+    return dsir_sample(d, target, k=_SLOT_K, m=_SLOT_M, hash_fn="md5")
+
+
+def sql_dsir_ctes() -> str:
+    """CTE chain re-deriving the slot configuration over ``documents`` →
+    final CTEs ``dsirw(doc_id, n_grams, logw)`` (every document's weight)
+    and ``dsirsel(doc_id, n_grams, logw, gumbel, sel_rank)`` (the top-k).
+    ONE SQL rendition of the hashing, both fits, the 9-dp-quantized
+    ratio, the exact decimal reduction, and the Gumbel keys."""
+    m, k, lang = _SLOT_M, _SLOT_K, _SLOT_LANG
+    h8 = "CAST(concat('0x', substr(md5('dsir-v1|' || g), 1, 8)) AS BIGINT)"
+    h13 = (
+        "CAST(concat('0x', substr(md5('dsir-seed|' || CAST(doc_id AS VARCHAR)),"
+        " 1, 13)) AS BIGINT)"
+    )
+    return f"""dstoks AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+      FROM documents),
+    dsgrams AS (
+      SELECT doc_id, unnest(w) AS g FROM dstoks
+      UNION ALL
+      SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
+      FROM dstoks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      WHERE len(w) > 1),
+    dsbuck AS (
+      SELECT doc_id, CAST({h8} % {m} AS INTEGER) AS b FROM dsgrams),
+    dstc AS (
+      SELECT b, COUNT(*) AS cp FROM dsbuck JOIN documents USING (doc_id)
+      WHERE lang = '{lang}' GROUP BY b),
+    dstt AS (SELECT COALESCE(SUM(cp), 0) AS tp FROM dstc),
+    dsqc AS (SELECT b, COUNT(*) AS cq FROM dsbuck GROUP BY b),
+    dsqt AS (SELECT COALESCE(SUM(cq), 0) AS tq FROM dsqc),
+    dstf AS (
+      SELECT doc_id, b, COUNT(*) AS tf FROM dsbuck GROUP BY doc_id, b),
+    dsterm AS (
+      SELECT f.doc_id,
+             CAST(round(ln(COALESCE(t.cp, 0) + 1) - ln(tt.tp + {m})
+                        - ln(COALESCE(q.cq, 0) + 1) + ln(qt.tq + {m}), 9)
+                  AS DECIMAL(20,9)) * CAST(f.tf AS DECIMAL(10,0)) AS qv,
+             f.tf
+      FROM dstf f
+      LEFT JOIN dstc t USING (b)
+      LEFT JOIN dsqc q USING (b), dstt tt, dsqt qt),
+    dsagg AS (
+      SELECT doc_id, SUM(qv) AS logw_dec, SUM(tf) AS ng
+      FROM dsterm GROUP BY doc_id),
+    dsirw AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(a.ng, 0) AS BIGINT) AS n_grams,
+             COALESCE(CAST(a.logw_dec AS DOUBLE), 0.0) AS logw
+      FROM documents d LEFT JOIN dsagg a USING (doc_id)),
+    dsgum AS (
+      SELECT doc_id,
+             round(-ln(-ln(({h13} % {_U_MOD} + 0.5) / {float(_U_MOD)})), 9)
+               AS gumbel
+      FROM documents),
+    dskey AS (
+      SELECT w.doc_id, w.n_grams, w.logw, g.gumbel,
+             CAST(CAST(w.logw AS DECIMAL(20,9))
+                  + CAST(g.gumbel AS DECIMAL(20,9)) AS DOUBLE) AS key
+      FROM dsirw w JOIN dsgum g USING (doc_id)),
+    dsirsel AS (
+      SELECT doc_id, n_grams, logw, gumbel,
+             CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS INTEGER)
+               AS sel_rank
+      FROM dskey QUALIFY sel_rank <= {k})"""

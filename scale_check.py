@@ -124,6 +124,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+    from hive_serde_schema_gen_spark.operators.dsir import dsir_weights
     from hive_serde_schema_gen_spark.operators.embedding import embed_text
     from hive_serde_schema_gen_spark.operators.html import html_to_text
     from hive_serde_schema_gen_spark.operators.text import script_token_stats
@@ -261,6 +262,12 @@ def main() -> None:
         "text_embed_hashed": lambda s, d: embed_text(_docs(s, d)).filter(
             "size(embedding) = 64"
         ),
+        # DSIR importance weights (production xxhash64, m=4096, target =
+        # the zh slice): two tiny model fits + one corpus tf aggregate +
+        # broadcast ratio join; the filter keeps logw alive under count()
+        "dsir_weights": lambda s, d: dsir_weights(
+            _docs(s, d), _docs(s, d).filter("lang = 'zh'"), m=4096
+        ).filter("logw_q9 > -1e15"),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
         "validation_six_checks": lambda s, d: metrics_frame(

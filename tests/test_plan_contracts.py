@@ -31,7 +31,9 @@ _NESTED_LOOP_OK = {
     "ann_topk_ivf_pq",  # shares similarity_ivf_topk's probe shape
     "hybrid_topk",  # composes bm25's stats broadcast + the ANN probe shape
     "lm_perplexity",  # 1-row vocabulary-size broadcast (V)
-    "curation_ops",  # broadcast benchmark crossJoin (exact decontamination)
+    # broadcast benchmark crossJoin (exact decontamination) + the DSIR
+    # branches' 1-row model-total broadcasts
+    "curation_ops",
 }
 
 
