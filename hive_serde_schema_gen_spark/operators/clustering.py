@@ -237,3 +237,93 @@ def dedup_canonical_query(spark, sf_dir):
         .select("doc_id", "n_merged")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Topic clustering + cluster-balanced sampling (round-10 continuation)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_topics(
+    e: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic k-means clustering over an embedding column — the
+    topic-structure signal cluster-balanced curation needs (the public
+    recipe of DataComp / SemDeDup-style pipelines: cluster the corpus in
+    embedding space, then rebalance or prune per cluster).
+
+    Reuses the IVF training machinery (``similarity._kmeans_refine`` /
+    ``_cell_assignments``): vectors quantize to integers engine-side, the
+    first ``k`` ids seed the centroids (deterministic — no RNG), Lloyd
+    iterations compute integer per-cell means (one (cell, dim)-sized
+    shuffle per round, nothing proportional to the corpus), and the final
+    assignment is a broadcast-centroid join.  Returns ``(centroids,
+    assignments)`` — the dict of integer centroids (driver-side, k×dim
+    longs) and the ``(id, cluster)`` DataFrame.
+
+    Works on real model embeddings or :func:`embedding.embed_text`
+    output alike; at 100 TB persist ``assignments`` next to the corpus
+    (cluster labels are curation metadata, computed once)."""
+    from .similarity import _cell_assignments, _kmeans_refine, quantized
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = e.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    eq = v.select(
+        "vec_id", F.posexplode(quantized("__v")).alias("pos", "v")
+    ).localCheckpoint()
+    seeds = sorted(
+        v.orderBy("vec_id").limit(k).select("vec_id", quantized("__v").alias("q")).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if len(seeds) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seeds)}")
+    cents = {i: [int(x) for x in r["q"]] for i, r in enumerate(seeds)}
+    cents = _kmeans_refine(eq, cents, iters=iters)
+    assigned = _cell_assignments(eq, cents).select(
+        F.col("vec_id").alias(id_col), F.col("cell").alias("cluster")
+    )
+    return cents, assigned
+
+
+def cluster_balanced_sample(
+    d: DataFrame,
+    assignments: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    id_col: str = "vec_id",
+    total: int | None = None,
+    salt: str = "cluster-mix-v1",
+) -> DataFrame:
+    """Temperature-rebalanced sampling over embedding clusters — flattens
+    topic skew the same way :func:`curation.temperature_mix_rates`
+    flattens language/source skew, but with MACHINE-derived strata
+    (k-means clusters) instead of metadata columns.  A crawl that is 60%
+    boilerplate-adjacent lands mostly in a few giant clusters; α < 1
+    keeps the tail topics and thins the head.
+
+    ``assignments``: the (id, cluster) frame from :func:`kmeans_topics`
+    (id values must match ``d[key_col]``).  Cluster sizes are a k-row
+    collect; rates ride the plan as a literal CASE chain; membership is
+    hash-threshold on (salt, key) — reproducible across runs, retries
+    and repartitionings, and per-cluster independent.  The label join is
+    corpus×labels on the key (both sides row-per-document — co-locate by
+    bucketing both on the key at scale); the filter itself runs at scan
+    speed with no shuffle."""
+    from .curation import stratified_sample, temperature_mix_rates
+
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assignments.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = temperature_mix_rates(sizes, alpha=alpha, total=total)
+    labeled = d.join(assignments.withColumnRenamed(id_col, key_col), key_col)
+    return stratified_sample(
+        labeled, rates, stratum_col="cluster", key_col=key_col, salt=salt
+    )
