@@ -1,0 +1,372 @@
+"""Batch retrieval — MANY queries served in ONE pass over the corpus
+artifacts.  The single-query entry points (``text_index.
+bm25_topk_indexed``, ``similarity.ann_topk_lsh_pq``, ``hybrid.
+hybrid_topk_text``) are interactive-serving shapes: per query they
+collect a probe row, enumerate a Hamming ball driver-side, and broadcast
+a per-query lookup table.  Offline pipelines — mining retrieval training
+pairs, batch RAG context building, benchmark decontamination sweeps —
+arrive with 10⁴–10⁷ queries at once, and a driver loop over single
+queries would serialize 10⁴ tiny jobs.  This module keeps every
+per-query artifact AS DATA: query buckets, flip masks, ADC lookup
+tables, term lists all live in DataFrames keyed by ``qid``, so one plan
+serves the whole batch and Spark parallelizes across queries AND corpus.
+
+Cost shape at scale (Q queries, corpus artifacts prebuilt):
+- semantic: the probe-bucket table is Q × N_TABLES × |ball| rows
+  (Q × 5 640 at the 12×14/r≤3 config) joined on (table, bucket) against
+  the unpivoted bucket index — broadcastable for small Q, a plain
+  shuffle join beyond (AQE decides); candidates then score by PQ codes
+  only (Q × 8 × 256-row ADC table), and full vectors are read for just
+  ``k × rerank_mult`` rows per query.
+- lexical: one postings read covering the batch's DISTINCT terms (the
+  isin list is collected — bounded by the batch vocabulary, documents
+  are never collected), then per-(qid, doc) scoring and a per-qid
+  top-k window.
+- fusion: rank arithmetic on two top-depth lists per query.
+
+Determinism: the semantic side is integer arithmetic end to end (same
+machinery as ``similarity``), so batch results equal the single-query
+path EXACTLY.  The lexical side sums per-term float scores per (qid,
+doc); to stay order-free under any partitioning each per-term score is
+rounded to 9 dp and summed as an exact decimal (the ``lm.py`` rule) —
+within 1e-9 · |terms| of the single-query fixed-order addition, ties
+broken by doc id in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .similarity import (
+    MULTIPROBE_FLIPS,
+    N_TABLES,
+    PLANES_PER_TABLE,
+    PQ_RERANK_MULT,
+    build_lsh_index,
+    build_pq_index,
+    lsh_buckets,
+    quantized,
+)
+
+
+def _flip_masks(spark: SparkSession, n_bits: int = PLANES_PER_TABLE,
+                radius: int = MULTIPROBE_FLIPS) -> DataFrame:
+    """All XOR masks of Hamming weight ≤ radius over n_bits — the
+    multiprobe ball as DATA (470 rows at 14/3), so probe buckets for a
+    whole query batch come from one tiny cross join instead of Q
+    driver-side enumerations."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_bits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return spark.createDataFrame([(m,) for m in masks], "mask long")
+
+
+def lsh_candidates_batch(index: DataFrame, qindex: DataFrame) -> DataFrame:
+    """(qid, vec_id): per-query candidate sets from the shared bucket
+    index.  ``index``: (vec_id, q, b0..bN) from ``build_lsh_index``;
+    ``qindex``: (qid, b0..bN) — ``lsh_buckets`` over the query embedding
+    frame (rename vec_id → qid).  The probe side is Q × tables × ball
+    rows; the join key (t, b) hits the bucket-partitioned layout's
+    pruning exactly like the single-query IN-list."""
+    spark = index.sparkSession
+    qlong = qindex.select(
+        "qid",
+        F.posexplode(
+            F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])
+        ).alias("t", "b"),
+    )
+    probes = qlong.crossJoin(F.broadcast(_flip_masks(spark))).select(
+        "qid", "t", F.col("b").bitwiseXOR(F.col("mask")).alias("b")
+    )
+    ilong = index.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])
+        ).alias("t", "b"),
+    )
+    return ilong.join(probes, ["t", "b"]).select("qid", "vec_id").distinct()
+
+
+def _codebook_frames(spark: SparkSession, codebook: dict):
+    """The PQ codebook as DataFrames: (s, code, spos, w) weights and
+    (s, code, pn2) partial squared norms."""
+    subdim = len(next(iter(codebook.values())))
+    rows = [
+        (s, c, spos, int(w))
+        for (s, c), vec in codebook.items()
+        for spos, w in enumerate(vec)
+    ]
+    cb = spark.createDataFrame(rows, "s int, code int, spos int, w long")
+    n2 = spark.createDataFrame(
+        [
+            (s, c, int(sum(int(w) * int(w) for w in vec)))
+            for (s, c), vec in codebook.items()
+        ],
+        "s int, code int, pn2 long",
+    )
+    return subdim, cb, n2
+
+
+def pq_scores_batch(
+    cands: DataFrame, codes: DataFrame, codebook: dict, qquant: DataFrame
+) -> DataFrame:
+    """(qid, vec_id, approx_cos): batch ADC.  The per-query lookup table
+    is built ENGINE-side — query subvectors join the codebook frame and
+    reduce to (qid, s, code, pdot) — then candidates' code rows join it
+    and sum.  All-integer until the final division, so scores equal the
+    single-query ``pq_approx_scores`` bit for bit.
+
+    ``qquant``: (qid, q array<long>) quantized query vectors."""
+    spark = cands.sparkSession
+    subdim, cb, n2 = _codebook_frames(spark, codebook)
+    qsub = qquant.select(
+        "qid", F.posexplode("q").alias("pos", "qv")
+    ).select(
+        "qid",
+        (F.col("pos") / subdim).cast("int").alias("s"),
+        F.pmod(F.col("pos"), F.lit(subdim)).cast("int").alias("spos"),
+        "qv",
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), ["s", "spos"])
+        .groupBy("qid", "s", "code")
+        .agg(F.sum(F.col("qv") * F.col("w")).alias("pdot"))
+        .join(F.broadcast(n2), ["s", "code"])
+    )
+    qn = qquant.select(
+        "qid",
+        F.sqrt(
+            F.aggregate(
+                "q", F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).cast("double")
+        ).alias("qnorm"),
+    )
+    ex = cands.join(codes, "vec_id").select(
+        "qid", "vec_id", F.posexplode("codes").alias("s", "code")
+    )
+    agg = (
+        ex.join(lut, ["qid", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("an2"))
+        .join(qn, "qid")
+    )
+    cos = F.col("adot").cast("double") / (
+        F.sqrt(F.col("an2").cast("double")) * F.col("qnorm")
+    )
+    # same zero-norm sentinel as the single-query path: NaN sorts above
+    # every double in Spark and would crowd the shortlist
+    return agg.select(
+        "qid",
+        "vec_id",
+        F.when(
+            (F.col("an2") > 0) & (F.col("qnorm") > 0), cos
+        ).otherwise(F.lit(-1.0)).alias("approx_cos"),
+    )
+
+
+def ann_topk_batch(
+    qemb: DataFrame,
+    e: DataFrame,
+    k: int = 10,
+    index: DataFrame | None = None,
+    pq=None,
+    rerank_mult: int = PQ_RERANK_MULT,
+) -> DataFrame:
+    """(qid, vec_id, cos_sim, rank): LSH+PQ ANN for a batch of query
+    embeddings ``qemb`` (qid, embedding).  Same pipeline as
+    ``similarity.ann_topk_lsh_pq`` — multiprobe candidates, ADC
+    shortlist of k × rerank_mult, exact integer-cosine re-rank — with
+    every per-query step batched as a qid-keyed join/window."""
+    bucketed = index if index is not None else build_lsh_index(e)
+    codebook, codes = pq if pq is not None else build_pq_index(e)
+
+    qq = qemb.select(
+        F.col("qid"), quantized("embedding").alias("q")
+    ).localCheckpoint()
+    qb = lsh_buckets(
+        qemb.select(F.col("qid").alias("vec_id"), "embedding")
+    ).withColumnRenamed("vec_id", "qid")
+    cands = lsh_candidates_batch(bucketed, qb)
+    approx = pq_scores_batch(cands, codes, codebook, qq)
+    wshort = Window.partitionBy("qid").orderBy(
+        F.col("approx_cos").desc(), "vec_id"
+    )
+    short = (
+        approx.withColumn("__r", F.row_number().over(wshort))
+        .filter(F.col("__r") <= k * rerank_mult)
+        .select("qid", "vec_id")
+    )
+    # exact integer re-rank over k×mult rows per query
+    pair = (
+        short.join(bucketed.select("vec_id", "q"), "vec_id")
+        .join(qq.withColumnRenamed("q", "qq"), "qid")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    nq = F.aggregate("qq", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    scored = pair.select(
+        "qid",
+        "vec_id",
+        (
+            dot.cast("double")
+            / (F.sqrt(nv.cast("double")) * F.sqrt(nq.cast("double")))
+        ).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_topk_indexed_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(qid, doc_id, bm25, rank): Okapi BM25 top-k per query, served from
+    the persisted postings index for a whole (qid, query) batch in one
+    plan.  One postings read covers the batch's distinct terms (the
+    pruning IN-list is collected — bounded by the batch VOCABULARY, never
+    by the corpus); scoring joins (qid, term) onto it and reduces per
+    (qid, doc).  Per-term scores are 9-dp-quantized and summed as exact
+    decimals so the reduction is order-free under any partitioning
+    (within 1e-9·|terms| of the single-query fixed-order form)."""
+    from .text_index import _check_meta
+
+    _check_meta(spark, path)
+    qterms = queries.select(
+        "qid",
+        F.explode(
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col("query"))), r"\s+")
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    terms = sorted(
+        r["term"] for r in qterms.select("term").distinct().collect()
+    )
+    if not terms:
+        raise ValueError("no query terms in batch")
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("__n"),
+        (F.sum("sum_dl").cast("double") / F.sum("n_len")).alias("__avgdl"),
+    )
+    doclens = spark.read.parquet(f"{path}/doclens")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    per_term = (
+        qterms.join(postings, "term")
+        .join(doclens, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(idf * F.col("tf") / denom, 9)
+            .cast("decimal(20,9)")
+            .alias("__s"),
+        )
+    )
+    agg = (
+        per_term.groupBy("qid", "doc_id")
+        .agg(F.sum("__s").cast("double").alias("bm25"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse_batch(
+    ranked: list,
+    k: int = 60,
+    topk: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(qid, doc_id, rrf, rank): reciprocal-rank fusion per query.  Each
+    input carries (qid, id_col, rank) — the shape the batch retrievers
+    emit; absent documents contribute nothing, same as the single-query
+    ``text.rrf_fuse``."""
+    if not ranked:
+        raise ValueError("no result lists to fuse")
+    scored = [
+        df.select(
+            "qid",
+            F.col(id_col).alias("doc_id"),
+            (1.0 / (F.lit(k) + F.col("rank"))).alias("__s"),
+        )
+        for df in ranked
+    ]
+    out = scored[0]
+    for s in scored[1:]:
+        out = out.unionByName(s)
+    fused = out.groupBy("qid", "doc_id").agg(F.sum("__s").alias("rrf"))
+    wk = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
+    fused = fused.withColumn("rank", F.row_number().over(wk))
+    return fused.filter(F.col("rank") <= topk) if topk is not None else fused
+
+
+def hybrid_topk_text_batch(
+    spark: SparkSession,
+    text_index_path: str,
+    queries: DataFrame,
+    e: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    depth_mult: int = 2,
+    lsh_index: DataFrame | None = None,
+    pq=None,
+    embed_salt: str = "embed-v1",
+    embed_hash_fn: str = "xxhash64",
+    bigrams: bool = True,
+) -> DataFrame:
+    """(qid, doc_id, rrf, rank): the free-text hybrid serve path for a
+    whole (qid, query) batch — each query string embeds through the
+    corpus featurizer configuration, the semantic and lexical retrievers
+    run batched at depth k × depth_mult, and RRF fuses per query.  The
+    batch analogue of ``hybrid.hybrid_topk_text`` (see that docstring
+    for the configuration contract); corpus artifacts are built once if
+    not passed."""
+    from .embedding import embed_text
+
+    depth = k * depth_mult
+    dim = len(e.select("embedding").first()["embedding"])
+    qemb = embed_text(
+        queries.select(F.col("qid").alias("doc_id"), F.col("query").alias("text")),
+        dim=dim,
+        bigrams=bigrams,
+        salt=embed_salt,
+        hash_fn=embed_hash_fn,
+    ).select(F.col("doc_id").alias("qid"), "embedding")
+    sem = ann_topk_batch(
+        qemb, e, k=depth, index=lsh_index, pq=pq
+    ).withColumnRenamed("vec_id", "doc_id")
+    lex = bm25_topk_indexed_batch(spark, text_index_path, queries, k=depth)
+    return rrf_fuse_batch([lex, sem], k=rrf_k, topk=k)

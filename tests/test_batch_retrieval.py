@@ -1,0 +1,160 @@
+"""Batch retrieval (`operators/batch_retrieval.py`) vs the single-query
+serve paths: per-query parity for the hybrid composition, exact ADC
+parity on the semantic side, and plan contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_serde_schema_gen_spark.operators.batch_retrieval import (
+    ann_topk_batch,
+    bm25_topk_indexed_batch,
+    hybrid_topk_text_batch,
+    lsh_candidates_batch,
+    pq_scores_batch,
+)
+from hive_serde_schema_gen_spark.operators.embedding import embed_text
+from hive_serde_schema_gen_spark.operators.hybrid import hybrid_topk_text
+from hive_serde_schema_gen_spark.operators.similarity import (
+    build_lsh_index,
+    build_pq_index,
+    lsh_buckets,
+    pq_approx_scores,
+    quantized,
+)
+from hive_serde_schema_gen_spark.operators.text_index import (
+    bm25_topk_indexed,
+    build_text_index,
+)
+from hive_serde_schema_gen_spark.plans.explain import assert_no_python_udf
+
+DIM = 16
+
+TOPICS = {
+    "fs": "filesystem mount disk inode kernel driver block device",
+    "db": "database index transaction commit rollback query planner",
+    "ml": "gradient descent tensor layer activation training epoch",
+}
+
+
+def _corpus():
+    rows = []
+    i = 0
+    for key, words in TOPICS.items():
+        toks = words.split()
+        for j in range(10):
+            # rotate so docs within a topic share vocabulary but differ
+            text = " ".join(toks[(j + t) % len(toks)] for t in range(6))
+            rows.append((i, f"{text} {key}{j}"))
+            i += 1
+    return rows
+
+
+QUERIES = [
+    (0, "disk kernel driver"),
+    (1, "transaction commit query"),
+    (2, "gradient training layer"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    docs = spark.createDataFrame(_corpus(), "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("bridx") / "text_index")
+    build_text_index(docs, path)
+    e = embed_text(docs, dim=DIM).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    lsh = build_lsh_index(e)
+    pq = build_pq_index(e)
+    return docs, path, e, lsh, pq
+
+
+def test_bm25_batch_matches_single(spark, corpus):
+    _, path, _, _, _ = corpus
+    qdf = spark.createDataFrame(QUERIES, "qid long, query string")
+    batch = bm25_topk_indexed_batch(spark, path, qdf, k=5).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["bm25"]))
+    for qid, query in QUERIES:
+        single = bm25_topk_indexed(spark, path, query, k=5).collect()
+        want = [(i + 1, r["doc_id"]) for i, r in enumerate(single)]
+        rows = sorted(got[qid])
+        assert [(rk, d) for rk, d, _ in rows] == want, qid
+        for (rk, d, sc), sr in zip(rows, single):
+            assert sc == pytest.approx(sr["bm25"], abs=1e-8)
+
+
+def test_adc_scores_exactly_match_single(spark, corpus):
+    _, _, e, lsh, pq = corpus
+    codebook, codes = pq
+    # use corpus vector 3 as the probe query
+    probe = e.filter(F.col("vec_id") == 3).select(
+        quantized("embedding").alias("q")
+    ).collect()[0]
+    qvec = [int(x) for x in probe["q"]]
+    cand_ids = e.select("vec_id")  # all docs as candidates
+    single = {
+        r["vec_id"]: r["approx_cos"]
+        for r in pq_approx_scores(
+            codes.join(cand_ids, "vec_id"), codebook, qvec
+        ).collect()
+    }
+    qq = spark.createDataFrame([(0, qvec)], "qid long, q array<long>")
+    cands = cand_ids.withColumn("qid", F.lit(0)).select("qid", "vec_id")
+    batch = {
+        r["vec_id"]: r["approx_cos"]
+        for r in pq_scores_batch(cands, codes, codebook, qq).collect()
+    }
+    assert set(single) == set(batch)
+    for v, s in single.items():
+        assert batch[v] == s, v  # integer pipeline: EXACT equality
+
+
+def test_candidates_match_single_ball(spark, corpus):
+    _, _, e, lsh, _ = corpus
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        _lsh_candidate_ids,
+    )
+
+    probe = lsh.filter(F.col("vec_id") == 7).collect()[0]
+    single = {
+        r["vec_id"]
+        for r in _lsh_candidate_ids(lsh, probe, query_vec_id=-1).collect()
+    }
+    qb = lsh_buckets(
+        e.filter(F.col("vec_id") == 7)
+    ).withColumnRenamed("vec_id", "qid")
+    batch = {
+        r["vec_id"] for r in lsh_candidates_batch(lsh, qb).collect()
+    }
+    assert batch == single
+
+
+def test_hybrid_batch_matches_single(spark, corpus):
+    docs, path, e, lsh, pq = corpus
+    qdf = spark.createDataFrame(QUERIES, "qid long, query string")
+    batch = hybrid_topk_text_batch(
+        spark, path, qdf, e, k=5, lsh_index=lsh, pq=pq
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["rrf"]))
+    for qid, query in QUERIES:
+        single = hybrid_topk_text(
+            spark, path, query, e, k=5, lsh_index=lsh, pq=pq
+        ).collect()
+        want = [r["doc_id"] for r in single]
+        rows = sorted(got[qid])
+        assert [d for _, d, _ in rows] == want, qid
+        for (_, _, rrf), sr in zip(rows, single):
+            assert rrf == pytest.approx(sr["rrf"], abs=1e-9)
+
+
+def test_plan_contracts(spark, corpus):
+    _, path, e, lsh, pq = corpus
+    qdf = spark.createDataFrame(QUERIES, "qid long, query string")
+    out = hybrid_topk_text_batch(spark, path, qdf, e, k=3, lsh_index=lsh, pq=pq)
+    assert_no_python_udf(out)
