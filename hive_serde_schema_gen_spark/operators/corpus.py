@@ -200,6 +200,12 @@ def curate_and_prepare(
     ppl_max: float | None = None,
     ppl_min: float | None = None,
     lm_model=None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_m: int = 4096,
+    dsir_seed: str = "dsir-seed",
+    cluster_alpha: float | None = None,
+    cluster_k: int = 16,
     semantic_threshold: float | None = None,
     docs: DataFrame | None = None,
     **prepare_kwargs,
@@ -211,8 +217,8 @@ def curate_and_prepare(
         → [repetition filter] → [benchmark decontamination]
         → [semantic decontamination] → [boilerplate line strip]
         → [substring dedup]
-        → [learned quality filter] → [perplexity band] → [semantic dedup]
-        → [PII redaction]
+        → [learned quality filter] → [perplexity band] → [DSIR selection]
+        → [cluster rebalance] → [semantic dedup] → [PII redaction]
         → [validation gate] → quality → exact dedup → near-dup canonical
         → pack → split
 
@@ -260,6 +266,16 @@ def curate_and_prepare(
       the low tail is degenerate repetition.  ``lm_model``: a
       ``lm.train_bigram_lm`` triple (e.g. trained on a reference corpus);
       ``None`` self-trains on the surviving documents at this stage.
+    - ``dsir_target`` (+ ``dsir_k``/``dsir_m``/``dsir_seed``): DSIR
+      importance resampling (``operators/dsir.py``) — keep the ``dsir_k``
+      documents whose hashed-ngram distribution best matches the target
+      corpus, sampled without replacement via deterministic Gumbel top-k.
+      Runs after the quality filters so the model fits on surviving text.
+    - ``cluster_alpha`` (+ ``cluster_k``): cluster-balanced rebalance
+      (``clustering.kmeans_topics`` + ``cluster_balanced_sample`` over
+      the aligned ``embeddings`` table) — flattens topic skew with
+      temperature ``alpha``; documents without an embeddings row pass
+      through untouched (same coverage contract as the semantic stages).
     - ``semantic_threshold``: embedding-space dedup (SemDeDup recipe,
       ``similarity.semantic_dedup`` over the aligned ``embeddings`` table
       — doc_id ≡ vec_id in this schema): for each group of documents
@@ -366,6 +382,35 @@ def curate_and_prepare(
         if ppl_min is not None:
             keep = keep.filter(F.col("ppl") >= ppl_min)
         d = d.join(keep.select("doc_id"), "doc_id")
+        dirty = True
+    if dsir_target is not None:
+        from .dsir import dsir_sample
+
+        if dsir_k is None:
+            raise ValueError("dsir_k is required with dsir_target")
+        d = _cut(d)
+        picked = dsir_sample(
+            d, dsir_target, k=dsir_k, m=dsir_m, seed=dsir_seed
+        )
+        d = d.join(picked.select("doc_id"), "doc_id")
+        dirty = True
+    if cluster_alpha is not None:
+        from .clustering import cluster_balanced_sample, kmeans_topics
+
+        d = _cut(d)
+        e = load_table(spark, sf_dir, "embeddings").join(
+            d.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+        )
+        _, labels = kmeans_topics(e, k=cluster_k)
+        kept = cluster_balanced_sample(d, labels, alpha=cluster_alpha).select(
+            "doc_id"
+        )
+        unlabeled = d.select("doc_id").join(
+            labels.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        d = d.join(kept.unionByName(unlabeled), "doc_id")
         dirty = True
     if semantic_threshold is not None:
         from .similarity import semantic_dedup

@@ -85,3 +85,16 @@ def test_plan_contracts(spark, blobs):
     assert_no_python_udf(assigned)
     out = cluster_balanced_sample(docs, assigned)
     assert_no_python_udf(out)
+
+
+def test_curate_and_prepare_cluster_stage(spark):
+    from hive_serde_schema_gen_spark.operators.corpus import curate_and_prepare
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = curate_and_prepare(spark, sf_dir)
+    rebal = curate_and_prepare(spark, sf_dir, cluster_alpha=0.0, cluster_k=4)
+    n_base = base.count()
+    n_rebal = rebal.count()
+    # equal-share rebalancing over 4 clusters must drop rows from the
+    # larger clusters; docs without an embeddings row pass through
+    assert 0 < n_rebal < n_base

@@ -203,3 +203,33 @@ def test_tf_is_bucket_counts(spark, raw):
             want[(doc_id, _py_bucket(g))] += 1
     got = {(r["doc_id"], r["b"]): r["tf"] for r in tf}
     assert got == dict(want)
+
+
+def test_curate_and_prepare_dsir_stage(spark):
+    from hive_serde_schema_gen_spark.operators.corpus import curate_and_prepare
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter("lang = 'zh'")
+    picked = {
+        r["doc_id"]
+        for r in dsir_sample(d, target, k=200, m=512).collect()
+    }
+    manifest = curate_and_prepare(
+        spark, sf_dir, dsir_target=target, dsir_k=200, dsir_m=512
+    )
+    out_ids = {r["doc_id"] for r in manifest.select("doc_id").collect()}
+    # pipeline tail dedups further, but every survivor was DSIR-selected
+    assert out_ids <= picked
+    assert len(out_ids) > 0
+
+
+def test_curate_and_prepare_dsir_requires_k(spark):
+    from hive_serde_schema_gen_spark.operators.corpus import curate_and_prepare
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    target = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(ValueError):
+        curate_and_prepare(spark, sf_dir, dsir_target=target)
