@@ -353,26 +353,131 @@ def hybrid_freetext_topk(spark, sf_dir):
     )
 
 
+# Second batch query — distinct terms from _FREETEXT_TERMS and both BM25
+# slots' term sets, all present in the synthetic vocabulary.
+_BATCH_TERMS2 = ("group", "scan", "vector")
+_BATCH_QUERY2 = " ".join(_BATCH_TERMS2)
+
+
+def _batch_query_ctes() -> list:
+    """Per-query CTE chain for the SECOND batch query (prefix ``g``),
+    referencing the shared corpus CTEs ``fe``/``cevals`` the free-text
+    branch already defines — the oracle re-derives the batch path's
+    qid=1 pipeline from the raw query string exactly like the qid=0 one
+    (which IS the free-text branch: batch ≡ single per query is the
+    module contract `tests/test_batch_retrieval.py` pins)."""
+    from .embedding import _sql_embed_ctes
+    from .similarity import PQ_RERANK_MULT as _MULT
+    from .similarity import _lsh_cand_ctes, _pq_ann_ctes
+
+    depth = _HYBRID_K * 2
+    q = QUERY_TEXT_ID
+    quant = "CAST(round(val * 10000) AS BIGINT)"
+    ctes = [
+        f"gqdoc AS (SELECT CAST({q} AS BIGINT) AS doc_id,"
+        f" '{_BATCH_QUERY2}' AS text)",
+        _sql_embed_ctes("gqdoc", _EMB_DIM_HYBRID, p="gqe"),
+        f"gfeq AS (SELECT * FROM fe UNION ALL"
+        f" SELECT doc_id, {quant}, s + 1 FROM gqevals)",
+        _lsh_cand_ctes(src="gfeq", probe=q, p="g"),
+    ]
+    ctes.extend(
+        _pq_ann_ctes(
+            depth, _MULT, src="fe", qsrc="gfeq", probe=q, cand="gcand", p="g"
+        )
+    )
+    ctes.append(
+        "gsem AS (SELECT vec_id, dot / (sqrt(nv) * sqrt(nq)) AS cos_sim"
+        f" FROM gscored2 ORDER BY cos_sim DESC, vec_id LIMIT {depth})"
+    )
+    ctes.append(_lex_ctes(_BATCH_TERMS2, depth, p="g"))
+    ctes.append(
+        "glexr AS (SELECT doc_id, ROW_NUMBER() OVER"
+        " (ORDER BY bm25 DESC, doc_id) AS r FROM glex)"
+    )
+    ctes.append(
+        "gsemr AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER"
+        " (ORDER BY cos_sim DESC, vec_id) AS r FROM gsem)"
+    )
+    ctes.append(
+        f"gru AS (SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM glexr"
+        f" UNION ALL SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM gsemr)"
+    )
+    ctes.append(
+        f"gk AS (SELECT doc_id, SUM(s) AS rrf FROM gru GROUP BY doc_id"
+        f" ORDER BY rrf DESC, doc_id LIMIT {_HYBRID_K})"
+    )
+    return ctes
+
+
 def _hybrid_union_oracle() -> str:
     ex = _hybrid_oracle().strip()
     ft = _hybrid_freetext_oracle().strip()
     assert ex.startswith("WITH ") and ft.startswith("WITH ")
-    # merge the two WITH clauses: CTE names are disjoint by prefixing
+    # merge the WITH clauses: CTE names are disjoint by prefixing
     ex_body, ex_tail = ex[5:].rsplit("\n    SELECT", 1)
     ft_body, ft_tail = ft[5:].rsplit("\n    SELECT", 1)
     ex_sel = "SELECT" + ex_tail.replace(f" LIMIT {_HYBRID_K}", "")
     ft_sel = "SELECT" + ft_tail.replace(f" LIMIT {_HYBRID_K}", "")
+    g_body = ",\n    ".join(_batch_query_ctes())
     return f"""
     WITH {ex_body},
     {ft_body},
     exk AS ({ex_sel} LIMIT {_HYBRID_K}),
     ftk AS ({ft_sel} LIMIT {_HYBRID_K}),
-    unioned AS (
-      SELECT 'example' AS op, doc_id, rrf FROM exk
+    {g_body},
+    bq AS (
+      SELECT 0 AS qid, doc_id, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      FROM ftk
       UNION ALL
-      SELECT 'freetext', doc_id, rrf FROM ftk)
-    SELECT op, doc_id, rrf FROM unioned ORDER BY op, rrf DESC, doc_id
+      SELECT 1, doc_id, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+      FROM gk),
+    unioned AS (
+      SELECT 'example' AS op, CAST(NULL AS BIGINT) AS qid, doc_id, rrf,
+             CAST(NULL AS INTEGER) AS rank
+      FROM exk
+      UNION ALL
+      SELECT 'freetext', NULL, doc_id, rrf, NULL FROM ftk
+      UNION ALL
+      SELECT 'batch', qid, doc_id, rrf, CAST(rank AS INTEGER) FROM bq)
+    SELECT op, qid, doc_id, rrf, rank FROM unioned
+    ORDER BY op, COALESCE(qid, -1), rrf DESC, doc_id
     """
+
+
+def hybrid_batch_topk_rows(spark, sf_dir):
+    """Driver branch for :func:`batch_retrieval.hybrid_topk_text_batch`:
+    TWO raw query strings through the batched serve path in one plan —
+    qid 0 is the free-text branch's query (so its rows must reproduce
+    that branch's fused list exactly, the batch ≡ single contract), qid 1
+    is a second term set re-derived from scratch by the oracle."""
+    import tempfile
+
+    from ..sources.tables import load_table
+    from .batch_retrieval import hybrid_topk_text_batch
+    from .embedding import embed_text
+    from .text_index import build_text_index
+
+    d = load_table(spark, sf_dir, "documents")
+    e = embed_text(
+        d, dim=_EMB_DIM_HYBRID, bigrams=True, hash_fn="md5"
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="hybrid-batch-slot-")
+    build_text_index(d, path)
+    queries = spark.createDataFrame(
+        [(0, _FREETEXT_QUERY), (1, _BATCH_QUERY2)], "qid long, query string"
+    )
+    return hybrid_topk_text_batch(
+        spark,
+        path,
+        queries,
+        e,
+        k=_HYBRID_K,
+        rrf_k=_RRF_K,
+        embed_hash_fn="md5",
+    )
 
 
 @query("hybrid_topk", oracle=_hybrid_union_oracle())
@@ -380,11 +485,18 @@ def hybrid_ops(spark, sf_dir):
     """Tagged union: op='example' is :func:`hybrid_retrieval_topk`
     (query-by-example over the embeddings table) unchanged; op='freetext'
     is :func:`hybrid_freetext_topk` (raw string → hashed embedding →
-    LSH+PQ ANN + persisted-BM25 probe → RRF).  One DuckDB statement
-    re-derives BOTH serve paths, each from its own raw inputs."""
+    LSH+PQ ANN + persisted-BM25 probe → RRF); op='batch' (round-10
+    continuation) is :func:`hybrid_batch_topk_rows` — the BATCHED serve
+    path (`operators/batch_retrieval.py`) over two query strings, with
+    qid 0 pinned to the free-text branch's result (batch ≡ single) and
+    qid 1 re-derived from scratch.  One DuckDB statement re-derives all
+    serve paths, each from its own raw inputs."""
     from ..functions.union import pad_union
 
-    schema = [("op", "string"), ("doc_id", "bigint"), ("rrf", "double")]
+    schema = [
+        ("op", "string"), ("qid", "bigint"), ("doc_id", "bigint"),
+        ("rrf", "double"), ("rank", "int"),
+    ]
     return pad_union(
         schema,
         (
@@ -395,4 +507,13 @@ def hybrid_ops(spark, sf_dir):
             hybrid_freetext_topk(spark, sf_dir),
             {"op": F.lit("freetext"), "doc_id": "doc_id", "rrf": "rrf"},
         ),
-    ).orderBy("op", F.col("rrf").desc(), "doc_id")
+        (
+            hybrid_batch_topk_rows(spark, sf_dir),
+            {
+                "op": F.lit("batch"), "qid": "qid", "doc_id": "doc_id",
+                "rrf": "rrf", "rank": "rank",
+            },
+        ),
+    ).orderBy(
+        "op", F.coalesce("qid", F.lit(-1)), F.col("rrf").desc(), "doc_id"
+    )
