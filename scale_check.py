@@ -378,6 +378,29 @@ def _index_lifecycle(spark) -> dict:
                 bm25_topk_indexed(spark, idx, "spark join window", k=20).count()
                 dt = _t.monotonic() - t0
                 probe_s = dt if probe_s is None else min(probe_s, dt)
+            # BATCH probe: 32 queries in ONE plan (batch_retrieval) — the
+            # offline shape.  Reported in seconds AND per-query; the
+            # whole point is batch_sec ≪ 32 × probe_sec (one postings
+            # read + one plan amortizes across the batch).
+            from hive_serde_schema_gen_spark.operators.batch_retrieval import (
+                bm25_topk_indexed_batch,
+            )
+
+            vocab = [
+                "spark join window", "data filter group", "batch merge sort",
+                "scan vector group", "key hash value", "row table column",
+                "stream order line", "query agg small",
+            ]
+            qdf = spark.createDataFrame(
+                [(i, vocab[i % len(vocab)] + f" q{i % 3}") for i in range(32)],
+                "qid long, query string",
+            ).localCheckpoint()
+            bprobe_s = None
+            for _ in range(3):
+                t0 = _t.monotonic()
+                bm25_topk_indexed_batch(spark, idx, qdf, k=20).count()
+                dt = _t.monotonic() - t0
+                bprobe_s = dt if bprobe_s is None else min(bprobe_s, dt)
             text_rows[label] = {
                 "docs": n_docs,
                 "build_sec": round(build_s, 3),
@@ -386,6 +409,8 @@ def _index_lifecycle(spark) -> dict:
                 "extend_sec": round(extend_s, 3),
                 "extend_us_per_row": round(extend_s / n_batch * 1e6, 1),
                 "probe_sec": round(probe_s, 3),
+                "batch32_probe_sec": round(bprobe_s, 3),
+                "batch32_us_per_query": round(bprobe_s / 32 * 1e6, 1),
             }
 
             # persisted MinHash index (production xxhash64 config): build /
