@@ -370,3 +370,43 @@ def hybrid_topk_text_batch(
     ).withColumnRenamed("vec_id", "doc_id")
     lex = bm25_topk_indexed_batch(spark, text_index_path, queries, k=depth)
     return rrf_fuse_batch([lex, sem], k=rrf_k, topk=k)
+
+
+def mine_hard_negatives(
+    spark: SparkSession,
+    text_index_path: str,
+    queries: DataFrame,
+    positives: DataFrame,
+    e: DataFrame,
+    n_negatives: int = 5,
+    skip_top: int = 0,
+    retrieve_k: int = 50,
+    **hybrid_kwargs,
+) -> DataFrame:
+    """(qid, doc_id, rrf, neg_rank): hard-negative mining for retrieval/
+    embedding training — for each (qid, query), the top-ranked corpus
+    documents that are NOT the labeled positives.  The standard
+    contrastive-training data move (e.g. the DPR/SBERT recipe): random
+    negatives are too easy, the strongest negatives are the retriever's
+    own near-misses.
+
+    ``positives``: (qid, doc_id) labeled relevant pairs.  ``skip_top``
+    optionally discards the first ranks AFTER removing positives —
+    denoising against unlabeled true positives at the very top (the
+    common "skip the top-3" heuristic when labels are sparse).  One
+    batched retrieval at depth ``retrieve_k`` + one anti-join + one
+    per-qid window; all the scale properties of
+    :func:`hybrid_topk_text_batch` carry over."""
+    hits = hybrid_topk_text_batch(
+        spark, text_index_path, queries, e, k=retrieve_k, **hybrid_kwargs
+    )
+    negs = hits.join(positives, ["qid", "doc_id"], "left_anti")
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
+    ranked = negs.withColumn("neg_rank", F.row_number().over(w)).filter(
+        (F.col("neg_rank") > skip_top)
+        & (F.col("neg_rank") <= skip_top + n_negatives)
+    )
+    return ranked.select(
+        "qid", "doc_id", "rrf",
+        (F.col("neg_rank") - skip_top).alias("neg_rank"),
+    )

@@ -158,3 +158,51 @@ def test_plan_contracts(spark, corpus):
     qdf = spark.createDataFrame(QUERIES, "qid long, query string")
     out = hybrid_topk_text_batch(spark, path, qdf, e, k=3, lsh_index=lsh, pq=pq)
     assert_no_python_udf(out)
+
+
+def test_mine_hard_negatives(spark, corpus):
+    from hive_serde_schema_gen_spark.operators.batch_retrieval import (
+        mine_hard_negatives,
+    )
+
+    docs, path, e, lsh, pq = corpus
+    qdf = spark.createDataFrame(QUERIES, "qid long, query string")
+    # label each query's true top hit as the positive
+    top = {
+        (r["qid"], r["doc_id"])
+        for r in hybrid_topk_text_batch(
+            spark, path, qdf, e, k=1, lsh_index=lsh, pq=pq
+        ).collect()
+    }
+    pos = spark.createDataFrame(sorted(top), "qid long, doc_id long")
+    negs = mine_hard_negatives(
+        spark, path, qdf, pos, e, n_negatives=3, lsh_index=lsh, pq=pq
+    ).collect()
+    by_q = {}
+    for r in negs:
+        by_q.setdefault(r["qid"], []).append((r["neg_rank"], r["doc_id"]))
+        assert (r["qid"], r["doc_id"]) not in top  # positives excluded
+    for qid, _ in QUERIES:
+        ranks = sorted(rk for rk, _ in by_q[qid])
+        assert ranks == [1, 2, 3]
+
+
+def test_mine_hard_negatives_skip_top(spark, corpus):
+    from hive_serde_schema_gen_spark.operators.batch_retrieval import (
+        mine_hard_negatives,
+    )
+
+    docs, path, e, lsh, pq = corpus
+    qdf = spark.createDataFrame(QUERIES[:1], "qid long, query string")
+    pos = spark.createDataFrame([], "qid long, doc_id long")
+    all_n = mine_hard_negatives(
+        spark, path, qdf, pos, e, n_negatives=5, lsh_index=lsh, pq=pq
+    ).collect()
+    skipped = mine_hard_negatives(
+        spark, path, qdf, pos, e, n_negatives=3, skip_top=2,
+        lsh_index=lsh, pq=pq,
+    ).collect()
+    want = [r["doc_id"] for r in sorted(all_n, key=lambda r: r["neg_rank"])][2:5]
+    got = [r["doc_id"] for r in sorted(skipped, key=lambda r: r["neg_rank"])]
+    assert got == want
+    assert [r["neg_rank"] for r in sorted(skipped, key=lambda r: r["neg_rank"])] == [1, 2, 3]
