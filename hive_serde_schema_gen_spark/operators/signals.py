@@ -62,6 +62,7 @@ def quality_signals(
     classifier_bias: float = 0.0,
     lm_model=None,
     with_ppl: bool = False,
+    with_gopher: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -70,9 +71,10 @@ def quality_signals(
 
     Columns: ``n_chars  n_tokens  n_punct  n_stopwords  quality
     pred_lang  rep_n_grams  dup_gram_frac  top_gram_frac`` plus
-    ``clf_score`` when ``classifier_weights`` is given and
+    ``clf_score`` when ``classifier_weights`` is given,
     ``ppl``/``avg_nll`` when ``with_ppl`` (``lm_model``: prefit
-    ``lm.train_bigram_lm`` triple, ``None`` self-trains).
+    ``lm.train_bigram_lm`` triple, ``None`` self-trains), and the
+    :func:`gopher_rules` feature set when ``with_gopher``.
 
     No filtering happens here — thresholding is the consumer's choice;
     ``corpus.curate_and_prepare`` remains the filtering front-end."""
@@ -109,4 +111,107 @@ def quality_signals(
         out = out.join(
             ppl.select(id_col, "avg_nll", "ppl"), id_col, "left"
         )
+    if with_gopher:
+        out = out.join(
+            gopher_rules(d, id_col=id_col, text_col=text_col), id_col, "left"
+        )
     return out
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1 —
+# the public quality-filter recipe most crawl pipelines start from).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    d: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule features + the composite pass flag — the
+    standard heuristic gauntlet (word-count band, mean word length band,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, stopword presence).  One narrow projection: every feature
+    is array/regexp arithmetic on the tokenized text, zero shuffle, scan
+    speed at any corpus size.
+
+    Emits the raw features so consumers can re-threshold without a
+    corpus pass (the signal-table philosophy of this module); the
+    ``passes_gopher`` flag applies the defaults above (thresholds are
+    the paper's; bullet fraction is expressed as the max fraction of
+    lines ALLOWED to start with a bullet — the paper keeps docs with
+    ≤ 90% bullet lines and ≤ 30% ellipsis-ended lines)."""
+    toks = _tokens(text_col)
+    base = d.select(
+        id_col,
+        F.col(text_col).alias("__text"),
+        toks.alias("__w"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    )
+    n_words = F.size("__w")
+    mean_wl = F.when(n_words > 0,
+        F.aggregate(
+            "__w", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length("__text")
+        - F.length(F.regexp_replace("__text", r"[#…]|\.\.\.", ""))
+    )
+    sym_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_lines = F.size("__lines")
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter("__lines", lambda l: F.trim(l).rlike(r"^[-*•●]"))
+        ).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter("__lines", lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+        ).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter("__w", lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("__w", F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    feat = base.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    return feat.select("*", passes.alias("passes_gopher"))

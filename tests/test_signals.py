@@ -72,3 +72,72 @@ def test_optional_columns(spark, docs):
 
 def test_plan_contract(spark, docs):
     assert_no_python_udf(quality_signals(docs))
+
+
+GOPHER_DOCS = [
+    # 60 normal english words -> passes everything
+    (10, " ".join(["the quick brown fox jumps over that lazy dog with glee"] * 6)),
+    # too short
+    (11, "the and of that have with be to"),
+    # symbol-heavy: hashes outnumber the 0.1/word cap
+    (12, " ".join(["word #### the and of that have with be to"] * 8)),
+    # bullet lines dominate
+    (13, "\n".join(["- item the and of that have with more words here ok"] * 10)),
+    # non-alphabetic tokens dominate
+    (14, " ".join(["12345 67890 11111 22222 33333 the and"] * 10)),
+]
+
+
+def test_gopher_rules(spark):
+    from hive_serde_schema_gen_spark.operators.signals import gopher_rules
+
+    docs = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert got[10]["passes_gopher"] is True
+    assert got[11]["passes_gopher"] is False  # n_words < 50
+    assert got[11]["n_words"] == 8
+    assert got[12]["passes_gopher"] is False
+    assert got[12]["symbol_word_ratio"] > 0.1
+    assert got[13]["passes_gopher"] is False
+    assert got[13]["bullet_line_frac"] == 1.0
+    assert got[14]["passes_gopher"] is False
+    assert got[14]["alpha_word_frac"] < 0.8
+    # stop hits: doc 10 has the/that/with/over... -> >= 2 distinct
+    assert got[10]["n_stop_hits"] >= 2
+
+
+def test_gopher_python_mirror(spark):
+    """Independent Python computation of every feature for one doc."""
+    from hive_serde_schema_gen_spark.operators.signals import gopher_rules
+
+    text = GOPHER_DOCS[2][1]
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = gopher_rules(docs).collect()[0]
+    words = text.strip().split()
+    lines = text.split("\n")
+    import re
+
+    assert r["n_words"] == len(words)
+    assert r["mean_word_len"] == pytest.approx(
+        sum(len(w) for w in words) / len(words), abs=1e-6
+    )
+    n_sym = len(re.findall(r"[#…]|\.\.\.", text))
+    # regexp_replace removes the matched spans; count chars removed
+    removed = len(text) - len(re.sub(r"[#…]|\.\.\.", "", text))
+    assert r["symbol_word_ratio"] == pytest.approx(removed / len(words), abs=1e-6)
+    alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    assert r["alpha_word_frac"] == pytest.approx(alpha / len(words), abs=1e-6)
+    assert r["bullet_line_frac"] == 0.0 and len(lines) == 1
+
+
+def test_gopher_in_bundle(spark, docs):
+    out = quality_signals(docs, with_gopher=True)
+    assert "passes_gopher" in out.columns
+    assert out.count() == len(CORPUS)
+
+
+def test_gopher_plan_contract(spark):
+    from hive_serde_schema_gen_spark.operators.signals import gopher_rules
+
+    docs = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+    assert_no_python_udf(gopher_rules(docs))
