@@ -215,3 +215,83 @@ def gopher_rules(
         & (F.col("n_stop_hits") >= min_stop_hits)
     )
     return feat.select("*", passes.alias("passes_gopher"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB re-derivations for the driver slot (rides the text_quality_lang
+# union): repetition fractions + the Gopher feature set.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = (
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
+    "ELSE string_split_regex(TRIM(text), '\\s+') END"
+)
+
+
+def sql_signal_ctes() -> str:
+    """CTE chain over ``documents`` → ``sigrep(doc_id, rep_n_grams,
+    dup_gram_frac, top_gram_frac)`` (trigram repetition — counted on raw
+    gram STRINGS, which equals the operator's xxhash64-keyed counts
+    unless a 64-bit collision occurs, in which case the driver hash
+    rightly breaks) and ``siggo(...)`` (every Gopher feature + the pass
+    flag re-derived with the same thresholds)."""
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""sreptoks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS w
+      FROM documents),
+    srepg AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+      FROM sreptoks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t
+      WHERE len(w) > 2),
+    srepc AS (SELECT doc_id, g, COUNT(*) AS c FROM srepg GROUP BY doc_id, g),
+    sreps AS (
+      SELECT doc_id, SUM(c) AS total, SUM(c - 1) AS repeats, MAX(c) AS top_c
+      FROM srepc GROUP BY doc_id),
+    sigrep AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(s.total, 0) AS BIGINT) AS rep_n_grams,
+             COALESCE(CAST(s.repeats AS DOUBLE) / s.total, 0.0)
+               AS dup_gram_frac,
+             COALESCE(CAST(s.top_c AS DOUBLE) / s.total, 0.0)
+               AS top_gram_frac
+      FROM documents d LEFT JOIN sreps s USING (doc_id)),
+    sgo AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS w,
+             string_split(text, chr(10)) AS ls
+      FROM documents),
+    siggo AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_words,
+             round(CASE WHEN len(w) > 0 THEN
+               CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+                 / len(w) ELSE 0.0 END, 6) AS mean_word_len,
+             round(CASE WHEN len(w) > 0 THEN
+               CAST(LENGTH(text)
+                    - LENGTH(regexp_replace(text, '[#…]|\\.\\.\\.', '', 'g'))
+                 AS DOUBLE) / len(w) ELSE 0.0 END, 6) AS symbol_word_ratio,
+             round(CASE WHEN len(ls) > 0 THEN
+               CAST(len(list_filter(ls,
+                   l -> regexp_matches(TRIM(l), '^[-*•●]'))) AS DOUBLE)
+                 / len(ls) ELSE 0.0 END, 6) AS bullet_line_frac,
+             round(CASE WHEN len(ls) > 0 THEN
+               CAST(len(list_filter(ls,
+                   l -> regexp_matches(TRIM(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                 / len(ls) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+             round(CASE WHEN len(w) > 0 THEN
+               CAST(len(list_filter(w,
+                   t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                 / len(w) ELSE 0.0 END, 6) AS alpha_word_frac,
+             CAST(len(list_intersect(
+                 list_distinct(list_transform(w, t -> lower(t))),
+                 [{stops}])) AS INTEGER) AS n_stop_hits
+      FROM sgo),
+    siggop AS (
+      SELECT *,
+             (n_words BETWEEN 50 AND 100000
+              AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND symbol_word_ratio <= 0.1
+              AND bullet_line_frac <= 0.9
+              AND ellipsis_line_frac <= 0.3
+              AND alpha_word_frac >= 0.8
+              AND n_stop_hits >= 2) AS passes_gopher
+      FROM siggo)"""

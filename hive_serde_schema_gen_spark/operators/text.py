@@ -223,34 +223,83 @@ def text_lang_id(spark, sf_dir, sort: bool = True):
     return out.orderBy("doc_id") if sort else out
 
 
-@query(
-    "text_quality_lang",
-    oracle=f"""
+def _quality_lang_oracle() -> str:
+    from .signals import sql_signal_ctes
+
+    pad_sig = (
+        "CAST(NULL AS BIGINT) AS rep_n_grams, "
+        "CAST(NULL AS DOUBLE) AS dup_gram_frac, "
+        "CAST(NULL AS DOUBLE) AS top_gram_frac, "
+        "CAST(NULL AS INTEGER) AS n_words, "
+        "CAST(NULL AS DOUBLE) AS mean_word_len, "
+        "CAST(NULL AS DOUBLE) AS symbol_word_ratio, "
+        "CAST(NULL AS DOUBLE) AS bullet_line_frac, "
+        "CAST(NULL AS DOUBLE) AS ellipsis_line_frac, "
+        "CAST(NULL AS DOUBLE) AS alpha_word_frac, "
+        "CAST(NULL AS INTEGER) AS n_stop_hits, "
+        "CAST(NULL AS BOOLEAN) AS passes_gopher"
+    )
+    return f"""
+    WITH {sql_signal_ctes()}
     SELECT 'lang' AS op, doc_id, lang, predicted,
            CAST(NULL AS INTEGER) AS n_chars, CAST(NULL AS INTEGER) AS n_tokens,
            CAST(NULL AS INTEGER) AS n_punct, CAST(NULL AS INTEGER) AS n_stopwords,
-           CAST(NULL AS DOUBLE) AS quality
+           CAST(NULL AS DOUBLE) AS quality, {pad_sig}
     FROM ({_LANG_ID_SQL})
     UNION ALL
     SELECT 'quality', doc_id, NULL, NULL,
-           n_chars, n_tokens, n_punct, n_stopwords, quality
+           n_chars, n_tokens, n_punct, n_stopwords, quality, {pad_sig}
     FROM (WITH {_sql_quality_cte()}
           SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords, quality
           FROM qual)
+    UNION ALL
+    SELECT 'rep', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           rep_n_grams, dup_gram_frac, top_gram_frac,
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN)
+    FROM sigrep WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT 'gopher', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, n_stop_hits, passes_gopher
+    FROM siggop WHERE doc_id % 7 = 3
     ORDER BY op, doc_id
-    """,
-)
+    """
+
+
+@query("text_quality_lang", oracle=_quality_lang_oracle())
 def text_quality_lang(spark, sf_dir):
     """The per-document text-scoring family in ONE driver slot (round-10
     tagged-union merge of ``text_quality_score`` + ``text_lang_id``, freeing
     a slot for the bigram-LM perplexity entry).  Both components stay pure
-    narrow projections — zero shuffle; see their docstrings."""
-    from ..functions.union import pad_union
+    narrow projections — zero shuffle; see their docstrings.
 
+    Round-10 continuation: the union also carries the signal-bundle
+    evidence (`operators/signals.py`) — op='rep' pins every 7th
+    document's trigram repetition fractions (the oracle counts raw gram
+    strings, equal to the operator's xxhash64-keyed counts barring a
+    64-bit collision) and op='gopher' pins the full Gopher feature set +
+    pass flag for the doc_id % 7 == 3 slice."""
+    from ..functions.union import pad_union
+    from ..sources.tables import load_table
+    from .curation import repetition_stats
+    from .signals import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = repetition_stats(d).filter(F.col("doc_id") % 7 == 0)
+    gop = gopher_rules(d).filter(F.col("doc_id") % 7 == 3)
     schema = [
         ("op", "string"), ("doc_id", "bigint"), ("lang", "string"),
         ("predicted", "string"), ("n_chars", "int"), ("n_tokens", "int"),
         ("n_punct", "int"), ("n_stopwords", "int"), ("quality", "double"),
+        ("rep_n_grams", "bigint"), ("dup_gram_frac", "double"),
+        ("top_gram_frac", "double"), ("n_words", "int"),
+        ("mean_word_len", "double"), ("symbol_word_ratio", "double"),
+        ("bullet_line_frac", "double"), ("ellipsis_line_frac", "double"),
+        ("alpha_word_frac", "double"), ("n_stop_hits", "int"),
+        ("passes_gopher", "boolean"),
     ]
     return pad_union(
         schema,
@@ -268,6 +317,27 @@ def text_quality_lang(spark, sf_dir):
                 "n_chars": "n_chars", "n_tokens": "n_tokens",
                 "n_punct": "n_punct", "n_stopwords": "n_stopwords",
                 "quality": "quality",
+            },
+        ),
+        (
+            rep,
+            {
+                "op": F.lit("rep"), "doc_id": "doc_id",
+                "rep_n_grams": "n_grams", "dup_gram_frac": "dup_gram_frac",
+                "top_gram_frac": "top_gram_frac",
+            },
+        ),
+        (
+            gop,
+            {
+                "op": F.lit("gopher"), "doc_id": "doc_id",
+                "n_words": "n_words", "mean_word_len": "mean_word_len",
+                "symbol_word_ratio": "symbol_word_ratio",
+                "bullet_line_frac": "bullet_line_frac",
+                "ellipsis_line_frac": "ellipsis_line_frac",
+                "alpha_word_frac": "alpha_word_frac",
+                "n_stop_hits": "n_stop_hits",
+                "passes_gopher": "passes_gopher",
             },
         ),
     ).orderBy("op", "doc_id")
