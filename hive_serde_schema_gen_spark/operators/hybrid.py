@@ -324,12 +324,12 @@ def _hybrid_freetext_oracle() -> str:
     )
 
 
-def hybrid_freetext_topk(spark, sf_dir):
-    """Driver branch for :func:`hybrid_topk_text`: the corpus embeds via
-    ``embed_text`` (md5 configuration, dim 64 — the LSH/PQ geometry), the
-    raw query string embeds through the identical featurizer under the
-    reserved ``QUERY_TEXT_ID``, and the whole serve path runs from the
-    string alone — no query-by-example vector anywhere."""
+def _freetext_fixture(spark, sf_dir):
+    """Shared corpus artifacts for the free-text and batch branches: the
+    md5-configuration hashed embeddings (dim 64 — the LSH/PQ geometry)
+    and one persisted BM25 index.  Built ONCE per slot run; both serve
+    paths probe the same artifacts, which is also the realistic shape
+    (an index is built at ingest, not per query)."""
     import tempfile
 
     from ..sources.tables import load_table
@@ -339,9 +339,19 @@ def hybrid_freetext_topk(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     e = embed_text(
         d, dim=_EMB_DIM_HYBRID, bigrams=True, hash_fn="md5"
-    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    ).select(F.col("doc_id").alias("vec_id"), "embedding").localCheckpoint()
     path = tempfile.mkdtemp(prefix="hybrid-ft-slot-")
     build_text_index(d, path)
+    return path, e
+
+
+def hybrid_freetext_topk(spark, sf_dir, fixture=None):
+    """Driver branch for :func:`hybrid_topk_text`: the corpus embeds via
+    ``embed_text`` (md5 configuration, dim 64 — the LSH/PQ geometry), the
+    raw query string embeds through the identical featurizer under the
+    reserved ``QUERY_TEXT_ID``, and the whole serve path runs from the
+    string alone — no query-by-example vector anywhere."""
+    path, e = fixture if fixture is not None else _freetext_fixture(spark, sf_dir)
     return hybrid_topk_text(
         spark,
         path,
@@ -447,25 +457,15 @@ def _hybrid_union_oracle() -> str:
     """
 
 
-def hybrid_batch_topk_rows(spark, sf_dir):
+def hybrid_batch_topk_rows(spark, sf_dir, fixture=None):
     """Driver branch for :func:`batch_retrieval.hybrid_topk_text_batch`:
     TWO raw query strings through the batched serve path in one plan —
     qid 0 is the free-text branch's query (so its rows must reproduce
     that branch's fused list exactly, the batch ≡ single contract), qid 1
     is a second term set re-derived from scratch by the oracle."""
-    import tempfile
-
-    from ..sources.tables import load_table
     from .batch_retrieval import hybrid_topk_text_batch
-    from .embedding import embed_text
-    from .text_index import build_text_index
 
-    d = load_table(spark, sf_dir, "documents")
-    e = embed_text(
-        d, dim=_EMB_DIM_HYBRID, bigrams=True, hash_fn="md5"
-    ).select(F.col("doc_id").alias("vec_id"), "embedding")
-    path = tempfile.mkdtemp(prefix="hybrid-batch-slot-")
-    build_text_index(d, path)
+    path, e = fixture if fixture is not None else _freetext_fixture(spark, sf_dir)
     queries = spark.createDataFrame(
         [(0, _FREETEXT_QUERY), (1, _BATCH_QUERY2)], "qid long, query string"
     )
@@ -493,6 +493,9 @@ def hybrid_ops(spark, sf_dir):
     serve paths, each from its own raw inputs."""
     from ..functions.union import pad_union
 
+    # build the corpus artifacts (md5 embeddings + BM25 index) ONCE;
+    # both string-serving branches probe the same fixture
+    fixture = _freetext_fixture(spark, sf_dir)
     schema = [
         ("op", "string"), ("qid", "bigint"), ("doc_id", "bigint"),
         ("rrf", "double"), ("rank", "int"),
@@ -504,11 +507,11 @@ def hybrid_ops(spark, sf_dir):
             {"op": F.lit("example"), "doc_id": "doc_id", "rrf": "rrf"},
         ),
         (
-            hybrid_freetext_topk(spark, sf_dir),
+            hybrid_freetext_topk(spark, sf_dir, fixture=fixture),
             {"op": F.lit("freetext"), "doc_id": "doc_id", "rrf": "rrf"},
         ),
         (
-            hybrid_batch_topk_rows(spark, sf_dir),
+            hybrid_batch_topk_rows(spark, sf_dir, fixture=fixture),
             {
                 "op": F.lit("batch"), "qid": "qid", "doc_id": "doc_id",
                 "rrf": "rrf", "rank": "rank",
