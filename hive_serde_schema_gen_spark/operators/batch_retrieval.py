@@ -214,14 +214,15 @@ def ann_topk_batch(
     )
     nv = F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x)
     nq = F.aggregate("qq", F.lit(0).cast("long"), lambda a, x: a + x * x)
-    scored = pair.select(
-        "qid",
-        "vec_id",
-        (
-            dot.cast("double")
-            / (F.sqrt(nv.cast("double")) * F.sqrt(nq.cast("double")))
-        ).alias("cos_sim"),
-    )
+    # zero-norm guard (ANSI mode raises on 0-divide): an empty-text query
+    # embeds to the zero vector — sentinel its scores below any cosine
+    # instead of failing the whole batch
+    cos = F.when(
+        (nv > 0) & (nq > 0),
+        dot.cast("double")
+        / (F.sqrt(nv.cast("double")) * F.sqrt(nq.cast("double"))),
+    ).otherwise(F.lit(-1.0))
+    scored = pair.select("qid", "vec_id", cos.alias("cos_sim"))
     wk = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(wk))

@@ -206,3 +206,39 @@ def test_mine_hard_negatives_skip_top(spark, corpus):
     got = [r["doc_id"] for r in sorted(skipped, key=lambda r: r["neg_rank"])]
     assert got == want
     assert [r["neg_rank"] for r in sorted(skipped, key=lambda r: r["neg_rank"])] == [1, 2, 3]
+
+
+def test_unseen_terms_fall_back_to_semantic(spark, corpus):
+    _, path, e, lsh, pq = corpus
+    qdf = spark.createDataFrame(
+        [(0, "zzz qqq www")], "qid long, query string"
+    )
+    out = hybrid_topk_text_batch(
+        spark, path, qdf, e, k=5, lsh_index=lsh, pq=pq
+    ).collect()
+    # no lexical hits exist for these terms; the fused list must still
+    # carry the semantic side's ranks
+    assert len(out) == 5
+    assert all(r["qid"] == 0 for r in out)
+
+
+def test_batch_mixed_empty_query_rows(spark, corpus):
+    _, path, e, lsh, pq = corpus
+    qdf = spark.createDataFrame(
+        [(0, "disk kernel driver"), (1, "   ")], "qid long, query string"
+    )
+    out = hybrid_topk_text_batch(
+        spark, path, qdf, e, k=3, lsh_index=lsh, pq=pq
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    # the real query serves normally; the whitespace query contributes
+    # no terms and a zero embedding -- whatever it returns must not
+    # disturb qid 0, and qid 0 matches the single-query path
+    single = hybrid_topk_text(
+        spark, path, "disk kernel driver", e, k=3, lsh_index=lsh, pq=pq
+    ).collect()
+    assert [r["doc_id"] for r in sorted(by_q[0], key=lambda r: r["rank"])] == [
+        r["doc_id"] for r in single
+    ]
