@@ -401,17 +401,24 @@ def curate_and_prepare(
         e = load_table(spark, sf_dir, "embeddings").join(
             d.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
         )
-        _, labels = kmeans_topics(e, k=cluster_k)
-        kept = cluster_balanced_sample(d, labels, alpha=cluster_alpha).select(
-            "doc_id"
-        )
-        unlabeled = d.select("doc_id").join(
-            labels.select(F.col("vec_id").alias("doc_id")),
-            "doc_id",
-            "left_anti",
-        )
-        d = d.join(kept.unionByName(unlabeled), "doc_id")
-        dirty = True
+        # clamp k to the matched-embedding count: upstream filters (or a
+        # docs= override whose ids are mostly absent from the embeddings
+        # table) can leave < cluster_k vectors, and the documented
+        # contract is pass-through, not a ValueError from kmeans_topics
+        n_vecs = e.count()
+        k_eff = min(cluster_k, n_vecs)
+        if k_eff >= 2:
+            _, labels = kmeans_topics(e, k=k_eff)
+            kept = cluster_balanced_sample(
+                d, labels, alpha=cluster_alpha
+            ).select("doc_id")
+            unlabeled = d.select("doc_id").join(
+                labels.select(F.col("vec_id").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+            d = d.join(kept.unionByName(unlabeled), "doc_id")
+            dirty = True
     if semantic_threshold is not None:
         from .similarity import semantic_dedup
 

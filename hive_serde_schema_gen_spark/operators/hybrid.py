@@ -326,14 +326,17 @@ def _hybrid_freetext_oracle() -> str:
 
 def _freetext_fixture(spark, sf_dir):
     """Shared corpus artifacts for the free-text and batch branches: the
-    md5-configuration hashed embeddings (dim 64 — the LSH/PQ geometry)
-    and one persisted BM25 index.  Built ONCE per slot run; both serve
-    paths probe the same artifacts, which is also the realistic shape
-    (an index is built at ingest, not per query)."""
+    md5-configuration hashed embeddings (dim 64 — the LSH/PQ geometry),
+    one persisted BM25 index, and the LSH + PQ ingest artifacts.  ALL
+    built once per slot run (PQ training is the expensive part — two
+    Lloyd rounds over the corpus); both serve paths probe the same
+    artifacts, which is also the realistic shape (an index is built at
+    ingest, not per query)."""
     import tempfile
 
     from ..sources.tables import load_table
     from .embedding import embed_text
+    from .similarity import build_lsh_index, build_pq_index
     from .text_index import build_text_index
 
     d = load_table(spark, sf_dir, "documents")
@@ -342,7 +345,7 @@ def _freetext_fixture(spark, sf_dir):
     ).select(F.col("doc_id").alias("vec_id"), "embedding").localCheckpoint()
     path = tempfile.mkdtemp(prefix="hybrid-ft-slot-")
     build_text_index(d, path)
-    return path, e
+    return path, e, build_lsh_index(e), build_pq_index(e)
 
 
 def hybrid_freetext_topk(spark, sf_dir, fixture=None):
@@ -351,7 +354,9 @@ def hybrid_freetext_topk(spark, sf_dir, fixture=None):
     raw query string embeds through the identical featurizer under the
     reserved ``QUERY_TEXT_ID``, and the whole serve path runs from the
     string alone — no query-by-example vector anywhere."""
-    path, e = fixture if fixture is not None else _freetext_fixture(spark, sf_dir)
+    path, e, lsh, pq = (
+        fixture if fixture is not None else _freetext_fixture(spark, sf_dir)
+    )
     return hybrid_topk_text(
         spark,
         path,
@@ -360,6 +365,8 @@ def hybrid_freetext_topk(spark, sf_dir, fixture=None):
         k=_HYBRID_K,
         rrf_k=_RRF_K,
         embed_hash_fn="md5",
+        lsh_index=lsh,
+        pq=pq,
     )
 
 
@@ -465,7 +472,9 @@ def hybrid_batch_topk_rows(spark, sf_dir, fixture=None):
     is a second term set re-derived from scratch by the oracle."""
     from .batch_retrieval import hybrid_topk_text_batch
 
-    path, e = fixture if fixture is not None else _freetext_fixture(spark, sf_dir)
+    path, e, lsh, pq = (
+        fixture if fixture is not None else _freetext_fixture(spark, sf_dir)
+    )
     queries = spark.createDataFrame(
         [(0, _FREETEXT_QUERY), (1, _BATCH_QUERY2)], "qid long, query string"
     )
@@ -477,6 +486,8 @@ def hybrid_batch_topk_rows(spark, sf_dir, fixture=None):
         k=_HYBRID_K,
         rrf_k=_RRF_K,
         embed_hash_fn="md5",
+        lsh_index=lsh,
+        pq=pq,
     )
 
 

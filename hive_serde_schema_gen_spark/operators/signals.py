@@ -31,17 +31,28 @@ from .curation import repetition_stats
 from .text import LANG_PROFILES, _tokens, quality_features
 
 
-def _lang_prediction(toks) -> F.Column:
-    """Stopword-profile argmax with the fixed en>de>fr>es>zh tie-break —
-    the same decision rule as the ``text_quality_lang`` slot."""
-    s = {
-        lg: F.size(
+_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+def _lang_score_cols(toks):
+    """Per-language profile-hit counts over a MATERIALIZED token column
+    (the ``text_lang_id`` lesson: inlining the split into each filter
+    re-executes tokenization per language — Catalyst does not CSE across
+    projection items)."""
+    return [
+        F.size(
             F.filter(toks, (lambda words: lambda t: t.isin(*words))(
                 LANG_PROFILES[lg]
             ))
-        )
-        for lg in ("en", "de", "fr", "es", "zh")
-    }
+        ).alias(f"__s_{lg}")
+        for lg in _LANGS
+    ]
+
+
+def _lang_argmax() -> F.Column:
+    """Stopword-profile argmax over the ``__s_*`` score columns with the
+    fixed en>de>fr>es>zh tie-break — the ``text_quality_lang`` rule."""
+    s = {lg: F.col(f"__s_{lg}") for lg in _LANGS}
     return (
         F.when(
             (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
@@ -78,14 +89,12 @@ def quality_signals(
 
     No filtering happens here — thresholding is the consumer's choice;
     ``corpus.curate_and_prepare`` remains the filtering front-end."""
-    base = quality_features(d.select(id_col, text_col)).select(
-        id_col,
-        "n_chars",
-        "n_tokens",
-        "n_punct",
-        "n_stopwords",
-        "quality",
-        _lang_prediction(_tokens(text_col)).alias("pred_lang"),
+    feats = ["n_chars", "n_tokens", "n_punct", "n_stopwords", "quality"]
+    base = (
+        quality_features(d.select(id_col, text_col))
+        .select(id_col, *feats, _tokens(text_col).alias("__toks"))
+        .select(id_col, *feats, *_lang_score_cols(F.col("__toks")))
+        .select(id_col, *feats, _lang_argmax().alias("pred_lang"))
     )
     rep = repetition_stats(
         d, n=repetition_n, id_col=id_col, text_col=text_col
@@ -164,10 +173,10 @@ def gopher_rules(
             "__w", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
         ).cast("double") / n_words,
     ).otherwise(F.lit(0.0))
-    n_symbols = (
-        F.length("__text")
-        - F.length(F.regexp_replace("__text", r"[#…]|\.\.\.", ""))
-    )
+    # symbol COUNT, not characters removed: the paper's ratio counts
+    # symbol occurrences per word, so '...' is one symbol (weight 1),
+    # same as the single-char '…'
+    n_symbols = F.regexp_count("__text", F.lit(r"[#…]|\.\.\."))
     sym_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(
         F.lit(0.0)
     )
@@ -266,8 +275,7 @@ def sql_signal_ctes() -> str:
                CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
                  / len(w) ELSE 0.0 END, 6) AS mean_word_len,
              round(CASE WHEN len(w) > 0 THEN
-               CAST(LENGTH(text)
-                    - LENGTH(regexp_replace(text, '[#…]|\\.\\.\\.', '', 'g'))
+               CAST(len(regexp_extract_all(text, '[#…]|\\.\\.\\.'))
                  AS DOUBLE) / len(w) ELSE 0.0 END, 6) AS symbol_word_ratio,
              round(CASE WHEN len(ls) > 0 THEN
                CAST(len(list_filter(ls,

@@ -399,14 +399,16 @@ def _rerank_candidates(cand_q: DataFrame, qvec, k: int = 10) -> DataFrame:
         F.sum(F.col("v") * qlit).alias("dot"),
         F.sum(F.col("v") * F.col("v")).alias("nv"),
     )
+    # Zero-norm guard (same sentinel as pq_approx_scores): a zero-vector
+    # candidate (empty-text doc) or query gives 0/0 = NaN, and Spark
+    # sorts NaN ABOVE every double — the junk row would take rank 1.
+    cos = F.when(
+        (F.col("nv") > 0) & (F.lit(qnorm) > 0),
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("nv").cast("double")) * F.lit(qnorm)),
+    ).otherwise(F.lit(-1.0))
     return (
-        agg.select(
-            "vec_id",
-            (
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("nv").cast("double")) * F.lit(qnorm))
-            ).alias("cos_sim"),
-        )
+        agg.select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )

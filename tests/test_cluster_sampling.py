@@ -98,3 +98,19 @@ def test_curate_and_prepare_cluster_stage(spark):
     # equal-share rebalancing over 4 clusters must drop rows from the
     # larger clusters; docs without an embeddings row pass through
     assert 0 < n_rebal < n_base
+
+
+def test_cluster_stage_clamps_when_embeddings_sparse(spark):
+    """docs= override whose ids are absent from the embeddings table:
+    the documented contract is pass-through, not a kmeans ValueError."""
+    from hive_serde_schema_gen_spark.operators.corpus import curate_and_prepare
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    out = curate_and_prepare(
+        spark, sf_dir, docs=d, cluster_alpha=0.5, cluster_k=16
+    )
+    assert out.count() > 0  # no embeddings matched -> stage skipped

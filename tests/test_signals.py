@@ -121,13 +121,29 @@ def test_gopher_python_mirror(spark):
     assert r["mean_word_len"] == pytest.approx(
         sum(len(w) for w in words) / len(words), abs=1e-6
     )
+    # symbol-to-word ratio counts MATCHES ('...' is one symbol, weight 1)
     n_sym = len(re.findall(r"[#…]|\.\.\.", text))
-    # regexp_replace removes the matched spans; count chars removed
-    removed = len(text) - len(re.sub(r"[#…]|\.\.\.", "", text))
-    assert r["symbol_word_ratio"] == pytest.approx(removed / len(words), abs=1e-6)
+    assert r["symbol_word_ratio"] == pytest.approx(n_sym / len(words), abs=1e-6)
     alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
     assert r["alpha_word_frac"] == pytest.approx(alpha / len(words), abs=1e-6)
     assert r["bullet_line_frac"] == 0.0 and len(lines) == 1
+
+
+def test_gopher_ellipsis_counts_as_one_symbol(spark):
+    """'...' weighs 1 (a match), not 3 (its characters) — the paper's
+    symbol-to-word ratio; chars-removed counting over-rejects prose."""
+    from hive_serde_schema_gen_spark.operators.signals import gopher_rules
+
+    filler = "the and of that have with be to just fine words here"
+    # 4 '...' among plain words -> ratio must be 4/n_words, not 12/n_words
+    # (text must not END with '...' or the ellipsis-line rule fires too)
+    text = "so... well... hmm... yes... " + " ".join([filler] * 4)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = gopher_rules(docs).collect()[0]
+    n_words = len(text.split())
+    assert r["symbol_word_ratio"] == pytest.approx(4 / n_words, abs=1e-6)
+    assert r["symbol_word_ratio"] <= 0.1  # passes under match counting
+    assert r["passes_gopher"] is True
 
 
 def test_gopher_in_bundle(spark, docs):
