@@ -230,6 +230,9 @@ def ann_topk_batch(
     )
 
 
+SEMI_JOIN_VOCAB_THRESHOLD = 10_000  # IN-list → semi-join switchover
+
+
 def bm25_topk_indexed_batch(
     spark: SparkSession,
     path: str,
@@ -237,15 +240,27 @@ def bm25_topk_indexed_batch(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    semi_join_threshold: int = SEMI_JOIN_VOCAB_THRESHOLD,
 ) -> DataFrame:
     """(qid, doc_id, bm25, rank): Okapi BM25 top-k per query, served from
     the persisted postings index for a whole (qid, query) batch in one
-    plan.  One postings read covers the batch's distinct terms (the
-    pruning IN-list is collected — bounded by the batch VOCABULARY, never
-    by the corpus); scoring joins (qid, term) onto it and reduces per
-    (qid, doc).  Per-term scores are 9-dp-quantized and summed as exact
-    decimals so the reduction is order-free under any partitioning
-    (within 1e-9·|terms| of the single-query fixed-order form)."""
+    plan.  One postings read covers the batch's distinct terms; scoring
+    joins (qid, term) onto it and reduces per (qid, doc).  Per-term
+    scores are 9-dp-quantized and summed as exact decimals so the
+    reduction is order-free under any partitioning (within
+    1e-9·|terms| of the single-query fixed-order form).
+
+    Postings pruning is size-gated: up to ``semi_join_threshold``
+    distinct terms the vocabulary rides the plan as a literal IN-list
+    (Catalyst pushes it into the parquet scan — row-group pruning on the
+    term-clustered layout, exactly like the single-query path).  Beyond
+    the threshold a literal list would bloat the plan (10⁶ queries can
+    carry 10⁵–10⁶ distinct terms: an enormous expression tree on the
+    driver, no pushdown win anyway at that selectivity), so pruning
+    switches to a BROADCAST LEFT-SEMI join against the distinct-terms
+    frame — same pruning semantics, plan size O(1) in the vocabulary.
+    The driver still collects the term list only in the IN-list regime;
+    the semi-join regime never materializes the vocabulary driver-side."""
     from .text_index import _check_meta
 
     _check_meta(spark, path)
@@ -257,17 +272,21 @@ def bm25_topk_indexed_batch(
             )
         ).alias("term"),
     ).filter(F.col("term") != "")
-    terms = sorted(
-        r["term"] for r in qterms.select("term").distinct().collect()
-    )
-    if not terms:
+    distinct_terms = qterms.select("term").distinct()
+    # bounded probe: collect at most threshold+1 terms to size the regime
+    head = distinct_terms.limit(semi_join_threshold + 1).collect()
+    if not head:
         raise ValueError("no query terms in batch")
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("term").isin(terms)
-    )
+    if len(head) <= semi_join_threshold:
+        terms = sorted(r["term"] for r in head)
+        prune = lambda df: df.filter(F.col("term").isin(terms))  # noqa: E731
+    else:
+        prune = lambda df: df.join(  # noqa: E731
+            F.broadcast(distinct_terms), "term", "left_semi"
+        )
+    postings = prune(spark.read.parquet(f"{path}/postings"))
     dfreq = (
-        spark.read.parquet(f"{path}/df")
-        .filter(F.col("term").isin(terms))
+        prune(spark.read.parquet(f"{path}/df"))
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
@@ -347,6 +366,7 @@ def hybrid_topk_text_batch(
     embed_salt: str = "embed-v1",
     embed_hash_fn: str = "xxhash64",
     bigrams: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """(qid, doc_id, rrf, rank): the free-text hybrid serve path for a
     whole (qid, query) batch — each query string embeds through the
@@ -354,11 +374,31 @@ def hybrid_topk_text_batch(
     run batched at depth k × depth_mult, and RRF fuses per query.  The
     batch analogue of ``hybrid.hybrid_topk_text`` (see that docstring
     for the configuration contract); corpus artifacts are built once if
-    not passed."""
+    not passed.
+
+    ``dim``: the corpus embedding dimensionality; pass it to skip the
+    eager one-row probe of ``e`` (serving tiers calling in a loop know
+    it).  Caller contract: ``qid`` values must be unique — duplicate
+    qids would silently conflate two queries' candidate pools in every
+    per-qid window (not validated here; a distinct-count check is an
+    extra Spark job the hot path shouldn't pay).
+
+    A batch whose queries are ALL term-free (whitespace/empty strings)
+    degrades to semantic-only fusion instead of failing the plan: the
+    lexical retriever has nothing to probe, but the embedding side can
+    still serve every query (an all-empty batch then ranks on the
+    zero-vector sentinel — garbage-in, but never an abort)."""
     from .embedding import embed_text
 
     depth = k * depth_mult
-    dim = len(e.select("embedding").first()["embedding"])
+    if dim is None:
+        first = e.select("embedding").first()
+        if first is None:
+            raise ValueError(
+                "empty corpus embedding frame: cannot infer `dim` "
+                "(pass dim= explicitly or supply a non-empty corpus)"
+            )
+        dim = len(first["embedding"])
     qemb = embed_text(
         queries.select(F.col("qid").alias("doc_id"), F.col("query").alias("text")),
         dim=dim,
@@ -369,7 +409,14 @@ def hybrid_topk_text_batch(
     sem = ann_topk_batch(
         qemb, e, k=depth, index=lsh_index, pq=pq
     ).withColumnRenamed("vec_id", "doc_id")
-    lex = bm25_topk_indexed_batch(spark, text_index_path, queries, k=depth)
+    try:
+        lex = bm25_topk_indexed_batch(spark, text_index_path, queries, k=depth)
+    except ValueError as err:
+        if "no query terms" not in str(err):
+            raise  # index-meta/config errors must still surface
+        # no query terms anywhere in the batch → empty lexical result set;
+        # fuse semantic-only rather than aborting the whole plan
+        return rrf_fuse_batch([sem], k=rrf_k, topk=k)
     return rrf_fuse_batch([lex, sem], k=rrf_k, topk=k)
 
 
@@ -382,6 +429,7 @@ def mine_hard_negatives(
     n_negatives: int = 5,
     skip_top: int = 0,
     retrieve_k: int = 50,
+    hits: DataFrame | None = None,
     **hybrid_kwargs,
 ) -> DataFrame:
     """(qid, doc_id, rrf, neg_rank): hard-negative mining for retrieval/
@@ -397,10 +445,16 @@ def mine_hard_negatives(
     common "skip the top-3" heuristic when labels are sparse).  One
     batched retrieval at depth ``retrieve_k`` + one anti-join + one
     per-qid window; all the scale properties of
-    :func:`hybrid_topk_text_batch` carry over."""
-    hits = hybrid_topk_text_batch(
-        spark, text_index_path, queries, e, k=retrieve_k, **hybrid_kwargs
-    )
+    :func:`hybrid_topk_text_batch` carry over.
+
+    ``hits``: precomputed (qid, doc_id, rrf, rank) retrieval results to
+    mine from — pass them when the pipeline already ran the batched
+    retrieval (``retrieve_k`` is then ignored; the depth is whatever the
+    hits were retrieved at), so the corpus is not probed twice."""
+    if hits is None:
+        hits = hybrid_topk_text_batch(
+            spark, text_index_path, queries, e, k=retrieve_k, **hybrid_kwargs
+        )
     negs = hits.join(positives, ["qid", "doc_id"], "left_anti")
     w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
     ranked = negs.withColumn("neg_rank", F.row_number().over(w)).filter(

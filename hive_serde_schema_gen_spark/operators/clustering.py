@@ -276,12 +276,23 @@ def kmeans_topics(
     eq = v.select(
         "vec_id", F.posexplode(quantized("__v")).alias("pos", "v")
     ).localCheckpoint()
+    # Seed from the first k NON-ZERO vectors: an empty-text doc embeds to
+    # the zero vector, and a zero seed centroid would be a degenerate cell
+    # (its metric is 0/0 = NaN; _cell_assignments now excludes such cells,
+    # but seeding one would still waste a cluster on nothing).
+    nonzero = F.exists(quantized("__v"), lambda x: x != 0)
     seeds = sorted(
-        v.orderBy("vec_id").limit(k).select("vec_id", quantized("__v").alias("q")).collect(),
+        v.filter(nonzero)
+        .orderBy("vec_id")
+        .limit(k)
+        .select("vec_id", quantized("__v").alias("q"))
+        .collect(),
         key=lambda r: r["vec_id"],
     )
     if len(seeds) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(seeds)}")
+        raise ValueError(
+            f"k={k} exceeds non-zero-vector corpus size {len(seeds)}"
+        )
     cents = {i: [int(x) for x in r["q"]] for i, r in enumerate(seeds)}
     cents = _kmeans_refine(eq, cents, iters=iters)
     assigned = _cell_assignments(eq, cents).select(

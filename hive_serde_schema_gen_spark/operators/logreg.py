@@ -49,12 +49,15 @@ def classifier_features(
     max_ngram: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Normalized training features ``(id, bucket, x)`` with the bias
     feature appended — ``x`` sums to 2.0 per doc (1.0 features + 1.0
     bias).  Zero-feature docs still get the bias row, so they train on
     the intercept instead of silently dropping out."""
-    cnt = hashed_ngram_features(docs, n_buckets, max_ngram, id_col, text_col)
+    cnt = hashed_ngram_features(
+        docs, n_buckets, max_ngram, id_col, text_col, hash_fn
+    )
     tot = cnt.groupBy(id_col).agg(F.sum("cnt").alias("__tot"))
     x = cnt.join(tot, id_col).select(
         id_col, "bucket", (F.col("cnt") / F.col("__tot")).alias("x")
@@ -77,6 +80,8 @@ def train_classifier(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "y",
+    exact: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Fit the logistic model; returns the weight table ``(bucket, w)``
     including the intercept at ``bucket = -1``.  ``labels``: (id, y) with
@@ -88,9 +93,20 @@ def train_classifier(
         w[b]   −= lr · grad[b]
 
     Use :func:`split_weights` to feed the result to
-    ``text.classifier_score``."""
+    ``text.classifier_score``.
+
+    ``exact=True`` switches every float REDUCTION to the engine's
+    order-free determinism recipe (the ``lm.py`` rule): each per-row
+    product rounds to 9 dp and sums as an exact DECIMAL(20,9); per-doc
+    errors and per-iteration weights also round to 9 dp, so the fit is
+    bit-identical under any partitioning AND re-derivable by the DuckDB
+    oracle (the only cross-engine wiggle is ``exp``'s last ULP, nine
+    orders below the rounding grain).  Default off: the production float
+    path skips ~3 round/cast ops per term (the weights differ from exact
+    mode only at ULP-compounded noise either way)."""
+    q9 = lambda c: F.round(c, 9).cast("decimal(20,9)")  # noqa: E731
     feats = (
-        classifier_features(docs, n_buckets, max_ngram, id_col, text_col)
+        classifier_features(docs, n_buckets, max_ngram, id_col, text_col, hash_fn)
         .repartition(id_col)
         .localCheckpoint()
     )
@@ -107,36 +123,47 @@ def train_classifier(
         .localCheckpoint()
     )
     for _ in range(iters):
+        logit_term = F.col("x") * F.col("w")
+        logit_sum = (
+            F.sum(q9(logit_term)).cast("double")
+            if exact
+            else F.sum(logit_term)
+        )
+        sig_err = (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__logit"))) - F.col("__y")
+        )
         err = (
             feats.join(F.broadcast(weights), "bucket")
             .groupBy(id_col)
-            .agg(F.sum(F.col("x") * F.col("w")).alias("__logit"))
+            .agg(logit_sum.alias("__logit"))
             .join(lab, id_col)
             .select(
                 id_col,
-                (
-                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__logit")))
-                    - F.col("__y")
-                ).alias("__err"),
+                (F.round(sig_err, 9) if exact else sig_err).alias("__err"),
             )
+        )
+        grad_term = F.col("x") * F.col("__err")
+        grad_sum = (
+            F.sum(q9(grad_term)).cast("double")
+            if exact
+            else F.sum(grad_term)
         )
         grad = (
             feats.join(err, id_col)
             .groupBy("bucket")
-            .agg((F.sum(F.col("x") * F.col("__err")) / F.lit(float(n))).alias("__g"))
+            .agg((grad_sum / F.lit(float(n))).alias("__g"))
         )
         decay = F.when(
             F.col("bucket") == BIAS_BUCKET, F.lit(0.0)
         ).otherwise(F.lit(float(l2)) * F.col("w"))
+        w_new = F.col("w") - F.lit(float(lr)) * (
+            F.coalesce(F.col("__g"), F.lit(0.0)) + decay
+        )
         weights = (
             weights.join(grad, "bucket", "left")
             .select(
                 "bucket",
-                (
-                    F.col("w")
-                    - F.lit(float(lr))
-                    * (F.coalesce(F.col("__g"), F.lit(0.0)) + decay)
-                ).alias("w"),
+                (F.round(w_new, 9) if exact else w_new).alias("w"),
             )
             .localCheckpoint()  # cut per iteration — no 2^k DAG
         )
@@ -179,3 +206,192 @@ def train_quality_classifier(
         target, fw, bias=bias, n_buckets=n_buckets, max_ngram=max_ngram,
         id_col=id_col, text_col=text_col,
     )
+
+
+def classifier_score_exact(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1 << 18,
+    max_ngram: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``text.classifier_score`` with the order-free reduction: the
+    per-doc weight sum runs over (bucket, count) rows as an exact
+    DECIMAL(20,9)·count product (weights from an ``exact=True`` fit are
+    9-dp values, so the decimal cast is lossless) — the scored sample is
+    then bit-reproducible under any partitioning and by the oracle.
+    Output: (id, n_features, logit, score) with ``score`` rounded to
+    9 dp (sigmoid's ``exp`` is the one per-row transcendental)."""
+    from .text import hashed_ngram_features
+
+    fw, bias = split_weights(weights)
+    cnt = hashed_ngram_features(
+        docs, n_buckets, max_ngram, id_col, text_col, hash_fn
+    )
+    wsum = F.sum(
+        F.coalesce(F.col("w"), F.lit(0.0)).cast("decimal(20,9)")
+        * F.col("cnt").cast("decimal(10,0)")
+    ).cast("double")
+    per_doc = (
+        cnt.join(F.broadcast(fw), "bucket", "left")
+        .groupBy(id_col)
+        .agg(wsum.alias("__ws"), F.sum("cnt").cast("int").alias("n_features"))
+    )
+    logit = F.lit(float(bias)) + F.coalesce(
+        F.col("__ws") / F.col("n_features"), F.lit(0.0)
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            logit.alias("logit"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 9).alias(
+                "score"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 driver-oracle evidence: the FIT itself, re-derived in SQL
+# ---------------------------------------------------------------------------
+#
+# Oracle configuration (the md5/exact twin of the production defaults, the
+# same split embed_text uses): 64 buckets keep the weight table compact,
+# 4 unrolled GD iterations exercise the full update rule, labels derive
+# from the ground-truth lang column (an "is-English" quality-proxy task),
+# and every reduction is exact-decimal so DuckDB re-derives weights AND a
+# scored sample bit-for-bit.
+
+CLF_BUCKETS = 64
+CLF_NGRAM = 2
+CLF_ITERS = 4
+CLF_LR = 1.0
+CLF_DOC_MOD = 2  # train/score slice: every other document
+
+
+def _clf_frames(spark, sf_dir):
+    """(docs_slice, labels): the slot's training inputs — documents with
+    even ids, labeled y=1 iff ground-truth lang is 'en'."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % CLF_DOC_MOD == 0
+    )
+    labels = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    return d, labels
+
+
+def classifier_fit_rows(spark, sf_dir):
+    """Driver branch: the trained weight table (bucket, w) from the
+    exact-mode fit — 9-dp doubles, ≤ CLF_BUCKETS+1 rows."""
+    d, labels = _clf_frames(spark, sf_dir)
+    return train_classifier(
+        d, labels,
+        n_buckets=CLF_BUCKETS, max_ngram=CLF_NGRAM,
+        iters=CLF_ITERS, lr=CLF_LR, l2=0.0,
+        exact=True, hash_fn="md5",
+    ).select("bucket", "w")
+
+
+def classifier_scored_rows(spark, sf_dir, weights=None):
+    """Driver branch: the scored training slice through
+    :func:`classifier_score_exact` under the fitted weights."""
+    d, labels = _clf_frames(spark, sf_dir)
+    if weights is None:
+        weights = train_classifier(
+            d, labels,
+            n_buckets=CLF_BUCKETS, max_ngram=CLF_NGRAM,
+            iters=CLF_ITERS, lr=CLF_LR, l2=0.0,
+            exact=True, hash_fn="md5",
+        )
+    return classifier_score_exact(
+        d, weights, n_buckets=CLF_BUCKETS, max_ngram=CLF_NGRAM, hash_fn="md5"
+    )
+
+
+def sql_clf_ctes() -> str:
+    """DuckDB CTE chain re-deriving the WHOLE exact-mode fit — md5 bucket
+    hashing, normalized features + bias row, CLF_ITERS unrolled GD steps
+    (each: 9-dp-quantized decimal logit sum → per-doc sigmoid error →
+    decimal gradient sum / N → 9-dp weight update), then the exact scored
+    sample.  Final CTEs: ``cwN`` (weights) and ``cscore`` (scores).  The
+    unroll mirrors ``graph._pagerank_oracle``; the decimal reductions
+    mirror the ``lm.py`` recipe, so the only cross-engine wiggle is
+    ``exp``'s last ULP — nine orders below the 9-dp grain."""
+    toks = (
+        "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
+        "ELSE string_split_regex(TRIM(lower(text)), '\\s+') END"
+    )
+    h = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {CLF_BUCKETS}"
+    parts = [
+        f"""cdocs AS (
+      SELECT doc_id, text,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents WHERE doc_id % {CLF_DOC_MOD} = 0),
+    ctoks AS (SELECT doc_id, {toks} AS w FROM cdocs),
+    cuni AS (SELECT doc_id, unnest(w) AS g FROM ctoks),
+    cbi AS (
+      SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
+      FROM ctoks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      WHERE len(w) > 1),
+    cgrams AS (SELECT * FROM cuni UNION ALL SELECT * FROM cbi),
+    ccnt AS (
+      SELECT doc_id, {h} AS bucket, COUNT(*) AS cnt
+      FROM cgrams GROUP BY doc_id, {h}),
+    ctot AS (SELECT doc_id, SUM(cnt) AS tot FROM ccnt GROUP BY doc_id),
+    cx AS (
+      SELECT c.doc_id, c.bucket, c.cnt / t.tot AS x
+      FROM ccnt c JOIN ctot t USING (doc_id)
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM cdocs),
+    cn AS (SELECT COUNT(*) AS n FROM cdocs),
+    cw0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM cx)"""
+    ]
+    for i in range(1, CLF_ITERS + 1):
+        parts.append(
+            f"""
+    cl{i} AS (
+      SELECT x.doc_id,
+             CAST(SUM(CAST(round(x.x * w.w, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS logit
+      FROM cx x JOIN cw{i - 1} w USING (bucket) GROUP BY x.doc_id),
+    ce{i} AS (
+      SELECT l.doc_id,
+             round(1.0 / (1.0 + exp(-l.logit)) - d.y, 9) AS err
+      FROM cl{i} l JOIN cdocs d USING (doc_id)),
+    cg{i} AS (
+      SELECT x.bucket,
+             CAST(SUM(CAST(round(x.x * e.err, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) / cn.n AS g
+      FROM cx x JOIN ce{i} e USING (doc_id), cn GROUP BY x.bucket, cn.n),
+    cw{i} AS (
+      SELECT w.bucket, round(w.w - {float(CLF_LR)} * COALESCE(g.g, 0.0), 9) AS w
+      FROM cw{i - 1} w LEFT JOIN cg{i} g USING (bucket))"""
+        )
+    K = CLF_ITERS
+    parts.append(
+        f"""
+    cbias AS (SELECT w FROM cw{K} WHERE bucket = -1),
+    csums AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(COALESCE(w.w, 0.0) AS DECIMAL(20,9))
+                      * CAST(t.cnt AS DECIMAL(10,0))) AS DOUBLE) AS ws,
+             CAST(SUM(t.cnt) AS INTEGER) AS nf
+      FROM ccnt t LEFT JOIN cw{K} w USING (bucket) GROUP BY t.doc_id),
+    cscore AS (
+      SELECT d.doc_id,
+             COALESCE(s.nf, 0) AS n_features,
+             cbias.w + COALESCE(s.ws / s.nf, 0.0) AS logit,
+             round(1.0 / (1.0 + exp(-(cbias.w + COALESCE(s.ws / s.nf, 0.0)))),
+                   9) AS score
+      FROM cdocs d LEFT JOIN csums s USING (doc_id), cbias)"""
+    )
+    return ",".join(parts)

@@ -969,11 +969,12 @@ def _ivf_ctes() -> list:
     candidate vec_ids) — shared by the plain-IVF oracle (which appends the
     evidence re-rank) and the IVF-PQ oracle (which appends the PQ
     codebook/ADC pipeline)."""
+    # n2 > 0 mirrors _cell_assignments' zero-norm-centroid exclusion
     asg = (
         "{a} AS (SELECT vec_id, cell FROM ("
         "SELECT d.vec_id, d.cell, ROW_NUMBER() OVER ("
         "PARTITION BY d.vec_id ORDER BY d.dot / sqrt(n.n2) DESC, d.cell) AS rn "
-        "FROM {d} d JOIN {n} n USING (cell)) t WHERE rn = 1)"
+        "FROM {d} d JOIN {n} n USING (cell) WHERE n.n2 > 0) t WHERE rn = 1)"
     )
     ctes = [
         f"e AS ({_SQL_E})",
@@ -1008,7 +1009,8 @@ def _ivf_ctes() -> list:
     ctes.append(
         "pcells AS (SELECT cell FROM (SELECT d.cell, ROW_NUMBER() OVER ("
         "ORDER BY d.dot / sqrt(n.n2) DESC, d.cell) AS rn "
-        f"FROM d{K} d JOIN n{K} n USING (cell) WHERE d.vec_id = {QUERY_VEC_ID}) t"
+        f"FROM d{K} d JOIN n{K} n USING (cell)"
+        f" WHERE d.vec_id = {QUERY_VEC_ID} AND n.n2 > 0) t"
         f" WHERE rn <= {N_PROBE})"
     )
     ctes.append(
@@ -1039,7 +1041,14 @@ def _cell_assignments(eq: DataFrame, cents: dict) -> DataFrame:
     is ``dot / sqrt(|c|²)`` — argmax equals argmax of cosine since |v| is
     constant across cells — computed as exact LONG dot and sum-of-squares
     cast to double, one sqrt, one divide: bit-identical in DuckDB.  Ties
-    break to the LOWEST cell index (max over (metric, -cell) structs)."""
+    break to the LOWEST cell index (max over (metric, -cell) structs).
+
+    Zero-norm centroids are EXCLUDED from the metric: a degenerate cell
+    (all-empty-text seed or mean collapse) would score 0/0 = NaN, and
+    Spark's struct-max sorts NaN above every real cosine — every vector
+    would silently assign to the degenerate cell.  Filtering n2 = 0 rows
+    out of the broadcast table makes such a cell simply unassignable
+    (mirrored by ``n2 > 0`` in the IVF oracle CTEs)."""
     spark = eq.sparkSession
     ct = spark.createDataFrame(
         [
@@ -1052,7 +1061,7 @@ def _cell_assignments(eq: DataFrame, cents: dict) -> DataFrame:
     n2 = spark.createDataFrame(
         [(cell, int(sum(c * c for c in vec))) for cell, vec in cents.items()],
         "cell int, n2 long",
-    )
+    ).filter(F.col("n2") > 0)
     dots = (
         eq.join(F.broadcast(ct), "pos")
         .groupBy("vec_id", "cell")
@@ -1134,7 +1143,12 @@ def similarity_ivf_topk(spark, sf_dir):
         d = sum(q * c for q, c in zip(qvec, vec))
         return d / math.sqrt(sum(c * c for c in vec))
 
-    pcells = sorted(cents, key=lambda cell: (-metric(cents[cell]), cell))[:N_PROBE]
+    # zero-norm centroids are unassignable (see _cell_assignments) and would
+    # divide by zero here — skip them when ranking probe cells
+    pcells = sorted(
+        (c for c in cents if any(cents[c])),
+        key=lambda cell: (-metric(cents[cell]), cell),
+    )[:N_PROBE]
     assigned = _cell_assignments(eq, cents)
     cand = assigned.filter(
         F.col("cell").isin(pcells) & (F.col("vec_id") != QUERY_VEC_ID)

@@ -537,11 +537,17 @@ def hashed_ngram_terms(
     max_ngram: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One row per {1..max_ngram}-gram OCCURRENCE, hashed to a feature
     bucket: ``(id, bucket)``.  Lowercased, whitespace-tokenized, xxhash64 →
     pmod n_buckets — the classic hashing trick: fixed feature space, no
     vocabulary to build, ship, or keep consistent across a 100-TB corpus.
+
+    ``hash_fn='md5'`` (first 8 hex digits → int, the ``embed_text``
+    oracle scheme) exists solely so the classifier-training oracle can
+    re-derive bucket assignment bit-for-bit in DuckDB; production stays
+    on the native xxhash64 (bit-identical to every earlier round).
 
     Same arrays_zip/slice n-gram formulation as ``repetition_stats``
     (plain expressions, whole-stage codegen), one exploded scan PER gram
@@ -580,9 +586,15 @@ def hashed_ngram_terms(
     from functools import reduce
 
     allg = reduce(lambda a, b: a.unionByName(b), grams)
-    return allg.select(
-        id_col, F.pmod(F.xxhash64("g"), F.lit(n_buckets)).alias("bucket")
-    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("g")
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return allg.select(id_col, F.pmod(h, F.lit(n_buckets)).alias("bucket"))
 
 
 def hashed_ngram_features(
@@ -591,13 +603,14 @@ def hashed_ngram_features(
     max_ngram: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document hashed-feature counts ``(id, bucket, cnt)`` — the
     training-side representation (export these, fit the linear model
     offline, bring the weights back to ``classifier_score``).  One explode
     + one map-side-combined count; shuffles (id, bucket, cnt) longs only."""
     return (
-        hashed_ngram_terms(d, n_buckets, max_ngram, id_col, text_col)
+        hashed_ngram_terms(d, n_buckets, max_ngram, id_col, text_col, hash_fn)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -242,3 +242,71 @@ def test_batch_mixed_empty_query_rows(spark, corpus):
     assert [r["doc_id"] for r in sorted(by_q[0], key=lambda r: r["rank"])] == [
         r["doc_id"] for r in single
     ]
+
+
+def test_all_empty_batch_degrades_to_semantic(spark, corpus):
+    """ADVICE r10 regression: a batch whose queries are ALL term-free must
+    not abort the plan — the lexical side is empty, the semantic side
+    still serves (on the zero-vector sentinel)."""
+    _, path, e, lsh, pq = corpus
+    qdf = spark.createDataFrame(
+        [(0, "   "), (1, "")], "qid long, query string"
+    )
+    out = hybrid_topk_text_batch(
+        spark, path, qdf, e, k=3, lsh_index=lsh, pq=pq
+    ).collect()
+    assert {r["qid"] for r in out} <= {0, 1}  # served, not raised
+
+
+def test_semi_join_pruning_parity_and_plan(spark, corpus):
+    """Past the vocabulary threshold the postings prune must switch from a
+    literal IN-list to a broadcast left-semi join: same rows, no giant
+    In-list in the plan."""
+    _, path, _, _, _ = corpus
+    qdf = spark.createDataFrame(QUERIES, "qid long, query string")
+    base = sorted(
+        map(tuple, bm25_topk_indexed_batch(spark, path, qdf, k=5).collect())
+    )
+    semi_df = bm25_topk_indexed_batch(
+        spark, path, qdf, k=5, semi_join_threshold=1
+    )
+    assert sorted(map(tuple, semi_df.collect())) == base
+    plan = semi_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_empty_corpus_dim_error_and_dim_param(spark, corpus):
+    _, path, _, lsh, pq = corpus
+    qdf = spark.createDataFrame(QUERIES[:1], "qid long, query string")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        hybrid_topk_text_batch(spark, path, qdf, empty, k=3)
+    # dim= skips the eager probe and must reproduce the inferred-dim rows
+    _, _, e, lsh, pq = corpus
+    a = hybrid_topk_text_batch(
+        spark, path, qdf, e, k=3, lsh_index=lsh, pq=pq
+    ).collect()
+    b = hybrid_topk_text_batch(
+        spark, path, qdf, e, k=3, lsh_index=lsh, pq=pq, dim=DIM
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_mine_hard_negatives_precomputed_hits(spark, corpus):
+    from hive_serde_schema_gen_spark.operators.batch_retrieval import (
+        mine_hard_negatives,
+    )
+
+    docs, path, e, lsh, pq = corpus
+    qdf = spark.createDataFrame(QUERIES, "qid long, query string")
+    pos = spark.createDataFrame([], "qid long, doc_id long")
+    hits = hybrid_topk_text_batch(
+        spark, path, qdf, e, k=50, lsh_index=lsh, pq=pq
+    ).localCheckpoint()
+    via_hits = mine_hard_negatives(
+        spark, path, qdf, pos, e, n_negatives=3, hits=hits
+    ).collect()
+    recomputed = mine_hard_negatives(
+        spark, path, qdf, pos, e, n_negatives=3, lsh_index=lsh, pq=pq
+    ).collect()
+    assert sorted(map(tuple, via_hits)) == sorted(map(tuple, recomputed))

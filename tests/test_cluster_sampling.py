@@ -114,3 +114,26 @@ def test_cluster_stage_clamps_when_embeddings_sparse(spark):
         spark, sf_dir, docs=d, cluster_alpha=0.5, cluster_k=16
     )
     assert out.count() > 0  # no embeddings matched -> stage skipped
+
+
+def test_zero_vector_doc_does_not_capture_corpus(spark):
+    """ADVICE r10 regression: an empty-text doc embeds to the zero vector;
+    if it seeds a centroid, that cell's metric is 0/0 = NaN and Spark's
+    struct-max would assign EVERY vector to the degenerate cell.  The
+    seed set must skip zero vectors and the planted blobs must still
+    separate."""
+    a = _blob([1.0, 0.0, 0.0, 0.0], 10, 10)
+    b = _blob([0.0, 1.0, 0.0, 0.0], 10, 100)
+    zero = [(0, [0.0, 0.0, 0.0, 0.0])]  # lowest id -> would seed first
+    e = spark.createDataFrame(
+        zero + a + b, "vec_id long, embedding array<double>"
+    )
+    cents, assigned = kmeans_topics(e, k=2, iters=2)
+    rows = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # no centroid is the zero vector
+    assert all(any(c != 0 for c in vec) for vec in cents.values())
+    # blobs separate instead of collapsing into one NaN-captured cell
+    a_clusters = {rows[10 + i] for i in range(10)}
+    b_clusters = {rows[100 + i] for i in range(10)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
