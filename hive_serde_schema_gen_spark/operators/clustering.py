@@ -309,6 +309,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     total: int | None = None,
     salt: str = "cluster-mix-v1",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Temperature-rebalanced sampling over embedding clusters — flattens
     topic skew the same way :func:`curation.temperature_mix_rates`
@@ -336,5 +337,144 @@ def cluster_balanced_sample(
     rates = temperature_mix_rates(sizes, alpha=alpha, total=total)
     labeled = d.join(assignments.withColumnRenamed(id_col, key_col), key_col)
     return stratified_sample(
-        labeled, rates, stratum_col="cluster", key_col=key_col, salt=salt
+        labeled, rates, stratum_col="cluster", key_col=key_col, salt=salt,
+        hash_fn=hash_fn,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 driver-oracle evidence: kmeans_topics + cluster_balanced_sample
+# ---------------------------------------------------------------------------
+#
+# Oracle configuration: k=8 topic clusters, 2 Lloyd iterations over the
+# embeddings table (the whole pipeline is quantized-integer — the same
+# machinery the IVF oracle re-derives), then the temperature-rebalanced
+# sample at α=0.5 under the md5 hash-threshold (so membership is
+# re-derivable in SQL).
+
+KM_K = 8
+KM_ITERS = 2
+KM_ALPHA = 0.5
+KM_SALT = "cluster-mix-v1"
+
+
+def kmeans_curation_frames(spark, sf_dir):
+    """(centroid_rows, assignments, rate_rows, sampled) for the slot —
+    the REAL operators in the oracle configuration.  ``centroid_rows``:
+    (cluster, pos, cval) integer centroids exploded; ``rate_rows``:
+    (cluster, n_docs, rate@6dp) the temperature keep-rates; ``sampled``:
+    (vec_id, cluster) the kept ids."""
+    from ..sources.tables import load_table
+    from .curation import temperature_mix_rates
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
+    assigned = assigned.localCheckpoint()  # 3 consumers below
+    cent_rows = spark.createDataFrame(
+        [
+            (cell, pos, int(c))
+            for cell, vec in sorted(cents.items())
+            for pos, c in enumerate(vec)
+        ],
+        "cluster int, pos int, cval long",
+    )
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = temperature_mix_rates(sizes, alpha=KM_ALPHA, total=None)
+    rate_rows = spark.createDataFrame(
+        [(c, sizes[c], rates[c]) for c in sorted(rates)],
+        "cluster int, n_docs long, rate double",
+    ).select("cluster", "n_docs", F.round("rate", 6).alias("rate"))
+    sampled = cluster_balanced_sample(
+        e.select("vec_id"),
+        assigned,
+        alpha=KM_ALPHA,
+        key_col="vec_id",
+        id_col="vec_id",
+        salt=KM_SALT,
+        hash_fn="md5",
+    ).select("vec_id", "cluster")
+    return cent_rows, assigned, rate_rows, sampled
+
+
+def sql_kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """DuckDB CTE chain re-deriving :func:`kmeans_topics` +
+    :func:`cluster_balanced_sample` over ``embeddings`` — quantization,
+    the non-zero seed rule, ``iters`` Lloyd rounds (integer per-cell
+    means, zero-norm cells excluded from the metric), final assignment,
+    temperature keep-rates, and the md5 hash-threshold sample.  Final
+    CTEs: ``kmc{iters}`` (centroids), ``kma{iters}`` (assignments),
+    ``kmrate`` (rates), ``kmsel`` (kept ids).  Shares the integer-mean /
+    struct-max-tiebreak arithmetic of ``similarity._ivf_ctes``."""
+    quant = "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)"
+    asg = (
+        "kma{a} AS (SELECT vec_id, cell FROM ("
+        "SELECT d.vec_id, d.cell, ROW_NUMBER() OVER ("
+        "PARTITION BY d.vec_id ORDER BY d.dot / sqrt(n.n2) DESC, d.cell) AS rn "
+        "FROM kmd{a} d JOIN kmn{a} n USING (cell) WHERE n.n2 > 0) t"
+        " WHERE rn = 1)"
+    )
+    parts = [
+        f"""kme AS (
+      SELECT vec_id, {quant} AS v, generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+    kmnz AS (SELECT vec_id FROM kme GROUP BY vec_id HAVING SUM(v * v) > 0),
+    kmseed AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             vec_id
+      FROM (SELECT vec_id FROM kmnz ORDER BY vec_id LIMIT {k})),
+    kmc0 AS (SELECT s.cell, e.i, e.v AS c FROM kmseed s JOIN kme e USING (vec_id))"""
+    ]
+    for it in range(iters + 1):
+        parts.append(
+            f"kmn{it} AS (SELECT cell, CAST(SUM(c*c) AS DOUBLE) AS n2"
+            f" FROM kmc{it} GROUP BY cell)"
+        )
+        parts.append(
+            f"kmd{it} AS (SELECT e.vec_id, c.cell,"
+            " CAST(SUM(e.v * c.c) AS DOUBLE) AS dot"
+            f" FROM kme e JOIN kmc{it} c USING (i) GROUP BY e.vec_id, c.cell)"
+        )
+        parts.append(asg.format(a=it))
+        if it < iters:
+            parts.append(
+                f"kmm{it} AS (SELECT a.cell, e.i,"
+                " CAST(round(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c"
+                f" FROM kma{it} a JOIN kme e USING (vec_id) GROUP BY a.cell, e.i)"
+            )
+            parts.append(
+                f"kmc{it + 1} AS (SELECT c.cell, c.i, COALESCE(m.c, c.c) AS c"
+                f" FROM kmc{it} c LEFT JOIN kmm{it} m"
+                " ON m.cell = c.cell AND m.i = c.i)"
+            )
+    K = iters
+    parts.append(
+        f"kmsz AS (SELECT cell, COUNT(*) AS n FROM kma{K} GROUP BY cell)"
+    )
+    parts.append(
+        f"kmz AS (SELECT SUM(power(CAST(n AS DOUBLE), {KM_ALPHA})) AS z FROM kmsz)"
+    )
+    parts.append(
+        f"kmq AS (SELECT cell, n, power(CAST(n AS DOUBLE), {KM_ALPHA}) / z.z AS q"
+        " FROM kmsz, kmz z)"
+    )
+    parts.append("kmt AS (SELECT MIN(n / q) AS total FROM kmq)")
+    parts.append(
+        "kmrate AS (SELECT cell, n, LEAST(1.0, q * t.total / n) AS rate"
+        " FROM kmq, kmt t)"
+    )
+    h = (
+        f"CAST(concat('0x', substr(md5('{KM_SALT}|' ||"
+        " CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+    )
+    parts.append(
+        f"""kmsel AS (
+      SELECT a.vec_id, a.cell
+      FROM kma{K} a JOIN kmrate r USING (cell)
+      WHERE {h} < r.rate * 1000000)"""
+    )
+    return ",\n    ".join(parts)

@@ -129,6 +129,7 @@ def stratified_sample(
     stratum_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "mix-v1",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic per-stratum subsampling — the domain-mixing step of a
     pretraining pipeline ("keep 100% of wiki, 30% of web, 5% of logs").
@@ -141,8 +142,30 @@ def stratified_sample(
     The rate map rides the plan as a literal CASE chain (strata counts are
     small); unlisted strata default to rate 0.0 — curation is allowlist-
     shaped on purpose.  Narrow transformation: filters at scan speed,
-    no shuffle."""
-    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(key_col)), F.lit(1_000_000))
+    no shuffle.
+
+    ``hash_fn='md5'`` (``md5(salt|key)`` first 8 hex digits, the shared
+    oracle scheme) exists so the cluster-balanced-sampling oracle can
+    re-derive membership bit-for-bit; production stays on xxhash64."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(salt), F.col(key_col))
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + "|"), F.col(key_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    bucket = F.pmod(h, F.lit(1_000_000))
     expr = F.lit(0.0)
     for stratum, rate in sorted(rates.items()):
         expr = F.when(F.col(stratum_col) == stratum, F.lit(float(rate))).otherwise(expr)
@@ -808,6 +831,7 @@ _SEM_SQL = f"""
 
 
 def _curation_ops_oracle() -> str:
+    from .clustering import KM_ITERS, sql_kmeans_ctes
     from .dsir import sql_dsir_ctes
 
     pad_dsir = (
@@ -815,27 +839,50 @@ def _curation_ops_oracle() -> str:
         "CAST(NULL AS DOUBLE) AS logw, CAST(NULL AS DOUBLE) AS gumbel, "
         "CAST(NULL AS INTEGER) AS sel_rank"
     )
+    pad_km = (
+        "CAST(NULL AS INTEGER) AS cluster, CAST(NULL AS INTEGER) AS pos, "
+        "CAST(NULL AS BIGINT) AS cval"
+    )
+    K = KM_ITERS
     return f"""
-    WITH {sql_dsir_ctes()}
+    WITH {sql_dsir_ctes()},
+    {sql_kmeans_ctes()}
     SELECT * FROM (
     SELECT 'mix' AS op, lang, n_docs, rate,
            CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS max_bench_sim,
-           CAST(NULL AS BIGINT) AS nearest_bench_id, {pad_dsir}
+           CAST(NULL AS BIGINT) AS nearest_bench_id, {pad_dsir}, {pad_km}
     FROM ({_MIX_SQL})
     UNION ALL
     SELECT 'sem', NULL, NULL, NULL, vec_id, max_bench_sim, nearest_bench_id,
-           {pad_dsir}
+           {pad_dsir}, {pad_km}
     FROM ({_SEM_SQL})
     UNION ALL
     SELECT 'dsir_w', NULL, NULL, NULL, NULL, NULL, NULL,
-           doc_id, n_grams, logw, CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
+           doc_id, n_grams, logw, CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+           {pad_km}
     FROM dsirw WHERE doc_id % 10 = 0
     UNION ALL
     SELECT 'dsir_sel', NULL, NULL, NULL, NULL, NULL, NULL,
-           doc_id, n_grams, logw, gumbel, sel_rank
+           doc_id, n_grams, logw, gumbel, sel_rank, {pad_km}
     FROM dsirsel
+    UNION ALL
+    SELECT 'kmc', NULL, NULL, NULL, NULL, NULL, NULL, {pad_dsir},
+           cell, CAST(i - 1 AS INTEGER), c
+    FROM kmc{K}
+    UNION ALL
+    SELECT 'kma', NULL, NULL, NULL, vec_id, NULL, NULL, {pad_dsir},
+           cell, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+    FROM kma{K}
+    UNION ALL
+    SELECT 'kmrate', NULL, n, round(rate, 6), NULL, NULL, NULL, {pad_dsir},
+           cell, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+    FROM kmrate
+    UNION ALL
+    SELECT 'kmsel', NULL, NULL, NULL, vec_id, NULL, NULL, {pad_dsir},
+           cell, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+    FROM kmsel
     ) ORDER BY op, COALESCE(lang, ''), COALESCE(vec_id, -1),
-               COALESCE(doc_id, -1)
+               COALESCE(doc_id, -1), COALESCE(cluster, -1), COALESCE(pos, -1)
     """
 
 
@@ -860,9 +907,18 @@ def curation_ops(spark, sf_dir):
     against the lang='zh' target slice, op='dsir_sel' pins the
     Gumbel-top-20 without-replacement sample (weights + noise + rank);
     the oracle re-derives hashing, both model fits, the 9-dp-quantized
-    log ratio, the exact decimal reduction, and the Gumbel keys."""
+    log ratio, the exact decimal reduction, and the Gumbel keys.
+
+    Round-11 continuation: the DataComp/SemDeDup-style topic-rebalance
+    move (`operators/clustering.py`) joins the driver hash — op='kmc'
+    pins the k=8 integer k-means centroids after 2 Lloyd rounds,
+    op='kma' every vector's cluster assignment, op='kmrate' the α=0.5
+    temperature keep-rates, op='kmsel' the md5 hash-threshold sampled
+    id set; the oracle re-derives quantization, the non-zero seed rule,
+    both Lloyd rounds, rates, and membership (`sql_kmeans_ctes`)."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
+    from .clustering import kmeans_curation_frames
     from .dsir import dsir_selected_rows, dsir_weight_rows
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -870,12 +926,16 @@ def curation_ops(spark, sf_dir):
     sem = semantic_contamination(
         e, bench, threshold=_SEM_THRESHOLD, strategy="exact", quantize=True
     )
+    km_cent, km_assigned, km_rates, km_sampled = kmeans_curation_frames(
+        spark, sf_dir
+    )
     schema = [
         ("op", "string"), ("lang", "string"), ("n_docs", "bigint"),
         ("rate", "double"), ("vec_id", "bigint"),
         ("max_bench_sim", "double"), ("nearest_bench_id", "bigint"),
         ("doc_id", "bigint"), ("n_grams", "bigint"), ("logw", "double"),
         ("gumbel", "double"), ("sel_rank", "int"),
+        ("cluster", "int"), ("pos", "int"), ("cval", "bigint"),
     ]
     return pad_union(
         schema,
@@ -909,11 +969,35 @@ def curation_ops(spark, sf_dir):
                 "gumbel": "gumbel_q9", "sel_rank": "sel_rank",
             },
         ),
+        (
+            km_cent,
+            {
+                "op": F.lit("kmc"), "cluster": "cluster",
+                "pos": "pos", "cval": "cval",
+            },
+        ),
+        (
+            km_assigned,
+            {"op": F.lit("kma"), "vec_id": "vec_id", "cluster": "cluster"},
+        ),
+        (
+            km_rates,
+            {
+                "op": F.lit("kmrate"), "n_docs": "n_docs",
+                "rate": "rate", "cluster": "cluster",
+            },
+        ),
+        (
+            km_sampled,
+            {"op": F.lit("kmsel"), "vec_id": "vec_id", "cluster": "cluster"},
+        ),
     ).orderBy(
         "op",
         F.coalesce("lang", F.lit("")),
         F.coalesce("vec_id", F.lit(-1)),
         F.coalesce("doc_id", F.lit(-1)),
+        F.coalesce("cluster", F.lit(-1)),
+        F.coalesce("pos", F.lit(-1)),
     )
 
 

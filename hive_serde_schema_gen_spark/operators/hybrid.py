@@ -380,9 +380,10 @@ def _batch_query_ctes() -> list:
     """Per-query CTE chain for the SECOND batch query (prefix ``g``),
     referencing the shared corpus CTEs ``fe``/``cevals`` the free-text
     branch already defines — the oracle re-derives the batch path's
-    qid=1 pipeline from the raw query string exactly like the qid=0 one
-    (which IS the free-text branch: batch ≡ single per query is the
-    module contract `tests/test_batch_retrieval.py` pins)."""
+    qid=1 pipeline from the raw query string exactly like the qid=0 one.
+    Ends at ``glxs`` (per-term lexical scores) + ``gsemr`` (semantic
+    ranks); the union oracle fuses them with the batch path's own
+    DECIMAL lexical reduction (see ``_dec_fused_ctes``)."""
     from .embedding import _sql_embed_ctes
     from .similarity import PQ_RERANK_MULT as _MULT
     from .similarity import _lsh_cand_ctes, _pq_ann_ctes
@@ -409,22 +410,45 @@ def _batch_query_ctes() -> list:
     )
     ctes.append(_lex_ctes(_BATCH_TERMS2, depth, p="g"))
     ctes.append(
-        "glexr AS (SELECT doc_id, ROW_NUMBER() OVER"
-        " (ORDER BY bm25 DESC, doc_id) AS r FROM glex)"
-    )
-    ctes.append(
         "gsemr AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER"
         " (ORDER BY cos_sim DESC, vec_id) AS r FROM gsem)"
     )
-    ctes.append(
-        f"gru AS (SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM glexr"
-        f" UNION ALL SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM gsemr)"
-    )
-    ctes.append(
-        f"gk AS (SELECT doc_id, SUM(s) AS rrf FROM gru GROUP BY doc_id"
-        f" ORDER BY rrf DESC, doc_id LIMIT {_HYBRID_K})"
-    )
     return ctes
+
+
+def _dec_fused_ctes(qid: int, lxs: str, semr: str, p: str) -> list:
+    """Fused top-k for ONE batch query under the BATCH path's own lexical
+    arithmetic: per-term scores from the shared ``{lxs}`` CTE are
+    9-dp-quantized and summed as exact decimals (exactly what
+    ``bm25_topk_indexed_batch`` computes), ranked, and RRF-fused with the
+    (integer-exact) semantic ranks ``{semr}``.  This keeps the oracle's
+    batch rows pinned to the batch arithmetic rather than assuming the
+    float fixed-order sum lands on the same ranking — the two differ by
+    ≤ 1e-9·|terms| per score, which is only rank-invisible while no two
+    docs' BM25 scores fall inside that grain (they don't, on this
+    corpus; the hash no longer depends on it)."""
+    depth = _HYBRID_K * 2
+    return [
+        f"{p}lex AS (SELECT doc_id,"
+        " CAST(SUM(CAST(round(sc, 9) AS DECIMAL(20,9))) AS DOUBLE) AS bm25"
+        f" FROM {lxs} GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {depth})",
+        f"{p}lexr AS (SELECT doc_id, ROW_NUMBER() OVER"
+        f" (ORDER BY bm25 DESC, doc_id) AS r FROM {p}lex)",
+        f"{p}ru AS (SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM {p}lexr"
+        f" UNION ALL SELECT doc_id, 1.0 / ({_RRF_K} + r) AS s FROM {semr})",
+        f"{p}k AS (SELECT CAST({qid} AS BIGINT) AS qid, doc_id,"
+        " SUM(s) AS rrf FROM"
+        f" {p}ru GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT {_HYBRID_K})",
+    ]
+
+
+# Hard-negative mining configuration for the op='negatives' branch:
+# positives = each query's top-_NEG_POS fused docs (the realistic shape —
+# labels came from the retriever), skip the first post-positive rank as
+# unlabeled-positive denoising, keep the next _NEG_COUNT.
+_NEG_POS = 2
+_NEG_SKIP = 1
+_NEG_COUNT = 3
 
 
 def _hybrid_union_oracle() -> str:
@@ -437,20 +461,37 @@ def _hybrid_union_oracle() -> str:
     ex_sel = "SELECT" + ex_tail.replace(f" LIMIT {_HYBRID_K}", "")
     ft_sel = "SELECT" + ft_tail.replace(f" LIMIT {_HYBRID_K}", "")
     g_body = ",\n    ".join(_batch_query_ctes())
+    # batch rows re-derived under the BATCH path's decimal lexical sums
+    # (qid 0 reuses the freetext chain's per-term scores flxs + semantic
+    # ranks fsemr; qid 1 the g-prefixed ones)
+    dec_body = ",\n    ".join(
+        _dec_fused_ctes(0, "flxs", "fsemr", p="n0")
+        + _dec_fused_ctes(1, "glxs", "gsemr", p="n1")
+    )
     return f"""
     WITH {ex_body},
     {ft_body},
     exk AS ({ex_sel} LIMIT {_HYBRID_K}),
     ftk AS ({ft_sel} LIMIT {_HYBRID_K}),
     {g_body},
+    {dec_body},
     bq AS (
-      SELECT 0 AS qid, doc_id, rrf,
-             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
-      FROM ftk
-      UNION ALL
-      SELECT 1, doc_id, rrf,
-             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
-      FROM gk),
+      SELECT qid, doc_id, rrf,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rrf DESC, doc_id) AS rank
+      FROM (SELECT * FROM n0k UNION ALL SELECT * FROM n1k)),
+    negpos AS (SELECT qid, doc_id FROM bq WHERE rank <= {_NEG_POS}),
+    negrank AS (
+      SELECT b.qid, b.doc_id, b.rrf,
+             ROW_NUMBER() OVER (PARTITION BY b.qid
+                                ORDER BY b.rrf DESC, b.doc_id) AS nr
+      FROM bq b
+      WHERE NOT EXISTS (SELECT 1 FROM negpos p
+                        WHERE p.qid = b.qid AND p.doc_id = b.doc_id)),
+    negk AS (
+      SELECT qid, doc_id, rrf, CAST(nr - {_NEG_SKIP} AS INTEGER) AS rank
+      FROM negrank
+      WHERE nr > {_NEG_SKIP} AND nr <= {_NEG_SKIP + _NEG_COUNT}),
     unioned AS (
       SELECT 'example' AS op, CAST(NULL AS BIGINT) AS qid, doc_id, rrf,
              CAST(NULL AS INTEGER) AS rank
@@ -458,7 +499,9 @@ def _hybrid_union_oracle() -> str:
       UNION ALL
       SELECT 'freetext', NULL, doc_id, rrf, NULL FROM ftk
       UNION ALL
-      SELECT 'batch', qid, doc_id, rrf, CAST(rank AS INTEGER) FROM bq)
+      SELECT 'batch', qid, doc_id, rrf, CAST(rank AS INTEGER) FROM bq
+      UNION ALL
+      SELECT 'negatives', qid, doc_id, rrf, rank FROM negk)
     SELECT op, qid, doc_id, rrf, rank FROM unioned
     ORDER BY op, COALESCE(qid, -1), rrf DESC, doc_id
     """
@@ -498,15 +541,36 @@ def hybrid_ops(spark, sf_dir):
     is :func:`hybrid_freetext_topk` (raw string → hashed embedding →
     LSH+PQ ANN + persisted-BM25 probe → RRF); op='batch' (round-10
     continuation) is :func:`hybrid_batch_topk_rows` — the BATCHED serve
-    path (`operators/batch_retrieval.py`) over two query strings, with
-    qid 0 pinned to the free-text branch's result (batch ≡ single) and
-    qid 1 re-derived from scratch.  One DuckDB statement re-derives all
-    serve paths, each from its own raw inputs."""
+    path (`operators/batch_retrieval.py`) over two query strings.  One
+    DuckDB statement re-derives all serve paths, each from its own raw
+    inputs.
+
+    Round-11: the oracle's batch rows derive from the BATCH path's own
+    9-dp-decimal lexical reduction (``_dec_fused_ctes``) instead of
+    reusing the free-text float-sum CTE — the hash no longer rests on
+    the ≤1e-9-per-score tie gap between the two reductions (batch ≡
+    single remains pytest-pinned).  New op='negatives' is
+    :func:`batch_retrieval.mine_hard_negatives` over the batch hits:
+    positives = each qid's top-{_NEG_POS} fused docs, skip_top
+    {_NEG_SKIP}, {_NEG_COUNT} negatives; ``rank`` carries ``neg_rank``."""
     from ..functions.union import pad_union
+    from .batch_retrieval import mine_hard_negatives
 
     # build the corpus artifacts (md5 embeddings + BM25 index) ONCE;
     # both string-serving branches probe the same fixture
     fixture = _freetext_fixture(spark, sf_dir)
+    # materialize the batch hits once: the batch branch emits them and the
+    # negatives branch mines from them (anti-join + window, no re-retrieval)
+    batch_rows = hybrid_batch_topk_rows(
+        spark, sf_dir, fixture=fixture
+    ).localCheckpoint()
+    positives = batch_rows.filter(F.col("rank") <= _NEG_POS).select(
+        "qid", "doc_id"
+    )
+    negs = mine_hard_negatives(
+        spark, None, None, positives, None,
+        n_negatives=_NEG_COUNT, skip_top=_NEG_SKIP, hits=batch_rows,
+    )
     schema = [
         ("op", "string"), ("qid", "bigint"), ("doc_id", "bigint"),
         ("rrf", "double"), ("rank", "int"),
@@ -522,10 +586,17 @@ def hybrid_ops(spark, sf_dir):
             {"op": F.lit("freetext"), "doc_id": "doc_id", "rrf": "rrf"},
         ),
         (
-            hybrid_batch_topk_rows(spark, sf_dir, fixture=fixture),
+            batch_rows,
             {
                 "op": F.lit("batch"), "qid": "qid", "doc_id": "doc_id",
                 "rrf": "rrf", "rank": "rank",
+            },
+        ),
+        (
+            negs,
+            {
+                "op": F.lit("negatives"), "qid": "qid", "doc_id": "doc_id",
+                "rrf": "rrf", "rank": "neg_rank",
             },
         ),
     ).orderBy(

@@ -38,8 +38,6 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import hashed_ngram_features
-
 BIAS_BUCKET = -1  # synthetic always-on feature carrying the intercept
 
 
@@ -55,6 +53,10 @@ def classifier_features(
     feature appended — ``x`` sums to 2.0 per doc (1.0 features + 1.0
     bias).  Zero-feature docs still get the bias row, so they train on
     the intercept instead of silently dropping out."""
+    # lazy import: text.py's oracle builder imports sql_clf_ctes from this
+    # module at its own import time — a top-level import here would cycle
+    from .text import hashed_ngram_features
+
     cnt = hashed_ngram_features(
         docs, n_buckets, max_ngram, id_col, text_col, hash_fn
     )

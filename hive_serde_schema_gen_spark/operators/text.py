@@ -17,13 +17,24 @@ from ..sources.tables import load_table
 
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic.  Deterministic and engine-neutral (both sides count membership).
+# Round 11 widened the profile set beyond the corpus's five ground-truth
+# labels (it/pt/nl) — a real crawl classifier must DISCRIMINATE against
+# languages the corpus doesn't contain, and the accuracy branch
+# (op='langacc') measures the resulting confusion directly.
 LANG_PROFILES = {
     "en": ("the", "a", "and", "of", "to", "is"),
     "de": ("der", "die", "und", "das", "ist", "ein"),
     "fr": ("le", "la", "et", "les", "des", "est"),
     "es": ("el", "los", "y", "que", "es", "una"),
+    "it": ("il", "di", "che", "non", "per", "con"),
+    "pt": ("o", "os", "da", "do", "em", "para"),
+    "nl": ("de", "het", "een", "van", "niet", "met"),
     "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3"),  # pinyin-ish tokens
 }
+
+# Fixed argmax tie-break priority (first wins ties) — the order every
+# CASE chain, Spark and SQL, is generated from.
+LANG_ORDER = ("en", "de", "fr", "es", "it", "pt", "nl", "zh")
 
 
 def _tokens(col):
@@ -153,7 +164,7 @@ def text_quality_score(spark, sf_dir, sort: bool = True):
     return out.orderBy("doc_id") if sort else out
 
 
-def _lang_score_sql(langs=("en", "de", "fr", "es", "zh")):
+def _lang_score_sql(langs=LANG_ORDER):
     cols = []
     for lg in langs:
         words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lg])
@@ -163,34 +174,58 @@ def _lang_score_sql(langs=("en", "de", "fr", "es", "zh")):
     return ",\n               ".join(cols)
 
 
+def _lang_argmax_sql(langs=LANG_ORDER) -> str:
+    """Fixed-priority argmax CASE chain over the s_<lang> columns —
+    generated from LANG_ORDER so the Spark chain cannot drift from it."""
+    whens = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lg} >= s_{o}" for o in langs[i + 1:])
+        whens.append(f"WHEN {conds} THEN '{lg}'")
+    body = "\n             ".join(whens)
+    return f"CASE\n             {body}\n             ELSE '{langs[-1]}' END"
+
+
+# margin = top1 − top2 profile-hit count: the abstain signal (a margin of
+# 0 means the argmax was decided purely by the tie-break priority; a
+# caller wanting an 'und' class thresholds on it)
+_LANG_MARGIN_SQL = (
+    "list_sort(["
+    + ", ".join(f"s_{lg}" for lg in LANG_ORDER)
+    + "], 'DESC')"
+)
+
 _LANG_ID_SQL = f"""
     WITH scores AS (
         SELECT doc_id, lang,
                {_lang_score_sql()}
         FROM documents)
     SELECT doc_id, lang,
-           CASE
-             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
-             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-             WHEN s_es >= s_zh THEN 'es'
-             ELSE 'zh'
-           END AS predicted
+           {_lang_argmax_sql()} AS predicted,
+           CAST({_LANG_MARGIN_SQL}[1] - {_LANG_MARGIN_SQL}[2] AS INTEGER)
+             AS margin
     FROM scores
 """
 
+_LANG_ACC_SQL = f"""
+    SELECT lang, predicted,
+           COUNT(*) AS n,
+           SUM(CAST(margin AS BIGINT)) AS sum_margin,
+           CAST(SUM(CASE WHEN lang = predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM ({_LANG_ID_SQL})
+    GROUP BY lang, predicted
+"""
 
-def text_lang_id(spark, sf_dir, sort: bool = True):
-    """Stopword-profile language ID: count profile hits per language, argmax
-    with a fixed tie-break order (en > de > fr > es > zh).  The fixed CASE
-    chain makes the argmax deterministic in both engines.  Registry-merged
-    into ``text_quality_lang`` in round 10."""
+
+def _lang_scored(spark, sf_dir):
+    """(doc_id, lang, s_<lang>... , predicted, margin): the shared scoring
+    projection — tokenize ONCE into a materialized array column (the
+    per-language filters would otherwise each inline and re-execute the
+    split — measured ~30% slower), then |LANG_ORDER| JVM higher-order
+    filters, a generated fixed-priority CASE argmax, and the top1−top2
+    margin from one sorted integer array.  Pure narrow projection — zero
+    shuffle at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    # Tokenize ONCE into a materialized array column: the five per-language
-    # filters would otherwise each inline (and re-execute) the split — 5×
-    # the tokenization work, measured ~30% slower.  The plan stays a pure
-    # narrow projection (zero shuffle), unlike an explode+groupBy rewrite
-    # which is marginally faster locally but pays two exchanges at scale.
     base = d.select("doc_id", "lang", _tokens("text").alias("toks"))
     toks = F.col("toks")
 
@@ -204,26 +239,59 @@ def text_lang_id(spark, sf_dir, sort: bool = True):
         "lang",
         *[
             F.size(F.filter(toks, profile_hits(LANG_PROFILES[lg]))).alias(f"s_{lg}")
-            for lg in ("en", "de", "fr", "es", "zh")
+            for lg in LANG_ORDER
         ],
     )
-    s = {lg: F.col(f"s_{lg}") for lg in ("en", "de", "fr", "es", "zh")}
-    predicted = (
-        F.when(
-            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
-            "en",
+    s = {lg: F.col(f"s_{lg}") for lg in LANG_ORDER}
+    predicted = None
+    for i, lg in enumerate(LANG_ORDER[:-1]):
+        cond = None
+        for o in LANG_ORDER[i + 1:]:
+            c = s[lg] >= s[o]
+            cond = c if cond is None else (cond & c)
+        predicted = (
+            F.when(cond, lg) if predicted is None else predicted.when(cond, lg)
         )
-        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] >= s["zh"]), "de")
-        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), "fr")
-        .when(s["es"] >= s["zh"], "es")
-        .otherwise("zh")
-        .alias("predicted")
+    predicted = predicted.otherwise(LANG_ORDER[-1]).alias("predicted")
+    srt = F.sort_array(F.array(*[s[lg] for lg in LANG_ORDER]), asc=False)
+    margin = (
+        (F.element_at(srt, 1) - F.element_at(srt, 2))
+        .cast("int")
+        .alias("margin")
     )
-    out = scored.select("doc_id", "lang", predicted)
+    return scored.select("doc_id", "lang", predicted, margin)
+
+
+def text_lang_id(spark, sf_dir, sort: bool = True):
+    """Stopword-profile language ID: count profile hits per language,
+    argmax with the fixed LANG_ORDER tie-break priority (both engines run
+    the same generated CASE chain).  Registry-merged into
+    ``text_quality_lang`` in round 10; round 11 widened the profiles to
+    {len(LANG_ORDER)} languages and added the top1−top2 ``margin``
+    abstain signal (see ``lang_id_accuracy``)."""
+    out = _lang_scored(spark, sf_dir).select("doc_id", "lang", "predicted")
     return out.orderBy("doc_id") if sort else out
 
 
+def lang_id_accuracy(spark, sf_dir):
+    """Confusion matrix of the language-ID heuristic against the
+    ground-truth ``lang`` column: one row per (lang, predicted) pair with
+    the document count, the summed decision margin (integer-exact — low
+    total margin flags pairs decided by tie-break alone), and the correct
+    count (diagonal).  Accuracy per class = n_correct / Σn over its rows;
+    one map-side-combined aggregate, |langs|² rows max."""
+    sc = _lang_scored(spark, sf_dir)
+    return sc.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("margin").cast("bigint")).alias("sum_margin"),
+        F.sum((F.col("lang") == F.col("predicted")).cast("bigint")).alias(
+            "n_correct"
+        ),
+    )
+
+
 def _quality_lang_oracle() -> str:
+    from .logreg import sql_clf_ctes
     from .signals import sql_signal_ctes
 
     pad_sig = (
@@ -239,16 +307,27 @@ def _quality_lang_oracle() -> str:
         "CAST(NULL AS INTEGER) AS n_stop_hits, "
         "CAST(NULL AS BOOLEAN) AS passes_gopher"
     )
+    pad_clf = (
+        "CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS DOUBLE) AS w, "
+        "CAST(NULL AS INTEGER) AS n_features, CAST(NULL AS DOUBLE) AS logit, "
+        "CAST(NULL AS DOUBLE) AS score, "
+        "CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS sum_margin, "
+        "CAST(NULL AS BIGINT) AS n_correct"
+    )
+    from .logreg import CLF_ITERS
+
     return f"""
-    WITH {sql_signal_ctes()}
+    WITH {sql_signal_ctes()},
+    {sql_clf_ctes()}
+    SELECT * FROM (
     SELECT 'lang' AS op, doc_id, lang, predicted,
            CAST(NULL AS INTEGER) AS n_chars, CAST(NULL AS INTEGER) AS n_tokens,
            CAST(NULL AS INTEGER) AS n_punct, CAST(NULL AS INTEGER) AS n_stopwords,
-           CAST(NULL AS DOUBLE) AS quality, {pad_sig}
+           CAST(NULL AS DOUBLE) AS quality, {pad_sig}, {pad_clf}
     FROM ({_LANG_ID_SQL})
     UNION ALL
     SELECT 'quality', doc_id, NULL, NULL,
-           n_chars, n_tokens, n_punct, n_stopwords, quality, {pad_sig}
+           n_chars, n_tokens, n_punct, n_stopwords, quality, {pad_sig}, {pad_clf}
     FROM (WITH {_sql_quality_cte()}
           SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords, quality
           FROM qual)
@@ -257,15 +336,47 @@ def _quality_lang_oracle() -> str:
            rep_n_grams, dup_gram_frac, top_gram_frac,
            CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN)
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN), {pad_clf}
     FROM sigrep WHERE doc_id % 7 = 0
     UNION ALL
     SELECT 'gopher', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
-           ellipsis_line_frac, alpha_word_frac, n_stop_hits, passes_gopher
+           ellipsis_line_frac, alpha_word_frac, n_stop_hits, passes_gopher,
+           {pad_clf}
     FROM siggop WHERE doc_id % 7 = 3
-    ORDER BY op, doc_id
+    UNION ALL
+    SELECT 'clf_w', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           bucket, w, CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM cw{CLF_ITERS}
+    UNION ALL
+    SELECT 'clf_s', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           n_features, logit, score, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM cscore
+    UNION ALL
+    SELECT 'langacc', NULL, lang, predicted, NULL, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), n, sum_margin, n_correct
+    FROM ({_LANG_ACC_SQL})
+    ) ORDER BY op, COALESCE(doc_id, -1), COALESCE(bucket, -2),
+               COALESCE(lang, ''), COALESCE(predicted, '')
     """
 
 
@@ -281,15 +392,31 @@ def text_quality_lang(spark, sf_dir):
     document's trigram repetition fractions (the oracle counts raw gram
     strings, equal to the operator's xxhash64-keyed counts barring a
     64-bit collision) and op='gopher' pins the full Gopher feature set +
-    pass flag for the doc_id % 7 == 3 slice."""
+    pass flag for the doc_id % 7 == 3 slice.
+
+    Round-11 continuation: op='clf_w' / op='clf_s' pin the QUALITY-
+    CLASSIFIER FIT (`operators/logreg.py`) — 4 unrolled exact-decimal GD
+    iterations over md5-hashed bigram features of the even-id documents,
+    labeled y=1 iff ground-truth lang='en'; the oracle re-derives bucket
+    hashing, feature normalization, every gradient step, the final
+    weight table (clf_w), and the scored training slice (clf_s)
+    bit-for-bit (`logreg.sql_clf_ctes`).  op='langacc' pins the language-
+    ID confusion matrix against the ground-truth lang column — counts,
+    summed decision margins (the abstain signal), and per-pair correct
+    counts — under the round-11 widened {len(LANG_ORDER)}-profile set."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
     from .curation import repetition_stats
+    from .logreg import classifier_fit_rows, classifier_scored_rows
     from .signals import gopher_rules
 
     d = load_table(spark, sf_dir, "documents")
     rep = repetition_stats(d).filter(F.col("doc_id") % 7 == 0)
     gop = gopher_rules(d).filter(F.col("doc_id") % 7 == 3)
+    # fit ONCE; localCheckpoint so the scored branch reuses the trained
+    # weights instead of re-running 4 GD iterations
+    clf_w = classifier_fit_rows(spark, sf_dir).localCheckpoint()
+    clf_s = classifier_scored_rows(spark, sf_dir, weights=clf_w)
     schema = [
         ("op", "string"), ("doc_id", "bigint"), ("lang", "string"),
         ("predicted", "string"), ("n_chars", "int"), ("n_tokens", "int"),
@@ -300,6 +427,9 @@ def text_quality_lang(spark, sf_dir):
         ("bullet_line_frac", "double"), ("ellipsis_line_frac", "double"),
         ("alpha_word_frac", "double"), ("n_stop_hits", "int"),
         ("passes_gopher", "boolean"),
+        ("bucket", "bigint"), ("w", "double"), ("n_features", "int"),
+        ("logit", "double"), ("score", "double"),
+        ("n", "bigint"), ("sum_margin", "bigint"), ("n_correct", "bigint"),
     ]
     return pad_union(
         schema,
@@ -340,7 +470,33 @@ def text_quality_lang(spark, sf_dir):
                 "passes_gopher": "passes_gopher",
             },
         ),
-    ).orderBy("op", "doc_id")
+        (
+            clf_w,
+            {"op": F.lit("clf_w"), "bucket": "bucket", "w": "w"},
+        ),
+        (
+            clf_s,
+            {
+                "op": F.lit("clf_s"), "doc_id": "doc_id",
+                "n_features": "n_features", "logit": "logit",
+                "score": "score",
+            },
+        ),
+        (
+            lang_id_accuracy(spark, sf_dir),
+            {
+                "op": F.lit("langacc"), "lang": "lang",
+                "predicted": "predicted", "n": "n",
+                "sum_margin": "sum_margin", "n_correct": "n_correct",
+            },
+        ),
+    ).orderBy(
+        "op",
+        F.coalesce("doc_id", F.lit(-1)),
+        F.coalesce("bucket", F.lit(-2)),
+        F.coalesce("lang", F.lit("")),
+        F.coalesce("predicted", F.lit("")),
+    )
 
 
 # Rolling-hash parameters.  Horner evaluation reduces mod ROLL_P at every

@@ -133,3 +133,34 @@ def test_training_plan_stays_jvm_side(spark):
     w = train_classifier(docs, labels, n_buckets=1 << 10, iters=2)
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_mode_partitioning_invariant(spark):
+    """exact=True replaces every float reduction with a 9-dp decimal sum
+    (the lm.py rule) — the fitted weights must be BIT-identical under any
+    input partitioning (the float path only promises ULP-closeness)."""
+    docs, labels = _corpus(spark)
+    kw = dict(n_buckets=32, iters=3, lr=1.0, exact=True, hash_fn="md5")
+    w1 = {r["bucket"]: r["w"] for r in train_classifier(docs, labels, **kw).collect()}
+    w2 = {
+        r["bucket"]: r["w"]
+        for r in train_classifier(
+            docs.repartition(7), labels.repartition(3), **kw
+        ).collect()
+    }
+    assert w1 == w2  # exact equality, not approx
+
+
+def test_exact_mode_close_to_float_path(spark):
+    """The exact-decimal fit is the float fit up to rounding grain — same
+    model, different reduction discipline."""
+    docs, labels = _corpus(spark)
+    base = dict(n_buckets=32, iters=3, lr=1.0)
+    wf = {r["bucket"]: r["w"] for r in train_classifier(docs, labels, **base).collect()}
+    we = {
+        r["bucket"]: r["w"]
+        for r in train_classifier(docs, labels, exact=True, **base).collect()
+    }
+    assert set(wf) == set(we)
+    for b in wf:
+        assert abs(wf[b] - we[b]) < 1e-6, b
