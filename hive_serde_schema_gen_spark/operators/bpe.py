@@ -50,12 +50,26 @@ def train_bpe(
     n_merges: int,
     text_col: str = "text",
     lowercase: bool = True,
+    batch_size: int = 1,
 ) -> list:
     """Learn ``n_merges`` BPE merges; returns them in order as (left,
     right) symbol pairs.  Deterministic: ties on pair count break
-    lexicographically.  Stops early when no pair occurs twice."""
-    import pandas as pd
+    lexicographically.  Stops early when no pair occurs twice.
 
+    ``batch_size``: merges selected per pair-count round.  1 (default)
+    is EXACT Sennrich BPE — one count job + one rewrite per merge, which
+    at a 32k-merge production vocabulary means 32k driver round-trips.
+    ``batch_size=M`` selects up to M pairs per round whose symbols are
+    pairwise DISJOINT — disjointness makes their batch-start counts
+    still exact at application time and their within-batch application
+    order irrelevant, so each selected pair is applied with a correct
+    count.  The approximation (the standard practical-BPE tradeoff) is
+    in the SELECTION: exact BPE might have preferred a pair newly
+    created by an earlier merge in the same batch over a later selected
+    one; the vocabulary differs slightly, the cost drops ~M× (one count
+    + one rewrite + one checkpoint per M merges)."""
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     wf = word_frequencies(docs, text_col, lowercase)
     syms = wf.select(
         "freq",
@@ -69,7 +83,7 @@ def train_bpe(
 
     merges: list = []
     prev = None  # release the previous iteration's checkpoint blocks
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pairs = (
             syms.select(
                 "freq",
@@ -84,34 +98,48 @@ def train_bpe(
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("n"))
         )
-        top = pairs.filter(F.col("n") >= 2).orderBy(
+        want = min(batch_size, n_merges - len(merges))
+        # over-collect so the disjointness filter can still fill the batch
+        # (bounded: 8× the batch, single TakeOrdered)
+        cand = pairs.filter(F.col("n") >= 2).orderBy(
             F.desc("n"), "l", "r"
-        ).limit(1).collect()
-        if not top:
+        ).limit(want * 8).collect()
+        if not cand:
             break
-        left, right = top[0]["l"], top[0]["r"]
-        merges.append((left, right))
+        picked: list = []
+        used: set = set()
+        for r in cand:
+            left, right = r["l"], r["r"]
+            if left in used or right in used:
+                continue  # shares a symbol -> its count may be stale
+            picked.append((left, right))
+            used.update((left, right))
+            if len(picked) >= want:
+                break
+        merges.extend(picked)
 
-        def apply_merge(batches, _l=left, _r=right):
+        def apply_merges(batches, _ms=tuple(picked)):
             for pdf in batches:
                 out = []
                 for s in pdf["s"]:
                     s = list(s)
-                    i, res = 0, []
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
-                            res.append(_l + _r)
-                            i += 2
-                        else:
-                            res.append(s[i])
-                            i += 1
-                    out.append(res)
+                    for _l, _r in _ms:
+                        i, res = 0, []
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                                res.append(_l + _r)
+                                i += 2
+                            else:
+                                res.append(s[i])
+                                i += 1
+                        s = res
+                    out.append(s)
                 pdf["s"] = out
                 yield pdf
 
         prev = syms
         syms = syms.mapInPandas(
-            apply_merge, "freq long, s array<string>"
+            apply_merges, "freq long, s array<string>"
         ).localCheckpoint()
         # the old checkpoint's blocks would otherwise pile up until GC +
         # ContextCleaner get around to them — n_merges cached copies of

@@ -146,3 +146,51 @@ def test_nbsp_word_consistent_between_train_and_encode(spark):
     third = len(out) // 3
     assert out[:third] == out[third : 2 * third] == out[2 * third :]
     assert out[:third][-1].endswith(END)
+
+
+def test_batched_training_contract(spark, docs):
+    """batch_size=M is the documented approximation: per round the
+    selected pairs must be pairwise symbol-DISJOINT (that is what keeps
+    their batch-start counts exact at application time), the first merge
+    must equal exact BPE's first merge (it is selected from the same
+    table), and the merge list must drive the encoder to a valid
+    segmentation (tokens reassemble each word)."""
+    exact = train_bpe(docs, 6, batch_size=1)
+    batched = train_bpe(docs, 6, batch_size=3)
+    assert len(batched) == 6
+    assert batched[0] == exact[0]
+    # rounds are [0:3] and [3:6]: check within-round symbol disjointness
+    for lo in (0, 3):
+        used: set = set()
+        for left, right in batched[lo:lo + 3]:
+            assert left not in used and right not in used, batched
+            used.update((left, right))
+    enc = encode_bpe(docs, batched).select("text", "bpe_tokens").collect()
+    for r in enc:
+        rebuilt = "".join(r["bpe_tokens"]).replace(END, " ").strip()
+        assert rebuilt == " ".join(r["text"].lower().split())
+
+
+def test_batched_training_cuts_jobs_per_merge(spark, docs):
+    """The point of batch_size: one count + one rewrite + one checkpoint
+    per M merges instead of per merge — measured as Spark jobs with AQE
+    off (the pagerank job-count convention)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_for(batch_size, group):
+        sc.setJobGroup(group, group)
+        try:
+            train_bpe(docs, 6, batch_size=batch_size)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j1 = jobs_for(1, "bpe-b1")
+        j3 = jobs_for(3, "bpe-b3")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # 6 merges: exact runs 6 rounds, batched runs 2 -> at least 2x fewer
+    assert j3 * 2 <= j1, (j1, j3)
