@@ -102,13 +102,19 @@ def _write_sentinel(raw_schema, stream_dir: str) -> None:
 @query(
     "streaming_window_counts",
     oracle="""
+    SELECT * FROM (
     SELECT 'window' AS op,
            strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
            CAST(NULL AS BIGINT) AS user_id,
-           CAST(NULL AS BIGINT) AS total_cents
+           CAST(NULL AS BIGINT) AS total_cents,
+           CAST(NULL AS BIGINT) AS click_id,
+           CAST(NULL AS VARCHAR) AS click_ts,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS VARCHAR) AS purchase_ts,
+           CAST(NULL AS DOUBLE) AS purchase_value
     FROM events GROUP BY 2, 3
     UNION ALL
     SELECT 'user' AS op,
@@ -116,10 +122,26 @@ def _write_sentinel(raw_schema, stream_dir: str) -> None:
            COUNT(*),
            CAST(NULL AS DOUBLE),
            user_id,
-           CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT)
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT),
+           NULL, NULL, NULL, NULL, NULL
     FROM events GROUP BY user_id
-    ORDER BY op, window_start NULLS FIRST, event_type NULLS FIRST,
-             user_id NULLS FIRST
+    UNION ALL
+    SELECT 'attr' AS op,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           c.user_id, CAST(NULL AS BIGINT),
+           c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S'),
+           p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S'),
+           p.value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ) ORDER BY op, window_start NULLS FIRST, event_type NULLS FIRST,
+             user_id NULLS FIRST, click_id NULLS FIRST,
+             purchase_id NULLS FIRST
     """,
 )
 def streaming_window_counts(spark, sf_dir):
@@ -143,7 +165,15 @@ def streaming_window_counts(spark, sf_dir):
     in executor state; the last update per user must equal the batch GROUP
     BY — the streaming/batch equivalence contract for arbitrary stateful
     processing, with integer state making the equality bit-exact under any
-    micro-batching.  Both halves verify against the one batch oracle."""
+    micro-batching.  Both halves verify against the one batch oracle.
+
+    ``op='attr'`` (round 11) — the STREAM-STREAM interval join
+    (``streaming/join.py``): click→purchase attribution in left_outer
+    mode over the same file source, both sides watermarked, the
+    time-range condition bounding join state.  Unmatched clicks emit
+    only once the watermark proves no purchase can still arrive (the
+    sentinel closes the tail intervals); the batch oracle is the plain
+    range θ-join with a LEFT JOIN."""
     import shutil
     import tempfile
 
@@ -190,6 +220,9 @@ def streaming_window_counts(spark, sf_dir):
     try:
         win_rows = _drive_and_read(spark, q, raw_schema, stream_dir, out_dir)
         user_totals = _run_stateful(spark, raw_schema, stream_dir)
+        # the sentinel _drive_and_read wrote is still in stream_dir — the
+        # attribution stream consumes it as its watermark closer
+        attr_rows = _run_attribution(spark, raw_schema, stream_dir)
     finally:
         # single cleanup point: covers the success path AND any exception
         # from the drive loop (TimeoutError, processAllAvailable failures),
@@ -198,14 +231,27 @@ def streaming_window_counts(spark, sf_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
     out_schema = (
         "op string, window_start string, event_type string, n long,"
-        " total_value double, user_id long, total_cents long"
+        " total_value double, user_id long, total_cents long,"
+        " click_id long, click_ts string, purchase_id long,"
+        " purchase_ts string, purchase_value double"
     )
+    pad = (None,) * 5
     rows = [
-        ("window", r["window_start"], r["event_type"], r["n"], r["total_value"], None, None)
+        (
+            "window", r["window_start"], r["event_type"], r["n"],
+            r["total_value"], None, None,
+        ) + pad
         for r in win_rows
     ] + [
-        ("user", None, None, n, None, uid, cents)
+        ("user", None, None, n, None, uid, cents) + pad
         for uid, (n, cents) in sorted(user_totals.items())
+    ] + [
+        (
+            "attr", None, None, None, None, r["user_id"], None,
+            r["click_id"], r["click_ts"], r["purchase_id"],
+            r["purchase_ts"], r["purchase_value"],
+        )
+        for r in attr_rows
     ]
     # Driver-side sort (nulls first, matching the previous .orderBy) + an
     # Arrow-backed LocalRelation: the rows are already collected, so a
@@ -217,6 +263,8 @@ def streaming_window_counts(spark, sf_dir):
             (r[1] is not None, r[1] or ""),
             (r[2] is not None, r[2] or ""),
             (r[5] is not None, r[5] or 0),
+            (r[7] is not None, r[7] or 0),
+            (r[9] is not None, r[9] or 0),
         )
     )
     import pandas as pd
@@ -226,10 +274,68 @@ def streaming_window_counts(spark, sf_dir):
         columns=[
             "op", "window_start", "event_type", "n",
             "total_value", "user_id", "total_cents",
+            "click_id", "click_ts", "purchase_id",
+            "purchase_ts", "purchase_value",
         ],
         dtype=object,
     )
     return spark.createDataFrame(pdf, out_schema)
+
+
+def _run_attribution(spark, raw_schema, stream_dir):
+    """Drive the stream-stream interval join (left_outer click→purchase
+    attribution, ``streaming/join.py``) over the already-populated source
+    dir — the sentinel file is ALREADY present, so it rides the first
+    micro-batch as the watermark closer (passthrough keeps it from being
+    filter-pushed below the EventTimeWatermark node; its self-join row is
+    dropped by the ``user_id >= 0`` result filter).  Outer rows flush in
+    the no-data micro-batch once the committed watermark crosses the
+    sentinel region.  Returns formatted rows (timestamps rendered
+    engine-side as strings, like the window arm)."""
+    from ..sources.tables import normalize_events_ts
+    from .join import click_purchase_attribution
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(stream_dir)
+    )
+    name = f"swc_attr_{int(time.time() * 1000)}"
+    q = (
+        click_purchase_attribution(
+            stream, how="left_outer", passthrough_types=(_SENTINEL_TYPE,)
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for _ in range(200):
+            wm = (q.lastProgress or {}).get("eventTime", {}).get(
+                "watermark", ""
+            )
+            if wm >= "2100":
+                break
+            time.sleep(0.1)
+        else:
+            raise TimeoutError(
+                "attribution watermark never crossed the sentinel region "
+                f"(last watermark: {wm!r}); outer rows would be missing"
+            )
+        # bounded collect: one row per (click, purchase-within-30min) pair
+        # plus one per unmatched click — O(clicks), never event-stream-scale
+        return spark.sql(
+            f"""SELECT user_id, click_id,
+                   date_format(click_ts, 'yyyy-MM-dd HH:mm:ss') AS click_ts,
+                   purchase_id,
+                   date_format(purchase_ts, 'yyyy-MM-dd HH:mm:ss') AS purchase_ts,
+                   purchase_value
+            FROM {name} WHERE user_id >= 0"""
+        ).collect()
+    finally:
+        q.stop()
 
 
 def _run_stateful(spark, raw_schema, stream_dir):
