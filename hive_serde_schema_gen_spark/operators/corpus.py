@@ -162,18 +162,124 @@ def _pipeline_oracle(src: str = "documents", prelude: str = "") -> str:
     """
 
 
-@query("corpus_pipeline", oracle=_pipeline_oracle())
+def _card_ctes() -> str:
+    """Dataset-card CTEs over the RAW documents table → ``cardrows(metric,
+    n, v)`` — the SQL twin of ``report.corpus_report_rows`` (md5 config).
+    Reuses the pipeline statement's ``qual`` CTE (same quality arithmetic)
+    and instantiates a second, card-prefixed shingle+MinHash chain for the
+    raw-corpus near-dup count."""
+    from .dedup import _sql_minhash_pairs_cte, _sql_shd
+
+    return f"""{_sql_shd("documents", p="card")},
+    {_sql_minhash_pairs_cte(p="card")},
+    cardflag AS (SELECT COUNT(DISTINCT doc_b) AS nf FROM cardmh_pairs),
+    cardagg AS (
+      SELECT COUNT(*) AS nd,
+             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nn,
+             MIN(LENGTH(text)) AS lmin, MAX(LENGTH(text)) AS lmax,
+             SUM(LENGTH(text)) AS lsum,
+             COUNT(DISTINCT COALESCE(md5(text), '__NULL_TEXT__')) AS nu
+      FROM documents),
+    cardq AS (
+      SELECT SUM(CASE WHEN quality < 0.3 THEN 1 ELSE 0 END) AS nlow,
+             CAST(SUM(CAST(round(quality, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS qsum
+      FROM qual),
+    cardrows AS (
+      SELECT 'n_docs' AS metric, CAST(nd AS BIGINT) AS n,
+             CAST(NULL AS DOUBLE) AS v FROM cardagg
+      UNION ALL SELECT 'n_null_text', nn, NULL FROM cardagg
+      UNION ALL SELECT 'len_min', lmin, NULL FROM cardagg
+      UNION ALL SELECT 'len_max', lmax, NULL FROM cardagg
+      UNION ALL SELECT 'len_sum', lsum, NULL FROM cardagg
+      UNION ALL SELECT 'n_unique_content', nu, NULL FROM cardagg
+      UNION ALL SELECT 'exact_dup_frac', NULL,
+                       1.0 - CAST(nu AS DOUBLE) / nd FROM cardagg
+      UNION ALL SELECT 'quality_low', nlow, NULL FROM cardq
+      UNION ALL SELECT 'quality_sum_q9', NULL, qsum FROM cardq
+      UNION ALL SELECT 'n_near_dup', nf, NULL FROM cardflag
+      UNION ALL SELECT 'lang:' || lang, COUNT(*), NULL
+                FROM documents GROUP BY lang)"""
+
+
+def _pipeline_union_oracle() -> str:
+    """The pack rows + the dataset-card rows in ONE statement: splice the
+    card CTEs after the pipeline chain (which ends at ``cum``) and union
+    the two arms."""
+    from .packing import _sql_chunk_split_cols
+
+    base = _pipeline_oracle()
+    marker = "\n    SELECT doc_id, n_tokens,"
+    assert marker in base, "pipeline oracle tail changed"
+    body = base.rsplit(marker, 1)[0]
+    return f"""{body},
+    {_card_ctes()}
+    SELECT * FROM (
+    SELECT 'pack' AS op, doc_id, n_tokens, "offset",
+           {_sql_chunk_split_cols(CONTEXT_LEN)},
+           n_merged,
+           CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v
+    FROM cum
+    UNION ALL
+    SELECT 'card', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           metric, n, v
+    FROM cardrows
+    ) ORDER BY op, COALESCE(doc_id, -1), COALESCE(metric, '')
+    """
+
+
+@query("corpus_pipeline", oracle=_pipeline_union_oracle())
 def corpus_pipeline(spark, sf_dir):
     """The composed pipeline as a single driver-checked query (md5 hash
     configuration so the MinHash stage is oracle-reproducible; the
     production configuration swaps ``hash_fn="xxhash64"`` and an optional
-    ``max_df`` — identical plan shape, see ``prepare_training_corpus``)."""
-    return prepare_training_corpus(
+    ``max_df`` — identical plan shape, see ``prepare_training_corpus``).
+
+    Round-11 continuation: op='card' rides the DATASET-CARD statistics
+    (`report.corpus_report_rows`) over the raw documents table — size,
+    length envelope, content-digest uniqueness, banded-MinHash near-dup
+    count, 9-dp-decimal quality sum, language composition — so the
+    release artifact's numbers are driver-hashed alongside the packed
+    corpus they describe."""
+    from ..functions.union import pad_union
+    from .report import corpus_report_rows
+
+    packed = prepare_training_corpus(
         spark,
         sf_dir,
         context_len=CONTEXT_LEN,
         quality_floor=QUALITY_FLOOR,
         hash_fn="md5",
+    )
+    card = corpus_report_rows(
+        load_table(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+    schema = [
+        ("op", "string"), ("doc_id", "bigint"), ("n_tokens", "int"),
+        ("offset", "bigint"), ("chunk_first", "bigint"),
+        ("chunk_last", "bigint"), ("n_chunks", "int"), ("split", "string"),
+        ("n_merged", "bigint"), ("metric", "string"), ("n", "bigint"),
+        ("v", "double"),
+    ]
+    return pad_union(
+        schema,
+        (
+            packed,
+            {
+                "op": F.lit("pack"), "doc_id": "doc_id",
+                "n_tokens": "n_tokens", "offset": "offset",
+                "chunk_first": "chunk_first", "chunk_last": "chunk_last",
+                "n_chunks": "n_chunks", "split": "split",
+                "n_merged": "n_merged",
+            },
+        ),
+        (
+            card,
+            {"op": F.lit("card"), "metric": "metric", "n": "n", "v": "v"},
+        ),
+    ).orderBy(
+        "op", F.coalesce("doc_id", F.lit(-1)), F.coalesce("metric", F.lit(""))
     )
 
 

@@ -413,44 +413,47 @@ def _band_keys_sql() -> str:
     return "[" + ", ".join(keys) + "]"
 
 
-def _sql_minhash_pairs_cte() -> str:
-    """CTE chain over an existing ``shd`` producing ``mh_pairs(doc_a, doc_b,
-    jaccard)`` — the md5-affine MinHash+LSH banding and exact-Jaccard verify,
-    shared by the ``dedup_minhash_lsh`` oracle and the composed corpus
-    pipeline oracle (CTE names prefixed to avoid collisions when embedded)."""
+def _sql_minhash_pairs_cte(p: str = "") -> str:
+    """CTE chain over an existing ``{p}shd`` producing ``{p}mh_pairs(doc_a,
+    doc_b, jaccard)`` — the md5-affine MinHash+LSH banding and exact-Jaccard
+    verify, shared by the ``dedup_minhash_lsh`` oracle and the composed
+    corpus pipeline oracle.  ``p`` prefixes every CTE name so one statement
+    can run the chain over TWO shingle sets (the dataset-card arm pairs the
+    RAW corpus while the pipeline arm pairs the quality-gated one)."""
     sql = """
-    hashed AS (
+    {p}hashed AS (
       SELECT doc_id,
              CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
-      FROM shd),
-    mh AS (
+      FROM {p}shd),
+    {p}mh AS (
       SELECT doc_id,
              __MINS__
-      FROM hashed GROUP BY doc_id),
-    bands AS (
+      FROM {p}hashed GROUP BY doc_id),
+    {p}bands AS (
       SELECT doc_id,
              unnest(__KEYS__) AS band_key,
              generate_subscripts(__KEYS__, 1) AS band
-      FROM mh),
-    cand AS (
+      FROM {p}mh),
+    {p}cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM {p}bands a JOIN {p}bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-    msizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-    verified AS (
+    {p}msizes AS (SELECT doc_id, COUNT(*) AS n FROM {p}shd GROUP BY doc_id),
+    {p}verified AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-      FROM cand c JOIN shd x ON x.doc_id = c.doc_a
-                  JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      FROM {p}cand c JOIN {p}shd x ON x.doc_id = c.doc_a
+                  JOIN {p}shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
       GROUP BY c.doc_a, c.doc_b),
-    mh_pairs AS (
+    {p}mh_pairs AS (
       SELECT v.doc_a, v.doc_b,
              CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) AS jaccard
-      FROM verified v JOIN msizes sa ON sa.doc_id = v.doc_a
-                      JOIN msizes sb ON sb.doc_id = v.doc_b
+      FROM {p}verified v JOIN {p}msizes sa ON sa.doc_id = v.doc_a
+                      JOIN {p}msizes sb ON sb.doc_id = v.doc_b
       WHERE CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i) >= __THR__)
 """
     return (
-        sql.replace("__MINS__", _mh_mins_sql())
+        sql.replace("{p}", p)
+        .replace("__MINS__", _mh_mins_sql())
         .replace("__KEYS__", _band_keys_sql())
         .replace("__THR__", str(JACCARD_THRESHOLD))
     )

@@ -103,3 +103,93 @@ def corpus_report(
         for r in domain_stats(docs).limit(top_domains).collect()
     ]
     return out
+
+
+def corpus_report_rows(
+    docs: DataFrame,
+    hash_fn: str = "xxhash64",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The dataset card as a DRIVER-HASHABLE row set ``(metric, n, v)`` —
+    the exactly-re-derivable subset of :func:`corpus_report`, built from
+    the same shared fragments (``quality_features``, the NULL-text digest
+    sentinel, ``minhash_lsh_pairs``), so the release artifact itself
+    rides the oracle gate:
+
+    - ``n_docs`` / ``n_null_text`` — corpus size and the null-text count
+    - ``len_min`` / ``len_max`` / ``len_sum`` — the text-length envelope
+      (integer-exact; mean = len_sum / n_docs)
+    - ``n_unique_content`` — distinct content digests (exact-dup rate =
+      1 − n_unique/n_docs, emitted as ``exact_dup_frac`` in ``v``)
+    - ``n_near_dup`` — docs flagged as some pair's doc_b by the banded
+      MinHash+LSH path (``hash_fn='md5'`` in the oracle configuration)
+    - ``quality_low`` — docs under the 0.3 quality floor;
+      ``quality_sum_q9`` — the 9-dp-decimal quality sum (mean =
+      quality_sum_q9 / n_docs, order-free under any partitioning)
+    - ``lang:<l>`` — per-language composition counts
+
+    Each metric is one bounded aggregate; the percentile/top-domain
+    sections of the dict report stay driver-side (percentile_approx is
+    engine-specific by design)."""
+    from .dedup import minhash_lsh_pairs
+    from .text import quality_features
+
+    spark = docs.sparkSession
+    # ~4 aggregates + the pair pipeline consume docs — cut lineage once
+    docs = docs.localCheckpoint()
+    digest = F.coalesce(
+        F.md5(F.col("text").cast("binary")), F.lit("__NULL_TEXT__")
+    )
+    row = lambda m, n=F.lit(None), v=F.lit(None): [  # noqa: E731
+        F.lit(m).alias("metric"),
+        n.cast("bigint").alias("n"),
+        v.cast("double").alias("v"),
+    ]
+    size = docs.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("text").isNull().cast("long")).alias("nn"),
+        F.min(F.length("text")).alias("lmin"),
+        F.max(F.length("text")).alias("lmax"),
+        F.sum(F.length("text")).alias("lsum"),
+        F.countDistinct(digest).alias("nu"),
+    ).localCheckpoint()  # 1 row; consumed by several projections below
+    qf = quality_features(docs).agg(
+        F.sum((F.col("quality") < 0.3).cast("long")).alias("nlow"),
+        F.sum(F.round("quality", 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("qsum"),
+    )
+    pairs = minhash_lsh_pairs(
+        spark, None, hash_fn=hash_fn, docs=docs, sort=False
+    )
+    flagged = pairs.select(F.col("doc_b").alias("d")).distinct().agg(
+        F.count(F.lit(1)).alias("nf")
+    )
+    parts = [
+        size.select(*row("n_docs", n=F.col("nd"))),
+        size.select(*row("n_null_text", n=F.col("nn"))),
+        size.select(*row("len_min", n=F.col("lmin"))),
+        size.select(*row("len_max", n=F.col("lmax"))),
+        size.select(*row("len_sum", n=F.col("lsum"))),
+        size.select(*row("n_unique_content", n=F.col("nu"))),
+        size.select(
+            *row(
+                "exact_dup_frac",
+                v=F.lit(1.0) - F.col("nu") / F.col("nd"),
+            )
+        ),
+        qf.select(*row("quality_low", n=F.col("nlow"))),
+        qf.select(*row("quality_sum_q9", v=F.col("qsum"))),
+        flagged.select(*row("n_near_dup", n=F.col("nf"))),
+        docs.groupBy(F.col(lang_col).alias("__l"))
+        .agg(F.count(F.lit(1)).alias("ln"))
+        .select(
+            F.concat(F.lit("lang:"), F.col("__l")).alias("metric"),
+            F.col("ln").cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("v"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -108,7 +108,11 @@ def main() -> None:
         build()
         return
 
-    from hive_serde_schema_gen_spark.operators.corpus import corpus_pipeline
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        CONTEXT_LEN,
+        QUALITY_FLOOR,
+        prepare_training_corpus,
+    )
     from hive_serde_schema_gen_spark.operators.curation import (
         materialize_mixture,
         ngram_contamination,
@@ -182,7 +186,13 @@ def main() -> None:
         "dedup_minhash_lsh_xxhash64": lambda s, d: minhash_lsh_pairs(
             s, d, hash_fn="xxhash64", sort=False
         ),
-        "corpus_pipeline": corpus_pipeline,
+        # the raw pipeline (not the registry slot): the slot grew a
+        # dataset-card union arm in round 11, and the decade series must
+        # keep measuring the same pack workload it always has
+        "corpus_pipeline": lambda s, d: prepare_training_corpus(
+            s, d, context_len=CONTEXT_LEN,
+            quality_floor=QUALITY_FLOOR, hash_fn="md5",
+        ),
         "substring_duplicate_spans_k8": lambda s, d: duplicate_spans(
             _docs(s, d), k=8
         ),

@@ -65,3 +65,30 @@ def test_mix_truncation_flag(spark):
     rep = corpus_report(docs, near_dup=False)
     assert len(rep["source_mix"]) == 50 and rep["source_mix_truncated"]
     assert not rep["lang_mix_truncated"]
+
+
+def test_report_rows_consistent_with_dict_report(spark, sf_dir):
+    """corpus_report_rows is the driver-hashable subset of corpus_report —
+    the numbers the two share must agree (same fragments underneath)."""
+    from hive_serde_schema_gen_spark.operators.report import (
+        corpus_report,
+        corpus_report_rows,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = {
+        r["metric"]: (r["n"], r["v"])
+        for r in corpus_report_rows(d, hash_fn="xxhash64").collect()
+    }
+    rep = corpus_report(d)
+    assert rows["n_docs"][0] == rep["n_docs"]
+    assert rows["exact_dup_frac"][1] == rep["exact_dup_frac"]
+    assert rows["n_near_dup"][0] == round(rep["near_dup_frac"] * rep["n_docs"])
+    assert rows["len_min"][0] == rep["text_len"]["min"]
+    assert rows["len_max"][0] == rep["text_len"]["max"]
+    for lang, n in rep.get("lang_mix", {}).items():
+        assert rows[f"lang:{lang}"][0] == n
+    # quality mean from the exact-decimal sum tracks the float mean
+    mean_q = rows["quality_sum_q9"][1] / rows["n_docs"][0]
+    assert abs(mean_q - rep["quality"]["mean"]) < 1e-6
