@@ -520,6 +520,43 @@ def approx_stats(spark, sf_dir, sort: bool = True):
     return out.orderBy("l_returnflag") if sort else out
 
 
+def _sketch_evidence_sql() -> str:
+    from .sketches import SKETCH_KEY_MOD
+
+    mod = SKETCH_KEY_MOD
+    return f"""
+    WITH dk AS (SELECT DISTINCT lang, doc_id % {mod} AS k FROM documents),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    skpairs AS (SELECT la.lang AS a, lb.lang AS b
+                FROM langs la JOIN langs lb ON la.lang < lb.lang),
+    skinter AS (
+      SELECT x.lang AS a, y.lang AS b, COUNT(DISTINCT x.k) AS i
+      FROM dk x JOIN dk y ON y.k = x.k AND x.lang < y.lang
+      GROUP BY x.lang, y.lang),
+    skmed AS (
+      SELECT n_chars FROM (
+        SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM documents)
+      WHERE rn = (cnt + 1) // 2)
+    SELECT 'sketch' AS sop, lang AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id % {mod}) AS BIGINT) AS exact_parts,
+           TRUE AS ok
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'sketch_ov', p.a || '|' || p.b, NULL,
+           CAST(COALESCE(i.i, 0) AS BIGINT), TRUE
+    FROM skpairs p LEFT JOIN skinter i ON i.a = p.a AND i.b = p.b
+    UNION ALL
+    SELECT 'sketch_u', '__union__', NULL,
+           CAST(COUNT(DISTINCT doc_id % {mod}) AS BIGINT), TRUE
+    FROM documents
+    UNION ALL
+    SELECT 'sketch_q', '__all__', NULL,
+           CAST((SELECT n_chars FROM skmed) AS BIGINT), TRUE
+    """
+
+
 @query(
     "stats_summary",
     oracle=f"""
@@ -536,6 +573,9 @@ def approx_stats(spark, sf_dir, sort: bool = True):
     UNION ALL
     SELECT 'hist', NULL, bucket, n, NULL, NULL, NULL, NULL, NULL, NULL, NULL
     FROM ({_HISTOGRAM_SQL})
+    UNION ALL
+    SELECT sop, grp, NULL, n, NULL, exact_parts, NULL, NULL, ok, NULL, NULL
+    FROM ({_sketch_evidence_sql()})
     ) ORDER BY op, COALESCE(grp, ''), COALESCE(bucket, -1)
     """,
 )
@@ -545,8 +585,17 @@ def stats_summary(spark, sf_dir):
     ``histogram_totalprice`` — the merge freed registry room for round-7
     operators; each component plan is unchanged and the approx sketches
     keep their accuracy-contract booleans).  See the component docstrings
-    for the per-operator scale notes."""
+    for the per-operator scale notes.
+
+    Round-11 continuation: op='sketch'/'sketch_ov'/'sketch_u'/'sketch_q'
+    carry the MERGEABLE-sketch family (`operators/sketches.py` — the
+    DataSketches HLL/Theta/KLL artifact layer) under the same
+    accuracy-contract pattern: per-language artifacts over the documents
+    table, pairwise Theta overlaps, the merge-only union distinct, and
+    the merged-KLL median — each pinned as an exact value + an
+    in-tolerance boolean (`sketches.sketch_evidence_rows`)."""
     from ..functions.union import pad_union
+    from .sketches import sketch_evidence_rows
 
     schema = [
         ("op", "string"), ("grp", "string"), ("bucket", "int"),
@@ -578,6 +627,13 @@ def stats_summary(spark, sf_dir):
         (
             histogram_totalprice(spark, sf_dir, sort=False),
             {"op": F.lit("hist"), "bucket": "bucket", "n": "n"},
+        ),
+        (
+            sketch_evidence_rows(spark, sf_dir),
+            {
+                "op": "sop", "grp": "grp", "n": "n",
+                "exact_parts": "exact_parts", "ok_parts": "ok",
+            },
         ),
     ).orderBy(
         "op", F.coalesce("grp", F.lit("")), F.coalesce("bucket", F.lit(-1))

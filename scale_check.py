@@ -182,6 +182,25 @@ def main() -> None:
             _docs(s, d), {i: 0.01 * i for i in range(64)}
         ).filter("score >= 0")
 
+    def _logreg_fit_probe(s, d):
+        # eager driver loop (GD iterations) — run INSIDE the timed fn so
+        # the whole fit is on the clock.  2 iterations, 2^10 buckets,
+        # production float path: the per-iteration cost is one broadcast
+        # join + two doc-keyed aggregates, so per-row time should stay
+        # ~flat as the corpus grows (the weight table does not)
+        from hive_serde_schema_gen_spark.operators.logreg import (
+            train_classifier,
+        )
+
+        docs = _docs(s, d)
+        labels = docs.select(
+            "doc_id", (F.col("doc_id") % 2 == 0).cast("double").alias("y")
+        )
+        w = train_classifier(
+            docs, labels, n_buckets=1 << 10, max_ngram=2, iters=2, lr=1.0
+        )
+        return s.createDataFrame([(w.count(),)], "n long")
+
     targets = {
         "dedup_minhash_lsh_xxhash64": lambda s, d: minhash_lsh_pairs(
             s, d, hash_fn="xxhash64", sort=False
@@ -213,6 +232,9 @@ def main() -> None:
         # toy sparse model: the cost being measured is hashing + broadcast
         # join + per-doc mean, which is weight-independent
         "text_classifier_score": lambda s, d: _classifier(s, d),
+        # the FIT itself (round 11): full-batch GD over the hashed-ngram
+        # features — cost per row should be ~iterations-flat across decades
+        "logreg_train_2iter": lambda s, d: _logreg_fit_probe(s, d),
         # the synthetic docs have no newlines, so token-as-line (delim " ")
         # exercises the worst-case explode fan-out: one posting per token,
         # near-universal flag rate, full rebuild of every doc

@@ -64,3 +64,37 @@ def test_sketch_artifact_is_bounded(spark, sources):
         assert len(bytes(r["hll"])) < 64 * 1024
         assert len(bytes(r["theta"])) < 64 * 1024
         assert len(bytes(r["kll"])) < 64 * 1024
+
+
+def test_sketch_evidence_rows_all_ok(spark):
+    """The driver-evidence branch: every boolean must be TRUE (matching
+    the oracle's literals) and the exact columns must equal independent
+    recomputation."""
+    from pyspark.sql import functions as F
+
+    from hive_serde_schema_gen_spark.operators.sketches import (
+        SKETCH_KEY_MOD,
+        sketch_evidence_rows,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = sketch_evidence_rows(spark, sf_dir).collect()
+    assert all(r["ok"] for r in rows), [
+        (r["sop"], r["grp"]) for r in rows if not r["ok"]
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    by_lang = {
+        r["lang"]: (r["n"], r["nd"])
+        for r in d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.pmod("doc_id", F.lit(SKETCH_KEY_MOD))).alias("nd"),
+        )
+        .collect()
+    }
+    for r in rows:
+        if r["sop"] == "sketch":
+            assert (r["n"], r["exact_parts"]) == by_lang[r["grp"]]
+    ops = {r["sop"] for r in rows}
+    assert ops == {"sketch", "sketch_ov", "sketch_u", "sketch_q"}

@@ -106,7 +106,9 @@ def test_windowed_agg_runs_in_append_mode(spark, sf_dir):
     mode (complete mode never evicts window state — a scale-killer on
     unbounded sources) and still produce every window of the finite source
     via the sentinel flush; the stateful half runs in update mode (keyed
-    state emission).  Neither may use complete mode."""
+    state emission); the round-11 interval-join half is append again
+    (outer rows emit exactly once at watermark closure).  None may use
+    complete mode."""
     from unittest.mock import patch
 
     from pyspark.sql.streaming import DataStreamWriter
@@ -123,7 +125,7 @@ def test_windowed_agg_runs_in_append_mode(spark, sf_dir):
     with patch.object(DataStreamWriter, "outputMode", spy):
         df = all_queries()["streaming_window_counts"](spark, sf_dir)
         n = df.count()
-    assert seen_modes == ["append", "update"]
+    assert seen_modes == ["append", "update", "append"]
     assert n > 0
 
 
