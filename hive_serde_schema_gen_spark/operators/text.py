@@ -259,7 +259,8 @@ def _lang_scored(spark, sf_dir):
         .cast("int")
         .alias("margin")
     )
-    return scored.select("doc_id", "lang", predicted, margin)
+    top1 = F.element_at(srt, 1).cast("int").alias("top1")
+    return scored.select("doc_id", "lang", predicted, margin, top1)
 
 
 def text_lang_id(spark, sf_dir, sort: bool = True):
@@ -271,6 +272,32 @@ def text_lang_id(spark, sf_dir, sort: bool = True):
     abstain signal (see ``lang_id_accuracy``)."""
     out = _lang_scored(spark, sf_dir).select("doc_id", "lang", "predicted")
     return out.orderBy("doc_id") if sort else out
+
+
+def lang_id_with_abstain(
+    spark, sf_dir, min_margin: int = 1, min_top1: int = 1
+):
+    """Language ID with an explicit ``und`` (undetermined) class — the
+    production-shaped output: a prediction is kept only when the top
+    profile scored at least ``min_top1`` hits AND beat the runner-up by
+    at least ``min_margin`` (margin 0 means the argmax was decided
+    purely by tie-break priority — noise, not signal).  Everything else
+    becomes ``und``, which a crawl pipeline routes to a heavier model
+    or drops.  Same zero-shuffle projection as :func:`text_lang_id`
+    plus two integer comparisons — no join, no second tokenization."""
+    sc = _lang_scored(spark, sf_dir)
+    return sc.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("margin") >= min_margin) & (F.col("top1") >= min_top1),
+            F.col("predicted"),
+        )
+        .otherwise(F.lit("und"))
+        .alias("predicted"),
+        "margin",
+        "top1",
+    )
 
 
 def lang_id_accuracy(spark, sf_dir):
