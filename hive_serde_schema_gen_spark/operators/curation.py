@@ -51,6 +51,7 @@ def ngram_contamination(
     benchmark: DataFrame,
     n: int = 8,
     bench_id_col: str = "bench_id",
+    hashed: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: for every (document, benchmark item) pair
     sharing at least one word n-gram, the shared-gram count and the
@@ -65,9 +66,11 @@ def ngram_contamination(
     or flags docs with ``frac_bench_matched`` above a threshold.
 
     Returns (doc_id, bench_id, n_shared, bench_grams, frac_bench_matched),
-    one row per contaminated pair."""
-    dg = word_ngrams(docs, n)
-    bg = word_ngrams(benchmark, n, id_col=bench_id_col)
+    one row per contaminated pair.  ``hashed=False`` keeps the raw gram
+    strings (the oracle configuration — DuckDB has no xxhash64; counts
+    are equal barring a 2^-64 collision)."""
+    dg = word_ngrams(docs, n, hashed=hashed)
+    bg = word_ngrams(benchmark, n, id_col=bench_id_col, hashed=hashed)
     bench_sizes = bg.groupBy(bench_id_col).agg(
         F.count(F.lit(1)).alias("bench_grams")
     )
@@ -830,6 +833,115 @@ _SEM_SQL = f"""
 """
 
 
+# op='ngc' configuration: benchmark = every (doc_id % 41 == 3) document,
+# n = the production default 8, raw-string grams (see ngram_contamination
+# ``hashed``).  The slot pins the INTEGER pair statistics (n_shared,
+# bench_grams); frac_bench_matched = n_shared / bench_grams is their exact
+# ratio — hashing the ratio itself would re-open the 6-dp round-half
+# ambiguity on binary fractions (e.g. 5/64) for no extra information.
+_NGC_N = 8
+_NGC_BENCH_MOD = 41
+_NGC_BENCH_REM = 3
+
+
+def _ngc_sql() -> str:
+    n = _NGC_N
+    lead = ", ".join(
+        f"LEAD(t, {k}) OVER (PARTITION BY doc_id ORDER BY i) AS t{k}"
+        for k in range(1, n)
+    )
+    cat = "concat_ws(' ', t, " + ", ".join(f"t{k}" for k in range(1, n)) + ")"
+    return f"""
+    WITH ngctok AS (
+      SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
+      FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+            FROM documents)),
+    ngcled AS (SELECT doc_id, t, {lead} FROM ngctok),
+    ngcg AS (
+      SELECT DISTINCT doc_id, {cat} AS gram
+      FROM ngcled WHERE t{n - 1} IS NOT NULL),
+    ngcb AS (SELECT doc_id AS bench_id, gram FROM ngcg
+             WHERE doc_id % {_NGC_BENCH_MOD} = {_NGC_BENCH_REM}),
+    ngcbs AS (SELECT bench_id, COUNT(*) AS bench_grams
+              FROM ngcb GROUP BY bench_id),
+    ngcsh AS (
+      SELECT g.doc_id, b.bench_id, COUNT(*) AS n_shared
+      FROM ngcg g JOIN ngcb b USING (gram) GROUP BY g.doc_id, b.bench_id)
+    SELECT s.doc_id, s.bench_id, s.n_shared, bs.bench_grams
+    FROM ngcsh s JOIN ngcbs bs USING (bench_id)
+    """
+
+
+# op='pii' configuration: plant one email / one IP / one phone into every
+# (doc_id % 13 == 2) document ON TOP of its real text (so the counts also
+# sweep the organic corpus through both regex engines), then pin the
+# per-category match counts and the md5 of the redacted text.  The rule
+# list (_PII_RULES) is the single source for BOTH engines — the oracle
+# renders the same patterns through RE2 (all five are RE2-safe: no
+# backrefs, no lookaround).
+_PII_MOD, _PII_REM = 13, 2
+_PII_PLANT = (
+    " u' || CAST(doc_id AS VARCHAR) || '@ex.com ip 10.0.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || ' call +1 555-123-4567 now"
+)
+
+
+def _pii_sql() -> str:
+    red = "text"
+    for _, pat, repl in _PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in _PII_RULES
+    )
+    return f"""
+    SELECT doc_id, {counts}, md5({red}) AS red_md5
+    FROM (SELECT doc_id, text || '{_PII_PLANT}' AS text
+          FROM documents WHERE doc_id % {_PII_MOD} = {_PII_REM})
+    """
+
+
+# op='diff' configuration: snapshot B is derived from documents by three
+# disjoint deterministic edits; the oracle derives the expected labels
+# from the CONSTRUCTION (independent of the operator's digest join).
+_DIFF_RM, _DIFF_MODIFY, _DIFF_ADD, _DIFF_ADD_OFFSET = 29, 31, 53, 1000000
+
+_DIFF_SQL = f"""
+    SELECT doc_id, 'removed' AS change FROM documents
+    WHERE doc_id % {_DIFF_RM} = 0
+    UNION ALL
+    SELECT doc_id, 'modified' FROM documents
+    WHERE doc_id % {_DIFF_MODIFY} = 1 AND doc_id % {_DIFF_RM} <> 0
+    UNION ALL
+    SELECT doc_id + {_DIFF_ADD_OFFSET}, 'added' FROM documents
+    WHERE doc_id % {_DIFF_ADD} = 5
+"""
+
+# op='vocab' configuration: vocab = the corpus's own top-K lowercased
+# tokens (count desc, token asc tie-break — deterministic both engines).
+# K = 16 sits strictly inside the synthetic corpus's ~31-token vocabulary,
+# so the OOV side is non-trivially exercised (K = 50 covered every token
+# and pinned nothing).
+_VOCAB_K = 16
+
+_VOCAB_SQL = f"""
+    WITH voctok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(TRIM(lower(text)), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents),
+    voctop AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM voctok GROUP BY w)
+               ORDER BY c DESC, w LIMIT {_VOCAB_K}),
+    voccov AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM voctok t LEFT JOIN voctop v USING (w) GROUP BY t.doc_id)
+    SELECT d.doc_id, COALESCE(c.n_tokens, 0) AS n_tokens,
+           COALESCE(c.n_oov, 0) AS n_oov
+    FROM documents d LEFT JOIN voccov c USING (doc_id)
+"""
+
+
 def _curation_ops_oracle() -> str:
     from .clustering import KM_ITERS, sql_kmeans_ctes
     from .dsir import sql_dsir_ctes
@@ -881,6 +993,28 @@ def _curation_ops_oracle() -> str:
     SELECT 'kmsel', NULL, NULL, NULL, vec_id, NULL, NULL, {pad_dsir},
            cell, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
     FROM kmsel
+    UNION ALL
+    SELECT 'ngc', NULL, bench_grams, NULL, bench_id, NULL, NULL,
+           doc_id, n_shared, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), {pad_km}
+    FROM ({_ngc_sql()})
+    UNION ALL
+    SELECT 'pii', red_md5, n_email, NULL, NULL, NULL, NULL,
+           doc_id, n_ssn, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(n_card AS INTEGER),
+           CAST(n_phone AS INTEGER), CAST(n_ipv4 AS INTEGER),
+           CAST(NULL AS BIGINT)
+    FROM ({_pii_sql()})
+    UNION ALL
+    SELECT 'diff', change, NULL, NULL, NULL, NULL, NULL,
+           doc_id, NULL, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), {pad_km}
+    FROM ({_DIFF_SQL})
+    UNION ALL
+    SELECT 'vocab', NULL, n_tokens, NULL, NULL, NULL, NULL,
+           doc_id, n_oov, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), {pad_km}
+    FROM ({_VOCAB_SQL})
     ) ORDER BY op, COALESCE(lang, ''), COALESCE(vec_id, -1),
                COALESCE(doc_id, -1), COALESCE(cluster, -1), COALESCE(pos, -1)
     """
@@ -915,7 +1049,26 @@ def curation_ops(spark, sf_dir):
     op='kma' every vector's cluster assignment, op='kmrate' the α=0.5
     temperature keep-rates, op='kmsel' the md5 hash-threshold sampled
     id set; the oracle re-derives quantization, the non-zero seed rule,
-    both Lloyd rounds, rates, and membership (`sql_kmeans_ctes`)."""
+    both Lloyd rounds, rates, and membership (`sql_kmeans_ctes`).
+
+    op='ngc' pins the GPT-3/PaLM-style exact n-gram benchmark
+    decontamination (:func:`ngram_contamination`): benchmark = every
+    doc_id % {_NGC_BENCH_MOD} == {_NGC_BENCH_REM} document, n = {_NGC_N}
+    (the production default), raw-string grams for cross-engine parity
+    (see ``hashed``); every contaminated (doc, bench) pair's shared-gram
+    and benchmark-gram counts ride the vec_id/n_grams/n_docs carrier
+    columns — the planted duplicate docs surface as non-self pairs.
+
+    op='pii' pins :func:`redact_pii`: PII planted on top of the real
+    text by a byte-identical construction in both engines, per-category
+    match counts AND the redacted text's md5 under the hash (the
+    `_PII_RULES` list renders both engines' regexes).  op='diff' pins
+    :func:`corpus_diff` against a snapshot built by three disjoint
+    deterministic edits — the oracle derives added/removed/modified
+    labels from the construction, independent of the operator's digest
+    join.  op='vocab' pins :func:`vocab_coverage` per-document token and
+    OOV counts against the corpus's own top-{_VOCAB_K} vocabulary
+    (deterministic count-desc/token-asc cut)."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
     from .clustering import kmeans_curation_frames
@@ -926,6 +1079,70 @@ def curation_ops(spark, sf_dir):
     sem = semantic_contamination(
         e, bench, threshold=_SEM_THRESHOLD, strategy="exact", quantize=True
     )
+    docs = load_table(spark, sf_dir, "documents")
+    ngc_bench = docs.filter(
+        F.col("doc_id") % _NGC_BENCH_MOD == _NGC_BENCH_REM
+    ).select(F.col("doc_id").alias("bench_id"), "text")
+    ngc = ngram_contamination(docs, ngc_bench, n=_NGC_N, hashed=False)
+    # op='pii': plant one of each PII shape on top of the real text (byte-
+    # identical construction in the oracle), run the REAL redactor, pin
+    # counts + redacted-text digest
+    plant = F.concat(
+        F.col("text"), F.lit(" u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.com ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" call +1 555-123-4567 now"),
+    )
+    pii = redact_pii(
+        docs.filter(F.col("doc_id") % _PII_MOD == _PII_REM).select(
+            "doc_id", plant.alias("text")
+        )
+    ).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("red_md5"),
+        "n_email", "n_ssn", "n_card", "n_phone", "n_ipv4",
+    )
+    # op='diff': snapshot B = documents minus the %29==0 rows, with ' [v2]'
+    # appended to the %31==1 rows and synthetic added rows at +1e6 ids
+    snap_b = (
+        docs.filter(F.col("doc_id") % _DIFF_RM != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % _DIFF_MODIFY == 1,
+                F.concat(F.col("text"), F.lit(" [v2]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % _DIFF_ADD == 5).select(
+                (F.col("doc_id") + _DIFF_ADD_OFFSET).alias("doc_id"),
+                F.concat(
+                    F.lit("new doc "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    diff = corpus_diff(docs, snap_b)
+    # op='vocab': vocab = the corpus's own top-K tokens — the collect is
+    # exactly _VOCAB_K strings (the vocab artifact a tokenizer-fit
+    # workflow materializes anyway), then the REAL coverage operator
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("w")
+    )
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_VOCAB_K)
+    )
+    cov = vocab_coverage(docs, [r["w"] for r in top.collect()])
     km_cent, km_assigned, km_rates, km_sampled = kmeans_curation_frames(
         spark, sf_dir
     )
@@ -990,6 +1207,39 @@ def curation_ops(spark, sf_dir):
         (
             km_sampled,
             {"op": F.lit("kmsel"), "vec_id": "vec_id", "cluster": "cluster"},
+        ),
+        (
+            ngc,
+            # carrier columns: vec_id = bench_id, n_grams = n_shared,
+            # n_docs = bench_grams (the union schema has no dedicated
+            # columns for the pair statistics; pad_union casts)
+            {
+                "op": F.lit("ngc"), "doc_id": "doc_id",
+                "vec_id": "bench_id", "n_grams": "n_shared",
+                "n_docs": "bench_grams",
+            },
+        ),
+        (
+            pii,
+            # carriers: lang = redacted-text md5; n_docs/n_grams/sel_rank/
+            # cluster/pos = the five per-category counts in rule order
+            {
+                "op": F.lit("pii"), "doc_id": "doc_id",
+                "lang": "red_md5", "n_docs": "n_email",
+                "n_grams": "n_ssn", "sel_rank": "n_card",
+                "cluster": "n_phone", "pos": "n_ipv4",
+            },
+        ),
+        (
+            diff,
+            {"op": F.lit("diff"), "doc_id": "doc_id", "lang": "change"},
+        ),
+        (
+            cov,
+            {
+                "op": F.lit("vocab"), "doc_id": "doc_id",
+                "n_docs": "n_tokens", "n_grams": "n_oov",
+            },
         ),
     ).orderBy(
         "op",

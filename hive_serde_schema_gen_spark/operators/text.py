@@ -202,9 +202,16 @@ _LANG_ID_SQL = f"""
     SELECT doc_id, lang,
            {_lang_argmax_sql()} AS predicted,
            CAST({_LANG_MARGIN_SQL}[1] - {_LANG_MARGIN_SQL}[2] AS INTEGER)
-             AS margin
+             AS margin,
+           CAST({_LANG_MARGIN_SQL}[1] AS INTEGER) AS top1
     FROM scores
 """
+
+# thresholds the op='abstain' oracle branch pins — a prediction survives
+# only with >= ABSTAIN_MIN_TOP1 profile hits AND a top1−top2 margin of
+# >= ABSTAIN_MIN_MARGIN; everything else becomes 'und'
+ABSTAIN_MIN_MARGIN = 1
+ABSTAIN_MIN_TOP1 = 2
 
 _LANG_ACC_SQL = f"""
     SELECT lang, predicted,
@@ -402,6 +409,20 @@ def _quality_lang_oracle() -> str:
            CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE), n, sum_margin, n_correct
     FROM ({_LANG_ACC_SQL})
+    UNION ALL
+    SELECT 'abstain', doc_id, lang,
+           CASE WHEN margin >= {ABSTAIN_MIN_MARGIN}
+                 AND top1 >= {ABSTAIN_MIN_TOP1}
+                THEN predicted ELSE 'und' END,
+           NULL, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(top1 AS BIGINT), CAST(margin AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_LANG_ID_SQL}) WHERE doc_id % 7 = 5
     ) ORDER BY op, COALESCE(doc_id, -1), COALESCE(bucket, -2),
                COALESCE(lang, ''), COALESCE(predicted, '')
     """
@@ -430,7 +451,10 @@ def text_quality_lang(spark, sf_dir):
     bit-for-bit (`logreg.sql_clf_ctes`).  op='langacc' pins the language-
     ID confusion matrix against the ground-truth lang column — counts,
     summed decision margins (the abstain signal), and per-pair correct
-    counts — under the round-11 widened {len(LANG_ORDER)}-profile set."""
+    counts — under the round-11 widened {len(LANG_ORDER)}-profile set.
+    op='abstain' pins ``lang_id_with_abstain`` for the doc_id % 7 == 5
+    slice: the production 'und' routing under (min_margin=1, min_top1=2),
+    with the branch's ``n``/``sum_margin`` columns carrying top1/margin."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
     from .curation import repetition_stats
@@ -515,6 +539,19 @@ def text_quality_lang(spark, sf_dir):
                 "op": F.lit("langacc"), "lang": "lang",
                 "predicted": "predicted", "n": "n",
                 "sum_margin": "sum_margin", "n_correct": "n_correct",
+            },
+        ),
+        (
+            lang_id_with_abstain(
+                spark, sf_dir,
+                min_margin=ABSTAIN_MIN_MARGIN, min_top1=ABSTAIN_MIN_TOP1,
+            ).filter(F.col("doc_id") % 7 == 5),
+            # n / sum_margin carry top1 / margin for this branch (the
+            # union schema has no dedicated columns; pad_union casts)
+            {
+                "op": F.lit("abstain"), "doc_id": "doc_id",
+                "lang": "lang", "predicted": "predicted",
+                "n": "top1", "sum_margin": "margin",
             },
         ),
     ).orderBy(
