@@ -557,6 +557,26 @@ def _sketch_evidence_sql() -> str:
     """
 
 
+# op='freq' configuration: frequent_items (Misra–Gries heavy hitters,
+# diagnostics.py) over the documents token stream.  capacity=64 exceeds
+# the corpus's ~31-token vocabulary so every per-partition summary is
+# EXACT, candidate_multiple*k=40 candidates cover every key (cut=0), and
+# the k-th count sits ~2× above the N/capacity exclusion bound — the
+# `guaranteed` validity flag is robustly TRUE and the slot would catch a
+# regression in either the summary merge or the bound arithmetic.
+_FREQ_K = 10
+_FREQ_CAPACITY = 64
+
+_FREQ_SQL = f"""
+    WITH freqtok AS (
+      SELECT unnest(list_filter(string_split_regex(TRIM(lower(text)), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents)
+    SELECT w, COUNT(*) AS cnt FROM freqtok GROUP BY w
+    ORDER BY cnt DESC, w LIMIT {_FREQ_K}
+"""
+
+
 @query(
     "stats_summary",
     oracle=f"""
@@ -576,6 +596,9 @@ def _sketch_evidence_sql() -> str:
     UNION ALL
     SELECT sop, grp, NULL, n, NULL, exact_parts, NULL, NULL, ok, NULL, NULL
     FROM ({_sketch_evidence_sql()})
+    UNION ALL
+    SELECT 'freq', w, NULL, cnt, NULL, NULL, NULL, NULL, TRUE, NULL, NULL
+    FROM ({_FREQ_SQL})
     ) ORDER BY op, COALESCE(grp, ''), COALESCE(bucket, -1)
     """,
 )
@@ -593,8 +616,18 @@ def stats_summary(spark, sf_dir):
     accuracy-contract pattern: per-language artifacts over the documents
     table, pairwise Theta overlaps, the merge-only union distinct, and
     the merged-KLL median — each pinned as an exact value + an
-    in-tolerance boolean (`sketches.sketch_evidence_rows`)."""
+    in-tolerance boolean (`sketches.sketch_evidence_rows`).
+
+    op='freq' pins :func:`diagnostics.frequent_items` — the bounded-
+    shuffle Misra–Gries heavy-hitters path (per-partition Arrow-batched
+    summaries → merged lower bounds → broadcast-verified exact counts) —
+    over the documents token stream at (k={_FREQ_K},
+    capacity={_FREQ_CAPACITY}, with_validity=True): the exact top-k
+    token counts ride grp/n and the validity `guaranteed` flag rides
+    ok_parts (see `_FREQ_K` for why it is deterministically TRUE)."""
     from ..functions.union import pad_union
+    from ..sources.tables import load_table
+    from .diagnostics import frequent_items
     from .sketches import sketch_evidence_rows
 
     schema = [
@@ -633,6 +666,26 @@ def stats_summary(spark, sf_dir):
             {
                 "op": "sop", "grp": "grp", "n": "n",
                 "exact_parts": "exact_parts", "ok_parts": "ok",
+            },
+        ),
+        (
+            frequent_items(
+                load_table(spark, sf_dir, "documents").select(
+                    F.explode(
+                        F.filter(
+                            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                            lambda t: t != "",
+                        )
+                    ).alias("w")
+                ),
+                "w",
+                k=_FREQ_K,
+                capacity=_FREQ_CAPACITY,
+                with_validity=True,
+            ),
+            {
+                "op": F.lit("freq"), "grp": "key", "n": "count",
+                "ok_parts": "guaranteed",
             },
         ),
     ).orderBy(
