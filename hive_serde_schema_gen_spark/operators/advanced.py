@@ -557,6 +557,61 @@ def _sketch_evidence_sql() -> str:
     """
 
 
+def _diag_evidence_sql() -> str:
+    """Oracle fragment for the op='skew'/'prof' branches — re-derives
+    skew_report's exact columns (rank/key/count/share/suggested_salt; the
+    `/` operator is double division of integers in BOTH Spark SQL and
+    DuckDB, so share and the CEIL argument are the same single IEEE ops)
+    and column_profile's exact columns under the planted-null
+    construction.  The HLL accuracy contracts are Spark-side booleans the
+    oracle pins to TRUE (`diagnostics.SKEW_COLS` docs)."""
+    from .diagnostics import (
+        PROF_COLS, PROF_NULL_MOD, SKEW_COLS, SKEW_K, SKEW_PARTS,
+    )
+
+    ctes, sels = [], []
+    for i, c in enumerate(SKEW_COLS):
+        ctes.append(
+            f"""skc{i} AS (SELECT CAST({c} AS VARCHAR) AS key,
+                COUNT(*) AS cnt FROM orders GROUP BY 1),
+    skt{i} AS (SELECT '{c}' AS colname, key, cnt,
+                ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rnk
+               FROM skc{i} QUALIFY rnk <= {SKEW_K})"""
+        )
+        sels.append(f"SELECT * FROM skt{i}")
+    numeric = {"doc_id", "n_chars"}
+    profs = []
+    for c in PROF_COLS:
+        v = c if c in numeric else f"LENGTH({c})"
+        profs.append(
+            f"""SELECT 'prof' AS dop, '{c}' AS grp,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS INTEGER)
+             AS bucket,
+           COUNT(*) AS n, AVG({v}) AS dval,
+           CAST(MIN({v}) AS BIGINT) AS dlo, CAST(MAX({v}) AS BIGINT) AS dhi,
+           TRUE AS ok
+    FROM profsrc"""
+        )
+    return f"""
+    WITH sktot AS (SELECT COUNT(*) AS nrows FROM orders),
+    {",".join(ctes)},
+    skall AS ({" UNION ALL ".join(sels)}),
+    profsrc AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % {PROF_NULL_MOD} = 0 THEN NULL ELSE lang END
+               AS lang,
+             n_chars
+      FROM documents)
+    SELECT 'skew' AS dop, colname || '|' || key AS grp, rnk AS bucket,
+           CAST(cnt AS BIGINT) AS n, cnt / nrows AS dval,
+           CAST(CEIL(cnt / (nrows / {SKEW_PARTS})) AS BIGINT) AS dlo,
+           CAST(NULL AS BIGINT) AS dhi, TRUE AS ok
+    FROM skall, sktot
+    UNION ALL
+    {" UNION ALL ".join(profs)}
+    """
+
+
 # op='freq' configuration: frequent_items (Misra–Gries heavy hitters,
 # diagnostics.py) over the documents token stream.  capacity=64 exceeds
 # the corpus's ~31-token vocabulary so every per-partition summary is
@@ -599,6 +654,9 @@ _FREQ_SQL = f"""
     UNION ALL
     SELECT 'freq', w, NULL, cnt, NULL, NULL, NULL, NULL, TRUE, NULL, NULL
     FROM ({_FREQ_SQL})
+    UNION ALL
+    SELECT dop, grp, bucket, n, dval, NULL, dlo, dhi, ok, NULL, NULL
+    FROM ({_diag_evidence_sql()})
     ) ORDER BY op, COALESCE(grp, ''), COALESCE(bucket, -1)
     """,
 )
@@ -624,10 +682,18 @@ def stats_summary(spark, sf_dir):
     over the documents token stream at (k={_FREQ_K},
     capacity={_FREQ_CAPACITY}, with_validity=True): the exact top-k
     token counts ride grp/n and the validity `guaranteed` flag rides
-    ok_parts (see `_FREQ_K` for why it is deterministically TRUE)."""
+    ok_parts (see `_FREQ_K` for why it is deterministically TRUE).
+
+    op='skew'/'prof' carry the rest of the diagnostics family
+    (`diagnostics.diag_evidence_rows`): skew_report's hot-key table over
+    the orders join keys (rank/key/count/share/suggested_salt exact in
+    the hash; the HLL inside skew_factor pinned via the rsd=0.02 accuracy
+    contract) and column_profile over documents with planted lang nulls
+    (rows/nulls/min/max/mean exact — integral inputs, single IEEE
+    division; sketch outputs under the same contract boolean)."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
-    from .diagnostics import frequent_items
+    from .diagnostics import diag_evidence_rows, frequent_items
     from .sketches import sketch_evidence_rows
 
     schema = [
@@ -686,6 +752,14 @@ def stats_summary(spark, sf_dir):
             {
                 "op": F.lit("freq"), "grp": "key", "n": "count",
                 "ok_parts": "guaranteed",
+            },
+        ),
+        (
+            diag_evidence_rows(spark, sf_dir),
+            {
+                "op": "dop", "grp": "grp", "bucket": "bucket", "n": "n",
+                "median_price": "dval", "exact_p50_x100": "dlo",
+                "exact_p99_x100": "dhi", "ok_parts": "ok",
             },
         ),
     ).orderBy(

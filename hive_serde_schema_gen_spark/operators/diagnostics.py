@@ -261,3 +261,116 @@ def frequent_items(
     # an excluded key could claim a free slot unless no key can reach 1)
     guaranteed = kth > bound if len(collected) >= k else bound < 1
     return rows.withColumn("guaranteed", F.lit(bool(guaranteed)))
+
+
+# ---------------------------------------------------------------------------
+# Driver-evidence configuration (the stats_summary op='skew'/'prof' branches)
+# ---------------------------------------------------------------------------
+# op='skew': skew_report over the orders join keys.  k/n_partitions are
+# pinned literals (the session's shuffle-partition conf varies between the
+# driver and the test harness).  Everything in the hash is exact: rank,
+# key, count, share (one IEEE division of exact BIGINTs — identical in
+# both engines) and suggested_salt (CEIL over `/`, which is double
+# division of integers in BOTH Spark SQL and DuckDB).  skew_factor uses
+# the HLL distinct estimate, so it stays OUT of the hash; instead the
+# branch pins the usual accuracy contract — a fresh rsd=0.02 estimate per
+# key column lands within APPROX_REL_ERR of the exact distinct count.
+SKEW_COLS = ("o_custkey", "o_orderstatus")
+SKEW_K = 10
+SKEW_PARTS = 32
+
+# op='prof': column_profile over documents with nulls PLANTED into lang
+# (doc_id % PROF_NULL_MOD == 0 → NULL, byte-identical construction in the
+# oracle) so the null-counting path is non-trivially exercised.  Pinned
+# per column: rows, nulls, min/max (value for numerics, length for
+# strings — both integral here, so the doubles are exact), and mean (an
+# exact integer sum over <= 2^53 followed by one IEEE division — Spark's
+# Average and DuckDB's AVG both reduce integers exactly before the
+# divide).  approx_distinct and the percentile sketches stay OUT of the
+# hash; the HLL rides the same rsd=0.02 accuracy contract, and stddev/
+# p50/p95 are order-dependent float folds (excluded, like every other
+# float reduction in the oracle surface).
+PROF_COLS = ("doc_id", "text", "lang", "n_chars")
+PROF_NULL_MOD = 5
+
+
+def diag_evidence_rows(spark, sf_dir):
+    """The diagnostics family's driver-evidence rows (consumed by the
+    ``stats_summary`` tagged union): op='skew' pins :func:`skew_report`
+    over the orders join keys, op='prof' pins :func:`column_profile` over
+    the documents table with planted lang nulls.  Output schema
+    ``(dop, grp, bucket, n, dval, dlo, dhi, ok)`` maps onto the union's
+    op/grp/bucket/n/median_price/exact_p50_x100/exact_p99_x100/ok_parts
+    carriers.  Driver traffic is O(columns) rows — the profile row and the
+    two accuracy-contract scalars — exactly the operators' documented
+    driver bounds."""
+    from ..operators.advanced import APPROX_REL_ERR
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rep = skew_report(
+        orders, list(SKEW_COLS), k=SKEW_K, n_partitions=SKEW_PARTS
+    )
+    # HLL accuracy contract per skew column (two aggregates: mixing a
+    # distinct aggregate with sketch buffers forces the Expand plan)
+    exact = orders.agg(
+        *[F.countDistinct(c).alias(c) for c in SKEW_COLS]
+    ).collect()[0]
+    approx = orders.agg(
+        *[F.approx_count_distinct(c, rsd=0.02).alias(c) for c in SKEW_COLS]
+    ).collect()[0]
+    ok_rows = [
+        (c, bool(abs(approx[c] - exact[c]) <= APPROX_REL_ERR * exact[c]))
+        for c in SKEW_COLS
+    ]
+    ok_df = spark.createDataFrame(ok_rows, "column string, ok boolean")
+    skew_ev = rep.join(F.broadcast(ok_df), "column").select(
+        F.lit("skew").alias("dop"),
+        F.concat(F.col("column"), F.lit("|"), F.col("key")).alias("grp"),
+        F.col("rank").alias("bucket"),
+        F.col("count").alias("n"),
+        F.col("share").alias("dval"),
+        F.col("suggested_salt").cast("bigint").alias("dlo"),
+        F.lit(None).cast("bigint").alias("dhi"),
+        F.col("ok"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % PROF_NULL_MOD == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "n_chars",
+    )
+    prof = column_profile(docs, list(PROF_COLS))
+    pexact = docs.agg(
+        *[F.countDistinct(c).alias(c) for c in PROF_COLS]
+    ).collect()[0]
+    # the contract estimate is rsd=0.02 (like the sketch branches) — the
+    # profile's own default-rsd estimate has 1σ AT the 0.05 evidence
+    # floor, which would make the boolean a coin flip, not a contract
+    papprox = docs.agg(
+        *[F.approx_count_distinct(c, rsd=0.02).alias(c) for c in PROF_COLS]
+    ).collect()[0]
+    prof_rows = [
+        (
+            "prof",
+            p["column"],
+            int(p["nulls"]),
+            int(p["rows"]),
+            float(p["mean"]),
+            int(p["min"]),
+            int(p["max"]),
+            bool(
+                abs(papprox[p["column"]] - pexact[p["column"]])
+                <= APPROX_REL_ERR * pexact[p["column"]]
+            ),
+        )
+        for p in prof
+    ]
+    prof_df = spark.createDataFrame(
+        prof_rows,
+        "dop string, grp string, bucket int, n bigint, dval double, "
+        "dlo bigint, dhi bigint, ok boolean",
+    )
+    return skew_ev.unionByName(prof_df)
