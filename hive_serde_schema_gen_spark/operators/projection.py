@@ -37,6 +37,7 @@ def random_projection(
     id_col: str = "vec_id",
     col: str = "embedding",
     out_col: str = "embedding_rp",
+    exact: bool = False,
 ) -> DataFrame:
     """Append ``out_col``: the input embedding projected to ``out_dim``
     dims, ``y_j = (1/√out_dim) · Σ_i x_i · s_ij`` with ``s_ij ∈ {±1}``
@@ -49,8 +50,26 @@ def random_projection(
     silently vanishing.  A vector whose length differs from ``in_dim``
     raises at execution time (``assert_true`` guard) — the silent
     alternative would be projecting a truncated prefix, which voids the
-    JL guarantee with no error anywhere downstream."""
+    JL guarantee with no error anywhere downstream.
+
+    ``exact=True`` is the cross-engine-reproducible mode (the same recipe
+    as ``logreg.train_classifier``): components round to 9 dp and sum as
+    exact DECIMAL(20,9) — ±1 weights mean the products carry NO rounding
+    at all, so the only float op left is the final 1/√out_dim scale,
+    which this mode restricts to out_dim a perfect square of a power of
+    two (÷2^k is an exponent shift, exact in IEEE — the scaled output is
+    bit-identical in any summation order and any engine).  The default
+    float path is ~2× faster and differs only by the usual sum-order ulp
+    noise."""
     spark = e.sparkSession
+    if exact:
+        r = int(round(out_dim**0.5))
+        if r * r != out_dim or r <= 0 or (r & (r - 1)) != 0:
+            raise ValueError(
+                "random_projection(exact=True) needs out_dim = (2^k)^2 so "
+                "the 1/sqrt(out_dim) scale is an exact IEEE division "
+                f"(got out_dim={out_dim})"
+            )
     weights = spark.createDataFrame(
         [
             (i, j, _rp_weight(seed, i, j))
@@ -74,15 +93,23 @@ def random_projection(
     ex = e.select(
         id_col, F.posexplode(checked.cast("array<double>")).alias("pos", "v")
     )
+    term = (
+        F.round(F.col("v"), 9).cast("decimal(20,9)") * F.col("w")
+        if exact
+        else F.col("v") * F.col("w")
+    )
     comps = (
         ex.join(F.broadcast(weights), "pos")
         .groupBy(id_col, "j")
-        .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+        .agg(F.sum(term).alias("s"))
     )
+    if exact:
+        elem = lambda st: st["s"].cast("double") / F.lit(float(r))  # noqa: E731
+    else:
+        elem = lambda st: st["s"] * F.lit(scale)  # noqa: E731
     packed = comps.groupBy(id_col).agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "s"))),
-            lambda st: st["s"] * F.lit(scale),
+            F.array_sort(F.collect_list(F.struct("j", "s"))), elem
         ).alias(out_col)
     )
     return e.join(packed, id_col, "left")

@@ -180,6 +180,35 @@ def embedding_norms(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+# op='rp' configuration: random_projection(exact=True) over the
+# vec_id % RP_MOD == RP_REM slice — ±1 md5 weights re-derived in SQL, the
+# 9-dp decimal component sums re-reduced exactly, and the 1/√16 = ÷4
+# scale an exact IEEE exponent shift, so the projected doubles are
+# bit-identical cross-engine (see projection.random_projection).
+RP_MOD, RP_REM = 7, 1
+RP_OUT_DIM, RP_IN_DIM, RP_SEED = 16, 64, "rp-v1"
+
+_RP_SQL = f"""
+    WITH rpw AS (
+      SELECT i.i AS pos, j.j AS j,
+             CASE WHEN CAST(concat('0x', substr(md5('{RP_SEED}:' || i.i ||
+                    ':' || j.j), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS w
+      FROM range({RP_IN_DIM}) i(i), range({RP_OUT_DIM}) j(j)),
+    rpx AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings WHERE vec_id % {RP_MOD} = {RP_REM}),
+    rpy AS (
+      SELECT x.vec_id, w.j,
+             CAST(SUM(CAST(round(x.x, 9) AS DECIMAL(20,9)) * w.w) AS DOUBLE)
+               / 4 AS y
+      FROM rpx x JOIN rpw w ON w.pos = x.pos
+      GROUP BY x.vec_id, w.j)
+    SELECT vec_id, j, y FROM rpy
+"""
+
+
 @query(
     "similarity_brute",
     oracle=f"""
@@ -201,6 +230,13 @@ def embedding_norms(spark, sf_dir):
            CAST(NULL AS DOUBLE) AS cos_sim, l2_norm, dim, q_first,
            n_positive, q_max
     FROM ({_NORMS_SQL}) nm_
+    UNION ALL
+    SELECT 'rp' AS op, vec_id, CAST(j AS BIGINT) AS vec_b,
+           CAST(NULL AS VARCHAR) AS label, y AS cos_sim,
+           CAST(NULL AS DOUBLE) AS l2_norm, CAST(NULL AS INTEGER) AS dim,
+           CAST(NULL AS BIGINT) AS q_first,
+           CAST(NULL AS INTEGER) AS n_positive, CAST(NULL AS BIGINT) AS q_max
+    FROM ({_RP_SQL}) rp_
     ORDER BY op, vec_id, vec_b NULLS FIRST
     """,
 )
@@ -213,8 +249,15 @@ def similarity_brute(spark, sf_dir):
     ``topk`` rows: the exact cosine top-10 recall baseline every ANN
     variant is verified against; ``pairs`` rows: the quadratic near-dup
     pair baseline (>= 0.40 over vec_id < 500); ``norms`` rows: per-vector
-    L2 norms + the array-function surface."""
+    L2 norms + the array-function surface.
+
+    Round-11 continuation: ``rp`` rows pin the Johnson–Lindenstrauss
+    random projection (`projection.random_projection`, exact mode) for
+    the vec_id % {RP_MOD} == {RP_REM} slice — every projected component
+    bit-identical cross-engine (±1 md5 weights, exact decimal sums, ÷4
+    exponent-shift scale; see `RP_MOD`)."""
     from ..functions.union import pad_union
+    from .projection import random_projection
 
     schema = [
         ("op", "string"), ("vec_id", "bigint"), ("vec_b", "bigint"),
@@ -241,6 +284,24 @@ def similarity_brute(spark, sf_dir):
                 "op": F.lit("norms"), "vec_id": "vec_id", "label": "label",
                 "l2_norm": "l2_norm", "dim": "dim", "q_first": "q_first",
                 "n_positive": "n_positive", "q_max": "q_max",
+            },
+        ),
+        (
+            random_projection(
+                load_table(spark, sf_dir, "embeddings").filter(
+                    F.col("vec_id") % RP_MOD == RP_REM
+                ),
+                out_dim=RP_OUT_DIM,
+                in_dim=RP_IN_DIM,
+                seed=RP_SEED,
+                exact=True,
+            ).select(
+                "vec_id",
+                F.posexplode("embedding_rp").alias("j", "y"),
+            ),
+            {
+                "op": F.lit("rp"), "vec_id": "vec_id", "vec_b": "j",
+                "cos_sim": "y",
             },
         ),
     ).orderBy("op", "vec_id", F.col("vec_b").asc_nulls_first())

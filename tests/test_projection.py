@@ -127,3 +127,25 @@ def test_projection_feeds_brute_force_ann(spark, sf_dir):
         len(topk(vecs, q) & topk(pvecs, q)) / 10 for q in qs
     ) / len(qs)
     assert recall >= 0.1, recall  # ~5-10× the 0.02 chance floor
+
+
+def test_exact_mode_matches_float_mode_and_numpy(spark):
+    rng = np.random.RandomState(3)
+    arrs = [rng.randn(IN_DIM) for _ in range(5)]
+    # exact mode needs out_dim = (2^k)^2
+    d = _vecs_df(spark, arrs)
+    out = random_projection(d, out_dim=16, in_dim=IN_DIM, exact=True).collect()
+    got = {r["vec_id"]: np.array(r["embedding_rp"]) for r in out}
+    ref = random_projection(d, out_dim=16, in_dim=IN_DIM).collect()
+    refs = {r["vec_id"]: np.array(r["embedding_rp"]) for r in ref}
+    for i in got:
+        # 9-dp quantization + ulp sum noise only
+        assert np.allclose(got[i], refs[i], atol=1e-7)
+
+
+def test_exact_mode_rejects_non_pow2_square(spark):
+    d = _vecs_df(spark, [np.ones(IN_DIM)])
+    with pytest.raises(ValueError, match="exact"):
+        random_projection(d, out_dim=25, in_dim=IN_DIM, exact=True)
+    with pytest.raises(ValueError, match="exact"):
+        random_projection(d, out_dim=15, in_dim=IN_DIM, exact=True)
