@@ -3,7 +3,8 @@ three decades of corpus size (500 → 5 000 → 50 000 docs) for MinHash+LSH,
 the composed corpus pipeline, substring-level duplicate spans, PII
 redaction, benchmark decontamination, repetition stats, domain mixing,
 line-level boilerplate stripping, mixture materialization (upsampling),
-and the single-pass validation suite.
+the single-pass validation suite, the shuffle-skew instrument, and the
+embed→JL-project ingest composition.
 
 Two targets wrap their DataFrame in a filter referencing the computed
 columns: the harness forces evaluation with ``count()``, and ``count`` alone
@@ -127,7 +128,13 @@ def main() -> None:
     )
     from pyspark.sql import functions as F
 
-    from hive_serde_schema_gen_spark.operators.diagnostics import frequent_items
+    from hive_serde_schema_gen_spark.operators.diagnostics import (
+        frequent_items,
+        skew_report,
+    )
+    from hive_serde_schema_gen_spark.operators.projection import (
+        random_projection,
+    )
     from hive_serde_schema_gen_spark.operators.dsir import dsir_weights
     from hive_serde_schema_gen_spark.operators.embedding import embed_text
     from hive_serde_schema_gen_spark.operators.html import html_to_text
@@ -256,6 +263,21 @@ def main() -> None:
             "tok",
             k=20,
         ),
+        # the pre-join skew instrument: per column one map-side-combined
+        # groupBy-count top-k + one shuffle-free totals scan — a hot key
+        # is ONE row after partial agg, so per-row cost must stay flat
+        "diagnostics_skew_report": lambda s, d: skew_report(
+            _docs(s, d), ["lang", "source"], k=10, n_partitions=32
+        ),
+        # the composed ingest transform: hash-embed then JL-project
+        # (embed cost is its own row above, so the delta is the
+        # projection's explode + broadcast weight join + two aggregates)
+        "projection_embed_rp16": lambda s, d: random_projection(
+            embed_text(_docs(s, d)).select("doc_id", "embedding"),
+            out_dim=16,
+            in_dim=64,
+            id_col="doc_id",
+        ).filter("size(embedding_rp) = 16"),
         # best-fit packing: the per-group Python loop is the honest cost;
         # groups pack in parallel so per-row cost should stay flat
         "packing_best_fit": lambda s, d: pack_documents_best_fit(
