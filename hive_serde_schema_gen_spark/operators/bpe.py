@@ -211,3 +211,114 @@ def encode_bpe(
             yield pdf
 
     return docs.mapInPandas(enc, schema_out)
+
+
+# ---------------------------------------------------------------------------
+# Oracle configuration (the packing_ops op='bpe_m'/'bpe_e' branches)
+# ---------------------------------------------------------------------------
+# BPE_MERGES rounds of exact (batch_size=1) training are unrolled as SQL
+# CTEs the way graph_pagerank unrolls power iterations and logreg unrolls
+# GD steps: each round extracts adjacent symbol pairs from the evolving
+# word table (unnest + LEAD), takes the (count DESC, l, r) argmax — the
+# operator's exact tie-break — and applies the single winning pair with a
+# list_reduce that mirrors the Python in-word pass SYMBOL-FOR-SYMBOL
+# (greedy left-to-right, merged output never reconsidered as a left
+# operand within the pass; a plain string REPLACE would diverge on
+# self-overlapping runs like 'a a a a a').  The encode branch then
+# re-applies the learned merges in rank order to the doc slice — for a
+# TRAINED list rank order equals symbol-creation order, which makes the
+# sequential replay equal to the operator's rank-greedy encode.
+BPE_MERGES = 8
+BPE_ENC_MOD, BPE_ENC_REM = 17, 3
+
+# exact mirror of one apply_merges pass over one word: seed with a
+# sentinel so the accumulator always carries a ' '-boundary, merge when
+# the accumulator's LAST symbol is exactly l and the next symbol is r
+_REDUCE = (
+    "substr(list_reduce(list_prepend(chr(167), string_split(seq, ' ')), "
+    "(acc, x) -> CASE WHEN x = {r} AND ends_with(acc, ' ' || {l}) "
+    "THEN left(acc, len(acc) - len({l}) - 1) || ' ' || {l} || {r} "
+    "ELSE acc || ' ' || x END), 3)"
+)
+
+
+def sql_bpe_ctes(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB CTE chain re-deriving the WHOLE exact-mode fit: word
+    frequencies, then ``n_merges`` unrolled (pair-count → argmax →
+    apply) rounds.  Exposes ``bpew{n}`` (the final word table) and
+    ``bpem`` (rank, l, r — the learned merge list)."""
+    ctes = [
+        """bpewf AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(
+          string_split_regex(TRIM(lower(text)), '\\s+'), x -> x <> '')) AS word
+        FROM documents)
+      GROUP BY word),
+    bpew0 AS (
+      SELECT word, freq,
+             array_to_string(string_split_regex(word, ''), ' ') || ' </w>'
+               AS seq
+      FROM bpewf)"""
+    ]
+    for k in range(1, n_merges + 1):
+        red = _REDUCE.format(l="m.l", r="m.r")
+        ctes.append(
+            f"""bpes{k} AS (
+      SELECT word, freq, unnest(string_split(seq, ' ')) AS t,
+             generate_subscripts(string_split(seq, ' '), 1) AS i
+      FROM bpew{k - 1}),
+    bpep{k} AS (
+      SELECT t AS l, nt AS r, SUM(freq) AS n FROM (
+        SELECT freq, t, LEAD(t) OVER (PARTITION BY word ORDER BY i) AS nt
+        FROM bpes{k})
+      WHERE nt IS NOT NULL GROUP BY t, nt HAVING SUM(freq) >= 2),
+    bpem{k} AS (SELECT l, r FROM bpep{k} ORDER BY n DESC, l, r LIMIT 1),
+    bpew{k} AS (
+      SELECT word, freq, {red} AS seq
+      FROM bpew{k - 1}, bpem{k} m)"""
+        )
+    ranks = " UNION ALL ".join(
+        f"SELECT {k - 1} AS rank, l, r FROM bpem{k}"
+        for k in range(1, n_merges + 1)
+    )
+    ctes.append(f"bpem AS ({ranks})")
+    return ",\n    ".join(ctes)
+
+
+def sql_bpe_encode_cte(n_merges: int = BPE_MERGES) -> str:
+    """CTEs (appended after :func:`sql_bpe_ctes`) re-encoding the
+    ``doc_id % BPE_ENC_MOD == BPE_ENC_REM`` slice under the learned
+    merges, replayed in rank order.  Exposes ``bpee`` (doc_id, enc_md5,
+    n_bpe_tokens)."""
+    ctes = [
+        f"""bpedw AS (
+      SELECT doc_id, word, ord FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 string_split_regex(TRIM(lower(text)), '\\s+'),
+                 x -> x <> '')) AS word,
+               generate_subscripts(list_filter(
+                 string_split_regex(TRIM(lower(text)), '\\s+'),
+                 x -> x <> ''), 1) AS ord
+        FROM documents WHERE doc_id % {BPE_ENC_MOD} = {BPE_ENC_REM})),
+    bpee0 AS (
+      SELECT word,
+             array_to_string(string_split_regex(word, ''), ' ') || ' </w>'
+               AS seq
+      FROM (SELECT DISTINCT word FROM bpedw))"""
+    ]
+    for k in range(1, n_merges + 1):
+        red = _REDUCE.format(l="m.l", r="m.r")
+        ctes.append(
+            f"""bpee{k} AS (
+      SELECT word, {red} AS seq FROM bpee{k - 1}, bpem{k} m)"""
+        )
+    ctes.append(
+        f"""bpee AS (
+      SELECT d.doc_id, md5(string_agg(e.seq, ' ' ORDER BY d.ord)) AS enc_md5,
+             CAST(SUM(len(string_split(e.seq, ' '))) AS INTEGER)
+               AS n_bpe_tokens
+      FROM bpedw d JOIN bpee{n_merges} e USING (word)
+      GROUP BY d.doc_id)"""
+    )
+    return ",\n    ".join(ctes)

@@ -29,6 +29,15 @@ from pyspark.sql.window import Window as W
 
 from ..registry import query
 from ..sources.tables import load_table
+from .bpe import (
+    BPE_ENC_MOD,
+    BPE_ENC_REM,
+    BPE_MERGES,
+    encode_bpe,
+    sql_bpe_ctes,
+    sql_bpe_encode_cte,
+    train_bpe,
+)
 
 SHARD_SIZE = 10_000  # docs per prefix-sum shard; #shards = corpus/10k
 
@@ -250,8 +259,19 @@ _EPOCH_HASH_SQL = (
            {_EPOCH_HASH_SQL},
            CAST({_EPOCH_HASH_SQL} % {{shards}} AS INTEGER)
     FROM documents
+    UNION ALL
+    SELECT 'bpe_m', CAST(rank AS BIGINT), NULL, NULL, NULL, NULL, NULL,
+           l || '|' || r, NULL, NULL
+    FROM (WITH {{bpe_ctes}} SELECT rank, l, r FROM bpem)
+    UNION ALL
+    SELECT 'bpe_e', doc_id, n_bpe_tokens, NULL, NULL, NULL, NULL,
+           enc_md5, NULL, NULL
+    FROM (WITH {{bpe_ctes}},
+    {{bpe_enc}} SELECT doc_id, enc_md5, n_bpe_tokens FROM bpee)
     ORDER BY op, doc_id
-    """.replace("{shards}", str(EPOCH_SHARDS)),
+    """.replace("{shards}", str(EPOCH_SHARDS))
+    .replace("{bpe_ctes}", sql_bpe_ctes())
+    .replace("{bpe_enc}", sql_bpe_encode_cte()),
 )
 def packing_ops(spark, sf_dir):
     """The training-order export family in ONE driver slot (round-10
@@ -263,7 +283,18 @@ def packing_ops(spark, sf_dir):
     pins the complete epoch order and every shard assignment; the oracle
     re-derives both from the same md5 arithmetic.  (Production runs the
     native ``xxhash64`` configuration — identical plan; see
-    ``epoch_shuffle``.)"""
+    ``epoch_shuffle``.)
+
+    Round-11 continuation: op='bpe_m'/'bpe_e' pin the BPE tokenizer END
+    TO END — {m} exact (batch_size=1) training rounds run at query time
+    and the learned (rank, l|r) merges land in the hash, with the oracle
+    unrolling all {m} rounds as CTEs (pair counts, the (n DESC, l, r)
+    argmax tie-break, and a list_reduce that mirrors the in-word merge
+    pass symbol-for-symbol — `bpe.sql_bpe_ctes`); the
+    doc_id % {mod} == {rem} slice is then re-encoded under those merges
+    and its token-string md5 + token count pinned (`sql_bpe_encode_cte`
+    replays the merges in rank order, equal to the rank-greedy encode
+    because a trained list's rank order IS symbol-creation order)."""
     from ..functions.union import pad_union
 
     schema = [
@@ -276,6 +307,18 @@ def packing_ops(spark, sf_dir):
     shuffled = epoch_shuffle(
         d.select("doc_id"), epoch=EPOCH, n_shards=EPOCH_SHARDS,
         hash_fn="md5", keep_order_col=True,
+    )
+    merges = train_bpe(d, BPE_MERGES)
+    merge_rows = spark.createDataFrame(
+        [(i, f"{left}|{right}") for i, (left, right) in enumerate(merges)],
+        "rank bigint, pair string",
+    )
+    enc = encode_bpe(
+        d.filter(F.col("doc_id") % BPE_ENC_MOD == BPE_ENC_REM), merges
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "bpe_tokens").cast("binary")).alias("enc_md5"),
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
     )
     return pad_union(
         schema,
@@ -295,7 +338,23 @@ def packing_ops(spark, sf_dir):
                 "order_hash": "order_hash", "shard": "shard",
             },
         ),
+        (
+            merge_rows,
+            {"op": F.lit("bpe_m"), "doc_id": "rank", "split": "pair"},
+        ),
+        (
+            enc,
+            {
+                "op": F.lit("bpe_e"), "doc_id": "doc_id",
+                "split": "enc_md5", "n_tokens": "n_bpe_tokens",
+            },
+        ),
     ).orderBy("op", "doc_id")
+
+
+packing_ops.__doc__ = packing_ops.__doc__ and packing_ops.__doc__.format(
+    m=BPE_MERGES, mod=BPE_ENC_MOD, rem=BPE_ENC_REM
+)
 
 
 def chunk_documents(
