@@ -227,6 +227,37 @@ token_packing_splits.__doc__ = token_packing_splits.__doc__ and token_packing_sp
 
 EPOCH, EPOCH_SHARDS, EPOCH_SALT = 3, 8, "shuffle-v1"
 
+# op='chunk' configuration: chunk_documents over the doc_id % 5 == 0
+# slice at (16, 4) — small against the ~54-token synthetic docs so every
+# doc yields several windows and the short-last-chunk and
+# shorter-than-one-window paths are both exercised.  Spark's
+# F.slice(words, pos, LENGTH) maps to DuckDB's 1-based INCLUSIVE
+# list_slice(toks, pos, pos+length-1); `/` in the ceil is double
+# division of integers in both engines.
+CHUNK_T, CHUNK_OV, CHUNK_MOD = 16, 4, 5
+
+_CHUNK_SQL = f"""
+    WITH chsrc AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      FROM documents WHERE doc_id % {CHUNK_MOD} = 0),
+    chn AS (
+      SELECT doc_id, toks,
+             CAST(GREATEST(CEIL((len(toks) - {CHUNK_OV}) /
+                                {CHUNK_T - CHUNK_OV}), 1) AS INTEGER) AS nch
+      FROM chsrc),
+    chex AS (SELECT doc_id, toks, unnest(range(nch)) AS i FROM chn),
+    ch AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             CAST(i * {CHUNK_T - CHUNK_OV} AS BIGINT) AS chunk_start,
+             list_slice(toks, i * {CHUNK_T - CHUNK_OV} + 1,
+                        i * {CHUNK_T - CHUNK_OV} + {CHUNK_T}) AS sl
+      FROM chex)
+    SELECT doc_id, chunk_id, chunk_start,
+           CAST(len(sl) AS INTEGER) AS n_chunk_tokens,
+           md5(array_to_string(sl, ' ')) AS chunk_md5
+    FROM ch
+"""
+
 _EPOCH_HASH_SQL = (
     "CAST(concat('0x', substr(md5(concat_ws(':', 'shuffle-v1', '3', "
     "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
@@ -268,7 +299,11 @@ _EPOCH_HASH_SQL = (
            enc_md5, NULL, NULL
     FROM (WITH {{bpe_ctes}},
     {{bpe_enc}} SELECT doc_id, enc_md5, n_bpe_tokens FROM bpee)
-    ORDER BY op, doc_id
+    UNION ALL
+    SELECT 'chunk', doc_id, n_chunk_tokens, chunk_start, chunk_id,
+           NULL, NULL, chunk_md5, NULL, NULL
+    FROM ({_CHUNK_SQL})
+    ORDER BY op, doc_id, chunk_first NULLS FIRST
     """.replace("{shards}", str(EPOCH_SHARDS))
     .replace("{bpe_ctes}", sql_bpe_ctes())
     .replace("{bpe_enc}", sql_bpe_encode_cte()),
@@ -294,7 +329,13 @@ def packing_ops(spark, sf_dir):
     doc_id % {mod} == {rem} slice is then re-encoded under those merges
     and its token-string md5 + token count pinned (`sql_bpe_encode_cte`
     replays the merges in rank order, equal to the rank-greedy encode
-    because a trained list's rank order IS symbol-creation order)."""
+    because a trained list's rank order IS symbol-creation order).
+    op='chunk' pins :func:`chunk_documents` — the RAG/long-context
+    document-local sliding window (narrow, shuffle-free) at
+    (chunk_tokens={ct}, overlap={co}) over the doc_id % {cm} == 0 slice:
+    chunk ids, starts, short-last-chunk token counts, and the chunk
+    text's md5 (see `CHUNK_T` for the Spark-slice ↔ DuckDB list_slice
+    index mapping)."""
     from ..functions.union import pad_union
 
     schema = [
@@ -349,11 +390,30 @@ def packing_ops(spark, sf_dir):
                 "split": "enc_md5", "n_tokens": "n_bpe_tokens",
             },
         ),
-    ).orderBy("op", "doc_id")
+        (
+            chunk_documents(
+                d.filter(F.col("doc_id") % CHUNK_MOD == 0),
+                chunk_tokens=CHUNK_T,
+                overlap=CHUNK_OV,
+            ).select(
+                "doc_id",
+                F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                F.col("chunk_start").cast("bigint").alias("chunk_start"),
+                "n_chunk_tokens",
+                F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+            ),
+            {
+                "op": F.lit("chunk"), "doc_id": "doc_id",
+                "n_tokens": "n_chunk_tokens", "offset": "chunk_start",
+                "chunk_first": "chunk_id", "split": "chunk_md5",
+            },
+        ),
+    ).orderBy("op", "doc_id", F.col("chunk_first").asc_nulls_first())
 
 
 packing_ops.__doc__ = packing_ops.__doc__ and packing_ops.__doc__.format(
-    m=BPE_MERGES, mod=BPE_ENC_MOD, rem=BPE_ENC_REM
+    m=BPE_MERGES, mod=BPE_ENC_MOD, rem=BPE_ENC_REM,
+    ct=CHUNK_T, co=CHUNK_OV, cm=CHUNK_MOD,
 )
 
 
