@@ -262,6 +262,10 @@ def sql_bpe_ctes(n_merges: int = BPE_MERGES) -> str:
     ]
     for k in range(1, n_merges + 1):
         red = _REDUCE.format(l="m.l", r="m.r")
+        # LEFT JOIN ON TRUE + CASE: a round with no pair of count >= 2
+        # (the operator's early-stop) becomes an identity pass instead of
+        # an empty cross join wiping every later CTE — the merge list
+        # just stops growing, exactly like train_bpe's break
         ctes.append(
             f"""bpes{k} AS (
       SELECT word, freq, unnest(string_split(seq, ' ')) AS t,
@@ -274,8 +278,9 @@ def sql_bpe_ctes(n_merges: int = BPE_MERGES) -> str:
       WHERE nt IS NOT NULL GROUP BY t, nt HAVING SUM(freq) >= 2),
     bpem{k} AS (SELECT l, r FROM bpep{k} ORDER BY n DESC, l, r LIMIT 1),
     bpew{k} AS (
-      SELECT word, freq, {red} AS seq
-      FROM bpew{k - 1}, bpem{k} m)"""
+      SELECT word, freq,
+             CASE WHEN m.l IS NULL THEN seq ELSE {red} END AS seq
+      FROM bpew{k - 1} LEFT JOIN bpem{k} m ON TRUE)"""
         )
     ranks = " UNION ALL ".join(
         f"SELECT {k - 1} AS rank, l, r FROM bpem{k}"
@@ -311,7 +316,8 @@ def sql_bpe_encode_cte(n_merges: int = BPE_MERGES) -> str:
         red = _REDUCE.format(l="m.l", r="m.r")
         ctes.append(
             f"""bpee{k} AS (
-      SELECT word, {red} AS seq FROM bpee{k - 1}, bpem{k} m)"""
+      SELECT word, CASE WHEN m.l IS NULL THEN seq ELSE {red} END AS seq
+      FROM bpee{k - 1} LEFT JOIN bpem{k} m ON TRUE)"""
         )
     ctes.append(
         f"""bpee AS (
