@@ -194,3 +194,54 @@ def test_batched_training_cuts_jobs_per_merge(spark, docs):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     # 6 merges: exact runs 6 rounds, batched runs 2 -> at least 2x fewer
     assert j3 * 2 <= j1, (j1, j3)
+
+
+def _oracle_merges(texts, n_merges=None):
+    import duckdb
+    import pandas as pd
+
+    from hive_serde_schema_gen_spark.operators.bpe import sql_bpe_ctes
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    kw = {} if n_merges is None else {"n_merges": n_merges}
+    return [
+        (l, r)
+        for _, l, r in con.execute(
+            f"WITH {sql_bpe_ctes(**kw)} SELECT rank, l, r FROM bpem "
+            "ORDER BY rank"
+        ).fetchall()
+    ]
+
+
+def test_sql_unroll_matches_train(spark):
+    """The oracle CTE chain re-derives the operator's merges on a corpus
+    with ties, repeats, and self-overlapping runs ('aaaa' stresses the
+    left-to-right in-word pass the list_reduce must mirror)."""
+    texts = [
+        "the quick brown fox the quick",
+        "aaaa aaaa aaaa baab",
+        "the them theme these",
+        "quick quack quark",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = train_bpe(d, 8)
+    assert got == _oracle_merges(texts, 8)
+
+
+def test_sql_unroll_early_stop_is_identity(spark):
+    """When no pair reaches count 2 before the configured rounds, the
+    operator stops early and the oracle's remaining rounds must be
+    identity passes, not empty cross joins."""
+    texts = ["ab ab", "ab cd"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = train_bpe(d, 8)
+    assert 0 < len(got) < 8  # genuinely stops early
+    assert got == _oracle_merges(texts)
