@@ -239,3 +239,38 @@ def test_frequent_items_validity_signal(spark):
         flat, "v", k=5, capacity=16, candidate_multiple=2, with_validity=True
     ).collect()
     assert all(r["guaranteed"] is False for r in rows)
+
+
+def test_diag_evidence_rows_invariants(spark, sf_dir):
+    from hive_serde_schema_gen_spark.operators.diagnostics import (
+        PROF_COLS,
+        PROF_NULL_MOD,
+        SKEW_COLS,
+        SKEW_K,
+        diag_evidence_rows,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    rows = diag_evidence_rows(spark, sf_dir).collect()
+    skew = [r for r in rows if r["dop"] == "skew"]
+    prof = [r for r in rows if r["dop"] == "prof"]
+    assert len(prof) == len(PROF_COLS)
+    # every accuracy-contract boolean must hold on the shipped corpus
+    assert all(r["ok"] for r in rows)
+    # planted nulls: exactly the doc_id % MOD == 0 docs, only on lang
+    docs = load_table(spark, sf_dir, "documents")
+    expected_nulls = docs.filter(f"doc_id % {PROF_NULL_MOD} = 0").count()
+    by_col = {r["grp"]: r for r in prof}
+    assert by_col["lang"]["bucket"] == expected_nulls
+    assert by_col["doc_id"]["bucket"] == 0
+    # per skew column: at most k rows, ranks contiguous from 1, counts
+    # non-increasing in rank order
+    for c in SKEW_COLS:
+        mine = sorted(
+            (r for r in skew if r["grp"].startswith(c + "|")),
+            key=lambda r: r["bucket"],
+        )
+        assert 0 < len(mine) <= SKEW_K
+        assert [r["bucket"] for r in mine] == list(range(1, len(mine) + 1))
+        counts = [r["n"] for r in mine]
+        assert counts == sorted(counts, reverse=True)
