@@ -93,11 +93,27 @@ def random_projection(
     ex = e.select(
         id_col, F.posexplode(checked.cast("array<double>")).alias("pos", "v")
     )
-    term = (
-        F.round(F.col("v"), 9).cast("decimal(20,9)") * F.col("w")
-        if exact
-        else F.col("v") * F.col("w")
-    )
+    if exact:
+        # DECIMAL(20,9) overflows to NULL under non-ANSI mode, and a NULL
+        # component silently drops out of the SUM — turn that corruption
+        # into an execution-time error like the in_dim guard above
+        bounded = F.when(
+            F.abs(F.col("v")) < F.lit(1e11), F.col("v")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "random_projection(exact=True): |component| >= 1e11 "
+                        "overflows the DECIMAL(20,9) reduction (got "
+                    ),
+                    F.col("v").cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+        term = F.round(bounded, 9).cast("decimal(20,9)") * F.col("w")
+    else:
+        term = F.col("v") * F.col("w")
     comps = (
         ex.join(F.broadcast(weights), "pos")
         .groupBy(id_col, "j")

@@ -149,3 +149,9 @@ def test_exact_mode_rejects_non_pow2_square(spark):
         random_projection(d, out_dim=25, in_dim=IN_DIM, exact=True)
     with pytest.raises(ValueError, match="exact"):
         random_projection(d, out_dim=15, in_dim=IN_DIM, exact=True)
+
+
+def test_exact_mode_overflow_raises_not_nulls(spark):
+    d = _vecs_df(spark, [np.concatenate([[1e12], np.zeros(IN_DIM - 1)])])
+    with pytest.raises(Exception, match="1e11|overflow"):
+        random_projection(d, out_dim=16, in_dim=IN_DIM, exact=True).collect()
