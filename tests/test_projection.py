@@ -155,3 +155,49 @@ def test_exact_mode_overflow_raises_not_nulls(spark):
     d = _vecs_df(spark, [np.concatenate([[1e12], np.zeros(IN_DIM - 1)])])
     with pytest.raises(Exception, match="1e11|overflow"):
         random_projection(d, out_dim=16, in_dim=IN_DIM, exact=True).collect()
+
+
+def test_exact_mode_matches_decimal_reference_bitwise(spark):
+    """exact=True promises BIT-identical doubles for any summation order
+    or engine — checked here against an independent pure-Python Decimal
+    implementation of the same recipe (round half-up at 9 dp, exact
+    decimal sum, /4 exponent shift)."""
+    import decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hive_serde_schema_gen_spark.operators.projection import _rp_weight
+
+    dim = 8
+
+    def ref(vec, out_dim=4, seed="rp-v1"):
+        out = []
+        for j in range(out_dim):
+            tot = decimal.Decimal(0)
+            for i, x in enumerate(vec):
+                q = decimal.Decimal(repr(x)).quantize(
+                    decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+                )
+                tot += q * _rp_weight(seed, i, j)
+            out.append(float(tot) / 2.0)  # 1/sqrt(4), exact shift
+        return out
+
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=dim, max_size=dim,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(vec):
+        d = _vecs_df(spark, [vec])
+        got = random_projection(
+            d, out_dim=4, in_dim=dim, exact=True
+        ).collect()[0]["embedding_rp"]
+        assert got == ref(vec), (vec, got, ref(vec))
+
+    check()
