@@ -224,6 +224,61 @@ _LANG_ACC_SQL = f"""
 """
 
 
+# op='norm' configuration (the text_quality_lang branch pinning
+# :func:`normalize_text`): every (doc_id % 13 == 6) document gets a
+# byte-identical mess planted around its real text — CRLF/bare-CR line
+# endings, tab runs, multi-space, mixed case, ZWSP, BEL, the C1 NEL, a
+# BOM, trailing blank lines — then the REAL normalizer runs and the
+# normalized text's md5 + length land in the hash.  The oracle replays
+# the same fixed-order regexp chain; only the control/zero-width class
+# needs an RE2 twin (Java's \\uXXXX spelled \\x{{XXXX}} — same code
+# points, the equivalence pinned by the driver hash like the CJK
+# ranges).  NFC stays out (the documented Arrow-batch exception; the
+# plant is pure ASCII + stripped code points, so the branch is
+# normalization-complete without it).
+_NORM_MOD, _NORM_REM = 13, 6
+_NORM_PREFIX = "  MiXed\tCaSe "
+_NORM_SUFFIX = "\r\nSecond LINE\r third\u200b\x07\x85\ufeffX  \n\n  "
+
+# RE2 twin of the Java class inside normalize_text step 1
+_CTRL_RE2 = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    "\\x{0080}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]"
+)
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, spelling every
+    non-printable / non-ASCII character as chr(n) so the planted bytes
+    are identical in both engines."""
+    parts, lit = [], ""
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            lit += ch
+        else:
+            if lit:
+                parts.append(f"'{lit}'")
+                lit = ""
+            parts.append(f"chr({ord(ch)})")
+    if lit:
+        parts.append(f"'{lit}'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _norm_sql() -> str:
+    messy = f"{_sql_str(_NORM_PREFIX)} || text || {_sql_str(_NORM_SUFFIX)}"
+    x = f"regexp_replace({messy}, '{_CTRL_RE2}', '', 'g')"
+    x = f"regexp_replace({x}, '\\r\\n?', chr(10), 'g')"
+    x = f"regexp_replace({x}, '[ \\t]+', ' ', 'g')"
+    x = f"regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"
+    x = f"regexp_replace(trim({x}), '^\\n+|\\n+$', '', 'g')"
+    return f"""
+    SELECT doc_id, md5(lower({x})) AS norm_md5,
+           CAST(length(lower({x})) AS INTEGER) AS n_norm
+    FROM documents WHERE doc_id % {_NORM_MOD} = {_NORM_REM}
+"""
+
+
 def _lang_scored(spark, sf_dir):
     """(doc_id, lang, s_<lang>... , predicted, margin): the shared scoring
     projection — tokenize ONCE into a materialized array column (the
@@ -423,6 +478,11 @@ def _quality_lang_oracle() -> str:
            CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(top1 AS BIGINT), CAST(margin AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_LANG_ID_SQL}) WHERE doc_id % 7 = 5
+    UNION ALL
+    SELECT 'norm', doc_id, norm_md5, CAST(NULL AS VARCHAR),
+           n_norm, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), {pad_sig}, {pad_clf}
+    FROM ({_norm_sql()})
     ) ORDER BY op, COALESCE(doc_id, -1), COALESCE(bucket, -2),
                COALESCE(lang, ''), COALESCE(predicted, '')
     """
@@ -454,7 +514,10 @@ def text_quality_lang(spark, sf_dir):
     counts — under the round-11 widened {len(LANG_ORDER)}-profile set.
     op='abstain' pins ``lang_id_with_abstain`` for the doc_id % 7 == 5
     slice: the production 'und' routing under (min_margin=1, min_top1=2),
-    with the branch's ``n``/``sum_margin`` columns carrying top1/margin."""
+    with the branch's ``n``/``sum_margin`` columns carrying top1/margin.
+    op='norm' pins :func:`normalize_text` — the pre-hash canonicalizer —
+    over planted CRLF/tab/zero-width/control/case mess (see `_NORM_MOD`):
+    the normalized text's md5 rides ``lang`` and its length ``n_chars``."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
     from .curation import repetition_stats
@@ -552,6 +615,28 @@ def text_quality_lang(spark, sf_dir):
                 "op": F.lit("abstain"), "doc_id": "doc_id",
                 "lang": "lang", "predicted": "predicted",
                 "n": "top1", "sum_margin": "margin",
+            },
+        ),
+        (
+            normalize_text(
+                load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % _NORM_MOD == _NORM_REM)
+                .select(
+                    "doc_id",
+                    F.concat(
+                        F.lit(_NORM_PREFIX), F.col("text"),
+                        F.lit(_NORM_SUFFIX),
+                    ).alias("text"),
+                )
+            ).select(
+                "doc_id",
+                F.md5(F.col("text").cast("binary")).alias("norm_md5"),
+                F.length("text").cast("int").alias("n_norm"),
+            ),
+            # lang carries the normalized-text md5, n_chars its length
+            {
+                "op": F.lit("norm"), "doc_id": "doc_id",
+                "lang": "norm_md5", "n_chars": "n_norm",
             },
         ),
     ).orderBy(
