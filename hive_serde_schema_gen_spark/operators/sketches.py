@@ -21,8 +21,49 @@ aggregate to BUILD, metadata-sized frames ever after.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# SQL sketch functions this module calls, keyed by the Spark release that
+# introduced them (each verified against `DESCRIBE FUNCTION EXTENDED`'s
+# `Since:` line on Spark 4.1).  The PACKAGE floor stays pyspark>=3.4 (set
+# by the schema-inference core + streaming); this surface gates itself at
+# call time with the same fail-fast-naming-the-floor contract as
+# ``streaming/stateful.py:_require_state_api`` — never an unresolved-
+# function AnalysisException deep inside a plan.
+SKETCH_FN_FLOORS = {
+    "hll_sketch_agg": "3.5.0",
+    "hll_sketch_estimate": "3.5.0",
+    "hll_union_agg": "3.5.0",
+    "theta_sketch_agg": "4.1.0",
+    "theta_sketch_estimate": "4.1.0",
+    "theta_union": "4.1.0",
+    "theta_intersection": "4.1.0",
+    "kll_sketch_agg_double": "4.1.0",
+    "kll_merge_agg_double": "4.1.0",
+    "kll_sketch_get_quantile_double": "4.1.0",
+}
+
+
+def _require_sketch_functions(spark: SparkSession, names) -> None:
+    """Fail fast WITH the version contract: gate on actual function
+    availability (robust to backports), name the documented floor in the
+    error.  Cheap — ``functionExists`` is a registry lookup, no job."""
+    missing = [n for n in names if not spark.catalog.functionExists(n)]
+    if missing:  # pragma: no cover - exercised only on old PySpark
+        import pyspark
+
+        floors = ", ".join(
+            f"{n} (Spark >= {SKETCH_FN_FLOORS[n]})" for n in missing
+        )
+        raise NotImplementedError(
+            f"mergeable-sketch SQL functions unavailable on pyspark "
+            f"{pyspark.__version__}: {floors}.  The package floor is "
+            "pyspark>=3.4 (schema-inference core); the sketch surface "
+            "needs 3.5 for HLL and 4.1 for Theta/KLL — upgrade PySpark, "
+            "or use exact aggregates (countDistinct / approx stats) for "
+            "this workload"
+        )
 
 
 def group_sketches(
@@ -36,6 +77,10 @@ def group_sketches(
     overlap sketches (doc digest, URL, user id); ``value_col`` (numeric)
     feeds the KLL quantile sketch.  One aggregate pass; every sketch is
     map-side combined by Spark's partial aggregation."""
+    need = ["hll_sketch_agg", "theta_sketch_agg"]
+    if value_col is not None:
+        need.append("kll_sketch_agg_double")
+    _require_sketch_functions(d.sparkSession, need)
     aggs = [
         F.count(F.lit(1)).alias("rows"),
         F.expr(f"hll_sketch_agg({key_col})").alias("hll"),
@@ -53,6 +98,9 @@ def group_sketches(
 def union_distinct(sketches: DataFrame) -> int:
     """Distinct-key estimate over the UNION of all sketch rows — merge-only
     (no data rescan): e.g. 'unique documents across every epoch so far'."""
+    _require_sketch_functions(
+        sketches.sparkSession, ["hll_union_agg", "hll_sketch_estimate"]
+    )
     return int(
         sketches.agg(
             F.expr("hll_sketch_estimate(hll_union_agg(hll))")
@@ -68,6 +116,10 @@ def overlap_estimates(sketches: DataFrame) -> DataFrame:
     distributed join of every pair of sources.  ``contain_a_in_b`` =
     |A∩B| / |A| (containment is the dedup-planning number: 0.9 means
     ingesting B's overlap with A is 90% wasted work)."""
+    _require_sketch_functions(
+        sketches.sparkSession,
+        ["theta_sketch_estimate", "theta_intersection", "theta_union"],
+    )
     a, b = sketches.alias("a"), sketches.alias("b")
     inter = F.expr("theta_sketch_estimate(theta_intersection(a.theta, b.theta))")
     uni = F.expr("theta_sketch_estimate(theta_union(a.theta, b.theta))")
@@ -116,8 +168,6 @@ def sketch_evidence_rows(spark, sf_dir):
     Driver cost: two bounded scalars (union estimate, merged quantile) —
     both are merge-only sketch reads, the exact thing this module exists
     to make cheap."""
-    from pyspark.sql.window import Window as W
-
     from ..sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -177,16 +227,30 @@ def sketch_evidence_rows(spark, sf_dir):
     u_est = union_distinct(sk)
     exact_all = d.agg(F.countDistinct("k")).collect()[0][0]
     q50_est = merged_quantiles(sk, [0.5])[0]
-    med_rows = (
-        d.select(
-            "n_chars",
-            F.row_number().over(W.orderBy("n_chars")).alias("rn"),
-            F.count(F.lit(1)).over(W.partitionBy()).alias("cnt"),
-        )
-        .filter(F.expr("rn = (cnt + 1) div 2"))
-        .collect()
+    # Exact discrete median WITHOUT a global single-partition sort window
+    # (the one banned plan shape — see tests/test_plan_contracts.py): a
+    # map-side-combined value histogram is collected instead.  The driver
+    # row count is O(distinct n_chars) — bounded by the value DOMAIN (a
+    # document-length histogram), independent of corpus row count, the
+    # same bounded-collect class as column_profile.
+    hist = sorted(
+        (
+            (r["n_chars"], int(r["__c"]))
+            for r in d.groupBy("n_chars")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        ),
+        # NULLS FIRST, matching the replaced window's ascending order
+        key=lambda t: (t[0] is not None, t[0] if t[0] is not None else 0),
     )
-    exact_med = int(med_rows[0]["n_chars"])
+    total = sum(c for _, c in hist)
+    rank = (total + 1) // 2  # value at rank ⌈n/2⌉, as before
+    seen = 0
+    for v, c in hist:
+        seen += c
+        if seen >= rank:
+            exact_med = int(v)
+            break
     scalars = spark.createDataFrame(
         [
             (
@@ -217,6 +281,10 @@ def merged_quantiles(sketches: DataFrame, probs) -> list:
     document length over every epoch, from artifacts only.  The merge runs
     ONCE (one ``kll_merge_agg_double``), then each probability is a scalar
     query against the merged sketch."""
+    _require_sketch_functions(
+        sketches.sparkSession,
+        ["kll_merge_agg_double", "kll_sketch_get_quantile_double"],
+    )
     merged = sketches.agg(F.expr("kll_merge_agg_double(kll)").alias("m"))
     row = merged.select(
         *[
