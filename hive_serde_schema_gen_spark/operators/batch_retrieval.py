@@ -260,7 +260,13 @@ def bm25_topk_indexed_batch(
     switches to a BROADCAST LEFT-SEMI join against the distinct-terms
     frame — same pruning semantics, plan size O(1) in the vocabulary.
     The driver still collects the term list only in the IN-list regime;
-    the semi-join regime never materializes the vocabulary driver-side."""
+    the semi-join regime never materializes the vocabulary driver-side.
+
+    ``qid`` uniqueness is ENFORCED here (not just documented): duplicate
+    qids would silently conflate two queries' candidate pools in every
+    per-qid window downstream.  The check rides the regime-probe action
+    (a one-row aggregate unioned onto the bounded term collect), so the
+    hot path pays no extra Spark job for it."""
     from .text_index import _check_meta
 
     _check_meta(spark, path)
@@ -272,13 +278,37 @@ def bm25_topk_indexed_batch(
             )
         ).alias("term"),
     ).filter(F.col("term") != "")
-    distinct_terms = qterms.select("term").distinct()
-    # bounded probe: collect at most threshold+1 terms to size the regime
-    head = distinct_terms.limit(semi_join_threshold + 1).collect()
+    # Materialize the batch vocabulary ONCE: the probe below and (in the
+    # semi-join regime) both prune() applications read this frame, and
+    # without a checkpoint each read re-runs the explode+distinct over the
+    # whole query batch (three tokenization passes at 10⁶-query scale).
+    distinct_terms = qterms.select("term").distinct().localCheckpoint()
+    # bounded probe: collect at most threshold+1 terms to size the regime,
+    # with the qid-uniqueness contract row unioned into the same action
+    term_probe = distinct_terms.limit(semi_join_threshold + 1).select(
+        F.lit("term").alias("kind"), F.col("term").alias("v")
+    )
+    qid_probe = queries.agg(
+        F.count(F.lit(1)).alias("__n"), F.countDistinct("qid").alias("__d")
+    ).select(
+        F.lit("qid").alias("kind"),
+        F.concat_ws("|", F.col("__n"), F.col("__d")).alias("v"),
+    )
+    probe = term_probe.unionAll(qid_probe).collect()
+    head = [r for r in probe if r["kind"] == "term"]
+    n_q, n_qid = (int(x) for x in next(
+        r["v"] for r in probe if r["kind"] == "qid"
+    ).split("|"))
+    if n_q != n_qid:
+        raise ValueError(
+            f"duplicate or NULL qid in query batch: {n_q} rows but "
+            f"{n_qid} distinct non-null qids — per-qid candidate pools "
+            "would silently conflate; deduplicate the batch first"
+        )
     if not head:
         raise ValueError("no query terms in batch")
     if len(head) <= semi_join_threshold:
-        terms = sorted(r["term"] for r in head)
+        terms = sorted(r["v"] for r in head)
         prune = lambda df: df.filter(F.col("term").isin(terms))  # noqa: E731
     else:
         prune = lambda df: df.join(  # noqa: E731
@@ -378,10 +408,12 @@ def hybrid_topk_text_batch(
 
     ``dim``: the corpus embedding dimensionality; pass it to skip the
     eager one-row probe of ``e`` (serving tiers calling in a loop know
-    it).  Caller contract: ``qid`` values must be unique — duplicate
-    qids would silently conflate two queries' candidate pools in every
-    per-qid window (not validated here; a distinct-count check is an
-    extra Spark job the hot path shouldn't pay).
+    it).  ``qid`` uniqueness is validated by the lexical retriever's
+    regime probe (one unioned aggregate row, no extra job) — a duplicate
+    or NULL qid raises before any candidate pool is built, including in
+    the all-term-free batch (the uniqueness check precedes the term-free
+    check, so the semantic-only fallback only ever serves validated
+    batches).
 
     A batch whose queries are ALL term-free (whitespace/empty strings)
     degrades to semantic-only fusion instead of failing the plan: the

@@ -310,3 +310,34 @@ def test_mine_hard_negatives_precomputed_hits(spark, corpus):
         spark, path, qdf, pos, e, n_negatives=3, lsh_index=lsh, pq=pq
     ).collect()
     assert sorted(map(tuple, via_hits)) == sorted(map(tuple, recomputed))
+
+
+def test_duplicate_qid_raises(spark, corpus):
+    """qid uniqueness is a validated contract, not a docstring: duplicate
+    qids would conflate candidate pools in every per-qid window."""
+    _, path, e, lsh, pq = corpus
+    qdf = spark.createDataFrame(
+        [(1, "disk kernel"), (1, "transaction commit")],
+        "qid long, query string",
+    )
+    with pytest.raises(ValueError, match="duplicate or NULL qid"):
+        bm25_topk_indexed_batch(spark, path, qdf, k=5)
+    with pytest.raises(ValueError, match="duplicate or NULL qid"):
+        hybrid_topk_text_batch(spark, path, qdf, e, k=3, lsh_index=lsh, pq=pq)
+    # the all-term-free fallback must ALSO enforce the contract: the
+    # uniqueness row rides the probe, which runs before the term-free check
+    blank = spark.createDataFrame(
+        [(2, "   "), (2, "")], "qid long, query string"
+    )
+    with pytest.raises(ValueError, match="duplicate or NULL qid"):
+        hybrid_topk_text_batch(spark, path, blank, e, k=3, lsh_index=lsh, pq=pq)
+
+
+def test_null_qid_raises(spark, corpus):
+    _, path, _, _, _ = corpus
+    qdf = spark.createDataFrame(
+        [(None, "disk kernel"), (7, "transaction commit")],
+        "qid long, query string",
+    )
+    with pytest.raises(ValueError, match="duplicate or NULL qid"):
+        bm25_topk_indexed_batch(spark, path, qdf, k=5)
