@@ -37,6 +37,60 @@ _NESTED_LOOP_OK = {
 }
 
 
+# Sanctioned GLOBAL (unpartitioned) window nodes: each runs over a frame
+# whose row count is bounded by something other than the data size — a
+# LIMIT k, a per-shard aggregate, a GROUP BY over a tiny domain — with the
+# bound stated in an in-code comment at the window site.  A global window
+# over a row-count-scaled frame is the one banned shape (it serializes the
+# whole input through a single partition at 100 TB); round 11's
+# sketch-median was exactly that and is gone (sketches.py now derives the
+# exact median from a value-domain histogram).
+_GLOBAL_WINDOW_OK = {
+    # DSIR Gumbel top-k: sel_rank window runs over exactly k rows, AFTER
+    # TakeOrderedAndProject .limit(k) (dsir.py:286)
+    "curation_ops",
+    # prefix-sum chunking: running sum over per-SHARD totals — O(#shards)
+    # rows, not O(docs) (packing.py:115)
+    "packing_ops",
+    "corpus_pipeline",
+    "web_corpus_from_crawl",
+    # share-of-total OVER () on a pre-aggregated o_orderstatus frame
+    # (3 rows; relational.py window_share_of_total)
+    "window_analytics",
+    # frequent_items rank over Misra-Gries candidates, post-limit(k)
+    # (diagnostics.py:66)
+    "stats_summary",
+    # RRF fusion attaches ranks to each top-k candidate list via one
+    # window per list — bounded by that k, documented at text.py rrf_fuse
+    "hybrid_topk",
+}
+
+
+def _global_windows(plan: str):
+    """Window nodes with no partition spec, from the formatted plan.
+
+    A Window node's `Arguments:` line carries bracket groups
+    `[exprs], [partitionSpec], [orderSpec]`; the partition group is
+    omitted when empty, so 3 groups = partitioned (fine), 2 groups whose
+    second is an ORDER spec (` ASC`/` DESC`) = global ordered window,
+    1 group = global empty-frame window."""
+    hits = []
+    for line in plan.splitlines():
+        s = line.strip()
+        if not s.startswith("Arguments:") or "windowspecdefinition" not in s:
+            continue
+        groups = s.count("], [") + 1
+        if groups >= 3:
+            continue
+        if groups == 1:
+            hits.append(s[:160])
+            continue
+        second = s.rsplit("], [", 1)[-1]
+        if " ASC" in second or " DESC" in second:
+            hits.append(s[:160])
+    return hits
+
+
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
     out = {}
@@ -67,6 +121,30 @@ def test_nested_loop_joins_only_where_sanctioned(plans):
         if "BroadcastNestedLoopJoin" in p and n not in _NESTED_LOOP_OK
     ]
     assert not bad, f"unsanctioned nested-loop join in: {bad}"
+
+
+def test_no_global_windows_outside_sanctioned(plans):
+    """No registered plan may sort its whole input through one partition
+    via an unpartitioned window, except the documented bounded-frame
+    cases in _GLOBAL_WINDOW_OK (each bounded by a LIMIT or a tiny-domain
+    aggregate, never by row count)."""
+    bad = {
+        n: gw
+        for n, p in plans.items()
+        if (gw := _global_windows(p)) and n not in _GLOBAL_WINDOW_OK
+    }
+    assert not bad, f"global unpartitioned window in: {bad}"
+
+
+def test_global_window_sanctions_not_stale(plans):
+    """Every sanctioned name still HAS a global window — a stale sanction
+    is an invitation to silently reintroduce one elsewhere."""
+    stale = [
+        n
+        for n in sorted(_GLOBAL_WINDOW_OK)
+        if n in plans and not _global_windows(plans[n])
+    ]
+    assert not stale, f"sanctioned but window-free (remove from set): {stale}"
 
 
 def test_parquet_scans_prune_columns(plans):
