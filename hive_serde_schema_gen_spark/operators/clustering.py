@@ -398,7 +398,8 @@ def kmeans_curation_frames(spark, sf_dir):
         salt=KM_SALT,
         hash_fn="md5",
     ).select("vec_id", "cluster")
-    return cent_rows, assigned, rate_rows, sampled
+    sd = semdedup_evidence_frame(spark, sf_dir, cents, assigned)
+    return cent_rows, assigned, rate_rows, sampled, sd
 
 
 def sql_kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
@@ -478,3 +479,255 @@ def sql_kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
       WHERE {h} < r.rate * 1000000)"""
     )
     return ",\n    ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style embedding-cluster dedup (round 12)
+# ---------------------------------------------------------------------------
+#
+# The public SemDeDup recipe (Abbas et al. 2023): cluster the corpus in
+# embedding space, then prune near-duplicate pairs WITHIN each cluster —
+# the clustering bounds the candidate-pair count to Σ|cell|² instead of
+# n², exactly the role LSH bands play for MinHash.  Deterministic variant
+# here: a vector is dropped when ANY same-cell vector with a SMALLER id
+# has cosine >= threshold (the keep-first rule of dedup_exact /
+# minhash_lsh_pairs, applied pairwise — the paper's greedy per-group
+# representative choice is sequential and therefore not reproducible
+# under partitioning; the pair rule over-prunes only chains a<b<c where
+# cos(a,b),cos(b,c) >= t but cos(a,c) < t, and is identical on the
+# planted-evidence families).
+
+#: semdedup oracle configuration: prune threshold + the planted batch
+#: (exact copy / first-coordinate perturbation / reversed vector), all
+#: three constructions re-derivable byte-for-byte in SQL.
+SD_THRESHOLD = 0.9
+SD_EXACT_MOD, SD_EXACT_REM, SD_EXACT_OFF = 11, 3, 1_000_000
+SD_PERT_MOD, SD_PERT_REM, SD_PERT_OFF = 13, 4, 2_000_000
+SD_PERT_DELTA = 0.25
+SD_NOVEL_MOD, SD_NOVEL_REM, SD_NOVEL_OFF = 17, 5, 3_000_000
+
+
+def assign_to_centroids(
+    e: DataFrame,
+    cents: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster): nearest-centroid assignment of NEW vectors against
+    FROZEN centroids (the ``cents`` dict :func:`kmeans_topics` returns) —
+    the incremental half of the clustering lifecycle: a recrawl batch is
+    assigned against the corpus centroids without re-running Lloyd, so
+    cluster ids stay stable across snapshots.  Broadcast-join metric,
+    identical tie-break to the training assignment."""
+    from .similarity import _cell_assignments, quantized
+
+    eq = e.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(quantized(vec_col)).alias("pos", "v"),
+    )
+    return _cell_assignments(eq, cents).select(
+        F.col("vec_id").alias(id_col), F.col("cell").alias("cluster")
+    )
+
+
+def semdedup_prune(
+    e: DataFrame,
+    assignments: DataFrame,
+    threshold: float = SD_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup prune over pre-clustered embeddings: one row per vector —
+    ``(id, cluster, dup_of, dup_cos)`` where ``dup_of`` is the SMALLEST
+    same-cluster id with cosine >= ``threshold`` (NULL = kept) and
+    ``dup_cos`` that pair's cosine.  ``kept == dup_of IS NULL``; callers
+    anti-join the dropped ids exactly like :func:`dedup_index.novel_docs`.
+
+    Scale shape: the self-join shuffles both sides ON THE CLUSTER KEY
+    once; candidate pairs are Σ|cell|²/2, bounded by the clustering
+    granularity — at 100 TB pick k so cells hold 10³–10⁴ vectors (the
+    SemDeDup paper uses ~10⁵ clusters for LAION-scale), and a skewed
+    giant cell is the signal to re-cluster, not to pair-join it.  All
+    arithmetic is the quantized-integer cosine of the IVF/k-means
+    family: exact LONG dot and norms, one sqrt+divide in double —
+    bit-identical in DuckDB, so the driver hash covers the cosines
+    themselves."""
+    from .similarity import qdot, quantized
+
+    n2 = F.aggregate(
+        quantized(vec_col), F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    m = (
+        e.select(
+            F.col(id_col).alias("vec_id"),
+            quantized(vec_col).alias("__q"),
+            n2.alias("__n2"),
+        )
+        .join(
+            assignments.select(
+                F.col(id_col).alias("vec_id"), "cluster"
+            ),
+            "vec_id",
+        )
+        .localCheckpoint()  # both sides of the self-join read it
+    )
+    a, b = m.alias("a"), m.alias("b")
+    dot = qdot(F.col("a.__q"), F.col("b.__q"))
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("a.__n2").cast("double"))
+        * F.sqrt(F.col("b.__n2").cast("double"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        # zero vectors (empty-text embeds) can never be near-dups: their
+        # cosine is 0/0 — excluded here, mirrored by n2 > 0 in the oracle
+        .filter((F.col("a.__n2") > 0) & (F.col("b.__n2") > 0))
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("__aid"),
+            cos.alias("__cos"),
+        )
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+    )
+    # min over (aid, cos) structs = the smallest duplicate id AND its
+    # cosine (aid is unique per group, so the struct min is well-defined)
+    dup = pairs.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                F.col("__aid").alias("dup_of"), F.col("__cos").alias("dup_cos")
+            )
+        ).alias("__d")
+    )
+    return (
+        m.select("vec_id", "cluster")
+        .join(dup, "vec_id", "left")
+        .select(
+            F.col("vec_id").alias(id_col),
+            "cluster",
+            F.col("__d.dup_of").alias("dup_of"),
+            F.col("__d.dup_cos").alias("dup_cos"),
+        )
+    )
+
+
+def semdedup_novel(e: DataFrame, pruned: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """The vectors SemDeDup keeps — anti-join of the dropped ids, the
+    composed step a curation pipeline chains after :func:`semdedup_prune`."""
+    dropped = pruned.filter(F.col("dup_of").isNotNull()).select(id_col)
+    return e.join(dropped, id_col, "left_anti")
+
+
+def semdedup_evidence_frame(spark, sf_dir, cents, assigned):
+    """Driver-oracle evidence for the incremental SemDeDup workflow: the
+    corpus clustering is FROZEN (``cents``/``assigned`` from the slot's
+    kmeans evidence), a planted recrawl batch — exact copies (the
+    id % 11 == 3 slice shifted by +1e6), first-coordinate +0.25
+    perturbations (% 13 == 4, +2e6), reversed vectors as genuinely-new
+    content (% 17 == 5, +3e6) — is assigned against the frozen
+    centroids, and
+    :func:`semdedup_prune` runs over corpus ∪ batch.  Expected shape
+    (asserted by the driver hash, re-derived from the construction in
+    SQL): every exact copy drops with ``dup_of`` = its source, most
+    perturbed copies drop (the ones whose cosine stays >= threshold —
+    the threshold genuinely bites), reversed vectors and the whole base
+    corpus stay kept."""
+    from ..sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vid = F.col("vec_id")
+    exact = e.filter(vid % SD_EXACT_MOD == SD_EXACT_REM).select(
+        (vid + SD_EXACT_OFF).alias("vec_id"), dbl.alias("embedding")
+    )
+    pert = e.filter(vid % SD_PERT_MOD == SD_PERT_REM).select(
+        (vid + SD_PERT_OFF).alias("vec_id"),
+        F.concat(
+            F.array(
+                F.element_at("embedding", 1).cast("double")
+                + F.lit(SD_PERT_DELTA)
+            ),
+            F.expr(
+                "transform(slice(embedding, 2, size(embedding) - 1),"
+                " x -> cast(x as double))"
+            ),
+        ).alias("embedding"),
+    )
+    novel = e.filter(vid % SD_NOVEL_MOD == SD_NOVEL_REM).select(
+        (vid + SD_NOVEL_OFF).alias("vec_id"), F.reverse(dbl).alias("embedding")
+    )
+    batch = exact.unionByName(pert).unionByName(novel)
+    batch_assigned = assign_to_centroids(batch, cents)
+    base = e.select("vec_id", dbl.alias("embedding"))
+    return semdedup_prune(
+        base.unionByName(batch),
+        assigned.unionByName(batch_assigned),
+        threshold=SD_THRESHOLD,
+    )
+
+
+def sql_semdedup_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """DuckDB CTE chain re-deriving :func:`semdedup_evidence_frame` —
+    ASSUMES the ``kme``/``kmc{iters}``/``kma{iters}`` CTEs from
+    :func:`sql_kmeans_ctes` precede it: the planted batch construction,
+    frozen-centroid assignment (same metric/tie-break as ``kma``),
+    per-vector integer norms, within-cell pairs, exact integer dots,
+    the IEEE cosine, and the min-id duplicate attribution.  Final CTE:
+    ``sdout`` (vec_id, cell, dup_of, dup_cos)."""
+    K = iters
+    quant = (
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)"
+    )
+    return f"""sdraw AS (
+      SELECT vec_id + {SD_EXACT_OFF} AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS embedding
+      FROM embeddings WHERE vec_id % {SD_EXACT_MOD} = {SD_EXACT_REM}
+      UNION ALL
+      SELECT vec_id + {SD_PERT_OFF},
+             list_prepend(CAST(embedding[1] AS DOUBLE) + {SD_PERT_DELTA},
+                          CAST(embedding[2:] AS DOUBLE[]))
+      FROM embeddings WHERE vec_id % {SD_PERT_MOD} = {SD_PERT_REM}
+      UNION ALL
+      SELECT vec_id + {SD_NOVEL_OFF}, CAST(list_reverse(embedding) AS DOUBLE[])
+      FROM embeddings WHERE vec_id % {SD_NOVEL_MOD} = {SD_NOVEL_REM}),
+    sdbe AS (
+      SELECT vec_id, {quant} AS v, generate_subscripts(embedding, 1) AS i
+      FROM sdraw),
+    sdbn AS (SELECT cell, CAST(SUM(c*c) AS DOUBLE) AS n2
+             FROM kmc{K} GROUP BY cell),
+    sdbd AS (SELECT e.vec_id, c.cell, CAST(SUM(e.v * c.c) AS DOUBLE) AS dot
+             FROM sdbe e JOIN kmc{K} c USING (i) GROUP BY e.vec_id, c.cell),
+    sdba AS (SELECT vec_id, cell FROM (
+               SELECT d.vec_id, d.cell, ROW_NUMBER() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY d.dot / sqrt(n.n2) DESC, d.cell) AS rn
+               FROM sdbd d JOIN sdbn n USING (cell) WHERE n.n2 > 0) t
+             WHERE rn = 1),
+    sdve AS (SELECT * FROM kme UNION ALL SELECT * FROM sdbe),
+    sdmem AS (SELECT vec_id, cell FROM kma{K}
+              UNION ALL SELECT vec_id, cell FROM sdba),
+    sdnorm AS (SELECT vec_id, SUM(v*v) AS n2 FROM sdve GROUP BY vec_id),
+    sdm AS (SELECT m.vec_id, m.cell, n.n2
+            FROM sdmem m JOIN sdnorm n USING (vec_id)),
+    sdpair AS (SELECT a.vec_id AS av, a.n2 AS an2, b.vec_id AS bv, b.n2 AS bn2
+               FROM sdm a JOIN sdm b
+                 ON a.cell = b.cell AND a.vec_id < b.vec_id
+               WHERE a.n2 > 0 AND b.n2 > 0),
+    sddot AS (SELECT p.av, p.bv, SUM(ea.v * eb.v) AS dot,
+                     MIN(p.an2) AS an2, MIN(p.bn2) AS bn2
+              FROM sdpair p JOIN sdve ea ON ea.vec_id = p.av
+                            JOIN sdve eb ON eb.vec_id = p.bv AND eb.i = ea.i
+              GROUP BY p.av, p.bv),
+    sdcos AS (SELECT av, bv,
+                     CAST(dot AS DOUBLE) /
+                     (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))
+                       AS cos
+              FROM sddot),
+    sddup AS (SELECT bv AS vec_id, MIN(av) AS dup_of
+              FROM sdcos WHERE cos >= {SD_THRESHOLD} GROUP BY bv),
+    sdout AS (SELECT m.vec_id, m.cell, d.dup_of, c.cos AS dup_cos
+              FROM sdm m LEFT JOIN sddup d USING (vec_id)
+              LEFT JOIN sdcos c ON c.bv = m.vec_id AND c.av = d.dup_of)"""

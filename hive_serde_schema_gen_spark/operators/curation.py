@@ -943,7 +943,7 @@ _VOCAB_SQL = f"""
 
 
 def _curation_ops_oracle() -> str:
-    from .clustering import KM_ITERS, sql_kmeans_ctes
+    from .clustering import KM_ITERS, sql_kmeans_ctes, sql_semdedup_ctes
     from .dsir import sql_dsir_ctes
 
     pad_dsir = (
@@ -958,7 +958,8 @@ def _curation_ops_oracle() -> str:
     K = KM_ITERS
     return f"""
     WITH {sql_dsir_ctes()},
-    {sql_kmeans_ctes()}
+    {sql_kmeans_ctes()},
+    {sql_semdedup_ctes()}
     SELECT * FROM (
     SELECT 'mix' AS op, lang, n_docs, rate,
            CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS max_bench_sim,
@@ -993,6 +994,10 @@ def _curation_ops_oracle() -> str:
     SELECT 'kmsel', NULL, NULL, NULL, vec_id, NULL, NULL, {pad_dsir},
            cell, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
     FROM kmsel
+    UNION ALL
+    SELECT 'semdedup', NULL, NULL, NULL, vec_id, dup_cos, dup_of,
+           {pad_dsir}, cell, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+    FROM sdout
     UNION ALL
     SELECT 'ngc', NULL, bench_grams, NULL, bench_id, NULL, NULL,
            doc_id, n_shared, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
@@ -1059,6 +1064,16 @@ def curation_ops(spark, sf_dir):
     and benchmark-gram counts ride the vec_id/n_grams/n_docs carrier
     columns — the planted duplicate docs surface as non-self pairs.
 
+    Round-12 continuation: op='semdedup' pins the full SemDeDup prune
+    (:func:`clustering.semdedup_prune`) in its incremental configuration —
+    the slot's frozen k-means centroids cluster a planted recrawl batch
+    (exact copies / first-coordinate perturbations / reversed vectors;
+    :func:`clustering.semdedup_evidence_frame`), and every vector's
+    (cluster, dup_of, dup_cos) row rides the hash: the within-cell
+    integer-cosine pairs, the >= 0.9 threshold cut, and the min-id
+    duplicate attribution are all re-derived in SQL
+    (``sql_semdedup_ctes``).
+
     op='pii' pins :func:`redact_pii`: PII planted on top of the real
     text by a byte-identical construction in both engines, per-category
     match counts AND the redacted text's md5 under the hash (the
@@ -1110,7 +1125,11 @@ def curation_ops(spark, sf_dir):
             "doc_id",
             F.when(
                 F.col("doc_id") % _DIFF_MODIFY == 1,
-                F.concat(F.col("text"), F.lit(" [v2]")),
+                # concat_ws, not concat: concat(NULL, ' [v2]') is NULL, so a
+                # NULL-text doc in the modified slice would digest to the
+                # same NULL sentinel on both sides (reported unchanged)
+                # while the oracle labels it modified from the construction
+                F.concat_ws("", F.col("text"), F.lit(" [v2]")),
             )
             .otherwise(F.col("text"))
             .alias("text"),
@@ -1143,8 +1162,8 @@ def curation_ops(spark, sf_dir):
         .limit(_VOCAB_K)
     )
     cov = vocab_coverage(docs, [r["w"] for r in top.collect()])
-    km_cent, km_assigned, km_rates, km_sampled = kmeans_curation_frames(
-        spark, sf_dir
+    km_cent, km_assigned, km_rates, km_sampled, km_semdedup = (
+        kmeans_curation_frames(spark, sf_dir)
     )
     schema = [
         ("op", "string"), ("lang", "string"), ("n_docs", "bigint"),
@@ -1207,6 +1226,16 @@ def curation_ops(spark, sf_dir):
         (
             km_sampled,
             {"op": F.lit("kmsel"), "vec_id": "vec_id", "cluster": "cluster"},
+        ),
+        (
+            km_semdedup,
+            # carriers: nearest_bench_id = dup_of (the attributed smaller
+            # near-dup id), max_bench_sim = that pair's cosine
+            {
+                "op": F.lit("semdedup"), "vec_id": "vec_id",
+                "cluster": "cluster", "nearest_bench_id": "dup_of",
+                "max_bench_sim": "dup_cos",
+            },
         ),
         (
             ngc,
