@@ -37,13 +37,30 @@ yardstick can never silently change shape.  The JSON line reports
 per-component `calibration` times (min-of-N, same estimator as the
 queries), per-component drift factors, a combined `host_factor`
 (Σ measured / Σ reference — the component mix approximates the headline
-mix), and `queries_norm` = raw / host_factor.  The reference constants
-below were recorded in round 10 in a full bench run on this host
-(BASELINE.md §measurement-protocol); a future round that sees raw
+mix), and `queries_norm` = normalized query times.  The reference
+constants below were recorded in round 10 in a full bench run on this
+host (BASELINE.md §measurement-protocol); a future round that sees raw
 numbers drift while `queries_norm` holds steady has *proven* the drift
 is the host, not the code — and the per-component factors say WHICH
 regime (e.g. r10 measured Python-worker drift at 2.7× while JVM CPU sat
 at 1.08×, invisible to any single-factor design).
+
+Normalization is PER SWEEP (round 12 — the r11 lesson): each sweep's
+calibration pass yields that sweep's own `host_factor_i`, that sweep's
+query readings are divided by it, and `queries_norm` is the min over
+*normalized* values.  The previous design took min-over-sweeps of
+calibration and min-over-sweeps of queries INDEPENDENTLY and divided
+once at the end — so when the host moved *between* sweeps (round 11:
+the driver session, which runs a 50-query correctness sweep around the
+bench, read value_norm 17.83 while three builder sessions on identical
+code read 14.28-14.74), the calibration min could come from a fast
+window while a query's min sat in a slow one, decoupling numerator and
+denominator by the full between-sweep swing.  Pairing each query
+reading with the calibration reading taken seconds before it inside the
+same sweep bounds the residual error to *within-sweep* drift.  Raw mins
+are still reported alongside (`value`/`queries`), and the legacy
+single-division total is kept as `value_norm_pooled` so the r10/r11
+series stays interpretable.
 """
 
 from __future__ import annotations
@@ -248,16 +265,23 @@ def main() -> None:
             queries[name](spark, sf_dir).collect()
             spark.catalog.clearCache()
     timings = {}
+    norm_timings = {}
     cal_timings = {}
     cal_results = {}
+    host_factors = []
     for _ in range(reps):
         # Calibration first in each sweep: if a slow host window spans the
         # sweep, it inflates the calibration reading by the same factor as
-        # the query readings taken seconds later.
+        # the query readings taken seconds later.  The sweep's OWN factor
+        # then normalizes the sweep's OWN query readings (see module
+        # docstring: between-sweep host movement must never decouple the
+        # numerator from the denominator).
+        sweep_cal = {}
         for cal_name, job in cal_jobs.items():
             # Two back-to-back runs per sweep: the calibration jobs are
-            # cheap relative to the queries, and the min-of-6 (vs min-of-3)
-            # materially tightens the noisier components (shuffle/arrow).
+            # cheap relative to the queries, and the min-of-2 within the
+            # sweep tightens the noisier components (shuffle/arrow)
+            # without reaching outside the sweep's host window.
             for _inner in range(2):
                 t0 = time.perf_counter()
                 result = job()
@@ -269,8 +293,18 @@ def main() -> None:
                     f"calibration workload '{cal_name}' changed: {result}"
                 )
                 cal_results[cal_name] = result
-                prev = cal_timings.get(cal_name)
-                cal_timings[cal_name] = dt if prev is None else min(prev, dt)
+                prev = sweep_cal.get(cal_name)
+                sweep_cal[cal_name] = dt if prev is None else min(prev, dt)
+        for cal_name, dt in sweep_cal.items():
+            prev = cal_timings.get(cal_name)
+            cal_timings[cal_name] = dt if prev is None else min(prev, dt)
+        # This sweep's host factor: total measured calibration cost over
+        # total reference cost — the four-regime mix approximates the
+        # headline mix, and every regime enters so e.g. a Python-worker-
+        # only slowdown (distinct failure signature from JVM CPU
+        # contention) still moves the factor.
+        sweep_factor = sum(sweep_cal.values()) / sum(CAL_REF.values())
+        host_factors.append(round(sweep_factor, 3))
         for name in HEADLINE:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
@@ -278,13 +312,14 @@ def main() -> None:
             spark.catalog.clearCache()  # queries cache() internally
             prev = timings.get(name)
             timings[name] = dt if prev is None else min(prev, dt)
+            nd = dt / sweep_factor
+            prevn = norm_timings.get(name)
+            norm_timings[name] = nd if prevn is None else min(prevn, nd)
     timings = {name: round(dt, 3) for name, dt in timings.items()}
     cal_timings = {name: round(dt, 3) for name, dt in cal_timings.items()}
-    # Combined factor: total measured calibration cost over total
-    # reference cost — the four-regime mix approximates the headline mix,
-    # and every regime enters so e.g. a Python-worker-only slowdown
-    # (distinct failure signature from JVM CPU contention) still moves the
-    # factor.  The per-component factors stay in the JSON for attribution.
+    # Pooled factor (legacy, rounds <= 11): min-of-all-sweeps calibration
+    # over the reference — kept so the r10/r11 value_norm series stays
+    # interpretable, but `value_norm` itself is per-sweep from round 12.
     host_factor = round(
         sum(cal_timings.values()) / sum(CAL_REF.values()), 3
     )
@@ -292,7 +327,7 @@ def main() -> None:
         name: round(cal_timings[name] / CAL_REF[name], 3) for name in CAL_REF
     }
     queries_norm = {
-        name: round(dt / host_factor, 3) for name, dt in timings.items()
+        name: round(dt, 3) for name, dt in norm_timings.items()
     }
 
     print(
@@ -308,8 +343,12 @@ def main() -> None:
                 "calibration_ref": CAL_REF,
                 "calibration_factors": cal_factors,
                 "host_factor": host_factor,
+                "host_factors_per_sweep": host_factors,
                 "value_norm": round(sum(queries_norm.values()), 3),
                 "queries_norm": queries_norm,
+                "value_norm_pooled": round(
+                    sum(timings.values()) / host_factor, 3
+                ),
             }
         )
     )
