@@ -174,6 +174,7 @@ def metric_anomalies(
     k: float = 3.0,
     min_history: int = 5,
     window: int = 100,
+    exact_int: bool = False,
 ) -> DataFrame:
     """Anomalous epochs in a quality-gate report table (the
     ``streaming/quality_gate`` output): for each check, flag epochs whose
@@ -187,7 +188,18 @@ def metric_anomalies(
     check (never the current row — a spike must not mask itself), with at
     least ``min_history`` observations before anything is flagged.  One
     window shuffle partitioned by check — the report table is O(epochs ×
-    checks), metadata-sized at any corpus scale."""
+    checks), metadata-sized at any corpus scale.
+
+    ``exact_int=True`` (round 12): for INTEGER metric columns (epoch row
+    counts, distinct counts), the trailing moments derive from windowed
+    integer SUM / SUM-of-squares instead of float avg/stddev — the sums
+    are exact under any evaluation order (DuckDB's segment-tree moving
+    aggregates reassociate float additions, which kept the float path
+    out of the oracle gate), and mean/std/z follow as one fixed double
+    expression, so flagged rows are bit-identical cross-engine.
+    Positivity of the variance is pre-tested as the exact integer
+    ``n·Σx² − (Σx)² > 0`` so no division or sqrt ever sees a degenerate
+    window (ANSI-safe)."""
     from pyspark.sql.window import Window as W
 
     w = (
@@ -195,6 +207,37 @@ def metric_anomalies(
         .orderBy("epoch")
         .rowsBetween(-window, -1)
     )
+    if exact_int:
+        s1 = F.sum("metric").over(w)
+        s2 = F.sum(F.col("metric") * F.col("metric")).over(w)
+        nn = F.count("metric").over(w)
+        base = reports.select(
+            "check", "epoch", "metric",
+            s1.alias("__s1"), s2.alias("__s2"), nn.alias("__n"),
+        ).filter(
+            (F.col("__n") >= F.lit(int(max(min_history, 2))))
+            # exact integer variance-positivity: n·Σx² − (Σx)² > 0
+            & (
+                F.col("__n") * F.col("__s2")
+                - F.col("__s1") * F.col("__s1")
+                > 0
+            )
+        )
+        s1d = F.col("__s1").cast("double")
+        mean = s1d / F.col("__n")
+        std = F.sqrt(
+            (F.col("__s2").cast("double") - s1d * s1d / F.col("__n"))
+            / (F.col("__n") - 1)
+        )
+        zx = (F.col("metric") - mean) / std
+        return (
+            base.select(
+                "check", "epoch", "metric",
+                mean.alias("trail_mean"), std.alias("trail_std"),
+                zx.alias("z"),
+            )
+            .filter(F.abs(F.col("z")) > k)
+        )
     scored = reports.select(
         "check",
         "epoch",
@@ -235,32 +278,127 @@ def _driver_checks():
     ]
 
 
+# op='anomaly' configuration (round 12 — the metric_anomalies exact-int
+# mode joins the oracle gate): per-event-type epoch row counts with a
+# planted spike every 37th epoch, z-scored against a trailing window.
+ANOM_EPOCH_DIV = 100
+ANOM_SPIKE_MOD, ANOM_SPIKE_REM, ANOM_SPIKE = 37, 11, 40
+ANOM_K, ANOM_MIN_HIST, ANOM_WINDOW = 3.0, 5, 20
+
+
+def anomaly_evidence_frame(spark, sf_dir):
+    """Driver branch for :func:`metric_anomalies` (exact-int mode): the
+    report series is events-per-epoch per event_type (epoch = event_id
+    DIV {div}), an integer metric, with +{spike} planted on every epoch
+    ≡ {rem} (mod {mod}) — a regime spike the trailing z-score must flag.
+    The construction, the windowed integer moments, and the flagged rows
+    are all re-derived in SQL.""".format(
+        div=ANOM_EPOCH_DIV, spike=ANOM_SPIKE,
+        rem=ANOM_SPIKE_REM, mod=ANOM_SPIKE_MOD,
+    )
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rep = (
+        ev.groupBy(
+            F.col("event_type").alias("check"),
+            F.expr(f"event_id DIV {ANOM_EPOCH_DIV}").alias("epoch"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "check",
+            "epoch",
+            (
+                F.col("__c")
+                + F.when(
+                    F.col("epoch") % ANOM_SPIKE_MOD == ANOM_SPIKE_REM,
+                    F.lit(ANOM_SPIKE),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("metric"),
+        )
+    )
+    return metric_anomalies(
+        rep, k=ANOM_K, min_history=ANOM_MIN_HIST, window=ANOM_WINDOW,
+        exact_int=True,
+    )
+
+
+_ANOM_SQL = f"""
+    WITH arep AS (
+      SELECT event_type AS achk, event_id // {ANOM_EPOCH_DIV} AS epoch,
+             CAST(COUNT(*)
+                  + CASE WHEN (event_id // {ANOM_EPOCH_DIV})
+                              % {ANOM_SPIKE_MOD} = {ANOM_SPIKE_REM}
+                         THEN {ANOM_SPIKE} ELSE 0 END AS BIGINT) AS metric
+      FROM events GROUP BY event_type, event_id // {ANOM_EPOCH_DIV}),
+    awin AS (
+      SELECT achk, epoch, metric,
+             SUM(metric) OVER w AS s1,
+             SUM(metric * metric) OVER w AS s2,
+             COUNT(metric) OVER w AS n
+      FROM arep
+      WINDOW w AS (PARTITION BY achk ORDER BY epoch
+                   ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)),
+    abase AS (
+      SELECT achk, epoch, metric,
+             CAST(s1 AS DOUBLE) / n AS trail_mean,
+             sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1)) AS trail_std
+      FROM awin
+      WHERE n >= {ANOM_MIN_HIST} AND n * s2 - s1 * s1 > 0),
+    aflag AS (
+      SELECT achk, epoch, metric, trail_mean, trail_std,
+             (metric - trail_mean) / trail_std AS z
+      FROM abase)
+    SELECT achk, epoch, metric, trail_mean, trail_std, z
+    FROM aflag WHERE abs(z) > {ANOM_K}
+"""
+
+
 @query(
     "validation_checks",
-    oracle="""
+    oracle=f"""
+    SELECT * FROM (
     SELECT 'completeness(text)>=1.0' AS "check",
-           AVG(CAST(text IS NOT NULL AS DOUBLE)) AS metric FROM documents
+           AVG(CAST(text IS NOT NULL AS DOUBLE)) AS metric,
+           CAST(NULL AS BIGINT) AS epoch,
+           CAST(NULL AS DOUBLE) AS trail_mean,
+           CAST(NULL AS DOUBLE) AS trail_std,
+           CAST(NULL AS DOUBLE) AS z
+    FROM documents
     UNION ALL
     SELECT 'completeness(lang)>=1.0',
-           AVG(CAST(lang IS NOT NULL AS DOUBLE)) FROM documents
+           AVG(CAST(lang IS NOT NULL AS DOUBLE)), NULL, NULL, NULL, NULL
+    FROM documents
     UNION ALL
     SELECT 'uniqueness(doc_id)>=1.0',
-           CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / COUNT(*) FROM documents
+           CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / COUNT(*),
+           NULL, NULL, NULL, NULL
+    FROM documents
     UNION ALL
     SELECT 'in_range(n_chars,[1,100000])>=1.0',
-           COALESCE(AVG(CAST(n_chars BETWEEN 1 AND 100000 AS DOUBLE)), 1.0)
+           COALESCE(AVG(CAST(n_chars BETWEEN 1 AND 100000 AS DOUBLE)), 1.0),
+           NULL, NULL, NULL, NULL
     FROM documents
     UNION ALL
     SELECT 'satisfies(n_chars=length)',
-           AVG(COALESCE(CAST(n_chars = LENGTH(text) AS DOUBLE), 0.0))
+           AVG(COALESCE(CAST(n_chars = LENGTH(text) AS DOUBLE), 0.0)),
+           NULL, NULL, NULL, NULL
     FROM documents
     UNION ALL
     SELECT 'matches_regex(lang)>=1.0',
-           COALESCE(AVG(CAST(regexp_matches(lang, '^[a-z]{2}$') AS DOUBLE)), 1.0)
+           COALESCE(AVG(CAST(regexp_matches(lang, '^[a-z]{{2}}$') AS DOUBLE)), 1.0),
+           NULL, NULL, NULL, NULL
     FROM documents
     UNION ALL
-    SELECT 'row_count>=1', CAST(COUNT(*) AS DOUBLE) FROM documents
-    ORDER BY "check"
+    SELECT 'row_count>=1', CAST(COUNT(*) AS DOUBLE), NULL, NULL, NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'anomaly(' || achk || ')', CAST(metric AS DOUBLE),
+           epoch, trail_mean, trail_std, z
+    FROM ({_ANOM_SQL})
+    ) ORDER BY "check", COALESCE(epoch, -1)
     """,
 )
 def validation_checks(spark, sf_dir):
@@ -270,7 +408,14 @@ def validation_checks(spark, sf_dir):
     predicate, regex, row count — lowered into ONE HashAggregate pair),
     stacked to tidy ``(check, metric)`` rows.  Every metric is an exact
     ratio of integer counts (order-free), so the driver hash-compares
-    doubles bit-for-bit against the oracle's independent SQL aggregates."""
+    doubles bit-for-bit against the oracle's independent SQL aggregates.
+
+    Round-12 continuation: op rows 'anomaly(<event_type>)' pin
+    :func:`metric_anomalies` in its exact-int mode over the planted
+    epoch-count series (:func:`anomaly_evidence_frame`) — trailing
+    integer moments, the variance-positivity cut, and each flagged
+    epoch's (metric, trail_mean, trail_std, z) all ride the hash."""
+    from ..functions.union import pad_union
     from ..sources.tables import load_table
 
     checks = _flatten(_driver_checks())
@@ -279,6 +424,29 @@ def validation_checks(spark, sf_dir):
     pairs = []
     for i, c in enumerate(checks):
         pairs.extend([F.lit(c.name), F.col(f"m{i}")])
-    return mf.select(
+    base = mf.select(
         F.stack(F.lit(len(checks)), *pairs).alias("check", "metric")
-    ).orderBy("check")
+    )
+    anom = anomaly_evidence_frame(spark, sf_dir).select(
+        F.concat(F.lit("anomaly("), F.col("check"), F.lit(")")).alias(
+            "check"
+        ),
+        F.col("metric").cast("double").alias("metric"),
+        "epoch", "trail_mean", "trail_std", "z",
+    )
+    schema = [
+        ("check", "string"), ("metric", "double"), ("epoch", "bigint"),
+        ("trail_mean", "double"), ("trail_std", "double"), ("z", "double"),
+    ]
+    return pad_union(
+        schema,
+        (base, {"check": "check", "metric": "metric"}),
+        (
+            anom,
+            {
+                "check": "check", "metric": "metric", "epoch": "epoch",
+                "trail_mean": "trail_mean", "trail_std": "trail_std",
+                "z": "z",
+            },
+        ),
+    ).orderBy("check", F.coalesce("epoch", F.lit(-1)))

@@ -104,3 +104,46 @@ def test_metric_anomalies(spark):
     assert got[0]["z"] < -3
     # early epochs (insufficient history) and zero-variance checks: silent
     assert not [r for r in got if r["check"] == "row_count"]
+
+
+def test_metric_anomalies_exact_int(spark):
+    """exact_int mode: integer metric, trailing moments from windowed
+    integer sums — flags match a numpy re-derivation bit-for-bit."""
+    import math
+
+    from hive_serde_schema_gen_spark.operators.validation import (
+        metric_anomalies,
+    )
+
+    series = [100, 102, 99, 101, 100, 98, 103, 100, 101, 99, 160, 100]
+    rows = [(e, "events", v) for e, v in enumerate(series)]
+    # constant series: integer variance-positivity test keeps it silent
+    rows += [(e, "flat", 50) for e in range(12)]
+    d = spark.createDataFrame(rows, "epoch long, check string, metric long")
+    got = metric_anomalies(
+        d, k=3.0, min_history=5, window=100, exact_int=True
+    ).collect()
+    assert [(r["check"], r["epoch"]) for r in got] == [("events", 10)]
+    hist = series[:10]
+    s1, s2, n = sum(hist), sum(v * v for v in hist), len(hist)
+    mean = float(s1) / n
+    std = math.sqrt((float(s2) - float(s1) * float(s1) / n) / (n - 1))
+    assert got[0]["trail_mean"] == mean
+    assert got[0]["trail_std"] == std
+    assert got[0]["z"] == (160 - mean) / std
+
+
+def test_anomaly_evidence_frame_flags_planted_spikes(spark):
+    """The slot fixture at sf0.01: every flagged epoch is a planted one
+    (epoch % 37 == 11) with positive z."""
+    from hive_serde_schema_gen_spark.operators.validation import (
+        ANOM_SPIKE_MOD,
+        ANOM_SPIKE_REM,
+        anomaly_evidence_frame,
+    )
+
+    got = anomaly_evidence_frame(spark, "/root/testdata/sf0.01").collect()
+    assert got, "no flagged epochs at sf0.01 — fixture broken"
+    for r in got:
+        assert r["epoch"] % ANOM_SPIKE_MOD == ANOM_SPIKE_REM, r
+        assert r["z"] > 3.0, r
