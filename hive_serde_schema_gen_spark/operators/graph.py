@@ -166,26 +166,26 @@ def _pagerank_oracle(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     the same order as the Spark side: base, dangling, and contrib terms
     add left-to-right exactly like ``pagerank``'s rank expression)."""
     parts = [
-        """edges AS (
+        """edges AS MATERIALIZED (
       SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
              'p' || CAST(l_partkey AS VARCHAR) AS dst
       FROM lineitem),
-    nodes AS (SELECT DISTINCT node FROM
+    nodes AS MATERIALIZED (SELECT DISTINCT node FROM
         (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
-    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
-    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
     ]
     for i in range(1, iters + 1):
         parts.append(
             f"""
-    d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+    d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm
              FROM r{i - 1} r LEFT JOIN deg ON deg.node = r.node
              WHERE deg.node IS NULL),
-    c{i} AS (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS contrib
+    c{i} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS contrib
              FROM edges e JOIN r{i - 1} r ON r.node = e.src
              JOIN deg ON deg.node = e.src GROUP BY e.dst),
-    r{i} AS (SELECT n.node,
+    r{i} AS MATERIALIZED (SELECT n.node,
                     (1.0 - {d}) / nn.n + {d} * d{i}.dm / nn.n
                     + {d} * COALESCE(c.contrib, 0.0) AS rank
              FROM nodes n LEFT JOIN c{i} c ON c.node = n.node, nn, d{i})"""

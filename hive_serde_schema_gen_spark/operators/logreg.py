@@ -334,7 +334,7 @@ def sql_clf_ctes() -> str:
     )
     h = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {CLF_BUCKETS}"
     parts = [
-        f"""cdocs AS (
+        f"""cdocs AS MATERIALIZED (
       SELECT doc_id, text,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
       FROM documents WHERE doc_id % {CLF_DOC_MOD} = 0),
@@ -345,36 +345,36 @@ def sql_clf_ctes() -> str:
       FROM ctoks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
       WHERE len(w) > 1),
     cgrams AS (SELECT * FROM cuni UNION ALL SELECT * FROM cbi),
-    ccnt AS (
+    ccnt AS MATERIALIZED (
       SELECT doc_id, {h} AS bucket, COUNT(*) AS cnt
       FROM cgrams GROUP BY doc_id, {h}),
-    ctot AS (SELECT doc_id, SUM(cnt) AS tot FROM ccnt GROUP BY doc_id),
-    cx AS (
+    ctot AS MATERIALIZED (SELECT doc_id, SUM(cnt) AS tot FROM ccnt GROUP BY doc_id),
+    cx AS MATERIALIZED (
       SELECT c.doc_id, c.bucket, c.cnt / t.tot AS x
       FROM ccnt c JOIN ctot t USING (doc_id)
       UNION ALL
       SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM cdocs),
     cn AS (SELECT COUNT(*) AS n FROM cdocs),
-    cw0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM cx)"""
+    cw0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS w FROM cx)"""
     ]
     for i in range(1, CLF_ITERS + 1):
         parts.append(
             f"""
-    cl{i} AS (
+    cl{i} AS MATERIALIZED (
       SELECT x.doc_id,
              CAST(SUM(CAST(round(x.x * w.w, 9) AS DECIMAL(20,9)))
                   AS DOUBLE) AS logit
       FROM cx x JOIN cw{i - 1} w USING (bucket) GROUP BY x.doc_id),
-    ce{i} AS (
+    ce{i} AS MATERIALIZED (
       SELECT l.doc_id,
              round(1.0 / (1.0 + exp(-l.logit)) - d.y, 9) AS err
       FROM cl{i} l JOIN cdocs d USING (doc_id)),
-    cg{i} AS (
+    cg{i} AS MATERIALIZED (
       SELECT x.bucket,
              CAST(SUM(CAST(round(x.x * e.err, 9) AS DECIMAL(20,9)))
                   AS DOUBLE) / cn.n AS g
       FROM cx x JOIN ce{i} e USING (doc_id), cn GROUP BY x.bucket, cn.n),
-    cw{i} AS (
+    cw{i} AS MATERIALIZED (
       SELECT w.bucket, round(w.w - {float(CLF_LR)} * COALESCE(g.g, 0.0), 9) AS w
       FROM cw{i - 1} w LEFT JOIN cg{i} g USING (bucket))"""
         )
@@ -382,7 +382,7 @@ def sql_clf_ctes() -> str:
     parts.append(
         f"""
     cbias AS (SELECT w FROM cw{K} WHERE bucket = -1),
-    csums AS (
+    csums AS MATERIALIZED (
       SELECT t.doc_id,
              CAST(SUM(CAST(COALESCE(w.w, 0.0) AS DECIMAL(20,9))
                       * CAST(t.cnt AS DECIMAL(10,0))) AS DOUBLE) AS ws,
@@ -395,5 +395,210 @@ def sql_clf_ctes() -> str:
              round(1.0 / (1.0 + exp(-(cbias.w + COALESCE(s.ws / s.nf, 0.0)))),
                    9) AS score
       FROM cdocs d LEFT JOIN csums s USING (doc_id), cbias)"""
+    )
+    return ",".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Round-12: Platt-style probability calibration of the fitted classifier
+# ---------------------------------------------------------------------------
+#
+# A quality classifier used as a FILTER only needs rank order; used as a
+# sampling WEIGHT or a threshold in probability units it needs calibrated
+# scores.  Platt scaling fits a 2-parameter logistic map p = sigmoid(a·z+b)
+# over the raw logit z on a HELD-OUT labeled slice — 2 parameters can't
+# overfit, and the fit is the same full-batch GD recipe as the main
+# classifier (exact-decimal reductions, fixed iterations), so the whole
+# thing re-derives in SQL.
+
+CAL_ITERS = 4
+CAL_LR = 1.0
+#: held-out slice for the slot evidence: doc_id % 4 == 1 — disjoint from
+#: the training slice (doc_id % CLF_DOC_MOD == 0) by construction
+CAL_DOC_MOD, CAL_DOC_REM = 4, 1
+
+
+def calibrate_classifier(
+    scored: DataFrame,
+    labels: DataFrame,
+    iters: int = CAL_ITERS,
+    lr: float = CAL_LR,
+    id_col: str = "doc_id",
+    logit_col: str = "logit",
+    label_col: str = "y",
+):
+    """Platt calibration by full-batch GD on a held-out scored slice:
+    fit ``(a, b)`` of ``p = sigmoid(a·z + b)`` starting from the identity
+    ``(1, 0)``.  Returns ``(params, calibrated)`` — ``params`` =
+    (iter, a, b) after each GD step (the last row is the fit);
+    ``calibrated`` = (doc_id, logit, score_cal, y) under the final
+    parameters.
+
+    Determinism recipe (the ``train_classifier exact=True`` rules): the
+    per-row error rounds to 9 dp after the sigmoid, gradient terms round
+    to 9 dp and sum as exact DECIMAL(20,9), parameters round to 9 dp per
+    step — bit-identical under any partitioning and re-derivable by the
+    DuckDB oracle.  The parameter pair lives in a 1-row broadcast frame
+    (never a driver float — Python's round is not Spark's round), so
+    each iteration is ONE aggregate job over the held-out slice; the
+    slice is a labeled sample, so iterations are cheap at any corpus
+    scale."""
+    spark = scored.sparkSession
+    hz = (
+        scored.select(
+            F.col(id_col).alias("doc_id"), F.col(logit_col).alias("__z")
+        )
+        .join(
+            labels.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(label_col).cast("double").alias("__y"),
+            ),
+            "doc_id",
+        )
+        .localCheckpoint()  # read once per iteration + once for scoring
+    )
+    n = hz.count()  # bounded driver scalar, reused every iteration
+    if n == 0:
+        raise ValueError("no held-out labeled documents to calibrate on")
+    pw = spark.createDataFrame([(1.0, 0.0)], "a double, b double")
+    hist = []
+    for i in range(1, iters + 1):
+        j = hz.crossJoin(F.broadcast(pw))
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("a") * F.col("__z") + F.col("b")))
+        )
+        err = F.round(p - F.col("__y"), 9)
+        agg = j.agg(
+            F.first("a").alias("__a"),
+            F.first("b").alias("__b"),
+            F.sum(
+                F.round(err * F.col("__z"), 9).cast("decimal(20,9)")
+            ).cast("double").alias("__ga"),
+            F.sum(err.cast("decimal(20,9)")).cast("double").alias("__gb"),
+        )
+        pw = agg.select(
+            F.round(
+                F.col("__a")
+                - F.lit(float(lr)) * F.col("__ga") / F.lit(float(n)),
+                9,
+            ).alias("a"),
+            F.round(
+                F.col("__b")
+                - F.lit(float(lr)) * F.col("__gb") / F.lit(float(n)),
+                9,
+            ).alias("b"),
+        ).localCheckpoint()  # cut per iteration — no 2^k DAG
+        hist.append(pw.select(F.lit(i).alias("iter"), "a", "b"))
+    params = hist[0]
+    for h in hist[1:]:
+        params = params.unionByName(h)
+    calibrated = hz.crossJoin(F.broadcast(pw)).select(
+        "doc_id",
+        F.col("__z").alias("logit"),
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("a") * F.col("__z") + F.col("b")))
+            ),
+            9,
+        ).alias("score_cal"),
+        F.col("__y").cast("bigint").alias("y"),
+    )
+    return params, calibrated
+
+
+def calibration_rows(spark, sf_dir, weights=None):
+    """Driver branches: (params, calibrated) for op='clf_cal'/'clf_cals' —
+    the fitted slot weights score the DISJOINT held-out slice
+    (doc_id % 4 == 1, labels from ground-truth lang as in training), then
+    Platt calibration runs its 4 exact GD steps on it."""
+    from ..sources.tables import load_table
+
+    if weights is None:
+        weights = classifier_fit_rows(spark, sf_dir)
+    hd = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % CAL_DOC_MOD == CAL_DOC_REM
+    )
+    labels = hd.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    scored = classifier_score_exact(
+        hd, weights, n_buckets=CLF_BUCKETS, max_ngram=CLF_NGRAM,
+        hash_fn="md5",
+    )
+    return calibrate_classifier(scored, labels)
+
+
+def sql_cal_ctes() -> str:
+    """DuckDB CTE chain re-deriving :func:`calibration_rows` — ASSUMES
+    ``sql_clf_ctes()``'s CTEs precede it (reuses ``cw{K}``/``cbias``).
+    Held-out docs hash/score through the same md5 pipeline, then
+    CAL_ITERS unrolled Platt GD steps.  Final CTEs: ``calparams``
+    (iter, a, b) and ``calscore`` (doc_id, logit, score_cal, y)."""
+    toks = (
+        "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
+        "ELSE string_split_regex(TRIM(lower(text)), '\\s+') END"
+    )
+    h = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {CLF_BUCKETS}"
+    K = CLF_ITERS
+    parts = [
+        f"""hdocs AS MATERIALIZED (
+      SELECT doc_id, text,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents WHERE doc_id % {CAL_DOC_MOD} = {CAL_DOC_REM}),
+    htoks AS (SELECT doc_id, {toks} AS w FROM hdocs),
+    huni AS (SELECT doc_id, unnest(w) AS g FROM htoks),
+    hbi AS (
+      SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
+      FROM htoks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      WHERE len(w) > 1),
+    hgrams AS (SELECT * FROM huni UNION ALL SELECT * FROM hbi),
+    hcnt AS MATERIALIZED (
+      SELECT doc_id, {h} AS bucket, COUNT(*) AS cnt
+      FROM hgrams GROUP BY doc_id, {h}),
+    hsums AS MATERIALIZED (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(COALESCE(w.w, 0.0) AS DECIMAL(20,9))
+                      * CAST(t.cnt AS DECIMAL(10,0))) AS DOUBLE) AS ws,
+             CAST(SUM(t.cnt) AS INTEGER) AS nf
+      FROM hcnt t LEFT JOIN cw{K} w USING (bucket) GROUP BY t.doc_id),
+    hscore AS MATERIALIZED (
+      SELECT d.doc_id, cbias.w + COALESCE(s.ws / s.nf, 0.0) AS z, d.y
+      FROM hdocs d LEFT JOIN hsums s USING (doc_id), cbias),
+    hn AS (SELECT COUNT(*) AS n FROM hdocs),
+    cal0 AS MATERIALIZED (SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b)"""
+    ]
+    for i in range(1, CAL_ITERS + 1):
+        parts.append(
+            f"""
+    cale{i} AS MATERIALIZED (
+      SELECT h.doc_id, h.z,
+             round(1.0 / (1.0 + exp(-(c.a * h.z + c.b))) - h.y, 9) AS err
+      FROM hscore h, cal{i - 1} c),
+    calg{i} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(round(err * z, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS ga,
+             CAST(SUM(CAST(err AS DECIMAL(20,9))) AS DOUBLE) AS gb
+      FROM cale{i}),
+    cal{i} AS MATERIALIZED (
+      SELECT round(c.a - {float(CAL_LR)} * g.ga / n.n, 9) AS a,
+             round(c.b - {float(CAL_LR)} * g.gb / n.n, 9) AS b
+      FROM cal{i - 1} c, calg{i} g, hn n)"""
+        )
+    KC = CAL_ITERS
+    param_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS iter, a, b FROM cal{i}"
+        for i in range(1, KC + 1)
+    )
+    parts.append(
+        f"""
+    calparams AS (
+      {param_rows}),
+    calscore AS (
+      SELECT h.doc_id, h.z AS logit,
+             round(1.0 / (1.0 + exp(-(c.a * h.z + c.b))), 9) AS score_cal,
+             CAST(h.y AS BIGINT) AS y
+      FROM hscore h, cal{KC} c)"""
     )
     return ",".join(parts)

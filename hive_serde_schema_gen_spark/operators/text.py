@@ -380,7 +380,7 @@ def lang_id_accuracy(spark, sf_dir):
 
 
 def _quality_lang_oracle() -> str:
-    from .logreg import sql_clf_ctes
+    from .logreg import sql_cal_ctes, sql_clf_ctes
     from .signals import sql_signal_ctes
 
     pad_sig = (
@@ -407,7 +407,8 @@ def _quality_lang_oracle() -> str:
 
     return f"""
     WITH {sql_signal_ctes()},
-    {sql_clf_ctes()}
+    {sql_clf_ctes()},
+    {sql_cal_ctes()}
     SELECT * FROM (
     SELECT 'lang' AS op, doc_id, lang, predicted,
            CAST(NULL AS INTEGER) AS n_chars, CAST(NULL AS INTEGER) AS n_tokens,
@@ -454,6 +455,26 @@ def _quality_lang_oracle() -> str:
            n_features, logit, score, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM cscore
+    UNION ALL
+    SELECT 'clf_cal', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           CAST(iter AS BIGINT), a, CAST(NULL AS INTEGER), b,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM calparams
+    UNION ALL
+    SELECT 'clf_cals', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), logit, score_cal, y,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM calscore
     UNION ALL
     SELECT 'langacc', NULL, lang, predicted, NULL, NULL, NULL, NULL, NULL,
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
@@ -517,20 +538,33 @@ def text_quality_lang(spark, sf_dir):
     with the branch's ``n``/``sum_margin`` columns carrying top1/margin.
     op='norm' pins :func:`normalize_text` — the pre-hash canonicalizer —
     over planted CRLF/tab/zero-width/control/case mess (see `_NORM_MOD`):
-    the normalized text's md5 rides ``lang`` and its length ``n_chars``."""
+    the normalized text's md5 rides ``lang`` and its length ``n_chars``.
+
+    Round-12 continuation: op='clf_cal' / op='clf_cals' pin the PLATT
+    CALIBRATION of the fitted classifier (`logreg.calibrate_classifier`)
+    — the slot weights score the disjoint held-out slice
+    (doc_id % 4 == 1), then 4 exact-decimal GD steps fit
+    p = sigmoid(a·z + b); every per-iteration (a, b) pair and the
+    calibrated held-out scores ride the hash, re-derived in SQL
+    (`logreg.sql_cal_ctes`)."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
     from .curation import repetition_stats
-    from .logreg import classifier_fit_rows, classifier_scored_rows
+    from .logreg import (
+        calibration_rows,
+        classifier_fit_rows,
+        classifier_scored_rows,
+    )
     from .signals import gopher_rules
 
     d = load_table(spark, sf_dir, "documents")
     rep = repetition_stats(d).filter(F.col("doc_id") % 7 == 0)
     gop = gopher_rules(d).filter(F.col("doc_id") % 7 == 3)
-    # fit ONCE; localCheckpoint so the scored branch reuses the trained
-    # weights instead of re-running 4 GD iterations
+    # fit ONCE; localCheckpoint so the scored + calibration branches reuse
+    # the trained weights instead of re-running 4 GD iterations each
     clf_w = classifier_fit_rows(spark, sf_dir).localCheckpoint()
     clf_s = classifier_scored_rows(spark, sf_dir, weights=clf_w)
+    cal_params, cal_scored = calibration_rows(spark, sf_dir, weights=clf_w)
     schema = [
         ("op", "string"), ("doc_id", "bigint"), ("lang", "string"),
         ("predicted", "string"), ("n_chars", "int"), ("n_tokens", "int"),
@@ -594,6 +628,22 @@ def text_quality_lang(spark, sf_dir):
                 "op": F.lit("clf_s"), "doc_id": "doc_id",
                 "n_features": "n_features", "logit": "logit",
                 "score": "score",
+            },
+        ),
+        (
+            cal_params,
+            # carriers: bucket = GD iteration, w = a (slope), logit = b
+            {
+                "op": F.lit("clf_cal"), "bucket": "iter",
+                "w": "a", "logit": "b",
+            },
+        ),
+        (
+            cal_scored,
+            # n carries the held-out label y for the calibrated slice
+            {
+                "op": F.lit("clf_cals"), "doc_id": "doc_id",
+                "logit": "logit", "score": "score_cal", "n": "y",
             },
         ),
         (

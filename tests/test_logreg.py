@@ -164,3 +164,60 @@ def test_exact_mode_close_to_float_path(spark):
     assert set(wf) == set(we)
     for b in wf:
         assert abs(wf[b] - we[b]) < 1e-6, b
+
+
+def test_calibrate_classifier_matches_reference(spark):
+    """Platt GD steps match a pure-Python re-derivation of the same
+    expression order (9-dp rounds, exact-decimal sums)."""
+    import math
+
+    from hive_serde_schema_gen_spark.operators.logreg import (
+        calibrate_classifier,
+    )
+
+    data = [(1, 2.0, 1.0), (2, -1.5, 0.0), (3, 0.5, 1.0), (4, -0.25, 0.0)]
+    scored = spark.createDataFrame(
+        [(i, z) for i, z, _ in data], "doc_id long, logit double"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in data], "doc_id long, y double"
+    )
+    params, calibrated = calibrate_classifier(
+        scored, labels, iters=3, lr=1.0
+    )
+    got = {r["iter"]: (r["a"], r["b"]) for r in params.collect()}
+
+    a, b = 1.0, 0.0
+    n = len(data)
+    want = {}
+    for it in range(1, 4):
+        errs = [
+            (z, round(1.0 / (1.0 + math.exp(-(a * z + b))) - y, 9))
+            for _, z, y in data
+        ]
+        ga = float(sum(round(e * z, 9) for z, e in errs))
+        gb = float(sum(e for _, e in errs))
+        a = round(a - 1.0 * ga / n, 9)
+        b = round(b - 1.0 * gb / n, 9)
+        want[it] = (a, b)
+    for it in want:
+        assert got[it][0] == pytest.approx(want[it][0], abs=2e-9), it
+        assert got[it][1] == pytest.approx(want[it][1], abs=2e-9), it
+    cal = {r["doc_id"]: r for r in calibrated.collect()}
+    for i, z, y in data:
+        assert cal[i]["logit"] == z
+        assert cal[i]["score_cal"] == pytest.approx(
+            round(1.0 / (1.0 + math.exp(-(a * z + b))), 9), abs=2e-9
+        )
+        assert cal[i]["y"] == int(y)
+
+
+def test_calibrate_classifier_empty_raises(spark):
+    from hive_serde_schema_gen_spark.operators.logreg import (
+        calibrate_classifier,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, logit double")
+    labels = spark.createDataFrame([], "doc_id long, y double")
+    with pytest.raises(ValueError, match="no held-out"):
+        calibrate_classifier(empty, labels)
