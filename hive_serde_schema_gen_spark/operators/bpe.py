@@ -287,7 +287,7 @@ def sql_bpe_ctes(n_merges: int = BPE_MERGES) -> str:
         for k in range(1, n_merges + 1)
     )
     ctes.append(f"bpem AS ({ranks})")
-    return ",\n    ".join(ctes)
+    return ",\n    ".join(ctes).replace(" AS (", " AS MATERIALIZED (")
 
 
 def sql_bpe_encode_cte(n_merges: int = BPE_MERGES) -> str:
@@ -327,4 +327,4 @@ def sql_bpe_encode_cte(n_merges: int = BPE_MERGES) -> str:
       FROM bpedw d JOIN bpee{n_merges} e USING (word)
       GROUP BY d.doc_id)"""
     )
-    return ",\n    ".join(ctes)
+    return ",\n    ".join(ctes).replace(" AS (", " AS MATERIALIZED (")

@@ -478,7 +478,10 @@ def sql_kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
       FROM kma{K} a JOIN kmrate r USING (cell)
       WHERE {h} < r.rate * 1000000)"""
     )
-    return ",\n    ".join(parts)
+    # MATERIALIZED: every " AS (" here is a CTE definition (audited) —
+    # DuckDB inlines CTEs, and the Lloyd chain references kmc{it} three
+    # ways per round (the round-12 EMFILE lesson, logreg.py)
+    return ",\n    ".join(parts).replace(" AS (", " AS MATERIALIZED (")
 
 
 # ---------------------------------------------------------------------------
@@ -669,6 +672,24 @@ def semdedup_evidence_frame(spark, sf_dir, cents, assigned):
     )
 
 
+def _materialize(sql: str) -> str:
+    """Mark every CTE definition in an oracle SQL string MATERIALIZED:
+    DuckDB inlines CTEs, so chains referenced from several downstream
+    branches re-execute their whole subtree per reference — iterative
+    chains exponentially (the round-12 EMFILE lesson).  Matches only
+    ``name AS (`` (a bare identifier directly before AS), which skips
+    RECURSIVE CTEs' ``name(cols) AS (`` — those cannot be materialized —
+    and cannot match inside expressions (``CAST(x AS T)`` has no paren,
+    ``) AS (`` has no identifier)."""
+    import re
+
+    return re.sub(
+        r"\b([a-zA-Z_][a-zA-Z0-9_]*) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
 def sql_semdedup_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
     """DuckDB CTE chain re-deriving :func:`semdedup_evidence_frame` —
     ASSUMES the ``kme``/``kmc{iters}``/``kma{iters}`` CTEs from
@@ -681,7 +702,7 @@ def sql_semdedup_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
     quant = (
         "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)"
     )
-    return f"""sdraw AS (
+    return _materialize(f"""sdraw AS (
       SELECT vec_id + {SD_EXACT_OFF} AS vec_id,
              CAST(embedding AS DOUBLE[]) AS embedding
       FROM embeddings WHERE vec_id % {SD_EXACT_MOD} = {SD_EXACT_REM}
@@ -730,4 +751,4 @@ def sql_semdedup_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
               FROM sdcos WHERE cos >= {SD_THRESHOLD} GROUP BY bv),
     sdout AS (SELECT m.vec_id, m.cell, d.dup_of, c.cos AS dup_cos
               FROM sdm m LEFT JOIN sddup d USING (vec_id)
-              LEFT JOIN sdcos c ON c.bv = m.vec_id AND c.av = d.dup_of)"""
+              LEFT JOIN sdcos c ON c.bv = m.vec_id AND c.av = d.dup_of)""")

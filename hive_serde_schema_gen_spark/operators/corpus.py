@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load_table
-from .clustering import dedup_canonical
+from .clustering import _materialize, dedup_canonical
 from .dedup import keep_first_per_content, minhash_lsh_pairs
 from .packing import assign_split, chunk_token_stream
 from .text import quality_features
@@ -229,7 +229,7 @@ def _pipeline_union_oracle() -> str:
     """
 
 
-@query("corpus_pipeline", oracle=_pipeline_union_oracle())
+@query("corpus_pipeline", oracle=_materialize(_pipeline_union_oracle()))
 def corpus_pipeline(spark, sf_dir):
     """The composed pipeline as a single driver-checked query (md5 hash
     configuration so the MinHash stage is oracle-reproducible; the
@@ -706,7 +706,7 @@ _CRAWL_REPORT_SQL = f"""
 
 @query(
     "web_corpus_from_crawl",
-    oracle=f"""
+    oracle=_materialize(f"""
     SELECT * FROM (
     SELECT 'doc' AS op, doc_id, n_tokens, "offset", chunk_first, chunk_last,
            n_chunks, split, n_merged,
@@ -722,7 +722,7 @@ _CRAWL_REPORT_SQL = f"""
            total_payload_bytes, n_empty
     FROM ({_CRAWL_REPORT_SQL})
     ) ORDER BY op, COALESCE(doc_id, -1)
-    """,
+    """),
 )
 def web_corpus_crawl_query(spark, sf_dir):
     """Driver slot for :func:`web_corpus_from_crawl` — crawl archive →

@@ -343,7 +343,9 @@ def sql_dsir_ctes() -> str:
         "CAST(concat('0x', substr(md5('dsir-seed|' || CAST(doc_id AS VARCHAR)),"
         " 1, 13)) AS BIGINT)"
     )
-    return f"""dstoks AS (
+    from .clustering import _materialize
+
+    return _materialize(f"""dstoks AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
                   ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
@@ -395,4 +397,4 @@ def sql_dsir_ctes() -> str:
       SELECT doc_id, n_grams, logw, gumbel,
              CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS INTEGER)
                AS sel_rank
-      FROM dskey QUALIFY sel_rank <= {k})"""
+      FROM dskey QUALIFY sel_rank <= {k})""")

@@ -57,7 +57,7 @@ _TOPK_SQL = f"""
       SELECT vec_id, {_SQL_QUANT} AS v,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings),
-    q AS (SELECT v AS qv, i FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    q AS MATERIALIZED (SELECT v AS qv, i FROM e WHERE vec_id = {QUERY_VEC_ID}),
     dots AS (
       SELECT e.vec_id,
              CAST(SUM(e.v * q.qv) AS DOUBLE) AS dot,
@@ -958,18 +958,18 @@ def _ann_result(e: DataFrame, cand: DataFrame, qvec) -> DataFrame:
 # Shared oracle tail: exact quantized re-rank + the evidence columns.
 # Assumes CTEs `e` (quantized exploded embeddings) and `cand` (vec_id set).
 _SQL_RERANK = f"""
-    q AS (SELECT v AS qv, i FROM e WHERE vec_id = {QUERY_VEC_ID}),
-    scored AS (
+    q AS MATERIALIZED (SELECT v AS qv, i FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS MATERIALIZED (
       SELECT e.vec_id,
              CAST(SUM(e.v * q.qv) AS DOUBLE) AS dot,
              CAST(SUM(e.v * e.v) AS DOUBLE) AS nv,
              CAST(SUM(q.qv * q.qv) AS DOUBLE) AS nq
       FROM e JOIN q USING (i) WHERE e.vec_id <> {QUERY_VEC_ID}
       GROUP BY e.vec_id),
-    exact10 AS (
+    exact10 AS MATERIALIZED (
       SELECT vec_id FROM scored
       ORDER BY dot / (sqrt(nv) * sqrt(nq)) DESC, vec_id LIMIT 10),
-    ann AS (
+    ann AS MATERIALIZED (
       SELECT s.vec_id, s.dot / (sqrt(s.nv) * sqrt(s.nq)) AS cos_sim
       FROM scored s JOIN cand USING (vec_id)
       ORDER BY cos_sim DESC, vec_id LIMIT 10),
@@ -996,20 +996,23 @@ _SQL_E = (
 
 
 def _lsh_cand_ctes(src: str = "e", probe: int = QUERY_VEC_ID, p: str = "") -> str:
-    return f"""{p}w AS (
+    # MATERIALIZED: DuckDB inlines CTEs, and these are referenced from
+    # multiple downstream branches — without it the hash-plane subtree
+    # re-executes per reference (the round-12 EMFILE lesson, logreg.py)
+    return f"""{p}w AS MATERIALIZED (
       SELECT t.t AS t, p.p AS p, d.d + 1 AS i,
              CAST(concat('0x', substr(md5(t.t || ':' || p.p || ':' || d.d), 1, 8))
                   AS BIGINT) % 2001 - 1000 AS w
       FROM range({N_TABLES}) t(t), range({PLANES_PER_TABLE}) p(p), range(64) d(d)),
-    {p}dots AS (
+    {p}dots AS MATERIALIZED (
       SELECT e.vec_id, w.t, w.p, CAST(SUM(e.v * w.w) AS BIGINT) AS d
       FROM {src} e JOIN {p}w w USING (i) GROUP BY e.vec_id, w.t, w.p),
-    {p}buck AS (
+    {p}buck AS MATERIALIZED (
       SELECT vec_id, t,
              CAST(SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS b
       FROM {p}dots GROUP BY vec_id, t),
-    {p}pb AS (SELECT t, b AS pbkt FROM {p}buck WHERE vec_id = {probe}),
-    {p}cand AS (
+    {p}pb AS MATERIALIZED (SELECT t, b AS pbkt FROM {p}buck WHERE vec_id = {probe}),
+    {p}cand AS MATERIALIZED (
       SELECT DISTINCT b.vec_id
       FROM {p}buck b JOIN {p}pb pb USING (t)
       WHERE bit_count(xor(b.b, pb.pbkt)) <= {MULTIPROBE_FLIPS}
@@ -1078,7 +1081,8 @@ def _ivf_ctes() -> list:
         f"cand AS (SELECT a.vec_id FROM a{K} a JOIN pcells USING (cell)"
         f" WHERE a.vec_id <> {QUERY_VEC_ID})"
     )
-    return ctes
+    # MATERIALIZED: same exponential-inlining guard as _pq_ann_ctes
+    return [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
 
 
 def _ivf_oracle() -> str:
@@ -1703,7 +1707,10 @@ def _pq_ann_ctes(
         f" FROM {src} e JOIN (SELECT v, i FROM {qsrc} WHERE vec_id = {Q}) q2 USING (i)"
         f" JOIN {p}short sh ON sh.vec_id = e.vec_id GROUP BY e.vec_id)"
     )
-    return ctes
+    # MATERIALIZED: the codebook chain references pc{k} three ways per
+    # Lloyd round — inlined, DuckDB re-executes the training subtree
+    # 3^iters times per consumer (the round-12 EMFILE lesson, logreg.py)
+    return [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
 
 
 @query("ann_topk_ivf_pq", oracle=_ivf_pq_oracle())
