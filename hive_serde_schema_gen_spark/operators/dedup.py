@@ -542,13 +542,23 @@ def _minhash_ops_oracle() -> str:
     imatch AS (
       SELECT doc_id, matched_doc_id, CAST(mm AS DOUBLE) / {N_HASHES} AS est
       FROM iver WHERE mm >= {int(_IDX_MIN_MATCHES)}),
+    tridgb AS (
+      SELECT DISTINCT coalesce(md5(text), '__NULL_TEXT__') AS dg FROM batch),
+    tridgc AS (
+      SELECT DISTINCT coalesce(md5(text), '__NULL_TEXT__') AS dg
+      FROM documents),
     unioned AS (
       SELECT 'pairs' AS op, doc_a, doc_b, jaccard FROM mh_pairs
       UNION ALL
       SELECT 'match', doc_id, matched_doc_id, est FROM imatch
       UNION ALL
       SELECT 'novel', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
-      FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM imatch))
+      FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM imatch)
+      UNION ALL
+      SELECT 'triage',
+             (SELECT COUNT(*) FROM tridgb),
+             (SELECT COUNT(*) FROM tridgb b JOIN tridgc c USING (dg)),
+             1.0)
     SELECT op, doc_a, doc_b, jaccard FROM unioned
     ORDER BY op, doc_a, coalesce(doc_b, -1)
     """
@@ -574,9 +584,12 @@ def dedup_index_probe(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     path = tempfile.mkdtemp(prefix="mh-idx-slot-")
     build_minhash_index(
-        d.filter(F.col("doc_id") % 2 == 0), path, n_files=4, hash_fn="md5"
+        d.filter(F.col("doc_id") % 2 == 0), path, n_files=4, hash_fn="md5",
+        digest_sketch=True,
     )
-    extend_minhash_index(d.filter(F.col("doc_id") % 2 == 1), path)
+    extend_minhash_index(
+        d.filter(F.col("doc_id") % 2 == 1), path, digest_sketch=True
+    )
     did = F.col("doc_id")
     exact = d.filter(did % 20 == 0).select(
         (did + _IDX_EXACT_OFF).alias("doc_id"), "text"
@@ -594,7 +607,27 @@ def dedup_index_probe(spark, sf_dir):
     )
     batch = exact.unionAll(pert).unionAll(novel)
     matches = dedup_against_index(batch, path)
-    return matches, novel_docs(batch, matches).select("doc_id")
+    # Round-12: sketch-only recrawl triage vs the same index — the Theta
+    # estimates validate against exact digest counts (two bounded counts
+    # at slot scale), the accuracy-contract boolean rides the hash
+    from .dedup_index import TRIAGE_REL_ERR, _content_digest, recrawl_triage
+
+    batch = batch.localCheckpoint()  # matches + triage + exact counts
+    tri = recrawl_triage(batch, path)
+    bd = batch.select(_content_digest().alias("dg")).distinct()
+    cd = d.select(_content_digest().alias("dg")).distinct()
+    b_exact = bd.count()
+    s_exact = bd.join(cd, "dg", "left_semi").count()
+    tol = lambda x: max(TRIAGE_REL_ERR * x, 1.0)  # noqa: E731
+    ok = (
+        abs(tri["batch_distinct"] - b_exact) <= tol(b_exact)
+        and abs(tri["seen"] - s_exact) <= tol(s_exact)
+    )
+    triage_row = spark.createDataFrame(
+        [("triage", b_exact, s_exact, 1.0 if ok else 0.0)],
+        "op string, doc_a bigint, doc_b bigint, jaccard double",
+    )
+    return matches, novel_docs(batch, matches).select("doc_id"), triage_row
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_ops_oracle())
@@ -604,10 +637,17 @@ def minhash_ops(spark, sf_dir):
     op='novel' drive the persisted-index lifecycle — build on half the
     corpus, extend with the other half, probe with a planted batch
     (exact / perturbed / novel families) — end to end under the md5
-    configuration, hash-checked against one DuckDB statement."""
+    configuration, hash-checked against one DuckDB statement.
+
+    Round-12: op='triage' pins the Theta digest-sketch recrawl triage
+    (:func:`dedup_index.recrawl_triage`) against the SAME index — the
+    build/extend calls persist per-batch content-digest sketches, and
+    the sketch-only batch-overlap estimates must sit within the accuracy
+    contract of the exact digest counts (re-derived in SQL from the
+    batch construction; the exact family is the seen fraction)."""
     from ..functions.union import pad_union
 
-    matches, novel = dedup_index_probe(spark, sf_dir)
+    matches, novel, triage_row = dedup_index_probe(spark, sf_dir)
     schema = [
         ("op", "string"), ("doc_a", "bigint"), ("doc_b", "bigint"),
         ("jaccard", "double"),
@@ -627,6 +667,16 @@ def minhash_ops(spark, sf_dir):
         (
             novel,
             {"op": F.lit("novel"), "doc_a": "doc_id"},
+        ),
+        (
+            triage_row,
+            # doc_a = exact distinct batch digests, doc_b = exact
+            # already-seen digests; jaccard = 1.0 iff both Theta triage
+            # estimates sit within the accuracy contract
+            {
+                "op": F.col("op"), "doc_a": "doc_a",
+                "doc_b": "doc_b", "jaccard": "jaccard",
+            },
         ),
     ).orderBy("op", "doc_a", F.coalesce("doc_b", F.lit(-1)))
 

@@ -81,6 +81,7 @@ def build_minhash_index(
     n_files: int = 32,
     owner: str | None = None,
     hash_fn: str = "xxhash64",
+    digest_sketch: bool = False,
 ) -> None:
     """Build the persisted index from a (doc_id, text) corpus.
 
@@ -116,11 +117,17 @@ def build_minhash_index(
             "version int, n_hashes int, band_size int, shingle int, "
             "hash_fn string, max_df double",
         ).write.mode("overwrite").parquet(f"{path}/meta")
+        if digest_sketch:
+            # opt-in Theta triage artifact (see recrawl_triage) — written
+            # under the SAME lease as the index it describes
+            digest_sketch_frame(docs).write.mode("overwrite").parquet(
+                f"{path}/theta"
+            )
 
 
 def extend_minhash_index(
     docs: DataFrame, path: str, epoch: int | None = None,
-    owner: str | None = None,
+    owner: str | None = None, digest_sketch: bool = False,
 ) -> None:
     """Append a new batch's bands + signatures to an existing index (run
     AFTER dedup: index the batch's SURVIVORS, or every later batch matches
@@ -153,6 +160,10 @@ def extend_minhash_index(
         mh.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
             "append"
         ).parquet(f"{path}/sigs")
+        if digest_sketch:
+            digest_sketch_frame(docs, epoch).write.mode("append").parquet(
+                f"{path}/theta"
+            )
 
 
 def _check_meta(spark: SparkSession, path: str) -> tuple:
@@ -292,4 +303,145 @@ def compact_minhash_index(
             lambda tmp: sigs.repartitionByRange(max(1, n_files // 4), "doc_id")
             .sortWithinPartitions("doc_id")
             .write.parquet(tmp),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: Theta digest-sketch triage — the pre-probe recrawl question
+# ---------------------------------------------------------------------------
+#
+# Before paying the MinHash probe (shingle + band join) for a recrawl
+# batch, the cheap question is "what fraction of this batch have we
+# ALREADY ingested byte-identically?" — a crawl that re-delivers 95% of
+# last week's pages should be triaged from two KB-sized sketches, not a
+# shingling pass.  The index optionally carries a Theta sketch of CONTENT
+# DIGESTS per build/extend call ({path}/theta: (epoch, sketch)); triage is
+# a merge-only union + one intersection — O(epochs) sketch bytes, never a
+# scan of indexed data.  Appends are idempotent under epoch replay by
+# Theta semantics (re-sketching identical content unions to the same set).
+# Spark >= 4.1 surface (operators/sketches.py floors): every entry point
+# gates with the same fail-fast-naming-the-floor contract.
+
+#: relative accuracy contract for triage estimates — Theta sketches at
+#: the default lgK are EXACT below ~4k distinct values and ~1.6% at 1σ
+#: beyond, so 5% is a conservative operational bound
+TRIAGE_REL_ERR = 0.05
+
+
+def _content_digest(text_col: str = "text"):
+    """md5 of the document text with the corpus_diff NULL sentinel (NULL
+    text must sketch as a distinct value, not vanish)."""
+    return F.coalesce(
+        F.md5(F.col(text_col).cast("binary")), F.lit("__NULL_TEXT__")
+    )
+
+
+def digest_sketch_frame(docs: DataFrame, epoch: int | None = None) -> DataFrame:
+    """One-row ``(epoch, sketch)`` Theta sketch of the batch's content
+    digests — one map-side-combined aggregate pass."""
+    from .sketches import _require_sketch_functions
+
+    _require_sketch_functions(docs.sparkSession, ["theta_sketch_agg"])
+    return (
+        docs.select(_content_digest().alias("__dg"))
+        .agg(F.expr("theta_sketch_agg(__dg)").alias("sketch"))
+        .select(F.lit(epoch).cast("long").alias("epoch"), "sketch")
+    )
+
+
+def append_digest_sketch(
+    docs: DataFrame, path: str, epoch: int | None = None,
+    owner: str | None = None,
+) -> None:
+    """Append the batch's digest sketch to ``{path}/theta`` — call with
+    the same batch you passed to :func:`build_minhash_index` /
+    :func:`extend_minhash_index` (or pass ``digest_sketch=True`` there).
+    Holds the single-writer lease like every mutating index writer."""
+    from ..sources.manifest import index_writer_lock
+
+    with index_writer_lock(docs.sparkSession, path, owner):
+        digest_sketch_frame(docs, epoch).write.mode("append").parquet(
+            f"{path}/theta"
+        )
+
+
+def recrawl_triage(
+    new_docs: DataFrame, path: str, rel_err: float = TRIAGE_REL_ERR
+) -> dict:
+    """Sketch-only overlap triage of a recrawl batch against everything
+    the index has seen: ``{"batch_distinct": est, "seen": est,
+    "seen_frac": est}`` — distinct content digests in the batch, how many
+    of them the index already holds (Theta intersection), and the
+    fraction.  Merge-only: reads {path}/theta (KBs per epoch), NEVER
+    bands/sigs/corpus — the decision number that lets ingest skip the
+    MinHash probe for a near-pure re-crawl, or size the probe for the
+    novel remainder.  Estimates carry the Theta accuracy contract
+    (``rel_err`` documents the operational bound; below ~4k distinct
+    digests the sketch is exact)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from .sketches import _require_sketch_functions
+
+    spark = new_docs.sparkSession
+    _require_sketch_functions(
+        spark,
+        [
+            "theta_sketch_agg",
+            "theta_union_agg",
+            "theta_intersection",
+            "theta_sketch_estimate",
+        ],
+    )
+    try:
+        idx = spark.read.parquet(f"{path}/theta")
+    except AnalysisException as e:
+        raise ValueError(
+            f"index at {path} has no digest-sketch artifact ({e.__class__.__name__}) "
+            "— build/extend with digest_sketch=True, or call "
+            "append_digest_sketch for each already-indexed batch"
+        ) from e
+    merged = idx.agg(F.expr("theta_union_agg(sketch)").alias("__u"))
+    batch = (
+        new_docs.select(_content_digest().alias("__dg"))
+        .agg(F.expr("theta_sketch_agg(__dg)").alias("__b"))
+    )
+    row = (
+        batch.crossJoin(merged)  # 1 row × 1 row
+        .select(
+            F.expr("theta_sketch_estimate(__b)").alias("b"),
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(__b, __u))"
+            ).alias("s"),
+        )
+        .collect()[0]
+    )
+    b, s = float(row["b"]), float(row["s"])
+    return {
+        "batch_distinct": b,
+        "seen": s,
+        "seen_frac": (s / b) if b > 0 else 0.0,
+    }
+
+
+def compact_digest_sketches(
+    spark: SparkSession, path: str, owner: str | None = None
+) -> None:
+    """Fold the per-epoch sketch rows into ONE union row — merge-only
+    (O(epochs) sketch bytes), the sibling of :func:`compact_minhash_index`
+    for the theta artifact.  Epoch attribution is intentionally dropped:
+    the artifact's only consumer is the union in :func:`recrawl_triage`."""
+    from ..sources.manifest import index_writer_lock
+    from .sketches import _require_sketch_functions
+    from .text_index import _swap_rewrite
+
+    _require_sketch_functions(spark, ["theta_union_agg"])
+    with index_writer_lock(spark, path, owner):
+        merged = (
+            spark.read.parquet(f"{path}/theta")
+            .agg(F.expr("theta_union_agg(sketch)").alias("sketch"))
+            .select(F.lit(None).cast("long").alias("epoch"), "sketch")
+        )
+        _swap_rewrite(
+            spark, path, "theta",
+            lambda tmp: merged.coalesce(1).write.parquet(tmp),
         )

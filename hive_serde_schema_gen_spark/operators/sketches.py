@@ -38,6 +38,7 @@ SKETCH_FN_FLOORS = {
     "theta_sketch_agg": "4.1.0",
     "theta_sketch_estimate": "4.1.0",
     "theta_union": "4.1.0",
+    "theta_union_agg": "4.1.0",
     "theta_intersection": "4.1.0",
     "kll_sketch_agg_double": "4.1.0",
     "kll_merge_agg_double": "4.1.0",

@@ -183,3 +183,136 @@ def test_md5_index_probes_under_pinned_hash(spark, tmp_path):
     ).write.parquet(f"{bad}/meta")
     with pytest.raises(ValueError, match="rebuild the index"):
         dedup_against_index(batch, bad)
+
+
+# ---------------------------------------------------------------------------
+# Round-12: Theta digest-sketch recrawl triage
+# ---------------------------------------------------------------------------
+
+
+def _tri_docs(spark, ids, tag=""):
+    return spark.createDataFrame(
+        [(i, f"doc {i} body {tag} alpha beta gamma delta") for i in ids],
+        "doc_id long, text string",
+    )
+
+
+def test_recrawl_triage_estimates_seen_fraction(spark, tmp_path):
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        build_minhash_index,
+        extend_minhash_index,
+        recrawl_triage,
+    )
+
+    path = str(tmp_path / "tri-idx")
+    build_minhash_index(
+        _tri_docs(spark, range(0, 40)), path, hash_fn="md5",
+        digest_sketch=True,
+    )
+    extend_minhash_index(
+        _tri_docs(spark, range(40, 80)), path, epoch=1, digest_sketch=True
+    )
+    # batch: 30 exact re-crawls (same ids → same text) + 10 new docs
+    batch = _tri_docs(spark, range(50, 80)).unionAll(
+        _tri_docs(spark, range(1000, 1010), tag="new")
+    )
+    tri = recrawl_triage(batch, path)
+    # Theta is exact below ~4k distinct values at these sizes
+    assert tri["batch_distinct"] == 40.0
+    assert tri["seen"] == 30.0
+    assert tri["seen_frac"] == 0.75
+
+
+def test_recrawl_triage_replay_is_idempotent(spark, tmp_path):
+    """Re-appending the SAME epoch's sketch (crash-replay) must not move
+    the union — Theta set semantics."""
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        append_digest_sketch,
+        build_minhash_index,
+        recrawl_triage,
+    )
+
+    path = str(tmp_path / "tri-replay")
+    docs = _tri_docs(spark, range(0, 30))
+    build_minhash_index(docs, path, hash_fn="md5", digest_sketch=True)
+    before = recrawl_triage(_tri_docs(spark, range(0, 10)), path)
+    append_digest_sketch(docs, path, epoch=0)  # replayed batch
+    after = recrawl_triage(_tri_docs(spark, range(0, 10)), path)
+    assert before == after
+
+
+def test_compact_digest_sketches_preserves_triage(spark, tmp_path):
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        build_minhash_index,
+        compact_digest_sketches,
+        extend_minhash_index,
+        recrawl_triage,
+    )
+
+    path = str(tmp_path / "tri-compact")
+    build_minhash_index(
+        _tri_docs(spark, range(0, 25)), path, hash_fn="md5",
+        digest_sketch=True,
+    )
+    for e in range(1, 4):
+        extend_minhash_index(
+            _tri_docs(spark, range(25 * e, 25 * (e + 1))), path,
+            epoch=e, digest_sketch=True,
+        )
+    batch = _tri_docs(spark, range(90, 120))  # 10 seen, 20 novel
+    before = recrawl_triage(batch, path)
+    compact_digest_sketches(spark, path)
+    rows = spark.read.parquet(f"{path}/theta").collect()
+    assert len(rows) == 1  # folded to one union row
+    assert recrawl_triage(batch, path) == before
+
+
+def test_recrawl_triage_missing_artifact_errors(spark, tmp_path):
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        build_minhash_index,
+        recrawl_triage,
+    )
+
+    path = str(tmp_path / "tri-missing")
+    build_minhash_index(
+        _tri_docs(spark, range(0, 10)), path, hash_fn="md5"
+    )  # digest_sketch left off
+    with pytest.raises(ValueError, match="no digest-sketch artifact"):
+        recrawl_triage(_tri_docs(spark, range(0, 5)), path)
+
+
+def test_triage_gates_on_sketch_functions(spark, tmp_path, monkeypatch):
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        digest_sketch_frame,
+        recrawl_triage,
+    )
+
+    monkeypatch.setattr(
+        spark.catalog, "functionExists", lambda name: False
+    )
+    with pytest.raises(NotImplementedError, match="Spark >= 4.1"):
+        digest_sketch_frame(_tri_docs(spark, range(3)))
+    with pytest.raises(NotImplementedError, match="Spark >= 4.1"):
+        recrawl_triage(_tri_docs(spark, range(3)), str(tmp_path / "x"))
+
+
+def test_triage_null_text_counts_as_distinct(spark, tmp_path):
+    """NULL text sketches as the sentinel digest, not as nothing."""
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        build_minhash_index,
+        recrawl_triage,
+    )
+
+    path = str(tmp_path / "tri-null")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta one"), (2, None)],
+        "doc_id long, text string",
+    )
+    build_minhash_index(corpus, path, hash_fn="md5", digest_sketch=True)
+    batch = spark.createDataFrame(
+        [(10, None), (11, "fresh words entirely new here")],
+        "doc_id long, text string",
+    )
+    tri = recrawl_triage(batch, path)
+    assert tri["batch_distinct"] == 2.0
+    assert tri["seen"] == 1.0  # the NULL sentinel matched
