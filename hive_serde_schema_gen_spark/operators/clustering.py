@@ -752,3 +752,208 @@ def sql_semdedup_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
     sdout AS (SELECT m.vec_id, m.cell, d.dup_of, c.cos AS dup_cos
               FROM sdm m LEFT JOIN sddup d USING (vec_id)
               LEFT JOIN sdcos c ON c.bv = m.vec_id AND c.av = d.dup_of)""")
+
+
+# ---------------------------------------------------------------------------
+# Round-12: persisted SemDeDup index — the incremental embedding-dedup
+# artifact (the dedup_index.py / persist_ivf_index discipline applied to
+# semantic dedup)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_INDEX_VERSION = 1
+
+
+def persist_semdedup_index(
+    e: DataFrame,
+    path: str,
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = SD_THRESHOLD,
+    owner: str | None = None,
+) -> None:
+    """Build the on-disk SemDeDup artifact from a corpus embedding frame:
+    cluster (``kmeans_topics``), prune (``semdedup_prune``), and persist
+    the SURVIVORS — the canonical semantic corpus — as:
+
+    - ``members/``: (vec_id, q, n2) HIVE-PARTITIONED on ``cluster``, so a
+      probe batch's ``cluster IN (…)`` filter prunes at the directory
+      level (only the batch's clusters are ever listed, let alone read —
+      the ``persist_ivf_index`` PartitionFilters mechanics);
+    - ``centroids/``: the k×dim integer centroid table (tiny — probes
+      collect it driver-side to assign the batch against FROZEN
+      centroids, keeping cluster ids stable across snapshots);
+    - ``meta/``: version + (k, iters, threshold) pinned, so a probe
+      against an index built under different constants fails loudly.
+
+    Indexing survivors (not the raw corpus) follows
+    ``extend_minhash_index``'s rule: index what you KEPT, or every later
+    batch matches the duplicates you already rejected.  Single-writer
+    lease as everywhere (``manifest.index_writer_lock``)."""
+    from ..sources.manifest import index_writer_lock
+    from .similarity import quantized
+
+    spark = e.sparkSession
+    with index_writer_lock(spark, path, owner):
+        cents, assigned = kmeans_topics(e, k=k, iters=iters)
+        pruned = semdedup_prune(e, assigned, threshold=threshold)
+        kept = pruned.filter(F.col("dup_of").isNull()).select(
+            "vec_id", "cluster"
+        )
+        n2 = F.aggregate(
+            quantized("embedding"), F.lit(0).cast("long"),
+            lambda a, x: a + x * x,
+        )
+        members = (
+            e.select(
+                "vec_id", quantized("embedding").alias("q"), n2.alias("__n2")
+            )
+            .join(kept, "vec_id")
+            .select("vec_id", "q", F.col("__n2").alias("n2"), "cluster")
+        )
+        (
+            members.repartition("cluster")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{path}/members")
+        )
+        spark.createDataFrame(
+            [
+                (cell, pos, int(c))
+                for cell, vec in sorted(cents.items())
+                for pos, c in enumerate(vec)
+            ],
+            "cluster int, pos int, c long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [(SEMDEDUP_INDEX_VERSION, k, iters, float(threshold))],
+            "version int, k int, iters int, threshold double",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _check_semdedup_meta(spark, path: str) -> tuple:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    if m["version"] != SEMDEDUP_INDEX_VERSION:
+        raise ValueError(
+            f"SemDeDup index at {path} is version {m['version']}, this "
+            f"build expects {SEMDEDUP_INDEX_VERSION} — rebuild the index"
+        )
+    return int(m["k"]), int(m["iters"]), float(m["threshold"])
+
+
+def _frozen_centroids(spark, path: str) -> dict:
+    """The k×dim integer centroid dict from ``centroids/`` — the bounded
+    driver read every probe starts with (same shape as the IVF probe)."""
+    cents: dict = {}
+    for r in spark.read.parquet(f"{path}/centroids").collect():
+        cents.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(r["c"])
+    return {
+        cell: [v[i] for i in range(len(v))] for cell, v in cents.items()
+    }
+
+
+def semdedup_against_index(
+    new_e: DataFrame,
+    path: str,
+    broadcast_batch: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the persisted index with a new batch: ``(vec_id,
+    matched_vec_id, cos)`` — one row per (new vector, indexed survivor)
+    pair in the SAME frozen-centroid cluster with cosine >= the index's
+    pinned threshold.  Batch vectors with no row are semantically novel;
+    the caller anti-joins (``semdedup_novel`` works unchanged) and calls
+    :func:`extend_semdedup_index` with the survivors.  Self-dedup the
+    batch FIRST (``semdedup_prune`` over the batch) — like
+    ``dedup_against_index``, the probe compares batch-vs-index only.
+
+    Scale shape: centroids load driver-side (k×dim longs), the batch
+    assigns against them (broadcast metric join), and the members scan
+    carries ``cluster IN (batch's clusters)`` — directory-level partition
+    pruning, so probe cost tracks the BATCH's cluster footprint, not the
+    index size.  The batch side broadcasts by default (probe batches are
+    small vs the index); set ``broadcast_batch=False`` for a huge batch
+    (plain shuffle join on the cluster key)."""
+    from .similarity import qdot, quantized
+
+    spark = new_e.sparkSession
+    _, _, threshold = _check_semdedup_meta(spark, path)
+    cents = _frozen_centroids(spark, path)
+    assigned = assign_to_centroids(new_e, cents, id_col=id_col, vec_col=vec_col)
+    n2 = F.aggregate(
+        quantized(vec_col), F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    batch = (
+        new_e.select(
+            F.col(id_col).alias("vec_id"),
+            quantized(vec_col).alias("q"),
+            n2.alias("n2"),
+        )
+        .join(assigned.withColumnRenamed(id_col, "vec_id"), "vec_id")
+        .localCheckpoint()  # read for the cluster probe AND the join
+    )
+    # bounded probe: the batch's cluster footprint (≤ k values)
+    clusters = sorted(
+        r["cluster"] for r in batch.select("cluster").distinct().collect()
+    )
+    members = spark.read.parquet(f"{path}/members").filter(
+        F.col("cluster").isin(clusters)
+    )
+    b = F.broadcast(batch) if broadcast_batch else batch
+    pair = members.alias("m").join(
+        b.alias("b"), F.col("m.cluster") == F.col("b.cluster")
+    ).filter((F.col("m.n2") > 0) & (F.col("b.n2") > 0))
+    cos = qdot(F.col("m.q"), F.col("b.q")).cast("double") / (
+        F.sqrt(F.col("m.n2").cast("double"))
+        * F.sqrt(F.col("b.n2").cast("double"))
+    )
+    return (
+        pair.select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("m.vec_id").alias("matched_vec_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+
+
+def extend_semdedup_index(
+    new_e: DataFrame,
+    path: str,
+    owner: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a probed batch's SURVIVORS to the index under the FROZEN
+    centroids — cluster ids stay stable across snapshots, so earlier
+    members never re-assign (the drift trade: after many extends the
+    clustering no longer reflects the corpus; rebuild with
+    :func:`persist_semdedup_index` periodically, exactly the
+    ``compact_minhash_index`` cadence).  Appends are new parquet files in
+    the existing cluster partitions — O(batch), never O(index)."""
+    from ..sources.manifest import index_writer_lock
+    from .similarity import quantized
+
+    spark = new_e.sparkSession
+    with index_writer_lock(spark, path, owner):
+        _check_semdedup_meta(spark, path)
+        cents = _frozen_centroids(spark, path)
+        assigned = assign_to_centroids(
+            new_e, cents, id_col=id_col, vec_col=vec_col
+        )
+        n2 = F.aggregate(
+            quantized(vec_col), F.lit(0).cast("long"), lambda a, x: a + x * x
+        )
+        (
+            new_e.select(
+                F.col(id_col).alias("vec_id"),
+                quantized(vec_col).alias("q"),
+                n2.alias("n2"),
+            )
+            .join(assigned.withColumnRenamed(id_col, "vec_id"), "vec_id")
+            .select("vec_id", "q", "n2", "cluster")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(f"{path}/members")
+        )

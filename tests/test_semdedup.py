@@ -131,3 +131,137 @@ def test_evidence_frame_families(spark, sf_dir):
     assert len(rows) == e_count + len(exacts) + sum(
         1 for v in rows if 2 * SD_EXACT_OFF <= v < SD_NOVEL_OFF
     ) + sum(1 for v in rows if v >= SD_NOVEL_OFF)
+
+
+# ---------------------------------------------------------------------------
+# Persisted SemDeDup index lifecycle (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_corpus(spark):
+    """Two topic half-spaces, three well-separated angles each (adjacent
+    cosines <= 0.71) — the whole corpus survives the build-time prune at
+    threshold 0.99."""
+    return _edf(
+        spark,
+        [
+            (0, [10.0, 0.0, 0.0, 0.0]),
+            (1, [7.0, 7.0, 0.0, 0.0]),
+            (2, [0.0, 10.0, 0.0, 0.0]),
+            (10, [0.0, 0.0, 10.0, 0.0]),
+            (11, [0.0, 0.0, 7.0, 7.0]),
+            (12, [0.0, 0.0, 0.0, 10.0]),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def sd_index(spark, tmp_path_factory):
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        persist_semdedup_index,
+    )
+
+    e = _cluster_corpus(spark)
+    path = str(tmp_path_factory.mktemp("sdidx") / "semdedup_index")
+    persist_semdedup_index(e, path, k=2, iters=1, threshold=0.99)
+    return e, path
+
+
+def test_probe_finds_near_dups_and_novel(spark, sd_index):
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        semdedup_against_index,
+        semdedup_novel,
+    )
+
+    e, path = sd_index
+    batch = _edf(
+        spark,
+        [
+            (100, [10.0, 0.0, 0.0, 0.0]),    # exact dup of vec 0
+            (101, [0.0, 0.0, 10.0, 0.5]),    # near-dup of vec 10 (cos .9988)
+            (102, [5.0, 0.0, 5.0, 0.0]),     # novel cross-topic direction
+        ],
+    )
+    hits = semdedup_against_index(batch, path)
+    got = {
+        r["vec_id"]: r["matched_vec_id"]
+        for r in hits.orderBy("vec_id", "matched_vec_id").collect()
+    }
+    assert got[100] == 0
+    assert got[101] == 10
+    assert 102 not in got
+    novel = sorted(
+        r["vec_id"] for r in semdedup_novel(batch, hits.withColumnRenamed(
+            "matched_vec_id", "dup_of")).collect()
+    )
+    assert novel == [102]
+
+
+def test_probe_prunes_member_partitions(spark, sd_index):
+    """The members scan must carry a cluster partition filter — the probe
+    reads the batch's clusters, not the index."""
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        semdedup_against_index,
+    )
+    from hive_serde_schema_gen_spark.plans.explain import explain_str
+
+    _, path = sd_index
+    batch = _edf(spark, [(200, [10.0, 1.0, 0.0, 0.0])])  # one cluster
+    plan = explain_str(semdedup_against_index(batch, path))
+    assert "PartitionFilters" in plan
+    # the filter must reference the cluster partition column
+    line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "cluster" in line
+
+
+def test_extend_under_frozen_centroids(spark, sd_index, tmp_path):
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        extend_semdedup_index,
+        persist_semdedup_index,
+        semdedup_against_index,
+    )
+
+    e = _cluster_corpus(spark)
+    path = str(tmp_path / "sd-extend")
+    persist_semdedup_index(e, path, k=2, iters=1, threshold=0.99)
+    probe = _edf(spark, [(300, [5.0, 0.0, 5.0, 0.0])])
+    assert semdedup_against_index(probe, path).count() == 0  # novel
+    extend_semdedup_index(probe, path)
+    again = semdedup_against_index(
+        _edf(spark, [(301, [5.0, 0.0, 5.0, 0.0])]), path
+    ).collect()
+    assert [(r["vec_id"], r["matched_vec_id"]) for r in again] == [(301, 300)]
+
+
+def test_build_indexes_survivors_only(spark, tmp_path):
+    """A corpus containing its own near-dups persists only canonicals."""
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        persist_semdedup_index,
+    )
+
+    e = _edf(
+        spark,
+        [
+            (0, [10.0, 1.0, 0.0, 0.0]),
+            (1, [10.0, 1.0, 0.0, 0.0]),   # exact dup of 0 — pruned
+            (2, [0.0, 0.0, 10.0, 1.0]),
+        ],
+    )
+    path = str(tmp_path / "sd-surv")
+    persist_semdedup_index(e, path, k=2, iters=1, threshold=0.99)
+    members = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/members").collect()
+    )
+    assert members == [0, 2]
+
+
+def test_meta_version_mismatch_errors(spark, sd_index, monkeypatch):
+    from hive_serde_schema_gen_spark.operators import clustering as C
+
+    _, path = sd_index
+    monkeypatch.setattr(C, "SEMDEDUP_INDEX_VERSION", 99)
+    with pytest.raises(ValueError, match="version"):
+        C.semdedup_against_index(
+            _edf(spark, [(1, [1.0, 0.0, 0.0, 0.0])]), path
+        )
