@@ -269,6 +269,7 @@ def main() -> None:
     cal_timings = {}
     cal_results = {}
     host_factors = []
+    cal_factors_sweeps = []
     for _ in range(reps):
         # Calibration first in each sweep: if a slow host window spans the
         # sweep, it inflates the calibration reading by the same factor as
@@ -305,6 +306,9 @@ def main() -> None:
         # contention) still moves the factor.
         sweep_factor = sum(sweep_cal.values()) / sum(CAL_REF.values())
         host_factors.append(round(sweep_factor, 3))
+        cal_factors_sweeps.append(
+            {n: round(sweep_cal[n] / CAL_REF[n], 3) for n in CAL_REF}
+        )
         for name in HEADLINE:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
@@ -344,6 +348,11 @@ def main() -> None:
                 "calibration_factors": cal_factors,
                 "host_factor": host_factor,
                 "host_factors_per_sweep": host_factors,
+                # per-sweep per-regime factors: when value_norm moves,
+                # these say whether one REGIME moved (instrument mix
+                # mismatch — e.g. Python-worker drift with JVM flat)
+                # versus everything uniformly (real host/code change)
+                "calibration_factors_per_sweep": cal_factors_sweeps,
                 "value_norm": round(sum(queries_norm.values()), 3),
                 "queries_norm": queries_norm,
                 "value_norm_pooled": round(
