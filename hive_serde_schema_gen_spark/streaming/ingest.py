@@ -97,9 +97,18 @@ def process_ingest_batch(
     index_path: str,
     out_path: str,
     intra_batch: bool = True,
+    digest_sketch: bool = False,
 ) -> None:
     """One micro-batch → novel survivors → epoch-dir write + index extend.
-    Exposed as a plain function so the replay path is directly testable."""
+    Exposed as a plain function so the replay path is directly testable.
+
+    ``digest_sketch=True`` also maintains the Theta recrawl-triage
+    artifact per epoch (``dedup_index.recrawl_triage``) — an epoch
+    REPLAY re-appends an identical-content sketch, which unions to the
+    same set (Theta set semantics), so the replay-idempotence contract
+    of this function is unchanged.  Triage is an observability/sizing
+    signal: the probe still runs for every batch (a sketch estimate must
+    never DROP data)."""
     novel = _novel_for_batch(batch, index_path, intra_batch, epoch_id)
     if novel is None:
         return
@@ -110,7 +119,8 @@ def process_ingest_batch(
     # instead of deadlocking on it, while a FOREIGN writer (a maintenance
     # compaction) still conflicts loudly.
     extend_minhash_index(
-        novel, index_path, epoch=epoch_id, owner=f"ingest:{out_path}"
+        novel, index_path, epoch=epoch_id, owner=f"ingest:{out_path}",
+        digest_sketch=digest_sketch,
     )
 
 
@@ -121,6 +131,7 @@ def start_ingest_dedup(
     checkpoint: str,
     intra_batch: bool = True,
     query_name: str = "ingest_dedup",
+    digest_sketch: bool = False,
 ):
     """Start the ingest query over an input ``stream`` of (doc_id, text, …)
     rows.  Returns the StreamingQuery.
@@ -134,7 +145,8 @@ def start_ingest_dedup(
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         process_ingest_batch(
-            batch, epoch_id, index_path, out_path, intra_batch=intra_batch
+            batch, epoch_id, index_path, out_path, intra_batch=intra_batch,
+            digest_sketch=digest_sketch,
         )
 
     return (

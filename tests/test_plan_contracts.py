@@ -34,6 +34,9 @@ _NESTED_LOOP_OK = {
     # broadcast benchmark crossJoin (exact decontamination) + the DSIR
     # branches' 1-row model-total broadcasts
     "curation_ops",
+    # the Platt-calibration branch scores the held-out slice against the
+    # 1-row broadcast (a, b) parameter frame (logreg.calibrate_classifier)
+    "text_quality_lang",
 }
 
 

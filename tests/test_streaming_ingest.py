@@ -188,3 +188,42 @@ def test_cross_epoch_redelivery_of_same_id_rejected(spark, dirs):
     process_ingest_batch(b3, 2, dirs["index"], dirs["out"])
     got = sorted(r["doc_id"] for r in read_ingested(spark, dirs["out"]).collect())
     assert got == [101, 201]  # 301 caught as near-dup of the single entry
+
+
+def test_ingest_maintains_digest_sketch_across_replay(spark, dirs):
+    """digest_sketch=True keeps the triage artifact current per epoch, and
+    an epoch REPLAY leaves the triage reading unchanged (Theta set
+    semantics) — the same idempotence contract as the index extend."""
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        build_minhash_index,
+        recrawl_triage,
+    )
+    from hive_serde_schema_gen_spark.streaming.ingest import (
+        process_ingest_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"seed doc {i} alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    build_minhash_index(
+        docs, dirs["index"] + "-tri", hash_fn="md5", digest_sketch=True
+    )
+    b1 = spark.createDataFrame(
+        [(100 + i, f"novel epoch-one doc {i} zz yy xx ww") for i in range(10)],
+        "doc_id long, text string",
+    )
+    process_ingest_batch(
+        b1, 0, dirs["index"] + "-tri", dirs["out"] + "-tri",
+        digest_sketch=True,
+    )
+    probe = docs.limit(5).unionAll(b1.limit(5))  # 10/10 already ingested
+    tri1 = recrawl_triage(probe, dirs["index"] + "-tri")
+    assert tri1["seen"] == 10.0 and tri1["batch_distinct"] == 10.0
+    # replay epoch 0: the index extend re-appends (tolerated) and the
+    # sketch unions to the same set — triage reading unchanged
+    process_ingest_batch(
+        b1, 0, dirs["index"] + "-tri", dirs["out"] + "-tri",
+        digest_sketch=True,
+    )
+    assert recrawl_triage(probe, dirs["index"] + "-tri") == tri1
