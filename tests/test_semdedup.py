@@ -265,3 +265,53 @@ def test_meta_version_mismatch_errors(spark, sd_index, monkeypatch):
         C.semdedup_against_index(
             _edf(spark, [(1, [1.0, 0.0, 0.0, 0.0])]), path
         )
+
+
+# ---------------------------------------------------------------------------
+# Invariants (property-style)
+# ---------------------------------------------------------------------------
+
+
+def test_prune_is_total_and_attributes_downward(spark, clustered):
+    """One output row per input vector; every dup_of is a SMALLER id in
+    the SAME cluster; dup_cos >= threshold."""
+    e, _, assigned = clustered
+    t = 0.99
+    out = semdedup_prune(e, assigned, threshold=t).collect()
+    assert len(out) == e.count()
+    clusters = {r["vec_id"]: r["cluster"] for r in out}
+    for r in out:
+        if r["dup_of"] is not None:
+            assert r["dup_of"] < r["vec_id"]
+            assert clusters[r["dup_of"]] == r["cluster"]
+            assert r["dup_cos"] >= t
+
+
+def test_prune_is_idempotent_on_survivors(spark, clustered):
+    """Pruning the kept set again (same assignments) drops nothing — the
+    fixed point every dedup operator must reach in one pass under the
+    pair rule... UNLESS a dropped middle element was the only bridge;
+    the pair rule has no such bridges: survivors were pairwise below
+    threshold already."""
+    e, _, assigned = clustered
+    pruned = semdedup_prune(e, assigned, threshold=0.999)
+    kept_ids = pruned.filter(F.col("dup_of").isNull()).select("vec_id")
+    kept_e = e.join(kept_ids, "vec_id")
+    again = semdedup_prune(kept_e, assigned, threshold=0.999).collect()
+    assert all(r["dup_of"] is None for r in again)
+
+
+def test_prune_threshold_monotonicity(spark, clustered):
+    """Lowering the threshold can only drop MORE vectors, never fewer."""
+    e, _, assigned = clustered
+    dropped_hi = {
+        r["vec_id"]
+        for r in semdedup_prune(e, assigned, threshold=0.9999).collect()
+        if r["dup_of"] is not None
+    }
+    dropped_lo = {
+        r["vec_id"]
+        for r in semdedup_prune(e, assigned, threshold=0.99).collect()
+        if r["dup_of"] is not None
+    }
+    assert dropped_hi <= dropped_lo
