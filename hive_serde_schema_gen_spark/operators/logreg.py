@@ -602,3 +602,48 @@ def sql_cal_ctes() -> str:
       FROM hscore h, cal{KC} c)"""
     )
     return ",".join(parts)
+
+
+def classifier_score_calibrated(
+    docs: DataFrame,
+    weights: DataFrame,
+    cal_params: DataFrame,
+    n_buckets: int = 1 << 18,
+    max_ngram: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The calibrated serve path: score the corpus with the fitted
+    weights (:func:`classifier_score_exact` — one pass, broadcast weight
+    table), then map each raw logit through the LAST Platt step of
+    ``cal_params`` (the frame :func:`calibrate_classifier` returns).
+    Output: ``(id, n_features, logit, score_cal)`` — probabilities a
+    sampling-weight or probability-threshold consumer can use directly.
+    The parameter pair rides a 1-row broadcast (same discipline as the
+    calibration fit: no driver float, no Python rounding)."""
+    scored = classifier_score_exact(
+        docs, weights, n_buckets=n_buckets, max_ngram=max_ngram,
+        id_col=id_col, text_col=text_col, hash_fn=hash_fn,
+    )
+    # last iteration = the fit; max-struct over ≤ CAL_ITERS rows (no
+    # window needed — the frame is parameter-sized)
+    last = cal_params.agg(
+        F.max(F.struct("iter", "a", "b")).alias("__p")
+    ).select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    return (
+        scored.crossJoin(F.broadcast(last))
+        .select(
+            id_col,
+            "n_features",
+            "logit",
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.col("a") * F.col("logit") + F.col("b")))
+                ),
+                9,
+            ).alias("score_cal"),
+        )
+    )

@@ -221,3 +221,35 @@ def test_calibrate_classifier_empty_raises(spark):
     labels = spark.createDataFrame([], "doc_id long, y double")
     with pytest.raises(ValueError, match="no held-out"):
         calibrate_classifier(empty, labels)
+
+
+def test_classifier_score_calibrated_composes(spark, sf_dir):
+    """Calibrated serving = raw scoring + the LAST Platt step, applied
+    over fresh documents (the full-corpus pass the calibration exists
+    for)."""
+    import math
+
+    from hive_serde_schema_gen_spark.operators.logreg import (
+        CLF_BUCKETS,
+        CLF_NGRAM,
+        calibration_rows,
+        classifier_fit_rows,
+        classifier_score_calibrated,
+    )
+
+    w = classifier_fit_rows(spark, sf_dir).localCheckpoint()
+    params, _ = calibration_rows(spark, sf_dir, weights=w)
+    pw = {r["iter"]: (r["a"], r["b"]) for r in params.collect()}
+    a, b = pw[max(pw)]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id % 10 = 3"
+    ).select("doc_id", "text")
+    out = classifier_score_calibrated(
+        docs, w, params, n_buckets=CLF_BUCKETS, max_ngram=CLF_NGRAM,
+        hash_fn="md5",
+    ).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        want = round(1.0 / (1.0 + math.exp(-(a * r["logit"] + b))), 9)
+        assert r["score_cal"] == pytest.approx(want, abs=2e-9)
+        assert 0.0 <= r["score_cal"] <= 1.0
