@@ -445,3 +445,39 @@ def compact_digest_sketches(
             spark, path, "theta",
             lambda tmp: merged.coalesce(1).write.parquet(tmp),
         )
+
+
+def ingest_recrawl(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = JACCARD_THRESHOLD,
+    triage: bool = True,
+    extend: bool = True,
+    epoch: int | None = None,
+    owner: str | None = None,
+):
+    """The complete batch recrawl step, composed:
+
+        [sketch triage] → MinHash probe → novel anti-join →
+        [extend index (+ digest sketch)]
+
+    Returns ``(novel, report)`` — the surviving documents (already
+    appended to the index when ``extend=True``) and a report dict with
+    the triage estimates (when ``triage=True``) plus exact ``n_batch`` /
+    ``n_novel`` counts.  Triage is advisory: the probe ALWAYS runs (a
+    sketch estimate never drops data), but the report's ``seen_frac`` is
+    the operational signal — a near-1.0 batch is a pure re-crawl and the
+    caller can route it to a cheaper cadence next time.  The streaming
+    twin is ``streaming/ingest.process_ingest_batch``."""
+    report: dict = {}
+    if triage:
+        report["triage"] = recrawl_triage(new_docs, path)
+    matches = dedup_against_index(new_docs, path, threshold)
+    novel = novel_docs(new_docs, matches).localCheckpoint()
+    report["n_batch"] = new_docs.count()
+    report["n_novel"] = novel.count()
+    if extend:
+        extend_minhash_index(
+            novel, path, epoch=epoch, owner=owner, digest_sketch=triage
+        )
+    return novel, report

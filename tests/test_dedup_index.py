@@ -316,3 +316,31 @@ def test_triage_null_text_counts_as_distinct(spark, tmp_path):
     tri = recrawl_triage(batch, path)
     assert tri["batch_distinct"] == 2.0
     assert tri["seen"] == 1.0  # the NULL sentinel matched
+
+
+def test_ingest_recrawl_composed(spark, tmp_path):
+    """Triage report + probe + extend in one call; a second identical
+    recrawl reports ~everything seen and admits nothing."""
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        build_minhash_index,
+        ingest_recrawl,
+    )
+
+    path = str(tmp_path / "recrawl-idx")
+    build_minhash_index(
+        _tri_docs(spark, range(0, 40)), path, hash_fn="md5",
+        digest_sketch=True,
+    )
+    batch = _tri_docs(spark, range(30, 50))  # 10 seen exactly, 10 new
+    novel, rep = ingest_recrawl(batch, path, epoch=1)
+    assert rep["n_batch"] == 20
+    assert rep["triage"]["seen"] == 10.0
+    # exact re-crawls match at est_jaccard 1.0; the new ids are admitted
+    assert rep["n_novel"] == 10
+    assert sorted(r["doc_id"] for r in novel.select("doc_id").collect()) == list(
+        range(40, 50)
+    )
+    # replaying the same batch: everything now seen, nothing admitted
+    novel2, rep2 = ingest_recrawl(batch, path, epoch=2)
+    assert rep2["triage"]["seen_frac"] == 1.0
+    assert rep2["n_novel"] == 0
