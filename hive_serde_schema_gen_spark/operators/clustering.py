@@ -539,6 +539,7 @@ def semdedup_prune(
     threshold: float = SD_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup prune over pre-clustered embeddings: one row per vector —
     ``(id, cluster, dup_of, dup_cos)`` where ``dup_of`` is the SMALLEST
@@ -554,7 +555,15 @@ def semdedup_prune(
     arithmetic is the quantized-integer cosine of the IVF/k-means
     family: exact LONG dot and norms, one sqrt+divide in double —
     bit-identical in DuckDB, so the driver hash covers the cosines
-    themselves."""
+    themselves.
+
+    ``max_cell`` (opt-in, one extra groupBy-count job over the
+    checkpointed members) is the skew GUARD for that posture: if any
+    cell exceeds it, raise with the offending cells and their sizes
+    instead of silently launching a |cell|²-pair stage — the remediation
+    is always re-clustering with larger k, never pair-joining the giant
+    cell.  Leave it None when cell sizes are already monitored (e.g.
+    via ``diagnostics.skew_report`` on the assignments)."""
     from .similarity import qdot, quantized
 
     n2 = F.aggregate(
@@ -574,6 +583,24 @@ def semdedup_prune(
         )
         .localCheckpoint()  # both sides of the self-join read it
     )
+    if max_cell is not None:
+        # one bounded job over the checkpointed members: O(k) result rows
+        big = (
+            m.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_cell))
+            .orderBy(F.desc("__n"))
+            .limit(10)
+            .collect()
+        )
+        if big:
+            sizes = ", ".join(f"cell {r['cluster']}: {r['__n']}" for r in big)
+            raise ValueError(
+                f"semdedup cell-size guard: {len(big)}+ cells exceed "
+                f"max_cell={max_cell} ({sizes}) — the pair stage would be "
+                "quadratic in those cells; re-cluster with larger k "
+                "(kmeans_topics) instead of pair-joining them"
+            )
     a, b = m.alias("a"), m.alias("b")
     dot = qdot(F.col("a.__q"), F.col("b.__q"))
     cos = dot.cast("double") / (

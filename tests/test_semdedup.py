@@ -315,3 +315,13 @@ def test_prune_threshold_monotonicity(spark, clustered):
         if r["dup_of"] is not None
     }
     assert dropped_hi <= dropped_lo
+
+
+def test_max_cell_guard(spark, clustered):
+    """The opt-in skew guard raises with offending cell sizes instead of
+    launching a quadratic pair stage; a generous bound passes through."""
+    e, _, assigned = clustered
+    with pytest.raises(ValueError, match="cell-size guard"):
+        semdedup_prune(e, assigned, threshold=0.999, max_cell=2)
+    out = semdedup_prune(e, assigned, threshold=0.999, max_cell=100)
+    assert out.count() == e.count()
