@@ -647,3 +647,68 @@ def classifier_score_calibrated(
             ).alias("score_cal"),
         )
     )
+
+
+#: serve-slice for the slot evidence: doc_id % 8 == 7 — disjoint from the
+#: training slice (% 2 == 0) and the calibration slice (% 4 == 1)
+SERVE_DOC_MOD, SERVE_DOC_REM = 8, 7
+
+
+def calibrated_serve_rows(spark, sf_dir, weights=None, cal_params=None):
+    """Driver branch for op='clf_serve': the full calibrated serve path
+    (:func:`classifier_score_calibrated`) over a THIRD disjoint slice —
+    fitted weights + fitted Platt step applied to documents neither fit
+    ever saw, exactly the production full-corpus pass."""
+    from ..sources.tables import load_table
+
+    if weights is None:
+        weights = classifier_fit_rows(spark, sf_dir)
+    if cal_params is None:
+        cal_params, _ = calibration_rows(spark, sf_dir, weights=weights)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SERVE_DOC_MOD == SERVE_DOC_REM
+    )
+    return classifier_score_calibrated(
+        docs, weights, cal_params,
+        n_buckets=CLF_BUCKETS, max_ngram=CLF_NGRAM, hash_fn="md5",
+    )
+
+
+def sql_serve_ctes() -> str:
+    """DuckDB CTE chain re-deriving :func:`calibrated_serve_rows` —
+    ASSUMES ``sql_clf_ctes()`` (``cw{K}``/``cbias``) and
+    ``sql_cal_ctes()`` (``cal{CAL_ITERS}``) precede it.  Final CTE:
+    ``srvscore`` (doc_id, n_features, logit, score_cal)."""
+    toks = (
+        "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
+        "ELSE string_split_regex(TRIM(lower(text)), '\\s+') END"
+    )
+    h = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {CLF_BUCKETS}"
+    K, KC = CLF_ITERS, CAL_ITERS
+    return f"""srvdocs AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {SERVE_DOC_MOD} = {SERVE_DOC_REM}),
+    srvtoks AS (SELECT doc_id, {toks} AS w FROM srvdocs),
+    srvuni AS (SELECT doc_id, unnest(w) AS g FROM srvtoks),
+    srvbi AS (
+      SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
+      FROM srvtoks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      WHERE len(w) > 1),
+    srvgrams AS (SELECT * FROM srvuni UNION ALL SELECT * FROM srvbi),
+    srvcnt AS MATERIALIZED (
+      SELECT doc_id, {h} AS bucket, COUNT(*) AS cnt
+      FROM srvgrams GROUP BY doc_id, {h}),
+    srvsums AS MATERIALIZED (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(COALESCE(w.w, 0.0) AS DECIMAL(20,9))
+                      * CAST(t.cnt AS DECIMAL(10,0))) AS DOUBLE) AS ws,
+             CAST(SUM(t.cnt) AS INTEGER) AS nf
+      FROM srvcnt t LEFT JOIN cw{K} w USING (bucket) GROUP BY t.doc_id),
+    srvscore AS (
+      SELECT d.doc_id,
+             COALESCE(s.nf, 0) AS n_features,
+             cbias.w + COALESCE(s.ws / s.nf, 0.0) AS logit,
+             round(1.0 / (1.0 + exp(-(c.a *
+                     (cbias.w + COALESCE(s.ws / s.nf, 0.0)) + c.b))),
+                   9) AS score_cal
+      FROM srvdocs d LEFT JOIN srvsums s USING (doc_id), cbias, cal{KC} c)"""

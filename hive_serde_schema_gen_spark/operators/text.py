@@ -380,7 +380,7 @@ def lang_id_accuracy(spark, sf_dir):
 
 
 def _quality_lang_oracle() -> str:
-    from .logreg import sql_cal_ctes, sql_clf_ctes
+    from .logreg import sql_cal_ctes, sql_clf_ctes, sql_serve_ctes
     from .signals import sql_signal_ctes
 
     pad_sig = (
@@ -408,7 +408,8 @@ def _quality_lang_oracle() -> str:
     return f"""
     WITH {sql_signal_ctes()},
     {sql_clf_ctes()},
-    {sql_cal_ctes()}
+    {sql_cal_ctes()},
+    {sql_serve_ctes()}
     SELECT * FROM (
     SELECT 'lang' AS op, doc_id, lang, predicted,
            CAST(NULL AS INTEGER) AS n_chars, CAST(NULL AS INTEGER) AS n_tokens,
@@ -475,6 +476,16 @@ def _quality_lang_oracle() -> str:
            CAST(NULL AS INTEGER), logit, score_cal, y,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM calscore
+    UNION ALL
+    SELECT 'clf_serve', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           n_features, logit, score_cal, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM srvscore
     UNION ALL
     SELECT 'langacc', NULL, lang, predicted, NULL, NULL, NULL, NULL, NULL,
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
@@ -546,11 +557,15 @@ def text_quality_lang(spark, sf_dir):
     (doc_id % 4 == 1), then 4 exact-decimal GD steps fit
     p = sigmoid(a·z + b); every per-iteration (a, b) pair and the
     calibrated held-out scores ride the hash, re-derived in SQL
-    (`logreg.sql_cal_ctes`)."""
+    (`logreg.sql_cal_ctes`).  op='clf_serve' pins the full calibrated
+    SERVE path (`classifier_score_calibrated`) over a THIRD disjoint
+    slice (doc_id % 8 == 7) — fitted weights + fitted Platt step applied
+    to documents neither fit ever saw (`logreg.sql_serve_ctes`)."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
     from .curation import repetition_stats
     from .logreg import (
+        calibrated_serve_rows,
         calibration_rows,
         classifier_fit_rows,
         classifier_scored_rows,
@@ -565,6 +580,9 @@ def text_quality_lang(spark, sf_dir):
     clf_w = classifier_fit_rows(spark, sf_dir).localCheckpoint()
     clf_s = classifier_scored_rows(spark, sf_dir, weights=clf_w)
     cal_params, cal_scored = calibration_rows(spark, sf_dir, weights=clf_w)
+    clf_serve = calibrated_serve_rows(
+        spark, sf_dir, weights=clf_w, cal_params=cal_params
+    )
     schema = [
         ("op", "string"), ("doc_id", "bigint"), ("lang", "string"),
         ("predicted", "string"), ("n_chars", "int"), ("n_tokens", "int"),
@@ -644,6 +662,14 @@ def text_quality_lang(spark, sf_dir):
             {
                 "op": F.lit("clf_cals"), "doc_id": "doc_id",
                 "logit": "logit", "score": "score_cal", "n": "y",
+            },
+        ),
+        (
+            clf_serve,
+            {
+                "op": F.lit("clf_serve"), "doc_id": "doc_id",
+                "n_features": "n_features", "logit": "logit",
+                "score": "score_cal",
             },
         ),
         (
