@@ -665,6 +665,20 @@ def semdedup_evidence_frame(spark, sf_dir, cents, assigned):
     perturbed copies drop (the ones whose cosine stays >= threshold —
     the threshold genuinely bites), reversed vectors and the whole base
     corpus stay kept."""
+    base, batch = _sd_base_and_batch(spark, sf_dir)
+    batch_assigned = assign_to_centroids(batch, cents)
+    return semdedup_prune(
+        base.unionByName(batch),
+        assigned.unionByName(batch_assigned),
+        threshold=SD_THRESHOLD,
+    )
+
+
+def _sd_base_and_batch(spark, sf_dir):
+    """(base, batch): the corpus embeddings as doubles, and the planted
+    recrawl batch (exact / perturbed / reversed families) — shared by the
+    in-memory op='semdedup' evidence and the persisted-index op='sdprobe'
+    evidence so both probe the SAME construction."""
     from ..sources.tables import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -690,13 +704,32 @@ def semdedup_evidence_frame(spark, sf_dir, cents, assigned):
         (vid + SD_NOVEL_OFF).alias("vec_id"), F.reverse(dbl).alias("embedding")
     )
     batch = exact.unionByName(pert).unionByName(novel)
-    batch_assigned = assign_to_centroids(batch, cents)
     base = e.select("vec_id", dbl.alias("embedding"))
-    return semdedup_prune(
-        base.unionByName(batch),
-        assigned.unionByName(batch_assigned),
-        threshold=SD_THRESHOLD,
+    return base, batch
+
+
+def semdedup_probe_evidence(spark, sf_dir):
+    """Driver branch op='sdprobe': the PERSISTED-index roundtrip — build
+    the on-disk artifact from the base corpus at query time (fresh temp
+    dir, the ``dedup_index_probe`` lifecycle pattern; the build runs the
+    SAME k=8/iters=2 k-means as the slot's kmc/kma evidence, so the
+    frozen centroids on disk equal the oracle's ``kmc2``), then probe it
+    with the planted batch.  Every (vec_id, matched_vec_id, cos) hit
+    rides the hash — write→read through quantized parquet, the meta
+    check, frozen-centroid assignment from the ARTIFACT, partition-
+    pruned member scan, and the threshold cut, all re-derived in SQL
+    from the construction."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="sd-idx-slot-")
+    _, batch = _sd_base_and_batch(spark, sf_dir)
+    from ..sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    persist_semdedup_index(
+        e, path, k=KM_K, iters=KM_ITERS, threshold=SD_THRESHOLD
     )
+    return semdedup_against_index(batch, path)
 
 
 def _materialize(sql: str) -> str:
@@ -778,7 +811,22 @@ def sql_semdedup_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
               FROM sdcos WHERE cos >= {SD_THRESHOLD} GROUP BY bv),
     sdout AS (SELECT m.vec_id, m.cell, d.dup_of, c.cos AS dup_cos
               FROM sdm m LEFT JOIN sddup d USING (vec_id)
-              LEFT JOIN sdcos c ON c.bv = m.vec_id AND c.av = d.dup_of)""")
+              LEFT JOIN sdcos c ON c.bv = m.vec_id AND c.av = d.dup_of),
+    sdbasedrop AS (
+      SELECT DISTINCT bv AS vec_id FROM sdcos
+      WHERE cos >= {SD_THRESHOLD}
+        AND av < {SD_EXACT_OFF} AND bv < {SD_EXACT_OFF}),
+    sdprobe AS (
+      -- the persisted-index probe re-derived: members = BASE survivors
+      -- of the base-only prune (persist_semdedup_index indexes what it
+      -- kept); batch ids all sit above the offsets, so sdcos's av<bv
+      -- orientation is exactly members-vs-batch; same frozen-centroid
+      -- cells, same threshold
+      SELECT c.bv AS vec_id, c.av AS matched_vec_id, c.cos
+      FROM sdcos c
+      WHERE c.cos >= {SD_THRESHOLD}
+        AND c.bv >= {SD_EXACT_OFF} AND c.av < {SD_EXACT_OFF}
+        AND c.av NOT IN (SELECT vec_id FROM sdbasedrop))""")
 
 
 # ---------------------------------------------------------------------------

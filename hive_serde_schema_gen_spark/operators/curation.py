@@ -999,6 +999,11 @@ def _curation_ops_oracle() -> str:
            {pad_dsir}, cell, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
     FROM sdout
     UNION ALL
+    SELECT 'sdprobe', NULL, NULL, NULL, vec_id, cos, matched_vec_id,
+           {pad_dsir}, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT)
+    FROM sdprobe
+    UNION ALL
     SELECT 'ngc', NULL, bench_grams, NULL, bench_id, NULL, NULL,
            doc_id, n_shared, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS INTEGER), {pad_km}
@@ -1072,7 +1077,12 @@ def curation_ops(spark, sf_dir):
     (cluster, dup_of, dup_cos) row rides the hash: the within-cell
     integer-cosine pairs, the >= 0.9 threshold cut, and the min-id
     duplicate attribution are all re-derived in SQL
-    (``sql_semdedup_ctes``).
+    (``sql_semdedup_ctes``).  op='sdprobe' pins the PERSISTED-index
+    roundtrip (:func:`clustering.semdedup_probe_evidence`): the on-disk
+    artifact is built from the corpus at query time, the same planted
+    batch probes it through quantized parquet + frozen-centroid
+    assignment + partition-pruned member scan, and every hit is
+    re-derived from the construction (index members = base survivors).
 
     op='pii' pins :func:`redact_pii`: PII planted on top of the real
     text by a byte-identical construction in both engines, per-category
@@ -1165,6 +1175,9 @@ def curation_ops(spark, sf_dir):
     km_cent, km_assigned, km_rates, km_sampled, km_semdedup = (
         kmeans_curation_frames(spark, sf_dir)
     )
+    from .clustering import semdedup_probe_evidence
+
+    sd_probe = semdedup_probe_evidence(spark, sf_dir)
     schema = [
         ("op", "string"), ("lang", "string"), ("n_docs", "bigint"),
         ("rate", "double"), ("vec_id", "bigint"),
@@ -1235,6 +1248,16 @@ def curation_ops(spark, sf_dir):
                 "op": F.lit("semdedup"), "vec_id": "vec_id",
                 "cluster": "cluster", "nearest_bench_id": "dup_of",
                 "max_bench_sim": "dup_cos",
+            },
+        ),
+        (
+            sd_probe,
+            # the persisted-index probe roundtrip: every batch-vs-member
+            # hit (vec, matched member, cosine)
+            {
+                "op": F.lit("sdprobe"), "vec_id": "vec_id",
+                "nearest_bench_id": "matched_vec_id",
+                "max_bench_sim": "cos",
             },
         ),
         (
