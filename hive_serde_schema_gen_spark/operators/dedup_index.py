@@ -447,6 +447,18 @@ def compact_digest_sketches(
         )
 
 
+def _has_digest_sketch(spark: SparkSession, path: str) -> bool:
+    """True iff the index at ``path`` carries the ``theta`` triage
+    artifact (a metadata read, no data scan)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        spark.read.parquet(f"{path}/theta").schema
+        return True
+    except AnalysisException:
+        return False
+
+
 def ingest_recrawl(
     new_docs: DataFrame,
     path: str,
@@ -455,6 +467,7 @@ def ingest_recrawl(
     extend: bool = True,
     epoch: int | None = None,
     owner: str | None = None,
+    digest_sketch: bool | None = None,
 ):
     """The complete batch recrawl step, composed:
 
@@ -468,7 +481,15 @@ def ingest_recrawl(
     sketch estimate never drops data), but the report's ``seen_frac`` is
     the operational signal — a near-1.0 batch is a pure re-crawl and the
     caller can route it to a cheaper cadence next time.  The streaming
-    twin is ``streaming/ingest.process_ingest_batch``."""
+    twin is ``streaming/ingest.process_ingest_batch``.
+
+    ``digest_sketch`` controls theta-artifact maintenance on the extend
+    INDEPENDENTLY of whether triage ran on this call (round 13: the two
+    were coupled, so one ``triage=False`` call silently left its batch
+    out of the sketch and every later ``seen_frac`` undercounted).
+    Default ``None`` = maintain iff the artifact already exists — an
+    index that triages keeps its sketch complete, an index that never
+    opted in never grows one."""
     report: dict = {}
     if triage:
         report["triage"] = recrawl_triage(new_docs, path)
@@ -477,7 +498,14 @@ def ingest_recrawl(
     report["n_batch"] = new_docs.count()
     report["n_novel"] = novel.count()
     if extend:
+        if digest_sketch is None:
+            # triage just proved the artifact exists; only probe the
+            # filesystem when triage was skipped this call
+            digest_sketch = triage or _has_digest_sketch(
+                new_docs.sparkSession, path
+            )
         extend_minhash_index(
-            novel, path, epoch=epoch, owner=owner, digest_sketch=triage
+            novel, path, epoch=epoch, owner=owner,
+            digest_sketch=digest_sketch,
         )
     return novel, report

@@ -208,17 +208,25 @@ def metric_anomalies(
         .rowsBetween(-window, -1)
     )
     if exact_int:
-        s1 = F.sum("metric").over(w)
-        s2 = F.sum(F.col("metric") * F.col("metric")).over(w)
+        # Moments in decimal, not long: with window=100, (Σx)² and n·Σx²
+        # overflow int64 once metrics reach ~3e7 (epoch row counts at
+        # pipeline scale), and non-ANSI Spark wraps silently — flipping
+        # the positivity test.  DuckDB promotes SUM(BIGINT) to HUGEINT,
+        # so decimal(38,0) keeps the two engines exact-identical up to
+        # metrics ~1e14 (s1² ≤ 1e32 < 1e38).
+        md = F.col("metric").cast("decimal(18,0)")
+        s1 = F.sum(md).over(w)
+        s2 = F.sum(md * md).over(w)
         nn = F.count("metric").over(w)
         base = reports.select(
             "check", "epoch", "metric",
             s1.alias("__s1"), s2.alias("__s2"), nn.alias("__n"),
         ).filter(
             (F.col("__n") >= F.lit(int(max(min_history, 2))))
-            # exact integer variance-positivity: n·Σx² − (Σx)² > 0
+            # exact integer variance-positivity: n·Σx² − (Σx)² > 0,
+            # evaluated in decimal(38,0) (never wraps below 1e38)
             & (
-                F.col("__n") * F.col("__s2")
+                F.col("__n").cast("decimal(20,0)") * F.col("__s2")
                 - F.col("__s1") * F.col("__s1")
                 > 0
             )

@@ -267,6 +267,41 @@ def test_compact_digest_sketches_preserves_triage(spark, tmp_path):
     assert recrawl_triage(batch, path) == before
 
 
+def test_ingest_recrawl_keeps_sketch_complete_without_triage(
+    spark, tmp_path
+):
+    """Round 13: a triage=False ingest must still fold its batch into the
+    theta artifact (default digest_sketch=None = 'artifact exists'), so a
+    later triage sees the full corpus — not an undercounted seen_frac."""
+    from hive_serde_schema_gen_spark.operators.dedup_index import (
+        build_minhash_index,
+        ingest_recrawl,
+        recrawl_triage,
+    )
+
+    path = str(tmp_path / "tri-ingest")
+    build_minhash_index(
+        _tri_docs(spark, range(0, 20)), path, hash_fn="md5",
+        digest_sketch=True,
+    )
+    # ingest WITHOUT triage — the batch must still reach the sketch
+    ingest_recrawl(
+        _tri_docs(spark, range(100, 120), tag="b2"), path, triage=False,
+        epoch=1,
+    )
+    tri = recrawl_triage(_tri_docs(spark, range(100, 120), tag="b2"), path)
+    assert tri["seen"] == 20.0 and tri["seen_frac"] == 1.0
+    # and an index with NO artifact never grows one implicitly
+    bare = str(tmp_path / "tri-bare")
+    build_minhash_index(_tri_docs(spark, range(0, 10)), bare, hash_fn="md5")
+    ingest_recrawl(
+        _tri_docs(spark, range(200, 210), tag="b3"), bare, triage=False
+    )
+    import os
+
+    assert not os.path.exists(f"{bare}/theta")
+
+
 def test_recrawl_triage_missing_artifact_errors(spark, tmp_path):
     from hive_serde_schema_gen_spark.operators.dedup_index import (
         build_minhash_index,

@@ -133,6 +133,38 @@ def test_metric_anomalies_exact_int(spark):
     assert got[0]["z"] == (160 - mean) / std
 
 
+def test_metric_anomalies_exact_int_large_metrics(spark):
+    """Round 13: metrics ~1e8 per epoch — (Σx)² and n·Σx² overflow int64
+    (1e8² × 100 epochs ≈ 1e18 × n), which used to wrap silently in the
+    long-typed moments, flipping the positivity test.  The decimal(38,0)
+    moments keep the math exact: the planted spike is flagged and the
+    stable-but-huge series stays silent."""
+    import math
+
+    from hive_serde_schema_gen_spark.operators.validation import (
+        metric_anomalies,
+    )
+
+    base = 300_000_000  # 3e8 rows/epoch: s1² ≈ 9e18·window² >> int64 max
+    series = [base + d for d in (0, 7, -3, 5, -6, 2, -4, 8, 1, -5)]
+    series.append(base + 4_000_000)  # the drifted epoch
+    rows = [(e, "events", v) for e, v in enumerate(series)]
+    # flat at 1e9 — variance positivity must hold it silent, not wrap
+    rows += [(e, "flat", 10**9) for e in range(11)]
+    d = spark.createDataFrame(rows, "epoch long, check string, metric long")
+    got = metric_anomalies(
+        d, k=3.0, min_history=5, window=100, exact_int=True
+    ).collect()
+    assert [(r["check"], r["epoch"]) for r in got] == [("events", 10)]
+    hist = series[:10]
+    s1, s2, n = sum(hist), sum(v * v for v in hist), len(hist)
+    mean = float(s1) / n
+    std = math.sqrt((float(s2) - float(s1) * float(s1) / n) / (n - 1))
+    assert got[0]["trail_mean"] == mean
+    assert got[0]["trail_std"] == std
+    assert got[0]["z"] == (series[10] - mean) / std
+
+
 def test_anomaly_evidence_frame_flags_planted_spikes(spark):
     """The slot fixture at sf0.01: every flagged epoch is a planted one
     (epoch % 37 == 11) with positive z."""
