@@ -287,7 +287,9 @@ def sql_bpe_ctes(n_merges: int = BPE_MERGES) -> str:
         for k in range(1, n_merges + 1)
     )
     ctes.append(f"bpem AS ({ranks})")
-    return ",\n    ".join(ctes).replace(" AS (", " AS MATERIALIZED (")
+    from .clustering import _materialize
+
+    return _materialize(",\n    ".join(ctes))
 
 
 def sql_bpe_encode_cte(n_merges: int = BPE_MERGES) -> str:
@@ -327,4 +329,6 @@ def sql_bpe_encode_cte(n_merges: int = BPE_MERGES) -> str:
       FROM bpedw d JOIN bpee{n_merges} e USING (word)
       GROUP BY d.doc_id)"""
     )
-    return ",\n    ".join(ctes).replace(" AS (", " AS MATERIALIZED (")
+    from .clustering import _materialize
+
+    return _materialize(",\n    ".join(ctes))

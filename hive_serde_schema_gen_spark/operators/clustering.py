@@ -478,10 +478,11 @@ def sql_kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
       FROM kma{K} a JOIN kmrate r USING (cell)
       WHERE {h} < r.rate * 1000000)"""
     )
-    # MATERIALIZED: every " AS (" here is a CTE definition (audited) —
-    # DuckDB inlines CTEs, and the Lloyd chain references kmc{it} three
-    # ways per round (the round-12 EMFILE lesson, logreg.py)
-    return ",\n    ".join(parts).replace(" AS (", " AS MATERIALIZED (")
+    # MATERIALIZED via _materialize (round 13: the blanket str.replace
+    # shared its WINDOW-clause trap): DuckDB inlines CTEs, and the Lloyd
+    # chain references kmc{it} three ways per round (the round-12 EMFILE
+    # lesson, logreg.py)
+    return _materialize(",\n    ".join(parts))
 
 
 # ---------------------------------------------------------------------------
@@ -508,6 +509,14 @@ SD_EXACT_MOD, SD_EXACT_REM, SD_EXACT_OFF = 11, 3, 1_000_000
 SD_PERT_MOD, SD_PERT_REM, SD_PERT_OFF = 13, 4, 2_000_000
 SD_PERT_DELTA = 0.25
 SD_NOVEL_MOD, SD_NOVEL_REM, SD_NOVEL_OFF = 17, 5, 3_000_000
+
+#: default-on skew-guard bound (round 13): a cell may hold at most
+#: max(SD_GUARD_MIN_CELL, SD_GUARD_SKEW · N/k) members before the pair
+#: stage is refused — 8× the mean cell tolerates organic imbalance while
+#: catching the one mega-cluster of near-identical docs that would
+#: launch a |cell|²-pair join.
+SD_GUARD_MIN_CELL = 1_000
+SD_GUARD_SKEW = 8.0
 
 
 def assign_to_centroids(
@@ -539,7 +548,7 @@ def semdedup_prune(
     threshold: float = SD_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cell: int | None = None,
+    max_cell: int | None | str = "auto",
 ) -> DataFrame:
     """SemDeDup prune over pre-clustered embeddings: one row per vector —
     ``(id, cluster, dup_of, dup_cos)`` where ``dup_of`` is the SMALLEST
@@ -557,13 +566,17 @@ def semdedup_prune(
     bit-identical in DuckDB, so the driver hash covers the cosines
     themselves.
 
-    ``max_cell`` (opt-in, one extra groupBy-count job over the
-    checkpointed members) is the skew GUARD for that posture: if any
-    cell exceeds it, raise with the offending cells and their sizes
-    instead of silently launching a |cell|²-pair stage — the remediation
-    is always re-clustering with larger k, never pair-joining the giant
-    cell.  Leave it None when cell sizes are already monitored (e.g.
-    via ``diagnostics.skew_report`` on the assignments)."""
+    ``max_cell`` (DEFAULT-ON since round 13; one extra groupBy-count job
+    over the checkpointed members) is the skew GUARD for that posture:
+    if any cell exceeds the bound, raise with the offending cells and
+    their sizes instead of silently launching a |cell|²-pair stage — the
+    remediation is always re-clustering with larger k, never
+    pair-joining the giant cell.  ``"auto"`` (the default) derives the
+    bound from the data as ``max(SD_GUARD_MIN_CELL, SD_GUARD_SKEW·N/k)``
+    — 8× the mean cell size, floored at 1000 so small fixtures never
+    trip; an int pins it explicitly; ``None`` is the explicit OPT-OUT
+    for callers that already monitor cell sizes (e.g. via
+    ``diagnostics.skew_report`` on the assignments)."""
     from .similarity import qdot, quantized
 
     n2 = F.aggregate(
@@ -584,11 +597,23 @@ def semdedup_prune(
         .localCheckpoint()  # both sides of the self-join read it
     )
     if max_cell is not None:
-        # one bounded job over the checkpointed members: O(k) result rows
+        # bounded jobs over the checkpointed members: O(k) result rows
+        counts = m.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+        if max_cell == "auto":
+            tot = counts.agg(
+                F.sum("__n").alias("N"), F.count(F.lit(1)).alias("k")
+            ).collect()[0]
+            bound = max(
+                SD_GUARD_MIN_CELL,
+                int(
+                    SD_GUARD_SKEW * int(tot["N"] or 0)
+                    / max(int(tot["k"] or 1), 1)
+                ),
+            )
+        else:
+            bound = int(max_cell)
         big = (
-            m.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(max_cell))
+            counts.filter(F.col("__n") > bound)
             .orderBy(F.desc("__n"))
             .limit(10)
             .collect()
@@ -597,9 +622,11 @@ def semdedup_prune(
             sizes = ", ".join(f"cell {r['cluster']}: {r['__n']}" for r in big)
             raise ValueError(
                 f"semdedup cell-size guard: {len(big)}+ cells exceed "
-                f"max_cell={max_cell} ({sizes}) — the pair stage would be "
-                "quadratic in those cells; re-cluster with larger k "
-                "(kmeans_topics) instead of pair-joining them"
+                f"max_cell={bound}"
+                f"{' (auto)' if max_cell == 'auto' else ''} ({sizes}) — "
+                "the pair stage would be quadratic in those cells; "
+                "re-cluster with larger k (kmeans_topics) instead of "
+                "pair-joining them (max_cell=None opts out)"
             )
     a, b = m.alias("a"), m.alias("b")
     dot = qdot(F.col("a.__q"), F.col("b.__q"))
@@ -740,14 +767,40 @@ def _materialize(sql: str) -> str:
     ``name AS (`` (a bare identifier directly before AS), which skips
     RECURSIVE CTEs' ``name(cols) AS (`` — those cannot be materialized —
     and cannot match inside expressions (``CAST(x AS T)`` has no paren,
-    ``) AS (`` has no identifier)."""
+    ``) AS (`` has no identifier).
+
+    Round 13: named-window definitions (``WINDOW w AS (...)`` including
+    multi-window ``WINDOW w AS (...), v AS (...)`` clauses) share the
+    ``name AS (`` shape but CANNOT be materialized — a paren-counting
+    scan masks every WINDOW clause before the rewrite, so the substitution
+    never touches them."""
     import re
 
-    return re.sub(
-        r"\b([a-zA-Z_][a-zA-Z0-9_]*) AS \(",
-        r"\1 AS MATERIALIZED (",
-        sql,
-    )
+    # mask spans covered by WINDOW clauses (all comma-separated names)
+    masked: list = []
+    for m in re.finditer(r"\bWINDOW\b", sql, re.IGNORECASE):
+        i = m.end()
+        while True:
+            mm = re.match(r"\s*[A-Za-z_]\w*\s+AS\s*\(", sql[i:], re.IGNORECASE)
+            if not mm:
+                break
+            j, depth = i + mm.end(), 1
+            while j < len(sql) and depth:
+                depth += {"(": 1, ")": -1}.get(sql[j], 0)
+                j += 1
+            masked.append((m.start(), j))
+            i = j
+            mc = re.match(r"\s*,", sql[i:])
+            if not mc:
+                break
+            i += mc.end()
+
+    def _sub(m: "re.Match") -> str:
+        if any(a <= m.start() < b for a, b in masked):
+            return m.group(0)
+        return f"{m.group(1)} AS MATERIALIZED ("
+
+    return re.sub(r"\b([a-zA-Z_][a-zA-Z0-9_]*) AS \(", _sub, sql)
 
 
 def sql_semdedup_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
@@ -1032,3 +1085,56 @@ def extend_semdedup_index(
             .partitionBy("cluster")
             .parquet(f"{path}/members")
         )
+
+
+def semdedup_ingest(
+    new_e: DataFrame,
+    path: str,
+    owner: str | None = None,
+    extend: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None | str = "auto",
+):
+    """The complete semantic recrawl step, composed (the SemDeDup twin of
+    ``dedup_index.ingest_recrawl``):
+
+        probe vs index → batch SELF-dedup under the frozen centroids →
+        novel anti-join → [extend index]
+
+    Returns ``(novel, report)`` — the batch vectors that are new content
+    (already appended when ``extend=True``) and exact ``n_batch`` /
+    ``n_novel`` counts.  The self-dedup step is load-bearing: the probe
+    compares batch-vs-index only, so intra-batch near-duplicates would
+    ALL enter the index without it (the contract
+    :func:`semdedup_against_index` documents), weakening every future
+    probe.  Self-dedup runs on the index's pinned threshold under the
+    FROZEN centroids, so batch survivors are exactly what a one-shot
+    build over corpus ∪ batch would have kept from the batch (up to the
+    keep-first id order)."""
+    spark = new_e.sparkSession
+    hits = semdedup_against_index(
+        new_e, path, id_col=id_col, vec_col=vec_col
+    )
+    fresh = semdedup_novel(
+        new_e,
+        # probe output columns are fixed (vec_id, matched_vec_id, cos)
+        hits.withColumnRenamed("matched_vec_id", "dup_of")
+        .withColumnRenamed("vec_id", id_col),
+        id_col=id_col,
+    )
+    _, _, threshold = _check_semdedup_meta(spark, path)
+    assigned = assign_to_centroids(
+        fresh, _frozen_centroids(spark, path), id_col=id_col, vec_col=vec_col
+    )
+    pruned = semdedup_prune(
+        fresh, assigned, threshold=threshold, id_col=id_col,
+        vec_col=vec_col, max_cell=max_cell,
+    )
+    novel = semdedup_novel(fresh, pruned, id_col=id_col).localCheckpoint()
+    report = {"n_batch": new_e.count(), "n_novel": novel.count()}
+    if extend:
+        extend_semdedup_index(
+            novel, path, owner=owner, id_col=id_col, vec_col=vec_col
+        )
+    return novel, report

@@ -318,10 +318,122 @@ def test_prune_threshold_monotonicity(spark, clustered):
 
 
 def test_max_cell_guard(spark, clustered):
-    """The opt-in skew guard raises with offending cell sizes instead of
-    launching a quadratic pair stage; a generous bound passes through."""
+    """The skew guard raises with offending cell sizes instead of
+    launching a quadratic pair stage; a generous bound passes through;
+    None is the explicit opt-out."""
     e, _, assigned = clustered
     with pytest.raises(ValueError, match="cell-size guard"):
         semdedup_prune(e, assigned, threshold=0.999, max_cell=2)
     out = semdedup_prune(e, assigned, threshold=0.999, max_cell=100)
     assert out.count() == e.count()
+    assert (
+        semdedup_prune(e, assigned, threshold=0.999, max_cell=None).count()
+        == e.count()
+    )
+
+
+def test_max_cell_guard_default_on_catches_giant_cell(spark):
+    """Round 13: the guard is DEFAULT-ON with a derived bound — a planted
+    mega-cluster (one cell holding ~all of a >1000-vector corpus, the
+    shape a dedup corpus of near-identical docs produces) raises without
+    any caller opt-in, while a balanced clustering of the same size
+    passes untouched."""
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        SD_GUARD_MIN_CELL,
+    )
+
+    n = SD_GUARD_MIN_CELL + 400
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 97).cast("float"), F.lit(1.0).cast("float")
+        ).alias("embedding"),
+    )
+    giant = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        # 16 clusters exist, but cluster 0 holds all but 15 vectors:
+        # bound = max(1000, 8·n/16) < |cell 0|
+        F.when(F.col("id") < 15, F.col("id") + 1)
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("cluster"),
+    )
+    with pytest.raises(ValueError, match="cell-size guard"):
+        semdedup_prune(e, giant, threshold=0.999).count()
+    balanced = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 16).cast("int").alias("cluster"),
+    )
+    assert semdedup_prune(e, balanced, threshold=0.9999).count() == n
+
+
+def test_materialize_skips_window_definitions():
+    """Round 13: ``WINDOW w AS (...)`` (and multi-window clauses) share
+    the ``name AS (`` shape with CTE definitions but cannot be
+    MATERIALIZED — the rewrite must leave every window name alone while
+    still materializing real CTEs around it."""
+    from hive_serde_schema_gen_spark.operators.clustering import _materialize
+
+    sql = (
+        "rep AS (SELECT a, b FROM t),\n"
+        "win AS (\n"
+        "  SELECT a, SUM(b) OVER w AS s1, COUNT(b) OVER (w) AS n\n"
+        "  FROM rep\n"
+        "  WINDOW w AS (PARTITION BY a ORDER BY b\n"
+        "               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),\n"
+        "base AS (SELECT * FROM win WHERE n > 5)"
+    )
+    out = _materialize(sql)
+    assert "rep AS MATERIALIZED (" in out
+    assert "win AS MATERIALIZED (" in out
+    assert "base AS MATERIALIZED (" in out
+    assert "WINDOW w AS (PARTITION" in out  # untouched
+    assert "w AS MATERIALIZED" not in out
+    # multi-window clause: both names skipped, trailing CTE still marked
+    multi = (
+        "c1 AS (SELECT * FROM t),\n"
+        "c2 AS (SELECT SUM(x) OVER w AS s, AVG(x) OVER v AS m FROM c1\n"
+        "  WINDOW w AS (PARTITION BY k), v AS (ORDER BY x)),\n"
+        "c3 AS (SELECT * FROM c2)"
+    )
+    mout = _materialize(multi)
+    assert "c1 AS MATERIALIZED (" in mout
+    assert "c2 AS MATERIALIZED (" in mout
+    assert "c3 AS MATERIALIZED (" in mout
+    assert "w AS (PARTITION BY k), v AS (ORDER BY x)" in mout
+
+
+def test_semdedup_ingest_composes_with_batch_self_dedup(spark, tmp_path):
+    """Round 13 (README/API contract): the composed ingest self-dedups
+    the batch before extending — intra-batch near-duplicates enter the
+    index ONCE, index matches never enter, genuinely-new content does."""
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        persist_semdedup_index,
+        semdedup_against_index,
+        semdedup_ingest,
+    )
+
+    e = _cluster_corpus(spark)
+    path = str(tmp_path / "sd-ingest")
+    persist_semdedup_index(e, path, k=2, iters=1, threshold=0.99)
+    batch = _edf(
+        spark,
+        [
+            (400, [10.0, 0.0, 0.0, 0.0]),   # dup of indexed vec 0 — rejected
+            (401, [5.0, 0.0, 5.0, 0.0]),    # novel direction, kept
+            (402, [5.0, 0.0, 5.0, 0.001]),  # intra-batch dup of 401 — pruned
+            (403, [0.0, 5.0, 0.0, 5.0]),    # second novel direction, kept
+        ],
+    )
+    novel, report = semdedup_ingest(batch, path)
+    assert report == {"n_batch": 4, "n_novel": 2}
+    assert sorted(r["vec_id"] for r in novel.collect()) == [401, 403]
+    members = sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{path}/members").collect()
+    )
+    assert members == [0, 1, 2, 10, 11, 12, 401, 403]
+    # a re-crawl of the pruned intra-batch dup now matches the index
+    rehit = semdedup_against_index(
+        _edf(spark, [(500, [5.0, 0.0, 5.0, 0.001])]), path
+    ).collect()
+    assert [r["matched_vec_id"] for r in rehit] == [401]
