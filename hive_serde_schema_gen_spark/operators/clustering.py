@@ -745,18 +745,22 @@ def semdedup_probe_evidence(spark, sf_dir):
     rides the hash — write→read through quantized parquet, the meta
     check, frozen-centroid assignment from the ARTIFACT, partition-
     pruned member scan, and the threshold cut, all re-derived in SQL
-    from the construction."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="sd-idx-slot-")
-    _, batch = _sd_base_and_batch(spark, sf_dir)
+    from the construction.  The artifact lives only inside
+    ``with_slot_scratch`` — hits are eagerly checkpointed, the dir
+    removed (round 13)."""
     from ..sources.tables import load_table
+    from .scratch import with_slot_scratch
 
+    _, batch = _sd_base_and_batch(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
-    persist_semdedup_index(
-        e, path, k=KM_K, iters=KM_ITERS, threshold=SD_THRESHOLD
-    )
-    return semdedup_against_index(batch, path)
+
+    def _build(path):
+        persist_semdedup_index(
+            e, path, k=KM_K, iters=KM_ITERS, threshold=SD_THRESHOLD
+        )
+        return semdedup_against_index(batch, path)
+
+    return with_slot_scratch("sd-idx-slot-", _build)
 
 
 def _materialize(sql: str) -> str:

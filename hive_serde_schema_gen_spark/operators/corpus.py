@@ -750,19 +750,28 @@ def web_corpus_crawl_query(spark, sf_dir):
     accounting — under the driver gate.
 
     The fixture collect is {n} rows (bounded constant — fixture writer,
-    not a data path); the files land in a fresh temp dir per call."""
-    import gzip
-    import os
-    import tempfile
-
-    from ..functions.union import pad_union
-    from ..sources.wet import crawl_report
-
+    not a data path); the files land in a scratch dir the call removes
+    after checkpointing the union (round 13)."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _CRAWL_DOCS
     )
     rows = d.select("doc_id", "text").orderBy("doc_id").collect()
-    tmp = tempfile.mkdtemp(prefix="wet-slot-")
+    from .scratch import with_slot_scratch
+
+    return with_slot_scratch(
+        "wet-slot-", lambda tmp: _web_corpus_crawl_build(spark, rows, tmp)
+    )
+
+
+def _web_corpus_crawl_build(spark, rows, tmp):
+    """Fixture write + end-to-end run inside the scratch dir — the final
+    union is checkpointed by the caller before the dir is removed."""
+    import gzip
+    import os
+
+    from ..functions.union import pad_union
+    from ..sources.wet import crawl_report
+
     info = (
         b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
         b"WARC-Record-ID: <urn:uuid:info-0>\r\nContent-Length: 0\r\n\r\n\r\n\r\n"

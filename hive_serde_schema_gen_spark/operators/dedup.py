@@ -571,9 +571,19 @@ def dedup_index_probe(spark, sf_dir):
     batch breaks the hash — the oracle's banding covers the whole corpus),
     probes it with the planted batch, and returns match rows
     (signature-estimated Jaccard) plus the novel anti-join — the
-    snapshot-over-snapshot ingest pattern, md5 oracle configuration."""
-    import tempfile
+    snapshot-over-snapshot ingest pattern, md5 oracle configuration.
+    The temp index lives only inside ``with_slot_scratch`` — the
+    returned frames are eagerly checkpointed, the dir removed
+    (round 13)."""
+    from .scratch import with_slot_scratch
 
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_slot_scratch(
+        "mh-idx-slot-", lambda path: _dedup_index_probe_build(spark, d, path)
+    )
+
+
+def _dedup_index_probe_build(spark, d, path):
     from .dedup_index import (
         build_minhash_index,
         dedup_against_index,
@@ -581,8 +591,6 @@ def dedup_index_probe(spark, sf_dir):
         novel_docs,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="mh-idx-slot-")
     build_minhash_index(
         d.filter(F.col("doc_id") % 2 == 0), path, n_files=4, hash_fn="md5",
         digest_sketch=True,

@@ -238,19 +238,23 @@ def hybrid_retrieval_topk(spark, sf_dir):
     reciprocal-rank fusion.  The oracle re-derives the lexical ranks, the
     semantic ranks (including PQ training and the ADC shortlist), and the
     fused top-k in ONE DuckDB statement, so the whole composition — not
-    just its ingredients — is hash-checked."""
-    import tempfile
-
+    just its ingredients — is hash-checked.  The index lives only inside
+    ``with_slot_scratch`` (round 13)."""
     from ..sources.tables import load_table
+    from .scratch import with_slot_scratch
     from .text_index import build_text_index
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="hybrid-idx-slot-")
-    build_text_index(d, path)
-    return hybrid_topk(
-        spark, path, " ".join(_HYBRID_TERMS), e, k=_HYBRID_K, rrf_k=_RRF_K
-    )
+
+    def _build(path):
+        build_text_index(d, path)
+        return hybrid_topk(
+            spark, path, " ".join(_HYBRID_TERMS), e, k=_HYBRID_K,
+            rrf_k=_RRF_K,
+        )
+
+    return with_slot_scratch("hybrid-idx-slot-", _build)
 
 
 # ---------------------------------------------------------------------------
@@ -324,14 +328,17 @@ def _hybrid_freetext_oracle() -> str:
     )
 
 
-def _freetext_fixture(spark, sf_dir):
+def _freetext_fixture(spark, sf_dir, path=None):
     """Shared corpus artifacts for the free-text and batch branches: the
     md5-configuration hashed embeddings (dim 64 — the LSH/PQ geometry),
     one persisted BM25 index, and the LSH + PQ ingest artifacts.  ALL
     built once per slot run (PQ training is the expensive part — two
     Lloyd rounds over the corpus); both serve paths probe the same
     artifacts, which is also the realistic shape (an index is built at
-    ingest, not per query)."""
+    ingest, not per query).  ``path`` (round 13): the caller's scratch
+    dir for the BM25 index — whoever makes it owns its cleanup (the slot
+    entries route it through ``with_slot_scratch``); None falls back to
+    a leaked mkdtemp for ad-hoc/legacy use."""
     import tempfile
 
     from ..sources.tables import load_table
@@ -343,7 +350,8 @@ def _freetext_fixture(spark, sf_dir):
     e = embed_text(
         d, dim=_EMB_DIM_HYBRID, bigrams=True, hash_fn="md5"
     ).select(F.col("doc_id").alias("vec_id"), "embedding").localCheckpoint()
-    path = tempfile.mkdtemp(prefix="hybrid-ft-slot-")
+    if path is None:
+        path = tempfile.mkdtemp(prefix="hybrid-ft-slot-")
     build_text_index(d, path)
     return path, e, build_lsh_index(e), build_pq_index(e)
 
@@ -354,9 +362,17 @@ def hybrid_freetext_topk(spark, sf_dir, fixture=None):
     raw query string embeds through the identical featurizer under the
     reserved ``QUERY_TEXT_ID``, and the whole serve path runs from the
     string alone — no query-by-example vector anywhere."""
-    path, e, lsh, pq = (
-        fixture if fixture is not None else _freetext_fixture(spark, sf_dir)
-    )
+    if fixture is None:
+        from .scratch import with_slot_scratch
+
+        return with_slot_scratch(
+            "hybrid-ft-slot-",
+            lambda p: hybrid_freetext_topk(
+                spark, sf_dir,
+                fixture=_freetext_fixture(spark, sf_dir, path=p),
+            ),
+        )
+    path, e, lsh, pq = fixture
     return hybrid_topk_text(
         spark,
         path,
@@ -515,9 +531,17 @@ def hybrid_batch_topk_rows(spark, sf_dir, fixture=None):
     is a second term set re-derived from scratch by the oracle."""
     from .batch_retrieval import hybrid_topk_text_batch
 
-    path, e, lsh, pq = (
-        fixture if fixture is not None else _freetext_fixture(spark, sf_dir)
-    )
+    if fixture is None:
+        from .scratch import with_slot_scratch
+
+        return with_slot_scratch(
+            "hybrid-ft-slot-",
+            lambda p: hybrid_batch_topk_rows(
+                spark, sf_dir,
+                fixture=_freetext_fixture(spark, sf_dir, path=p),
+            ),
+        )
+    path, e, lsh, pq = fixture
     queries = spark.createDataFrame(
         [(0, _FREETEXT_QUERY), (1, _BATCH_QUERY2)], "qid long, query string"
     )
@@ -553,12 +577,21 @@ def hybrid_ops(spark, sf_dir):
     :func:`batch_retrieval.mine_hard_negatives` over the batch hits:
     positives = each qid's top-{_NEG_POS} fused docs, skip_top
     {_NEG_SKIP}, {_NEG_COUNT} negatives; ``rank`` carries ``neg_rank``."""
+    from .scratch import with_slot_scratch
+
+    # build the corpus artifacts (md5 embeddings + BM25 index) ONCE in a
+    # scratch dir removed after the final union checkpoints (round 13);
+    # both string-serving branches probe the same fixture
+    return with_slot_scratch(
+        "hybrid-ft-slot-", lambda p: _hybrid_ops_build(spark, sf_dir, p)
+    )
+
+
+def _hybrid_ops_build(spark, sf_dir, scratch_path):
     from ..functions.union import pad_union
     from .batch_retrieval import mine_hard_negatives
 
-    # build the corpus artifacts (md5 embeddings + BM25 index) ONCE;
-    # both string-serving branches probe the same fixture
-    fixture = _freetext_fixture(spark, sf_dir)
+    fixture = _freetext_fixture(spark, sf_dir, path=scratch_path)
     # materialize the batch hits once: the batch branch emits them and the
     # negatives branch mines from them (anti-join + window, no re-retrieval)
     batch_rows = hybrid_batch_topk_rows(

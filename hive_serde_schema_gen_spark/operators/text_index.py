@@ -269,21 +269,23 @@ def bm25_indexed_probe(spark, sf_dir):
     text of the union corpus.  A green hash therefore proves
     build + extend + probe ≡ scan-time BM25 over the whole corpus, the
     module's central parity claim, under the driver gate rather than
-    pytest only.  The index lands in a fresh temp dir per call (the
-    returned frame lazily reads it — cleanup is the OS tempdir's).
+    pytest only.  The index lands in a fresh scratch dir per call,
+    checkpointed out of and removed before returning (round 13).
     Rounding note: scores are reported at 9 dp for the same 1-ULP ``ln``
     reason as ``text_bm25``."""
-    import tempfile
-
     from ..sources.tables import load_table
+    from .scratch import with_slot_scratch
 
     d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="bm25-idx-slot-")
-    build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
-    extend_text_index(d.filter(F.col("doc_id") % 2 == 1), path)
-    return bm25_topk_indexed(spark, path, " ".join(_IDX_TERMS), k=20).select(
-        "doc_id", F.round("bm25", 9).alias("bm25")
-    )
+
+    def _build(path):
+        build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
+        extend_text_index(d.filter(F.col("doc_id") % 2 == 1), path)
+        return bm25_topk_indexed(
+            spark, path, " ".join(_IDX_TERMS), k=20
+        ).select("doc_id", F.round("bm25", 9).alias("bm25"))
+
+    return with_slot_scratch("bm25-idx-slot-", _build)
 
 
 # ---------------------------------------------------------------------------
