@@ -100,6 +100,61 @@ HEADLINE = [
 # seconds.
 CAL_REF = {"jvm": 0.57, "scan": 0.30, "shuffle": 1.00, "arrow": 2.50}
 
+# Round 13 (VERDICT r12 ask #1): per-regime normalization.  One scalar
+# host_factor cannot fit sweeps whose component factors disagree (r12c:
+# arrow 1.08 vs shuffle 0.51 — a ~2× split), because it over-corrects
+# queries living in the regime that did NOT slow down.
+#
+# The regime tags below are MEASURED, not guessed from plan shape.  The
+# round-13 designed experiment (BASELINE.md §round-13) ran the bench in
+# a clean session and in a deliberately r12c-shaped one (a full
+# correctness sweep running concurrently; component factors disagreed
+# ~1.9×, jvm 0.60 vs arrow 1.15) with per-sweep raw query times
+# recorded, then asked per query WHICH regime factor makes the two
+# sessions agree.  The answer was uniform: every JVM-side headline —
+# scans, joins, windows, aggregations alike — tracks the *jvm*
+# (pure codegen CPU) factor, because the scan/shuffle calibration jobs
+# are far MORE contention-sensitive than any real query (their exchange
+# / IO machinery saturates; e.g. shuffle calibration moved +60% while
+# the shuffle-heaviest query moved +7%).  The two mapInPandas headlines
+# track the *arrow* (Python-worker) factor — the r10 2.7× worker-drift
+# episode is a real, distinct failure mode the jvm factor cannot see.
+# scan/shuffle remain as DIAGNOSTIC components in the JSON (a drifting
+# scan factor with jvm flat still names the regime that moved), they
+# just don't normalize any query directly.
+#
+# `queries_norm_regime` divides each query's per-sweep reading by ITS
+# regime's factor from the SAME sweep and takes the MEDIAN over sweeps
+# — not the min: a normalized min inherits the denominator's noise (one
+# inflated calibration reading in one sweep makes that sweep's
+# normalized values spuriously small and the min locks them in; the
+# round-13 clean2 session hit exactly this, jvm factor 0.83 in sweep 1
+# vs 0.53 after), while the median over 3 sweeps shrugs off one
+# contaminated sweep in either direction.  Measured across the three
+# round-13 sessions (clean / concurrent-sweep stress / contaminated
+# sweep): median-of-normalized agreed within 0.8% where
+# min-of-normalized spread 37%.  `value_norm` (sum-weighted scalar,
+# min estimator) is kept unchanged for series continuity with rounds
+# 10-12.
+QUERY_REGIME = {
+    "q1_pricing_summary": "jvm",
+    "q3_shipping_priority": "jvm",
+    "q5_local_supplier": "jvm",
+    "agg_distinct": "jvm",
+    "window_topk_per_group": "jvm",
+    "sessionize_events": "jvm",
+    "pivot_events": "jvm",
+    "dedup_exact": "jvm",
+    "dedup_minhash_lsh_xxhash64": "jvm",
+    "text_quality_score": "jvm",
+    "text_lang_id": "jvm",
+    "similarity_topk_cosine": "jvm",
+    "embedding_norms": "jvm",
+    "asof_join_last_order": "jvm",
+    "multimodal_payload_meta": "arrow",
+    "infer_props_schema": "arrow",
+}
+
 # Deterministic results of the calibration workloads — asserted on every
 # run so the yardstick can never silently change shape.  `scan` hashes
 # real table bytes, so its constant is per-SF; only the sf0.1 value (the
@@ -266,6 +321,8 @@ def main() -> None:
             spark.catalog.clearCache()
     timings = {}
     norm_timings = {}
+    regime_norm_timings = {}
+    raw_sweeps = []  # per-sweep raw query seconds (diagnosis/fitting)
     cal_timings = {}
     cal_results = {}
     host_factors = []
@@ -306,19 +363,31 @@ def main() -> None:
         # contention) still moves the factor.
         sweep_factor = sum(sweep_cal.values()) / sum(CAL_REF.values())
         host_factors.append(round(sweep_factor, 3))
+        sweep_regime_factors = {
+            n: sweep_cal[n] / CAL_REF[n] for n in CAL_REF
+        }
         cal_factors_sweeps.append(
-            {n: round(sweep_cal[n] / CAL_REF[n], 3) for n in CAL_REF}
+            {n: round(sweep_regime_factors[n], 3) for n in CAL_REF}
         )
+        sweep_raw = {}
         for name in HEADLINE:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()  # queries cache() internally
+            sweep_raw[name] = round(dt, 3)
             prev = timings.get(name)
             timings[name] = dt if prev is None else min(prev, dt)
             nd = dt / sweep_factor
             prevn = norm_timings.get(name)
             norm_timings[name] = nd if prevn is None else min(prevn, nd)
+            # per-regime: this sweep's reading over THIS sweep's factor
+            # for the query's own regime (round 13) — median over sweeps
+            # taken after the loop
+            regime_norm_timings.setdefault(name, []).append(
+                dt / sweep_regime_factors[QUERY_REGIME[name]]
+            )
+        raw_sweeps.append(sweep_raw)
     timings = {name: round(dt, 3) for name, dt in timings.items()}
     cal_timings = {name: round(dt, 3) for name, dt in cal_timings.items()}
     # Pooled factor (legacy, rounds <= 11): min-of-all-sweeps calibration
@@ -332,6 +401,12 @@ def main() -> None:
     }
     queries_norm = {
         name: round(dt, 3) for name, dt in norm_timings.items()
+    }
+    import statistics
+
+    queries_norm_regime = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in regime_norm_timings.items()
     }
 
     print(
@@ -355,6 +430,17 @@ def main() -> None:
                 "calibration_factors_per_sweep": cal_factors_sweeps,
                 "value_norm": round(sum(queries_norm.values()), 3),
                 "queries_norm": queries_norm,
+                # round 13: per-regime per-sweep normalization — each
+                # query divided by its OWN regime's factor from the same
+                # sweep (see QUERY_REGIME); the mix-mismatch fix
+                "value_norm_regime": round(
+                    sum(queries_norm_regime.values()), 3
+                ),
+                "queries_norm_regime": queries_norm_regime,
+                "query_regimes": QUERY_REGIME,
+                # raw per-sweep readings: lets any later analysis re-fit
+                # regime tags or re-derive any estimator offline
+                "queries_raw_per_sweep": raw_sweeps,
                 "value_norm_pooled": round(
                     sum(timings.values()) / host_factor, 3
                 ),
