@@ -417,7 +417,12 @@ def _batch_query_ctes() -> list:
     ]
     ctes.extend(
         _pq_ann_ctes(
-            depth, _MULT, src="fe", qsrc="gfeq", probe=q, cand="gcand", p="g"
+            depth, _MULT, src="fe", qsrc="gfeq", probe=q, cand="gcand",
+            p="g",
+            # round 13: the codebook depends only on src="fe" — probe the
+            # f-chain's trained codebook instead of re-running Lloyd (the
+            # duplicated training was ~1/3 of the whole hybrid oracle)
+            reuse_train="f",
         )
     )
     ctes.append(

@@ -1617,6 +1617,7 @@ def _pq_ann_ctes(
     probe: int = QUERY_VEC_ID,
     cand: str = "cand",
     p: str = "",
+    reuse_train: str | None = None,
 ) -> list:
     """CTE fragments for the PQ half of an ANN oracle, parameterized by the
     re-rank cut (``k × mult`` shortlist, exact re-rank of CTE
@@ -1629,11 +1630,24 @@ def _pq_ann_ctes(
     CTE name so one statement can run TWO PQ pipelines (the hybrid slot's
     example + free-text branches).  Shared by ``_ivf_pq_oracle`` and the
     hybrid-retrieval oracle so the PQ-training SQL can never drift between
-    the slots."""
+    the slots.
+
+    ``reuse_train`` (round 13): prefix of an ALREADY-EMITTED chain whose
+    trained codebook (``{t}pc{IT}``) and corpus assignments
+    (``{t}pa{IT}``) this chain should probe instead of re-training — the
+    codebook depends only on ``src``, so two probes over the same corpus
+    (the hybrid slot's two batch queries over ``fe``) must not pay for —
+    or rely on the engine to deduplicate — two identical Lloyd runs."""
     S, C, IT = PQ_SUBSPACES, PQ_CODES, KMEANS_ITERS
     SD = 64 // S
     K, MULT, Q = k, mult, probe
+    tp = reuse_train if reuse_train is not None else p
     ctes = []
+    if reuse_train is not None:
+        return [
+            c.replace(" AS (", " AS MATERIALIZED (", 1)
+            for c in _pq_probe_ctes(K, MULT, IT, SD, src, qsrc, Q, cand, p, tp)
+        ]
     ctes.append(
         f"{p}px AS (SELECT vec_id, CAST((i-1)//{SD} AS INTEGER) AS s,"
         f" CAST((i-1)%{SD} AS INTEGER) AS p, v FROM {src})"
@@ -1673,13 +1687,29 @@ def _pq_ann_ctes(
                 f" AS c FROM {p}pc{k} c LEFT JOIN {p}pm{k} m"
                 " ON m.s = c.s AND m.code = c.code AND m.p = c.p)"
             )
+    ctes.extend(_pq_probe_ctes(K, MULT, IT, SD, src, qsrc, Q, cand, p, tp))
+    # MATERIALIZED: the codebook chain references pc{k} three ways per
+    # Lloyd round — inlined, DuckDB re-executes the training subtree
+    # 3^iters times per consumer (the round-12 EMFILE lesson, logreg.py)
+    return [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+
+
+def _pq_probe_ctes(
+    K: int, MULT: int, IT: int, SD: int, src: str, qsrc: str, Q: int,
+    cand: str, p: str, tp: str,
+) -> list:
+    """The probe half of :func:`_pq_ann_ctes` — ADC LUT against the
+    trained codebook ``{tp}pc{IT}`` / assignments ``{tp}pa{IT}``, ADC
+    shortlist, exact integer-cosine re-rank.  ``tp`` = the prefix that
+    emitted the training chain (== ``p`` unless ``reuse_train``)."""
+    ctes = []
     ctes.append(
         f"{p}qsub AS (SELECT CAST((i-1)//{SD} AS INTEGER) AS s,"
         f" CAST((i-1)%{SD} AS INTEGER) AS p, v FROM {qsrc} WHERE vec_id = {Q})"
     )
     ctes.append(
         f"{p}lut AS (SELECT c.s, c.code, SUM(q.v * c.c) AS pdot,"
-        f" SUM(c.c * c.c) AS pn2 FROM {p}pc{IT} c JOIN {p}qsub q"
+        f" SUM(c.c * c.c) AS pn2 FROM {tp}pc{IT} c JOIN {p}qsub q"
         " ON q.s = c.s AND q.p = c.p GROUP BY c.s, c.code)"
     )
     ctes.append(
@@ -1688,7 +1718,7 @@ def _pq_ann_ctes(
     )
     ctes.append(
         f"{p}approx AS (SELECT a.vec_id, SUM(l.pdot) AS adot, SUM(l.pn2) AS an2"
-        f" FROM {p}pa{IT} a JOIN {p}lut l ON l.s = a.s AND l.code = a.code"
+        f" FROM {tp}pa{IT} a JOIN {p}lut l ON l.s = a.s AND l.code = a.code"
         f" JOIN {cand} cd ON cd.vec_id = a.vec_id GROUP BY a.vec_id)"
     )
     ctes.append(
@@ -1707,10 +1737,7 @@ def _pq_ann_ctes(
         f" FROM {src} e JOIN (SELECT v, i FROM {qsrc} WHERE vec_id = {Q}) q2 USING (i)"
         f" JOIN {p}short sh ON sh.vec_id = e.vec_id GROUP BY e.vec_id)"
     )
-    # MATERIALIZED: the codebook chain references pc{k} three ways per
-    # Lloyd round — inlined, DuckDB re-executes the training subtree
-    # 3^iters times per consumer (the round-12 EMFILE lesson, logreg.py)
-    return [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return ctes
 
 
 @query("ann_topk_ivf_pq", oracle=_ivf_pq_oracle())

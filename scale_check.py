@@ -137,13 +137,155 @@ def build() -> None:
         )
 
 
+SCRATCH10 = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".scale_scratch", "sf10"
+)
+
+
+def build_sf10() -> None:
+    """Second decade up (round 13 — VERDICT r12 ask #2): synthesize the
+    sf10 point (100× the graded sf0.1) for the tables the five steepest
+    sf1 growers read — documents (perturbed replication, same ~0.75
+    cross-copy Jaccard construction as sf1 so near-dup structure stays
+    linear), embeddings (verbatim replication), and events + orders with
+    disjoint key offsets (the as-of join's two sides)."""
+    import duckdb
+
+    os.makedirs(SCRATCH10, exist_ok=True)
+    sf01 = os.path.join(TESTDATA, "sf0.1")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + k.k * 1000000 AS doc_id,
+                 CASE WHEN k.k = 0 THEN d.text ELSE
+                   list_aggregate(
+                     list_transform(string_split(d.text, ' '),
+                       (w, i) -> CASE WHEN i % 7 = 0 THEN w || '_' || k.k
+                                 ELSE w END),
+                     'string_agg', ' ')
+                 END AS text,
+                 d.lang, d.source, d.n_chars
+          FROM '{sf01}/documents.parquet' d, range(100) k(k)
+        ) TO '{SCRATCH10}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + k.k * 1000000 AS vec_id, e.embedding, e.label
+          FROM '{sf01}/embeddings.parquet' e, range(100) k(k)
+        ) TO '{SCRATCH10}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    OFF = 100_000_000
+    fact_keys = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for t, keys in fact_keys.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{sf01}/{t}.parquet'"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"t.{c} + k.k * {OFF} AS {c}" if c in keys else f"t.{c}"
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{sf01}/{t}.parquet' t, range(100) k(k))"
+            f" TO '{SCRATCH10}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def run_sf10() -> None:
+    """Measure the five steepest sf1 growers once at sf0.1 and once at
+    sf10 (same session, best-of-2 per point, bench-style warmup) and
+    print one JSON line with the 100×-data growth factors."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hive_serde_schema_gen_spark.operators.advanced import (
+        asof_join_last_order,
+    )
+    from hive_serde_schema_gen_spark.operators.dedup import minhash_lsh_pairs
+    from hive_serde_schema_gen_spark.operators.similarity import (
+        embedding_norms,
+    )
+    from hive_serde_schema_gen_spark.operators.text import (
+        text_lang_id,
+        text_quality_score,
+    )
+    from hive_serde_schema_gen_spark.session import get_spark
+
+    spark = get_spark("scale-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Forced with a filter on COMPUTED columns + count (the scale_check
+    # convention): a bare count() lets Catalyst prune the narrow
+    # projections entirely (first attempt read text_lang_id flat across
+    # 100× data — it was counting parquet rows); a full collect() would
+    # instead bill a driver-transfer cost that a real sink never pays.
+    targets = {
+        # groupBy on the computed column, not a filter: `predicted` is an
+        # all-literal-branch CASE, so ANY literal comparison on it folds
+        # into the branches and the filter (then the whole projection,
+        # under count) optimizes away — PushFoldableIntoBranches.  An
+        # aggregation keyed on the prediction must evaluate it per row.
+        "text_lang_id": lambda s, d: text_lang_id(s, d)
+        .groupBy("predicted", "lang")
+        .count(),
+        "text_quality_score": lambda s, d: text_quality_score(s, d).filter(
+            "quality >= 0 AND n_stopwords >= 0"
+        ),
+        "embedding_norms": lambda s, d: embedding_norms(s, d).filter(
+            "l2_norm >= 0 AND n_positive >= 0 AND q_max > -1e18"
+        ),
+        "asof_join_last_order": lambda s, d: asof_join_last_order(
+            s, d
+        ).filter("coalesce(last_orderkey, -1) > -9e18"),
+        "dedup_minhash_lsh_xxhash64": lambda s, d: minhash_lsh_pairs(
+            s, d, hash_fn="xxhash64", sort=False
+        ).filter("jaccard >= 0"),
+    }
+    points = [
+        ("sf0.1", os.path.join(TESTDATA, "sf0.1"), 1.0),
+        ("sf10", SCRATCH10, 100.0),
+    ]
+    for fn in targets.values():  # codegen warmup
+        fn(spark, os.path.join(TESTDATA, "sf0.001")).count()
+    out: dict = {}
+    for qname, fn in targets.items():
+        rows = {}
+        for label, path, _mult in points:
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(spark, path).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            rows[label] = round(best, 3)
+        rows["x_on_100x_data"] = round(rows["sf10"] / rows["sf0.1"], 1)
+        out[qname] = rows
+    print(json.dumps({"metric": "sf10_decade", "results": out}))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true")
+    ap.add_argument("--build-sf10", action="store_true")
+    ap.add_argument("--sf10", action="store_true")
     ap.add_argument("--max-df", type=float, default=None)
     args = ap.parse_args()
     if args.build:
         build()
+        return
+    if args.build_sf10:
+        build_sf10()
+        return
+    if args.sf10:
+        run_sf10()
         return
 
     from hive_serde_schema_gen_spark.operators.corpus import (
