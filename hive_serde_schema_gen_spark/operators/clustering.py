@@ -1142,3 +1142,46 @@ def semdedup_ingest(
             novel, path, owner=owner, id_col=id_col, vec_col=vec_col
         )
     return novel, report
+
+
+def compact_semdedup_index(
+    spark, path: str, owner: str | None = None
+) -> None:
+    """Fold an extended SemDeDup index back into one artifact generation
+    (round 13 — the ``compact_minhash_index`` sibling): every
+    ``extend_semdedup_index`` call appends new parquet files inside the
+    existing ``members/cluster=…`` partitions, so after many recrawl
+    epochs each partition is a pile of small appended files and a
+    replayed extend's duplicate rows linger until "the next compaction"
+    — which is THIS.
+
+    - ``members``: EXACT-duplicate rows dropped (a replayed extend
+      appends row-identical (vec_id, q, n2, cluster) tuples — distinct
+      can never merge different vectors), then rewritten one clustered
+      generation: re-partitioned on ``cluster`` (HIVE partitioning
+      preserved, so the probe's directory-level PartitionFilters keep
+      pruning) and re-sorted on ``vec_id`` within partitions, the
+      initial-build layout.
+    - ``centroids`` / ``meta``: untouched — centroids are FROZEN by
+      contract (cluster ids must stay stable across snapshots), and the
+      pinned (k, iters, threshold) don't change.
+
+    Probe parity is structural (the probe reads row content, never file
+    layout); pinned pre/post in tests.  Cost is O(index rows): one read
+    + clustered rewrite, never a re-embedding or re-clustering.  Holds
+    the single-writer lease; swap semantics are ``_swap_rewrite``'s
+    (delete+rename — crash between the steps loses only the old
+    generation's layout, the manifest layer owns crash-safe swaps)."""
+    from ..sources.manifest import index_writer_lock
+    from .text_index import _swap_rewrite
+
+    with index_writer_lock(spark, path, owner):
+        _check_semdedup_meta(spark, path)
+        members = spark.read.parquet(f"{path}/members").distinct()
+        _swap_rewrite(
+            spark, path, "members",
+            lambda tmp: members.repartition("cluster")
+            .sortWithinPartitions("vec_id")
+            .write.partitionBy("cluster")
+            .parquet(tmp),
+        )

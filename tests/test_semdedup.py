@@ -437,3 +437,63 @@ def test_semdedup_ingest_composes_with_batch_self_dedup(spark, tmp_path):
         _edf(spark, [(500, [5.0, 0.0, 5.0, 0.001])]), path
     ).collect()
     assert [r["matched_vec_id"] for r in rehit] == [401]
+
+
+def test_compact_semdedup_index(spark, tmp_path):
+    """Round 13: compaction folds extend-epochs (including a replayed
+    extend's duplicate rows) into one clustered generation — probe
+    results identical pre/post, HIVE cluster partitioning (and its
+    PartitionFilters pruning) preserved, duplicate member rows gone."""
+    import glob
+
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        compact_semdedup_index,
+        extend_semdedup_index,
+        persist_semdedup_index,
+        semdedup_against_index,
+    )
+    from hive_serde_schema_gen_spark.plans.explain import explain_str
+
+    e = _cluster_corpus(spark)
+    path = str(tmp_path / "sd-compact")
+    persist_semdedup_index(e, path, k=2, iters=1, threshold=0.99)
+    b1 = _edf(spark, [(300, [5.0, 0.0, 5.0, 0.0])])
+    b2 = _edf(spark, [(301, [0.0, 5.0, 0.0, 5.0])])
+    extend_semdedup_index(b1, path)
+    extend_semdedup_index(b1, path)  # crash-replay of the same epoch
+    extend_semdedup_index(b2, path)
+    probe = _edf(
+        spark,
+        [
+            (400, [10.0, 0.0, 0.0, 0.0]),
+            (401, [5.0, 0.0, 5.0, 0.001]),
+            (402, [0.0, 5.0, 0.0, 5.0]),
+        ],
+    )
+    before = sorted(
+        map(tuple, semdedup_against_index(probe, path).collect())
+    )
+    files_before = len(glob.glob(f"{path}/members/cluster=*/*.parquet"))
+    compact_semdedup_index(spark, path)
+    after = sorted(
+        map(tuple, semdedup_against_index(probe, path).collect())
+    )
+    # set-parity: the replayed extend makes the PRE-compaction probe
+    # emit its (401, 300) hit twice — folding that duplicate is part of
+    # what compaction is for; no hit appears or disappears
+    assert set(after) == set(before) and after
+    assert len(after) == len(set(after))  # post: no duplicate hits
+    assert len(before) == len(after) + 1  # pre: exactly the replay dup
+    files_after = len(glob.glob(f"{path}/members/cluster=*/*.parquet"))
+    assert files_after < files_before
+    m = spark.read.parquet(f"{path}/members")
+    assert m.count() == m.distinct().count()  # replay rows folded
+    assert m.filter(F.col("vec_id") == 300).count() == 1
+    # partition pruning still works on the compacted layout
+    plan = explain_str(
+        semdedup_against_index(
+            _edf(spark, [(500, [10.0, 1.0, 0.0, 0.0])]), path
+        )
+    )
+    line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "cluster" in line
