@@ -712,3 +712,236 @@ def sql_serve_ctes() -> str:
                      (cbias.w + COALESCE(s.ws / s.nf, 0.0)) + c.b))),
                    9) AS score_cal
       FROM srvdocs d LEFT JOIN srvsums s USING (doc_id), cbias, cal{KC} c)"""
+
+
+# ---------------------------------------------------------------------------
+# Round-13: classifier drift monitor — "did my quality classifier drift
+# this recrawl?" (VERDICT r12 ask #7).  Composes the calibrated serve
+# path (classifier_score_calibrated) with the exact-int anomaly scan
+# (validation.metric_anomalies): per-epoch integer series derived from
+# the calibrated scores, z-scored against a trailing window.
+# ---------------------------------------------------------------------------
+
+DRIFT_BINS = 10
+DRIFT_QUANT = 1_000_000_000  # score_cal is 9-dp: round(score·1e9) is exact
+
+
+def score_drift_report(
+    scored: DataFrame,
+    epoch_col: str = "epoch",
+    score_col: str = "score_cal",
+    bins: int = DRIFT_BINS,
+    quant: int = DRIFT_QUANT,
+) -> DataFrame:
+    """Integer drift-report series from per-epoch calibrated scores —
+    the ``(check, epoch, metric)`` table :func:`metric_anomalies`
+    consumes, all-integer so the exact-int mode's cross-engine
+    bit-identity applies:
+
+    - ``q0..q{bins-1}``: per-epoch score-histogram bin counts,
+      ZERO-FILLED over epochs × bins (an epoch where a bin empties out
+      must report metric=0, not vanish from the series — a vanishing
+      row is invisible to the trailing window);
+    - ``cal_sum``: per-epoch Σ round(score·quant) — the quantized
+      score mass.  Histogram counts catch distribution-shape drift but
+      sit constant (hence variance-0, hence silent by the positivity
+      rule) when every epoch has identical occupancy; the sum series
+      moves whenever the MEAN score moves, whatever the bin shape.
+
+    Scale: output is O(epochs × (bins+1)) rows — metadata-sized at any
+    corpus scale; the epochs×bins zero-fill cross-join is over two tiny
+    frames."""
+    spark = scored.sparkSession
+    b = (
+        F.greatest(
+            F.lit(0),
+            F.least(F.floor(F.col(score_col) * bins), F.lit(bins - 1)),
+        )
+        .cast("int")
+    )
+    epochs = scored.select(F.col(epoch_col).alias("epoch")).distinct()
+    bframe = spark.range(bins).select(F.col("id").cast("int").alias("__b"))
+    counts = (
+        scored.groupBy(F.col(epoch_col).alias("epoch"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    filled = (
+        epochs.crossJoin(bframe)
+        .join(counts, ["epoch", "__b"], "left")
+        .select(
+            F.concat(F.lit("q"), F.col("__b")).alias("check"),
+            "epoch",
+            F.coalesce("__c", F.lit(0)).cast("long").alias("metric"),
+        )
+    )
+    sums = (
+        scored.groupBy(F.col(epoch_col).alias("epoch"))
+        .agg(
+            F.sum(
+                F.round(F.col(score_col) * quant).cast("long")
+            ).alias("metric")
+        )
+        .select(F.lit("cal_sum").alias("check"), "epoch", "metric")
+    )
+    return filled.unionByName(sums)
+
+
+def classifier_drift(
+    scored: DataFrame,
+    epoch_col: str = "epoch",
+    score_col: str = "score_cal",
+    bins: int = DRIFT_BINS,
+    k: float = 3.0,
+    min_history: int = 5,
+    window: int = 100,
+) -> DataFrame:
+    """Flag epochs whose calibrated-score series drifted: the composed
+    production check — :func:`score_drift_report` fed to
+    ``metric_anomalies(exact_int=True)``.  Output
+    ``(check, epoch, metric, trail_mean, trail_std, z)``, flagged rows
+    only; ``check`` names WHICH series moved (a bin vs the score mass).
+    Keep ``window`` smaller than the gap between suspected regime
+    changes: a drift epoch inside the trailing window inflates the
+    trailing std and can mask the next one (its z lands ~2.8 for a
+    10-wide window with one planted outlier — under the default k)."""
+    from .validation import metric_anomalies
+
+    return metric_anomalies(
+        score_drift_report(
+            scored, epoch_col=epoch_col, score_col=score_col, bins=bins
+        ),
+        k=k, min_history=min_history, window=window, exact_int=True,
+    )
+
+
+#: op='clf_drift' evidence configuration: full-corpus calibrated serve,
+#: epochs of DRIFT_EPOCH_DIV doc_ids, a planted −DRIFT_SHIFT score
+#: regime on epochs ≡ DRIFT_REM (mod DRIFT_MOD).  window < plant
+#: spacing so each planted epoch is judged against a clean window.
+DRIFT_EPOCH_DIV = 25
+DRIFT_MOD, DRIFT_REM = 7, 3
+DRIFT_SHIFT = 0.2
+DRIFT_K, DRIFT_MIN_HIST, DRIFT_WINDOW = 3.0, 5, 5
+
+
+def drift_rows(spark, sf_dir, weights=None, cal_params=None):
+    """Driver branch for op='clf_drift': the WHOLE corpus scored through
+    the calibrated serve path (fitted weights + fitted Platt step — the
+    production full-corpus pass), bucketed into epochs of
+    {div} doc_ids, with a planted score regime (−{shift} on every epoch
+    ≡ {rem} mod {mod} — an exact double subtraction, engine-neutral) the
+    trailing z-score must flag.  The report construction, the decimal
+    windowed moments, and the flagged rows are all re-derived in SQL
+    (:func:`sql_drift_ctes`).""".format(
+        div=DRIFT_EPOCH_DIV, shift=DRIFT_SHIFT,
+        rem=DRIFT_REM, mod=DRIFT_MOD,
+    )
+    from ..sources.tables import load_table
+
+    if weights is None:
+        weights = classifier_fit_rows(spark, sf_dir)
+    if cal_params is None:
+        cal_params, _ = calibration_rows(spark, sf_dir, weights=weights)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier_score_calibrated(
+        docs, weights, cal_params,
+        n_buckets=CLF_BUCKETS, max_ngram=CLF_NGRAM, hash_fn="md5",
+    )
+    epoch = F.expr(f"doc_id DIV {DRIFT_EPOCH_DIV}")
+    drifted = scored.select(
+        epoch.alias("epoch"),
+        F.when(
+            epoch % DRIFT_MOD == DRIFT_REM,
+            F.col("score_cal") - DRIFT_SHIFT,
+        )
+        .otherwise(F.col("score_cal"))
+        .alias("score_cal"),
+    )
+    return classifier_drift(
+        drifted, k=DRIFT_K, min_history=DRIFT_MIN_HIST,
+        window=DRIFT_WINDOW,
+    )
+
+
+def sql_drift_ctes() -> str:
+    """DuckDB CTE chain re-deriving :func:`drift_rows` — ASSUMES
+    ``sql_clf_ctes()`` (``cw{K}``/``cbias``) and ``sql_cal_ctes()``
+    (``cal{KC}``) precede it.  Scores ALL documents through the serve
+    arithmetic (the ``sql_serve_ctes`` chain without the slice filter),
+    plants the drift, zero-fills the bin series, and mirrors the
+    exact-int anomaly SQL (HUGEINT windowed moments ≡ the Spark side's
+    decimal(38,0)).  Final CTE: ``drflag`` (check, epoch, metric,
+    trail_mean, trail_std, z)."""
+    toks = (
+        "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
+        "ELSE string_split_regex(TRIM(lower(text)), '\\s+') END"
+    )
+    h = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {CLF_BUCKETS}"
+    K, KC = CLF_ITERS, CAL_ITERS
+    B, Q = DRIFT_BINS, DRIFT_QUANT
+    return f"""drtoks AS (SELECT doc_id, {toks} AS w FROM documents),
+    druni AS (SELECT doc_id, unnest(w) AS g FROM drtoks),
+    drbi AS (
+      SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
+      FROM drtoks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      WHERE len(w) > 1),
+    drgrams AS (SELECT * FROM druni UNION ALL SELECT * FROM drbi),
+    drcnt AS MATERIALIZED (
+      SELECT doc_id, {h} AS bucket, COUNT(*) AS cnt
+      FROM drgrams GROUP BY doc_id, {h}),
+    drsums AS MATERIALIZED (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(COALESCE(w.w, 0.0) AS DECIMAL(20,9))
+                      * CAST(t.cnt AS DECIMAL(10,0))) AS DOUBLE) AS ws,
+             CAST(SUM(t.cnt) AS INTEGER) AS nf
+      FROM drcnt t LEFT JOIN cw{K} w USING (bucket) GROUP BY t.doc_id),
+    drsco AS MATERIALIZED (
+      SELECT d.doc_id // {DRIFT_EPOCH_DIV} AS epoch,
+             CASE WHEN (d.doc_id // {DRIFT_EPOCH_DIV}) % {DRIFT_MOD}
+                       = {DRIFT_REM}
+                  THEN round(1.0 / (1.0 + exp(-(c.a *
+                         (cbias.w + COALESCE(s.ws / s.nf, 0.0)) + c.b))),
+                       9) - {DRIFT_SHIFT}
+                  ELSE round(1.0 / (1.0 + exp(-(c.a *
+                         (cbias.w + COALESCE(s.ws / s.nf, 0.0)) + c.b))),
+                       9) END AS score_cal
+      FROM documents d LEFT JOIN drsums s USING (doc_id), cbias, cal{KC} c),
+    drepochs AS (SELECT DISTINCT epoch FROM drsco),
+    drbins AS (
+      SELECT e.epoch, CAST(b.b AS INTEGER) AS b
+      FROM drepochs e, (SELECT unnest(range({B})) AS b) b),
+    drcnts AS (
+      SELECT epoch,
+             CAST(greatest(0, least(floor(score_cal * {B}), {B - 1})) AS INTEGER) AS b,
+             COUNT(*) AS c
+      FROM drsco GROUP BY 1, 2),
+    drep AS MATERIALIZED (
+      SELECT 'q' || db.b AS dchk, db.epoch,
+             CAST(COALESCE(dc.c, 0) AS BIGINT) AS metric
+      FROM drbins db LEFT JOIN drcnts dc ON dc.epoch = db.epoch
+                                        AND dc.b = db.b
+      UNION ALL
+      SELECT 'cal_sum', epoch,
+             CAST(SUM(CAST(round(score_cal * {Q}) AS BIGINT)) AS BIGINT)
+      FROM drsco GROUP BY epoch),
+    drwin AS (
+      SELECT dchk, epoch, metric,
+             SUM(metric) OVER w AS s1,
+             SUM(CAST(metric AS HUGEINT) * metric) OVER w AS s2,
+             COUNT(metric) OVER w AS n
+      FROM drep
+      WINDOW w AS (PARTITION BY dchk ORDER BY epoch
+                   ROWS BETWEEN {DRIFT_WINDOW} PRECEDING
+                            AND 1 PRECEDING)),
+    drbase AS (
+      SELECT dchk, epoch, metric,
+             CAST(s1 AS DOUBLE) / n AS trail_mean,
+             sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1)) AS trail_std
+      FROM drwin
+      WHERE n >= {DRIFT_MIN_HIST} AND n * s2 - s1 * s1 > 0),
+    drflag AS (
+      SELECT dchk, epoch, metric, trail_mean, trail_std,
+             (metric - trail_mean) / trail_std AS z
+      FROM drbase WHERE abs((metric - trail_mean) / trail_std) > {DRIFT_K})"""

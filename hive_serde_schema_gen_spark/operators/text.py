@@ -380,7 +380,12 @@ def lang_id_accuracy(spark, sf_dir):
 
 
 def _quality_lang_oracle() -> str:
-    from .logreg import sql_cal_ctes, sql_clf_ctes, sql_serve_ctes
+    from .logreg import (
+        sql_cal_ctes,
+        sql_clf_ctes,
+        sql_drift_ctes,
+        sql_serve_ctes,
+    )
     from .signals import sql_signal_ctes
 
     pad_sig = (
@@ -409,7 +414,8 @@ def _quality_lang_oracle() -> str:
     WITH {sql_signal_ctes()},
     {sql_clf_ctes()},
     {sql_cal_ctes()},
-    {sql_serve_ctes()}
+    {sql_serve_ctes()},
+    {sql_drift_ctes()}
     SELECT * FROM (
     SELECT 'lang' AS op, doc_id, lang, predicted,
            CAST(NULL AS INTEGER) AS n_chars, CAST(NULL AS INTEGER) AS n_tokens,
@@ -486,6 +492,15 @@ def _quality_lang_oracle() -> str:
            n_features, logit, score_cal, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM srvscore
+    UNION ALL
+    SELECT 'clf_drift', epoch, dchk, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           metric, trail_mean, CAST(NULL AS INTEGER), trail_std, z,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM drflag
     UNION ALL
     SELECT 'langacc', NULL, lang, predicted, NULL, NULL, NULL, NULL, NULL,
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
@@ -569,6 +584,7 @@ def text_quality_lang(spark, sf_dir):
         calibration_rows,
         classifier_fit_rows,
         classifier_scored_rows,
+        drift_rows,
     )
     from .signals import gopher_rules
 
@@ -580,7 +596,11 @@ def text_quality_lang(spark, sf_dir):
     clf_w = classifier_fit_rows(spark, sf_dir).localCheckpoint()
     clf_s = classifier_scored_rows(spark, sf_dir, weights=clf_w)
     cal_params, cal_scored = calibration_rows(spark, sf_dir, weights=clf_w)
+    cal_params = cal_params.localCheckpoint()  # serve + drift reuse it
     clf_serve = calibrated_serve_rows(
+        spark, sf_dir, weights=clf_w, cal_params=cal_params
+    )
+    clf_drift = drift_rows(
         spark, sf_dir, weights=clf_w, cal_params=cal_params
     )
     schema = [
@@ -670,6 +690,17 @@ def text_quality_lang(spark, sf_dir):
                 "op": F.lit("clf_serve"), "doc_id": "doc_id",
                 "n_features": "n_features", "logit": "logit",
                 "score": "score_cal",
+            },
+        ),
+        (
+            clf_drift,
+            # carriers: lang = the drifted series name, doc_id = epoch,
+            # bucket = the integer metric, w/logit = trailing mean/std,
+            # score = z
+            {
+                "op": F.lit("clf_drift"), "lang": "check",
+                "doc_id": "epoch", "bucket": "metric",
+                "w": "trail_mean", "logit": "trail_std", "score": "z",
             },
         ),
         (

@@ -136,3 +136,79 @@ def test_scores_on_real_documents(spark, sf_dir, model):
         F.min("score").alias("lo"), F.max("score").alias("hi")
     ).collect()[0]
     assert 0.0 <= bounds["lo"] <= bounds["hi"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-13: classifier drift monitor
+# ---------------------------------------------------------------------------
+
+
+def test_score_drift_report_zero_fills_and_sums(spark):
+    from hive_serde_schema_gen_spark.operators.logreg import (
+        score_drift_report,
+    )
+
+    rows = [(0, 0.05), (0, 0.15), (0, 0.95), (1, 0.05), (1, 0.07)]
+    d = spark.createDataFrame(rows, "epoch long, score_cal double")
+    rep = {
+        (r["check"], r["epoch"]): r["metric"]
+        for r in score_drift_report(d, bins=10).collect()
+    }
+    # 2 epochs x (10 bins + cal_sum)
+    assert len(rep) == 2 * 11
+    assert rep[("q0", 0)] == 1 and rep[("q1", 0)] == 1
+    assert rep[("q9", 0)] == 1
+    assert rep[("q9", 1)] == 0  # zero-filled, not missing
+    assert rep[("q0", 1)] == 2
+    assert rep[("cal_sum", 0)] == 50_000_000 + 150_000_000 + 950_000_000
+    assert rep[("cal_sum", 1)] == 50_000_000 + 70_000_000
+    # out-of-range scores clamp into the edge bins
+    d2 = spark.createDataFrame(
+        [(0, -0.2), (0, 1.3)], "epoch long, score_cal double"
+    )
+    rep2 = {
+        (r["check"], r["epoch"]): r["metric"]
+        for r in score_drift_report(d2, bins=10).collect()
+    }
+    assert rep2[("q0", 0)] == 1 and rep2[("q9", 0)] == 1
+
+
+def test_classifier_drift_flags_regime_shift(spark):
+    """A bin-level distribution shift (stable histogram, then one epoch
+    moves mass between bins) is flagged on BOTH the bin series that
+    changed and the score-mass series."""
+    from hive_serde_schema_gen_spark.operators.logreg import (
+        classifier_drift,
+    )
+
+    rows = []
+    for e in range(10):
+        # mild natural variation so no window is variance-zero
+        rows += [(e, 0.35)] * (20 + e % 3) + [(e, 0.75)] * (10 + (e + 1) % 2)
+    rows += [(10, 0.35)] * 5 + [(10, 0.75)] * 25  # the drifted epoch
+    d = spark.createDataFrame(rows, "epoch long, score_cal double")
+    flagged = classifier_drift(d, k=3.0, min_history=5, window=8).collect()
+    got = {(r["check"], r["epoch"]) for r in flagged}
+    assert ("q3", 10) in got and ("q7", 10) in got
+    assert ("cal_sum", 10) in got
+    assert all(e == 10 for _, e in got)
+
+
+def test_drift_rows_flags_planted_epochs(spark, sf_dir):
+    """The slot evidence at sf0.001: exactly the planted epochs with
+    sufficient clean history are flagged, on the cal_sum series, with
+    hugely negative z (the -0.2 regime shift)."""
+    from hive_serde_schema_gen_spark.operators.logreg import (
+        DRIFT_MIN_HIST,
+        DRIFT_MOD,
+        DRIFT_REM,
+        drift_rows,
+    )
+
+    out = drift_rows(spark, sf_dir).collect()
+    assert out, "no drift epochs flagged at this SF?"
+    for r in out:
+        assert r["epoch"] % DRIFT_MOD == DRIFT_REM
+        assert r["epoch"] >= DRIFT_MIN_HIST
+        assert r["check"] == "cal_sum"
+        assert r["z"] < -3
