@@ -942,6 +942,241 @@ _VOCAB_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-13: token-budgeted mixture sampling (VERDICT r12 ask #8) — real
+# pretraining mixes are specified in TOKENS per domain, not documents.
+# ---------------------------------------------------------------------------
+
+TOKMIX_SALT = "tokmix-v1"
+
+
+def token_budget_mixture(
+    d: DataFrame,
+    budgets: dict,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    token_count_col=None,
+    salt: str = TOKMIX_SALT,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Select documents per domain until each domain's TOKEN budget is
+    met — deterministic hash-order greedy fill, the token-denominated
+    sibling of :func:`stratified_sample` (which takes doc-rate knobs).
+
+    Each domain's documents are ranked by ``hash(salt|key)`` (pure
+    function of the key: reproducible across runs/retries, and one
+    domain's budget change never disturbs another's selection — the
+    stratified_sample reproducibility contract), and selected while the
+    PRECEDING selected-token count is still under the budget, so the
+    first crossing document is included ("fill to budget": realized
+    tokens land in [budget, budget + max_doc_tokens) whenever the domain
+    has supply; a domain smaller than its budget is kept whole).
+    Domains absent from ``budgets`` get budget 0 — allowlist-shaped like
+    every curation knob here.
+
+    Output: (key, domain, n_tokens, tok_before) for SELECTED documents,
+    where ``tok_before`` is the exact hash-order token prefix — the
+    audit column that makes the budget accounting checkable row by row.
+    Anti-join consumers take the keys.
+
+    Scale shape (the ``packing.chunk_token_stream`` distributed prefix
+    sum, re-keyed): the hash order is split into {n} hash-RANGE shards
+    (a shard is an order prefix of the hash, so shard-local cumsums +
+    an O(domains×shards) offsets join reconstruct the exact global
+    prefix); no per-domain single-reducer window, no global sort.  One
+    shuffle on (domain, shard); the offsets frame broadcasts.
+
+    ``hash_fn='md5'`` is the shared oracle scheme (first 8 hex digits as
+    an integer); production stays on xxhash64."""
+    from pyspark.sql.window import Window as W
+
+    from .packing import ws_token_count
+
+    n_tok = (
+        token_count_col if token_count_col is not None else ws_token_count()
+    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(salt), F.col(key_col))
+        shift = 58  # full signed int64 range → 64 hash-range shards
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + "|"), F.col(key_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        shift = 26  # [0, 2^32) → 64 hash-range shards
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    base = d.select(
+        F.col(key_col),
+        F.col(domain_col).alias("__dom"),
+        n_tok.alias("n_tokens"),
+        h.alias("__hk"),
+    ).withColumn("__shard", F.shiftright(F.col("__hk"), shift))
+    local = base.withColumn(
+        "__cum",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                W.partitionBy("__dom", "__shard")
+                .orderBy("__hk", key_col)
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).localCheckpoint()  # rows + shard totals both consume it
+    offsets = (
+        local.groupBy("__dom", "__shard")
+        .agg(F.max(F.col("__cum") + F.col("n_tokens")).alias("__t"))
+        .select(
+            "__dom",
+            "__shard",
+            F.coalesce(
+                F.sum("__t").over(
+                    W.partitionBy("__dom")
+                    .orderBy("__shard")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )  # O(domains × 64) rows — broadcast side
+    bud = F.lit(0).cast("long")
+    for dom, b in sorted(budgets.items()):
+        bud = F.when(F.col("__dom") == dom, F.lit(int(b))).otherwise(bud)
+    return (
+        local.join(F.broadcast(offsets), ["__dom", "__shard"])
+        .select(
+            key_col,
+            F.col("__dom").alias(domain_col),
+            "n_tokens",
+            (F.col("__off") + F.col("__cum")).alias("tok_before"),
+        )
+        .filter(F.col("tok_before") < bud)
+    )
+
+
+def integer_temperature_budgets(
+    token_totals: dict, total_tokens: int
+) -> dict:
+    """Per-domain TOKEN budgets from per-domain token totals under the
+    α=0.5 temperature rule, in INTEGER arithmetic end to end:
+    ``share_s = floor(sqrt(T_s))``, ``budget_s = min(T_s,
+    share_s·total // Σ share)``.  floor-of-double-sqrt is provably exact
+    for T < 2^52 (IEEE sqrt is correctly rounded), so a DuckDB oracle
+    re-derives every budget bit-for-bit — the engine-neutral variant of
+    :func:`temperature_mix_rates` (whose float shares are fsum-ordered
+    driver-side and fine for production, but an ULP of share wobble
+    could flip an oracle's crossing document)."""
+    import math
+
+    shares = {s: math.isqrt(int(t)) for s, t in token_totals.items() if t > 0}
+    z = sum(shares.values())
+    if z == 0:
+        return {}
+    return {
+        s: min(int(token_totals[s]), shares[s] * int(total_tokens) // z)
+        for s in shares
+    }
+
+
+#: op='tokmix'/'tokbud' evidence configuration
+TOKMIX_TOTAL = 20_000
+
+
+def token_mixture_frames(spark, sf_dir):
+    """Driver branches: (selected, per_domain) for op='tokmix'/'tokbud' —
+    per-source token totals (bounded collect: one row per source) feed
+    :func:`integer_temperature_budgets`, and the REAL operator fills
+    each budget in md5 hash order.  ``per_domain`` pins the EXACT token
+    accounting: selected-token sums must land in
+    [budget, budget + max_doc_tokens) for every budget-constrained
+    domain."""
+    from ..sources.tables import load_table
+    from .packing import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(ws_token_count()).alias("t"))
+        .collect()
+    }
+    budgets = integer_temperature_budgets(totals, TOKMIX_TOTAL)
+    sel = token_budget_mixture(
+        docs, budgets, hash_fn="md5"
+    ).localCheckpoint()  # rows + the summary both consume it
+    bud = F.lit(None).cast("long")
+    for dom, b in sorted(budgets.items()):
+        bud = F.when(F.col("source") == dom, F.lit(int(b))).otherwise(bud)
+    per_domain = (
+        sel.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("tok_sel"),
+            F.count(F.lit(1)).alias("n_sel"),
+        )
+        .select("source", bud.alias("budget"), "tok_sel", "n_sel")
+    )
+    return sel, per_domain
+
+
+_TOKMIX_HK = (
+    f"CAST(concat('0x', substr(md5('{TOKMIX_SALT}|' ||"
+    " CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+_TOKMIX_NTOK = (
+    "COALESCE(len(list_filter(string_split_regex(TRIM(text), '\\s+'),"
+    " t -> t <> '')), 0)"
+)
+
+
+def sql_tokmix_ctes() -> str:
+    """DuckDB CTE chain re-deriving :func:`token_mixture_frames` — the
+    per-source token totals, the integer α=0.5 budgets, the md5
+    hash-order prefix (ONE window — the oracle recomputes the
+    distributed shard-wise prefix sum as the naive global one, the
+    packing-oracle equivalence pattern), the crossing-document cut, and
+    the per-domain accounting.  Final CTEs: ``tbsel`` (dom, doc_id,
+    ntok, before), ``tbdom`` (dom, budget, tok_sel, n_sel)."""
+    from .clustering import _materialize
+
+    return _materialize(f"""tbt AS (
+      SELECT source AS dom, doc_id, {_TOKMIX_NTOK} AS ntok,
+             {_TOKMIX_HK} AS hk
+      FROM documents),
+    tbsh AS (
+      SELECT dom, SUM(ntok) AS tot,
+             CAST(floor(sqrt(CAST(SUM(ntok) AS DOUBLE))) AS BIGINT) AS share
+      FROM tbt GROUP BY dom HAVING SUM(ntok) > 0),
+    tbz AS (SELECT SUM(share) AS z FROM tbsh),
+    tbbud AS (
+      SELECT dom, least(tot, share * {TOKMIX_TOTAL} // z) AS budget
+      FROM tbsh, tbz),
+    tbcum AS (
+      SELECT dom, doc_id, ntok,
+             COALESCE(SUM(ntok) OVER (
+                 PARTITION BY dom ORDER BY hk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS before
+      FROM tbt),
+    tbsel AS (
+      SELECT c.dom, c.doc_id, c.ntok, c.before
+      FROM tbcum c JOIN tbbud b USING (dom)
+      WHERE c.before < b.budget),
+    tbdom AS (
+      SELECT s.dom, b.budget, SUM(s.ntok) AS tok_sel,
+             COUNT(*) AS n_sel
+      FROM tbsel s JOIN tbbud b USING (dom)
+      GROUP BY s.dom, b.budget)""")
+
+
 def _curation_ops_oracle() -> str:
     from .clustering import KM_ITERS, sql_kmeans_ctes, sql_semdedup_ctes
     from .dsir import sql_dsir_ctes
@@ -959,7 +1194,8 @@ def _curation_ops_oracle() -> str:
     return f"""
     WITH {sql_dsir_ctes()},
     {sql_kmeans_ctes()},
-    {sql_semdedup_ctes()}
+    {sql_semdedup_ctes()},
+    {sql_tokmix_ctes()}
     SELECT * FROM (
     SELECT 'mix' AS op, lang, n_docs, rate,
            CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS max_bench_sim,
@@ -1025,6 +1261,18 @@ def _curation_ops_oracle() -> str:
            doc_id, n_oov, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS INTEGER), {pad_km}
     FROM ({_VOCAB_SQL})
+    UNION ALL
+    SELECT 'tokmix', dom, NULL, NULL, NULL, NULL, NULL,
+           doc_id, ntok, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), before
+    FROM tbsel
+    UNION ALL
+    SELECT 'tokbud', dom, n_sel, NULL, NULL, NULL, NULL,
+           CAST(NULL AS BIGINT), tok_sel, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), budget
+    FROM tbdom
     ) ORDER BY op, COALESCE(lang, ''), COALESCE(vec_id, -1),
                COALESCE(doc_id, -1), COALESCE(cluster, -1), COALESCE(pos, -1)
     """
@@ -1178,6 +1426,7 @@ def curation_ops(spark, sf_dir):
     from .clustering import semdedup_probe_evidence
 
     sd_probe = semdedup_probe_evidence(spark, sf_dir)
+    tokmix_sel, tokmix_dom = token_mixture_frames(spark, sf_dir)
     schema = [
         ("op", "string"), ("lang", "string"), ("n_docs", "bigint"),
         ("rate", "double"), ("vec_id", "bigint"),
@@ -1291,6 +1540,25 @@ def curation_ops(spark, sf_dir):
             {
                 "op": F.lit("vocab"), "doc_id": "doc_id",
                 "n_docs": "n_tokens", "n_grams": "n_oov",
+            },
+        ),
+        (
+            tokmix_sel,
+            # carriers: lang = domain, n_grams = doc tokens,
+            # cval = exact hash-order token prefix (the audit column)
+            {
+                "op": F.lit("tokmix"), "lang": "source",
+                "doc_id": "doc_id", "n_grams": "n_tokens",
+                "cval": "tok_before",
+            },
+        ),
+        (
+            tokmix_dom,
+            # carriers: cval = the integer temperature budget,
+            # n_grams = selected tokens, n_docs = selected docs
+            {
+                "op": F.lit("tokbud"), "lang": "source",
+                "cval": "budget", "n_grams": "tok_sel", "n_docs": "n_sel",
             },
         ),
     ).orderBy(

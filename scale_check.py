@@ -299,6 +299,7 @@ def main() -> None:
         redact_pii,
         repetition_stats,
         stratified_sample,
+        token_budget_mixture,
     )
     from hive_serde_schema_gen_spark.operators.dedup import (
         duplicate_spans,
@@ -457,6 +458,13 @@ def main() -> None:
         "curation_stratified_sample": lambda s, d: stratified_sample(
             _docs(s, d), MIX
         ),
+        # token-budgeted mixture (round 13): per-domain hash-order greedy
+        # fill via the distributed hash-range-shard prefix sum — budgets
+        # fixed per source so the selected fraction shrinks as the corpus
+        # grows (the filter keeps the audit column alive under count)
+        "curation_token_budget_mixture": lambda s, d: token_budget_mixture(
+            _docs(s, d), {f"src{i}": 2_000 for i in range(20)}
+        ).filter("tok_before >= 0"),
         # toy sparse model: the cost being measured is hashing + broadcast
         # join + per-doc mean, which is weight-independent
         "text_classifier_score": lambda s, d: _classifier(s, d),

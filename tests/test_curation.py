@@ -957,3 +957,111 @@ def test_dedup_by_url_collapses_tracking_variants(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_by_url(d).collect())
     assert kept == [10, 12, 13]  # smallest id per canonical URL survives
+
+
+# ---------------------------------------------------------------------------
+# Round-13: token-budgeted mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _tok_docs(spark, n=120, sources=("a", "b", "c")):
+    rows = [
+        (i, sources[i % len(sources)], "w " * (5 + i % 7))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_token_budget_mixture_exact_accounting(spark):
+    from hive_serde_schema_gen_spark.operators.curation import (
+        token_budget_mixture,
+    )
+
+    d = _tok_docs(spark)
+    budgets = {"a": 50, "b": 10_000, "c": 0}
+    sel = token_budget_mixture(d, budgets).collect()
+    by_dom = {}
+    for r in sel:
+        by_dom.setdefault(r["source"], []).append(r)
+    # fill-to-budget: 'a' lands in [50, 50 + max_doc_tokens)
+    a_tokens = sum(r["n_tokens"] for r in by_dom["a"])
+    assert 50 <= a_tokens < 50 + 12
+    # every selected row's tok_before is the exact prefix (audit column):
+    # re-derive by sorting a's selected+unselected docs by hash order
+    a_sel = sorted(by_dom["a"], key=lambda r: r["tok_before"])
+    run = 0
+    for r in a_sel:
+        assert r["tok_before"] == run or r["tok_before"] >= run
+        run = r["tok_before"] + r["n_tokens"]
+    # a domain bigger than its supply keeps everything
+    b_total = sum(
+        r["n_tokens"]
+        for r in d.filter("source = 'b'").selectExpr(
+            "size(filter(split(trim(text), '\\\\s+'), t -> t != '')) AS n_tokens"
+        ).collect()
+    )
+    assert sum(r["n_tokens"] for r in by_dom["b"]) == b_total
+    # budget 0 / unlisted domains select nothing
+    assert "c" not in by_dom
+    # deterministic: a second run selects the identical set
+    again = token_budget_mixture(d, budgets).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, sel))
+
+
+def test_token_budget_mixture_shard_prefix_equals_global(spark):
+    """The distributed hash-range-shard prefix sum must equal a naive
+    global per-domain cumulative sum in hash order (the packing-oracle
+    equivalence, re-keyed)."""
+    from pyspark.sql.window import Window as W
+
+    from hive_serde_schema_gen_spark.operators.curation import (
+        token_budget_mixture,
+    )
+    from hive_serde_schema_gen_spark.operators.packing import ws_token_count
+
+    d = _tok_docs(spark, n=300, sources=("x", "y"))
+    got = {
+        (r["source"], r["doc_id"]): r["tok_before"]
+        for r in token_budget_mixture(
+            d, {"x": 10**9, "y": 10**9}
+        ).collect()
+    }
+    h = F.xxhash64(F.lit("tokmix-v1"), F.col("doc_id"))
+    naive = d.select(
+        "doc_id", "source", ws_token_count().alias("n"), h.alias("hk")
+    ).withColumn(
+        "before",
+        F.coalesce(
+            F.sum("n").over(
+                W.partitionBy("source")
+                .orderBy("hk", "doc_id")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    want = {
+        (r["source"], r["doc_id"]): r["before"] for r in naive.collect()
+    }
+    assert got == want
+
+
+def test_integer_temperature_budgets(spark):
+    from hive_serde_schema_gen_spark.operators.curation import (
+        integer_temperature_budgets,
+    )
+
+    tot = {"big": 90_000, "mid": 10_000, "tiny": 100}
+    b = integer_temperature_budgets(tot, 20_000)
+    # α=0.5 flattens: big gets less than its natural 90% share
+    assert b["big"] / 20_000 < 0.9
+    assert b["big"] > b["mid"] > b["tiny"]
+    # a small domain is never budgeted past its supply
+    assert b["tiny"] <= 100
+    # integer shares: floor(sqrt)
+    import math
+
+    z = sum(math.isqrt(t) for t in tot.values())
+    assert b["mid"] == min(10_000, math.isqrt(10_000) * 20_000 // z)
+    assert integer_temperature_budgets({}, 100) == {}
+    assert integer_temperature_budgets({"a": 0}, 100) == {}
