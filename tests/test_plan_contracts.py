@@ -53,19 +53,20 @@ _GLOBAL_WINDOW_OK = {
     # TakeOrderedAndProject .limit(k) (dsir.py:286)
     "curation_ops",
     # prefix-sum chunking: running sum over per-SHARD totals — O(#shards)
-    # rows, not O(docs) (packing.py:115)
+    # rows, not O(docs) (packing.py:115).  web_corpus_from_crawl's copy of
+    # this window now sits behind a localCheckpoint lineage cut, so it no
+    # longer appears in the final plan — dropped from the sanction set
+    # (the stale-sanction test below enforces exactly that).
     "packing_ops",
     "corpus_pipeline",
-    "web_corpus_from_crawl",
     # share-of-total OVER () on a pre-aggregated o_orderstatus frame
     # (3 rows; relational.py window_share_of_total)
     "window_analytics",
     # frequent_items rank over Misra-Gries candidates, post-limit(k)
     # (diagnostics.py:66)
     "stats_summary",
-    # RRF fusion attaches ranks to each top-k candidate list via one
-    # window per list — bounded by that k, documented at text.py rrf_fuse
-    "hybrid_topk",
+    # hybrid_topk's rrf_fuse ranks (bounded by top-k) are likewise behind
+    # a checkpoint cut now — not sanctioned while invisible to the scan.
 }
 
 
