@@ -1048,19 +1048,171 @@ def token_budget_mixture(
             ).alias("__off"),
         )
     )  # O(domains × 64) rows — broadcast side
-    bud = F.lit(0).cast("long")
-    for dom, b in sorted(budgets.items()):
-        bud = F.when(F.col("__dom") == dom, F.lit(int(b))).otherwise(bud)
+    # budgets ride a broadcast frame, not a literal WHEN-chain: real
+    # mixes carry thousands of per-domain budgets (a registry export),
+    # and an O(#domains)-deep CASE expression bloats the Catalyst tree
+    # and codegen where a tiny inner hash join costs nothing.  Inner
+    # join = the allowlist semantics (absent domain ≡ budget 0).
+    budf = d.sparkSession.createDataFrame(
+        [(str(k), int(v)) for k, v in sorted(budgets.items())],
+        "__domk string, __bud long",
+    )
     return (
         local.join(F.broadcast(offsets), ["__dom", "__shard"])
+        .join(
+            F.broadcast(budf),
+            F.col("__dom").cast("string") == F.col("__domk"),
+        )
+        .filter(F.col("__off") + F.col("__cum") < F.col("__bud"))
         .select(
             key_col,
             F.col("__dom").alias(domain_col),
             "n_tokens",
             (F.col("__off") + F.col("__cum")).alias("tok_before"),
         )
-        .filter(F.col("tok_before") < bud)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 continuation: per-domain quality percentile selection — the
+# FineWeb-Edu-style "keep the top p fraction of each domain by classifier
+# score" filter, the selection knob that follows a quality-classifier
+# serve pass in a real curation pipeline.
+# ---------------------------------------------------------------------------
+
+#: quantization for score thresholds: serve scores are 9-dp
+#: (logreg.classifier_score_calibrated rounds), so round(score·1e9) is
+#: the exact integer the score IS — thresholds compare integers, never
+#: floats.
+QSEL_QUANT = 1_000_000_000
+#: coarse-bucket width for the two-pass threshold: bucket = qs >> 20, so
+#: the value-level refine inside the one boundary bucket per domain sees
+#: at most 2^20 DISTINCT values (a groupBy over values, not rows) no
+#: matter how many rows the domain holds.
+QSEL_SHIFT = 20
+
+
+def quality_top_fraction(
+    scored: DataFrame,
+    frac_num: int,
+    frac_den: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    score_col: str = "score_cal",
+    quant: int = QSEL_QUANT,
+    shift: int = QSEL_SHIFT,
+):
+    """Keep the top ``frac_num/frac_den`` fraction of each domain's
+    documents by score, ties INCLUDED — per domain with ``n`` docs the
+    threshold ``t`` is the ``k``-th largest quantized score where
+    ``k = max(1, n·frac_num // frac_den)`` (integer arithmetic, so an
+    oracle re-derives ``k`` exactly), and every row with ``qs >= t`` is
+    selected (≥ k rows when score ties straddle the cut — the
+    deterministic, order-free semantics: selection depends only on the
+    score value, never on row order or a tiebreak hash).
+
+    Returns ``(selected, report)``: ``selected`` is
+    ``(key, domain, qs)`` for kept rows; ``report`` is one row per
+    domain — ``(domain, n_docs, k, threshold, n_sel)`` — the accounting
+    frame.
+
+    Scale shape — the k-th largest WITHOUT a per-domain row sort (a
+    skewed domain would otherwise sort its whole partition):
+
+    1. coarse pass: ``groupBy(domain, qs >> shift)`` counts —
+       O(domains × 2^(log₂quant − shift)) rows, metadata-sized;
+       a cumulative window over THAT tiny frame finds each domain's
+       boundary bucket (the bucket containing the k-th largest);
+    2. refine pass: only boundary-bucket ROWS are re-aggregated, and
+       by VALUE (``groupBy(domain, qs)``) — ≤ 2^shift distinct values
+       per domain by construction — so the second cumulative window is
+       again over metadata;
+    3. the per-domain thresholds broadcast back over the corpus for the
+       final filter.
+
+    Both windows partition by domain over value-histogram frames
+    (bounded rows per partition by construction), never over the corpus.
+    ``scored`` is consumed three times (coarse, refine, final filter) —
+    it is localCheckpointed here so the serve chain runs once."""
+    from pyspark.sql.window import Window as W
+
+    base = scored.select(
+        F.col(key_col),
+        F.col(domain_col).alias("__dom"),
+        F.round(F.col(score_col) * quant).cast("long").alias("__qs"),
+    ).filter(F.col("__qs").isNotNull()).localCheckpoint()
+    kf = base.groupBy("__dom").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        "__dom",
+        "n_docs",
+        F.expr(
+            f"greatest(CAST(1 AS BIGINT), (n_docs * {int(frac_num)})"
+            f" DIV {int(frac_den)})"
+        ).alias("__k"),
+    )
+    coarse = base.groupBy(
+        "__dom", F.shiftright("__qs", shift).alias("__cb")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    wdesc = W.partitionBy("__dom").orderBy(F.desc("__cb"))
+    bound = (
+        coarse.withColumn(
+            "__cum",
+            F.sum("__c").over(wdesc.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .join(kf, "__dom")
+        .filter(F.col("__cum") >= F.col("__k"))
+        .withColumn("__rn", F.row_number().over(wdesc))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__dom",
+            "__cb",
+            (F.col("__cum") - F.col("__c")).alias("__above"),
+            "n_docs",
+            "__k",
+        )
+    )
+    wv = W.partitionBy("__dom").orderBy(F.desc("__qs"))
+    th = (
+        base.withColumn("__cb", F.shiftright("__qs", shift))
+        .join(F.broadcast(bound), ["__dom", "__cb"])
+        .groupBy("__dom", "__qs", "__above", "n_docs", "__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(
+            "__cum",
+            F.sum("__c").over(wv.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .filter(F.col("__above") + F.col("__cum") >= F.col("__k"))
+        .withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__dom",
+            F.col("__qs").alias("__t"),
+            "n_docs",
+            "__k",
+        )
+    )
+    selected = (
+        base.join(F.broadcast(th.select("__dom", "__t")), "__dom")
+        .filter(F.col("__qs") >= F.col("__t"))
+        .select(
+            key_col,
+            F.col("__dom").alias(domain_col),
+            F.col("__qs").alias("qs"),
+        )
+        .localCheckpoint()  # rows + the report both consume it
+    )
+    report = (
+        selected.groupBy(F.col(domain_col).alias("__dom"))
+        .agg(F.count(F.lit(1)).alias("n_sel"))
+        .join(th, "__dom")
+        .select(
+            F.col("__dom").alias(domain_col),
+            "n_docs",
+            F.col("__k").alias("k"),
+            F.col("__t").alias("threshold"),
+            "n_sel",
+        )
+    )
+    return selected, report
 
 
 def integer_temperature_budgets(
@@ -1113,16 +1265,18 @@ def token_mixture_frames(spark, sf_dir):
     sel = token_budget_mixture(
         docs, budgets, hash_fn="md5"
     ).localCheckpoint()  # rows + the summary both consume it
-    bud = F.lit(None).cast("long")
-    for dom, b in sorted(budgets.items()):
-        bud = F.when(F.col("source") == dom, F.lit(int(b))).otherwise(bud)
+    budf = spark.createDataFrame(
+        [(str(k), int(v)) for k, v in sorted(budgets.items())],
+        "source string, budget long",
+    )
     per_domain = (
         sel.groupBy("source")
         .agg(
             F.sum("n_tokens").alias("tok_sel"),
             F.count(F.lit(1)).alias("n_sel"),
         )
-        .select("source", bud.alias("budget"), "tok_sel", "n_sel")
+        .join(F.broadcast(budf), "source")
+        .select("source", "budget", "tok_sel", "n_sel")
     )
     return sel, per_domain
 

@@ -824,18 +824,12 @@ DRIFT_SHIFT = 0.2
 DRIFT_K, DRIFT_MIN_HIST, DRIFT_WINDOW = 3.0, 5, 5
 
 
-def drift_rows(spark, sf_dir, weights=None, cal_params=None):
-    """Driver branch for op='clf_drift': the WHOLE corpus scored through
-    the calibrated serve path (fitted weights + fitted Platt step — the
-    production full-corpus pass), bucketed into epochs of
-    {div} doc_ids, with a planted score regime (−{shift} on every epoch
-    ≡ {rem} mod {mod} — an exact double subtraction, engine-neutral) the
-    trailing z-score must flag.  The report construction, the decimal
-    windowed moments, and the flagged rows are all re-derived in SQL
-    (:func:`sql_drift_ctes`).""".format(
-        div=DRIFT_EPOCH_DIV, shift=DRIFT_SHIFT,
-        rem=DRIFT_REM, mod=DRIFT_MOD,
-    )
+def full_corpus_scored(spark, sf_dir, weights=None, cal_params=None):
+    """The production full-corpus calibrated serve pass: EVERY document
+    through the fitted weights + fitted Platt step — ``(doc_id, source,
+    score_cal)``.  The drift monitor and the quality-percentile filter
+    both consume this frame; the slot localCheckpoints it so the serve
+    chain runs once."""
     from ..sources.tables import load_table
 
     if weights is None:
@@ -843,10 +837,29 @@ def drift_rows(spark, sf_dir, weights=None, cal_params=None):
     if cal_params is None:
         cal_params, _ = calibration_rows(spark, sf_dir, weights=weights)
     docs = load_table(spark, sf_dir, "documents")
-    scored = classifier_score_calibrated(
+    return classifier_score_calibrated(
         docs, weights, cal_params,
         n_buckets=CLF_BUCKETS, max_ngram=CLF_NGRAM, hash_fn="md5",
-    )
+    ).join(docs.select("doc_id", "source"), "doc_id")
+
+
+def drift_rows(spark, sf_dir, weights=None, cal_params=None, scored=None):
+    """Driver branch for op='clf_drift': the WHOLE corpus scored through
+    the calibrated serve path (fitted weights + fitted Platt step — the
+    production full-corpus pass), bucketed into epochs of
+    DRIFT_EPOCH_DIV doc_ids, with a planted score regime (−DRIFT_SHIFT
+    on every epoch ≡ DRIFT_REM mod DRIFT_MOD — an exact double
+    subtraction, engine-neutral) the trailing z-score must flag.  The
+    report construction, the decimal windowed moments, and the flagged
+    rows are all re-derived in SQL (:func:`sql_drift_ctes`).
+
+    ``scored`` (optional): a precomputed :func:`full_corpus_scored`
+    frame, so a slot sharing the serve pass with other branches runs the
+    chain once."""
+    if scored is None:
+        scored = full_corpus_scored(
+            spark, sf_dir, weights=weights, cal_params=cal_params
+        )
     epoch = F.expr(f"doc_id DIV {DRIFT_EPOCH_DIV}")
     drifted = scored.select(
         epoch.alias("epoch"),
@@ -895,17 +908,19 @@ def sql_drift_ctes() -> str:
                       * CAST(t.cnt AS DECIMAL(10,0))) AS DOUBLE) AS ws,
              CAST(SUM(t.cnt) AS INTEGER) AS nf
       FROM drcnt t LEFT JOIN cw{K} w USING (bucket) GROUP BY t.doc_id),
-    drsco AS MATERIALIZED (
-      SELECT d.doc_id // {DRIFT_EPOCH_DIV} AS epoch,
-             CASE WHEN (d.doc_id // {DRIFT_EPOCH_DIV}) % {DRIFT_MOD}
-                       = {DRIFT_REM}
-                  THEN round(1.0 / (1.0 + exp(-(c.a *
-                         (cbias.w + COALESCE(s.ws / s.nf, 0.0)) + c.b))),
-                       9) - {DRIFT_SHIFT}
-                  ELSE round(1.0 / (1.0 + exp(-(c.a *
-                         (cbias.w + COALESCE(s.ws / s.nf, 0.0)) + c.b))),
-                       9) END AS score_cal
+    drsrv AS MATERIALIZED (
+      SELECT d.doc_id, d.source,
+             round(1.0 / (1.0 + exp(-(c.a *
+                    (cbias.w + COALESCE(s.ws / s.nf, 0.0)) + c.b))),
+                   9) AS score_cal
       FROM documents d LEFT JOIN drsums s USING (doc_id), cbias, cal{KC} c),
+    drsco AS MATERIALIZED (
+      SELECT doc_id // {DRIFT_EPOCH_DIV} AS epoch,
+             CASE WHEN (doc_id // {DRIFT_EPOCH_DIV}) % {DRIFT_MOD}
+                       = {DRIFT_REM}
+                  THEN score_cal - {DRIFT_SHIFT}
+                  ELSE score_cal END AS score_cal
+      FROM drsrv),
     drepochs AS (SELECT DISTINCT epoch FROM drsco),
     drbins AS (
       SELECT e.epoch, CAST(b.b AS INTEGER) AS b
@@ -945,3 +960,72 @@ def sql_drift_ctes() -> str:
       SELECT dchk, epoch, metric, trail_mean, trail_std,
              (metric - trail_mean) / trail_std AS z
       FROM drbase WHERE abs((metric - trail_mean) / trail_std) > {DRIFT_K})"""
+
+
+# ---------------------------------------------------------------------------
+# Round-13 continuation: per-domain quality percentile selection evidence
+# (op='clf_qsel'/'clf_qth') — the FineWeb-Edu-style filter over the
+# full-corpus calibrated scores, exact-integer thresholds.
+# ---------------------------------------------------------------------------
+
+#: keep the top QSEL_NUM/QSEL_DEN of each source by calibrated score —
+#: integer fraction so k = n·num // den is engine-neutral arithmetic.
+QSEL_NUM, QSEL_DEN = 3, 10
+
+
+def quality_select_rows(
+    spark, sf_dir, weights=None, cal_params=None, scored=None
+):
+    """Driver branches for op='clf_qsel'/'clf_qth': the per-domain
+    top-30% quality selection (`curation.quality_top_fraction`) over the
+    full-corpus calibrated serve scores — returns
+    ``(selected, report)``; selected rows carry the exact quantized
+    score, the report pins (n_docs, k, threshold, n_sel) per source.
+    Ties at the threshold are INCLUDED (n_sel ≥ k), which the oracle's
+    rank-k threshold reproduces value-for-value."""
+    from .curation import quality_top_fraction
+
+    if scored is None:
+        scored = full_corpus_scored(
+            spark, sf_dir, weights=weights, cal_params=cal_params
+        )
+    return quality_top_fraction(scored, QSEL_NUM, QSEL_DEN)
+
+
+def sql_qsel_ctes() -> str:
+    """DuckDB CTE chain re-deriving :func:`quality_select_rows` —
+    ASSUMES ``sql_drift_ctes()`` precedes it (consumes its ``drsrv``
+    whole-corpus scored CTE).  The oracle derives the k-th-largest
+    threshold the direct way — per-domain rank over quantized scores
+    with a doc_id tiebreak, taking the score at rank k — which equals
+    the operator's largest-qs-with-count≥k threshold exactly (see
+    `curation.quality_top_fraction`); selection then keeps every row at
+    or above the threshold value (ties included), so both engines
+    select identical row sets without ever comparing tiebreaks.
+    Final CTEs: ``qssel`` (source, doc_id, qs), ``qsdom``
+    (source, n_docs, k, t, n_sel)."""
+    from .curation import QSEL_QUANT
+
+    return f"""qsq AS (
+      SELECT doc_id, source,
+             CAST(round(score_cal * {QSEL_QUANT}) AS BIGINT) AS qs
+      FROM drsrv),
+    qsk AS (
+      SELECT source, COUNT(*) AS n_docs,
+             greatest(1, (COUNT(*) * {QSEL_NUM}) // {QSEL_DEN}) AS k
+      FROM qsq GROUP BY source),
+    qsr AS (
+      SELECT source, doc_id, qs,
+             row_number() OVER (
+                 PARTITION BY source ORDER BY qs DESC, doc_id) AS rn
+      FROM qsq),
+    qsth AS MATERIALIZED (
+      SELECT r.source, r.qs AS t, s.n_docs, s.k
+      FROM qsr r JOIN qsk s ON r.source = s.source AND r.rn = s.k),
+    qssel AS MATERIALIZED (
+      SELECT q.source, q.doc_id, q.qs
+      FROM qsq q JOIN qsth t USING (source) WHERE q.qs >= t.t),
+    qsdom AS (
+      SELECT t.source, t.n_docs, t.k, t.t, COUNT(*) AS n_sel
+      FROM qssel s JOIN qsth t USING (source)
+      GROUP BY t.source, t.n_docs, t.k, t.t)"""

@@ -384,6 +384,7 @@ def _quality_lang_oracle() -> str:
         sql_cal_ctes,
         sql_clf_ctes,
         sql_drift_ctes,
+        sql_qsel_ctes,
         sql_serve_ctes,
     )
     from .signals import sql_signal_ctes
@@ -415,7 +416,8 @@ def _quality_lang_oracle() -> str:
     {sql_clf_ctes()},
     {sql_cal_ctes()},
     {sql_serve_ctes()},
-    {sql_drift_ctes()}
+    {sql_drift_ctes()},
+    {sql_qsel_ctes()}
     SELECT * FROM (
     SELECT 'lang' AS op, doc_id, lang, predicted,
            CAST(NULL AS INTEGER) AS n_chars, CAST(NULL AS INTEGER) AS n_tokens,
@@ -502,6 +504,20 @@ def _quality_lang_oracle() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM drflag
     UNION ALL
+    SELECT 'clf_qsel', doc_id, source, NULL, NULL, NULL, NULL, NULL, NULL,
+           {pad_sig},
+           qs, CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM qssel
+    UNION ALL
+    SELECT 'clf_qth', NULL, source, NULL, NULL, NULL, NULL, NULL, NULL,
+           {pad_sig},
+           t, CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           n_docs, k, n_sel
+    FROM qsdom
+    UNION ALL
     SELECT 'langacc', NULL, lang, predicted, NULL, NULL, NULL, NULL, NULL,
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
@@ -575,7 +591,19 @@ def text_quality_lang(spark, sf_dir):
     (`logreg.sql_cal_ctes`).  op='clf_serve' pins the full calibrated
     SERVE path (`classifier_score_calibrated`) over a THIRD disjoint
     slice (doc_id % 8 == 7) — fitted weights + fitted Platt step applied
-    to documents neither fit ever saw (`logreg.sql_serve_ctes`)."""
+    to documents neither fit ever saw (`logreg.sql_serve_ctes`).
+
+    Round-13 continuation: op='clf_drift' pins the classifier drift
+    monitor (`logreg.drift_rows` — full-corpus calibrated scores,
+    planted −0.2 regime every 7th epoch, exact-int trailing z flags);
+    op='clf_qsel' / op='clf_qth' pin the per-domain quality PERCENTILE
+    selection (`curation.quality_top_fraction` via
+    `logreg.quality_select_rows`): keep each source's top 30% by
+    calibrated score, exact integer k = n·3 // 10 and quantized-score
+    threshold with ties included — selected rows AND the per-source
+    (n_docs, k, threshold, n_sel) accounting both ride the hash
+    (`logreg.sql_qsel_ctes`).  The full-corpus serve pass is shared:
+    drift and selection consume one localCheckpointed frame."""
     from ..functions.union import pad_union
     from ..sources.tables import load_table
     from .curation import repetition_stats
@@ -585,6 +613,8 @@ def text_quality_lang(spark, sf_dir):
         classifier_fit_rows,
         classifier_scored_rows,
         drift_rows,
+        full_corpus_scored,
+        quality_select_rows,
     )
     from .signals import gopher_rules
 
@@ -600,9 +630,13 @@ def text_quality_lang(spark, sf_dir):
     clf_serve = calibrated_serve_rows(
         spark, sf_dir, weights=clf_w, cal_params=cal_params
     )
-    clf_drift = drift_rows(
+    # the full-corpus serve pass runs ONCE; drift + quality selection
+    # both consume it
+    scored_full = full_corpus_scored(
         spark, sf_dir, weights=clf_w, cal_params=cal_params
-    )
+    ).localCheckpoint()
+    clf_drift = drift_rows(spark, sf_dir, scored=scored_full)
+    qsel, qth = quality_select_rows(spark, sf_dir, scored=scored_full)
     schema = [
         ("op", "string"), ("doc_id", "bigint"), ("lang", "string"),
         ("predicted", "string"), ("n_chars", "int"), ("n_tokens", "int"),
@@ -701,6 +735,24 @@ def text_quality_lang(spark, sf_dir):
                 "op": F.lit("clf_drift"), "lang": "check",
                 "doc_id": "epoch", "bucket": "metric",
                 "w": "trail_mean", "logit": "trail_std", "score": "z",
+            },
+        ),
+        (
+            qsel,
+            # carriers: lang = source, bucket = the exact quantized score
+            {
+                "op": F.lit("clf_qsel"), "doc_id": "doc_id",
+                "lang": "source", "bucket": "qs",
+            },
+        ),
+        (
+            qth,
+            # carriers: lang = source, bucket = the integer threshold,
+            # n/sum_margin/n_correct = n_docs/k/n_sel
+            {
+                "op": F.lit("clf_qth"), "lang": "source",
+                "bucket": "threshold", "n": "n_docs",
+                "sum_margin": "k", "n_correct": "n_sel",
             },
         ),
         (
