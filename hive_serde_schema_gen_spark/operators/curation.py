@@ -90,6 +90,101 @@ def ngram_contamination(
     )
 
 
+def minhash_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    bench_id_col: str = "bench_id",
+    hash_fn: str = "xxhash64",
+    threshold: float | None = None,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus documents that are
+    near-duplicates of a benchmark item under shingle Jaccard — the
+    third contamination mode next to :func:`ngram_contamination` (exact
+    verbatim n-gram containment) and :func:`semantic_contamination`
+    (embedding cosine).  Catches lightly-edited eval leaks (reworded
+    stems, shuffled answer options, whitespace/casing churn) that break
+    verbatim 8-grams but keep most 3-shingles.
+
+    Scale shape (benchmark ≪ corpus, corpus NEVER self-joins): the
+    benchmark's LSH band keys broadcast (``N_HASHES`` longs per item)
+    against the corpus band keys — candidates are (doc, bench) pairs
+    sharing a band bucket; then only CANDIDATE docs' shingles meet the
+    (broadcast) benchmark shingles for the exact-Jaccard verify, so the
+    expensive join touches a vanishing corpus fraction.  Same
+    banded-candidates-then-verify contract as ``dedup.minhash_lsh_pairs``
+    — emitted pairs all satisfy the exact threshold; the band hash only
+    affects recall.
+
+    Returns (doc_id, bench_id, jaccard, containment) — ``containment``
+    = |shared| / |bench shingles|, the asymmetric leakage stat.  NOTE:
+    candidates come from JACCARD banding, so a short bench item buried
+    in a long document (high containment, low Jaccard) is not reliably
+    recalled here — chunk the corpus first (``packing.chunk_documents``)
+    to bench-item granularity, or use :func:`ngram_contamination`, for
+    that shape.  ``threshold`` defaults to ``dedup.JACCARD_THRESHOLD``."""
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        band_keys_from_signatures,
+        minhash_signatures,
+        shingles_df,
+    )
+
+    if threshold is None:
+        threshold = JACCARD_THRESHOLD
+    hashed = hash_fn == "xxhash64"
+    shd_c = shingles_df(docs, hashed=hashed)
+    shd_b = (
+        shingles_df(
+            benchmark.select(F.col(bench_id_col).alias("doc_id"), "text"),
+            hashed=hashed,
+        )
+        .withColumnRenamed("doc_id", bench_id_col)
+        .localCheckpoint()  # bands + verify + sizes all read it
+    )
+    bands_c = band_keys_from_signatures(
+        minhash_signatures(shd_c, hash_fn), hash_fn
+    )
+    bands_b = band_keys_from_signatures(
+        minhash_signatures(
+            shd_b.withColumnRenamed(bench_id_col, "doc_id"), hash_fn
+        ),
+        hash_fn,
+    ).withColumnRenamed("doc_id", bench_id_col)
+    cand = (
+        bands_c.join(F.broadcast(bands_b), ["band", "band_key"])
+        .select("doc_id", bench_id_col)
+        .distinct()
+        .localCheckpoint()  # docs-filter + pair-restrict both read it
+    )
+    xc = shd_c.join(cand.select("doc_id").distinct(), "doc_id")
+    sizes_c = xc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__na"))
+    sizes_b = shd_b.groupBy(bench_id_col).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    inter = (
+        xc.join(F.broadcast(shd_b), "shingle")
+        .groupBy("doc_id", bench_id_col)
+        .agg(F.count(F.lit(1)).alias("__i"))
+        .join(cand, ["doc_id", bench_id_col])  # LSH candidates only
+    )
+    jac = F.col("__i").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__i")
+    )
+    return (
+        inter.join(sizes_c, "doc_id")
+        .join(F.broadcast(sizes_b), bench_id_col)
+        .select(
+            "doc_id",
+            bench_id_col,
+            jac.alias("jaccard"),
+            (F.col("__i").cast("double") / F.col("__nb")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+    )
+
+
 # (pattern, replacement) — ordered: the more specific pattern first so an
 # email is redacted as EMAIL, not as a phone-ish digit run inside it.
 _PII_RULES = (
