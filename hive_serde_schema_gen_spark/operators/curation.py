@@ -1336,18 +1336,26 @@ def integer_temperature_budgets(
 
 #: op='tokmix'/'tokbud' evidence configuration
 TOKMIX_TOTAL = 20_000
+#: op='manifest' evidence configuration: epoch / context length / shard
+#: count for the training-order export over the budget-selected docs
+MANIFEST_EPOCH, MANIFEST_L, MANIFEST_SHARDS = 5, 64, 4
 
 
 def token_mixture_frames(spark, sf_dir):
-    """Driver branches: (selected, per_domain) for op='tokmix'/'tokbud' —
-    per-source token totals (bounded collect: one row per source) feed
-    :func:`integer_temperature_budgets`, and the REAL operator fills
-    each budget in md5 hash order.  ``per_domain`` pins the EXACT token
+    """Driver branches: (selected, per_domain, manifest) for
+    op='tokmix'/'tokbud'/'manifest' — per-source token totals (bounded
+    collect: one row per source) feed
+    :func:`integer_temperature_budgets`, the REAL operator fills each
+    budget in md5 hash order, and ``per_domain`` pins the EXACT token
     accounting: selected-token sums must land in
     [budget, budget + max_doc_tokens) for every budget-constrained
-    domain."""
+    domain.  ``manifest`` is the composed LAST MILE
+    (`packing.training_manifest` over the selected rows): epoch-5
+    order hash, 4-way sharding, within-shard token offsets and 64-token
+    chunk ranges — the complete selection→shuffle→shard→pack export,
+    every column re-derived in SQL."""
     from ..sources.tables import load_table
-    from .packing import ws_token_count
+    from .packing import training_manifest, ws_token_count
 
     docs = load_table(spark, sf_dir, "documents")
     totals = {
@@ -1359,7 +1367,7 @@ def token_mixture_frames(spark, sf_dir):
     budgets = integer_temperature_budgets(totals, TOKMIX_TOTAL)
     sel = token_budget_mixture(
         docs, budgets, hash_fn="md5"
-    ).localCheckpoint()  # rows + the summary both consume it
+    ).localCheckpoint()  # rows + summary + manifest all consume it
     budf = spark.createDataFrame(
         [(str(k), int(v)) for k, v in sorted(budgets.items())],
         "source string, budget long",
@@ -1373,7 +1381,10 @@ def token_mixture_frames(spark, sf_dir):
         .join(F.broadcast(budf), "source")
         .select("source", "budget", "tok_sel", "n_sel")
     )
-    return sel, per_domain
+    manifest = training_manifest(
+        sel, MANIFEST_EPOCH, MANIFEST_L, MANIFEST_SHARDS, hash_fn="md5"
+    )
+    return sel, per_domain, manifest
 
 
 _TOKMIX_HK = (
@@ -1392,8 +1403,11 @@ def sql_tokmix_ctes() -> str:
     hash-order prefix (ONE window — the oracle recomputes the
     distributed shard-wise prefix sum as the naive global one, the
     packing-oracle equivalence pattern), the crossing-document cut, and
-    the per-domain accounting.  Final CTEs: ``tbsel`` (dom, doc_id,
-    ntok, before), ``tbdom`` (dom, budget, tok_sel, n_sel)."""
+    the per-domain accounting, and the training-manifest layout over the
+    selected rows (epoch hash → shard → within-shard prefix offsets →
+    chunk bounds).  Final CTEs: ``tbsel`` (dom, doc_id, ntok, before),
+    ``tbdom`` (dom, budget, tok_sel, n_sel), ``mfman`` (dom, doc_id,
+    ntok, oh, shard, off, chunk_first, chunk_last)."""
     from .clustering import _materialize
 
     return _materialize(f"""tbt AS (
@@ -1423,7 +1437,27 @@ def sql_tokmix_ctes() -> str:
       SELECT s.dom, b.budget, SUM(s.ntok) AS tok_sel,
              COUNT(*) AS n_sel
       FROM tbsel s JOIN tbbud b USING (dom)
-      GROUP BY s.dom, b.budget)""")
+      GROUP BY s.dom, b.budget),
+    mfh AS (
+      SELECT dom, doc_id, ntok,
+             CAST(concat('0x', substr(md5(concat_ws(':', 'shuffle-v1',
+                 '{MANIFEST_EPOCH}', CAST(doc_id AS VARCHAR))), 1, 8))
+               AS BIGINT) AS oh
+      FROM tbsel),
+    mfoff AS (
+      SELECT dom, doc_id, ntok, oh, oh % {MANIFEST_SHARDS} AS shard,
+             COALESCE(SUM(ntok) OVER (
+                 PARTITION BY oh % {MANIFEST_SHARDS}
+                 ORDER BY oh, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS off
+      FROM mfh),
+    mfman AS (
+      SELECT dom, doc_id, ntok, oh, shard, off,
+             off // {MANIFEST_L} AS chunk_first,
+             CASE WHEN ntok = 0 THEN off // {MANIFEST_L} - 1
+                  ELSE (off + ntok - 1) // {MANIFEST_L} END AS chunk_last
+      FROM mfoff)""")
 
 
 def _curation_ops_oracle() -> str:
@@ -1522,6 +1556,12 @@ def _curation_ops_oracle() -> str:
            CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
            CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), budget
     FROM tbdom
+    UNION ALL
+    SELECT 'manifest', dom, chunk_first, NULL, oh, NULL, chunk_last,
+           doc_id, ntok, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(shard AS INTEGER),
+           CAST(NULL AS INTEGER), off
+    FROM mfman
     ) ORDER BY op, COALESCE(lang, ''), COALESCE(vec_id, -1),
                COALESCE(doc_id, -1), COALESCE(cluster, -1), COALESCE(pos, -1)
     """
@@ -1675,7 +1715,9 @@ def curation_ops(spark, sf_dir):
     from .clustering import semdedup_probe_evidence
 
     sd_probe = semdedup_probe_evidence(spark, sf_dir)
-    tokmix_sel, tokmix_dom = token_mixture_frames(spark, sf_dir)
+    tokmix_sel, tokmix_dom, tokmix_man = token_mixture_frames(
+        spark, sf_dir
+    )
     schema = [
         ("op", "string"), ("lang", "string"), ("n_docs", "bigint"),
         ("rate", "double"), ("vec_id", "bigint"),
@@ -1808,6 +1850,19 @@ def curation_ops(spark, sf_dir):
             {
                 "op": F.lit("tokbud"), "lang": "source",
                 "cval": "budget", "n_grams": "tok_sel", "n_docs": "n_sel",
+            },
+        ),
+        (
+            tokmix_man,
+            # carriers: vec_id = epoch order hash, cluster = shard,
+            # cval = within-shard token offset, n_docs/nearest_bench_id
+            # = chunk_first/chunk_last
+            {
+                "op": F.lit("manifest"), "lang": "source",
+                "doc_id": "doc_id", "n_grams": "n_tokens",
+                "vec_id": "order_hash", "cluster": "shard",
+                "cval": "offset", "n_docs": "chunk_first",
+                "nearest_bench_id": "chunk_last",
             },
         ),
     ).orderBy(

@@ -567,6 +567,94 @@ def padding_waste(packed: DataFrame, context_len: int) -> float:
     return 1.0 - row["t"] / (row["b"] * context_len)
 
 
+def _epoch_order_hash(
+    epoch: int, key_col: str, salt: str, hash_fn: str
+) -> F.Column:
+    """The deterministic per-epoch order hash shared by
+    :func:`epoch_shuffle` and :func:`training_manifest` — a pure
+    function of (salt, epoch, key), so the two operators can never
+    disagree on an epoch's permutation."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(
+            F.lit(salt), F.lit(epoch).cast("long"), F.col(key_col)
+        )
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.lit(epoch).cast("string"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def training_manifest(
+    selected: DataFrame,
+    epoch: int,
+    context_len: int,
+    n_shards: int,
+    key_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    salt: str = "shuffle-v1",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The training-order EXPORT manifest — the last mile after
+    selection: given selected documents with token counts (e.g. the
+    output of ``curation.token_budget_mixture``), assign each document
+    its epoch-``epoch`` position — shard, within-shard order, first-token
+    offset, and the ``context_len``-chunk range it occupies — so a
+    training loader can read shard files sequentially and know exactly
+    which optimizer step consumes which document.
+
+    Composition: :func:`_epoch_order_hash` permutes (the
+    ``epoch_shuffle`` order — identical hash, so the manifest and a
+    shard-file export of the same epoch agree row for row), ``pmod``
+    assigns shards (hash-stable: a resumed export rewrites identical
+    shards), and a per-shard windowed prefix sum lays out the token
+    stream WITHIN each shard (the ``chunk_token_stream`` conventions:
+    empty docs get ``chunk_last = chunk_first - 1``).
+
+    Scale shape: ONE shuffle (hash-partition by shard) and a per-shard
+    sort — exactly the physical work the shard-file write itself needs,
+    so the manifest is free on top of the export; offsets are per-shard,
+    never a global single-reducer prefix.  Pick ``n_shards`` ∝ corpus
+    size (shards are the parallelism AND file-size knob).
+
+    Output: input columns + ``(order_hash, shard, offset, chunk_first,
+    chunk_last)``."""
+    out = selected.withColumn(
+        "order_hash", _epoch_order_hash(epoch, key_col, salt, hash_fn)
+    ).withColumn(
+        "shard", F.pmod(F.col("order_hash"), F.lit(n_shards)).cast("int")
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("order_hash", key_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "offset", F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0))
+    )
+    chunk_first = F.floor(F.col("offset") / context_len)
+    ntok = F.col(n_tokens_col)
+    return out.withColumn("chunk_first", chunk_first).withColumn(
+        "chunk_last",
+        F.when(ntok == 0, chunk_first - 1).otherwise(
+            F.floor((F.col("offset") + ntok - 1) / context_len)
+        ),
+    )
+
+
 def epoch_shuffle(
     d: DataFrame,
     epoch: int,
@@ -606,28 +694,9 @@ def epoch_shuffle(
     hash IS the permutation (sorting by it reproduces the epoch order),
     which lets an order-insensitive row-set comparison still pin the
     full shuffle order without materializing a global rank."""
-    if hash_fn == "xxhash64":
-        h = F.xxhash64(F.lit(salt), F.lit(epoch).cast("long"), F.col(key_col))
-    elif hash_fn == "md5":
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.lit(salt),
-                        F.lit(epoch).cast("string"),
-                        F.col(key_col).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    out = d.withColumn("__order", h)
+    out = d.withColumn(
+        "__order", _epoch_order_hash(epoch, key_col, salt, hash_fn)
+    )
     if n_shards is None:
         out = out.orderBy("__order", key_col)
         return (
