@@ -156,7 +156,9 @@ def minhash_contamination(
         .distinct()
         .localCheckpoint()  # docs-filter + pair-restrict both read it
     )
-    xc = shd_c.join(cand.select("doc_id").distinct(), "doc_id")
+    # candidate docs ≲ |benchmark| × near-dup multiplicity — broadcast
+    # both candidate frames so the corpus shingles never shuffle
+    xc = shd_c.join(F.broadcast(cand.select("doc_id").distinct()), "doc_id")
     sizes_c = xc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__na"))
     sizes_b = shd_b.groupBy(bench_id_col).agg(
         F.count(F.lit(1)).alias("__nb")
@@ -165,7 +167,8 @@ def minhash_contamination(
         xc.join(F.broadcast(shd_b), "shingle")
         .groupBy("doc_id", bench_id_col)
         .agg(F.count(F.lit(1)).alias("__i"))
-        .join(cand, ["doc_id", bench_id_col])  # LSH candidates only
+        # LSH candidates only
+        .join(F.broadcast(cand), ["doc_id", bench_id_col])
     )
     jac = F.col("__i").cast("double") / (
         F.col("__na") + F.col("__nb") - F.col("__i")
