@@ -290,6 +290,8 @@ def curate_and_prepare(
     benchmark: DataFrame | None = None,
     contamination_frac: float = 0.5,
     contamination_n: int = 8,
+    benchmark_near: DataFrame | None = None,
+    near_dup_threshold: float | None = None,
     benchmark_emb: DataFrame | None = None,
     semantic_contamination_threshold: float = 0.95,
     max_dup_gram_frac: float | None = None,
@@ -303,6 +305,7 @@ def curate_and_prepare(
     classifier_weights: dict | None = None,
     classifier_floor: float = 0.5,
     classifier_bias: float = 0.0,
+    quality_top_frac: tuple | None = None,
     ppl_max: float | None = None,
     ppl_min: float | None = None,
     lm_model=None,
@@ -344,6 +347,11 @@ def curate_and_prepare(
     - ``benchmark`` + ``contamination_frac``: drop documents whose shared
       ``contamination_n``-gram fraction with ANY benchmark item reaches the
       threshold (eval-set leakage).
+    - ``benchmark_near`` (+ ``near_dup_threshold``): ALSO drop documents
+      that are shingle-Jaccard NEAR-DUPLICATES of a benchmark item
+      (``curation.minhash_contamination`` — banded candidates, exact
+      verify; catches lightly-reworded leaks that break verbatim
+      n-grams).  May be the same frame as ``benchmark``.
     - ``benchmark_emb`` (+ ``semantic_contamination_threshold``): ALSO drop
       documents whose embedding is within cosine threshold of any
       benchmark embedding (``curation.semantic_contamination`` — catches
@@ -366,6 +374,12 @@ def curate_and_prepare(
       drop documents the hashed-ngram linear scorer
       (``text.classifier_score``) rates below the floor — the learned
       filter between the heuristic quality floor and LLM judging.
+    - ``quality_top_frac`` = ``(num, den)`` (requires
+      ``classifier_weights``): per-SOURCE percentile selection instead of
+      (or after) the global floor — keep each source's top num/den
+      fraction by classifier score (``curation.quality_top_fraction``,
+      ties included), so a uniformly-low-scoring domain is thinned, not
+      erased — the FineWeb-Edu-style selection knob.
     - ``ppl_max`` / ``ppl_min`` (+ ``lm_model``): CCNet perplexity band —
       drop documents whose bigram-LM perplexity (``lm.lm_score``) falls
       outside [ppl_min, ppl_max]; the high tail is gibberish/OCR noise,
@@ -450,6 +464,19 @@ def curate_and_prepare(
         )
         d = d.join(bad, "doc_id", "left_anti")
         dirty = True
+    if benchmark_near is not None:
+        from .curation import minhash_contamination
+
+        d = _cut(d)
+        bad = (
+            minhash_contamination(
+                d, benchmark_near, threshold=near_dup_threshold
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        d = d.join(bad, "doc_id", "left_anti")
+        dirty = True
     if benchmark_emb is not None:
         from .curation import semantic_contamination
 
@@ -477,6 +504,24 @@ def curate_and_prepare(
             d, classifier_weights, bias=classifier_bias
         ).filter(F.col("score") >= classifier_floor)
         d = d.join(keep.select("doc_id"), "doc_id")
+        dirty = True
+    if quality_top_frac is not None:
+        from .curation import quality_top_fraction
+        from .text import classifier_score
+
+        if classifier_weights is None:
+            raise ValueError(
+                "quality_top_frac requires classifier_weights"
+            )
+        num, den = quality_top_frac
+        d = _cut(d)
+        scored = classifier_score(
+            d, classifier_weights, bias=classifier_bias
+        ).join(d.select("doc_id", "source"), "doc_id")
+        selected, _ = quality_top_fraction(
+            scored, num, den, score_col="score"
+        )
+        d = d.join(selected.select("doc_id"), "doc_id")
         dirty = True
     if ppl_max is not None or ppl_min is not None:
         from .lm import lm_score

@@ -1065,3 +1065,57 @@ def test_integer_temperature_budgets(spark):
     assert b["mid"] == min(10_000, math.isqrt(10_000) * 20_000 // z)
     assert integer_temperature_budgets({}, 100) == {}
     assert integer_temperature_budgets({"a": 0}, 100) == {}
+
+
+def test_curate_and_prepare_quality_top_and_near_dup_stages(spark, sf_dir):
+    """Round-13 stages compose: per-source percentile selection thins
+    every source to its top fraction, and fuzzy (near-dup) benchmark
+    decontamination drops the planted leak."""
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        curate_and_prepare,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_rows = curate_and_prepare(spark, sf_dir).count()
+
+    # neutral classifier + top-100% keeps everything (selection is a
+    # per-source no-op at frac 1/1)
+    all_kept = curate_and_prepare(
+        spark, sf_dir, classifier_weights={}, quality_top_frac=(1, 1)
+    )
+    assert all_kept.count() == base_rows
+
+    # top-20%: every source thinned but none erased (k >= 1 floor);
+    # the neutral model ties every score, and ties are INCLUDED, so a
+    # same-score source keeps all its docs — assert via the selection
+    # operator's own report instead of raw counts
+    from hive_serde_schema_gen_spark.operators.curation import (
+        quality_top_fraction,
+    )
+    from hive_serde_schema_gen_spark.operators.text import classifier_score
+
+    scored = classifier_score(docs, {}).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    _, report = quality_top_fraction(scored, 1, 5, score_col="score")
+    assert report.filter("n_sel < 1").count() == 0
+
+    # fuzzy decontamination: plant one benchmark item that is a lightly
+    # perturbed copy of a real document -> that document is dropped,
+    # everything else survives
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]
+    perturbed = " ".join(
+        ("zz" + t if i == 5 else t)
+        for i, t in enumerate(victim["text"].split())
+    )
+    bench = spark.createDataFrame(
+        [(1, perturbed)], "bench_id long, text string"
+    )
+    # the sf0.001 docs are ~23 tokens, so one perturbed word costs 3 of
+    # ~21 shingles (Jaccard 0.75) — set the knob below that
+    cleaned = curate_and_prepare(
+        spark, sf_dir, benchmark_near=bench, near_dup_threshold=0.73
+    )
+    assert cleaned.filter(F.col("doc_id") == victim["doc_id"]).count() == 0
+    assert cleaned.count() >= base_rows - 1  # only the leak drops
