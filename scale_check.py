@@ -295,7 +295,9 @@ def main() -> None:
     )
     from hive_serde_schema_gen_spark.operators.curation import (
         materialize_mixture,
+        minhash_contamination,
         ngram_contamination,
+        quality_top_fraction,
         redact_pii,
         repetition_stats,
         stratified_sample,
@@ -410,6 +412,21 @@ def main() -> None:
         return classifier_score(
             _docs(s, d), {i: 0.01 * i for i in range(64)}
         ).filter("score >= 0")
+
+    def _manifest_probe(s, d):
+        from hive_serde_schema_gen_spark.operators.packing import (
+            training_manifest,
+            ws_token_count,
+        )
+
+        return training_manifest(
+            _docs(s, d).select(
+                "doc_id", "source", ws_token_count().alias("n_tokens")
+            ),
+            epoch=3,
+            context_len=512,
+            n_shards=32,
+        ).filter("chunk_last >= chunk_first - 1")
 
     def _logreg_fit_probe(s, d):
         # eager driver loop (GD iterations) — run INSIDE the timed fn so
@@ -562,6 +579,29 @@ def main() -> None:
         "dsir_weights": lambda s, d: dsir_weights(
             _docs(s, d), _docs(s, d).filter("lang = 'zh'"), m=4096
         ).filter("logw_q9 > -1e15"),
+        # per-source top-30% percentile selection (round 13): score via
+        # the toy sparse model, then the two-pass quantized threshold —
+        # per-row cost should stay flat (windows run over value
+        # histograms, never corpus rows)
+        "curation_quality_top30": lambda s, d: quality_top_fraction(
+            _classifier(s, d).join(
+                _docs(s, d).select("doc_id", "source"), "doc_id"
+            ),
+            3,
+            10,
+            score_col="score",
+        )[0].filter("qs >= -9223372036854775807"),
+        # fuzzy decontamination (round 13): fixed 20-item benchmark, so
+        # the broadcast side is constant while the corpus grows; the
+        # banded candidate join is the scaling story (threshold 0 keeps
+        # every verified candidate pair alive under count)
+        "curation_minhash_contamination": lambda s, d: minhash_contamination(
+            _docs(s, d), _bench(s, d), threshold=0.0
+        ),
+        # training-order manifest (round 13): one hash-partition shuffle
+        # + per-shard sort/prefix sum — the shard-file export's own
+        # physical work, so per-row cost must stay flat
+        "packing_training_manifest": lambda s, d: _manifest_probe(s, d),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
         "validation_six_checks": lambda s, d: metrics_frame(
