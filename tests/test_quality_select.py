@@ -89,3 +89,30 @@ def test_random_parity(spark, num, den):
     want_sel, want_rep = _brute(rows, num, den)
     assert got_sel == want_sel
     assert got_rep == want_rep
+
+
+def test_threshold_at_coarse_bucket_boundary(spark):
+    """The k-th largest sits exactly AT a qs = m<<20 bucket edge (and
+    just below it): the boundary-bucket refine must resolve both sides
+    correctly."""
+    B = 1 << 20
+    qs_vals = [5 * B, 5 * B, 5 * B - 1, 4 * B, 3 * B + 7, 2 * B]
+    rows = [
+        (i, "e", q / 1_000_000_000) for i, q in enumerate(qs_vals)
+    ]
+    # k=2 -> threshold = 5B (two ties selected); k=3 -> threshold 5B-1
+    got_sel, got_rep = _run(spark, rows, 1, 3)  # 6*1//3 = 2
+    want_sel, want_rep = _brute(rows, 1, 3)
+    assert got_sel == want_sel and got_rep == want_rep
+    assert got_rep["e"][2] == 5 * B  # threshold exactly on the edge
+    got_sel3, got_rep3 = _run(spark, rows, 1, 2)  # k=3
+    want_sel3, want_rep3 = _brute(rows, 1, 2)
+    assert got_sel3 == want_sel3 and got_rep3 == want_rep3
+    assert got_rep3["e"][2] == 5 * B - 1  # one below the edge
+
+
+def test_all_scores_identical_full_and_partial(spark):
+    rows = [(i, "s", 0.25) for i in range(7)]
+    got_sel, got_rep = _run(spark, rows, 2, 7)  # k=2, but ALL tie
+    assert got_rep["s"] == (7, 2, 250_000_000, 7)
+    assert got_sel == set(range(7))
