@@ -1337,6 +1337,66 @@ def integer_temperature_budgets(
     }
 
 
+def _integer_nth_root(x: int, n: int) -> int:
+    """floor(x^(1/n)) in exact integer arithmetic (Newton's method on
+    ints — no float enters, so no 2^53 precision cliff; for n=2 this
+    equals math.isqrt)."""
+    if x < 0 or n <= 0:
+        raise ValueError("x >= 0 and n >= 1 required")
+    if x in (0, 1) or n == 1:
+        return x
+    r = 1 << (x.bit_length() // n + 1)  # upper bound on the root
+    while True:
+        nxt = ((n - 1) * r + x // r ** (n - 1)) // n
+        if nxt >= r:
+            return r
+        r = nxt
+
+
+def integer_power_budgets(
+    token_totals: dict, total_tokens: int, alpha_num: int, alpha_den: int
+) -> dict:
+    """:func:`integer_temperature_budgets` generalized to any RATIONAL
+    temperature α = alpha_num/alpha_den: ``share_s = floor(T_s^α)`` via
+    exact integer nth-root of ``T^num`` (no float anywhere, so the
+    budgets are reproducible bit-for-bit on any engine), then
+    ``budget_s = min(T_s, share_s·total // Σ share)``.  α=1 is the
+    natural mix, α=1/2 the standard temperature flattening, α→0 uniform
+    — the knob a mixture SCHEDULE sweeps."""
+    if alpha_num <= 0 or alpha_den <= 0:
+        raise ValueError("alpha must be a positive rational")
+    shares = {
+        s: _integer_nth_root(int(t) ** alpha_num, alpha_den)
+        for s, t in token_totals.items()
+        if t > 0
+    }
+    z = sum(shares.values())
+    if z == 0:
+        return {}
+    return {
+        s: min(int(token_totals[s]), shares[s] * int(total_tokens) // z)
+        for s in shares
+    }
+
+
+def anneal_temperature_schedule(
+    token_totals: dict, tokens_per_epoch: int, alphas
+) -> list:
+    """Per-epoch budget dicts for an ANNEALED mixture — the midtraining
+    recipe (early epochs at the natural mix, late epochs flattened /
+    quality-weighted): ``alphas`` is a list of ``(num, den)`` rational
+    temperatures, one per epoch, e.g. ``[(1, 1), (3, 4), (1, 2)]``.
+    Feed each epoch's dict to :func:`token_budget_mixture` (with a
+    per-epoch salt if re-selection should be independent) and the
+    selected rows to ``packing.training_manifest`` with the matching
+    epoch — the complete annealed training-order export, every step
+    deterministic."""
+    return [
+        integer_power_budgets(token_totals, tokens_per_epoch, n, d)
+        for n, d in alphas
+    ]
+
+
 #: op='tokmix'/'tokbud' evidence configuration
 TOKMIX_TOTAL = 20_000
 #: op='manifest' evidence configuration: epoch / context length / shard

@@ -1119,3 +1119,57 @@ def test_curate_and_prepare_quality_top_and_near_dup_stages(spark, sf_dir):
     )
     assert cleaned.filter(F.col("doc_id") == victim["doc_id"]).count() == 0
     assert cleaned.count() >= base_rows - 1  # only the leak drops
+
+
+def test_integer_power_budgets_and_anneal_schedule():
+    """Rational-α temperature budgets: exact integer nth-root shares,
+    α=1/2 equals the isqrt path, α=1 is proportional, and lower α
+    flattens the mix toward uniform."""
+    import math
+    import random
+
+    from hive_serde_schema_gen_spark.operators.curation import (
+        _integer_nth_root,
+        anneal_temperature_schedule,
+        integer_power_budgets,
+        integer_temperature_budgets,
+    )
+
+    # exact nth root at perfect powers and their neighbors, plus fuzz
+    for base in (2, 3, 7, 10, 123):
+        for n in (2, 3, 4, 5):
+            p = base**n
+            assert _integer_nth_root(p, n) == base
+            assert _integer_nth_root(p - 1, n) == base - 1
+            assert _integer_nth_root(p + 1, n) == base
+    rng = random.Random(7)
+    for _ in range(200):
+        x = rng.randrange(0, 10**18)
+        n = rng.randrange(1, 6)
+        r = _integer_nth_root(x, n)
+        assert r**n <= x < (r + 1) ** n
+    assert _integer_nth_root(4, 2) == 2 == math.isqrt(4)
+
+    totals = {"web": 1_000_000, "code": 250_000, "books": 40_000}
+    # alpha = 1/2 reproduces the isqrt variant exactly
+    assert integer_power_budgets(
+        totals, 100_000, 1, 2
+    ) == integer_temperature_budgets(totals, 100_000)
+    # alpha = 1: proportional (integer floor of the exact shares)
+    prop = integer_power_budgets(totals, 129_000, 1, 1)
+    z = sum(totals.values())
+    for s, t in totals.items():
+        assert prop[s] == min(t, t * 129_000 // z)
+    # flattening: lower alpha gives the SMALLEST domain a larger share
+    flat = integer_power_budgets(totals, 100_000, 1, 4)
+    sqrtish = integer_power_budgets(totals, 100_000, 1, 2)
+    assert flat["books"] > sqrtish["books"]
+    assert flat["web"] < sqrtish["web"]
+
+    sched = anneal_temperature_schedule(
+        totals, 50_000, [(1, 1), (3, 4), (1, 2)]
+    )
+    assert len(sched) == 3
+    # the anneal moves monotonically toward the flattened end
+    assert sched[0]["web"] >= sched[1]["web"] >= sched[2]["web"]
+    assert sched[0]["books"] <= sched[1]["books"] <= sched[2]["books"]
