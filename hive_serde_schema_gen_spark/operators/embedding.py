@@ -205,3 +205,69 @@ def embed_text_vectors(spark, sf_dir):
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("pos", "val")
     ).orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Round-13: int8 scalar quantization for embedding STORAGE — the 4×
+# scan-bytes reduction at corpus scale (float32 -> int8 + one scale),
+# complementary to the PQ codebook path (similarity.build_pq_index),
+# which compresses for ANN distance computation rather than storage.
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings_int8(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector max-abs int8 quantization: ``scale = max|v| / 127``,
+    ``q_i = round(v_i / scale)`` ∈ [-127, 127] — the FAISS-SQ8 shape.
+    Output ``(id, scale float, q array<tinyint>)``: a d-dim float32
+    vector (4d bytes) becomes d bytes + one float, so a 100 TB embedding
+    column scans in a quarter of the bytes, and parquet's byte-level
+    encodings compress the int8 stream further.
+
+    Component error is bounded by ``scale/2`` (≤ max|v|/254), so cosine
+    orderings degrade only at the fourth decimal for unit-normalized
+    embeddings — re-rank shortlists with the float vectors where exact
+    order matters (the PQ-ADC-then-rerank discipline).  The zero vector
+    gets scale 0 and all-zero codes (dequantizes to exact zeros).
+
+    Everything is array-expression codegen (``transform``/
+    ``aggregate``) — no Python, no shuffle: a narrow projection that
+    runs at scan speed."""
+    amax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+    )
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x / F.col("scale")).cast("tinyint"),
+        )
+    )
+    return (
+        e.select(id_col, vec_col, scale.cast("float"))
+        .select(id_col, "scale", q.alias("q"))
+    )
+
+
+def dequantize_embeddings_int8(
+    qe: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings_int8`:
+    ``(id, embedding array<float>)`` with ``v_i ≈ q_i · scale`` —
+    component error ≤ scale/2 by the quantizer's rounding."""
+    return qe.select(
+        id_col,
+        F.transform(
+            F.col("q"),
+            lambda x: (x.cast("float") * F.col("scale")).cast("float"),
+        ).alias("embedding"),
+    )
