@@ -375,11 +375,14 @@ def curate_and_prepare(
       (``text.classifier_score``) rates below the floor — the learned
       filter between the heuristic quality floor and LLM judging.
     - ``quality_top_frac`` = ``(num, den)`` (requires
-      ``classifier_weights``): per-SOURCE percentile selection instead of
-      (or after) the global floor — keep each source's top num/den
-      fraction by classifier score (``curation.quality_top_fraction``,
-      ties included), so a uniformly-low-scoring domain is thinned, not
-      erased — the FineWeb-Edu-style selection knob.
+      ``classifier_weights``): per-SOURCE percentile selection — keep
+      each source's top num/den fraction by classifier score
+      (``curation.quality_top_fraction``, ties included), so a
+      uniformly-low-scoring domain is thinned, not erased — the
+      FineWeb-Edu-style selection knob.  REPLACES the global
+      ``classifier_floor`` stage (a floor would erase low-scoring
+      domains before the percentile ever saw them); the corpus is
+      scored once.
     - ``ppl_max`` / ``ppl_min`` (+ ``lm_model``): CCNet perplexity band —
       drop documents whose bigram-LM perplexity (``lm.lm_score``) falls
       outside [ppl_min, ppl_max]; the high tail is gibberish/OCR noise,
@@ -496,7 +499,7 @@ def curate_and_prepare(
 
         d = strip_duplicate_spans(_cut(d), k=strip_dup_spans_k)
         dirty = True
-    if classifier_weights is not None:
+    if classifier_weights is not None and quality_top_frac is None:
         from .text import classifier_score
 
         d = _cut(d)

@@ -132,7 +132,10 @@ def minhash_contamination(
     if threshold is None:
         threshold = JACCARD_THRESHOLD
     hashed = hash_fn == "xxhash64"
-    shd_c = shingles_df(docs, hashed=hashed)
+    # the corpus shingle chain (posexplode + window + distinct) feeds
+    # BOTH the banding pass and the verify pass — cut it once, exactly
+    # as minhash_lsh_pairs does for its self-join
+    shd_c = shingles_df(docs, hashed=hashed).localCheckpoint()
     shd_b = (
         shingles_df(
             benchmark.select(F.col(bench_id_col).alias("doc_id"), "text"),
@@ -157,8 +160,11 @@ def minhash_contamination(
         .localCheckpoint()  # docs-filter + pair-restrict both read it
     )
     # candidate docs ≲ |benchmark| × near-dup multiplicity — broadcast
-    # both candidate frames so the corpus shingles never shuffle
-    xc = shd_c.join(F.broadcast(cand.select("doc_id").distinct()), "doc_id")
+    # both candidate frames so the corpus shingles never shuffle; xc
+    # (candidate docs' shingles, small) feeds sizes + the verify join
+    xc = shd_c.join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id"
+    ).localCheckpoint()
     sizes_c = xc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__na"))
     sizes_b = shd_b.groupBy(bench_id_col).agg(
         F.count(F.lit(1)).alias("__nb")
@@ -1234,6 +1240,12 @@ def quality_top_fraction(
     it is localCheckpointed here so the serve chain runs once."""
     from pyspark.sql.window import Window as W
 
+    if not (0 < int(frac_num) <= int(frac_den)):
+        raise ValueError(
+            f"frac_num/frac_den must be a fraction in (0, 1]: got "
+            f"{frac_num}/{frac_den} (num > den would silently select "
+            "nothing — k exceeds every domain's size)"
+        )
     base = scored.select(
         F.col(key_col),
         F.col(domain_col).alias("__dom"),

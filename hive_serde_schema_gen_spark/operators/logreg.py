@@ -726,6 +726,16 @@ DRIFT_BINS = 10
 DRIFT_QUANT = 1_000_000_000  # score_cal is 9-dp: round(score·1e9) is exact
 
 
+def drift_series_labels(bins: int = DRIFT_BINS) -> list:
+    """The drift report's series identity — every ``check`` label
+    :func:`score_drift_report` can emit, in order.  The single source of
+    truth consumers that must SYNTHESIZE report rows (the streaming
+    monitor's empty-epoch zeros) derive from, so a renamed or added
+    series can never silently diverge between the batch builder and a
+    synthesizer."""
+    return [f"q{b}" for b in range(bins)] + ["cal_sum"]
+
+
 def score_drift_report(
     scored: DataFrame,
     epoch_col: str = "epoch",

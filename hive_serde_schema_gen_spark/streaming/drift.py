@@ -33,6 +33,7 @@ from ..operators.logreg import (
     DRIFT_BINS,
     DRIFT_QUANT,
     classifier_score_calibrated,
+    drift_series_labels,
     score_drift_report,
 )
 
@@ -60,7 +61,9 @@ def process_drift_batch(
     testable."""
     spark = batch.sparkSession
     if batch.isEmpty():
-        rows = [(f"q{b}", 0) for b in range(bins)] + [("cal_sum", 0)]
+        # zero rows for EVERY series score_drift_report would emit — the
+        # labels come from its own definition, so the shapes can't drift
+        rows = [(c, 0) for c in drift_series_labels(bins)]
         report = spark.createDataFrame(rows, _REPORT_SCHEMA)
     else:
         scored = classifier_score_calibrated(

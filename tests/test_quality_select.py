@@ -116,3 +116,14 @@ def test_all_scores_identical_full_and_partial(spark):
     got_sel, got_rep = _run(spark, rows, 2, 7)  # k=2, but ALL tie
     assert got_rep["s"] == (7, 2, 250_000_000, 7)
     assert got_sel == set(range(7))
+
+
+def test_fraction_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5)], "doc_id long, source string, score_cal double"
+    )
+    for num, den in ((3, 2), (0, 5), (-1, 3), (2, 0)):
+        with _pytest.raises(ValueError):
+            quality_top_fraction(df, num, den)

@@ -152,3 +152,21 @@ def test_file_stream_end_to_end(spark, sf_dir, model, rep_dir, tmp_path):
     )
     assert [r["count"] for r in per_epoch] == [11]
     assert table.count() == 33
+
+
+def test_series_labels_are_the_single_source_of_truth(spark, sf_dir, model):
+    """The synthesized empty-epoch series must equal the labels
+    score_drift_report actually emits."""
+    from hive_serde_schema_gen_spark.operators.logreg import (
+        drift_series_labels,
+    )
+
+    w, cal = model
+    b = _epoch_batches(spark, sf_dir, 2)[0]
+    scored = classifier_score_calibrated(
+        b, w, cal, n_buckets=CLF_BUCKETS, hash_fn="md5"
+    ).withColumn("epoch", F.lit(0))
+    emitted = {
+        r["check"] for r in score_drift_report(scored).collect()
+    }
+    assert emitted == set(drift_series_labels())
