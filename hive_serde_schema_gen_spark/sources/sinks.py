@@ -200,3 +200,49 @@ def write_zordered(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(path)
+
+def write_training_shards(
+    selected: DataFrame,
+    path: str,
+    epoch: int,
+    context_len: int,
+    n_shards: int,
+    key_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    salt: str = "shuffle-v1",
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Export one training epoch as shard files a loader consumes
+    sequentially: `packing.training_manifest` lays out the epoch (shard,
+    within-shard order, token offset, chunk range), then each shard
+    lands as ONE parquet file sorted in consumption order.
+
+    The physical shape is the point: ``repartition(shard)`` routes each
+    shard to exactly one task and ``sortWithinPartitions(order_hash)``
+    is the same per-shard sort the manifest's offsets were defined over,
+    so the rows in every file are in training order and the ``offset``
+    column is the file's running token count — a loader needs no
+    shuffle, no sort, and no index, just a sequential scan of
+    ``shard=N``.  Everything is hash-deterministic: a resumed or
+    replayed export rewrites byte-identical shard memberships (the
+    ``exactly_once`` discipline, applied to training data).
+
+    Scale: one shuffle (the hash partition by shard); pick ``n_shards``
+    so a shard is file-sized (~100-500 MB) — shards are simultaneously
+    the write parallelism, the file-size bound, and the loader's unit
+    of work."""
+    from ..operators.packing import training_manifest
+
+    m = training_manifest(
+        selected, epoch, context_len, n_shards,
+        key_col=key_col, n_tokens_col=n_tokens_col,
+        salt=salt, hash_fn=hash_fn,
+    )
+    (
+        m.repartition(n_shards, "shard")
+        .sortWithinPartitions("order_hash", key_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
