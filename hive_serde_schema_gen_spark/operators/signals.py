@@ -303,3 +303,70 @@ def sql_signal_ctes() -> str:
               AND alpha_word_frac >= 0.8
               AND n_stop_hits >= 2) AS passes_gopher
       FROM siggo)"""
+
+
+def compression_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio + character entropy per document — the
+    classic cheap repetition/degeneracy signals (Gopher/RefinedWeb-style
+    filters drop both tails: near-1 ratios are random/encrypted noise,
+    near-0 ratios are templated repetition; entropy separates natural
+    text from character soup).
+
+    Output ``(id, n_bytes, compressed_bytes, compression_ratio,
+    char_entropy)`` where ratio = compressed/raw (UTF-8 bytes; empty
+    docs get ratio 0.0 and entropy 0.0) and entropy is the Shannon
+    entropy of the UTF-8 byte histogram in bits/byte.
+
+    zlib has no Catalyst expression, so this is a deliberate Python
+    path — Arrow-batched ``mapInPandas`` (the multimodal discipline,
+    never a row-at-a-time UDF): one narrow projection in, one narrow
+    frame out, constant memory per batch, zero shuffles."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, compressed_bytes long, "
+        "compression_ratio double, char_entropy double"
+    )
+
+    def _batches(it):
+        import math
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, nb, cb, cr, he = [], [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8", errors="replace")
+                n = len(raw)
+                c = len(zlib.compress(raw, level)) if n else 0
+                if n:
+                    counts: dict = {}
+                    for b in raw:
+                        counts[b] = counts.get(b, 0) + 1
+                    ent = -sum(
+                        (k / n) * math.log2(k / n) for k in counts.values()
+                    )
+                else:
+                    ent = 0.0
+                ids.append(i)
+                nb.append(n)
+                cb.append(c)
+                cr.append(c / n if n else 0.0)
+                he.append(ent)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": nb,
+                    "compressed_bytes": cb,
+                    "compression_ratio": cr,
+                    "char_entropy": he,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)

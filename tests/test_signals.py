@@ -157,3 +157,48 @@ def test_gopher_plan_contract(spark):
 
     docs = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
     assert_no_python_udf(gopher_rules(docs))
+
+
+def test_compression_signals(spark):
+    """Repetitive text compresses far better than varied text; entropy
+    orders the same way; values match a direct zlib/math computation."""
+    import math
+    import zlib
+
+    from hive_serde_schema_gen_spark.operators.signals import (
+        compression_signals,
+    )
+
+    docs = [
+        (1, "spam spam spam " * 50),
+        (2, "the quick brown fox jumps over the lazy dog and then "
+            "wanders through seventeen distinct meadows counting birds"),
+        (3, ""),
+        (4, None),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in compression_signals(d).collect()}
+
+    for did, t in docs:
+        raw = (t or "").encode("utf-8")
+        r = rows[did]
+        assert r["n_bytes"] == len(raw)
+        if raw:
+            assert r["compressed_bytes"] == len(zlib.compress(raw, 6))
+            assert r["compression_ratio"] == pytest.approx(
+                r["compressed_bytes"] / r["n_bytes"]
+            )
+            n = len(raw)
+            counts = {}
+            for b in raw:
+                counts[b] = counts.get(b, 0) + 1
+            want_ent = -sum(
+                (k / n) * math.log2(k / n) for k in counts.values()
+            )
+            assert r["char_entropy"] == pytest.approx(want_ent)
+        else:
+            assert r["compression_ratio"] == 0.0
+            assert r["char_entropy"] == 0.0
+    # the separations the filter relies on
+    assert rows[1]["compression_ratio"] < rows[2]["compression_ratio"]
+    assert rows[1]["char_entropy"] < rows[2]["char_entropy"]
