@@ -74,6 +74,7 @@ def quality_signals(
     lm_model=None,
     with_ppl: bool = False,
     with_gopher: bool = False,
+    with_compression: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -84,8 +85,10 @@ def quality_signals(
     pred_lang  rep_n_grams  dup_gram_frac  top_gram_frac`` plus
     ``clf_score`` when ``classifier_weights`` is given,
     ``ppl``/``avg_nll`` when ``with_ppl`` (``lm_model``: prefit
-    ``lm.train_bigram_lm`` triple, ``None`` self-trains), and the
-    :func:`gopher_rules` feature set when ``with_gopher``.
+    ``lm.train_bigram_lm`` triple, ``None`` self-trains), the
+    :func:`gopher_rules` feature set when ``with_gopher``, and the
+    :func:`compression_signals` pair (zlib ratio + byte entropy — the
+    only Python/Arrow stage, off by default) when ``with_compression``.
 
     No filtering happens here — thresholding is the consumer's choice;
     ``corpus.curate_and_prepare`` remains the filtering front-end."""
@@ -123,6 +126,13 @@ def quality_signals(
     if with_gopher:
         out = out.join(
             gopher_rules(d, id_col=id_col, text_col=text_col), id_col, "left"
+        )
+    if with_compression:
+        comp = compression_signals(d, id_col=id_col, text_col=text_col)
+        out = out.join(
+            comp.select(id_col, "compression_ratio", "char_entropy"),
+            id_col,
+            "left",
         )
     return out
 

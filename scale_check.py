@@ -602,6 +602,15 @@ def main() -> None:
         # + per-shard sort/prefix sum — the shard-file export's own
         # physical work, so per-row cost must stay flat
         "packing_training_manifest": lambda s, d: _manifest_probe(s, d),
+        # zlib-ratio + entropy signals (round 13): the deliberate
+        # Arrow/mapInPandas path — per-row cost tracks bytes/doc and the
+        # Arrow batch overhead amortizes across decades
+        "signals_compression": lambda s, d: __import__(
+            "hive_serde_schema_gen_spark.operators.signals",
+            fromlist=["compression_signals"],
+        ).compression_signals(_docs(s, d)).filter(
+            "compression_ratio >= 0"
+        ),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
         "validation_six_checks": lambda s, d: metrics_frame(

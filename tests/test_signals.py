@@ -202,3 +202,19 @@ def test_compression_signals(spark):
     # the separations the filter relies on
     assert rows[1]["compression_ratio"] < rows[2]["compression_ratio"]
     assert rows[1]["char_entropy"] < rows[2]["char_entropy"]
+
+
+def test_quality_signals_with_compression(spark):
+    from hive_serde_schema_gen_spark.operators.signals import (
+        quality_signals,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "varied natural prose")],
+        "doc_id long, text string",
+    )
+    sig = quality_signals(d, with_compression=True)
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    assert "compression_ratio" in sig.columns
+    assert rows[1]["compression_ratio"] < rows[2]["compression_ratio"]
+    assert rows[1]["char_entropy"] is not None
