@@ -2253,3 +2253,79 @@ def url_ops_query(spark, sf_dir):
             },
         ),
     ).orderBy("op", F.coalesce("policy", F.lit("")), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4-style per-line cleanup (Raffel et al. 2020, §2.2 — the public
+# line-rule recipe most crawl pipelines apply before any statistical
+# filter).  Rules are per-LINE and per-DOC; everything is array
+# expressions inside whole-stage codegen — no Python, no shuffle.
+# ---------------------------------------------------------------------------
+
+#: default C4-shaped rule knobs
+C4_MIN_LINE_WORDS = 3
+C4_MIN_DOC_LINES = 3
+C4_TERMINALS = (".", "!", "?", '"', "'")
+C4_BLOCKLIST = ("lorem ipsum", "javascript", "cookie policy")
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_doc_lines: int = C4_MIN_DOC_LINES,
+    terminals: tuple = C4_TERMINALS,
+    blocklist: tuple = C4_BLOCKLIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """The C4 line-level cleanup: keep only lines that (a) end in a
+    terminal punctuation mark, (b) have at least ``min_line_words``
+    words, and (c) contain no blocklisted phrase (case-insensitive);
+    then DROP whole documents left with fewer than ``min_doc_lines``
+    surviving lines.  Returns ``(id, text, n_lines_kept,
+    n_lines_dropped)`` with ``text`` rebuilt from the surviving lines.
+
+    This is the structural cleanup that runs BEFORE statistical
+    filters (Gopher rules, classifiers, perplexity): nav bars, button
+    labels, and cookie banners are line-shaped noise that per-document
+    statistics only see as diluted averages.  Complements
+    ``dedup.strip_boilerplate_lines`` (cross-document frequency) with
+    purely LOCAL rules — no aggregate over the corpus at all, so the
+    whole operator is one narrow codegen projection at scan speed."""
+    lines = F.split(F.col(text_col), delim)
+    trimmed = F.transform(lines, lambda ln: F.trim(ln))
+    term_ok = lambda ln: F.array_contains(  # noqa: E731
+        F.array(*[F.lit(t) for t in terminals]), F.substring(ln, -1, 1)
+    )
+    words_ok = lambda ln: (  # noqa: E731
+        F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
+        >= min_line_words
+    )
+    if blocklist:
+        block_ok = lambda ln: ~F.array_contains(  # noqa: E731
+            F.array(
+                *[
+                    F.lower(ln).contains(F.lit(p.lower()))
+                    for p in blocklist
+                ]
+            ),
+            F.lit(True),
+        )
+    else:
+        block_ok = lambda ln: F.lit(True)  # noqa: E731
+    kept = F.filter(
+        trimmed,
+        lambda ln: term_ok(ln) & words_ok(ln) & block_ok(ln),
+    )
+    out = docs.select(
+        id_col,
+        kept.alias("__kept"),
+        F.size(trimmed).alias("__total"),
+    ).select(
+        id_col,
+        F.array_join("__kept", delim).alias(text_col),
+        F.size("__kept").alias("n_lines_kept"),
+        (F.col("__total") - F.size("__kept")).alias("n_lines_dropped"),
+    )
+    return out.filter(F.col("n_lines_kept") >= min_doc_lines)
