@@ -298,6 +298,7 @@ def curate_and_prepare(
     mix_rates: dict | None = None,
     html: bool = False,
     cjk_fallback: bool = False,
+    c4_lines: bool = False,
     redact: bool = False,
     strip_boilerplate_min_docs: int | None = None,
     strip_dup_spans_k: int | None = None,
@@ -337,6 +338,9 @@ def curate_and_prepare(
     - ``cjk_fallback``: apply ``text.pretokenize_cjk`` (each CJK char
       becomes its own token) so shingling/span-dedup/packing work on
       scripts without whitespace.
+    - ``c4_lines``: the C4 per-line cleanup (``curation.c4_line_filter``
+      — terminal punctuation, minimum words, blocklist, min-surviving-
+      lines doc drop) applied before every statistical filter.
 
     Every bracketed stage is opt-in and composes as a per-row filter, a
     broadcast/left-anti join against a per-doc statistic, or (substring
@@ -446,6 +450,20 @@ def curate_and_prepare(
         from .text import pretokenize_cjk
 
         d = pretokenize_cjk(d)
+        dirty = True
+    if c4_lines:
+        # C4 line rules run FIRST among the text filters: nav/button/
+        # banner lines are noise every downstream statistic would
+        # otherwise dilute on.  Purely local, no aggregate (curation.
+        # c4_line_filter docstring); drops the rebuilt text in place.
+        from .curation import c4_line_filter
+
+        d = d.join(
+            c4_line_filter(d).select(
+                "doc_id", F.col("text").alias("__c4_text")
+            ),
+            "doc_id",
+        ).withColumn("text", F.col("__c4_text")).drop("__c4_text")
         dirty = True
     if mix_rates is not None:
         d = stratified_sample(d, mix_rates)

@@ -61,3 +61,28 @@ def test_empty_blocklist_and_plan(spark):
     assert_no_python_udf(out)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pipeline_stage_composes(spark, sf_dir):
+    """curate_and_prepare(c4_lines=True) rebuilds text before the
+    manifest pipeline (docs= override: the synthetic corpus has no
+    newlines, so crafted docs drive the stage)."""
+    from pyspark.sql import functions as F
+
+    from hive_serde_schema_gen_spark.operators.corpus import (
+        curate_and_prepare,
+    )
+
+    good = "\n".join(
+        ["A solid first sentence with plenty of words here."] * 4
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "srcA", len(good)),
+            (2, "Home\nAbout\nContact", "en", "srcA", 18),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = curate_and_prepare(spark, sf_dir, c4_lines=True, docs=docs)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 2 not in ids  # nav-only doc dropped entirely
