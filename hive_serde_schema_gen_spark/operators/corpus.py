@@ -456,8 +456,11 @@ def curate_and_prepare(
         # banner lines are noise every downstream statistic would
         # otherwise dilute on.  Purely local, no aggregate (curation.
         # c4_line_filter docstring); drops the rebuilt text in place.
+        # This stage self-joins d, so cut lineage first — otherwise the
+        # html/cjk transforms above re-evaluate on both join sides.
         from .curation import c4_line_filter
 
+        d = _cut(d)
         d = d.join(
             c4_line_filter(d).select(
                 "doc_id", F.col("text").alias("__c4_text")

@@ -2292,8 +2292,16 @@ def c4_line_filter(
     statistics only see as diluted averages.  Complements
     ``dedup.strip_boilerplate_lines`` (cross-document frequency) with
     purely LOCAL rules — no aggregate over the corpus at all, so the
-    whole operator is one narrow codegen projection at scan speed."""
-    lines = F.split(F.col(text_col), delim)
+    whole operator is one narrow codegen projection at scan speed.
+
+    Deviation from the C4 recipe: C4 drops the WHOLE PAGE when a
+    blocklisted phrase ("lorem ipsum") appears anywhere; here the rule is
+    line-level like the other two — only the offending line is dropped
+    (the document still dies if too few lines survive).  ``delim`` is
+    treated as a LITERAL separator on both the split and the rejoin
+    (quoted with ``\\Q…\\E`` for the regex-based split), so a delimiter
+    like ``'.'`` behaves identically in both directions."""
+    lines = F.split(F.col(text_col), "\\Q" + delim + "\\E")
     trimmed = F.transform(lines, lambda ln: F.trim(ln))
     term_ok = lambda ln: F.array_contains(  # noqa: E731
         F.array(*[F.lit(t) for t in terminals]), F.substring(ln, -1, 1)

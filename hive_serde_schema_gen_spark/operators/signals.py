@@ -338,8 +338,11 @@ def compression_signals(
     frame out, constant memory per batch, zero shuffles."""
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
+    # the id column's type follows the input schema — hardcoding `long`
+    # would silently corrupt (or reject) a string/int id
+    id_type = docs.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, n_bytes long, compressed_bytes long, "
+        f"{id_col} {id_type}, n_bytes long, compressed_bytes long, "
         "compression_ratio double, char_entropy double"
     )
 

@@ -241,7 +241,13 @@ def write_training_shards(
     )
     (
         m.repartition(n_shards, "shard")
-        .sortWithinPartitions("order_hash", key_col)
+        # "shard" leads the sort: Spark's V1 partitioned write requires an
+        # ordering on the partition column and would otherwise insert its
+        # own SortExec on shard — stable in memory but NOT once the sorter
+        # spills, which would scramble the in-file training order at
+        # production scale.  With shard leading, the required ordering is
+        # already satisfied and no implicit sort is inserted.
+        .sortWithinPartitions("shard", "order_hash", key_col)
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)

@@ -86,3 +86,23 @@ def test_pipeline_stage_composes(spark, sf_dir):
     out = curate_and_prepare(spark, sf_dir, c4_lines=True, docs=docs)
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 2 not in ids  # nav-only doc dropped entirely
+
+
+def test_literal_delimiter_regex_safe(spark):
+    # '.' is a regex metachar: the split must treat delim as a LITERAL
+    # (ADVICE r13) or every character becomes its own line
+    doc = ".".join(
+        [
+            "first proper sentence with enough words!",
+            "second proper sentence with enough words!",
+            "third proper sentence with enough words!",
+        ]
+    )
+    d = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = c4_line_filter(d, delim=".").collect()[0]
+    assert r["n_lines_kept"] == 3
+    assert r["text"].split(".") == [
+        "first proper sentence with enough words!",
+        "second proper sentence with enough words!",
+        "third proper sentence with enough words!",
+    ]

@@ -218,3 +218,19 @@ def test_quality_signals_with_compression(spark):
     assert "compression_ratio" in sig.columns
     assert rows[1]["compression_ratio"] < rows[2]["compression_ratio"]
     assert rows[1]["char_entropy"] is not None
+
+
+def test_compression_signals_string_id(spark):
+    # id schema follows the input (ADVICE r13): a string id must survive
+    from hive_serde_schema_gen_spark.operators.signals import (
+        compression_signals,
+    )
+
+    d = spark.createDataFrame(
+        [("a", "hello hello hello"), ("b", "xyz")], "k string, text string"
+    )
+    rows = {
+        r["k"]: r for r in compression_signals(d, id_col="k").collect()
+    }
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["n_bytes"] == len("hello hello hello")
