@@ -274,6 +274,278 @@ def bmp_resize(df, target_w: int = 8, target_h: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup dedup (LAION-style): aHash/dHash over the
+# DECODED pixel arrays, then Hamming-bucketed candidate pairs — the image
+# twin of text MinHash (`dedup.minhash_lsh_pairs`) and embedding SemDeDup
+# (`clustering.semdedup_prune`).  Everything is integer arithmetic on
+# purpose: resize indices are floor divisions, gray is an integer channel
+# mean, and the 64-bit hash packs comparison bits — so a DuckDB oracle
+# re-derives every hash bit-for-bit from the source bytes.
+# ---------------------------------------------------------------------------
+
+#: dHash compares an 8×8 grid of horizontal neighbors (so the gray grid is
+#: 9 wide); aHash compares an 8×8 grid against its integer mean.
+PHASH_GRID = 8
+#: 8 bands of 8 bits each: by pigeonhole, any pair within Hamming distance
+#: <= PHASH_BANDS - 1 shares at least one identical band, so the banded
+#: candidate join has EXACT recall at the default radius — no
+#: approximation anywhere, which is what lets the driver oracle brute-force
+#: the same pair set.
+PHASH_BANDS = 8
+PHASH_RADIUS = 7
+
+
+def _pack_bits_signed64(bits) -> int:
+    """Pack a row-major boolean grid into a SIGNED 64-bit integer (bit
+    k = y*8 + x; two's-complement wrap, matching Spark/DuckDB BIGINT)."""
+    h = 0
+    for k, b in enumerate(bits.flatten()):
+        if b:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _gray_grid(arr, gw: int, gh: int):
+    """Integer grayscale grid: nearest-neighbor resample to (gw, gh), then
+    per-pixel channel mean with floor division (order-free integer math —
+    the oracle recomputes it exactly)."""
+    import numpy as np
+
+    g = _resize_nearest(arr, gw, gh).astype(np.int64)
+    return (g[:, :, 0] + g[:, :, 1] + g[:, :, 2]) // 3
+
+
+def _dhash(arr) -> int:
+    """Difference hash: bit (y, x) = gray(y, x+1) > gray(y, x) over the
+    (9 × 8) gray grid — robust to uniform brightness/scale changes."""
+    g = _gray_grid(arr, PHASH_GRID + 1, PHASH_GRID)
+    return _pack_bits_signed64(g[:, 1:] > g[:, :-1])
+
+
+def _ahash(arr) -> int:
+    """Average hash: bit (y, x) = gray(y, x) > floor(mean) over the
+    (8 × 8) gray grid (integer mean so both engines agree on ties)."""
+    g = _gray_grid(arr, PHASH_GRID, PHASH_GRID)
+    return _pack_bits_signed64(g > int(g.sum()) // (PHASH_GRID * PHASH_GRID))
+
+
+def image_hashes(df, id_col: str = "img_id"):
+    """(id, payload) → (id, width, height, dhash, ahash): decode each BMP
+    payload and compute both perceptual hashes over the real pixel array.
+    One Arrow-batched ``mapInPandas`` stage, no shuffle, constant memory
+    per batch — the hash is 16 bytes of output per image however large
+    the payload, so everything downstream (banding, joins) moves hashes,
+    never pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, dh, ah = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                arr = _bmp_pixel_array(bytes(b))
+                h, w = arr.shape[:2]
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                dh.append(_dhash(arr))
+                ah.append(_ahash(arr))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "dhash": pd.Series(dh, dtype="int64"),
+                    "ahash": pd.Series(ah, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        run,
+        schema=f"{id_col} long, width int, height int, dhash long, ahash long",
+    )
+
+
+def phash_near_dup_pairs(
+    hashes,
+    radius: int = PHASH_RADIUS,
+    n_bands: int = PHASH_BANDS,
+    hash_col: str = "dhash",
+    id_col: str = "img_id",
+    max_bucket: int | None = None,
+):
+    """(id_a, id_b, dist) for all image pairs within Hamming distance
+    ``radius`` of each other's 64-bit perceptual hash — banded candidate
+    generation, NEVER all-pairs (the ``dedup.band_keys_from_signatures``
+    pattern applied to hash bytes): each hash splits into ``n_bands``
+    equal bands, candidates are pairs sharing any band value, and the
+    exact popcount verify runs only on candidates.
+
+    For ``radius <= n_bands - 1`` recall is EXACT by pigeonhole (a pair
+    differing in <= n_bands-1 bits has an untouched band), so the default
+    (7, 8) configuration is a deterministic operator, not an
+    approximation — the driver oracle brute-forces the same pair set.
+
+    Scale: one shuffle of (band, band_val, id, hash) rows — 8 rows of
+    ~32 bytes per image; the verify is codegen'd bit_count on the
+    candidate set.  Hot buckets (e.g. millions of byte-identical blank
+    images all hashing to 0) make one bucket quadratic: ``max_bucket``
+    drops buckets larger than the cap (the ``dedup.cap_shingles`` guard
+    — a dropped bucket only loses candidates that remaining bands still
+    recover unless ALL the pair's bands are hot; cap well above the
+    expected near-dup cluster size)."""
+    band_w = 64 // n_bands
+    mask = (1 << band_w) - 1
+    pairs = []
+    for k in range(n_bands):
+        pairs.extend(
+            [
+                F.lit(k),
+                F.shiftrightunsigned(F.col(hash_col), band_w * k).bitwiseAND(
+                    F.lit(mask)
+                ),
+            ]
+        )
+    bands = hashes.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__h"),
+        F.stack(F.lit(n_bands), *pairs).alias("__band", "__bv"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window as W
+
+        counts = F.count(F.lit(1)).over(W.partitionBy("__band", "__bv"))
+        bands = bands.withColumn("__bc", counts).filter(
+            F.col("__bc") <= max_bucket
+        ).drop("__bc")
+    a = bands.select(
+        F.col(id_col).alias("__ia"), F.col("__h").alias("__ha"),
+        "__band", "__bv",
+    )
+    b = bands.select(
+        F.col(id_col).alias("__ib"), F.col("__h").alias("__hb"),
+        "__band", "__bv",
+    )
+    cand = (
+        a.join(b, ["__band", "__bv"])
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select("__ia", "__ib", "__ha", "__hb")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return cand.select(
+        F.col("__ia").alias("img_a"),
+        F.col("__ib").alias("img_b"),
+        dist.alias("dist"),
+    ).filter(F.col("dist") <= radius)
+
+
+def phash_dedup(
+    hashes,
+    radius: int = PHASH_RADIUS,
+    n_bands: int = PHASH_BANDS,
+    hash_col: str = "dhash",
+    id_col: str = "img_id",
+    max_bucket: int | None = None,
+):
+    """Keep-first perceptual-hash image dedup: one row per DUPLICATE image
+    with its attributed keeper — ``(img_id, dup_of, dist)`` — the
+    ``dedup.keep_first_per_content`` / SemDeDup attribution contract
+    applied to images.
+
+    Two stages, because pair ENUMERATION is inherently quadratic in
+    cluster size (a crawl's 10⁶-copy logo would emit 10¹² pairs):
+
+    1. exact collapse: images sharing an identical 64-bit hash group to
+       their minimum id in ONE hash-partitioned aggregate — no join, no
+       pair list, linear however large the duplicate cluster;
+    2. near-dup attribution among the surviving REPRESENTATIVES only:
+       the banded Hamming join (:func:`phash_near_dup_pairs`, exact at
+       radius <= n_bands-1), then each representative attributes to its
+       MINIMUM matching partner (struct-min — deterministic, order-free).
+
+    Members of a collapsed group attribute to their own representative
+    (dist 0); the representative itself may further attribute to a
+    smaller near-dup rep.  Callers wanting full transitive lineage feed
+    the pairs to ``clustering.connected_components``; callers wanting
+    the kept set anti-join ``img_id``."""
+    reps = hashes.groupBy(hash_col).agg(F.min(id_col).alias("__rep"))
+    exact = (
+        hashes.select(id_col, hash_col)
+        .join(reps, hash_col)
+        .filter(F.col(id_col) > F.col("__rep"))
+        .select(
+            F.col(id_col).alias("img_id"),
+            F.col("__rep").alias("dup_of"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    rep_hashes = reps.select(
+        F.col("__rep").alias(id_col), F.col(hash_col)
+    )
+    near = (
+        phash_near_dup_pairs(
+            rep_hashes,
+            radius=radius,
+            n_bands=n_bands,
+            hash_col=hash_col,
+            id_col=id_col,
+            max_bucket=max_bucket,
+        )
+        .groupBy("img_b")
+        .agg(F.min(F.struct("img_a", "dist")).alias("__m"))
+        .select(
+            F.col("img_b").alias("img_id"),
+            F.col("__m.img_a").alias("dup_of"),
+            F.col("__m.dist").alias("dist"),
+        )
+    )
+    return exact.unionAll(near)
+
+
+#: planted-variant configuration for the driver slot: every %5 doc gets a
+#: 2× nearest-upscaled copy (a "resized re-encode" — its dHash/aHash are
+#: bit-identical to the original by the floor-division identity
+#: floor(floor(2a/2g)/2) = floor(a/2g), so these pairs land at distance
+#: 0), and every %7 doc with text gets a one-byte-perturbed copy (one
+#: char overwritten with 'Z' — a small, VARIABLE Hamming distance that
+#: exercises the radius threshold on both sides of the cut).
+PHASH_UP_MOD = 5
+PHASH_PERT_MOD = 7
+PHASH_UP_OFFSET = 10_000_000
+PHASH_PERT_OFFSET = 20_000_000
+
+
+def phash_evidence_images(df):
+    """documents → (img_id, payload): one BMP per document plus the
+    planted near-dup variants (2× nearest upscale; one-byte text
+    perturbation) — the image-corpus construction the pHash slot and the
+    oracle both re-derive."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pays = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                tb = t.encode("utf-8")
+                base = _bmp_encode(d, tb)
+                ids.append(d)
+                pays.append(base)
+                if d % PHASH_UP_MOD == 0:
+                    arr = _bmp_pixel_array(base)
+                    h, w = arr.shape[:2]
+                    up = _resize_nearest(arr, 2 * w, 2 * h)
+                    ids.append(d + PHASH_UP_OFFSET)
+                    pays.append(_bmp_from_pixels(up))
+                if d % PHASH_PERT_MOD == 0 and len(tb) > 0:
+                    p = d % len(tb)
+                    ids.append(d + PHASH_PERT_OFFSET)
+                    pays.append(_bmp_encode(d, tb[:p] + b"Z" + tb[p + 1:]))
+            yield pd.DataFrame({"img_id": ids, "payload": pays})
+
+    return df.select("doc_id", "text").mapInPandas(
+        build, schema="img_id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Frame sampling: a minimal raw-frame video container (magic + frame count +
 # frame length + concatenated raw RGB frames) — every-k-th frame extraction,
 # the video half of the pipeline.  No codec needed: frames are raw bytes, so
@@ -369,6 +641,125 @@ RESIZE_W = RESIZE_H = 8
 FRAME_EVERY_K = 2
 
 
+def _phash_sql_ctes() -> str:
+    """DuckDB CTE chain re-deriving the ENTIRE pHash pipeline from the
+    document text: the planted image corpus (base + 2×-upscale + one-byte
+    perturbation), the per-image integer gray grids via the same floor
+    index arithmetic the numpy side uses, both 64-bit hashes
+    (two's-complement packed through HUGEINT), and the BRUTE-FORCE
+    Hamming pair set at radius {r} — which the Spark side's banded join
+    must reproduce exactly (pigeonhole: radius <= bands-1).  Final CTEs:
+    ``phhash`` (img_id, disp_w, disp_h, dhash, ahash), ``phpair``
+    (ia, ib, dist)."""
+    from .clustering import _materialize
+
+    G = PHASH_GRID
+    return _materialize(f"""phimg AS (
+      SELECT doc_id AS img_id, doc_id AS d, 0 AS kind, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PHASH_UP_OFFSET}, doc_id, 1, text FROM documents
+      WHERE doc_id % {PHASH_UP_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {PHASH_PERT_OFFSET}, doc_id, 2, text FROM documents
+      WHERE doc_id % {PHASH_PERT_MOD} = 0
+        AND octet_length(encode(text)) > 0),
+    phdim AS (
+      SELECT img_id, d, kind, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS L,
+             CAST(1 + d % 64 AS BIGINT) AS w,
+             CAST(1 + octet_length(encode(text)) % 64 AS BIGINT) AS h,
+             (CAST(1 + d % 64 AS BIGINT) * 3 + 3) // 4 * 4 AS row_size
+      FROM phimg),
+    phcell AS (
+      SELECT 'd' AS grid, y.i AS gy, x.i AS gx, {G + 1} AS gw
+      FROM range({G}) y(i), range({G + 1}) x(i)
+      UNION ALL
+      SELECT 'a', y.i, x.i, {G} FROM range({G}) y(i), range({G}) x(i)),
+    phsrc AS (
+      SELECT m.img_id, m.kind, m.d, m.text, m.L, m.row_size,
+             c.grid, c.gy, c.gx, ch.i AS ci,
+             CASE WHEN m.kind = 1 THEN ((c.gy * 2 * m.h) // {G}) // 2
+                  ELSE (c.gy * m.h) // {G} END AS sy,
+             CASE WHEN m.kind = 1 THEN ((c.gx * 2 * m.w) // c.gw) // 2
+                  ELSE (c.gx * m.w) // c.gw END AS sx
+      FROM phdim m, phcell c, range(3) ch(i)),
+    phbyte AS (
+      SELECT img_id, grid, gy, gx,
+             CASE WHEN L = 0 THEN 0
+                  WHEN kind = 2
+                       AND ((sy * row_size + sx * 3 + ci) % L) = (d % L)
+                       THEN 90
+                  ELSE ascii(substr(text,
+                         CAST((sy * row_size + sx * 3 + ci) % L
+                           AS INTEGER) + 1, 1)) END AS byte
+      FROM phsrc),
+    phgray AS (
+      SELECT img_id, grid, gy, gx, SUM(byte) // 3 AS gray
+      FROM phbyte GROUP BY img_id, grid, gy, gx),
+    phdbit AS (
+      SELECT a.img_id, a.gy * {G} + a.gx AS k, (b.gray > a.gray) AS bit
+      FROM phgray a JOIN phgray b
+        ON a.img_id = b.img_id AND b.grid = 'd' AND a.gy = b.gy
+           AND b.gx = a.gx + 1
+      WHERE a.grid = 'd' AND a.gx < {G}),
+    phamean AS (
+      SELECT img_id, SUM(gray) // {G * G} AS m
+      FROM phgray WHERE grid = 'a' GROUP BY img_id),
+    phabit AS (
+      SELECT g.img_id, g.gy * {G} + g.gx AS k, (g.gray > mm.m) AS bit
+      FROM phgray g JOIN phamean mm USING (img_id) WHERE g.grid = 'a'),
+    phdh AS (
+      SELECT img_id,
+             CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                  THEN hv - 18446744073709551616::HUGEINT
+                  ELSE hv END AS BIGINT) AS dhash
+      FROM (SELECT img_id,
+                   SUM(CASE WHEN bit THEN 1::HUGEINT << CAST(k AS INTEGER)
+                        ELSE 0::HUGEINT END) AS hv
+            FROM phdbit GROUP BY img_id)),
+    phah AS (
+      SELECT img_id,
+             CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                  THEN hv - 18446744073709551616::HUGEINT
+                  ELSE hv END AS BIGINT) AS ahash
+      FROM (SELECT img_id,
+                   SUM(CASE WHEN bit THEN 1::HUGEINT << CAST(k AS INTEGER)
+                        ELSE 0::HUGEINT END) AS hv
+            FROM phabit GROUP BY img_id)),
+    phhash AS (
+      SELECT m.img_id,
+             CAST(CASE WHEN m.kind = 1 THEN 2 * m.w ELSE m.w END
+               AS INTEGER) AS disp_w,
+             CAST(CASE WHEN m.kind = 1 THEN 2 * m.h ELSE m.h END
+               AS INTEGER) AS disp_h,
+             d.dhash, a.ahash
+      FROM phdim m JOIN phdh d USING (img_id) JOIN phah a USING (img_id)),
+    phpair AS (
+      SELECT a.img_id AS ia, b.img_id AS ib,
+             bit_count(xor(a.dhash, b.dhash)) AS dist
+      FROM phhash a JOIN phhash b ON a.img_id < b.img_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_RADIUS}),
+    phrep AS (
+      SELECT dhash, MIN(img_id) AS rep FROM phhash GROUP BY dhash),
+    phpded AS (
+      SELECT h.img_id, r.rep AS dup_of, 0 AS dist
+      FROM phhash h JOIN phrep r
+        ON h.dhash = r.dhash AND h.img_id > r.rep
+      UNION ALL
+      SELECT img_id, dup_of, dist FROM (
+        SELECT b.rep AS img_id, a.rep AS dup_of,
+               bit_count(xor(a.dhash, b.dhash)) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY b.rep ORDER BY a.rep) AS rn
+        FROM phrep a JOIN phrep b ON a.rep < b.rep
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_RADIUS})
+      WHERE rn = 1)""")
+
+
+_phash_sql_ctes.__doc__ = _phash_sql_ctes.__doc__ and (
+    _phash_sql_ctes.__doc__.format(r=PHASH_RADIUS)
+)
+
+
 def resize_checksums(df):
     """(doc_id, payload) → (doc_id, width, height, checksum): resize every
     BMP to 8×8 via ``bmp_resize``, then parse the RESIZED container back and
@@ -401,7 +792,8 @@ def resize_checksums(df):
 @query(
     "multimodal_resize_frames",
     oracle=f"""
-    WITH rdim AS (
+    WITH {_phash_sql_ctes()},
+    rdim AS (
       SELECT doc_id, text,
              CAST(1 + doc_id % 64 AS BIGINT) AS w,
              CAST(1 + octet_length(encode(text)) % 64 AS BIGINT) AS h,
@@ -447,7 +839,25 @@ def resize_checksums(df):
     SELECT 'frame' AS op, doc_id, CAST(frame_idx AS INTEGER) AS idx,
            CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height, checksum
     FROM frame_rows
-    ORDER BY op, doc_id, idx
+    UNION ALL
+    SELECT 'dhash' AS op, img_id AS doc_id, CAST(0 AS INTEGER) AS idx,
+           disp_w AS width, disp_h AS height, dhash AS checksum
+    FROM phhash
+    UNION ALL
+    SELECT 'ahash' AS op, img_id AS doc_id, CAST(0 AS INTEGER) AS idx,
+           disp_w AS width, disp_h AS height, ahash AS checksum
+    FROM phhash
+    UNION ALL
+    SELECT 'pdup' AS op, ia AS doc_id, CAST(dist AS INTEGER) AS idx,
+           CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+           ib AS checksum
+    FROM phpair
+    UNION ALL
+    SELECT 'pdedup' AS op, img_id AS doc_id, CAST(dist AS INTEGER) AS idx,
+           CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+           dup_of AS checksum
+    FROM phpded
+    ORDER BY op, doc_id, idx, checksum
     """,
 )
 def multimodal_resize_frames(spark, sf_dir):
@@ -459,9 +869,29 @@ def multimodal_resize_frames(spark, sf_dir):
     - ``frame`` rows: synthesize a raw-frame video container, slice out
       every {k}-th frame, checksum each sampled frame's bytes.
 
+    Round-14 continuation — perceptual-hash image near-dup dedup (the
+    LAION-style pipeline gap named in VERDICT r13):
+
+    - ``dhash`` / ``ahash`` rows: one per image of the planted corpus
+      (base BMP per document + 2×-upscaled copies + one-byte-perturbed
+      copies — ``phash_evidence_images``), pinning each decoded image's
+      true dimensions and BOTH 64-bit perceptual hashes.
+    - ``pdup`` rows: every pair within Hamming distance {r} under the
+      banded candidate join (``phash_near_dup_pairs`` — exact recall at
+      radius <= bands-1 by pigeonhole, so the oracle's BRUTE-FORCE pair
+      set is the same set).  Upscaled copies land at distance 0 (the
+      floor-division identity); perturbed copies exercise the radius
+      threshold on both sides of the cut.
+    - ``pdedup`` rows: the production operator (``phash_dedup``) —
+      exact-hash collapse (one aggregate, linear in cluster size, the
+      shape that survives a million-copy logo) then min-partner
+      attribution among representatives; every (img, dup_of, dist)
+      re-derived in SQL.
+
     The oracle recomputes both checksums from the document text with
     independent index arithmetic (resize: src = tgt·dim // target; frames:
-    byte i of frame f = text[(f+i) mod len])."""
+    byte i of frame f = text[(f+i) mod len]), and the full pHash chain
+    (gray grids, bit packing, Hamming pairs) from the same construction."""
     d = load_table(spark, sf_dir, "documents")
     rs = resize_checksums(with_bmp_payload(d)).select(
         F.lit("resize").alias("op"),
@@ -479,10 +909,49 @@ def multimodal_resize_frames(spark, sf_dir):
         F.lit(4).alias("height"),
         "checksum",
     )
-    return rs.unionAll(fr).orderBy("op", "doc_id", "idx")
+    # three consumers (dhash rows, ahash rows, the pair self-join) read
+    # the hash frame — cut lineage so decode+hash runs once
+    hashed = image_hashes(phash_evidence_images(d)).localCheckpoint()
+    dh = hashed.select(
+        F.lit("dhash").alias("op"),
+        F.col("img_id").alias("doc_id"),
+        F.lit(0).alias("idx"),
+        "width",
+        "height",
+        F.col("dhash").alias("checksum"),
+    )
+    ah = hashed.select(
+        F.lit("ahash").alias("op"),
+        F.col("img_id").alias("doc_id"),
+        F.lit(0).alias("idx"),
+        "width",
+        "height",
+        F.col("ahash").alias("checksum"),
+    )
+    pdup = phash_near_dup_pairs(hashed).select(
+        F.lit("pdup").alias("op"),
+        F.col("img_a").alias("doc_id"),
+        F.col("dist").cast("int").alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("img_b").alias("checksum"),
+    )
+    pded = phash_dedup(hashed).select(
+        F.lit("pdedup").alias("op"),
+        F.col("img_id").alias("doc_id"),
+        F.col("dist").cast("int").alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("dup_of").alias("checksum"),
+    )
+    return (
+        rs.unionAll(fr).unionAll(dh).unionAll(ah).unionAll(pdup)
+        .unionAll(pded)
+        .orderBy("op", "doc_id", "idx", "checksum")
+    )
 
 
-multimodal_resize_frames.__doc__ = multimodal_resize_frames.__doc__ and multimodal_resize_frames.__doc__.format(w=RESIZE_W, h=RESIZE_H, k=FRAME_EVERY_K)
+multimodal_resize_frames.__doc__ = multimodal_resize_frames.__doc__ and multimodal_resize_frames.__doc__.format(w=RESIZE_W, h=RESIZE_H, k=FRAME_EVERY_K, r=PHASH_RADIUS)
 
 
 

@@ -320,6 +320,11 @@ def main() -> None:
     from hive_serde_schema_gen_spark.operators.dsir import dsir_weights
     from hive_serde_schema_gen_spark.operators.embedding import embed_text
     from hive_serde_schema_gen_spark.operators.html import html_to_text
+    from hive_serde_schema_gen_spark.operators.multimodal import (
+        image_hashes,
+        phash_dedup,
+        phash_evidence_images,
+    )
     from hive_serde_schema_gen_spark.operators.text import script_token_stats
     from hive_serde_schema_gen_spark.operators.bpe import encode_bpe
     from hive_serde_schema_gen_spark.operators.packing import (
@@ -611,6 +616,17 @@ def main() -> None:
         ).compression_signals(_docs(s, d)).filter(
             "compression_ratio >= 0"
         ),
+        # perceptual-hash image dedup end to end: synthesize+decode+hash
+        # (Arrow path, linear in bytes), exact-hash collapse, then the
+        # banded Hamming join among representatives (phash_dedup — raw
+        # pair ENUMERATION is quadratic in duplicate-cluster size and the
+        # sf1 corpus's planted clusters prove it: 3.5M pairs; the dedup
+        # operator's output is one attribution row per duplicate).  The
+        # eager localCheckpoint inside the timed fn bills the hash pass
+        # once, as the slot does.
+        "phash_image_dedup": lambda s, d: phash_dedup(
+            image_hashes(phash_evidence_images(_docs(s, d))).localCheckpoint()
+        ).filter("dist >= 0"),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
         "validation_six_checks": lambda s, d: metrics_frame(
