@@ -12,186 +12,39 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..registry import query
 
-
-def word_ngrams(
-    d: DataFrame,
-    n: int,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hashed: bool = True,
-) -> DataFrame:
-    """Distinct word n-grams per document, shuffle-free until the distinct
-    (the ``arrays_zip`` + shifted-slices formulation of
-    ``dedup.shingles_df_no_shuffle``, parameterized over n).  ``hashed``
-    replaces the gram string with xxhash64 — an 8-byte join payload instead
-    of a ~50-byte string, the production configuration (a 2⁻⁶⁴ collision
-    can only add one spurious shared gram)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    z = F.arrays_zip(
-        words.alias("t0"),
-        *[
-            F.slice(
-                words, i + 1, F.greatest(F.size(words) - i, F.lit(0))
-            ).alias(f"t{i}")
-            for i in range(1, n)
-        ],
-    )
-    kept = d.select(id_col, F.explode(z).alias("s")).filter(
-        F.col(f"s.t{n - 1}").isNotNull()
-    )
-    gram = F.concat_ws(" ", *[f"s.t{i}" for i in range(n)])
-    return kept.select(
-        F.col(id_col),
-        (F.xxhash64(gram) if hashed else gram).alias("gram"),
-    ).distinct()
-
-
-def ngram_contamination(
-    docs: DataFrame,
-    benchmark: DataFrame,
-    n: int = 8,
-    bench_id_col: str = "bench_id",
-    hashed: bool = True,
-) -> DataFrame:
-    """Benchmark decontamination: for every (document, benchmark item) pair
-    sharing at least one word n-gram, the shared-gram count and the
-    fraction of the benchmark item's grams found in the document — the
-    standard eval-set-leakage statistic (long verbatim n-grams, n≈8+,
-    essentially never collide by chance in natural text).
-
-    Scale shape: the corpus side is one explode + distinct; the benchmark
-    side (thousands of items vs billions of documents) broadcasts, so the
-    join is map-side — the corpus never shuffles on gram.  Aggregation is
-    per (doc, bench) pair, map-side combined.  A downstream pipeline drops
-    or flags docs with ``frac_bench_matched`` above a threshold.
-
-    Returns (doc_id, bench_id, n_shared, bench_grams, frac_bench_matched),
-    one row per contaminated pair.  ``hashed=False`` keeps the raw gram
-    strings (the oracle configuration — DuckDB has no xxhash64; counts
-    are equal barring a 2^-64 collision)."""
-    dg = word_ngrams(docs, n, hashed=hashed)
-    bg = word_ngrams(benchmark, n, id_col=bench_id_col, hashed=hashed)
-    bench_sizes = bg.groupBy(bench_id_col).agg(
-        F.count(F.lit(1)).alias("bench_grams")
-    )
-    shared = (
-        dg.join(F.broadcast(bg), "gram")
-        .groupBy("doc_id", bench_id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return shared.join(F.broadcast(bench_sizes), bench_id_col).select(
-        "doc_id",
-        bench_id_col,
-        "n_shared",
-        "bench_grams",
-        (F.col("n_shared") / F.col("bench_grams")).alias(
-            "frac_bench_matched"
-        ),
-    )
-
-
-def minhash_contamination(
-    docs: DataFrame,
-    benchmark: DataFrame,
-    bench_id_col: str = "bench_id",
-    hash_fn: str = "xxhash64",
-    threshold: float | None = None,
-) -> DataFrame:
-    """FUZZY benchmark decontamination: corpus documents that are
-    near-duplicates of a benchmark item under shingle Jaccard — the
-    third contamination mode next to :func:`ngram_contamination` (exact
-    verbatim n-gram containment) and :func:`semantic_contamination`
-    (embedding cosine).  Catches lightly-edited eval leaks (reworded
-    stems, shuffled answer options, whitespace/casing churn) that break
-    verbatim 8-grams but keep most 3-shingles.
-
-    Scale shape (benchmark ≪ corpus, corpus NEVER self-joins): the
-    benchmark's LSH band keys broadcast (``N_HASHES`` longs per item)
-    against the corpus band keys — candidates are (doc, bench) pairs
-    sharing a band bucket; then only CANDIDATE docs' shingles meet the
-    (broadcast) benchmark shingles for the exact-Jaccard verify, so the
-    expensive join touches a vanishing corpus fraction.  Same
-    banded-candidates-then-verify contract as ``dedup.minhash_lsh_pairs``
-    — emitted pairs all satisfy the exact threshold; the band hash only
-    affects recall.
-
-    Returns (doc_id, bench_id, jaccard, containment) — ``containment``
-    = |shared| / |bench shingles|, the asymmetric leakage stat.  NOTE:
-    candidates come from JACCARD banding, so a short bench item buried
-    in a long document (high containment, low Jaccard) is not reliably
-    recalled here — chunk the corpus first (``packing.chunk_documents``)
-    to bench-item granularity, or use :func:`ngram_contamination`, for
-    that shape.  ``threshold`` defaults to ``dedup.JACCARD_THRESHOLD``."""
-    from .dedup import (
-        JACCARD_THRESHOLD,
-        band_keys_from_signatures,
-        minhash_signatures,
-        shingles_df,
-    )
-
-    if threshold is None:
-        threshold = JACCARD_THRESHOLD
-    hashed = hash_fn == "xxhash64"
-    # the corpus shingle chain (posexplode + window + distinct) feeds
-    # BOTH the banding pass and the verify pass — cut it once, exactly
-    # as minhash_lsh_pairs does for its self-join
-    shd_c = shingles_df(docs, hashed=hashed).localCheckpoint()
-    shd_b = (
-        shingles_df(
-            benchmark.select(F.col(bench_id_col).alias("doc_id"), "text"),
-            hashed=hashed,
-        )
-        .withColumnRenamed("doc_id", bench_id_col)
-        .localCheckpoint()  # bands + verify + sizes all read it
-    )
-    bands_c = band_keys_from_signatures(
-        minhash_signatures(shd_c, hash_fn), hash_fn
-    )
-    bands_b = band_keys_from_signatures(
-        minhash_signatures(
-            shd_b.withColumnRenamed(bench_id_col, "doc_id"), hash_fn
-        ),
-        hash_fn,
-    ).withColumnRenamed("doc_id", bench_id_col)
-    cand = (
-        bands_c.join(F.broadcast(bands_b), ["band", "band_key"])
-        .select("doc_id", bench_id_col)
-        .distinct()
-        .localCheckpoint()  # docs-filter + pair-restrict both read it
-    )
-    # candidate docs ≲ |benchmark| × near-dup multiplicity — broadcast
-    # both candidate frames so the corpus shingles never shuffle; xc
-    # (candidate docs' shingles, small) feeds sizes + the verify join
-    xc = shd_c.join(
-        F.broadcast(cand.select("doc_id").distinct()), "doc_id"
-    ).localCheckpoint()
-    sizes_c = xc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__na"))
-    sizes_b = shd_b.groupBy(bench_id_col).agg(
-        F.count(F.lit(1)).alias("__nb")
-    )
-    inter = (
-        xc.join(F.broadcast(shd_b), "shingle")
-        .groupBy("doc_id", bench_id_col)
-        .agg(F.count(F.lit(1)).alias("__i"))
-        # LSH candidates only
-        .join(F.broadcast(cand), ["doc_id", bench_id_col])
-    )
-    jac = F.col("__i").cast("double") / (
-        F.col("__na") + F.col("__nb") - F.col("__i")
-    )
-    return (
-        inter.join(sizes_c, "doc_id")
-        .join(F.broadcast(sizes_b), bench_id_col)
-        .select(
-            "doc_id",
-            bench_id_col,
-            jac.alias("jaccard"),
-            (F.col("__i").cast("double") / F.col("__nb")).alias(
-                "containment"
-            ),
-        )
-        .filter(F.col("jaccard") >= float(threshold))
-    )
+# ---------------------------------------------------------------------------
+# Round-14 split: the contamination and selection/filtering operator
+# families moved to sibling modules; these re-exports keep every public
+# (and test-visible) name importable from here — the façade contract.
+# ---------------------------------------------------------------------------
+from .contamination import (  # noqa: F401,E402
+    _lsh_contamination_candidates,
+    minhash_contamination,
+    ngram_contamination,
+    semantic_contamination,
+    word_ngrams,
+)
+from .selection import (  # noqa: F401,E402
+    C4_BLOCKLIST,
+    C4_MIN_DOC_LINES,
+    C4_MIN_LINE_WORDS,
+    C4_TERMINALS,
+    QSEL_QUANT,
+    QSEL_SHIFT,
+    TOKMIX_SALT,
+    _integer_nth_root,
+    anneal_temperature_schedule,
+    c4_line_filter,
+    integer_power_budgets,
+    integer_temperature_budgets,
+    materialize_mixture,
+    quality_top_fraction,
+    stratified_sample,
+    stratum_counts,
+    take_per_stratum,
+    temperature_mix_rates,
+    token_budget_mixture,
+)
 
 
 # (pattern, replacement) — ordered: the more specific pattern first so an
@@ -228,55 +81,6 @@ def redact_pii(
     for _, pat, repl in _PII_RULES:
         redacted = F.regexp_replace(redacted, pat, repl)
     return out.withColumn(text_col, redacted)
-
-
-def stratified_sample(
-    d: DataFrame,
-    rates: dict,
-    stratum_col: str = "source",
-    key_col: str = "doc_id",
-    salt: str = "mix-v1",
-    hash_fn: str = "xxhash64",
-) -> DataFrame:
-    """Deterministic per-stratum subsampling — the domain-mixing step of a
-    pretraining pipeline ("keep 100% of wiki, 30% of web, 5% of logs").
-
-    Hash-threshold sampling, not ``df.sample``: membership is a pure
-    function of (salt, key), so the sample is REPRODUCIBLE across runs,
-    executors, and retries (Spark's sample() draws per-partition randoms
-    — a task retry yields a different subset; a hash threshold cannot),
-    and changing one stratum's rate never disturbs another's kept set.
-    The rate map rides the plan as a literal CASE chain (strata counts are
-    small); unlisted strata default to rate 0.0 — curation is allowlist-
-    shaped on purpose.  Narrow transformation: filters at scan speed,
-    no shuffle.
-
-    ``hash_fn='md5'`` (``md5(salt|key)`` first 8 hex digits, the shared
-    oracle scheme) exists so the cluster-balanced-sampling oracle can
-    re-derive membership bit-for-bit; production stays on xxhash64."""
-    if hash_fn == "xxhash64":
-        h = F.xxhash64(F.lit(salt), F.col(key_col))
-    elif hash_fn == "md5":
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt + "|"), F.col(key_col).cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    bucket = F.pmod(h, F.lit(1_000_000))
-    expr = F.lit(0.0)
-    for stratum, rate in sorted(rates.items()):
-        expr = F.when(F.col(stratum_col) == stratum, F.lit(float(rate))).otherwise(expr)
-    return d.filter(bucket < expr * 1_000_000)
 
 
 def repetition_stats(
@@ -327,144 +131,6 @@ def repetition_stats(
     )
 
 
-def temperature_mix_rates(
-    counts: dict,
-    alpha: float = 0.7,
-    total: int | None = None,
-    max_rate: float | None = 1.0,
-) -> dict:
-    """Temperature-sampling keep-rates from per-stratum corpus counts — the
-    standard multilingual/source rebalancing rule (public recipe: the
-    exponentiated-share sampling of multilingual pretraining, e.g. mBERT /
-    XLM-R, α ≈ 0.3–0.7): target share ``q_s = n_s^α / Σ n_t^α`` flattens
-    the head and boosts the tail as α → 0; α = 1 keeps natural
-    proportions.
-
-    Returns per-stratum rates for :func:`stratified_sample`:
-    ``rate_s = q_s · total / n_s`` capped at ``max_rate`` (default 1.0: a
-    stratum cannot yield more than it has, so tiny strata are kept whole
-    and the realized total can undershoot ``total``).  Pass
-    ``max_rate=None`` (or > 1) to emit UPSAMPLING rates — feed those to
-    :func:`materialize_mixture`, which replicates rows (epochs) instead of
-    filtering, so exact target shares are achievable.  ``total=None`` scales to
-    the largest feasible target: the biggest total for which no rate
-    exceeds 1, so the most-boosted stratum is kept in full and everything
-    else is subsampled to match its share.
-
-    Driver-side pure function on purpose: strata counts are tiny (they
-    arrive from a map-side-combined groupBy count), and the output rides
-    the plan as the literal CASE chain of ``stratified_sample`` — nothing
-    here touches an executor."""
-    if not counts:
-        return {}
-    if alpha < 0:
-        raise ValueError("alpha must be >= 0")
-    import math
-
-    shares = {s: float(n) ** alpha for s, n in counts.items() if n > 0}
-    # fsum: exactly-rounded and ORDER-INDEPENDENT — `counts` arrives from a
-    # collect() whose row order is not deterministic, and a naive sum would
-    # make the rates vary by an ULP between runs
-    z = math.fsum(shares.values())
-    q = {s: v / z for s, v in shares.items()}
-    if total is None:
-        # largest total with all rates <= 1:  total = min_s n_s / q_s
-        total = min(counts[s] / q[s] for s in q)
-    if max_rate is None:
-        return {s: q[s] * total / counts[s] for s in q}
-    return {s: min(max_rate, q[s] * total / counts[s]) for s in q}
-
-
-def materialize_mixture(
-    d: DataFrame,
-    rates: dict,
-    stratum_col: str = "source",
-    key_col: str = "doc_id",
-    salt: str = "mix-v1",
-    epoch_col: str = "epoch",
-) -> DataFrame:
-    """Materialize a domain mixture with rates that may EXCEED 1.0 — the
-    upsampling twin of :func:`stratified_sample` ("4 epochs of wiki, 0.3 of
-    web").  Each row is replicated ``floor(rate)`` times, plus one more for
-    the deterministic hash-threshold fraction of rows selected by the
-    FRACTIONAL part — so realized counts hit ``rate · n_s`` in expectation
-    with the same retry-proof determinism as the downsampler (membership
-    and copy-count are pure functions of (salt, key)).  An ``epoch_col``
-    (1-based copy index) distinguishes replicas so downstream packing /
-    split assignment can shuffle epochs apart instead of emitting byte-
-    identical neighbors.
-
-    For rates <= 1 this keeps EXACTLY the rows ``stratified_sample`` keeps
-    (same salt, same bucket predicate) — asserted in tests, so a pipeline
-    can swap the filter for the materializer without changing its sample.
-
-    Scale: narrow transformation — a literal CASE chain for the rate, one
-    ``explode(sequence(1, copies))`` per surviving row; no shuffle, no
-    driver state.  Replication multiplies bytes, not keys, so it cannot
-    introduce join skew that wasn't already in the data; unlisted strata
-    default to rate 0 (allowlist-shaped, like the downsampler)."""
-    rate = F.lit(0.0)
-    for stratum, r in sorted(rates.items()):
-        if r < 0:
-            raise ValueError(f"negative rate for stratum {stratum!r}")
-        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
-    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(key_col)), F.lit(1_000_000))
-    copies = (
-        F.floor(rate).cast("int")
-        + (bucket < (rate - F.floor(rate)) * 1_000_000).cast("int")
-    )
-    return (
-        d.withColumn("__copies", copies)
-        .filter(F.col("__copies") > 0)
-        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("__copies"))))
-        .drop("__copies")
-    )
-
-
-def take_per_stratum(
-    d: DataFrame,
-    k: int,
-    stratum_col: str = "source",
-    key_col: str = "doc_id",
-    salt: str = "take-v1",
-) -> DataFrame:
-    """EXACTLY ``min(k, n_s)`` rows per stratum, chosen deterministically —
-    the eval-set / human-review sampler (rate-based ``stratified_sample``
-    can't promise exact counts; this can).  Selection order is
-    ``xxhash64(salt, key)``: a pure function of the key, so the sample is
-    stable across runs/retries, changing ``k`` only extends or truncates
-    the same ordering (nested samples: the k=100 set contains the k=50
-    set), and adding rows to OTHER strata never disturbs a stratum's pick.
-
-    One window shuffle partitioned by stratum.  Skew note: the window sorts
-    each stratum's rows within one partition — fine for the low-cardinality
-    strata this is meant for; for a giant stratum, pre-filter with
-    ``stratified_sample`` at a rate that overshoots k, then take exactly."""
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy(stratum_col).orderBy(
-        F.xxhash64(F.lit(salt), F.col(key_col)), key_col
-    )
-    return (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
-
-
-def stratum_counts(d: DataFrame, stratum_col: str = "source") -> dict:
-    """Per-stratum row counts as a driver dict (input to
-    :func:`temperature_mix_rates`).  One map-side-combined groupBy over a
-    low-cardinality column — the collect is bounded by the number of
-    strata, not rows."""
-    return {
-        r[stratum_col]: r["n"]
-        for r in d.groupBy(stratum_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-
-
 _URL_RE = r"https?://[^\s<>\"')\]]+"
 _DOMAIN_RE = r"https?://(?:[^/\s@]*@)?([^/\s:?#]+)"
 
@@ -510,170 +176,6 @@ def extract_urls(
         "url",
         url_domain(F.col("url")).alias("domain"),
         *(["pos"] if with_pos else []),
-    )
-
-
-def semantic_contamination(
-    emb: DataFrame,
-    bench_emb: DataFrame,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    bench_id_col: str = "bench_id",
-    emb_col: str = "embedding",
-    exact_below: int = 10_000,
-    strategy: str = "auto",
-    quantize: bool = False,
-) -> DataFrame:
-    """Embedding-space benchmark decontamination — the semantic sibling of
-    :func:`ngram_contamination`: flag corpus vectors whose cosine with ANY
-    benchmark vector reaches ``threshold`` (paraphrased eval items share
-    few n-grams but embed close; a pipeline runs BOTH filters).
-
-    Returns ``(vec_id, max_bench_sim, nearest_bench_id)`` for flagged
-    vectors only; callers ``left_anti`` on ``vec_id`` to drop them.
-
-    Two physical strategies behind one contract:
-
-    - benchmark <= ``exact_below`` rows (the common single-eval-set case):
-      exact ``crossJoin(broadcast(bench))`` — the corpus never shuffles,
-      per-(doc, bench) similarities compute map-side and collapse in a
-      partial max, norms precompute per side.
-    - larger benchmark suites (10⁴–10⁵ items across many evals): the
-      crossJoin's per-row cost dominates, so candidates come from the
-      existing LSH bucket machinery (``similarity.lsh_buckets``) — docs
-      keep their exact buckets, the BROADCAST benchmark side expands each
-      bucket to Hamming distance <= 1 (per-table multiprobe), docs and
-      benchmark join on (table, bucket), and the exact cosine runs only on
-      collisions.  For a pair at cosine 0.95 the per-table ≤1-bit-flip
-      collision probability is ~0.58; across 12 OR'd tables the miss
-      probability is ~(1-0.58)¹² ≈ 3e-5 — and exact verification of
-      candidates means NO false positives, ever.
-
-    ``strategy``: ``'exact'`` / ``'lsh'`` force a path WITHOUT the eager
-    ``bench_emb.count()`` job the auto heuristic needs (callers looping
-    over many benchmark suites pass it to skip one job per call);
-    ``'auto'`` counts and compares against ``exact_below``.  The chosen
-    path is logged (INFO) either way — a decontamination gate silently
-    switching to the probabilistic path (~3e-5 miss rate at 0.95) is an
-    auditability hole flagged by adversarial review.
-
-    ``quantize``: run the similarity arithmetic on round(x·10⁴) integer
-    vectors (``similarity.quantized``/``qdot``) — integer dot products
-    are order-free, which is what lets the ``curation_ops`` driver slot
-    hash-check this operator against a DuckDB re-derivation (the same
-    quantized-oracle precedent as every ANN slot).  Production default
-    stays the float path (no quantization error; per-row sequential fold,
-    deterministic within the engine)."""
-    import logging
-
-    from ..functions.vector import dot, l2_norm
-
-    if strategy not in ("auto", "exact", "lsh"):
-        raise ValueError(f"unknown strategy {strategy!r}")
-    if strategy == "auto":
-        # exact_below=0 pins the LSH path — no job needed to decide
-        strategy = (
-            "lsh"
-            if exact_below == 0 or bench_emb.count() > exact_below
-            else "exact"
-        )
-    logging.getLogger(__name__).info(
-        "semantic_contamination: %s path (threshold=%s)", strategy, threshold
-    )
-    if quantize:
-        from .similarity import qdot, quantized
-
-        def _emb(c):
-            return quantized(c)
-
-        def _norm(c):
-            q = quantized(c)
-            return F.sqrt(qdot(q, q).cast("double"))
-
-        def _dot(a, b):
-            return qdot(F.col(a), F.col(b)).cast("double")
-
-    else:
-        _emb = F.col
-        _norm = l2_norm
-
-        def _dot(a, b):
-            return dot(a, b)
-
-    b = F.broadcast(
-        bench_emb.select(
-            F.col(id_col).alias(bench_id_col),
-            _emb(emb_col).alias("__bemb"),
-            _norm(emb_col).alias("__bnorm"),
-        )
-    )
-    e = emb.select(
-        id_col, _emb(emb_col).alias("__demb"), _norm(emb_col).alias("__dnorm")
-    )
-    sim = _dot("__demb", "__bemb") / (F.col("__dnorm") * F.col("__bnorm"))
-    if strategy == "exact":
-        pairs = e.crossJoin(b)
-    else:
-        cand = _lsh_contamination_candidates(
-            emb, bench_emb, id_col, bench_id_col, emb_col
-        )
-        pairs = cand.join(e, id_col).join(b, bench_id_col)
-    return (
-        pairs.select(F.col(id_col), sim.alias("__sim"), F.col(bench_id_col))
-        .groupBy(id_col)
-        .agg(F.max(F.struct("__sim", bench_id_col)).alias("__m"))
-        .select(
-            id_col,
-            F.col("__m.__sim").alias("max_bench_sim"),
-            F.col(f"__m.{bench_id_col}").alias("nearest_bench_id"),
-        )
-        .filter(F.col("max_bench_sim") >= threshold)
-    )
-
-
-def _lsh_contamination_candidates(
-    emb: DataFrame,
-    bench_emb: DataFrame,
-    id_col: str,
-    bench_id_col: str,
-    emb_col: str,
-) -> DataFrame:
-    """(id, bench_id) candidate pairs sharing >= 1 LSH bucket in >= 1
-    table, with the BENCHMARK side multiprobed to Hamming <= 1.  The doc
-    side melts its 12 bucket columns to (id, table, bucket) rows — a
-    narrow explode, no shuffle of embeddings; the benchmark side
-    (buckets × (1 + planes) probe rows per item) broadcasts, so candidate
-    generation is one map-side hash join however big the corpus is."""
-    from .similarity import N_TABLES, PLANES_PER_TABLE, lsh_buckets
-
-    def melted(frame, out_id):
-        b = lsh_buckets(
-            frame.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
-        )
-        pairs = []
-        for t in range(N_TABLES):
-            pairs.extend([F.lit(t), F.col(f"b{t}")])
-        return b.select(
-            F.col("vec_id").alias(out_id),
-            F.stack(F.lit(N_TABLES), *pairs).alias("t", "bucket"),
-        )
-
-    docs = melted(emb, "__doc_id")
-    bench = melted(bench_emb, bench_id_col)
-    probes = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << p))
-            for p in range(PLANES_PER_TABLE)
-        ],
-    )
-    bench_probed = bench.select(
-        bench_id_col, "t", F.explode(probes).alias("bucket")
-    )
-    return (
-        docs.join(F.broadcast(bench_probed), ["t", "bucket"])
-        .select(F.col("__doc_id").alias(id_col), bench_id_col)
-        .distinct()
     )
 
 
@@ -1046,369 +548,6 @@ _VOCAB_SQL = f"""
 """
 
 
-# ---------------------------------------------------------------------------
-# Round-13: token-budgeted mixture sampling (VERDICT r12 ask #8) — real
-# pretraining mixes are specified in TOKENS per domain, not documents.
-# ---------------------------------------------------------------------------
-
-TOKMIX_SALT = "tokmix-v1"
-
-
-def token_budget_mixture(
-    d: DataFrame,
-    budgets: dict,
-    domain_col: str = "source",
-    key_col: str = "doc_id",
-    token_count_col=None,
-    salt: str = TOKMIX_SALT,
-    hash_fn: str = "xxhash64",
-) -> DataFrame:
-    """Select documents per domain until each domain's TOKEN budget is
-    met — deterministic hash-order greedy fill, the token-denominated
-    sibling of :func:`stratified_sample` (which takes doc-rate knobs).
-
-    Each domain's documents are ranked by ``hash(salt|key)`` (pure
-    function of the key: reproducible across runs/retries, and one
-    domain's budget change never disturbs another's selection — the
-    stratified_sample reproducibility contract), and selected while the
-    PRECEDING selected-token count is still under the budget, so the
-    first crossing document is included ("fill to budget": realized
-    tokens land in [budget, budget + max_doc_tokens) whenever the domain
-    has supply; a domain smaller than its budget is kept whole).
-    Domains absent from ``budgets`` get budget 0 — allowlist-shaped like
-    every curation knob here.
-
-    Output: (key, domain, n_tokens, tok_before) for SELECTED documents,
-    where ``tok_before`` is the exact hash-order token prefix — the
-    audit column that makes the budget accounting checkable row by row.
-    Anti-join consumers take the keys.
-
-    Scale shape (the ``packing.chunk_token_stream`` distributed prefix
-    sum, re-keyed): the hash order is split into {n} hash-RANGE shards
-    (a shard is an order prefix of the hash, so shard-local cumsums +
-    an O(domains×shards) offsets join reconstruct the exact global
-    prefix); no per-domain single-reducer window, no global sort.  One
-    shuffle on (domain, shard); the offsets frame broadcasts.
-
-    ``hash_fn='md5'`` is the shared oracle scheme (first 8 hex digits as
-    an integer); production stays on xxhash64."""
-    from pyspark.sql.window import Window as W
-
-    from .packing import ws_token_count
-
-    n_tok = (
-        token_count_col if token_count_col is not None else ws_token_count()
-    )
-    if hash_fn == "xxhash64":
-        h = F.xxhash64(F.lit(salt), F.col(key_col))
-        shift = 58  # full signed int64 range → 64 hash-range shards
-    elif hash_fn == "md5":
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt + "|"), F.col(key_col).cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        shift = 26  # [0, 2^32) → 64 hash-range shards
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    base = d.select(
-        F.col(key_col),
-        F.col(domain_col).alias("__dom"),
-        n_tok.alias("n_tokens"),
-        h.alias("__hk"),
-    ).withColumn("__shard", F.shiftright(F.col("__hk"), shift))
-    local = base.withColumn(
-        "__cum",
-        F.coalesce(
-            F.sum("n_tokens").over(
-                W.partitionBy("__dom", "__shard")
-                .orderBy("__hk", key_col)
-                .rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).localCheckpoint()  # rows + shard totals both consume it
-    offsets = (
-        local.groupBy("__dom", "__shard")
-        .agg(F.max(F.col("__cum") + F.col("n_tokens")).alias("__t"))
-        .select(
-            "__dom",
-            "__shard",
-            F.coalesce(
-                F.sum("__t").over(
-                    W.partitionBy("__dom")
-                    .orderBy("__shard")
-                    .rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).alias("__off"),
-        )
-    )  # O(domains × 64) rows — broadcast side
-    # budgets ride a broadcast frame, not a literal WHEN-chain: real
-    # mixes carry thousands of per-domain budgets (a registry export),
-    # and an O(#domains)-deep CASE expression bloats the Catalyst tree
-    # and codegen where a tiny inner hash join costs nothing.  Inner
-    # join = the allowlist semantics (absent domain ≡ budget 0).
-    budf = d.sparkSession.createDataFrame(
-        [(str(k), int(v)) for k, v in sorted(budgets.items())],
-        "__domk string, __bud long",
-    )
-    return (
-        local.join(F.broadcast(offsets), ["__dom", "__shard"])
-        .join(
-            F.broadcast(budf),
-            F.col("__dom").cast("string") == F.col("__domk"),
-        )
-        .filter(F.col("__off") + F.col("__cum") < F.col("__bud"))
-        .select(
-            key_col,
-            F.col("__dom").alias(domain_col),
-            "n_tokens",
-            (F.col("__off") + F.col("__cum")).alias("tok_before"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-13 continuation: per-domain quality percentile selection — the
-# FineWeb-Edu-style "keep the top p fraction of each domain by classifier
-# score" filter, the selection knob that follows a quality-classifier
-# serve pass in a real curation pipeline.
-# ---------------------------------------------------------------------------
-
-#: quantization for score thresholds: serve scores are 9-dp
-#: (logreg.classifier_score_calibrated rounds), so round(score·1e9) is
-#: the exact integer the score IS — thresholds compare integers, never
-#: floats.
-QSEL_QUANT = 1_000_000_000
-#: coarse-bucket width for the two-pass threshold: bucket = qs >> 20, so
-#: the value-level refine inside the one boundary bucket per domain sees
-#: at most 2^20 DISTINCT values (a groupBy over values, not rows) no
-#: matter how many rows the domain holds.
-QSEL_SHIFT = 20
-
-
-def quality_top_fraction(
-    scored: DataFrame,
-    frac_num: int,
-    frac_den: int,
-    domain_col: str = "source",
-    key_col: str = "doc_id",
-    score_col: str = "score_cal",
-    quant: int = QSEL_QUANT,
-    shift: int = QSEL_SHIFT,
-):
-    """Keep the top ``frac_num/frac_den`` fraction of each domain's
-    documents by score, ties INCLUDED — per domain with ``n`` docs the
-    threshold ``t`` is the ``k``-th largest quantized score where
-    ``k = max(1, n·frac_num // frac_den)`` (integer arithmetic, so an
-    oracle re-derives ``k`` exactly), and every row with ``qs >= t`` is
-    selected (≥ k rows when score ties straddle the cut — the
-    deterministic, order-free semantics: selection depends only on the
-    score value, never on row order or a tiebreak hash).
-
-    Returns ``(selected, report)``: ``selected`` is
-    ``(key, domain, qs)`` for kept rows; ``report`` is one row per
-    domain — ``(domain, n_docs, k, threshold, n_sel)`` — the accounting
-    frame.
-
-    Scale shape — the k-th largest WITHOUT a per-domain row sort (a
-    skewed domain would otherwise sort its whole partition):
-
-    1. coarse pass: ``groupBy(domain, qs >> shift)`` counts —
-       O(domains × 2^(log₂quant − shift)) rows, metadata-sized;
-       a cumulative window over THAT tiny frame finds each domain's
-       boundary bucket (the bucket containing the k-th largest);
-    2. refine pass: only boundary-bucket ROWS are re-aggregated, and
-       by VALUE (``groupBy(domain, qs)``) — ≤ 2^shift distinct values
-       per domain by construction — so the second cumulative window is
-       again over metadata;
-    3. the per-domain thresholds broadcast back over the corpus for the
-       final filter.
-
-    Both windows partition by domain over value-histogram frames
-    (bounded rows per partition by construction), never over the corpus.
-    ``scored`` is consumed three times (coarse, refine, final filter) —
-    it is localCheckpointed here so the serve chain runs once."""
-    from pyspark.sql.window import Window as W
-
-    if not (0 < int(frac_num) <= int(frac_den)):
-        raise ValueError(
-            f"frac_num/frac_den must be a fraction in (0, 1]: got "
-            f"{frac_num}/{frac_den} (num > den would silently select "
-            "nothing — k exceeds every domain's size)"
-        )
-    base = scored.select(
-        F.col(key_col),
-        F.col(domain_col).alias("__dom"),
-        F.round(F.col(score_col) * quant).cast("long").alias("__qs"),
-    ).filter(F.col("__qs").isNotNull()).localCheckpoint()
-    kf = base.groupBy("__dom").agg(F.count(F.lit(1)).alias("n_docs")).select(
-        "__dom",
-        "n_docs",
-        F.expr(
-            f"greatest(CAST(1 AS BIGINT), (n_docs * {int(frac_num)})"
-            f" DIV {int(frac_den)})"
-        ).alias("__k"),
-    )
-    coarse = base.groupBy(
-        "__dom", F.shiftright("__qs", shift).alias("__cb")
-    ).agg(F.count(F.lit(1)).alias("__c"))
-    wdesc = W.partitionBy("__dom").orderBy(F.desc("__cb"))
-    bound = (
-        coarse.withColumn(
-            "__cum",
-            F.sum("__c").over(wdesc.rowsBetween(W.unboundedPreceding, 0)),
-        )
-        .join(kf, "__dom")
-        .filter(F.col("__cum") >= F.col("__k"))
-        .withColumn("__rn", F.row_number().over(wdesc))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "__dom",
-            "__cb",
-            (F.col("__cum") - F.col("__c")).alias("__above"),
-            "n_docs",
-            "__k",
-        )
-    )
-    wv = W.partitionBy("__dom").orderBy(F.desc("__qs"))
-    th = (
-        base.withColumn("__cb", F.shiftright("__qs", shift))
-        .join(F.broadcast(bound), ["__dom", "__cb"])
-        .groupBy("__dom", "__qs", "__above", "n_docs", "__k")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .withColumn(
-            "__cum",
-            F.sum("__c").over(wv.rowsBetween(W.unboundedPreceding, 0)),
-        )
-        .filter(F.col("__above") + F.col("__cum") >= F.col("__k"))
-        .withColumn("__rn", F.row_number().over(wv))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "__dom",
-            F.col("__qs").alias("__t"),
-            "n_docs",
-            "__k",
-        )
-    )
-    selected = (
-        base.join(F.broadcast(th.select("__dom", "__t")), "__dom")
-        .filter(F.col("__qs") >= F.col("__t"))
-        .select(
-            key_col,
-            F.col("__dom").alias(domain_col),
-            F.col("__qs").alias("qs"),
-        )
-        .localCheckpoint()  # rows + the report both consume it
-    )
-    report = (
-        selected.groupBy(F.col(domain_col).alias("__dom"))
-        .agg(F.count(F.lit(1)).alias("n_sel"))
-        .join(th, "__dom")
-        .select(
-            F.col("__dom").alias(domain_col),
-            "n_docs",
-            F.col("__k").alias("k"),
-            F.col("__t").alias("threshold"),
-            "n_sel",
-        )
-    )
-    return selected, report
-
-
-def integer_temperature_budgets(
-    token_totals: dict, total_tokens: int
-) -> dict:
-    """Per-domain TOKEN budgets from per-domain token totals under the
-    α=0.5 temperature rule, in INTEGER arithmetic end to end:
-    ``share_s = floor(sqrt(T_s))``, ``budget_s = min(T_s,
-    share_s·total // Σ share)``.  floor-of-double-sqrt is provably exact
-    for T < 2^52 (IEEE sqrt is correctly rounded), so a DuckDB oracle
-    re-derives every budget bit-for-bit — the engine-neutral variant of
-    :func:`temperature_mix_rates` (whose float shares are fsum-ordered
-    driver-side and fine for production, but an ULP of share wobble
-    could flip an oracle's crossing document)."""
-    import math
-
-    shares = {s: math.isqrt(int(t)) for s, t in token_totals.items() if t > 0}
-    z = sum(shares.values())
-    if z == 0:
-        return {}
-    return {
-        s: min(int(token_totals[s]), shares[s] * int(total_tokens) // z)
-        for s in shares
-    }
-
-
-def _integer_nth_root(x: int, n: int) -> int:
-    """floor(x^(1/n)) in exact integer arithmetic (Newton's method on
-    ints — no float enters, so no 2^53 precision cliff; for n=2 this
-    equals math.isqrt)."""
-    if x < 0 or n <= 0:
-        raise ValueError("x >= 0 and n >= 1 required")
-    if x in (0, 1) or n == 1:
-        return x
-    r = 1 << (x.bit_length() // n + 1)  # upper bound on the root
-    while True:
-        nxt = ((n - 1) * r + x // r ** (n - 1)) // n
-        if nxt >= r:
-            return r
-        r = nxt
-
-
-def integer_power_budgets(
-    token_totals: dict, total_tokens: int, alpha_num: int, alpha_den: int
-) -> dict:
-    """:func:`integer_temperature_budgets` generalized to any RATIONAL
-    temperature α = alpha_num/alpha_den: ``share_s = floor(T_s^α)`` via
-    exact integer nth-root of ``T^num`` (no float anywhere, so the
-    budgets are reproducible bit-for-bit on any engine), then
-    ``budget_s = min(T_s, share_s·total // Σ share)``.  α=1 is the
-    natural mix, α=1/2 the standard temperature flattening, α→0 uniform
-    — the knob a mixture SCHEDULE sweeps."""
-    if alpha_num <= 0 or alpha_den <= 0:
-        raise ValueError("alpha must be a positive rational")
-    shares = {
-        s: _integer_nth_root(int(t) ** alpha_num, alpha_den)
-        for s, t in token_totals.items()
-        if t > 0
-    }
-    z = sum(shares.values())
-    if z == 0:
-        return {}
-    return {
-        s: min(int(token_totals[s]), shares[s] * int(total_tokens) // z)
-        for s in shares
-    }
-
-
-def anneal_temperature_schedule(
-    token_totals: dict, tokens_per_epoch: int, alphas
-) -> list:
-    """Per-epoch budget dicts for an ANNEALED mixture — the midtraining
-    recipe (early epochs at the natural mix, late epochs flattened /
-    quality-weighted): ``alphas`` is a list of ``(num, den)`` rational
-    temperatures, one per epoch, e.g. ``[(1, 1), (3, 4), (1, 2)]``.
-    Feed each epoch's dict to :func:`token_budget_mixture` (with a
-    per-epoch salt if re-selection should be independent) and the
-    selected rows to ``packing.training_manifest`` with the matching
-    epoch — the complete annealed training-order export, every step
-    deterministic."""
-    return [
-        integer_power_budgets(token_totals, tokens_per_epoch, n, d)
-        for n, d in alphas
-    ]
-
-
 #: op='tokmix'/'tokbud' evidence configuration
 TOKMIX_TOTAL = 20_000
 #: op='manifest' evidence configuration: epoch / context length / shard
@@ -1535,6 +674,76 @@ def sql_tokmix_ctes() -> str:
       FROM mfoff)""")
 
 
+# op='fuzzy' configuration: benchmark = every doc_id % 41 == 3 document
+# (the ngc slice — realistic: bench items ARE in the crawl, so self-pairs
+# pin jaccard exactly 1.0 and the corpus's planted near-dups surface as
+# partner pairs), md5 hash scheme, the production JACCARD_THRESHOLD.
+_FUZZY_MOD, _FUZZY_REM = _NGC_BENCH_MOD, _NGC_BENCH_REM
+
+
+def _fuzzy_sql_ctes() -> str:
+    """CTE chain re-deriving :func:`minhash_contamination` (md5 scheme):
+    shingles both sides, the 16-hash affine MinHash signatures, the
+    4-band keys, the CROSS candidate join (corpus bands × bench bands —
+    the oracle must replicate the banding, not brute-force: banding
+    bounds recall, so a brute-forced pair set would contain pairs the
+    operator is DESIGNED to miss), and the exact Jaccard + containment
+    verify over candidates.  Final CTE ``fzpairs(doc_id, bench_id,
+    jaccard, containment)``."""
+    from .clustering import _materialize
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        _band_keys_sql,
+        _mh_mins_sql,
+        _sql_shd,
+    )
+
+    mins, keys = _mh_mins_sql(), _band_keys_sql()
+
+    def side(p: str) -> str:
+        return f"""{p}hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM {p}shd),
+    {p}mh AS (
+      SELECT doc_id,
+             {mins}
+      FROM {p}hashed GROUP BY doc_id),
+    {p}bands AS (
+      SELECT doc_id,
+             unnest({keys}) AS band_key,
+             generate_subscripts({keys}, 1) AS band
+      FROM {p}mh)"""
+
+    return _materialize(f"""fzbsrc AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_FUZZY_MOD} = {_FUZZY_REM}),
+    {_sql_shd('documents', 'fzc').strip().rstrip()},
+    {_sql_shd('fzbsrc', 'fzb').strip().rstrip()},
+    {side('fzc')},
+    {side('fzb')},
+    fzcand AS (
+      SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+      FROM fzcbands c JOIN fzbbands b
+        ON c.band = b.band AND c.band_key = b.band_key),
+    fzcsizes AS (SELECT doc_id, COUNT(*) AS n FROM fzcshd GROUP BY doc_id),
+    fzbsizes AS (SELECT doc_id, COUNT(*) AS n FROM fzbshd GROUP BY doc_id),
+    fzinter AS (
+      SELECT x.doc_id, y.doc_id AS bench_id, COUNT(*) AS i
+      FROM fzcshd x JOIN fzbshd y ON y.shingle = x.shingle
+      GROUP BY x.doc_id, y.doc_id),
+    fzpairs AS (
+      SELECT i.doc_id, i.bench_id,
+             CAST(i.i AS DOUBLE) / (sc.n + sb.n - i.i) AS jaccard,
+             CAST(i.i AS DOUBLE) / sb.n AS containment
+      FROM fzinter i
+      JOIN fzcand cd ON cd.doc_id = i.doc_id AND cd.bench_id = i.bench_id
+      JOIN fzcsizes sc ON sc.doc_id = i.doc_id
+      JOIN fzbsizes sb ON sb.doc_id = i.bench_id
+      WHERE CAST(i.i AS DOUBLE) / (sc.n + sb.n - i.i)
+            >= {JACCARD_THRESHOLD})""")
+
+
 def _curation_ops_oracle() -> str:
     from .clustering import KM_ITERS, sql_kmeans_ctes, sql_semdedup_ctes
     from .dsir import sql_dsir_ctes
@@ -1553,7 +762,8 @@ def _curation_ops_oracle() -> str:
     WITH {sql_dsir_ctes()},
     {sql_kmeans_ctes()},
     {sql_semdedup_ctes()},
-    {sql_tokmix_ctes()}
+    {sql_tokmix_ctes()},
+    {_fuzzy_sql_ctes()}
     SELECT * FROM (
     SELECT 'mix' AS op, lang, n_docs, rate,
            CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS max_bench_sim,
@@ -1637,6 +847,11 @@ def _curation_ops_oracle() -> str:
            CAST(NULL AS INTEGER), CAST(shard AS INTEGER),
            CAST(NULL AS INTEGER), off
     FROM mfman
+    UNION ALL
+    SELECT 'fuzzy', NULL, NULL, containment, bench_id, jaccard, NULL,
+           doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), {pad_km}
+    FROM fzpairs
     ) ORDER BY op, COALESCE(lang, ''), COALESCE(vec_id, -1),
                COALESCE(doc_id, -1), COALESCE(cluster, -1), COALESCE(pos, -1)
     """
@@ -1793,6 +1008,16 @@ def curation_ops(spark, sf_dir):
     tokmix_sel, tokmix_dom, tokmix_man = token_mixture_frames(
         spark, sf_dir
     )
+    # op='fuzzy': the REAL minhash_contamination in its md5 oracle
+    # configuration — benchmark = the ngc slice (self-pairs pin jaccard
+    # exactly 1.0; planted corpus near-dups surface as partner pairs)
+    fuzzy = minhash_contamination(
+        docs,
+        docs.filter(F.col("doc_id") % _FUZZY_MOD == _FUZZY_REM).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        ),
+        hash_fn="md5",
+    )
     schema = [
         ("op", "string"), ("lang", "string"), ("n_docs", "bigint"),
         ("rate", "double"), ("vec_id", "bigint"),
@@ -1938,6 +1163,16 @@ def curation_ops(spark, sf_dir):
                 "vec_id": "order_hash", "cluster": "shard",
                 "cval": "offset", "n_docs": "chunk_first",
                 "nearest_bench_id": "chunk_last",
+            },
+        ),
+        (
+            fuzzy,
+            # carriers: vec_id = bench_id, max_bench_sim = jaccard,
+            # rate = containment
+            {
+                "op": F.lit("fuzzy"), "doc_id": "doc_id",
+                "vec_id": "bench_id", "max_bench_sim": "jaccard",
+                "rate": "containment",
             },
         ),
     ).orderBy(
@@ -2254,86 +1489,3 @@ def url_ops_query(spark, sf_dir):
         ),
     ).orderBy("op", F.coalesce("policy", F.lit("")), "doc_id")
 
-
-# ---------------------------------------------------------------------------
-# C4-style per-line cleanup (Raffel et al. 2020, §2.2 — the public
-# line-rule recipe most crawl pipelines apply before any statistical
-# filter).  Rules are per-LINE and per-DOC; everything is array
-# expressions inside whole-stage codegen — no Python, no shuffle.
-# ---------------------------------------------------------------------------
-
-#: default C4-shaped rule knobs
-C4_MIN_LINE_WORDS = 3
-C4_MIN_DOC_LINES = 3
-C4_TERMINALS = (".", "!", "?", '"', "'")
-C4_BLOCKLIST = ("lorem ipsum", "javascript", "cookie policy")
-
-
-def c4_line_filter(
-    docs: DataFrame,
-    min_line_words: int = C4_MIN_LINE_WORDS,
-    min_doc_lines: int = C4_MIN_DOC_LINES,
-    terminals: tuple = C4_TERMINALS,
-    blocklist: tuple = C4_BLOCKLIST,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    delim: str = "\n",
-) -> DataFrame:
-    """The C4 line-level cleanup: keep only lines that (a) end in a
-    terminal punctuation mark, (b) have at least ``min_line_words``
-    words, and (c) contain no blocklisted phrase (case-insensitive);
-    then DROP whole documents left with fewer than ``min_doc_lines``
-    surviving lines.  Returns ``(id, text, n_lines_kept,
-    n_lines_dropped)`` with ``text`` rebuilt from the surviving lines.
-
-    This is the structural cleanup that runs BEFORE statistical
-    filters (Gopher rules, classifiers, perplexity): nav bars, button
-    labels, and cookie banners are line-shaped noise that per-document
-    statistics only see as diluted averages.  Complements
-    ``dedup.strip_boilerplate_lines`` (cross-document frequency) with
-    purely LOCAL rules — no aggregate over the corpus at all, so the
-    whole operator is one narrow codegen projection at scan speed.
-
-    Deviation from the C4 recipe: C4 drops the WHOLE PAGE when a
-    blocklisted phrase ("lorem ipsum") appears anywhere; here the rule is
-    line-level like the other two — only the offending line is dropped
-    (the document still dies if too few lines survive).  ``delim`` is
-    treated as a LITERAL separator on both the split and the rejoin
-    (quoted with ``\\Q…\\E`` for the regex-based split), so a delimiter
-    like ``'.'`` behaves identically in both directions."""
-    lines = F.split(F.col(text_col), "\\Q" + delim + "\\E")
-    trimmed = F.transform(lines, lambda ln: F.trim(ln))
-    term_ok = lambda ln: F.array_contains(  # noqa: E731
-        F.array(*[F.lit(t) for t in terminals]), F.substring(ln, -1, 1)
-    )
-    words_ok = lambda ln: (  # noqa: E731
-        F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
-        >= min_line_words
-    )
-    if blocklist:
-        block_ok = lambda ln: ~F.array_contains(  # noqa: E731
-            F.array(
-                *[
-                    F.lower(ln).contains(F.lit(p.lower()))
-                    for p in blocklist
-                ]
-            ),
-            F.lit(True),
-        )
-    else:
-        block_ok = lambda ln: F.lit(True)  # noqa: E731
-    kept = F.filter(
-        trimmed,
-        lambda ln: term_ok(ln) & words_ok(ln) & block_ok(ln),
-    )
-    out = docs.select(
-        id_col,
-        kept.alias("__kept"),
-        F.size(trimmed).alias("__total"),
-    ).select(
-        id_col,
-        F.array_join("__kept", delim).alias(text_col),
-        F.size("__kept").alias("n_lines_kept"),
-        (F.col("__total") - F.size("__kept")).alias("n_lines_dropped"),
-    )
-    return out.filter(F.col("n_lines_kept") >= min_doc_lines)

@@ -182,9 +182,27 @@ def _sql_embed_ctes(src: str, dim: int, p: str = "") -> str:
 def _embed_oracle() -> str:
     return f"""
     WITH esrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-    {_sql_embed_ctes('esrc', _EMB_DIM)}
-    SELECT doc_id, s AS pos, val FROM vals
-    ORDER BY doc_id, pos
+    {_sql_embed_ctes('esrc', _EMB_DIM)},
+    sq8s AS (
+      SELECT doc_id, MAX(ABS(val)) / 127.0 AS scale_d
+      FROM vals GROUP BY doc_id),
+    sq8 AS (
+      SELECT v.doc_id, v.s,
+             CASE WHEN s.scale_d = 0 THEN CAST(0 AS TINYINT)
+                  ELSE CAST(round(v.val / CAST(CAST(s.scale_d AS REAL)
+                         AS DOUBLE)) AS TINYINT) END AS qv,
+             CAST(s.scale_d AS REAL) AS scale
+      FROM vals v JOIN sq8s s USING (doc_id))
+    SELECT * FROM (
+      SELECT 'emb' AS op, doc_id, s AS pos, val,
+             CAST(NULL AS INTEGER) AS qv, CAST(NULL AS REAL) AS scale
+      FROM vals
+      UNION ALL
+      SELECT 'sq8', doc_id, s,
+             CAST(CAST(qv AS REAL) * scale AS DOUBLE),
+             CAST(qv AS INTEGER), scale
+      FROM sq8
+    ) ORDER BY op, doc_id, pos
     """
 
 
@@ -197,14 +215,46 @@ def embed_text_vectors(spark, sf_dir):
     encodings.  The ``md5`` hash configuration makes slot/sign
     re-derivable in the oracle (the same scheme the MinHash family uses);
     every value is exact-integer sums followed by one sqrt and one divide,
-    so ``val`` reproduces bit-for-bit with no rounding."""
+    so ``val`` reproduces bit-for-bit with no rounding.
+
+    Round-14 continuation — op='sq8' pins the int8 STORAGE quantization
+    roundtrip (:func:`quantize_embeddings_int8` →
+    :func:`dequantize_embeddings_int8`) over the same vectors: per-row
+    (q ∈ [-127,127], float32 scale, dequantized float32 value), every
+    step re-derived in SQL with the same float32 casts — a wrong scale,
+    rounding rule, or precision cast on either side fails the hash."""
+    from ..functions.union import pad_union
     from ..sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    emb = embed_text(d, dim=_EMB_DIM, bigrams=True, hash_fn="md5")
-    return emb.select(
+    emb = embed_text(
+        d, dim=_EMB_DIM, bigrams=True, hash_fn="md5"
+    ).localCheckpoint()  # exploded rows + the SQ8 roundtrip both read it
+    rows = emb.select(
         "doc_id", F.posexplode("embedding").alias("pos", "val")
-    ).orderBy("doc_id", "pos")
+    )
+    qe = quantize_embeddings_int8(emb, id_col="doc_id", vec_col="embedding")
+    deq = dequantize_embeddings_int8(qe, id_col="doc_id")
+    sq8 = (
+        qe.select("doc_id", "scale", F.posexplode("q").alias("pos", "qv"))
+        .join(
+            deq.select(
+                "doc_id", F.posexplode("embedding").alias("pos", "dval")
+            ),
+            ["doc_id", "pos"],
+        )
+    )
+    schema = [
+        ("op", "string"), ("doc_id", "bigint"), ("pos", "int"),
+        ("val", "double"), ("qv", "int"), ("scale", "float"),
+    ]
+    return pad_union(
+        schema,
+        (rows, {"op": F.lit("emb"), "doc_id": "doc_id", "pos": "pos",
+                "val": "val"}),
+        (sq8, {"op": F.lit("sq8"), "doc_id": "doc_id", "pos": "pos",
+               "val": "dval", "qv": "qv", "scale": "scale"}),
+    ).orderBy("op", "doc_id", "pos")
 
 
 # ---------------------------------------------------------------------------

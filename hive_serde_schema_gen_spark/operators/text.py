@@ -279,6 +279,69 @@ def _norm_sql() -> str:
 """
 
 
+# op='c4' configuration: the synthetic corpus is single-line without
+# terminal punctuation (c4 over raw docs is vacuous — drops everything),
+# so the slot PLANTS a five-line page per selected doc: three lines built
+# from the real text with terminal tails (kept when the text is
+# non-empty), one nav stub (dropped: short, no terminal), one blocklisted
+# line (dropped).  The oracle re-implements the RULES generally in SQL —
+# terminal membership, whitespace word count, blocklist scan, the
+# min-doc-lines cut — not a shortcut over the planted shape.
+_C4_MOD, _C4_REM = 3, 1
+_C4_LINES = (
+    "{t} tail one.",
+    "Home",
+    "Cookie policy applies to lorem ipsum here.",
+    "{t} tail two!",
+    "{t} tail three?",
+)
+
+
+def _c4_sql() -> str:
+    # .selection, not the .curation façade: the façade module's import
+    # executes the curation_ops oracle build, which imports THIS module —
+    # selection is a leaf, so the oracle renders under any import order
+    from .selection import (
+        C4_BLOCKLIST,
+        C4_MIN_DOC_LINES,
+        C4_MIN_LINE_WORDS,
+        C4_TERMINALS,
+    )
+
+    built = " || chr(10) || ".join(
+        ("COALESCE(text, '') || " + _sql_str(ln[3:]))
+        if ln.startswith("{t}")
+        else _sql_str(ln)
+        for ln in _C4_LINES
+    )
+    terms = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in C4_TERMINALS
+    )
+    block = " AND ".join(
+        f"NOT contains(lower(ln), {_sql_str(p.lower())})"
+        for p in C4_BLOCKLIST
+    )
+    keep = (
+        f"ln -> right(ln, 1) IN ({terms}) "
+        f"AND len(list_filter(string_split_regex(ln, '\\s+'),"
+        f" w -> w <> '')) >= {C4_MIN_LINE_WORDS} "
+        f"AND {block}"
+    )
+    return f"""
+    SELECT doc_id, md5(array_to_string(kept, chr(10))) AS c4_md5,
+           CAST(len(kept) AS INTEGER) AS n_kept,
+           CAST(total - len(kept) AS INTEGER) AS n_dropped
+    FROM (
+      SELECT doc_id, list_filter(lns, {keep}) AS kept, len(lns) AS total
+      FROM (
+        SELECT doc_id,
+               list_transform(string_split({built}, chr(10)),
+                              ln -> trim(ln)) AS lns
+        FROM documents WHERE doc_id % {_C4_MOD} = {_C4_REM}))
+    WHERE len(kept) >= {C4_MIN_DOC_LINES}
+"""
+
+
 def _lang_scored(spark, sf_dir):
     """(doc_id, lang, s_<lang>... , predicted, margin): the shared scoring
     projection — tokenize ONCE into a materialized array column (the
@@ -376,6 +439,31 @@ def lang_id_accuracy(spark, sf_dir):
         F.sum((F.col("lang") == F.col("predicted")).cast("bigint")).alias(
             "n_correct"
         ),
+    )
+
+
+def _c4_evidence(spark, sf_dir):
+    """op='c4' branch: plant the five-line page per selected doc (see
+    ``_C4_LINES``), run the REAL :func:`curation.c4_line_filter`, and pin
+    the rebuilt text's md5 plus the kept/dropped line accounting."""
+    from ..sources.tables import load_table
+    from .curation import c4_line_filter
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _C4_MOD == _C4_REM
+    )
+    lines = [
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(ln[3:]))
+        if ln.startswith("{t}")
+        else F.lit(ln)
+        for ln in _C4_LINES
+    ]
+    built = d.select("doc_id", F.concat_ws("\n", *lines).alias("text"))
+    return c4_line_filter(built).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("c4_md5"),
+        F.col("n_lines_kept").cast("int").alias("n_kept"),
+        F.col("n_lines_dropped").cast("int").alias("n_dropped"),
     )
 
 
@@ -546,6 +634,11 @@ def _quality_lang_oracle() -> str:
            n_norm, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
            CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), {pad_sig}, {pad_clf}
     FROM ({_norm_sql()})
+    UNION ALL
+    SELECT 'c4', doc_id, c4_md5, CAST(NULL AS VARCHAR),
+           n_kept, n_dropped, CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), {pad_sig}, {pad_clf}
+    FROM ({_c4_sql()})
     ) ORDER BY op, COALESCE(doc_id, -1), COALESCE(bucket, -2),
                COALESCE(lang, ''), COALESCE(predicted, '')
     """
@@ -796,6 +889,16 @@ def text_quality_lang(spark, sf_dir):
             {
                 "op": F.lit("norm"), "doc_id": "doc_id",
                 "lang": "norm_md5", "n_chars": "n_norm",
+            },
+        ),
+        (
+            _c4_evidence(spark, sf_dir),
+            # lang carries the rebuilt text's md5; n_chars/n_tokens the
+            # kept/dropped line counts
+            {
+                "op": F.lit("c4"), "doc_id": "doc_id",
+                "lang": "c4_md5", "n_chars": "n_kept",
+                "n_tokens": "n_dropped",
             },
         ),
     ).orderBy(
