@@ -28,18 +28,122 @@ from pyspark.sql import functions as F
 
 END = "</w>"  # end-of-word marker (standard: lets merges learn suffixes)
 
+#: GPT-2-style pretokenizer, LOOKAHEAD-FREE by design so one pattern
+#: literal runs identically under Java regex (Spark), RE2 (DuckDB), and
+#: the pure-Python category scanner in tests — \p{L}/\p{N} are Unicode
+#: properties in all three, and Java's default \s equals RE2's
+#: ([ \t\n\x0B\f\r]).  Deviation from the published GPT-2 pattern: the
+#: original's trailing `\s+(?!\S)` lookahead (RE2 has no lookahead) is
+#: dropped, so a MULTI-space run stays one whitespace token instead of
+#: donating its last space to the next word — single-space text (the
+#: overwhelming case post-normalization) pretokenizes identically.
+PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+_MODES = ("whitespace", "gpt2")
+
+
+def pretokens(col, lowercase: bool = True, mode: str = "whitespace"):
+    """Array-of-pretokens column — THE single tokenization both the BPE
+    trainer and encoder key through (a train/encode mismatch voids
+    learned merges).  ``whitespace`` is the classic Sennrich word split;
+    ``gpt2`` applies :data:`PRETOKEN_PATTERN` (contractions split off,
+    one leading space attaches to its word, punctuation runs separate —
+    merges then learn space-prefixed units the way modern tokenizers
+    do)."""
+    if mode not in _MODES:
+        raise ValueError(f"unknown pretokenize mode {mode!r}")
+    if lowercase:
+        col = F.lower(col)
+    if mode == "gpt2":
+        return F.regexp_extract_all(col, F.lit(PRETOKEN_PATTERN), 0)
+    return F.filter(
+        F.split(F.trim(col), r"\s+"), lambda w: w != ""
+    )
+
+
+def pretokenize_py(s: str) -> list:
+    """Pure-Python twin of the ``gpt2`` mode — a character-category
+    scanner (unicodedata, no regex engine), used by ``encode_bpe`` so
+    the Arrow path tokenizes EXACTLY like the JVM trainer, and by tests
+    as the independent parity reference."""
+    import unicodedata
+
+    WS = set(" \t\n\x0b\f\r")
+
+    def cat(c):
+        return unicodedata.category(c)
+
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            for suf in ("s", "t", "re", "ve", "m", "ll", "d"):
+                if s.startswith(suf, i + 1):
+                    out.append(s[i : i + 1 + len(suf)])
+                    i += 1 + len(suf)
+                    break
+            else:
+                k = i + 1
+                while (
+                    k < n
+                    and s[k] not in WS
+                    and not cat(s[k]).startswith(("L", "N"))
+                ):
+                    k += 1
+                out.append(s[i:k])
+                i = k
+            continue
+        j = i + 1 if c == " " and i + 1 < n else i
+        if j < n and cat(s[j]).startswith("L"):
+            k = j
+            while k < n and cat(s[k]).startswith("L"):
+                k += 1
+            out.append(s[i:k])
+            i = k
+            continue
+        if j < n and cat(s[j]).startswith("N"):
+            k = j
+            while k < n and cat(s[k]).startswith("N"):
+                k += 1
+            out.append(s[i:k])
+            i = k
+            continue
+        if j < n and s[j] not in WS and not cat(s[j]).startswith(("L", "N")):
+            k = j
+            while (
+                k < n
+                and s[k] not in WS
+                and not cat(s[k]).startswith(("L", "N"))
+            ):
+                k += 1
+            out.append(s[i:k])
+            i = k
+            continue
+        k = i
+        while k < n and s[k] in WS:
+            k += 1
+        out.append(s[i:k])
+        i = k
+    return out
+
 
 def word_frequencies(
-    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+    docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    mode: str = "whitespace",
 ) -> DataFrame:
     """(word, freq) over the corpus — the ONE corpus-sized pass of BPE
-    training.  Map-side combined; the shuffle carries the vocabulary."""
-    c = F.col(text_col)
-    if lowercase:
-        c = F.lower(c)
+    training.  Map-side combined; the shuffle carries the vocabulary.
+    ``mode``: see :func:`pretokens`."""
     return (
-        docs.select(F.explode(F.split(F.trim(c), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
+        docs.select(
+            F.explode(
+                pretokens(F.col(text_col), lowercase, mode)
+            ).alias("word")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -51,6 +155,7 @@ def train_bpe(
     text_col: str = "text",
     lowercase: bool = True,
     batch_size: int = 1,
+    mode: str = "whitespace",
 ) -> list:
     """Learn ``n_merges`` BPE merges; returns them in order as (left,
     right) symbol pairs.  Deterministic: ties on pair count break
@@ -70,7 +175,7 @@ def train_bpe(
     + one rewrite + one checkpoint per M merges)."""
     if batch_size < 1:
         raise ValueError("batch_size must be >= 1")
-    wf = word_frequencies(docs, text_col, lowercase)
+    wf = word_frequencies(docs, text_col, lowercase, mode)
     syms = wf.select(
         "freq",
         (
@@ -168,6 +273,7 @@ def encode_bpe(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     lowercase: bool = True,
+    mode: str = "whitespace",
 ) -> DataFrame:
     """Append ``out_col``: the BPE token array for each document under the
     trained ``merges`` (earlier merge = higher priority, the standard
@@ -186,6 +292,8 @@ def encode_bpe(
     # tokenizes with Spark's regex split, and Python str.split() treats
     # Unicode whitespace (NBSP etc.) as separators where Java does not;
     # a train/encode mismatch would void learned merges on crawl text
+    if mode not in _MODES:
+        raise ValueError(f"unknown pretokenize mode {mode!r}")
     import re
 
     _ws = re.compile(r"[ \t\n\x0b\f\r]+")
@@ -195,11 +303,19 @@ def encode_bpe(
         for pdf in batches:
             toks = []
             for t in pdf[text_col]:
-                if t is None or not t.strip(" \t\n\x0b\f\r"):
+                if t is None or (mode == "whitespace"
+                                 and not t.strip(" \t\n\x0b\f\r")):
                     toks.append([])
                     continue
-                s = (t.lower() if lowercase else t).strip(" \t\n\x0b\f\r")
-                words = [w for w in _ws.split(s) if w]
+                if mode == "gpt2":
+                    # the category scanner — the Arrow twin of the JVM
+                    # PRETOKEN_PATTERN extraction (parity in tests)
+                    words = pretokenize_py(t.lower() if lowercase else t)
+                else:
+                    s = (t.lower() if lowercase else t).strip(
+                        " \t\n\x0b\f\r"
+                    )
+                    words = [w for w in _ws.split(s) if w]
                 row: list = []
                 for w in words:
                     got = memo.get(w)

@@ -283,10 +283,11 @@ def corpus_pipeline(spark, sf_dir):
     )
 
 
-def curate_and_prepare(
+def curate_documents(
     spark,
     sf_dir: str,
     *,
+    accounting: list | None = None,
     benchmark: DataFrame | None = None,
     contamination_frac: float = 0.5,
     contamination_n: int = 8,
@@ -318,10 +319,11 @@ def curate_and_prepare(
     cluster_k: int = 16,
     semantic_threshold: float | None = None,
     docs: DataFrame | None = None,
-    **prepare_kwargs,
 ) -> DataFrame:
-    """The FULL curation front-end chained onto ``prepare_training_corpus``
-    — the complete RefinedWeb-shaped flow in one call:
+    """The FULL curation front-end, returning the CURATED DOCUMENT frame
+    — the complete RefinedWeb-shaped flow in one call (chain
+    :func:`curate_and_prepare` for packing, or :func:`crawl_to_shards`
+    for the token-budgeted training-shard export):
 
         [HTML→text] → [CJK pre-tokenization] → [domain mixing]
         → [repetition filter] → [benchmark decontamination]
@@ -428,6 +430,14 @@ def curate_and_prepare(
     # prepare_training_corpus has — the crawl front end
     # (web_corpus_from_crawl) feeds WET/WARC-derived frames through here
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
+
+    def _acct(stage):
+        # opt-in per-stage accounting: each count() is one extra action
+        # over the (cut) frame — the audit a production pipeline logs
+        if accounting is not None:
+            accounting.append((stage, d.count()))
+
+    _acct("input")
     # Every stage below except mixing/redaction is a SELF-JOIN (d joined
     # against a statistic derived from d).  Stacking self-joins without a
     # lineage cut doubles the upstream DAG per stage — k stages recompute
@@ -446,11 +456,13 @@ def curate_and_prepare(
 
         d = html_to_text(d)
         dirty = True
+        _acct("html")
     if cjk_fallback:
         from .text import pretokenize_cjk
 
         d = pretokenize_cjk(d)
         dirty = True
+        _acct("cjk")
     if c4_lines:
         # C4 line rules run FIRST among the text filters: nav/button/
         # banner lines are noise every downstream statistic would
@@ -468,9 +480,11 @@ def curate_and_prepare(
             "doc_id",
         ).withColumn("text", F.col("__c4_text")).drop("__c4_text")
         dirty = True
+        _acct("c4_lines")
     if mix_rates is not None:
         d = stratified_sample(d, mix_rates)
         dirty = True
+        _acct("mix")
     if max_dup_gram_frac is not None:
         d = _cut(d)
         ok = repetition_stats(d).filter(
@@ -478,6 +492,7 @@ def curate_and_prepare(
         )
         d = d.join(ok.select("doc_id"), "doc_id")
         dirty = True
+        _acct("repetition")
     if benchmark is not None:
         d = _cut(d)
         bad = (
@@ -488,6 +503,7 @@ def curate_and_prepare(
         )
         d = d.join(bad, "doc_id", "left_anti")
         dirty = True
+        _acct("decontam_ngram")
     if benchmark_near is not None:
         from .curation import minhash_contamination
 
@@ -501,6 +517,7 @@ def curate_and_prepare(
         )
         d = d.join(bad, "doc_id", "left_anti")
         dirty = True
+        _acct("decontam_fuzzy")
     if benchmark_emb is not None:
         from .curation import semantic_contamination
 
@@ -510,16 +527,19 @@ def curate_and_prepare(
         ).select(F.col("vec_id").alias("doc_id"))
         d = d.join(bad, "doc_id", "left_anti")
         dirty = True
+        _acct("decontam_semantic")
     if strip_boilerplate_min_docs is not None:
         from .dedup import strip_boilerplate_lines
 
         d = strip_boilerplate_lines(_cut(d), min_docs=strip_boilerplate_min_docs)
         dirty = True
+        _acct("boilerplate")
     if strip_dup_spans_k is not None:
         from .dedup import strip_duplicate_spans
 
         d = strip_duplicate_spans(_cut(d), k=strip_dup_spans_k)
         dirty = True
+        _acct("dup_spans")
     if classifier_weights is not None and quality_top_frac is None:
         from .text import classifier_score
 
@@ -529,6 +549,7 @@ def curate_and_prepare(
         ).filter(F.col("score") >= classifier_floor)
         d = d.join(keep.select("doc_id"), "doc_id")
         dirty = True
+        _acct("classifier_floor")
     if quality_top_frac is not None:
         from .curation import quality_top_fraction
         from .text import classifier_score
@@ -547,6 +568,7 @@ def curate_and_prepare(
         )
         d = d.join(selected.select("doc_id"), "doc_id")
         dirty = True
+        _acct("quality_top_frac")
     if ppl_max is not None or ppl_min is not None:
         from .lm import lm_score
 
@@ -558,6 +580,7 @@ def curate_and_prepare(
             keep = keep.filter(F.col("ppl") >= ppl_min)
         d = d.join(keep.select("doc_id"), "doc_id")
         dirty = True
+        _acct("perplexity")
     if dsir_target is not None:
         from .dsir import dsir_sample
 
@@ -569,6 +592,7 @@ def curate_and_prepare(
         )
         d = d.join(picked.select("doc_id"), "doc_id")
         dirty = True
+        _acct("dsir")
     if cluster_alpha is not None:
         from .clustering import cluster_balanced_sample, kmeans_topics
 
@@ -594,6 +618,7 @@ def curate_and_prepare(
             )
             d = d.join(kept.unionByName(unlabeled), "doc_id")
             dirty = True
+            _acct("cluster_rebalance")
     if semantic_threshold is not None:
         from .similarity import semantic_dedup
 
@@ -614,9 +639,11 @@ def curate_and_prepare(
         )
         d = d.join(dupes, "doc_id", "left_anti")
         dirty = True
+        _acct("semantic_dedup")
     if redact:
         d = redact_pii(d, with_counts=False)
         dirty = True
+        _acct("redact")
     if dirty:
         # Final cut before the manifest pipeline: it runs SEVERAL actions
         # (dedup, canonicalization, packing each materialize), and each
@@ -629,7 +656,100 @@ def curate_and_prepare(
         from .validation import expect
 
         expect(d, expectations)
-    return prepare_training_corpus(spark, sf_dir, docs=d, **prepare_kwargs)
+    _acct("curated")
+    return d
+
+
+#: keyword arguments consumed by the curation front-end — everything
+#: else a composer receives flows through to the packing/export tail
+_CURATE_ARGS = (
+    "accounting", "benchmark", "contamination_frac", "contamination_n",
+    "benchmark_near", "near_dup_threshold", "benchmark_emb",
+    "semantic_contamination_threshold", "max_dup_gram_frac", "mix_rates",
+    "html", "cjk_fallback", "c4_lines", "redact",
+    "strip_boilerplate_min_docs", "strip_dup_spans_k", "expectations",
+    "classifier_weights", "classifier_floor", "classifier_bias",
+    "quality_top_frac", "ppl_max", "ppl_min", "lm_model",
+    "dsir_target", "dsir_k", "dsir_m", "dsir_seed",
+    "cluster_alpha", "cluster_k", "semantic_threshold", "docs",
+)
+
+
+def _split_curate_kwargs(kwargs):
+    front = {k: kwargs.pop(k) for k in list(kwargs) if k in _CURATE_ARGS}
+    return front, kwargs
+
+
+def curate_and_prepare(spark, sf_dir: str, **kwargs) -> DataFrame:
+    """:func:`curate_documents` chained onto
+    ``prepare_training_corpus`` — curation front-end keywords are
+    consumed here (see ``_CURATE_ARGS``); everything else (context_len,
+    quality_floor, hash_fn, ...) flows to the packing tail.  Returns the
+    packed/split frame; behavior identical to the pre-split monolith."""
+    front, rest = _split_curate_kwargs(kwargs)
+    d = curate_documents(spark, sf_dir, **front)
+    return prepare_training_corpus(spark, sf_dir, docs=d, **rest)
+
+
+def crawl_to_shards(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    total_tokens: int,
+    epoch: int = 1,
+    context_len: int = 2048,
+    n_shards: int = 8,
+    alpha=(1, 2),
+    hash_fn: str = "xxhash64",
+    **kwargs,
+) -> DataFrame:
+    """Crawl to training shards in ONE call — the complete product
+    composition, every stage of which is individually oracle- or
+    pytest-verified:
+
+        curate_documents (c4 lines → signals/filters → classifier
+        percentile → decontamination ×3 → dedup chain → ...)
+        → per-domain token totals → integer temperature budgets (α)
+        → token_budget_mixture (hash-order greedy fill)
+        → training_manifest + write_training_shards (one sorted file
+          per shard, loader-ready)
+
+    Returns ``(selected, budgets)``: the SELECTED frame (key, domain,
+    n_tokens, tok_before) the shards were written from, and the exact
+    integer per-domain token budgets — together the audit that makes the
+    export checkable row by row.  Pass ``accounting=[]`` to receive the
+    per-stage document counts (the reconciliation audit: counts are
+    non-increasing and the last entry is the selected count).
+
+    Scale: the curation stages are the documented narrow/broadcast
+    shapes; the selection adds one hash-partition shuffle; the export
+    adds the one per-shard shuffle the write needs anyway."""
+    from ..sources.sinks import write_training_shards
+    from .packing import ws_token_count
+    from .selection import integer_power_budgets, token_budget_mixture
+
+    front, rest = _split_curate_kwargs(kwargs)
+    if rest:
+        raise TypeError(f"unknown arguments: {sorted(rest)}")
+    d = curate_documents(spark, sf_dir, **front).localCheckpoint()
+    totals = {
+        r["source"]: r["t"]
+        for r in d.groupBy("source")
+        .agg(F.sum(ws_token_count()).alias("t"))
+        .collect()
+        if r["source"] is not None
+    }
+    num, den = alpha
+    budgets = integer_power_budgets(totals, total_tokens, num, den)
+    sel = token_budget_mixture(d, budgets, hash_fn=hash_fn).localCheckpoint()
+    write_training_shards(
+        sel, out_dir, epoch, context_len, n_shards, hash_fn=hash_fn
+    )
+    acct = front.get("accounting")
+    if acct is not None:
+        acct.append(("selected", sel.count()))
+    return sel, budgets
 
 
 def web_corpus_from_crawl(

@@ -33,10 +33,28 @@ from .bpe import (
     BPE_ENC_MOD,
     BPE_ENC_REM,
     BPE_MERGES,
+    PRETOKEN_PATTERN,
     encode_bpe,
+    pretokens,
     sql_bpe_ctes,
     sql_bpe_encode_cte,
     train_bpe,
+)
+
+# op='pretok' configuration: the GPT-2-style pretokenizer pinned
+# cross-engine (the pattern literal is Java-regex/RE2 class-identical —
+# bpe.PRETOKEN_PATTERN) over every doc_id % 23 == 9 document: pretoken
+# count + md5 of the chr(30)-joined pretoken stream.
+PRETOK_MOD, PRETOK_REM = 23, 9
+_PRETOK_ARM = (
+    "SELECT 'pretok', doc_id,\n"
+    "       CAST(len(regexp_extract_all(lower(text), "
+    "'" + PRETOKEN_PATTERN.replace("'", "''") + "')) AS INTEGER),\n"
+    "       NULL, NULL, NULL, NULL,\n"
+    "       md5(array_to_string(regexp_extract_all(lower(text), "
+    "'" + PRETOKEN_PATTERN.replace("'", "''") + "'), chr(30))),\n"
+    "       NULL, NULL\n"
+    "    FROM documents WHERE doc_id % " + str(23) + " = " + str(9)
 )
 
 SHARD_SIZE = 10_000  # docs per prefix-sum shard; #shards = corpus/10k
@@ -303,6 +321,8 @@ _EPOCH_HASH_SQL = (
     SELECT 'chunk', doc_id, n_chunk_tokens, chunk_start, chunk_id,
            NULL, NULL, chunk_md5, NULL, NULL
     FROM ({_CHUNK_SQL})
+    UNION ALL
+    {_PRETOK_ARM}
     ORDER BY op, doc_id, chunk_first NULLS FIRST
     """.replace("{shards}", str(EPOCH_SHARDS))
     .replace("{bpe_ctes}", sql_bpe_ctes())
@@ -388,6 +408,24 @@ def packing_ops(spark, sf_dir):
             {
                 "op": F.lit("bpe_e"), "doc_id": "doc_id",
                 "split": "enc_md5", "n_tokens": "n_bpe_tokens",
+            },
+        ),
+        (
+            d.filter(F.col("doc_id") % PRETOK_MOD == PRETOK_REM)
+            .select(
+                "doc_id",
+                pretokens(F.col("text"), True, "gpt2").alias("__p"),
+            )
+            .select(
+                "doc_id",
+                F.size("__p").cast("int").alias("n_pretok"),
+                F.md5(
+                    F.array_join("__p", "\x1e").cast("binary")
+                ).alias("pretok_md5"),
+            ),
+            {
+                "op": F.lit("pretok"), "doc_id": "doc_id",
+                "n_tokens": "n_pretok", "split": "pretok_md5",
             },
         ),
         (

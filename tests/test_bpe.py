@@ -245,3 +245,143 @@ def test_sql_unroll_early_stop_is_identity(spark):
     got = train_bpe(d, 8)
     assert 0 < len(got) < 8  # genuinely stops early
     assert got == _oracle_merges(texts)
+
+
+# ---------------------------------------------------------------------------
+# Round-14: GPT-2-style pretokenizer (opt-in mode="gpt2")
+# ---------------------------------------------------------------------------
+
+MULTILINGUAL = [
+    "hello world, it's 2024!",
+    "we'll don't  double  space",
+    "汉字测试 mixed ascii",
+    "tabs\tand\nnewlines",
+    "nbsp inside",
+    "num123abc 45.67",
+    "'quote 'd 'x trailing '",
+    "ends with space ",
+    "  leading",
+    "ひらがな καὶ кириллица",
+    "emoji 😀 mix",
+    "",
+]
+
+
+def test_pretokenizer_three_way_parity(spark):
+    """One pattern literal, three engines: Spark's Java regex, DuckDB's
+    RE2, and the pure-Python category scanner must pretokenize the
+    multilingual fixtures IDENTICALLY — the class-twin property the
+    op='pretok' oracle branch rests on."""
+    import duckdb
+
+    from hive_serde_schema_gen_spark.operators.bpe import (
+        PRETOKEN_PATTERN,
+        pretokenize_py,
+        pretokens,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(MULTILINGUAL)], "i long, t string"
+    )
+    got = {
+        r["i"]: list(r["p"])
+        for r in df.select(
+            "i", pretokens(F.col("t"), lowercase=False, mode="gpt2").alias("p")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(MULTILINGUAL):
+        py = pretokenize_py(s)
+        assert got[i] == py, f"spark vs scanner on {s!r}"
+        re2 = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [s, PRETOKEN_PATTERN]
+        ).fetchone()[0]
+        assert re2 == py, f"re2 vs scanner on {s!r}"
+        # lossless: pretokens concatenate back to the input
+        assert "".join(py) == s
+
+
+def _ref_train_gpt2(texts, n_merges):
+    """The reference trainer over GPT-2 pretokens (scanner-tokenized)."""
+    from hive_serde_schema_gen_spark.operators.bpe import pretokenize_py
+
+    wf = Counter()
+    for t in texts:
+        wf.update(pretokenize_py(t.lower()))
+    vocab = {tuple(list(w) + [END]): f for w, f in wf.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        cands = [(n, p) for p, n in pairs.items() if n >= 2]
+        if not cands:
+            break
+        top_n = max(n for n, _ in cands)
+        best = min(p for n, p in cands if n == top_n)
+        merges.append(best)
+        new_vocab = {}
+        for syms, f in vocab.items():
+            s, i, res = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    res.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+GPT2_TEXTS = [
+    "it's low, it's lower, it's the lowest!",
+    "we don't go lower. they don't go low...",
+    "price 100 and 1000 and 10000 now",
+    "low low low 'll we'll they'll",
+]
+
+
+def test_gpt2_mode_merges_match_reference(spark):
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GPT2_TEXTS)], "doc_id long, text string"
+    )
+    got = train_bpe(d, 10, mode="gpt2")
+    assert got == _ref_train_gpt2(GPT2_TEXTS, 10)
+    # the learned space-prefixed units only exist under gpt2 pretokens:
+    # some merge must involve a symbol containing a leading space
+    assert any(l.startswith(" ") for l, r in got)
+
+
+def test_gpt2_mode_encode_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GPT2_TEXTS)], "doc_id long, text string"
+    )
+    merges = train_bpe(d, 8, mode="gpt2")
+    enc = encode_bpe(d, merges, mode="gpt2")
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in enc.collect()}
+    for i, t in enumerate(GPT2_TEXTS):
+        toks = rows[i]
+        # tokens reassemble the pretoken stream: strip END markers and
+        # concatenate
+        joined = "".join(tok[: -len(END)] if tok.endswith(END) else tok
+                         for tok in toks)
+        assert joined == t.lower()
+    # train/encode consistency: encoding the training corpus uses the
+    # merged symbols (at least one token longer than 1 char + END)
+    assert any(
+        len(tok) > len(END) + 1 for toks in rows.values() for tok in toks
+    )
+
+
+def test_mode_rejects_unknown(spark):
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        word_frequencies(d, mode="nope")
+    with pytest.raises(ValueError):
+        encode_bpe(d, [], mode="nope")
