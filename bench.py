@@ -228,6 +228,55 @@ def _calibration_jobs(spark, sf_dir):
     return {"jvm": jvm, "scan": scan, "shuffle": shuffle, "arrow": arrow}
 
 
+def _measure_shuffle_shares(spark, queries, sf_dir):
+    """Per-headline shuffle-time share from the UI REST task metrics —
+    the round-14 blended-normalization input (VERDICT r13 #6): one
+    untimed tagged pass per query, then
+    share = (shuffle write time + fetch wait) / executor run time over
+    the query's stages.  Requires SPARK_GRAFT_UI=1 (the session factory
+    keeps the UI off otherwise); returns {} when unavailable — the
+    blend then falls back to the plain regime factor."""
+    import urllib.request
+
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return {}
+
+    def rest(path):
+        url = f"{base}/api/v1/applications/{sc.applicationId}{path}"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.load(r)
+
+    shares = {}
+    for name in HEADLINE:
+        group = f"shufshare-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            queries[name](spark, sf_dir).collect()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.catalog.clearCache()
+        try:
+            jobs = rest("/jobs")
+            stage_ids = {
+                sid
+                for j in jobs
+                if j.get("jobGroup") == group
+                for sid in j.get("stageIds", [])
+            }
+            run_ms, shuf_ms = 0.0, 0.0
+            for sid in stage_ids:
+                for st in rest(f"/stages/{sid}"):
+                    run_ms += st.get("executorRunTime", 0)
+                    shuf_ms += st.get("shuffleWriteTime", 0) / 1e6
+                    shuf_ms += st.get("shuffleFetchWaitTime", 0)
+            shares[name] = round(shuf_ms / run_ms, 4) if run_ms else 0.0
+        except Exception:
+            return {}  # partial shares would skew the blend asymmetrically
+    return shares
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from hive_serde_schema_gen_spark.registry import all_queries
@@ -319,9 +368,19 @@ def main() -> None:
         for name in HEADLINE:
             queries[name](spark, sf_dir).collect()
             spark.catalog.clearCache()
+    # Round 14: shuffle-share blend (one untimed tagged pass; {} unless
+    # SPARK_GRAFT_UI=1).  Queries whose shuffle share is s normalize by
+    # s·shuffle_factor + (1−s)·regime_factor — the r13e/f residual was
+    # shuffle-regime host drift the pure-jvm factor cannot absorb.
+    shuffle_shares = (
+        _measure_shuffle_shares(spark, queries, sf_dir)
+        if os.environ.get("SPARK_GRAFT_COLD", "0") != "1"
+        else {}
+    )
     timings = {}
     norm_timings = {}
     regime_norm_timings = {}
+    blend_norm_timings = {}
     raw_sweeps = []  # per-sweep raw query seconds (diagnosis/fitting)
     cal_timings = {}
     cal_results = {}
@@ -387,6 +446,16 @@ def main() -> None:
             regime_norm_timings.setdefault(name, []).append(
                 dt / sweep_regime_factors[QUERY_REGIME[name]]
             )
+            # blended factor: shuffle share from the UI metrics pass,
+            # remainder at the query's own regime factor
+            s = shuffle_shares.get(name)
+            bf = (
+                sweep_regime_factors[QUERY_REGIME[name]]
+                if s is None
+                else s * sweep_regime_factors["shuffle"]
+                + (1 - s) * sweep_regime_factors[QUERY_REGIME[name]]
+            )
+            blend_norm_timings.setdefault(name, []).append(dt / bf)
         raw_sweeps.append(sweep_raw)
     timings = {name: round(dt, 3) for name, dt in timings.items()}
     cal_timings = {name: round(dt, 3) for name, dt in cal_timings.items()}
@@ -407,6 +476,10 @@ def main() -> None:
     queries_norm_regime = {
         name: round(statistics.median(vals), 3)
         for name, vals in regime_norm_timings.items()
+    }
+    queries_norm_blend = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in blend_norm_timings.items()
     }
 
     print(
@@ -438,6 +511,15 @@ def main() -> None:
                 ),
                 "queries_norm_regime": queries_norm_regime,
                 "query_regimes": QUERY_REGIME,
+                # round 14 (diagnostic series): shuffle-share blended
+                # normalization — populated only when SPARK_GRAFT_UI=1
+                # measured the shares; equals queries_norm_regime when
+                # shares were unavailable
+                "shuffle_shares": shuffle_shares,
+                "value_norm_blend": round(
+                    sum(queries_norm_blend.values()), 3
+                ),
+                "queries_norm_blend": queries_norm_blend,
                 # raw per-sweep readings: lets any later analysis re-fit
                 # regime tags or re-derive any estimator offline
                 "queries_raw_per_sweep": raw_sweeps,

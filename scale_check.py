@@ -200,6 +200,84 @@ def build_sf10() -> None:
         )
 
 
+def _qsel_probe(s, d):
+    """Per-source top-30% selection over a synthetic hash score — the
+    two-pass histogram threshold evaluated per row (the groupBy inside
+    quality_top_fraction cannot fold the score away)."""
+    from pyspark.sql import functions as F
+
+    from hive_serde_schema_gen_spark.operators.selection import (
+        quality_top_fraction,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    docs = load_table(s, d, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000)) / 1_000_000.0
+        ).alias("score_cal"),
+    )
+    sel, _report = quality_top_fraction(scored, 3, 10)
+    return sel.filter("qs >= 0")
+
+
+def _tokmix_probe(s, d):
+    """Token-budget fill + training manifest over the real corpus —
+    bounded collect for the per-source totals (one row per source), then
+    the distributed prefix sum and the manifest's per-shard layout."""
+    from pyspark.sql import functions as F
+
+    from hive_serde_schema_gen_spark.operators.packing import (
+        training_manifest,
+        ws_token_count,
+    )
+    from hive_serde_schema_gen_spark.operators.selection import (
+        integer_temperature_budgets,
+        token_budget_mixture,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    docs = load_table(s, d, "documents")
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(ws_token_count()).alias("t"))
+        .collect()
+    }
+    # budget scales with the corpus so the fill stays a constant fraction
+    budgets = integer_temperature_budgets(
+        totals, sum(totals.values()) // 3
+    )
+    from pyspark.sql import functions as FF
+
+    sel = token_budget_mixture(docs, budgets)
+    m = training_manifest(sel, epoch=5, context_len=64, n_shards=64)
+    return m.filter(
+        (FF.col("offset") >= 0) & (FF.col("chunk_last") >= -1)
+    )
+
+
+def _fuzzy_probe(s, d):
+    """Fuzzy decontamination against a FIXED 20-item benchmark (eval
+    sets don't grow with the crawl): banded candidates + exact verify —
+    the corpus side must stay linear while the broadcast side is
+    constant."""
+    from hive_serde_schema_gen_spark.operators.contamination import (
+        minhash_contamination,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    docs = load_table(s, d, "documents")
+    bench = docs.filter("doc_id < 20").selectExpr(
+        "doc_id AS bench_id", "text"
+    )
+    return minhash_contamination(docs, bench, hash_fn="xxhash64").filter(
+        "jaccard >= 0"
+    )
+
+
 def run_sf10() -> None:
     """Measure the five steepest sf1 growers once at sf0.1 and once at
     sf10 (same session, best-of-2 per point, bench-style warmup) and
@@ -247,6 +325,13 @@ def run_sf10() -> None:
         "dedup_minhash_lsh_xxhash64": lambda s, d: minhash_lsh_pairs(
             s, d, hash_fn="xxhash64", sort=False
         ).filter("jaccard >= 0"),
+        # round-14 selection tail (VERDICT r13 ask #4): second decade for
+        # the three operators measured only to sf1x so far.  Scores /
+        # budgets are computed columns forced through aggregates or
+        # filters Catalyst cannot fold.
+        "quality_top_fraction": lambda s, d: _qsel_probe(s, d),
+        "token_budget_manifest": lambda s, d: _tokmix_probe(s, d),
+        "minhash_contamination": lambda s, d: _fuzzy_probe(s, d),
     }
     points = [
         ("sf0.1", os.path.join(TESTDATA, "sf0.1"), 1.0),
