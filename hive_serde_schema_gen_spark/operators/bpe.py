@@ -329,6 +329,51 @@ def encode_bpe(
     return docs.mapInPandas(enc, schema_out)
 
 
+def fertility_report(
+    docs: DataFrame,
+    merges: list,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lowercase: bool = True,
+    mode: str = "whitespace",
+) -> DataFrame:
+    """Per-domain tokenizer-FIT report under a trained merge list — the
+    diagnostic a pretraining team reads before committing to a
+    tokenizer: ``(domain, n_docs, ws_tokens, bpe_tokens, n_bytes,
+    fertility, bytes_per_token)`` where fertility = BPE tokens per
+    whitespace word (high fertility = the vocabulary fragments this
+    domain — usually an under-represented language/script) and
+    bytes_per_token is the compression the context window actually
+    gets.  One Arrow encode pass + one map-side-combined aggregate;
+    the ratios are exact quotients of the pinned integer sums."""
+    enc = encode_bpe(
+        docs, merges, text_col=text_col, lowercase=lowercase, mode=mode
+    )
+    ws = F.coalesce(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ),
+        F.lit(0),
+    )
+    per = enc.select(
+        F.col(domain_col).alias("domain"),
+        ws.cast("long").alias("__w"),
+        F.size("bpe_tokens").cast("long").alias("__b"),
+        F.octet_length(F.col(text_col)).cast("long").alias("__y"),
+    )
+    return per.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("ws_tokens"),
+        F.sum("__b").alias("bpe_tokens"),
+        F.sum("__y").alias("n_bytes"),
+        (F.sum("__b") / F.sum("__w")).alias("fertility"),
+        (F.sum("__y") / F.sum("__b")).alias("bytes_per_token"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle configuration (the packing_ops op='bpe_m'/'bpe_e' branches)
 # ---------------------------------------------------------------------------

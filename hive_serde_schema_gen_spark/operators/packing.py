@@ -35,6 +35,7 @@ from .bpe import (
     BPE_MERGES,
     PRETOKEN_PATTERN,
     encode_bpe,
+    fertility_report,
     pretokens,
     sql_bpe_ctes,
     sql_bpe_encode_cte,
@@ -313,17 +314,37 @@ _EPOCH_HASH_SQL = (
            l || '|' || r, NULL, NULL
     FROM (WITH {{bpe_ctes}} SELECT rank, l, r FROM bpem)
     UNION ALL
-    SELECT 'bpe_e', doc_id, n_bpe_tokens, NULL, NULL, NULL, NULL,
-           enc_md5, NULL, NULL
-    FROM (WITH {{bpe_ctes}},
-    {{bpe_enc}} SELECT doc_id, enc_md5, n_bpe_tokens FROM bpee)
+    SELECT * FROM (WITH {{bpe_ctes}},
+    {{bpe_enc}},
+    bpefert AS (
+      SELECT d2.source AS src,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(COALESCE(len(list_filter(
+                 string_split_regex(TRIM(d2.text), '\\s+'),
+                 t -> t <> '')), 0)) AS BIGINT) AS ws_toks,
+             CAST(SUM(e.n_bpe_tokens) AS INTEGER) AS bpe_toks,
+             CAST(SUM(octet_length(encode(d2.text))) AS BIGINT) AS n_bytes
+      FROM bpee e JOIN documents d2 USING (doc_id)
+      GROUP BY d2.source)
+    SELECT 'bpe_e' AS op, doc_id, n_bpe_tokens AS n_tokens,
+           CAST(NULL AS BIGINT) AS "offset",
+           CAST(NULL AS BIGINT) AS chunk_first,
+           CAST(NULL AS BIGINT) AS chunk_last,
+           CAST(NULL AS INTEGER) AS n_chunks, enc_md5 AS split,
+           CAST(NULL AS BIGINT) AS order_hash, CAST(NULL AS INTEGER) AS shard
+    FROM bpee
+    UNION ALL
+    SELECT 'fert', n_docs, bpe_toks, ws_toks, n_bytes,
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), src,
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+    FROM bpefert)
     UNION ALL
     SELECT 'chunk', doc_id, n_chunk_tokens, chunk_start, chunk_id,
            NULL, NULL, chunk_md5, NULL, NULL
     FROM ({_CHUNK_SQL})
     UNION ALL
     {_PRETOK_ARM}
-    ORDER BY op, doc_id, chunk_first NULLS FIRST
+    ORDER BY op, doc_id, chunk_first NULLS FIRST, split NULLS FIRST
     """.replace("{shards}", str(EPOCH_SHARDS))
     .replace("{bpe_ctes}", sql_bpe_ctes())
     .replace("{bpe_enc}", sql_bpe_encode_cte()),
@@ -355,7 +376,17 @@ def packing_ops(spark, sf_dir):
     (chunk_tokens={ct}, overlap={co}) over the doc_id % {cm} == 0 slice:
     chunk ids, starts, short-last-chunk token counts, and the chunk
     text's md5 (see `CHUNK_T` for the Spark-slice ↔ DuckDB list_slice
-    index mapping)."""
+    index mapping).
+
+    Round-14 continuation: op='pretok' pins the GPT-2-style pretokenizer
+    (`bpe.PRETOKEN_PATTERN` — one lookahead-free pattern literal,
+    class-identical under Java regex and RE2; pure-Python scanner parity
+    in tests/test_bpe.py) over its doc slice: pretoken count + md5 of
+    the chr(30)-joined stream.  op='fert' pins `bpe.fertility_report`
+    over the encode slice — per-source doc / whitespace-token /
+    BPE-token / byte sums under the trained merges (the fertility and
+    bytes-per-token ratios are exact quotients of these pinned
+    integers), re-derived in SQL from the same unrolled encode."""
     from ..functions.union import pad_union
 
     schema = [
@@ -411,6 +442,20 @@ def packing_ops(spark, sf_dir):
             },
         ),
         (
+            fertility_report(
+                d.filter(F.col("doc_id") % BPE_ENC_MOD == BPE_ENC_REM),
+                merges,
+            ),
+            # carriers: split = domain, doc_id = n_docs, n_tokens = BPE
+            # tokens, offset = whitespace tokens, chunk_first = bytes
+            # (fertility / bytes-per-token are exact quotients of these)
+            {
+                "op": F.lit("fert"), "doc_id": "n_docs",
+                "n_tokens": "bpe_tokens", "offset": "ws_tokens",
+                "chunk_first": "n_bytes", "split": "domain",
+            },
+        ),
+        (
             d.filter(F.col("doc_id") % PRETOK_MOD == PRETOK_REM)
             .select(
                 "doc_id",
@@ -446,7 +491,10 @@ def packing_ops(spark, sf_dir):
                 "chunk_first": "chunk_id", "split": "chunk_md5",
             },
         ),
-    ).orderBy("op", "doc_id", F.col("chunk_first").asc_nulls_first())
+    ).orderBy(
+        "op", "doc_id", F.col("chunk_first").asc_nulls_first(),
+        F.col("split").asc_nulls_first(),
+    )
 
 
 packing_ops.__doc__ = packing_ops.__doc__ and packing_ops.__doc__.format(

@@ -385,3 +385,27 @@ def test_mode_rejects_unknown(spark):
         word_frequencies(d, mode="nope")
     with pytest.raises(ValueError):
         encode_bpe(d, [], mode="nope")
+
+
+def test_fertility_report(spark):
+    from hive_serde_schema_gen_spark.operators.bpe import fertility_report
+
+    d = spark.createDataFrame(
+        [
+            (1, "low low lower", "a"),
+            (2, "low newest", "a"),
+            (3, "wide wider", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    merges = train_bpe(d, 4)
+    rows = {r["domain"]: r for r in fertility_report(d, merges).collect()}
+    assert set(rows) == {"a", "b"}
+    a = rows["a"]
+    assert a["n_docs"] == 2 and a["ws_tokens"] == 5
+    assert a["n_bytes"] == len("low low lower") + len("low newest")
+    # exact quotients of the pinned integers
+    assert a["fertility"] == a["bpe_tokens"] / a["ws_tokens"]
+    assert a["bytes_per_token"] == a["n_bytes"] / a["bpe_tokens"]
+    # merged symbols compress: fewer BPE tokens than characters
+    assert a["bpe_tokens"] < a["n_bytes"]
