@@ -31,14 +31,21 @@ END = "</w>"  # end-of-word marker (standard: lets merges learn suffixes)
 #: GPT-2-style pretokenizer, LOOKAHEAD-FREE by design so one pattern
 #: literal runs identically under Java regex (Spark), RE2 (DuckDB), and
 #: the pure-Python category scanner in tests — \p{L}/\p{N} are Unicode
-#: properties in all three, and Java's default \s equals RE2's
-#: ([ \t\n\x0B\f\r]).  Deviation from the published GPT-2 pattern: the
-#: original's trailing `\s+(?!\S)` lookahead (RE2 has no lookahead) is
-#: dropped, so a MULTI-space run stays one whitespace token instead of
-#: donating its last space to the next word — single-space text (the
-#: overwhelming case post-normalization) pretokenizes identically.
+#: properties in all three, and whitespace is an EXPLICIT class
+#: [ \t\n\x0B\f\r] rather than \s: Java's default \s includes \x0B
+#: (vertical tab) but RE2's does NOT, so a bare \s would silently
+#: diverge on VT-containing crawl text (review r14).  Deviation from the
+#: published GPT-2 pattern: the original's trailing `\s+(?!\S)` lookahead
+#: (RE2 has no lookahead) is dropped, so a MULTI-space run stays one
+#: whitespace token instead of donating its last space to the next word
+#: — single-space text (the overwhelming case post-normalization)
+#: pretokenizes identically.
+_WS_CLASS = r" \t\n\x0B\f\r"
 PRETOKEN_PATTERN = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+"
+    r"| ?[^" + _WS_CLASS + r"\p{L}\p{N}]+"
+    r"|[" + _WS_CLASS + r"]+"
 )
 
 _MODES = ("whitespace", "gpt2")

@@ -660,18 +660,16 @@ def curate_documents(
     return d
 
 
-#: keyword arguments consumed by the curation front-end — everything
-#: else a composer receives flows through to the packing/export tail
-_CURATE_ARGS = (
-    "accounting", "benchmark", "contamination_frac", "contamination_n",
-    "benchmark_near", "near_dup_threshold", "benchmark_emb",
-    "semantic_contamination_threshold", "max_dup_gram_frac", "mix_rates",
-    "html", "cjk_fallback", "c4_lines", "redact",
-    "strip_boilerplate_min_docs", "strip_dup_spans_k", "expectations",
-    "classifier_weights", "classifier_floor", "classifier_bias",
-    "quality_top_frac", "ppl_max", "ppl_min", "lm_model",
-    "dsir_target", "dsir_k", "dsir_m", "dsir_seed",
-    "cluster_alpha", "cluster_k", "semantic_threshold", "docs",
+#: keyword arguments consumed by the curation front-end — derived from
+#: curate_documents' own signature so the router CANNOT drift when a
+#: stage is added (review r14); everything else a composer receives
+#: flows through to the packing/export tail
+import inspect as _inspect
+
+_CURATE_ARGS = tuple(
+    n
+    for n in _inspect.signature(curate_documents).parameters
+    if n not in ("spark", "sf_dir")
 )
 
 
@@ -703,7 +701,7 @@ def crawl_to_shards(
     alpha=(1, 2),
     hash_fn: str = "xxhash64",
     **kwargs,
-) -> DataFrame:
+) -> tuple:
     """Crawl to training shards in ONE call — the complete product
     composition, every stage of which is individually oracle- or
     pytest-verified:

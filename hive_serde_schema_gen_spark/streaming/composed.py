@@ -82,7 +82,11 @@ def process_curated_ingest_batch(
         novel, epoch_id, checks, good_path, quarantine_path,
         gate_report_path, row_predicate=row_predicate,
     )
-    batch_ok = bool(results) and all(r["passed"] for r in results)
+    # all([]) = True matches quality_gate's OWN rule: checks=[] means
+    # predicate-only routing, the gate wrote ok_rows to good_path, and
+    # the extend must follow (review r14 — bool(results) and ... left
+    # accepted rows out of the index, re-admitting later re-deliveries)
+    batch_ok = all(r["passed"] for r in results)
     if not batch_ok:
         return  # quarantined: nothing accepted, nothing indexed
     accepted = (

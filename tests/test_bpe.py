@@ -263,6 +263,7 @@ MULTILINGUAL = [
     "  leading",
     "ひらがな καὶ кириллица",
     "emoji 😀 mix",
+    "vertical\x0btab and\x0b mix",  # VT: Java \s has it, RE2's does not
     "",
 ]
 

@@ -278,3 +278,30 @@ def test_real_stream_drive_with_kill_between_epochs(spark, dirs, model):
     assert sigs == [1, 101, 103, 201, 301, 303]
     assert {e for e, _, _ in drift} == {e for e, _, _ in gate}
     assert len({e for e, _, _ in drift}) == 3
+
+
+def test_empty_checks_predicate_only_still_extends_index(
+    spark, dirs, model
+):
+    """checks=[] (predicate-only routing) means the gate accepts by
+    definition — accepted rows MUST still extend the index (review r14:
+    an empty results list was mistaken for a failed batch, leaving
+    accepted docs unindexed and re-admittable)."""
+    _seed_index(spark, dirs)
+    kw = _kw(dirs, model)
+    kw["checks"] = []
+    process_curated_ingest_batch(_batch(spark, EPOCHS[0]), 0, **kw)
+    sigs = sorted(
+        {r["doc_id"] for r in
+         spark.read.parquet(f"{dirs['index']}/sigs").collect()}
+    )
+    assert sigs == [1, 101, 103]
+    # the re-sent content in a later epoch now probes as a duplicate
+    process_curated_ingest_batch(_batch(spark, EPOCHS[1]), 1, **kw)
+    good = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", dirs["good"])
+        .parquet(f"{dirs['good']}/epoch=*")
+        .collect()
+    }
+    assert good == {101, 103, 201}  # 202 (re-send of 103's text) rejected
