@@ -358,9 +358,15 @@ def image_hashes(df, id_col: str = "img_id"):
                 }
             )
 
+    # the id column's type follows the input schema (the
+    # compression_signals lesson: hardcoding `long` corrupts string ids)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, "payload").mapInPandas(
         run,
-        schema=f"{id_col} long, width int, height int, dhash long, ahash long",
+        schema=(
+            f"{id_col} {id_type}, width int, height int,"
+            " dhash long, ahash long"
+        ),
     )
 
 

@@ -164,3 +164,14 @@ def test_phash_dedup_matches_brute_force(hashed):
         for r in phash_dedup(hashed).collect()
     }
     assert got == expect
+
+
+def test_image_hashes_string_id(spark):
+    # id schema follows the input (the compression_signals lesson)
+    d = spark.createDataFrame(
+        [("a", _bmp_encode(1, b"some pixels here")),
+         ("b", _bmp_encode(2, b"other pixels there"))],
+        "img_id string, payload binary",
+    )
+    rows = {r["img_id"]: r["dhash"] for r in image_hashes(d).collect()}
+    assert set(rows) == {"a", "b"}
