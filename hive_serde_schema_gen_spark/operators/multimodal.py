@@ -745,6 +745,15 @@ def _phash_sql_ctes() -> str:
              bit_count(xor(a.dhash, b.dhash)) AS dist
       FROM phhash a JOIN phhash b ON a.img_id < b.img_id
       WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_RADIUS}),
+    phidx AS (
+      SELECT b.img_id AS vid, a.img_id AS mid,
+             bit_count(xor(a.dhash, b.dhash)) AS dist
+      FROM phhash a JOIN phhash b
+        ON a.img_id < {PHASH_UP_OFFSET} AND b.img_id >= {PHASH_UP_OFFSET}
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_RADIUS}),
+    phnovel AS (
+      SELECT img_id FROM phhash WHERE img_id >= {PHASH_UP_OFFSET}
+        AND img_id NOT IN (SELECT vid FROM phidx)),
     phrep AS (
       SELECT dhash, MIN(img_id) AS rep FROM phhash GROUP BY dhash),
     phpded AS (
@@ -863,6 +872,16 @@ def resize_checksums(df):
            CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
            dup_of AS checksum
     FROM phpded
+    UNION ALL
+    SELECT 'pprobe' AS op, vid AS doc_id, CAST(dist AS INTEGER) AS idx,
+           CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+           mid AS checksum
+    FROM phidx
+    UNION ALL
+    SELECT 'pnovel' AS op, img_id AS doc_id, CAST(0 AS INTEGER) AS idx,
+           CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+           CAST(NULL AS BIGINT) AS checksum
+    FROM phnovel
     ORDER BY op, doc_id, idx, checksum
     """,
 )
@@ -893,6 +912,12 @@ def multimodal_resize_frames(spark, sf_dir):
       shape that survives a million-copy logo) then min-partner
       attribution among representatives; every (img, dup_of, dist)
       re-derived in SQL.
+    - ``pprobe`` / ``pnovel`` rows: the PERSISTED index lifecycle
+      (``operators/phash_index.py``) — build on the even base ids,
+      extend with the odd half, probe with the variants; exact recall
+      at the default radius makes the oracle's brute-force base×variant
+      pair set the probe's exact contract, so a dropped extend batch,
+      wrong banding, or broken popcount verify all fail the hash.
 
     The oracle recomputes both checksums from the document text with
     independent index arithmetic (resize: src = tgt·dim // target; frames:
@@ -950,9 +975,54 @@ def multimodal_resize_frames(spark, sf_dir):
         F.lit(0).alias("height"),
         F.col("dup_of").alias("checksum"),
     )
+    # op='pprobe'/'pnovel': the PERSISTED index lifecycle
+    # (operators/phash_index.py) driven at query time — build on the
+    # even base ids, EXTEND with the odd half (a dropped extend batch
+    # breaks the hash), probe with the planted variants.  Exact recall
+    # at the default radius means the oracle's brute-force base×variant
+    # pair set IS the probe's contract.  The temp index lives only
+    # inside with_slot_scratch (round-13 hygiene).
+    from .phash_index import (
+        build_phash_index,
+        extend_phash_index,
+        novel_images,
+        phash_against_index,
+    )
+    from .scratch import with_slot_scratch
+
+    base = hashed.filter(F.col("img_id") < PHASH_UP_OFFSET)
+    variants = hashed.filter(F.col("img_id") >= PHASH_UP_OFFSET)
+
+    def _idx_build(path):
+        build_phash_index(
+            base.filter(F.col("img_id") % 2 == 0), path, n_files=4
+        )
+        extend_phash_index(
+            base.filter(F.col("img_id") % 2 == 1), path, epoch=7
+        )
+        m = phash_against_index(variants, path)
+        return m, novel_images(variants, m).select("img_id")
+
+    matches, novel = with_slot_scratch("ph-idx-slot-", _idx_build)
+    pprobe = matches.select(
+        F.lit("pprobe").alias("op"),
+        F.col("img_id").alias("doc_id"),
+        F.col("dist").cast("int").alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("matched_img_id").alias("checksum"),
+    )
+    pnovel = novel.select(
+        F.lit("pnovel").alias("op"),
+        F.col("img_id").alias("doc_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(None).cast("long").alias("checksum"),
+    )
     return (
         rs.unionAll(fr).unionAll(dh).unionAll(ah).unionAll(pdup)
-        .unionAll(pded)
+        .unionAll(pded).unionAll(pprobe).unionAll(pnovel)
         .orderBy("op", "doc_id", "idx", "checksum")
     )
 
