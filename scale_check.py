@@ -785,6 +785,15 @@ def _index_lifecycle(spark) -> dict:
         dedup_against_index,
         extend_minhash_index,
     )
+    from hive_serde_schema_gen_spark.operators.multimodal import (
+        image_hashes,
+        with_bmp_payload,
+    )
+    from hive_serde_schema_gen_spark.operators.phash_index import (
+        build_phash_index,
+        extend_phash_index,
+        phash_against_index,
+    )
     from hive_serde_schema_gen_spark.operators.similarity import (
         ann_topk_ivf_persisted,
         persist_ivf_index,
@@ -799,6 +808,7 @@ def _index_lifecycle(spark) -> dict:
     text_rows: dict = {}
     ivf_rows: dict = {}
     mh_rows: dict = {}
+    ph_rows: dict = {}
     root = tempfile.mkdtemp(prefix="scale_index_")
     try:
         for label, path, n_docs in POINTS:
@@ -892,6 +902,47 @@ def _index_lifecycle(spark) -> dict:
                 "probe_sec": round(mh_probe_s, 3),
             }
 
+            # persisted pHash image index: the image twin — build/extend
+            # per row (hash 16 bytes per image regardless of pixels),
+            # probe with a FIXED 50-image batch; same O(index bands scan)
+            # probe posture as the MinHash index.
+            imgs = image_hashes(
+                with_bmp_payload(docs).withColumnRenamed(
+                    "doc_id", "img_id"
+                )
+            ).localCheckpoint()
+            pidx = os.path.join(root, f"ph_{label}")
+            t0 = _t.monotonic()
+            build_phash_index(imgs, pidx, n_files=8)
+            ph_build_s = _t.monotonic() - t0
+            pbatch = imgs.filter(F.col("img_id") % 10 == 0).withColumn(
+                "img_id", F.col("img_id") + 100_000_000
+            )
+            pn_batch = pbatch.count()
+            t0 = _t.monotonic()
+            extend_phash_index(pbatch, pidx)
+            ph_extend_s = _t.monotonic() - t0
+            pprobe = (
+                imgs.orderBy("img_id")
+                .limit(50)
+                .withColumn("img_id", F.col("img_id") + 200_000_000)
+            ).localCheckpoint()
+            ph_probe_s = None
+            for _ in range(3):
+                t0 = _t.monotonic()
+                phash_against_index(pprobe, pidx).count()
+                dt = _t.monotonic() - t0
+                ph_probe_s = dt if ph_probe_s is None else min(ph_probe_s, dt)
+            ph_rows[label] = {
+                "imgs": n_docs,
+                "build_sec": round(ph_build_s, 3),
+                "build_us_per_img": round(ph_build_s / n_docs * 1e6, 1),
+                "extend_rows": pn_batch,
+                "extend_sec": round(ph_extend_s, 3),
+                "extend_us_per_row": round(ph_extend_s / pn_batch * 1e6, 1),
+                "probe_sec": round(ph_probe_s, 3),
+            }
+
             epath = os.path.join(path, "embeddings.parquet")
             if not os.path.exists(epath):
                 continue  # sf1x point needs --build first
@@ -931,10 +982,13 @@ def _index_lifecycle(spark) -> dict:
         ivf_rows["probe_sec_growth"] = _growth(ivf_rows, "probe_sec")
     mh_rows["per_row_build_growth"] = _growth(mh_rows, "build_us_per_doc")
     mh_rows["probe_sec_growth"] = _growth(mh_rows, "probe_sec")
+    ph_rows["per_img_build_growth"] = _growth(ph_rows, "build_us_per_img")
+    ph_rows["probe_sec_growth"] = _growth(ph_rows, "probe_sec")
     return {
         "index_text_bm25": text_rows,
         "index_ivf": ivf_rows,
         "index_minhash": mh_rows,
+        "index_phash": ph_rows,
     }
 
 
