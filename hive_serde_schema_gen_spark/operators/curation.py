@@ -44,6 +44,7 @@ from .selection import (  # noqa: F401,E402
     take_per_stratum,
     temperature_mix_rates,
     token_budget_mixture,
+    unimax_budgets,
 )
 
 

@@ -644,3 +644,65 @@ def c4_line_filter(
         (F.col("__total") - F.size("__kept")).alias("n_lines_dropped"),
     )
     return out.filter(F.col("n_lines_kept") >= min_doc_lines)
+
+
+def unimax_budgets(
+    token_totals: dict,
+    total_tokens: int,
+    max_epochs_num: int = 1,
+    max_epochs_den: int = 1,
+) -> dict:
+    """UniMax-style per-domain TOKEN budgets (public recipe: Chung et
+    al. 2023, "UniMax: Fairer and More Effective Language Sampling" —
+    the multilingual-pretraining allocation that temperature rules
+    approximate badly at the tails): distribute ``total_tokens`` as
+    UNIFORMLY as possible across domains, except no domain may exceed
+    ``max_epochs`` passes over its own data (cap
+    ``C_s = T_s · num // den`` — a rational epoch bound, so 1/1 is
+    dedup-strict single-epoch and 4/1 allows the common small-domain
+    4-epoch repeat).
+
+    Exact integer waterfilling: visit domains in ascending-cap order
+    (name tiebreak — deterministic), give each
+    ``min(cap, remaining // domains_left)``; flooring leftovers then
+    distribute one token at a time to uncapped domains in
+    descending-cap order.  Properties (pinned in tests): Σ budgets =
+    min(total, Σ caps); every budget ≤ its cap; uncapped budgets differ
+    by ≤ 1 (the fairness claim); adding tokens never shrinks any
+    domain's budget (monotone).  Driver-side pure function like
+    :func:`integer_temperature_budgets` — the output feeds
+    :func:`token_budget_mixture` (budgets ≤ T_s) or
+    :func:`materialize_mixture` epochs (budgets > T_s)."""
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    if max_epochs_num <= 0 or max_epochs_den <= 0:
+        raise ValueError("max_epochs must be a positive rational")
+    caps = {
+        s: int(t) * max_epochs_num // max_epochs_den
+        for s, t in token_totals.items()
+        if t > 0
+    }
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    budgets: dict = {}
+    remaining = int(total_tokens)
+    for i, s in enumerate(order):
+        share = remaining // (len(order) - i)
+        b = min(caps[s], share)
+        budgets[s] = b
+        remaining -= b
+    # flooring leftovers: one token at a time to uncapped domains,
+    # largest cap first (they have the most headroom), name tiebreak
+    if remaining > 0:
+        open_doms = sorted(
+            (s for s in order if budgets[s] < caps[s]),
+            key=lambda s: (-caps[s], s),
+        )
+        while remaining > 0 and open_doms:
+            for s in open_doms:
+                if remaining == 0:
+                    break
+                if budgets[s] < caps[s]:
+                    budgets[s] += 1
+                    remaining -= 1
+            open_doms = [s for s in open_doms if budgets[s] < caps[s]]
+    return budgets
