@@ -802,3 +802,61 @@ def epoch_shuffle(
         if keep_order_col
         else out.drop("__order")
     )
+
+
+def packing_efficiency(
+    manifest: DataFrame,
+    context_len: int,
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Context-window utilization report over a training manifest — the
+    diagnostic that decides ``context_len`` and whether document packing
+    (vs one-doc-per-window padding) is worth its complexity for this
+    corpus: one row per shard plus a ``__total`` row, each with
+
+    - ``n_docs`` / ``n_tokens`` — the shard's content;
+    - ``n_windows`` — ``ceil(shard tokens / context_len)`` under the
+      manifest's PACKED layout (documents butt against each other; the
+      only padding is the final partial window);
+    - ``packed_waste_frac`` — padding share under packing;
+    - ``padded_windows`` / ``padded_waste_frac`` — the same corpus laid
+      out one-document-per-window (``ceil(doc/context_len)`` windows per
+      doc), the naive-loader baseline.  The GAP between the two waste
+      fractions is packing's value on this corpus at this length.
+
+    One map-side-combined aggregate over manifest rows (integers only —
+    the fractions are exact quotients of pinned sums); no window, no
+    sort, metadata-sized output."""
+    L = int(context_len)
+    per_doc_windows = F.ceil(F.col(n_tokens_col) / F.lit(L)).cast("long")
+    agg = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens_col).alias("n_tokens"),
+        F.sum(per_doc_windows).alias("padded_windows"),
+    ]
+    per_shard = manifest.groupBy("shard").agg(*agg)
+    total = (
+        manifest.groupBy().agg(*agg)
+        .select(F.lit(-1).cast("int").alias("shard"), "*")
+    )
+    out = per_shard.select("shard", "n_docs", "n_tokens", "padded_windows")
+    out = out.unionByName(
+        total.select("shard", "n_docs", "n_tokens", "padded_windows")
+    )
+    n_windows = F.ceil(F.col("n_tokens") / F.lit(L)).cast("long")
+    return out.select(
+        F.when(F.col("shard") < 0, F.lit("__total"))
+        .otherwise(F.col("shard").cast("string"))
+        .alias("shard"),
+        "n_docs",
+        "n_tokens",
+        n_windows.alias("n_windows"),
+        (
+            (n_windows * L - F.col("n_tokens")) / (n_windows * L)
+        ).alias("packed_waste_frac"),
+        "padded_windows",
+        (
+            (F.col("padded_windows") * L - F.col("n_tokens"))
+            / (F.col("padded_windows") * L)
+        ).alias("padded_waste_frac"),
+    )

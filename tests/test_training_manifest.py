@@ -81,3 +81,37 @@ def test_reproducible_and_epoch_sensitive(spark):
     )
     assert a == b
     assert a != c  # a different epoch permutes
+
+
+def test_packing_efficiency(spark):
+    from hive_serde_schema_gen_spark.operators.packing import (
+        packing_efficiency,
+        training_manifest,
+    )
+
+    sel = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 90) for i in range(40)],
+        "doc_id long, n_tokens int",
+    )
+    m = training_manifest(sel, epoch=1, context_len=64, n_shards=4)
+    rows = {r["shard"]: r for r in packing_efficiency(m, 64).collect()}
+    assert "__total" in rows and len(rows) == 5
+    tot = rows["__total"]
+    import math
+
+    want_tokens = sum(10 + (i * 7) % 90 for i in range(40))
+    assert tot["n_tokens"] == want_tokens
+    # per-shard window counts sum to >= the total's (shard boundaries
+    # can only add partial windows, never remove them)
+    shard_windows = sum(
+        r["n_windows"] for k, r in rows.items() if k != "__total"
+    )
+    assert shard_windows >= math.ceil(want_tokens / 64)
+    # padded layout can never waste less than packed
+    for r in rows.values():
+        assert r["padded_waste_frac"] >= r["packed_waste_frac"] - 1e-12
+        assert 0.0 <= r["packed_waste_frac"] < 1.0
+    # exact padded window count: sum of per-doc ceilings
+    assert tot["padded_windows"] == sum(
+        math.ceil((10 + (i * 7) % 90) / 64) for i in range(40)
+    )
