@@ -329,19 +329,35 @@ def _ahash(arr) -> int:
     return _pack_bits_signed64(g > int(g.sum()) // (PHASH_GRID * PHASH_GRID))
 
 
-def image_hashes(df, id_col: str = "img_id"):
+def image_hashes(df, id_col: str = "img_id", on_error: str = "skip"):
     """(id, payload) → (id, width, height, dhash, ahash): decode each BMP
     payload and compute both perceptual hashes over the real pixel array.
     One Arrow-batched ``mapInPandas`` stage, no shuffle, constant memory
     per batch — the hash is 16 bytes of output per image however large
     the payload, so everything downstream (banding, joins) moves hashes,
-    never pixels."""
+    never pixels.
+
+    ``on_error='skip'`` (default) DROPS undecodable payloads — the
+    module's malformed-container discipline (one corrupt image in a
+    crawl batch must not kill the task; callers anti-join the output
+    against the input to quarantine the drops).  A NULL-hash row would
+    be worse than a drop: NULL dhashes would collapse into one spurious
+    "duplicate cluster" in :func:`phash_dedup`'s exact-hash groupBy.
+    ``on_error='raise'`` keeps the strict behavior for curated inputs
+    where a bad payload IS a pipeline bug."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"unknown on_error {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, dh, ah = [], [], [], [], []
             for i, b in zip(pdf[id_col], pdf["payload"]):
-                arr = _bmp_pixel_array(bytes(b))
+                try:
+                    arr = _bmp_pixel_array(bytes(b))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
                 h, w = arr.shape[:2]
                 ids.append(i)
                 ws.append(w)

@@ -175,3 +175,18 @@ def test_image_hashes_string_id(spark):
     )
     rows = {r["img_id"]: r["dhash"] for r in image_hashes(d).collect()}
     assert set(rows) == {"a", "b"}
+
+
+def test_corrupt_payload_skipped_not_fatal(spark):
+    rows = [
+        (1, _bmp_encode(1, b"a valid image body right here")),
+        (2, b"NOTABMP-garbage-bytes"),
+        (3, _bmp_encode(3, b"another valid image body here")),
+    ]
+    d = spark.createDataFrame(rows, "img_id long, payload binary")
+    got = {r["img_id"] for r in image_hashes(d).collect()}
+    assert got == {1, 3}  # the corrupt payload dropped, task alive
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        image_hashes(d, on_error="raise").collect()
