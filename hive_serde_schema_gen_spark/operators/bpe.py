@@ -356,10 +356,14 @@ def fertility_report(
     enc = encode_bpe(
         docs, merges, text_col=text_col, lowercase=lowercase, mode=mode
     )
+    # Explicit whitespace class, NOT \s: Java \s includes \x0B while
+    # RE2 (the DuckDB oracle engine) \s does not — a vertical tab in any
+    # doc would make ws_tokens diverge across engines.  The class below
+    # is Java's \s spelled out, and the oracle uses the same literal.
     ws = F.coalesce(
         F.size(
             F.filter(
-                F.split(F.trim(F.col(text_col)), r"\s+"),
+                F.split(F.trim(F.col(text_col)), "[ \t\n\x0b\f\r]+"),
                 lambda t: t != "",
             )
         ),

@@ -544,6 +544,16 @@ def phash_evidence_images(df):
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # variant ids are doc_id + OFFSET: a doc_id at or above the
+            # offset would silently merge a real image with some other
+            # doc's variant — fail loudly instead (checked per batch, no
+            # extra driver-side max() pass over the corpus)
+            if len(pdf) and int(pdf["doc_id"].max()) >= PHASH_UP_OFFSET:
+                raise ValueError(
+                    f"doc_id >= PHASH_UP_OFFSET ({PHASH_UP_OFFSET}): "
+                    "variant-id arithmetic would collide; raise the "
+                    "offsets for this corpus"
+                )
             ids, pays = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 tb = t.encode("utf-8")

@@ -320,7 +320,7 @@ _EPOCH_HASH_SQL = (
       SELECT d2.source AS src,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(COALESCE(len(list_filter(
-                 string_split_regex(TRIM(d2.text), '\\s+'),
+                 string_split_regex(TRIM(d2.text), '[ \\t\\n\\x0B\\f\\r]+'),
                  t -> t <> '')), 0)) AS BIGINT) AS ws_toks,
              CAST(SUM(e.n_bpe_tokens) AS INTEGER) AS bpe_toks,
              CAST(SUM(octet_length(encode(d2.text))) AS BIGINT) AS n_bytes
@@ -826,33 +826,41 @@ def packing_efficiency(
 
     One map-side-combined aggregate over manifest rows (integers only —
     the fractions are exact quotients of pinned sums); no window, no
-    sort, metadata-sized output."""
+    sort, metadata-sized output.
+
+    The ``__total`` row SUMS the per-shard window counts (packing is
+    per shard — a shard's final partial window is real padding the
+    trainer pays), rather than ``ceil(sum tokens / L)`` as if the whole
+    corpus packed into one continuous stream; the total therefore
+    reconciles exactly with the shard rows it sits next to."""
     L = int(context_len)
     per_doc_windows = F.ceil(F.col(n_tokens_col) / F.lit(L)).cast("long")
-    agg = [
+    per_shard = manifest.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n_tokens_col).alias("n_tokens"),
+        F.sum(n_tokens_col).cast("long").alias("n_tokens"),
         F.sum(per_doc_windows).alias("padded_windows"),
-    ]
-    per_shard = manifest.groupBy("shard").agg(*agg)
-    total = (
-        manifest.groupBy().agg(*agg)
-        .select(F.lit(-1).cast("int").alias("shard"), "*")
-    )
-    out = per_shard.select("shard", "n_docs", "n_tokens", "padded_windows")
-    out = out.unionByName(
-        total.select("shard", "n_docs", "n_tokens", "padded_windows")
-    )
-    n_windows = F.ceil(F.col("n_tokens") / F.lit(L)).cast("long")
-    return out.select(
-        F.when(F.col("shard") < 0, F.lit("__total"))
-        .otherwise(F.col("shard").cast("string"))
-        .alias("shard"),
+    ).select(
+        F.col("shard").cast("string").alias("shard"),
         "n_docs",
         "n_tokens",
-        n_windows.alias("n_windows"),
+        F.ceil(F.col("n_tokens") / F.lit(L)).cast("long").alias("n_windows"),
+        "padded_windows",
+    )
+    total = per_shard.groupBy().agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_windows").alias("n_windows"),
+        F.sum("padded_windows").alias("padded_windows"),
+    ).select(F.lit("__total").alias("shard"), "*")
+    out = per_shard.unionByName(total)
+    return out.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_windows",
         (
-            (n_windows * L - F.col("n_tokens")) / (n_windows * L)
+            (F.col("n_windows") * L - F.col("n_tokens"))
+            / (F.col("n_windows") * L)
         ).alias("packed_waste_frac"),
         "padded_windows",
         (

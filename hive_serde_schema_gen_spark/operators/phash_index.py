@@ -173,7 +173,17 @@ def phash_against_index(
         )
         .distinct()
     )
-    hashes_idx = spark.read.parquet(f"{path}/hashes")
+    # Dedupe the verify side on (img_id, dhash), IGNORING epoch: the
+    # same img_id extended under two different epochs leaves two rows
+    # that differ only in epoch (compact's distinct keeps both — the
+    # epoch stamp is load-bearing for replay idempotence), and joining
+    # both would emit each match twice.  Projection before distinct
+    # keeps this a 2-column scan.
+    hashes_idx = (
+        spark.read.parquet(f"{path}/hashes")
+        .select("img_id", "dhash")
+        .distinct()
+    )
     dist = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
     return (
         cand.join(h_new.alias("a"), cand["img_id"] == F.col("a.img_id"))

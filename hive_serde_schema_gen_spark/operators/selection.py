@@ -607,8 +607,14 @@ def c4_line_filter(
     (the document still dies if too few lines survive).  ``delim`` is
     treated as a LITERAL separator on both the split and the rejoin
     (quoted with ``\\Q…\\E`` for the regex-based split), so a delimiter
-    like ``'.'`` behaves identically in both directions."""
-    lines = F.split(F.col(text_col), "\\Q" + delim + "\\E")
+    like ``'.'`` behaves identically in both directions.  A delimiter
+    containing the literal two-char sequence ``\\E`` would terminate
+    the ``\\Q`` quoting early and change split semantics, so it is
+    spliced (``\\E`` → end-quote, escaped ``\\``+``E``, re-open-quote)
+    — the standard quoting-safe splice — keeping split and rejoin in
+    agreement for EVERY delimiter."""
+    quoted = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lines = F.split(F.col(text_col), quoted)
     trimmed = F.transform(lines, lambda ln: F.trim(ln))
     term_ok = lambda ln: F.array_contains(  # noqa: E731
         F.array(*[F.lit(t) for t in terminals]), F.substring(ln, -1, 1)

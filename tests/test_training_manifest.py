@@ -101,11 +101,13 @@ def test_packing_efficiency(spark):
 
     want_tokens = sum(10 + (i * 7) % 90 for i in range(40))
     assert tot["n_tokens"] == want_tokens
-    # per-shard window counts sum to >= the total's (shard boundaries
-    # can only add partial windows, never remove them)
+    # the __total row reconciles EXACTLY with the shard rows: packing
+    # is per shard, so total windows = sum of per-shard ceilings (not
+    # ceil(total/L), which would undercount shard-boundary padding)
     shard_windows = sum(
         r["n_windows"] for k, r in rows.items() if k != "__total"
     )
+    assert tot["n_windows"] == shard_windows
     assert shard_windows >= math.ceil(want_tokens / 64)
     # padded layout can never waste less than packed
     for r in rows.values():
