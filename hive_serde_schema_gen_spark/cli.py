@@ -12,7 +12,98 @@ from .schema_infer import SchemaGenError, infer_path
 from .session import get_spark
 
 
+def _pipeline_main(argv) -> int:
+    """``pipeline <sf_dir> <out_dir> --total-tokens N [flags]`` — the
+    one-COMMAND form of :func:`operators.corpus.crawl_to_shards` (the
+    one-CALL pipeline proven at sf1 in ``tests/test_e2e_pipeline.py``):
+    curate → per-domain integer token budgets → budget mixture →
+    manifest → one sorted training-shard file per shard."""
+    p = argparse.ArgumentParser(
+        prog="hive-serde-schema-gen-spark pipeline",
+        description="Curate a document corpus and export token-budgeted "
+        "training shards in one command.",
+    )
+    p.add_argument("sf_dir", help="input dir containing documents.parquet")
+    p.add_argument("out_dir", help="output dir for the shard files")
+    p.add_argument("--total-tokens", type=int, required=True,
+                   help="total token budget across all domains")
+    p.add_argument("--epoch", type=int, default=1)
+    p.add_argument("--context-len", type=int, default=2048)
+    p.add_argument("--n-shards", type=int, default=8)
+    p.add_argument("--alpha", default="1/2", metavar="NUM/DEN",
+                   help="mixture temperature exponent as a fraction "
+                   "(default 1/2 — proportional-to-sqrt sampling)")
+    p.add_argument("--hash-fn", choices=["xxhash64", "md5"],
+                   default="xxhash64")
+    p.add_argument("--c4-lines", action="store_true",
+                   help="run the C4 line-level structural cleanup first")
+    p.add_argument("--redact", action="store_true",
+                   help="redact PII spans before export")
+    p.add_argument("--max-dup-gram-frac", type=float, default=None,
+                   metavar="F", help="drop documents whose duplicate "
+                   "n-gram character fraction exceeds F (the Gopher "
+                   "repetition rule, e.g. 0.2)")
+    p.add_argument("--strip-boilerplate-min-docs", type=int, default=None,
+                   metavar="N", help="strip lines that repeat across >= N "
+                   "documents of a domain (cross-document boilerplate)")
+    args = p.parse_args(argv)
+
+    def _frac(s, flag):
+        num_s, _, den_s = s.partition("/")
+        try:
+            return (int(num_s), int(den_s or "1"))
+        except ValueError:
+            raise SystemExit(
+                f"error: {flag} must be NUM/DEN, got {s!r}"
+            ) from None
+
+    alpha = _frac(args.alpha, "--alpha")
+
+    from .operators.corpus import crawl_to_shards
+
+    spark = get_spark("hive-serde-schema-gen-pipeline")
+    accounting: list = []
+    kwargs = dict(
+        total_tokens=args.total_tokens,
+        epoch=args.epoch,
+        context_len=args.context_len,
+        n_shards=args.n_shards,
+        alpha=alpha,
+        hash_fn=args.hash_fn,
+        accounting=accounting,
+        c4_lines=args.c4_lines,
+        redact=args.redact,
+    )
+    if args.max_dup_gram_frac is not None:
+        kwargs["max_dup_gram_frac"] = args.max_dup_gram_frac
+    if args.strip_boilerplate_min_docs is not None:
+        kwargs["strip_boilerplate_min_docs"] = args.strip_boilerplate_min_docs
+    try:
+        sel, budgets = crawl_to_shards(
+            spark, args.sf_dir, args.out_dir, **kwargs
+        )
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    # the reconciliation audit on stderr, the budget summary on stdout
+    for stage, n in accounting:
+        print(f"stage {stage}: {n} docs", file=sys.stderr)
+    print(f"selected {sel.count()} documents into "
+          f"{args.n_shards} shards at {args.out_dir}")
+    for dom in sorted(budgets):
+        print(f"  budget {dom}: {budgets[dom]} tokens")
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # subcommand dispatch that keeps the reference-compatible positional
+    # form (`file [table]`) intact: only the literal first token
+    # "pipeline" routes to the pipeline front end (an NDJSON input named
+    # "pipeline" can be passed as "./pipeline")
+    if argv and argv[0] == "pipeline":
+        return _pipeline_main(argv[1:])
     p = argparse.ArgumentParser(
         prog="hive-serde-schema-gen-spark",
         description="Infer the strictest Hive schema for an NDJSON file and "

@@ -1,0 +1,226 @@
+"""Audio perceptual near-dup (`multimodal.audio_fingerprints` +
+`audio_near_dup_pairs` / `audio_dedup`): fingerprint correctness against
+an independent per-sample reference, the resample/volume invariances,
+brute-force pair parity (the banded join's exact recall at radius <=
+bands-1), keep-first dedup parity, the plan contract, and the decode
+drop accounting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from hive_serde_schema_gen_spark.operators.multimodal import (
+    AFP_ANCHORS,
+    AFP_WINDOWS,
+    AUDIO_VOL_OFFSET,
+    PHASH_PERT_OFFSET,
+    PHASH_RADIUS,
+    PHASH_UP_OFFSET,
+    _audio_fp,
+    _wav_container,
+    _wav_encode,
+    _wav_pcm_samples,
+    audio_dedup,
+    audio_evidence_clips,
+    audio_fingerprints,
+    audio_near_dup_pairs,
+    decode_drop_report,
+    image_hashes,
+)
+
+
+def _ref_afp(samples: list) -> int:
+    """Independent fingerprint: pure-Python loops with the documented
+    anchor/window formulas — no numpy, no shared code with the operator."""
+    n = len(samples)
+    if n == 0:
+        return 0
+    A = AFP_WINDOWS * AFP_ANCHORS
+    anchors = [abs(samples[(j * n) // A]) for j in range(A)]
+    energies = [
+        sum(anchors[k * AFP_ANCHORS : (k + 1) * AFP_ANCHORS])
+        for k in range(AFP_WINDOWS)
+    ]
+    bits = 0
+    for k in range(AFP_WINDOWS - 1):
+        if energies[k + 1] > energies[k]:
+            bits |= 1 << k
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+@pytest.fixture(scope="module")
+def fps(spark, sf_dir):
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return audio_fingerprints(audio_evidence_clips(d)).localCheckpoint()
+
+
+def test_afp_matches_independent_reference():
+    for text in [b"a quick brown fox " * 9, b"zzzz", b"", b"\x00\xff" * 200]:
+        s = _wav_pcm_samples(text)
+        assert _audio_fp(s) == _ref_afp([int(x) for x in s])
+
+
+def test_resample_and_volume_invariance():
+    s = _wav_pcm_samples(b"some document text for the audio body, long enough.")
+    base = _audio_fp(s)
+    # k-x duplication resample: floor(floor(k*a/A)/k) == floor(a/A)
+    assert _audio_fp(np.repeat(s, 2).astype("<i2")) == base
+    assert _audio_fp(np.repeat(s, 4).astype("<i2")) == base
+    # exact half-volume: every window energy scales uniformly
+    assert _audio_fp((s >> 1).astype("<i2")) == base
+
+
+def test_invariance_through_the_wav_container(spark):
+    # the same invariances, end to end through RIFF encode -> decode
+    tb = b"the full container path must preserve the fingerprint too."
+    s = _wav_pcm_samples(tb)
+    rows = [
+        (0, _wav_container(16000, s.tobytes())),
+        (1, _wav_container(32000, np.repeat(s, 2).astype("<i2").tobytes())),
+        (2, _wav_container(16000, (s >> 1).astype("<i2").tobytes())),
+    ]
+    d = spark.createDataFrame(rows, "aud_id long, payload binary")
+    got = {r["aud_id"]: r["afp"] for r in audio_fingerprints(d).collect()}
+    assert got[0] == got[1] == got[2]
+
+
+def test_pairs_match_brute_force(fps):
+    rows = fps.select("aud_id", "afp").collect()
+    hs = {r["aud_id"]: r["afp"] for r in rows}
+    ids = sorted(hs)
+    for radius in (PHASH_RADIUS, 3):
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= radius
+        }
+        got = {
+            (r["img_a"], r["img_b"])
+            for r in audio_near_dup_pairs(fps, radius=radius).collect()
+        }
+        assert got == brute, f"radius={radius}"
+
+
+def test_planted_variants_are_found(fps):
+    pairs = audio_near_dup_pairs(fps).localCheckpoint()
+    # every 2x-resampled copy pairs with its base at distance 0
+    up = pairs.filter(
+        ((F.col("img_b") - F.col("img_a")) == PHASH_UP_OFFSET)
+        & (F.col("img_a") < PHASH_UP_OFFSET)
+    )
+    n_up = fps.filter(
+        (F.col("aud_id") >= PHASH_UP_OFFSET)
+        & (F.col("aud_id") < PHASH_PERT_OFFSET)
+    ).count()
+    assert n_up > 0
+    assert up.filter(F.col("dist") == 0).count() == n_up
+    # every half-volume copy pairs with its base at distance 0
+    vol = pairs.filter(
+        ((F.col("img_b") - F.col("img_a")) == AUDIO_VOL_OFFSET)
+        & (F.col("img_a") < PHASH_UP_OFFSET)
+    )
+    n_vol = fps.filter(F.col("aud_id") >= AUDIO_VOL_OFFSET).count()
+    assert n_vol > 0
+    assert vol.filter(F.col("dist") == 0).count() == n_vol
+
+
+def test_perturbation_exercises_both_sides_of_the_radius(fps):
+    # the contiguous-run perturbation yields a VARIABLE distance: some
+    # perturbed copies match their base within the radius, some fall
+    # outside — the threshold is a real cut, not a constant
+    hs = {r["aud_id"]: r["afp"] for r in fps.collect()}
+    dists = [
+        bin((hs[a] ^ hs[a + PHASH_PERT_OFFSET]) & ((1 << 64) - 1)).count("1")
+        for a in hs
+        if a < PHASH_UP_OFFSET and a + PHASH_PERT_OFFSET in hs
+    ]
+    assert dists
+    assert any(d <= PHASH_RADIUS for d in dists)
+    assert any(d > PHASH_RADIUS for d in dists)
+
+
+def test_audio_dedup_matches_brute_force(fps):
+    hs = {r["aud_id"]: r["afp"] for r in fps.collect()}
+    by_fp: dict = {}
+    for i, h in hs.items():
+        by_fp.setdefault(h, []).append(i)
+    expect = {}
+    reps = {}
+    for h, ids in by_fp.items():
+        ids.sort()
+        reps[h] = ids[0]
+        for i in ids[1:]:
+            expect[i] = (ids[0], 0)
+    rep_ids = sorted(reps.values())
+    for b in rep_ids:
+        partners = [
+            a
+            for a in rep_ids
+            if a < b
+            and bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            <= PHASH_RADIUS
+        ]
+        if partners:
+            a = min(partners)
+            expect[b] = (
+                a,
+                bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"),
+            )
+    got = {
+        r["img_id"]: (r["dup_of"], r["dist"])
+        for r in audio_dedup(fps).collect()
+    }
+    assert got == expect
+
+
+def test_plan_contract(fps):
+    from hive_serde_schema_gen_spark.plans.explain import explain_str
+
+    plan = explain_str(audio_near_dup_pairs(fps))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_fingerprints_string_id(spark):
+    d = spark.createDataFrame(
+        [("a", _wav_encode(1, b"some samples right here")),
+         ("b", _wav_encode(2, b"other samples over there"))],
+        "aud_id string, payload binary",
+    )
+    rows = {r["aud_id"]: r["afp"] for r in audio_fingerprints(d).collect()}
+    assert set(rows) == {"a", "b"}
+
+
+def test_corrupt_payload_skipped_and_accounted(spark):
+    rows = [
+        (1, _wav_encode(1, b"a valid clip body right here")),
+        (2, b"NOTAWAV-garbage-bytes"),
+        (3, _wav_encode(3, b"another valid clip body here")),
+    ]
+    d = spark.createDataFrame(rows, "aud_id long, payload binary")
+    out = audio_fingerprints(d)
+    assert {r["aud_id"] for r in out.collect()} == {1, 3}
+    with pytest.raises(Exception):
+        audio_fingerprints(d, on_error="raise").collect()
+    # the drop is a NUMBER, not a silent disappearance
+    rep = decode_drop_report(d, out, "aud_id").collect()[0]
+    assert (rep["n_input"], rep["n_decoded"], rep["n_dropped"]) == (3, 2, 1)
+
+
+def test_image_decode_drop_report(spark):
+    from hive_serde_schema_gen_spark.operators.multimodal import _bmp_encode
+
+    rows = [
+        (1, _bmp_encode(1, b"a valid image body right here")),
+        (2, b"NOTABMP-garbage-bytes"),
+        (3, b"ALSO-NOT-A-BMP"),
+        (4, _bmp_encode(4, b"another valid image body here")),
+    ]
+    d = spark.createDataFrame(rows, "img_id long, payload binary")
+    rep = decode_drop_report(d, image_hashes(d), "img_id").collect()[0]
+    assert (rep["n_input"], rep["n_decoded"], rep["n_dropped"]) == (4, 2, 2)
