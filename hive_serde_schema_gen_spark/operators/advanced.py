@@ -624,7 +624,7 @@ _FREQ_CAPACITY = 64
 
 _FREQ_SQL = f"""
     WITH freqtok AS (
-      SELECT unnest(list_filter(string_split_regex(TRIM(lower(text)), '\\s+'),
+      SELECT unnest(list_filter(string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x <> '')) AS w
       FROM documents)
     SELECT w, COUNT(*) AS cnt FROM freqtok GROUP BY w
@@ -739,7 +739,7 @@ def stats_summary(spark, sf_dir):
                 load_table(spark, sf_dir, "documents").select(
                     F.explode(
                         F.filter(
-                            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                            F.split(F.lower(F.trim(F.col("text"))), "[ \t\n\x0B\f\r]+"),
                             lambda t: t != "",
                         )
                     ).alias("w")

@@ -274,7 +274,7 @@ def bm25_topk_indexed_batch(
         "qid",
         F.explode(
             F.array_distinct(
-                F.split(F.trim(F.lower(F.col("query"))), r"\s+")
+                F.split(F.trim(F.lower(F.col("query"))), "[ \t\n\x0B\f\r]+")
             )
         ).alias("term"),
     ).filter(F.col("term") != "")

@@ -66,7 +66,7 @@ def pretokens(col, lowercase: bool = True, mode: str = "whitespace"):
     if mode == "gpt2":
         return F.regexp_extract_all(col, F.lit(PRETOKEN_PATTERN), 0)
     return F.filter(
-        F.split(F.trim(col), r"\s+"), lambda w: w != ""
+        F.split(F.trim(col), "[ \t\n\x0B\f\r]+"), lambda w: w != ""
     )
 
 
@@ -423,7 +423,7 @@ def sql_bpe_ctes(n_merges: int = BPE_MERGES) -> str:
         """bpewf AS (
       SELECT word, COUNT(*) AS freq FROM (
         SELECT unnest(list_filter(
-          string_split_regex(TRIM(lower(text)), '\\s+'), x -> x <> '')) AS word
+          string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS word
         FROM documents)
       GROUP BY word),
     bpew0 AS (
@@ -474,10 +474,10 @@ def sql_bpe_encode_cte(n_merges: int = BPE_MERGES) -> str:
       SELECT doc_id, word, ord FROM (
         SELECT doc_id,
                unnest(list_filter(
-                 string_split_regex(TRIM(lower(text)), '\\s+'),
+                 string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                  x -> x <> '')) AS word,
                generate_subscripts(list_filter(
-                 string_split_regex(TRIM(lower(text)), '\\s+'),
+                 string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                  x -> x <> ''), 1) AS ord
         FROM documents WHERE doc_id % {BPE_ENC_MOD} = {BPE_ENC_REM})),
     bpee0 AS (

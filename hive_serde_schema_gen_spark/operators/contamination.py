@@ -25,7 +25,7 @@ def word_ngrams(
     replaces the gram string with xxhash64 — an 8-byte join payload instead
     of a ~50-byte string, the production configuration (a 2⁻⁶⁴ collision
     can only add one spurious shared gram)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), "[ \t\n\x0B\f\r]+")
     z = F.arrays_zip(
         words.alias("t0"),
         *[

@@ -146,7 +146,7 @@ def _pipeline_oracle(src: str = "documents", prelude: str = "") -> str:
             (SELECT id FROM comp WHERE id NOT IN (SELECT keep_id FROM canon))),
     tok2 AS (
       SELECT doc_id, n_merged,
-             CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+             CAST(len(list_filter(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                   t -> t <> '')) AS INTEGER) AS n_tokens
       FROM surv),
     cum AS (

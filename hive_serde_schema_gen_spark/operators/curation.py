@@ -96,7 +96,7 @@ def repetition_stats(
 
     One explode + one (doc, gram) count + one per-doc aggregate — all
     map-side combinable, shuffling only gram-hash longs keyed by doc."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), "[ \t\n\x0B\f\r]+")
     z = F.arrays_zip(
         words.alias("t0"),
         *[
@@ -349,7 +349,7 @@ def vocab_coverage(
         id_col,
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                F.split(F.lower(F.trim(F.col(text_col))), "[ \t\n\x0B\f\r]+"),
                 lambda t: t != "",
             )
         ).alias("__t"),
@@ -461,7 +461,7 @@ def _ngc_sql() -> str:
     return f"""
     WITH ngctok AS (
       SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
-      FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      FROM (SELECT doc_id, string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
             FROM documents)),
     ngcled AS (SELECT doc_id, t, {lead} FROM ngctok),
     ngcg AS (
@@ -534,7 +534,7 @@ _VOCAB_K = 16
 _VOCAB_SQL = f"""
     WITH voctok AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(TRIM(lower(text)), '\\s+'),
+             unnest(list_filter(string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x <> '')) AS w
       FROM documents),
     voctop AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM voctok GROUP BY w)
@@ -607,7 +607,7 @@ _TOKMIX_HK = (
     " CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 )
 _TOKMIX_NTOK = (
-    "COALESCE(len(list_filter(string_split_regex(TRIM(text), '\\s+'),"
+    "COALESCE(len(list_filter(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'),"
     " t -> t <> '')), 0)"
 )
 
@@ -988,7 +988,7 @@ def curation_ops(spark, sf_dir):
     tok = docs.select(
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                F.split(F.lower(F.trim(F.col("text"))), "[ \t\n\x0B\f\r]+"),
                 lambda t: t != "",
             )
         ).alias("w")

@@ -70,7 +70,7 @@ def shingles_df(d: DataFrame, hashed: bool = False) -> DataFrame:
 
     toks = d.select(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+        F.posexplode(F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")).alias("pos", "tok"),
     )
     w = W.partitionBy("doc_id").orderBy("pos")
     lead2 = F.lead("tok", SHINGLE - 1).over(w)
@@ -102,7 +102,7 @@ def shingles_df_no_shuffle(d: DataFrame, hashed: bool = False) -> DataFrame:
     on a real cluster the window form shuffles O(total tokens) bytes while
     this form shuffles nothing until the distinct, so network-bound
     deployments should prefer it."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")
     # one shifted slice per shingle position, derived from SHINGLE so the
     # two formulations can never disagree on shingle width
     z = F.arrays_zip(
@@ -175,7 +175,7 @@ def _sql_shd(src: str = "documents", p: str = "") -> str:
     return f"""
     {p}toks AS (
       SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
-      FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks FROM {src})),
+      FROM (SELECT doc_id, string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM {src})),
     {p}sh AS (
       SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
       FROM {p}toks a JOIN {p}toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
@@ -786,7 +786,7 @@ minhash_lsh_pairs.__doc__ = minhash_lsh_pairs.__doc__ and minhash_lsh_pairs.__do
 # Shared signature CTE: 32-bit SimHash per doc (DuckDB side).
 _SQL_SIMHASH = """
     toks AS (
-      SELECT DISTINCT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS tok
+      SELECT DISTINCT doc_id, unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
       FROM documents),
     th AS (
       SELECT doc_id,
@@ -809,7 +809,7 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     md5-derived hash; the sign pattern is the 32-bit signature."""
     toks = (
         d.select(
-            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")).alias("tok")
         ).distinct()
     )
     th = toks.select(
@@ -1039,7 +1039,7 @@ def kgram_postings(d: DataFrame, k: int, hashed: bool = True) -> DataFrame:
 
     toks = d.select(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+        F.posexplode(F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")).alias("pos", "tok"),
     )
     w = W.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
@@ -1071,7 +1071,7 @@ def kgram_postings_no_shuffle(
     box), but on a network-bound cluster this variant moves O(grams)
     pre-aggregated rows instead of O(tokens) raw ones.  Pass it via
     ``duplicate_spans(..., postings=kgram_postings_no_shuffle)``."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")
     n = F.size(words)
     grams = F.when(
         n >= k,
@@ -1293,7 +1293,7 @@ def strip_duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("__spans")
     )
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")
     covered = lambda tok, i: F.exists(  # noqa: E731
         F.col("__spans"),
         lambda s: (i >= s["span_start"]) & (i < s["span_start"] + s["span_len"]),
@@ -1320,7 +1320,7 @@ SPAN_K = 6  # span gram width for the driver slot (docs are ~30-90 tokens)
 
 _SPANS_SQL = f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
     ),
     grams AS (
       SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,

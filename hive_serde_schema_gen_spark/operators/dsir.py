@@ -348,7 +348,7 @@ def sql_dsir_ctes() -> str:
     return _materialize(f"""dstoks AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+                  ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS w
       FROM documents),
     dsgrams AS (
       SELECT doc_id, unnest(w) AS g FROM dstoks

@@ -150,7 +150,7 @@ def _sql_embed_ctes(src: str, dim: int, p: str = "") -> str:
     return f"""{p}toks AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+                  ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS w
       FROM {src}),
     {p}uni AS (SELECT doc_id, unnest(w) AS g FROM {p}toks),
     {p}bi AS (

@@ -167,7 +167,7 @@ def _lex_ctes(terms, depth: int, p: str = "") -> str:
     return f"""{p}lxtoks AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+                  ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS w
       FROM documents),
     {p}lxbase AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM {p}lxtoks),
     {p}lxtf AS (

@@ -52,7 +52,7 @@ from .text import _tokens
 # Lowercased mirror of text._SQL_TOKENS (same empty-text guard).
 _SQL_TOKENS_LOWER = (
     "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
-    "ELSE string_split_regex(TRIM(lower(text)), '\\s+') END"
+    "ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END"
 )
 
 

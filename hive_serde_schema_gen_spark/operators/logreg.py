@@ -330,7 +330,7 @@ def sql_clf_ctes() -> str:
     ``exp``'s last ULP — nine orders below the 9-dp grain."""
     toks = (
         "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
-        "ELSE string_split_regex(TRIM(lower(text)), '\\s+') END"
+        "ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END"
     )
     h = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {CLF_BUCKETS}"
     parts = [
@@ -538,7 +538,7 @@ def sql_cal_ctes() -> str:
     (iter, a, b) and ``calscore`` (doc_id, logit, score_cal, y)."""
     toks = (
         "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
-        "ELSE string_split_regex(TRIM(lower(text)), '\\s+') END"
+        "ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END"
     )
     h = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {CLF_BUCKETS}"
     K = CLF_ITERS
@@ -681,7 +681,7 @@ def sql_serve_ctes() -> str:
     ``srvscore`` (doc_id, n_features, logit, score_cal)."""
     toks = (
         "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
-        "ELSE string_split_regex(TRIM(lower(text)), '\\s+') END"
+        "ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END"
     )
     h = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {CLF_BUCKETS}"
     K, KC = CLF_ITERS, CAL_ITERS
@@ -897,7 +897,7 @@ def sql_drift_ctes() -> str:
     trail_mean, trail_std, z)."""
     toks = (
         "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
-        "ELSE string_split_regex(TRIM(lower(text)), '\\s+') END"
+        "ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END"
     )
     h = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {CLF_BUCKETS}"
     K, KC = CLF_ITERS, CAL_ITERS

@@ -547,11 +547,18 @@ AUDIO_VOL_OFFSET = 30_000_000
 AUDIO_PERT_RUN_DIV = 6
 
 
-def phash_evidence_images(df):
+def phash_evidence_images(
+    df,
+    up_offset: int = PHASH_UP_OFFSET,
+    pert_offset: int = PHASH_PERT_OFFSET,
+):
     """documents → (img_id, payload): one BMP per document plus the
     planted near-dup variants (2× nearest upscale; one-byte text
     perturbation) — the image-corpus construction the pHash slot and the
-    oracle both re-derive."""
+    oracle both re-derive.  The offsets are parameters (defaults = the
+    oracle constants) so a larger corpus — e.g. the sf10 scale scratch,
+    whose doc_ids reach ~99M — passes wider offsets instead of
+    colliding."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -559,11 +566,11 @@ def phash_evidence_images(df):
             # offset would silently merge a real image with some other
             # doc's variant — fail loudly instead (checked per batch, no
             # extra driver-side max() pass over the corpus)
-            if len(pdf) and int(pdf["doc_id"].max()) >= PHASH_UP_OFFSET:
+            if len(pdf) and int(pdf["doc_id"].max()) >= up_offset:
                 raise ValueError(
-                    f"doc_id >= PHASH_UP_OFFSET ({PHASH_UP_OFFSET}): "
-                    "variant-id arithmetic would collide; raise the "
-                    "offsets for this corpus"
+                    f"doc_id >= up_offset ({up_offset}): variant-id "
+                    "arithmetic would collide; raise the offsets for "
+                    "this corpus"
                 )
             ids, pays = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
@@ -575,11 +582,11 @@ def phash_evidence_images(df):
                     arr = _bmp_pixel_array(base)
                     h, w = arr.shape[:2]
                     up = _resize_nearest(arr, 2 * w, 2 * h)
-                    ids.append(d + PHASH_UP_OFFSET)
+                    ids.append(d + up_offset)
                     pays.append(_bmp_from_pixels(up))
                 if d % PHASH_PERT_MOD == 0 and len(tb) > 0:
                     p = d % len(tb)
-                    ids.append(d + PHASH_PERT_OFFSET)
+                    ids.append(d + pert_offset)
                     pays.append(_bmp_encode(d, tb[:p] + b"Z" + tb[p + 1:]))
             yield pd.DataFrame({"img_id": ids, "payload": pays})
 
@@ -1429,23 +1436,29 @@ def _audio_fp(samples) -> int:
     return _pack_bits_signed64(e[1:] > e[:-1])
 
 
-def audio_evidence_clips(df):
+def audio_evidence_clips(
+    df,
+    up_offset: int = PHASH_UP_OFFSET,
+    pert_offset: int = PHASH_PERT_OFFSET,
+    vol_offset: int = AUDIO_VOL_OFFSET,
+):
     """documents → (aud_id, payload): one WAV per document plus the
     planted near-dup variants (2×-duplication resample; contiguous-run
     byte perturbation; exact half-volume) — the audio-corpus construction
     the AFP slot and the oracle both re-derive.  Shares the image
     family's id-offset scheme (op tags distinguish the modalities in the
-    union)."""
+    union); offsets are parameters for larger corpora, as in
+    :func:`phash_evidence_images`."""
     import numpy as np
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # same loud-failure discipline as phash_evidence_images
-            if len(pdf) and int(pdf["doc_id"].max()) >= PHASH_UP_OFFSET:
+            if len(pdf) and int(pdf["doc_id"].max()) >= up_offset:
                 raise ValueError(
-                    f"doc_id >= PHASH_UP_OFFSET ({PHASH_UP_OFFSET}): "
-                    "variant-id arithmetic would collide; raise the "
-                    "offsets for this corpus"
+                    f"doc_id >= up_offset ({up_offset}): variant-id "
+                    "arithmetic would collide; raise the offsets for "
+                    "this corpus"
                 )
             ids, pays = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
@@ -1455,7 +1468,7 @@ def audio_evidence_clips(df):
                 ids.append(d)
                 pays.append(_wav_container(rate, s.tobytes()))
                 if d % PHASH_UP_MOD == 0:
-                    ids.append(d + PHASH_UP_OFFSET)
+                    ids.append(d + up_offset)
                     pays.append(
                         _wav_container(
                             2 * rate, np.repeat(s, 2).astype("<i2").tobytes()
@@ -1464,7 +1477,7 @@ def audio_evidence_clips(df):
                 if d % PHASH_PERT_MOD == 0 and len(tb) > 0:
                     p = d % len(tb)
                     k = min(len(tb) - p, len(tb) // AUDIO_PERT_RUN_DIV + 1)
-                    ids.append(d + PHASH_PERT_OFFSET)
+                    ids.append(d + pert_offset)
                     pays.append(
                         _wav_encode(d, tb[:p] + b"Z" * k + tb[p + k:])
                     )
@@ -1472,7 +1485,7 @@ def audio_evidence_clips(df):
                     # samples are (b-128)<<8, always even, so ">> 1" is an
                     # EXACT halving — every window energy scales by the
                     # same factor and the fingerprint is bit-identical
-                    ids.append(d + AUDIO_VOL_OFFSET)
+                    ids.append(d + vol_offset)
                     pays.append(
                         _wav_container(
                             rate, (s >> 1).astype("<i2").tobytes()

@@ -60,6 +60,14 @@ _PRETOK_ARM = (
 
 SHARD_SIZE = 10_000  # docs per prefix-sum shard; #shards = corpus/10k
 
+#: op='packeff' configuration: the packing-efficiency report over the
+#: epoch-3 md5 shard assignment at context length 64 (small against the
+#: ~54-token synthetic docs so both waste fractions are non-trivial).
+#: The waste-fraction doubles are pinned via round(frac*1e9) — the
+#: quantized-integer precedent; both engines compute the same exact
+#: integer operands, so the doubles (and their rounding) are identical.
+PACKEFF_L = 64
+
 
 def ws_token_count(text_col: str = "text") -> F.Column:
     """Whitespace token count with the empty-token guard (``split('')``
@@ -68,7 +76,7 @@ def ws_token_count(text_col: str = "text") -> F.Column:
     text counts 0 tokens (a metadata-only row must degrade, not crash)."""
     return F.coalesce(
         F.size(
-            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+            F.filter(F.split(F.trim(F.col(text_col)), "[ \t\n\x0B\f\r]+"), lambda t: t != "")
         ),
         F.lit(0),
     )
@@ -257,7 +265,7 @@ CHUNK_T, CHUNK_OV, CHUNK_MOD = 16, 4, 5
 
 _CHUNK_SQL = f"""
     WITH chsrc AS (
-      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
       FROM documents WHERE doc_id % {CHUNK_MOD} = 0),
     chn AS (
       SELECT doc_id, toks,
@@ -292,7 +300,7 @@ _EPOCH_HASH_SQL = (
     FROM (
       WITH tok AS (
         SELECT doc_id,
-               CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+               CAST(len(list_filter(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                     t -> t <> '')) AS INTEGER) AS n_tokens
         FROM documents),
       cum AS (
@@ -344,6 +352,34 @@ _EPOCH_HASH_SQL = (
     FROM ({_CHUNK_SQL})
     UNION ALL
     {_PRETOK_ARM}
+    UNION ALL
+    SELECT 'packeff', n_docs, CAST(n_windows AS INTEGER), n_tokens,
+           padded_windows, NULL, NULL, shard_label,
+           CAST(ROUND((n_windows * {PACKEFF_L} - n_tokens)
+                / (n_windows * {PACKEFF_L}) * 1000000000) AS BIGINT),
+           CAST(ROUND((padded_windows * {PACKEFF_L} - n_tokens)
+                / (padded_windows * {PACKEFF_L}) * 1000000000) AS INTEGER)
+    FROM (
+      WITH pesh AS (
+        SELECT CAST({_EPOCH_HASH_SQL} % {{shards}} AS INTEGER) AS shard,
+               COALESCE(len(list_filter(string_split_regex(TRIM(text),
+                   '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 0) AS nt
+        FROM documents),
+      peshard AS (
+        SELECT CAST(shard AS VARCHAR) AS shard_label,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(CEIL(CAST(SUM(nt) AS BIGINT) / {PACKEFF_L})
+                 AS BIGINT) AS n_windows,
+               CAST(SUM(CAST(CEIL(nt / {PACKEFF_L}) AS BIGINT))
+                 AS BIGINT) AS padded_windows
+        FROM pesh GROUP BY shard)
+      SELECT shard_label, n_docs, n_tokens, n_windows, padded_windows
+      FROM peshard
+      UNION ALL
+      SELECT '__total', SUM(n_docs), SUM(n_tokens), SUM(n_windows),
+             SUM(padded_windows)
+      FROM peshard)
     ORDER BY op, doc_id, chunk_first NULLS FIRST, split NULLS FIRST
     """.replace("{shards}", str(EPOCH_SHARDS))
     .replace("{bpe_ctes}", sql_bpe_ctes())
@@ -386,7 +422,16 @@ def packing_ops(spark, sf_dir):
     over the encode slice — per-source doc / whitespace-token /
     BPE-token / byte sums under the trained merges (the fertility and
     bytes-per-token ratios are exact quotients of these pinned
-    integers), re-derived in SQL from the same unrolled encode."""
+    integers), re-derived in SQL from the same unrolled encode.
+
+    Round-15 continuation: op='packeff' pins :func:`packing_efficiency`
+    — the packed-vs-padded context-window waste report over the epoch-3
+    md5 shard assignment at L={pl}: per-shard and ``__total`` rows carry
+    (n_docs, token sum, packed windows, padded windows) as exact
+    integers plus both waste fractions quantized at 1e-9 (identical
+    integer operands make the doubles, and their rounding, identical
+    across engines); the ``__total`` row sums the per-shard window
+    counts, so it reconciles exactly with the shard rows."""
     from ..functions.union import pad_union
 
     schema = [
@@ -474,6 +519,40 @@ def packing_ops(spark, sf_dir):
             },
         ),
         (
+            packing_efficiency(
+                d.select(
+                    ws_token_count().alias("n_tokens"),
+                    F.pmod(
+                        _epoch_order_hash(EPOCH, "doc_id", EPOCH_SALT, "md5"),
+                        F.lit(EPOCH_SHARDS),
+                    ).cast("int").alias("shard"),
+                ),
+                PACKEFF_L,
+            ).select(
+                "shard",
+                "n_docs",
+                "n_tokens",
+                F.col("n_windows").cast("int").alias("n_windows_i"),
+                "padded_windows",
+                F.round(F.col("packed_waste_frac") * 1e9)
+                .cast("long")
+                .alias("packed_q"),
+                F.round(F.col("padded_waste_frac") * 1e9)
+                .cast("int")
+                .alias("padded_q"),
+            ),
+            # carriers: split = shard label, doc_id = n_docs, n_tokens =
+            # packed windows, offset = token sum, chunk_first = padded
+            # windows, order_hash / shard = the waste fractions quantized
+            # at 1e-9 (exact-integer operands -> identical doubles)
+            {
+                "op": F.lit("packeff"), "doc_id": "n_docs",
+                "n_tokens": "n_windows_i", "offset": "n_tokens",
+                "chunk_first": "padded_windows", "split": "shard",
+                "order_hash": "packed_q", "shard": "padded_q",
+            },
+        ),
+        (
             chunk_documents(
                 d.filter(F.col("doc_id") % CHUNK_MOD == 0),
                 chunk_tokens=CHUNK_T,
@@ -499,7 +578,7 @@ def packing_ops(spark, sf_dir):
 
 packing_ops.__doc__ = packing_ops.__doc__ and packing_ops.__doc__.format(
     m=BPE_MERGES, mod=BPE_ENC_MOD, rem=BPE_ENC_REM,
-    ct=CHUNK_T, co=CHUNK_OV, cm=CHUNK_MOD,
+    ct=CHUNK_T, co=CHUNK_OV, cm=CHUNK_MOD, pl=PACKEFF_L,
 )
 
 
@@ -526,7 +605,7 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), "[ \t\n\x0B\f\r]+")
     n = F.size(words)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)

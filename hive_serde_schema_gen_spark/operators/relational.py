@@ -272,7 +272,7 @@ def explode_top_tokens(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+            F.explode(F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")).alias("tok")
         )
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -936,7 +936,7 @@ def json_extract_events(spark, sf_dir, sort: bool = True):
     oracle="""
     SELECT 'tokens' AS op, tok AS key, n, CAST(NULL AS BIGINT) AS sum_k
     FROM (SELECT tok, COUNT(*) AS n
-          FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS tok
+          FROM (SELECT unnest(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
                 FROM documents)
           GROUP BY tok ORDER BY n DESC, tok LIMIT 20)
     UNION ALL

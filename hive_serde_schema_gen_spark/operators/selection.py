@@ -620,7 +620,7 @@ def c4_line_filter(
         F.array(*[F.lit(t) for t in terminals]), F.substring(ln, -1, 1)
     )
     words_ok = lambda ln: (  # noqa: E731
-        F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
+        F.size(F.filter(F.split(ln, "[ \t\n\x0B\f\r]+"), lambda w: w != ""))
         >= min_line_words
     )
     if blocklist:

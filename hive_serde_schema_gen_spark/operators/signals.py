@@ -243,7 +243,7 @@ def gopher_rules(
 
 _SQL_TOKS = (
     "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
-    "ELSE string_split_regex(TRIM(text), '\\s+') END"
+    "ELSE string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') END"
 )
 
 
@@ -256,7 +256,7 @@ def sql_signal_ctes() -> str:
     flag re-derived with the same thresholds)."""
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     return f"""sreptoks AS (
-      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS w
+      SELECT doc_id, string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
       FROM documents),
     srepg AS (
       SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g

@@ -43,13 +43,13 @@ def _tokens(col):
     guard the empty case the same way.)"""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(c), r"\s+")
+        F.split(F.trim(c), "[ \t\n\x0B\f\r]+")
     )
 
 
 _SQL_TOKENS = (
     "CASE WHEN LENGTH(TRIM(text)) = 0 THEN [] "
-    "ELSE string_split_regex(TRIM(text), '\\s+') END"
+    "ELSE string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') END"
 )
 
 
@@ -323,7 +323,7 @@ def _c4_sql() -> str:
     )
     keep = (
         f"ln -> right(ln, 1) IN ({terms}) "
-        f"AND len(list_filter(string_split_regex(ln, '\\s+'),"
+        f"AND len(list_filter(string_split_regex(ln, '[ \\t\\n\\x0B\\f\\r]+'),"
         f" w -> w <> '')) >= {C4_MIN_LINE_WORDS} "
         f"AND {block}"
     )
@@ -1434,7 +1434,7 @@ _BM25_TERMS = ("join", "spark", "window")  # sorted — mirrors bm25_topk's orde
     WITH toks AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+                  ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS w
       FROM documents),
     base AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM toks),
     tf AS (
@@ -1578,7 +1578,7 @@ _SEA_SAMPLE = "การประมวลผลข้อมูล"  # Thai, no 
              CASE WHEN LENGTH(TRIM(regexp_replace(text, '{_CJK_CLASS}', ' ', 'g'))) = 0
                   THEN 0
                   ELSE len(string_split_regex(
-                       TRIM(regexp_replace(text, '{_CJK_CLASS}', ' ', 'g')), '\\s+')) END AS n_ws
+                       TRIM(regexp_replace(text, '{_CJK_CLASS}', ' ', 'g')), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_ws
       FROM built)
     SELECT doc_id,
            CAST(n_ws + n_cjk AS INTEGER) AS n_tokens,

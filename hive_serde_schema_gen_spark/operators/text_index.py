@@ -238,7 +238,7 @@ _IDX_TERMS = ("data", "filter", "group")  # distinct from text_bm25's query
     WITH toks AS (
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
-                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS w
+                  ELSE string_split_regex(TRIM(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS w
       FROM documents),
     base AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM toks),
     tf AS (

@@ -83,7 +83,7 @@ def _shingle_array(text_col) -> F.Column:
     are identical over multiset and set, so the batch DISTINCT is
     unnecessary here)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(F.trim(c), r"\s+")
+    words = F.split(F.trim(c), "[ \t\n\x0B\f\r]+")
     n = F.size(words)
     return F.when(
         n >= SHINGLE,
@@ -127,7 +127,7 @@ def minhash_band_keys(text_col) -> F.Column:
     # guard on token count, not on re-deriving the shingle array — the
     # minhash tree above is the expensive expression; the guard must stay
     # cheap (one split+size)
-    has_shingles = F.size(F.split(F.trim(c), r"\s+")) >= SHINGLE
+    has_shingles = F.size(F.split(F.trim(c), "[ \t\n\x0B\f\r]+")) >= SHINGLE
     return F.when(has_shingles, bands).otherwise(
         F.array(F.xxhash64(F.lit(-1), c))
     )
