@@ -45,23 +45,40 @@ _BAND_W = 64 // PHASH_BANDS
 _BAND_MASK = (1 << _BAND_W) - 1
 
 
-def _band_rows(hashes: DataFrame) -> DataFrame:
-    """(band, band_val, img_id) — the on-disk banding, identical to the
+def _band_rows(
+    hashes: DataFrame, id_col: str = "img_id", hash_col: str = "dhash"
+) -> DataFrame:
+    """(band, band_val, <id>) — the on-disk banding, identical to the
     batch operator's in-memory banding so batch and index probes can
-    never disagree on candidates."""
+    never disagree on candidates.  Column names are parameters so the
+    AUDIO index (``afp_index.py`` — hash_col='afp') reuses the exact
+    same mechanics; the stored column names stay the image ones (the
+    artifact layout is shared)."""
     pairs = []
     for k in range(PHASH_BANDS):
         pairs.extend(
             [
                 F.lit(k),
                 F.shiftrightunsigned(
-                    F.col("dhash"), _BAND_W * k
+                    F.col(hash_col), _BAND_W * k
                 ).bitwiseAND(F.lit(_BAND_MASK)),
             ]
         )
     return hashes.select(
-        "img_id", F.stack(F.lit(PHASH_BANDS), *pairs).alias("band", "band_val")
+        F.col(id_col).alias("img_id"),
+        F.stack(F.lit(PHASH_BANDS), *pairs).alias("band", "band_val"),
     ).select("band", "band_val", "img_id")
+
+
+def _select_stored(
+    hashes: DataFrame, id_col: str, hash_col: str, aux_cols: tuple
+) -> DataFrame:
+    """Normalize an input frame to the STORED column names (img_id,
+    dhash[, ahash…]) — the artifact layout is shared across families, so
+    an audio frame (aud_id, afp) lands on disk as (img_id, dhash)."""
+    cols = [F.col(id_col).alias("img_id"), F.col(hash_col).alias("dhash")]
+    cols += [F.col(c) for c in aux_cols]
+    return hashes.select(*cols)
 
 
 def build_phash_index(
@@ -69,16 +86,24 @@ def build_phash_index(
     path: str,
     n_files: int = 32,
     owner: str | None = None,
+    *,
+    id_col: str = "img_id",
+    hash_col: str = "dhash",
+    aux_cols: tuple = ("ahash",),
+    grid: int = PHASH_GRID,
 ) -> None:
     """Build the persisted index from an ``image_hashes`` frame
     ``(img_id, …, dhash, ahash)``.  One pass: band rows range-clustered
     on (band, band_val); hash rows clustered on img_id for the
-    verification join."""
+    verification join.  The keyword block parameterizes the family —
+    ``afp_index.py`` passes the audio column names and ``grid`` =
+    AFP_WINDOWS, which the meta check then enforces (an audio index
+    probed as an image index fails loudly on the grid pin)."""
     from ..sources.manifest import index_writer_lock
 
     spark = hashes.sparkSession
     with index_writer_lock(spark, path, owner):
-        h = hashes.select("img_id", "dhash", "ahash").localCheckpoint()
+        h = _select_stored(hashes, id_col, hash_col, aux_cols).localCheckpoint()
         (
             _band_rows(h)
             .repartitionByRange(n_files, "band", "band_val")
@@ -94,7 +119,7 @@ def build_phash_index(
             .parquet(f"{path}/hashes")
         )
         spark.createDataFrame(
-            [(PHASH_INDEX_VERSION, PHASH_BANDS, PHASH_GRID)],
+            [(PHASH_INDEX_VERSION, PHASH_BANDS, grid)],
             "version int, n_bands int, grid int",
         ).write.mode("overwrite").parquet(f"{path}/meta")
 
@@ -104,6 +129,11 @@ def extend_phash_index(
     path: str,
     epoch: int | None = None,
     owner: str | None = None,
+    *,
+    id_col: str = "img_id",
+    hash_col: str = "dhash",
+    aux_cols: tuple = ("ahash",),
+    grid: int = PHASH_GRID,
 ) -> None:
     """Append a batch's band + hash rows (run AFTER dedup: index the
     SURVIVORS).  ``epoch`` stamps the hash rows with the writing
@@ -114,18 +144,20 @@ def extend_phash_index(
     from ..sources.manifest import index_writer_lock
 
     with index_writer_lock(hashes.sparkSession, path, owner):
-        _check_meta(hashes.sparkSession, path)
-        h = hashes.select("img_id", "dhash", "ahash").localCheckpoint()
+        _check_meta(hashes.sparkSession, path, grid)
+        h = _select_stored(hashes, id_col, hash_col, aux_cols).localCheckpoint()
         _band_rows(h).write.mode("append").parquet(f"{path}/bands")
         h.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
             "append"
         ).parquet(f"{path}/hashes")
 
 
-def _check_meta(spark: SparkSession, path: str) -> None:
+def _check_meta(
+    spark: SparkSession, path: str, grid: int = PHASH_GRID
+) -> None:
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     got = (m["version"], m["n_bands"], m["grid"])
-    want = (PHASH_INDEX_VERSION, PHASH_BANDS, PHASH_GRID)
+    want = (PHASH_INDEX_VERSION, PHASH_BANDS, grid)
     if got != want:
         raise ValueError(
             f"phash index at {path} was built with parameters {got}, "
@@ -138,6 +170,10 @@ def phash_against_index(
     path: str,
     radius: int = PHASH_RADIUS,
     broadcast_batch: bool = True,
+    *,
+    id_col: str = "img_id",
+    hash_col: str = "dhash",
+    grid: int = PHASH_GRID,
 ) -> DataFrame:
     """Probe the index with a batch's hash frame: ``(img_id,
     matched_img_id, dist)`` — one row per (new image, indexed image)
@@ -149,13 +185,13 @@ def phash_against_index(
     with range-clustering pruning row groups — index data never
     shuffles.  The verify join reads only candidate hash rows."""
     spark = new_hashes.sparkSession
-    _check_meta(spark, path)
+    _check_meta(spark, path, grid)
     if radius > PHASH_BANDS - 1:
         raise ValueError(
             f"radius {radius} exceeds the exact-recall bound "
             f"{PHASH_BANDS - 1}; band the hash finer or lower the radius"
         )
-    h_new = new_hashes.select("img_id", "dhash").localCheckpoint()
+    h_new = _select_stored(new_hashes, id_col, hash_col, ()).localCheckpoint()
     bands_new = _band_rows(h_new)
     if broadcast_batch:
         bands_new = F.broadcast(bands_new)
@@ -200,11 +236,18 @@ def phash_against_index(
     )
 
 
-def novel_images(new_hashes: DataFrame, matches: DataFrame) -> DataFrame:
+def novel_images(
+    new_hashes: DataFrame,
+    matches: DataFrame,
+    id_col: str = "img_id",
+    match_id_col: str = "img_id",
+) -> DataFrame:
     """The batch rows with no index match — the survivors to keep and
-    index (left-anti on img_id)."""
+    index (left-anti on the id)."""
     return new_hashes.join(
-        matches.select("img_id").distinct(), "img_id", "left_anti"
+        matches.select(F.col(match_id_col).alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
     )
 
 
@@ -213,6 +256,8 @@ def compact_phash_index(
     path: str,
     n_files: int = 32,
     owner: str | None = None,
+    *,
+    grid: int = PHASH_GRID,
 ) -> None:
     """Rewrite an appended-to index back into its initial clustering —
     exact-duplicate rows (a replayed extend's copies are row-identical,
@@ -224,7 +269,7 @@ def compact_phash_index(
     from .text_index import _swap_rewrite
 
     with index_writer_lock(spark, path, owner):
-        _check_meta(spark, path)
+        _check_meta(spark, path, grid)
         bands = spark.read.parquet(f"{path}/bands").distinct()
         hashes = spark.read.parquet(f"{path}/hashes").distinct()
         _swap_rewrite(
