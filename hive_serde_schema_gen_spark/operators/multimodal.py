@@ -467,6 +467,7 @@ def phash_dedup(
     hash_col: str = "dhash",
     id_col: str = "img_id",
     max_bucket: int | None = None,
+    strategy: str = "minpair",
 ):
     """Keep-first perceptual-hash image dedup: one row per DUPLICATE image
     with its attributed keeper — ``(img_id, dup_of, dist)`` — the
@@ -488,7 +489,30 @@ def phash_dedup(
     (dist 0); the representative itself may further attribute to a
     smaller near-dup rep.  Callers wanting full transitive lineage feed
     the pairs to ``clustering.connected_components``; callers wanting
-    the kept set anti-join ``img_id``."""
+    the kept set anti-join ``img_id``.
+
+    ``strategy`` picks the near-dup stage's physical shape:
+
+    - ``'minpair'`` (default, the oracle-pinned semantics): full banded
+      pair enumeration, each duplicate attributed to its MINIMUM
+      matching partner.  Pair enumeration is quadratic in NEAR-dup
+      cluster size (the exact collapse only removes IDENTICAL hashes) —
+      fine for corpora whose near-clusters are small.
+    - ``'anchor'`` (the mega-cluster scale path): per band bucket, each
+      member verifies ONLY against the bucket's min-id anchor — at most
+      ``n_bands`` candidate pairs per member, linear however large the
+      cluster — then the RESIDUAL members that matched no anchor run
+      the standard banded join against the full rep set.  The
+      DUPLICATE SET is provably identical to ``'minpair'`` (a member
+      with any smaller in-radius partner either verifies an anchor or
+      reaches phase 2, which joins against ALL reps — pigeonhole still
+      applies); only the ``dup_of`` attribution may differ (an anchor
+      rather than the global minimum partner — still a true in-radius
+      smaller-id keeper).  Measured: the sf10 corpus's ~100-copy AFP
+      clusters take the default from 1.2 s to 152 s at 100× data;
+      'anchor' restores linear growth (BASELINE.md round 15)."""
+    if strategy not in ("minpair", "anchor"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     reps = hashes.groupBy(hash_col).agg(F.min(id_col).alias("__rep"))
     exact = (
         hashes.select(id_col, hash_col)
@@ -503,24 +527,124 @@ def phash_dedup(
     rep_hashes = reps.select(
         F.col("__rep").alias(id_col), F.col(hash_col)
     )
-    near = (
-        phash_near_dup_pairs(
-            rep_hashes,
-            radius=radius,
-            n_bands=n_bands,
-            hash_col=hash_col,
-            id_col=id_col,
-            max_bucket=max_bucket,
+    if strategy == "anchor":
+        near = _anchor_near_dedup(
+            rep_hashes, radius, n_bands, hash_col, id_col, max_bucket
         )
-        .groupBy("img_b")
-        .agg(F.min(F.struct("img_a", "dist")).alias("__m"))
+    else:
+        near = (
+            phash_near_dup_pairs(
+                rep_hashes,
+                radius=radius,
+                n_bands=n_bands,
+                hash_col=hash_col,
+                id_col=id_col,
+                max_bucket=max_bucket,
+            )
+            .groupBy("img_b")
+            .agg(F.min(F.struct("img_a", "dist")).alias("__m"))
+            .select(
+                F.col("img_b").alias("img_id"),
+                F.col("__m.img_a").alias("dup_of"),
+                F.col("__m.dist").alias("dist"),
+            )
+        )
+    return exact.unionAll(near)
+
+
+def _anchor_near_dedup(
+    rep_hashes, radius, n_bands, hash_col, id_col, max_bucket
+):
+    """The 'anchor' strategy's near-dup stage (see :func:`phash_dedup`):
+    phase 1 verifies each band-bucket member against the bucket's min-id
+    anchor only (≤ n_bands candidates per member — linear in cluster
+    size); phase 2 runs the standard banded join for the residual
+    members that matched no anchor, against the FULL rep set so no
+    in-radius partner is ever missed.  Returns ``(img_id, dup_of,
+    dist)``."""
+    band_w = 64 // n_bands
+    mask = (1 << band_w) - 1
+    pairs = []
+    for k in range(n_bands):
+        pairs.extend(
+            [
+                F.lit(k),
+                F.shiftrightunsigned(F.col(hash_col), band_w * k).bitwiseAND(
+                    F.lit(mask)
+                ),
+            ]
+        )
+    bands = rep_hashes.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__h"),
+        F.stack(F.lit(n_bands), *pairs).alias("__band", "__bv"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window as W
+
+        counts = F.count(F.lit(1)).over(W.partitionBy("__band", "__bv"))
+        bands = bands.withColumn("__bc", counts).filter(
+            F.col("__bc") <= max_bucket
+        ).drop("__bc")
+    # three consumers (anchors, phase 1, phase 2) — cut lineage once
+    bands = bands.localCheckpoint()
+    anchors = bands.groupBy("__band", "__bv").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("__aid"), F.col("__h").alias("__ah"))
+        ).alias("__a")
+    )
+    ph1 = (
+        bands.join(anchors, ["__band", "__bv"])
+        .filter(F.col(id_col) > F.col("__a.__aid"))
         .select(
-            F.col("img_b").alias("img_id"),
-            F.col("__m.img_a").alias("dup_of"),
-            F.col("__m.dist").alias("dist"),
+            id_col,
+            "__h",
+            F.col("__a.__aid").alias("__p"),
+            F.col("__a.__ah").alias("__ph"),
+        )
+        .distinct()
+        .withColumn(
+            "__d", F.bit_count(F.col("__h").bitwiseXOR(F.col("__ph")))
+        )
+        .filter(F.col("__d") <= radius)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__p"), F.col("__d"))).alias("__m"))
+        .localCheckpoint()
+    )
+    att1 = ph1.select(
+        F.col(id_col).alias("img_id"),
+        F.col("__m.__p").alias("dup_of"),
+        F.col("__m.__d").alias("dist"),
+    )
+    res_bands = bands.join(
+        ph1.select(id_col), id_col, "left_anti"
+    )
+    a = bands.select(
+        F.col(id_col).alias("__ia"), F.col("__h").alias("__ha"),
+        "__band", "__bv",
+    )
+    b = res_bands.select(
+        F.col(id_col).alias("__ib"), F.col("__h").alias("__hb"),
+        "__band", "__bv",
+    )
+    att2 = (
+        a.join(b, ["__band", "__bv"])
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select("__ia", "__ib", "__ha", "__hb")
+        .distinct()
+        .withColumn(
+            "__d", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+        )
+        .filter(F.col("__d") <= radius)
+        .groupBy("__ib")
+        .agg(F.min(F.struct(F.col("__ia"), F.col("__d"))).alias("__m"))
+        .select(
+            F.col("__ib").alias("img_id"),
+            F.col("__m.__ia").alias("dup_of"),
+            F.col("__m.__d").alias("dist"),
         )
     )
-    return exact.unionAll(near)
+    return att1.unionByName(att2)
 
 
 #: planted-variant configuration for the driver slot: every %5 doc gets a
@@ -1583,13 +1707,21 @@ def audio_dedup(
     n_bands: int = PHASH_BANDS,
     id_col: str = "aud_id",
     max_bucket: int | None = None,
+    strategy: str = "minpair",
 ):
     """Keep-first perceptual audio dedup — :func:`phash_dedup` over the
     fingerprint column: exact-fingerprint collapse in ONE aggregate
     (linear however large a duplicate cluster — the shape that survives a
-    million-copy jingle), then min-partner attribution among the
-    surviving representatives via the banded join.  Returns
-    ``(img_id, dup_of, dist)`` keyed by clip id."""
+    million-copy jingle), then attribution among the surviving
+    representatives via the banded join.  Returns ``(img_id, dup_of,
+    dist)`` keyed by clip id.
+
+    ``strategy='anchor'`` matters MORE for audio than for images: the
+    AFP is deliberately robust to small edits (window energies barely
+    move), so re-encode farms produce large near-identical-but-not-equal
+    fingerprint clusters that the exact collapse cannot fold — the
+    regime where minpair's pair enumeration is quadratic and the anchor
+    path stays linear (same duplicate set; see :func:`phash_dedup`)."""
     return phash_dedup(
         fps,
         radius=radius,
@@ -1597,6 +1729,7 @@ def audio_dedup(
         hash_col="afp",
         id_col=id_col,
         max_bucket=max_bucket,
+        strategy=strategy,
     )
 
 

@@ -370,14 +370,21 @@ def run_sf10() -> None:
                 vol_offset=3 * 10**9,
             )
         ).filter("afp IS NOT NULL AND sample_rate > 0"),
-        "audio_dedup": lambda s, d: audio_dedup(
+        # strategy='anchor': the sf10 corpus's word-perturbed copies stay
+        # within AFP radius (the fingerprint is deliberately edit-robust),
+        # forming ~100-copy near-dup clusters — the regime where the
+        # default minpair pair enumeration is quadratic (measured once:
+        # 151.7 s at sf10, 124x on 100x data — BASELINE.md round 15) and
+        # the anchor path is linear with the SAME duplicate set.
+        "audio_dedup_anchor": lambda s, d: audio_dedup(
             audio_fingerprints(
                 audio_evidence_clips(
                     load_table(s, d, "documents").select("doc_id", "text"),
                     up_offset=10**9, pert_offset=2 * 10**9,
                     vol_offset=3 * 10**9,
                 )
-            ).localCheckpoint()
+            ).localCheckpoint(),
+            strategy="anchor",
         ).filter("dist >= 0"),
     }
     points = [

@@ -224,3 +224,54 @@ def test_image_decode_drop_report(spark):
     d = spark.createDataFrame(rows, "img_id long, payload binary")
     rep = decode_drop_report(d, image_hashes(d), "img_id").collect()[0]
     assert (rep["n_input"], rep["n_decoded"], rep["n_dropped"]) == (4, 2, 2)
+
+
+def test_anchor_strategy_same_duplicate_set(fps):
+    # the 'anchor' scale path marks EXACTLY the same duplicate ids as
+    # the default minpair enumeration (attribution target may differ but
+    # must be a true in-radius smaller-id partner)
+    hs = {r["aud_id"]: r["afp"] for r in fps.collect()}
+    base = {r["img_id"] for r in audio_dedup(fps).collect()}
+    anchor_rows = audio_dedup(fps, strategy="anchor").collect()
+    anchor = {r["img_id"] for r in anchor_rows}
+    assert anchor == base
+    for r in anchor_rows:
+        assert r["dup_of"] < r["img_id"]
+        d = bin((hs[r["img_id"]] ^ hs[r["dup_of"]]) & ((1 << 64) - 1)).count("1")
+        # exact-collapse rows pair identical fps (dist 0); near rows are
+        # between representatives — either way the claimed dist is real
+        assert r["dist"] == d or (r["dist"] == 0 and d == 0)
+
+
+def test_anchor_strategy_on_planted_mega_cluster(spark):
+    # a 60-copy near-identical cluster (the re-encode-farm regime): the
+    # anchor path must mark all 59 non-canonical members, like minpair,
+    # and a far-outlier bucket-mate must not be absorbed
+    import numpy as np
+
+    from hive_serde_schema_gen_spark.operators.multimodal import (
+        _wav_container,
+        _wav_pcm_samples,
+        phash_dedup,
+    )
+
+    base = _wav_pcm_samples(b"a long enough clip body for stable windows, yes.")
+    rows = []
+    for i in range(60):
+        s = base.copy()
+        # tiny local edit: one sample tweaked per copy — fingerprints
+        # near but (mostly) not equal
+        s[i % len(s)] = s[i % len(s)] // 2
+        rows.append((i, _wav_container(16000, s.astype("<i2").tobytes())))
+    rows.append((900, _wav_encode(900, b"totally different content over here....")))
+    d = spark.createDataFrame(rows, "aud_id long, payload binary")
+    fps2 = audio_fingerprints(d).localCheckpoint()
+    base_set = {(r["img_id"], r["dup_of"]) for r in audio_dedup(fps2).collect()}
+    anchor_set = {
+        (r["img_id"], r["dup_of"])
+        for r in audio_dedup(fps2, strategy="anchor").collect()
+    }
+    assert {i for i, _ in anchor_set} == {i for i, _ in base_set}
+    assert 900 not in {i for i, _ in anchor_set}
+    with pytest.raises(ValueError, match="unknown strategy"):
+        phash_dedup(fps2, hash_col="afp", id_col="aud_id", strategy="bogus")
