@@ -275,3 +275,26 @@ def test_anchor_strategy_on_planted_mega_cluster(spark):
     assert 900 not in {i for i, _ in anchor_set}
     with pytest.raises(ValueError, match="unknown strategy"):
         phash_dedup(fps2, hash_col="afp", id_col="aud_id", strategy="bogus")
+
+
+def test_afp_invariance_properties():
+    # Hypothesis: for ARBITRARY byte content, the fingerprint is
+    # invariant under k-x duplication resampling (any k) and exact
+    # half-volume — the two identities the oracle's base-formula
+    # computation of the variant kinds RELIES on
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=600),
+        st.integers(min_value=2, max_value=5),
+    )
+    def prop(payload, k):
+        s = _wav_pcm_samples(payload)
+        base = _audio_fp(s)
+        assert _audio_fp(np.repeat(s, k).astype("<i2")) == base
+        assert _audio_fp((s >> 1).astype("<i2")) == base
+        assert _audio_fp(_wav_pcm_samples(payload)) == base  # determinism
+
+    prop()
