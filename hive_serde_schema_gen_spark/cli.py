@@ -95,15 +95,72 @@ def _pipeline_main(argv) -> int:
     return 0
 
 
+def _media_main(argv) -> int:
+    """``media-dedup <in.parquet> <out_dir> [flags]`` — the one-COMMAND
+    form of :func:`operators.multimodal.dedup_media_corpus`: byte-
+    identical collapse before any decode, fingerprint survivors only,
+    perceptual keep-first, optional persisted-index probe + extend.
+    Writes ``kept/``, ``attribution/``, ``dropped/`` parquet dirs under
+    ``out_dir``; stage accounting on stderr."""
+    p = argparse.ArgumentParser(
+        prog="hive-serde-schema-gen-spark media-dedup",
+        description="Dedup an (id, payload) media corpus in one command.",
+    )
+    p.add_argument("input", help="parquet with (img_id|aud_id, payload)")
+    p.add_argument("out_dir")
+    p.add_argument("--modality", choices=["image", "audio"],
+                   default="image")
+    p.add_argument("--index", default=None, metavar="DIR",
+                   help="persisted pHash/AFP index to probe (and extend "
+                   "with the accepted novel payloads)")
+    p.add_argument("--extend-epoch", type=int, default=None)
+    p.add_argument("--no-extend", action="store_true",
+                   help="probe the index without extending it")
+    p.add_argument("--radius", type=int, default=None)
+    p.add_argument("--strategy", choices=["minpair", "anchor"],
+                   default="minpair",
+                   help="'anchor' is the mega-cluster scale path (same "
+                   "duplicate set, linear in near-dup cluster size)")
+    args = p.parse_args(argv)
+
+    from .operators.multimodal import PHASH_RADIUS, dedup_media_corpus
+
+    spark = get_spark("hive-serde-schema-gen-media")
+    accounting: list = []
+    try:
+        kept, attr, dropped = dedup_media_corpus(
+            spark.read.parquet(args.input),
+            args.modality,
+            radius=args.radius if args.radius is not None else PHASH_RADIUS,
+            index_path=args.index,
+            extend_epoch=args.extend_epoch,
+            extend_index=not args.no_extend,
+            strategy=args.strategy,
+            accounting=accounting,
+        )
+        kept.write.mode("overwrite").parquet(f"{args.out_dir}/kept")
+        attr.write.mode("overwrite").parquet(f"{args.out_dir}/attribution")
+        dropped.write.mode("overwrite").parquet(f"{args.out_dir}/dropped")
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    for stage, n in accounting:
+        print(f"stage {stage}: {n} rows", file=sys.stderr)
+    print(f"kept -> {args.out_dir}/kept; attribution and dropped beside it")
+    return 0
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     # subcommand dispatch that keeps the reference-compatible positional
-    # form (`file [table]`) intact: only the literal first token
-    # "pipeline" routes to the pipeline front end (an NDJSON input named
-    # "pipeline" can be passed as "./pipeline")
+    # form (`file [table]`) intact: only the literal first tokens
+    # "pipeline" / "media-dedup" route to the library front ends (an
+    # NDJSON input with such a name can be passed as "./pipeline")
     if argv and argv[0] == "pipeline":
         return _pipeline_main(argv[1:])
+    if argv and argv[0] == "media-dedup":
+        return _media_main(argv[1:])
     p = argparse.ArgumentParser(
         prog="hive-serde-schema-gen-spark",
         description="Infer the strictest Hive schema for an NDJSON file and "

@@ -1762,6 +1762,7 @@ def dedup_media_corpus(
     index_path: str | None = None,
     extend_epoch: int | None = None,
     extend_index: bool = True,
+    strategy: str = "minpair",
     accounting: list | None = None,
 ):
     """One-call media dedup over an ``(id, payload)`` frame — the media
@@ -1847,6 +1848,7 @@ def dedup_media_corpus(
         n_bands=n_bands,
         max_bucket=max_bucket,
         id_col=id_col,
+        strategy=strategy,
     ).select(
         F.col("img_id").alias(id_col),
         F.col("dup_of"),

@@ -62,3 +62,32 @@ def test_schema_gen_dispatch_unaffected(tmp_path, capsys):
     rc = main([str(nd), "t"])
     assert rc == 0
     assert "CREATE TABLE t (" in capsys.readouterr().out
+
+
+def test_media_dedup_command(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_serde_schema_gen_spark.operators.multimodal import _bmp_encode
+
+    base = _bmp_encode(1, b"the one true image body, with pixels")
+    rows = [(1, base), (2, base),
+            (4, _bmp_encode(4, b"a completely different image payload")),
+            (5, b"NOTABMP")]
+    ids, pays = zip(*rows)
+    src = tmp_path / "in.parquet"
+    pq.write_table(
+        pa.table({"img_id": pa.array(ids, pa.int64()),
+                  "payload": pa.array(list(pays), pa.binary())}),
+        str(src),
+    )
+    out = tmp_path / "out"
+    rc = main(["media-dedup", str(src), str(out), "--modality", "image",
+               "--strategy", "anchor"])
+    assert rc == 0
+    kept = {r["img_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
+    attr = {r["img_id"]: (r["dup_of"], r["stage"])
+            for r in spark.read.parquet(f"{out}/attribution").collect()}
+    drop = {r["img_id"]
+            for r in spark.read.parquet(f"{out}/dropped").collect()}
+    assert kept == {1, 4} and attr == {2: (1, "byte")} and drop == {5}
