@@ -298,3 +298,11 @@ def test_afp_invariance_properties():
         assert _audio_fp(_wav_pcm_samples(payload)) == base  # determinism
 
     prop()
+
+
+def test_anchor_plan_contract(fps):
+    from hive_serde_schema_gen_spark.plans.explain import explain_str
+
+    plan = explain_str(audio_dedup(fps, strategy="anchor"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
