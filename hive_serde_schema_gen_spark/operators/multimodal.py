@@ -1622,7 +1622,27 @@ def audio_evidence_clips(
     )
 
 
-def audio_fingerprints(df, id_col: str = "aud_id", on_error: str = "skip"):
+def _trim_silence(samples, threshold: int = 0):
+    """Strip leading/trailing samples with |amplitude| <= threshold —
+    the normalization that makes the fingerprint robust to silence
+    padding (a re-encode that pads a clip shifts EVERY anchor position;
+    trimming first restores them).  Pure integer comparison; an
+    all-silent clip returns the empty array (fingerprint 0)."""
+    import numpy as np
+
+    keep = np.nonzero(np.abs(samples.astype(np.int32)) > threshold)[0]
+    if keep.size == 0:
+        return samples[:0]
+    return samples[keep[0] : keep[-1] + 1]
+
+
+def audio_fingerprints(
+    df,
+    id_col: str = "aud_id",
+    on_error: str = "skip",
+    trim_silence: bool = False,
+    silence_threshold: int = 0,
+):
     """(id, payload WAV) → (id, sample_rate, n_samples, afp): decode each
     RIFF container (chunk-walk, like ``wav_features``) and compute the
     64-bit energy-difference fingerprint over the real samples.  One
@@ -1634,7 +1654,14 @@ def audio_fingerprints(df, id_col: str = "aud_id", on_error: str = "skip"):
 
     ``on_error`` follows :func:`image_hashes`: ``'skip'`` drops
     undecodable payloads (quarantine via :func:`decode_drop_report` or an
-    anti-join), ``'raise'`` keeps strict behavior for curated inputs."""
+    anti-join), ``'raise'`` keeps strict behavior for curated inputs.
+
+    ``trim_silence=True`` strips leading/trailing samples with
+    |amplitude| <= ``silence_threshold`` before fingerprinting — a
+    re-encode that PADS a clip with silence shifts every anchor
+    position and breaks the match; trimming restores it.  Off by
+    default (the oracle slot pins the untrimmed formula); turn it on
+    for real crawl audio, on BOTH the index-build and probe sides."""
     import numpy as np
 
     if on_error not in ("skip", "raise"):
@@ -1656,6 +1683,8 @@ def audio_fingerprints(df, id_col: str = "aud_id", on_error: str = "skip"):
                 s = np.frombuffer(p, dtype="<i2", count=ln // 2, offset=off)
                 if m["n_channels"] > 1:
                     s = s[:: m["n_channels"]]
+                if trim_silence:
+                    s = _trim_silence(s, silence_threshold)
                 ids.append(i)
                 rates.append(m["sample_rate"])
                 ns.append(m["n_samples"])

@@ -306,3 +306,26 @@ def test_anchor_plan_contract(fps):
     plan = explain_str(audio_dedup(fps, strategy="anchor"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trim_silence_restores_padded_match(spark):
+    # silence padding shifts every anchor; trim_silence=True restores
+    # the fingerprint match between the padded re-encode and the base
+    tb = b"a clip body long enough for stable fingerprint windows, ok."
+    s = _wav_pcm_samples(tb)
+    pad = np.zeros(257, dtype="<i2")
+    padded = np.concatenate([pad, s, pad]).astype("<i2")
+    rows = [
+        (0, _wav_container(16000, s.tobytes())),
+        (1, _wav_container(16000, padded.tobytes())),
+        (2, _wav_container(16000, pad.tobytes())),  # all silence
+    ]
+    d = spark.createDataFrame(rows, "aud_id long, payload binary")
+    raw = {r["aud_id"]: r["afp"] for r in audio_fingerprints(d).collect()}
+    assert raw[0] != raw[1]  # untrimmed: padding breaks the match
+    trimmed = {
+        r["aud_id"]: r["afp"]
+        for r in audio_fingerprints(d, trim_silence=True).collect()
+    }
+    assert trimmed[0] == trimmed[1] == raw[0]  # trimming restores it
+    assert trimmed[2] == 0  # all-silent clip -> zero fingerprint
