@@ -63,10 +63,27 @@ SHARD_SIZE = 10_000  # docs per prefix-sum shard; #shards = corpus/10k
 #: op='packeff' configuration: the packing-efficiency report over the
 #: epoch-3 md5 shard assignment at context length 64 (small against the
 #: ~54-token synthetic docs so both waste fractions are non-trivial).
-#: The waste-fraction doubles are pinned via round(frac*1e9) — the
-#: quantized-integer precedent; both engines compute the same exact
-#: integer operands, so the doubles (and their rounding) are identical.
+#: The waste fractions are pinned quantized at 1e-9 in PURE BIGINT
+#: arithmetic (see :func:`_packeff_q9`) — round 16 replaced the
+#: round(frac*1e9) double pin after the r15 driver gate showed
+#: engine-version-dependent ROUND-on-DOUBLE semantics.
 PACKEFF_L = 64
+
+
+def _packeff_q9(windows_col: str) -> F.Column:
+    """1e-9-quantized waste fraction as exact BIGINT arithmetic:
+    ``floor((2e9*(w*L − t) + w*L) / (2*w*L))`` = HALF_UP of
+    ``1e9*(w*L − t)/(w*L)`` with integer operands only (``w*L ≥ t`` by
+    construction so the numerator is non-negative and floor-division is
+    truncation on both engines).  ``w = 0`` (a token-free shard) emits 0
+    rather than NULL, mirroring :func:`packing_efficiency`'s zero guard.
+    Operand bound: ``2e9·w·L`` must stay under 2^63 — holds through
+    ~4.6e9 windows per shard, far past any oracle SF."""
+    w = f"(`{windows_col}` * {PACKEFF_L})"
+    return F.expr(
+        f"CASE WHEN `{windows_col}` = 0 THEN 0L ELSE "
+        f"(2000000000L * ({w} - `n_tokens`) + {w}) DIV (2 * {w}) END"
+    )
 
 
 def ws_token_count(text_col: str = "text") -> F.Column:
@@ -353,12 +370,23 @@ _EPOCH_HASH_SQL = (
     UNION ALL
     {_PRETOK_ARM}
     UNION ALL
+    -- waste fractions quantized at 1e-9 in PURE BIGINT arithmetic:
+    -- floor((2e9*(w*L - t) + w*L) / (2*w*L)) is exact HALF_UP of
+    -- 1e9*(w*L - t)/(w*L) with integer operands only — no double
+    -- division, no ROUND, so no engine/version skew at the hash gate
+    -- (round-16 fix for the r15 driver-environment divergence).
     SELECT 'packeff', n_docs, CAST(n_windows AS INTEGER), n_tokens,
            padded_windows, NULL, NULL, shard_label,
-           CAST(ROUND((n_windows * {PACKEFF_L} - n_tokens)
-                / (n_windows * {PACKEFF_L}) * 1000000000) AS BIGINT),
-           CAST(ROUND((padded_windows * {PACKEFF_L} - n_tokens)
-                / (padded_windows * {PACKEFF_L}) * 1000000000) AS INTEGER)
+           CAST(CASE WHEN n_windows = 0 THEN 0 ELSE
+                (CAST(2000000000 AS BIGINT)
+                   * (n_windows * {PACKEFF_L} - n_tokens)
+                 + n_windows * {PACKEFF_L})
+                // (2 * n_windows * {PACKEFF_L}) END AS BIGINT),
+           CAST(CASE WHEN padded_windows = 0 THEN 0 ELSE
+                (CAST(2000000000 AS BIGINT)
+                   * (padded_windows * {PACKEFF_L} - n_tokens)
+                 + padded_windows * {PACKEFF_L})
+                // (2 * padded_windows * {PACKEFF_L}) END AS INTEGER)
     FROM (
       WITH pesh AS (
         SELECT CAST({_EPOCH_HASH_SQL} % {{shards}} AS INTEGER) AS shard,
@@ -534,17 +562,14 @@ def packing_ops(spark, sf_dir):
                 "n_tokens",
                 F.col("n_windows").cast("int").alias("n_windows_i"),
                 "padded_windows",
-                F.round(F.col("packed_waste_frac") * 1e9)
-                .cast("long")
-                .alias("packed_q"),
-                F.round(F.col("padded_waste_frac") * 1e9)
-                .cast("int")
-                .alias("padded_q"),
+                _packeff_q9("n_windows").cast("long").alias("packed_q"),
+                _packeff_q9("padded_windows").cast("int").alias("padded_q"),
             ),
             # carriers: split = shard label, doc_id = n_docs, n_tokens =
             # packed windows, offset = token sum, chunk_first = padded
             # windows, order_hash / shard = the waste fractions quantized
-            # at 1e-9 (exact-integer operands -> identical doubles)
+            # at 1e-9 in pure BIGINT arithmetic (see _packeff_q9 — no
+            # doubles touch the hash surface on either engine)
             {
                 "op": F.lit("packeff"), "doc_id": "n_docs",
                 "n_tokens": "n_windows_i", "offset": "n_tokens",
@@ -937,12 +962,15 @@ def packing_efficiency(
         "n_docs",
         "n_tokens",
         "n_windows",
-        (
+        # zero guard: a shard whose rows are all metadata-only (token sum
+        # 0 -> 0 windows) wastes nothing, not NULL — mirror
+        # ws_token_count's empty-text discipline instead of emitting 0/0
+        F.when(F.col("n_windows") == 0, F.lit(0.0)).otherwise(
             (F.col("n_windows") * L - F.col("n_tokens"))
             / (F.col("n_windows") * L)
         ).alias("packed_waste_frac"),
         "padded_windows",
-        (
+        F.when(F.col("padded_windows") == 0, F.lit(0.0)).otherwise(
             (F.col("padded_windows") * L - F.col("n_tokens"))
             / (F.col("padded_windows") * L)
         ).alias("padded_waste_frac"),
