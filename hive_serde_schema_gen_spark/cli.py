@@ -51,11 +51,19 @@ def _pipeline_main(argv) -> int:
     def _frac(s, flag):
         num_s, _, den_s = s.partition("/")
         try:
-            return (int(num_s), int(den_s or "1"))
+            num, den = int(num_s), int(den_s or "1")
         except ValueError:
             raise SystemExit(
                 f"error: {flag} must be NUM/DEN, got {s!r}"
             ) from None
+        # a zero denominator or negative fraction would surface later as
+        # an unhandled arithmetic error inside the pipeline — usage error
+        if den <= 0 or num < 0:
+            raise SystemExit(
+                f"error: {flag} must be a non-negative fraction with a "
+                f"positive denominator, got {s!r}"
+            )
+        return (num, den)
 
     alpha = _frac(args.alpha, "--alpha")
 
@@ -117,10 +125,12 @@ def _media_main(argv) -> int:
     p.add_argument("--no-extend", action="store_true",
                    help="probe the index without extending it")
     p.add_argument("--radius", type=int, default=None)
-    p.add_argument("--strategy", choices=["minpair", "anchor"],
-                   default="minpair",
-                   help="'anchor' is the mega-cluster scale path (same "
-                   "duplicate set, linear in near-dup cluster size)")
+    p.add_argument("--strategy", choices=["auto", "minpair", "anchor"],
+                   default="auto",
+                   help="'auto' (default) picks 'anchor' when the band-"
+                   "bucket diagnostic trips; 'anchor' is the mega-cluster "
+                   "scale path (same duplicate set, linear in near-dup "
+                   "cluster size)")
     args = p.parse_args(argv)
 
     from .operators.multimodal import PHASH_RADIUS, dedup_media_corpus

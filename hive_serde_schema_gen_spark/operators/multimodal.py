@@ -293,6 +293,14 @@ PHASH_GRID = 8
 #: the same pair set.
 PHASH_BANDS = 8
 PHASH_RADIUS = 7
+#: strategy='auto' threshold (the semdedup ``max_cell='auto'`` precedent):
+#: if ANY band bucket among the exact-collapse representatives exceeds
+#: this, the near-dup stage runs 'anchor' instead of 'minpair'.  A bucket
+#: of m members feeds m(m-1)/2 candidate pairs into minpair's verify —
+#: at 64 that's ~2k pairs/bucket, still cheap; the sf10 cliff came from
+#: ~100-member buckets repeated across thousands of band values (564k
+#: pairs, 124× wall on 100× data — BASELINE.md round 15).
+AUTO_ANCHOR_BUCKET = 64
 
 
 def _pack_bits_signed64(bits) -> int:
@@ -414,30 +422,14 @@ def phash_near_dup_pairs(
     — a dropped bucket only loses candidates that remaining bands still
     recover unless ALL the pair's bands are hot; cap well above the
     expected near-dup cluster size)."""
-    band_w = 64 // n_bands
-    mask = (1 << band_w) - 1
-    pairs = []
-    for k in range(n_bands):
-        pairs.extend(
-            [
-                F.lit(k),
-                F.shiftrightunsigned(F.col(hash_col), band_w * k).bitwiseAND(
-                    F.lit(mask)
-                ),
-            ]
-        )
-    bands = hashes.select(
-        F.col(id_col),
-        F.col(hash_col).alias("__h"),
-        F.stack(F.lit(n_bands), *pairs).alias("__band", "__bv"),
-    )
-    if max_bucket is not None:
-        from pyspark.sql.window import Window as W
+    bands = _band_rows(hashes, n_bands, hash_col, id_col, max_bucket)
+    return _pairs_from_bands(bands, id_col, radius)
 
-        counts = F.count(F.lit(1)).over(W.partitionBy("__band", "__bv"))
-        bands = bands.withColumn("__bc", counts).filter(
-            F.col("__bc") <= max_bucket
-        ).drop("__bc")
+
+def _pairs_from_bands(bands, id_col, radius):
+    """The minpair pair-enumeration stage over a :func:`_band_rows`
+    frame: self-join on (band, value), dedup candidates, codegen'd
+    popcount verify.  Returns ``(img_a, img_b, dist)``."""
     a = bands.select(
         F.col(id_col).alias("__ia"), F.col("__h").alias("__ha"),
         "__band", "__bv",
@@ -460,6 +452,40 @@ def phash_near_dup_pairs(
     ).filter(F.col("dist") <= radius)
 
 
+def _band_rows(frame, n_bands, hash_col, id_col, max_bucket):
+    """THE shared banded layout: ``(id, __h, __band, __bv)`` rows —
+    ``n_bands`` per hash, ``__bv`` the band's ``64/n_bands``-bit slice —
+    with the ``max_bucket`` hot-bucket cap applied.  Used by
+    :func:`phash_near_dup_pairs`, :func:`_anchor_near_dedup`, and the
+    ``strategy='auto'`` bucket diagnostic, so the three can never
+    disagree on which candidates a band generates."""
+    band_w = 64 // n_bands
+    mask = (1 << band_w) - 1
+    pairs = []
+    for k in range(n_bands):
+        pairs.extend(
+            [
+                F.lit(k),
+                F.shiftrightunsigned(F.col(hash_col), band_w * k).bitwiseAND(
+                    F.lit(mask)
+                ),
+            ]
+        )
+    bands = frame.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__h"),
+        F.stack(F.lit(n_bands), *pairs).alias("__band", "__bv"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window as W
+
+        counts = F.count(F.lit(1)).over(W.partitionBy("__band", "__bv"))
+        bands = bands.withColumn("__bc", counts).filter(
+            F.col("__bc") <= max_bucket
+        ).drop("__bc")
+    return bands
+
+
 def phash_dedup(
     hashes,
     radius: int = PHASH_RADIUS,
@@ -467,7 +493,7 @@ def phash_dedup(
     hash_col: str = "dhash",
     id_col: str = "img_id",
     max_bucket: int | None = None,
-    strategy: str = "minpair",
+    strategy: str = "auto",
 ):
     """Keep-first perceptual-hash image dedup: one row per DUPLICATE image
     with its attributed keeper — ``(img_id, dup_of, dist)`` — the
@@ -493,11 +519,11 @@ def phash_dedup(
 
     ``strategy`` picks the near-dup stage's physical shape:
 
-    - ``'minpair'`` (default, the oracle-pinned semantics): full banded
-      pair enumeration, each duplicate attributed to its MINIMUM
-      matching partner.  Pair enumeration is quadratic in NEAR-dup
-      cluster size (the exact collapse only removes IDENTICAL hashes) —
-      fine for corpora whose near-clusters are small.
+    - ``'minpair'`` (the oracle-pinned semantics): full banded pair
+      enumeration, each duplicate attributed to its MINIMUM matching
+      partner.  Pair enumeration is quadratic in NEAR-dup cluster size
+      (the exact collapse only removes IDENTICAL hashes) — fine for
+      corpora whose near-clusters are small.
     - ``'anchor'`` (the mega-cluster scale path): per band bucket, each
       member verifies ONLY against the bucket's min-id anchor — at most
       ``n_bands`` candidate pairs per member, linear however large the
@@ -509,10 +535,31 @@ def phash_dedup(
       applies); only the ``dup_of`` attribution may differ (an anchor
       rather than the global minimum partner — still a true in-radius
       smaller-id keeper).  Measured: the sf10 corpus's ~100-copy AFP
-      clusters take the default from 1.2 s to 152 s at 100× data;
-      'anchor' restores linear growth (BASELINE.md round 15)."""
-    if strategy not in ("minpair", "anchor"):
+      clusters take minpair from 1.2 s to 152 s at 100× data; 'anchor'
+      restores linear growth (BASELINE.md round 15).
+    - ``'auto'`` (DEFAULT since round 16 — the ``semdedup``
+      ``max_cell='auto'`` precedent): one cheap groupBy-count job over
+      the representatives' band rows reads the largest band bucket; if
+      it exceeds :data:`AUTO_ANCHOR_BUCKET` the near-dup stage runs
+      'anchor', else 'minpair'.  Mega near-dup clusters are the COMMON
+      case in a real crawl (re-encode farms, resized logo copies), so
+      the default must not hand production the quadratic plan — while
+      small corpora keep minpair's global-minimum attribution and skip
+      the anchor path's two checkpoints.  Cost: one extra job over a
+      frame of ``n_bands`` ~32-byte rows per representative.
+
+    ``radius`` must stay ``<= n_bands - 1`` — past that bound the banded
+    candidate generation silently loses recall while the persisted-index
+    probe (``phash_against_index``) raises; fail the same way here."""
+    if strategy not in ("auto", "minpair", "anchor"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if radius > n_bands - 1:
+        raise ValueError(
+            f"radius {radius} > n_bands-1 ({n_bands - 1}): banded recall "
+            "is only exact by pigeonhole up to n_bands-1 bit flips — "
+            "raise n_bands or lower radius (phash_against_index enforces "
+            "the same bound)"
+        )
     reps = hashes.groupBy(hash_col).agg(F.min(id_col).alias("__rep"))
     exact = (
         hashes.select(id_col, hash_col)
@@ -527,13 +574,26 @@ def phash_dedup(
     rep_hashes = reps.select(
         F.col("__rep").alias(id_col), F.col(hash_col)
     )
-    if strategy == "anchor":
-        near = _anchor_near_dedup(
-            rep_hashes, radius, n_bands, hash_col, id_col, max_bucket
-        )
+    chosen = strategy
+    bands = None
+    if strategy == "auto":
+        # one checkpoint serves the diagnostic AND the chosen path
+        bands = _band_rows(
+            rep_hashes, n_bands, hash_col, id_col, max_bucket
+        ).localCheckpoint()
+        chosen = _auto_pick(bands)
+    if chosen == "anchor":
+        if bands is None:
+            # anchors, phase 1, phase 2 all read it — cut lineage once
+            bands = _band_rows(
+                rep_hashes, n_bands, hash_col, id_col, max_bucket
+            ).localCheckpoint()
+        near = _anchor_near_dedup(bands, radius, id_col)
     else:
-        near = (
-            phash_near_dup_pairs(
+        pair_src = (
+            _pairs_from_bands(bands, id_col, radius)
+            if bands is not None
+            else phash_near_dup_pairs(
                 rep_hashes,
                 radius=radius,
                 n_bands=n_bands,
@@ -541,6 +601,9 @@ def phash_dedup(
                 id_col=id_col,
                 max_bucket=max_bucket,
             )
+        )
+        near = (
+            pair_src
             .groupBy("img_b")
             .agg(F.min(F.struct("img_a", "dist")).alias("__m"))
             .select(
@@ -552,42 +615,30 @@ def phash_dedup(
     return exact.unionAll(near)
 
 
-def _anchor_near_dedup(
-    rep_hashes, radius, n_bands, hash_col, id_col, max_bucket
-):
+def _auto_pick(bands):
+    """The ``strategy='auto'`` diagnostic: largest band-bucket size over a
+    :func:`_band_rows` frame — one groupBy-count job, O(#buckets) result.
+    A bucket above :data:`AUTO_ANCHOR_BUCKET` means pair enumeration
+    would go quadratic there, so pick 'anchor'; otherwise minpair's
+    global-minimum attribution is worth its (small-cluster) cost."""
+    mx = (
+        bands.groupBy("__band", "__bv")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__mx"))
+        .collect()[0]["__mx"]
+    )
+    return "anchor" if (mx or 0) > AUTO_ANCHOR_BUCKET else "minpair"
+
+
+def _anchor_near_dedup(bands, radius, id_col):
     """The 'anchor' strategy's near-dup stage (see :func:`phash_dedup`):
     phase 1 verifies each band-bucket member against the bucket's min-id
     anchor only (≤ n_bands candidates per member — linear in cluster
     size); phase 2 runs the standard banded join for the residual
     members that matched no anchor, against the FULL rep set so no
-    in-radius partner is ever missed.  Returns ``(img_id, dup_of,
-    dist)``."""
-    band_w = 64 // n_bands
-    mask = (1 << band_w) - 1
-    pairs = []
-    for k in range(n_bands):
-        pairs.extend(
-            [
-                F.lit(k),
-                F.shiftrightunsigned(F.col(hash_col), band_w * k).bitwiseAND(
-                    F.lit(mask)
-                ),
-            ]
-        )
-    bands = rep_hashes.select(
-        F.col(id_col),
-        F.col(hash_col).alias("__h"),
-        F.stack(F.lit(n_bands), *pairs).alias("__band", "__bv"),
-    )
-    if max_bucket is not None:
-        from pyspark.sql.window import Window as W
-
-        counts = F.count(F.lit(1)).over(W.partitionBy("__band", "__bv"))
-        bands = bands.withColumn("__bc", counts).filter(
-            F.col("__bc") <= max_bucket
-        ).drop("__bc")
-    # three consumers (anchors, phase 1, phase 2) — cut lineage once
-    bands = bands.localCheckpoint()
+    in-radius partner is ever missed.  Takes the :func:`_band_rows`
+    frame (caller must ``localCheckpoint`` it — anchors, phase 1, and
+    phase 2 all read it).  Returns ``(img_id, dup_of, dist)``."""
     anchors = bands.groupBy("__band", "__bv").agg(
         F.min(
             F.struct(F.col(id_col).alias("__aid"), F.col("__h").alias("__ah"))
@@ -1266,7 +1317,9 @@ def multimodal_resize_frames(spark, sf_dir):
         F.lit(0).alias("height"),
         F.col("img_b").alias("checksum"),
     )
-    pded = phash_dedup(hashed).select(
+    # the oracle pins minpair's global-minimum attribution — the slot
+    # must not let the auto diagnostic flip the physical strategy
+    pded = phash_dedup(hashed, strategy="minpair").select(
         F.lit("pdedup").alias("op"),
         F.col("img_id").alias("doc_id"),
         F.col("dist").cast("int").alias("idx"),
@@ -1339,7 +1392,7 @@ def multimodal_resize_frames(spark, sf_dir):
         F.lit(0).alias("height"),
         F.col("img_b").alias("checksum"),
     )
-    ad = audio_dedup(afps).select(
+    ad = audio_dedup(afps, strategy="minpair").select(
         F.lit("adedup").alias("op"),
         F.col("img_id").alias("doc_id"),
         F.col("dist").cast("int").alias("idx"),
@@ -1736,7 +1789,7 @@ def audio_dedup(
     n_bands: int = PHASH_BANDS,
     id_col: str = "aud_id",
     max_bucket: int | None = None,
-    strategy: str = "minpair",
+    strategy: str = "auto",
 ):
     """Keep-first perceptual audio dedup — :func:`phash_dedup` over the
     fingerprint column: exact-fingerprint collapse in ONE aggregate
@@ -1791,7 +1844,7 @@ def dedup_media_corpus(
     index_path: str | None = None,
     extend_epoch: int | None = None,
     extend_index: bool = True,
-    strategy: str = "minpair",
+    strategy: str = "auto",
     accounting: list | None = None,
 ):
     """One-call media dedup over an ``(id, payload)`` frame — the media
@@ -1815,17 +1868,30 @@ def dedup_media_corpus(
       history; ``dup_of`` is the indexed id);
     - ``dropped``: ids whose payloads failed decode (the
       :func:`decode_drop_report` discipline — the count is also
-      appended to ``accounting``).
+      appended to ``accounting`` as the ``'dropped'`` stage).
 
-    ``accounting=[]`` receives ``(stage, rows)`` per stage, the
-    ``curate_documents`` reconciliation audit: input = kept + byte dups
-    + percept dups + index matches + dropped, asserted in tests.
+    ``accounting=[]`` receives ``(stage, rows)`` per stage — input,
+    byte_unique, decoded, dropped, percept_kept, [index_novel,] kept —
+    the ``curate_documents`` reconciliation audit: input = kept + byte
+    dups + percept dups + index matches + dropped, asserted in tests.
+
+    ``strategy`` defaults to ``'auto'`` (round 16): the perceptual
+    stage picks 'anchor' when the band-bucket diagnostic trips (mega
+    near-dup clusters — the common case in a re-encoded crawl) and
+    minpair otherwise; see :func:`phash_dedup`.
 
     Scale shape: one hash-partition shuffle for the byte collapse, one
     Arrow decode pass over survivors only, the banded-Hamming join among
     representatives (never all-pairs), and — with an index — a
     broadcast-batch probe over the range-clustered artifact.  Every
     intermediate consumed twice is lineage-cut."""
+    if radius > n_bands - 1:
+        raise ValueError(
+            f"radius {radius} > n_bands-1 ({n_bands - 1}): banded recall "
+            "is only exact up to n_bands-1 bit flips and the stage-4 "
+            "index probe enforces the same bound — fail here, before any "
+            "stage runs, instead of silently-approximate stages 1-3"
+        )
     if modality == "image":
         id_col = id_col or "img_id"
         fp_fn, dedup_fn = image_hashes, phash_dedup
@@ -1870,6 +1936,7 @@ def dedup_media_corpus(
         fps.select(id_col), id_col, "left_anti"
     )
     _acct("decoded", fps)
+    _acct("dropped", dropped)
     # stage 3: perceptual keep-first dedup among the batch's survivors
     percept = dedup_fn(
         fps,

@@ -228,10 +228,10 @@ def test_image_decode_drop_report(spark):
 
 def test_anchor_strategy_same_duplicate_set(fps):
     # the 'anchor' scale path marks EXACTLY the same duplicate ids as
-    # the default minpair enumeration (attribution target may differ but
+    # the minpair enumeration (attribution target may differ but
     # must be a true in-radius smaller-id partner)
     hs = {r["aud_id"]: r["afp"] for r in fps.collect()}
-    base = {r["img_id"] for r in audio_dedup(fps).collect()}
+    base = {r["img_id"] for r in audio_dedup(fps, strategy="minpair").collect()}
     anchor_rows = audio_dedup(fps, strategy="anchor").collect()
     anchor = {r["img_id"] for r in anchor_rows}
     assert anchor == base
@@ -266,7 +266,10 @@ def test_anchor_strategy_on_planted_mega_cluster(spark):
     rows.append((900, _wav_encode(900, b"totally different content over here....")))
     d = spark.createDataFrame(rows, "aud_id long, payload binary")
     fps2 = audio_fingerprints(d).localCheckpoint()
-    base_set = {(r["img_id"], r["dup_of"]) for r in audio_dedup(fps2).collect()}
+    base_set = {
+        (r["img_id"], r["dup_of"])
+        for r in audio_dedup(fps2, strategy="minpair").collect()
+    }
     anchor_set = {
         (r["img_id"], r["dup_of"])
         for r in audio_dedup(fps2, strategy="anchor").collect()
@@ -329,3 +332,77 @@ def test_trim_silence_restores_padded_match(spark):
     }
     assert trimmed[0] == trimmed[1] == raw[0]  # trimming restores it
     assert trimmed[2] == 0  # all-silent clip -> zero fingerprint
+
+
+def test_auto_pick_diagnostic(spark):
+    # the strategy='auto' bucket diagnostic: distinct hashes sharing one
+    # band value form a band bucket; above AUTO_ANCHOR_BUCKET -> anchor
+    from hive_serde_schema_gen_spark.operators.multimodal import (
+        AUTO_ANCHOR_BUCKET,
+        _auto_pick,
+        _band_rows,
+    )
+
+    big = AUTO_ANCHOR_BUCKET + 6
+    hot = spark.createDataFrame(
+        [(i, (i << 8) | 0x55) for i in range(big)], "img_id long, dhash long"
+    )
+    bands = _band_rows(hot, 8, "dhash", "img_id", None)
+    assert _auto_pick(bands) == "anchor"
+    cold = spark.createDataFrame(
+        [(i, (i << 8) | (i & 0xFF)) for i in range(20)],
+        "img_id long, dhash long",
+    )
+    assert _auto_pick(_band_rows(cold, 8, "dhash", "img_id", None)) == "minpair"
+
+
+def test_auto_default_same_duplicate_set_on_mega_cluster(spark):
+    # default (auto) on a cluster LARGER than the diagnostic threshold:
+    # must route to anchor and still mark exactly minpair's duplicate set
+    from hive_serde_schema_gen_spark.operators.multimodal import (
+        AUTO_ANCHOR_BUCKET,
+        _wav_container,
+        _wav_pcm_samples,
+    )
+
+    n = AUTO_ANCHOR_BUCKET + 10
+    base = _wav_pcm_samples(b"a long enough clip body for stable windows, yes.")
+    rows = []
+    for i in range(n):
+        s = base.copy()
+        s[i % len(s)] = s[i % len(s)] // 2
+        rows.append((i, _wav_container(16000, s.astype("<i2").tobytes())))
+    d = spark.createDataFrame(rows, "aud_id long, payload binary")
+    fps2 = audio_fingerprints(d).localCheckpoint()
+    minpair = {r["img_id"] for r in audio_dedup(fps2, strategy="minpair").collect()}
+    auto_rows = audio_dedup(fps2).collect()  # the DEFAULT path
+    assert {r["img_id"] for r in auto_rows} == minpair
+    for r in auto_rows:
+        assert r["dup_of"] < r["img_id"]
+
+
+def test_auto_default_small_corpus_matches_minpair_attribution(fps):
+    # below the threshold auto IS minpair — identical attribution, not
+    # just the same duplicate set
+    want = sorted(
+        (r["img_id"], r["dup_of"], r["dist"])
+        for r in audio_dedup(fps, strategy="minpair").collect()
+    )
+    got = sorted(
+        (r["img_id"], r["dup_of"], r["dist"]) for r in audio_dedup(fps).collect()
+    )
+    assert got == want
+
+
+def test_radius_bound_fails_loudly(spark):
+    from hive_serde_schema_gen_spark.operators.multimodal import (
+        dedup_media_corpus,
+        phash_dedup,
+    )
+
+    d = spark.createDataFrame([(1, 5)], "img_id long, dhash long")
+    with pytest.raises(ValueError, match="radius"):
+        phash_dedup(d, radius=8, n_bands=8)
+    p = spark.createDataFrame([(1, b"x")], "img_id long, payload binary")
+    with pytest.raises(ValueError, match="radius"):
+        dedup_media_corpus(p, "image", radius=8)

@@ -59,6 +59,7 @@ def test_image_stages_and_reconciliation(spark):
     assert counts["input"] == 5
     assert counts["byte_unique"] == 4       # id 2 collapsed pre-decode
     assert counts["decoded"] == 3           # id 5 dropped at decode
+    assert counts["dropped"] == 1           # ... and accounted as such
     assert counts["kept"] == len(kept_ids)
     assert counts["input"] == (
         counts["kept"] + len(attr_rows) + len(drop_ids)

@@ -169,3 +169,20 @@ def test_epoch_shuffle_shards_stable_and_balanced(spark):
         per_shard.setdefault(r["shard"], []).append(r["__h"])
     for shard, hs in per_shard.items():
         assert hs == sorted(hs), f"shard {shard} not in hash order"
+
+
+def test_packing_efficiency_zero_token_shard_emits_zero_not_null(spark):
+    from hive_serde_schema_gen_spark.operators.packing import (
+        packing_efficiency,
+    )
+
+    d = spark.createDataFrame(
+        [(0, 10), (0, 20), (1, 0), (1, 0)], "shard int, n_tokens int"
+    )
+    rows = {r["shard"]: r for r in packing_efficiency(d, 64).collect()}
+    z = rows["1"]
+    assert (z["n_windows"], z["padded_windows"]) == (0, 0)
+    # a metadata-only shard wastes nothing — 0.0, never NULL (0/0)
+    assert z["packed_waste_frac"] == 0.0
+    assert z["padded_waste_frac"] == 0.0
+    assert rows["__total"]["packed_waste_frac"] is not None
