@@ -698,6 +698,27 @@ def _anchor_near_dedup(bands, radius, id_col):
     return att1.unionByName(att2)
 
 
+#: op='macct'/'ddrop' configuration (round 16): the media-dedup
+#: ACCOUNTING under the hash gate.  The planted corpus = the distinct-
+#: text doc slice's base BMPs + byte-identical copies of its even-id
+#: half + undecodable garbage payloads; the oracle re-derives every
+#: stage count, including the byte-equivalence classes EXACTLY (two
+#: distinct texts can share a payload when the pixel buffer is a common
+#: cyclic prefix — e.g. planted repetitive texts — so the class key is
+#: (w, h, cycled-pixel-prefix), never "texts are distinct").
+MACCT_SEL_MOD = 3
+MACCT_GARB_MOD = 11
+MACCT_COPY_OFFSET = 40_000_000
+MACCT_GARB_OFFSET = 50_000_000
+_MACCT_ORD = {
+    "input": 0,
+    "byte_unique": 1,
+    "decoded": 2,
+    "dropped": 3,
+    "percept_kept": 4,
+    "kept": 5,
+}
+
 #: planted-variant configuration for the driver slot: every %5 doc gets a
 #: 2× nearest-upscaled copy (a "resized re-encode" — its dHash/aHash are
 #: bit-identical to the original by the floor-division identity
@@ -1160,7 +1181,49 @@ def resize_checksums(df):
       FROM sampled CROSS JOIN (SELECT unnest(range(48)) AS i) i),
     frame_rows AS (
       SELECT doc_id, frame_idx, CAST(SUM(byte) % 2147483648 AS BIGINT) AS checksum
-      FROM fbytes GROUP BY doc_id, frame_idx)
+      FROM fbytes GROUP BY doc_id, frame_idx),
+    -- op='macct'/'ddrop': the media-dedup accounting.  macsel is the
+    -- distinct-text doc slice; maccls groups it into EXACT byte-
+    -- equivalence classes of the BMP construction — key (w, h, pixel
+    -- prefix = text cycled to row_size*h chars; ASCII corpus, so char
+    -- ops equal byte ops as everywhere in this oracle) — because two
+    -- distinct (even repetitive) texts CAN share a payload; the percept
+    -- stage count is the dhash brute force over the class survivors.
+    macsel AS (
+      SELECT doc_id FROM (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+      WHERE doc_id % {MACCT_SEL_MOD} = 0),
+    macpx AS (
+      SELECT d.doc_id,
+             1 + d.doc_id % 64 AS w,
+             1 + octet_length(encode(d.text)) % 64 AS h,
+             octet_length(encode(d.text)) AS L,
+             ((1 + d.doc_id % 64) * 3 + 3) // 4 * 4
+               * (1 + octet_length(encode(d.text)) % 64) AS isz,
+             d.text
+      FROM documents d JOIN macsel s USING (doc_id)),
+    maccls AS (
+      SELECT MIN(doc_id) AS img_id
+      FROM macpx
+      GROUP BY w, h,
+        CASE WHEN L = 0 THEN ''
+             ELSE substr(repeat(text, CAST(isz // L + 1 AS INTEGER)),
+                         1, CAST(isz AS INTEGER)) END),
+    macsurv AS (
+      SELECT c.img_id, h.dhash FROM maccls c JOIN phhash h USING (img_id)),
+    macdup AS (
+      SELECT COUNT(*) AS cdup FROM macsurv b
+      WHERE EXISTS (SELECT 1 FROM macsurv a
+                    WHERE a.img_id < b.img_id
+                      AND bit_count(xor(a.dhash, b.dhash))
+                          <= {PHASH_RADIUS})),
+    maccnt AS (
+      SELECT (SELECT COUNT(*) FROM macsel) AS ns,
+             (SELECT COUNT(*) FROM macsel WHERE doc_id % 2 = 0) AS nc,
+             (SELECT COUNT(*) FROM documents
+              WHERE doc_id % {MACCT_GARB_MOD} = 0) AS ng,
+             (SELECT COUNT(*) FROM maccls) AS nb,
+             (SELECT cdup FROM macdup) AS nd)
     SELECT 'resize' AS op, doc_id, CAST(0 AS INTEGER) AS idx,
            CAST({RESIZE_W} AS INTEGER) AS width, CAST({RESIZE_H} AS INTEGER) AS height,
            checksum
@@ -1212,6 +1275,20 @@ def resize_checksums(df):
            CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
            dup_of AS checksum
     FROM afpded
+    UNION ALL
+    SELECT 'macct', cnt, CAST(ord AS INTEGER), CAST(0 AS INTEGER),
+           CAST(0 AS INTEGER), CAST(NULL AS BIGINT)
+    FROM (
+      SELECT 0 AS ord, ns + nc + ng AS cnt FROM maccnt
+      UNION ALL SELECT 1, nb + ng FROM maccnt
+      UNION ALL SELECT 2, nb FROM maccnt
+      UNION ALL SELECT 3, ng FROM maccnt
+      UNION ALL SELECT 4, nb - nd FROM maccnt
+      UNION ALL SELECT 5, nb - nd FROM maccnt)
+    UNION ALL
+    SELECT 'ddrop', nc + ng, CAST(0 AS INTEGER), CAST(nc AS INTEGER),
+           CAST(ng AS INTEGER), CAST(NULL AS BIGINT)
+    FROM maccnt
     ORDER BY op, doc_id, idx, checksum
     """,
 )
@@ -1400,10 +1477,65 @@ def multimodal_resize_frames(spark, sf_dir):
         F.lit(0).alias("height"),
         F.col("dup_of").alias("checksum"),
     )
+    # round-16: op='macct'/'ddrop' — the dedup_media_corpus accounting
+    # reconciliation and decode_drop_report under the hash gate (VERDICT
+    # r15 #5).  The one-call pipeline runs its REAL staged chain (byte
+    # collapse before decode, default 'auto' strategy — the gate covers
+    # the new default) over the planted corpus; the driver-side stage
+    # counts land as integer rows the oracle re-derives independently.
+    macsel = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .filter(F.col("doc_id") % MACCT_SEL_MOD == 0)
+        .select("doc_id", "text")
+    )
+    mac_base = (
+        with_bmp_payload(macsel)
+        .select(F.col("doc_id").alias("img_id"), "payload")
+        .localCheckpoint()  # corpus union + copies arm + ddrop input
+    )
+    mac_copies = mac_base.filter(F.col("img_id") % 2 == 0).select(
+        (F.col("img_id") + MACCT_COPY_OFFSET).alias("img_id"), "payload"
+    )
+    mac_garbage = d.filter(F.col("doc_id") % MACCT_GARB_MOD == 0).select(
+        (F.col("doc_id") + MACCT_GARB_OFFSET).alias("img_id"),
+        F.encode(
+            F.concat_ws(
+                ":", F.lit("not-a-bmp"), F.col("doc_id").cast("string")
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    mac_acct: list = []
+    dedup_media_corpus(
+        mac_base.unionAll(mac_copies).unionAll(mac_garbage),
+        "image",
+        accounting=mac_acct,
+    )
+    macct = spark.createDataFrame(
+        [
+            ("macct", int(n), _MACCT_ORD[stage], 0, 0, None)
+            for stage, n in mac_acct
+        ],
+        schema=(
+            "op string, doc_id long, idx int, width int, height int, "
+            "checksum long"
+        ),
+    )
+    ddr_in = mac_copies.unionAll(mac_garbage)
+    ddr = decode_drop_report(ddr_in, image_hashes(ddr_in), "img_id").select(
+        F.lit("ddrop").alias("op"),
+        F.col("n_input").cast("long").alias("doc_id"),
+        F.lit(0).alias("idx"),
+        F.col("n_decoded").cast("int").alias("width"),
+        F.col("n_dropped").cast("int").alias("height"),
+        F.lit(None).cast("long").alias("checksum"),
+    )
     return (
         rs.unionAll(fr).unionAll(dh).unionAll(ah).unionAll(pdup)
         .unionAll(pded).unionAll(pprobe).unionAll(pnovel)
         .unionAll(af).unionAll(ap).unionAll(ad)
+        .unionAll(macct).unionAll(ddr)
         .orderBy("op", "doc_id", "idx", "checksum")
     )
 
