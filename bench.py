@@ -89,6 +89,14 @@ HEADLINE = [
     "asof_join_last_order",
     "multimodal_payload_meta",
     "infer_props_schema",
+    # round 16 (VERDICT r15 #6): the media family's sf0.1 headline — the
+    # DEFAULT-strategy pHash dedup over the planted evidence corpus
+    # (synth + decode + hash via Arrow, then banded attribution), so a
+    # media-path regression shows in the cross-round raw series instead
+    # of only in scale_check.  NOTE: a 17th headliner changes the summed
+    # `value` series vs rounds 1-15 — compare per-query minima across
+    # that boundary (BASELINE.md round-16 note).
+    "phash_image_dedup",
 ]
 
 # Reference calibration times (sec), recorded round 10 (2026-08-14) from a
@@ -153,6 +161,9 @@ QUERY_REGIME = {
     "asof_join_last_order": "jvm",
     "multimodal_payload_meta": "arrow",
     "infer_props_schema": "arrow",
+    # measured shape: the synth+decode+hash mapInPandas pass dominates
+    # (same regime evidence as the other two Arrow headliners)
+    "phash_image_dedup": "arrow",
 }
 
 # Deterministic results of the calibration workloads — asserted on every
@@ -327,6 +338,26 @@ def main() -> None:
     )
 
     queries["infer_props_schema"] = infer_props_schema
+
+    # Media headline (round 16): the production default path end-to-end —
+    # evidence-image synthesis, Arrow decode+hash, exact collapse, the
+    # strategy='auto' bucket diagnostic, banded attribution.  Matches the
+    # scale_check `phash_image_dedup` series' construction (default
+    # strategy there too since round 16).
+    from hive_serde_schema_gen_spark.operators.multimodal import (
+        image_hashes,
+        phash_dedup,
+        phash_evidence_images,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    queries["phash_image_dedup"] = lambda s, d: phash_dedup(
+        image_hashes(
+            phash_evidence_images(
+                load_table(s, d, "documents").select("doc_id", "text")
+            )
+        ).localCheckpoint()
+    ).filter("dist >= 0")
 
     # warmup: JVM + parquet footer reads + Python worker pool, then one
     # tiny-SF pass per headline query to compile its codegen stages (see

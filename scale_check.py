@@ -376,6 +376,19 @@ def run_sf10() -> None:
         # default minpair pair enumeration is quadratic (measured once:
         # 151.7 s at sf10, 124x on 100x data — BASELINE.md round 15) and
         # the anchor path is linear with the SAME duplicate set.
+        # round 16: the DEFAULT path (strategy='auto') — the bucket
+        # diagnostic must route this corpus's ~100-copy AFP clusters to
+        # the anchor plan, so the default no longer cliffs (VERDICT r15
+        # #3: "default-path sf10 row with no cliff").
+        "audio_dedup_default": lambda s, d: audio_dedup(
+            audio_fingerprints(
+                audio_evidence_clips(
+                    load_table(s, d, "documents").select("doc_id", "text"),
+                    up_offset=10**9, pert_offset=2 * 10**9,
+                    vol_offset=3 * 10**9,
+                )
+            ).localCheckpoint(),
+        ).filter("dist >= 0"),
         "audio_dedup_anchor": lambda s, d: audio_dedup(
             audio_fingerprints(
                 audio_evidence_clips(
