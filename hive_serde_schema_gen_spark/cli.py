@@ -116,7 +116,7 @@ def _media_main(argv) -> int:
     )
     p.add_argument("input", help="parquet with (img_id|aud_id, payload)")
     p.add_argument("out_dir")
-    p.add_argument("--modality", choices=["image", "audio"],
+    p.add_argument("--modality", choices=["image", "audio", "video"],
                    default="image")
     p.add_argument("--index", default=None, metavar="DIR",
                    help="persisted pHash/AFP index to probe (and extend "

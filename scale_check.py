@@ -298,6 +298,9 @@ def run_sf10() -> None:
         image_hashes,
         phash_dedup,
         phash_evidence_images,
+        video_dedup,
+        video_evidence_clips,
+        video_fingerprints,
     )
     from hive_serde_schema_gen_spark.operators.text import (
         text_lang_id,
@@ -376,6 +379,23 @@ def run_sf10() -> None:
         # default minpair pair enumeration is quadratic (measured once:
         # 151.7 s at sf10, 124x on 100x data — BASELINE.md round 15) and
         # the anchor path is linear with the SAME duplicate set.
+        # round 16: the video family's first scale rows — fingerprints
+        # are one Arrow pass (linear in bytes); dedup runs the auto
+        # default end-to-end.
+        "video_fingerprints": lambda s, d: video_fingerprints(
+            video_evidence_clips(
+                load_table(s, d, "documents").select("doc_id", "text"),
+                dup_offset=10**9, pert_offset=2 * 10**9,
+            )
+        ).filter("vfp IS NOT NULL AND n_sampled > 0"),
+        "video_dedup_default": lambda s, d: video_dedup(
+            video_fingerprints(
+                video_evidence_clips(
+                    load_table(s, d, "documents").select("doc_id", "text"),
+                    dup_offset=10**9, pert_offset=2 * 10**9,
+                )
+            ).localCheckpoint(),
+        ).filter("dist >= 0"),
         # round 16: the DEFAULT path (strategy='auto') — the bucket
         # diagnostic must route this corpus's ~100-copy AFP clusters to
         # the anchor plan, so the default no longer cliffs (VERDICT r15

@@ -125,7 +125,7 @@ def test_unknown_modality_and_custom_id_guard(spark, idx_dir):
         [(1, _bmp_encode(1, b"body"))], "media_id long, payload binary"
     )
     with pytest.raises(ValueError, match="unknown modality"):
-        dedup_media_corpus(d, "video")
+        dedup_media_corpus(d, "hologram")  # video became real in r16
     with pytest.raises(ValueError, match="default id column"):
         dedup_media_corpus(
             d, "image", id_col="media_id", index_path=idx_dir
