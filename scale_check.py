@@ -807,6 +807,13 @@ def main() -> None:
                 _mm.audio_evidence_clips(_docs(s, d))
             ).localCheckpoint()
         ).filter("dist >= 0"),
+        # video twin (round 16): container decode + per-frame dHash +
+        # majority pool (Arrow path), then the shared banded machinery
+        "video_dedup": lambda s, d: _mm.video_dedup(
+            _mm.video_fingerprints(
+                _mm.video_evidence_clips(_docs(s, d))
+            ).localCheckpoint()
+        ).filter("dist >= 0"),
         # 6 constraints in ONE aggregate pass; the filter keeps the
         # metrics columns alive under count()
         "validation_six_checks": lambda s, d: metrics_frame(
