@@ -283,3 +283,18 @@ def test_video_dedup_anchor_plan_contract(vfps):
     plan = explain_str(video_dedup(vfps, strategy="anchor"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frame_dhash_property_parity():
+    # Hypothesis: numpy fast path == the pure-Python reference for
+    # ARBITRARY frame bytes and frame lengths (the 48-byte oracle pin is
+    # one point of this space)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=1, max_size=96))
+    def prop(frame):
+        assert _frame_dhash_u(frame) == _ref_frame_dhash(frame)
+
+    prop()
