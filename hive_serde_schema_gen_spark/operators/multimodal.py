@@ -1022,6 +1022,34 @@ def video_dedup(
     )
 
 
+def media_dup_clusters(pairs, attribution=None):
+    """Transitive duplicate lineage for ANY media family: near-dup pairs
+    ``(img_a, img_b, dist)`` (from :func:`phash_near_dup_pairs` with any
+    hash column — image dHash, audio AFP, video vfp) → ``(id,
+    component)`` labels via ``clustering.connected_components``
+    (size-gated union-find / pointer-jumping — O(log n) rounds, never a
+    transitive self-join).  Pass ``attribution`` (the ``(img_id, dup_of,
+    dist)`` keep-first frame from :func:`phash_dedup` /
+    :func:`audio_dedup` / :func:`video_dedup`) to label EXACT-collapse
+    members too — pairs among byte/hash-identical copies never reach the
+    pair stage (they collapse in one aggregate), so lineage built from
+    pairs alone would miss them.  The component label is the smallest id
+    in the cluster, matching the keep-first canonical everywhere the
+    relation is transitive."""
+    from .clustering import connected_components
+
+    edges = pairs.select(
+        F.col("img_a").alias("src"), F.col("img_b").alias("dst")
+    )
+    if attribution is not None:
+        edges = edges.unionAll(
+            attribution.select(
+                F.col("dup_of").alias("src"), F.col("img_id").alias("dst")
+            )
+        )
+    return connected_components(edges)
+
+
 def _video_redub(doc_id: int, text: bytes) -> bytes:
     """The %{dup} planted variant: the base video re-encoded with its
     FINAL frame duplicated once (n_frames+1) — the trailing-pad

@@ -298,3 +298,34 @@ def test_frame_dhash_property_parity():
         assert _frame_dhash_u(frame) == _ref_frame_dhash(frame)
 
     prop()
+
+
+def test_media_dup_clusters_transitive_lineage(spark):
+    # chain A-B-C within radius pairwise-adjacent plus an exact copy of
+    # A collapsed at the exact stage: all four must share one component
+    # labeled by the smallest id, and the unrelated pair its own
+    from hive_serde_schema_gen_spark.operators.multimodal import (
+        media_dup_clusters,
+        phash_dedup,
+        phash_near_dup_pairs,
+    )
+
+    h = {
+        1: 0b0,
+        2: 0b11,            # dist(1,2)=2
+        3: 0b11 | (1 << 8) | (1 << 9),  # dist(2,3)=2, dist(1,3)=4
+        4: 0b0,             # exact copy of 1 -> collapses, never a pair
+        10: (1 << 40) | (1 << 41) | (1 << 42) | (1 << 43)
+            | (1 << 20) | (1 << 21) | (1 << 22) | (1 << 23),
+        11: (1 << 40) | (1 << 41) | (1 << 42) | (1 << 43)
+            | (1 << 20) | (1 << 21) | (1 << 22) | (1 << 24),  # near 10
+    }
+    d = spark.createDataFrame(list(h.items()), "img_id long, dhash long")
+    pairs = phash_near_dup_pairs(d, radius=4)
+    attr = phash_dedup(d, radius=4, strategy="minpair")
+    comp = {
+        r["id"]: r["component"]
+        for r in media_dup_clusters(pairs, attr).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
