@@ -918,7 +918,7 @@ def _frame_dhash_u(frame: bytes) -> int:
 def video_fingerprints(
     df,
     id_col: str = "vid_id",
-    every_k: int = None,
+    every_k: int | None = None,
     on_error: str = "skip",
 ):
     """(id, payload) → (id, n_frames, n_sampled, vfp): decode each raw-
