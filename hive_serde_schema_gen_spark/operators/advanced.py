@@ -773,33 +773,63 @@ def stats_summary(spark, sf_dir):
 
 
 @query(
-    "rollup_agg",
+    "rollup_set_ops",
     oracle=f"""
     SELECT op, k1, k2, CAST(NULL AS INTEGER) AS year,
            CAST(NULL AS INTEGER) AS month, CAST(NULL AS INTEGER) AS day,
            CAST(NULL AS INTEGER) AS hour, n, sum_qty,
-           CAST(NULL AS DOUBLE) AS total_value
+           CAST(NULL AS DOUBLE) AS total_value,
+           CAST(NULL AS BIGINT) AS custkey,
+           CAST(NULL AS DOUBLE) AS old_balance,
+           CAST(NULL AS DOUBLE) AS balance, CAST(NULL AS VARCHAR) AS status
     FROM ({_ROLLUP_CUBE_SQL}) rc
     UNION ALL
     SELECT 'time' AS op, grain AS k1, CAST(NULL AS VARCHAR) AS k2,
            year, month, day, hour, n,
-           CAST(NULL AS DOUBLE) AS sum_qty, total_value
+           CAST(NULL AS DOUBLE) AS sum_qty, total_value,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
     FROM ({_TIME_ROLLUP_SQL}) tr
+    UNION ALL
+    SELECT op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(o_custkey AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM ({_SET_OPS_SQL}) so
+    UNION ALL
+    SELECT 'merge', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(c_custkey AS BIGINT),
+           old_balance, balance, status
+    FROM ({_MERGE_UPSERT_SQL}) mu
     ORDER BY op, k1 NULLS FIRST, k2 NULLS FIRST, year NULLS FIRST,
-             month NULLS FIRST, day NULLS FIRST, hour NULLS FIRST
+             month NULLS FIRST, day NULLS FIRST, hour NULLS FIRST,
+             custkey NULLS FIRST
     """,
 )
-def rollup_agg(spark, sf_dir):
-    """EVERY grouping-set expansion in ONE driver slot (round-9 tagged-union
-    merge of ``rollup_cube_agg`` and ``time_rollup`` — component docstrings
-    carry the plan notes): ``rollup``/``cube``/``gsets`` rows are the
-    lineitem/orders hierarchical subtotals; ``time`` rows are the
+def rollup_set_ops(spark, sf_dir):
+    """Grouping-set expansions + set operators + MERGE emulation in ONE
+    driver slot (round 17 union of the former ``rollup_agg`` and
+    ``set_merge_ops`` slots — both themselves round-9 tagged unions, both
+    green since; one ceded its registry place to the packing-family split
+    that localizes the r15/r16 driver hash divergence).  Component
+    docstrings carry the plan notes: ``rollup``/``cube``/``gsets`` rows
+    are the lineitem/orders hierarchical subtotals; ``time`` rows the
     hypertable-style calendar-grain rollup over events (grain rides
-    ``k1``)."""
+    ``k1``); ``intersect``/``except``/``union`` rows the year-over-year
+    customer-activity set algebra (key rides ``custkey``); ``merge`` rows
+    the latest-order CDC upsert applied to the customer dimension."""
     schema = [
         ("op", "string"), ("k1", "string"), ("k2", "string"),
         ("year", "int"), ("month", "int"), ("day", "int"), ("hour", "int"),
         ("n", "bigint"), ("sum_qty", "double"), ("total_value", "double"),
+        ("custkey", "bigint"), ("old_balance", "double"),
+        ("balance", "double"), ("status", "string"),
     ]
     return pad_union(
         schema,
@@ -814,45 +844,6 @@ def rollup_agg(spark, sf_dir):
              "month": "month", "day": "day", "hour": "hour", "n": "n",
              "total_value": "total_value"},
         ),
-    ).orderBy(
-        "op",
-        F.col("k1").asc_nulls_first(),
-        F.col("k2").asc_nulls_first(),
-        F.col("year").asc_nulls_first(),
-        F.col("month").asc_nulls_first(),
-        F.col("day").asc_nulls_first(),
-        F.col("hour").asc_nulls_first(),
-    )
-
-
-@query(
-    "set_merge_ops",
-    oracle=f"""
-    SELECT op, CAST(o_custkey AS BIGINT) AS custkey,
-           CAST(NULL AS DOUBLE) AS old_balance,
-           CAST(NULL AS DOUBLE) AS balance, CAST(NULL AS VARCHAR) AS status
-    FROM ({_SET_OPS_SQL}) so
-    UNION ALL
-    SELECT 'merge' AS op, CAST(c_custkey AS BIGINT) AS custkey,
-           old_balance, balance, status
-    FROM ({_MERGE_UPSERT_SQL}) mu
-    ORDER BY op, custkey
-    """,
-)
-def set_merge_ops(spark, sf_dir):
-    """Set operators + MERGE emulation in ONE driver slot (round-9
-    tagged-union merge of ``set_ops`` and ``merge_upsert_emulation`` —
-    component docstrings carry the semantics): ``intersect``/``except``/
-    ``union`` rows are the year-over-year customer-activity set algebra;
-    ``merge`` rows are the latest-order CDC upsert applied to the customer
-    dimension."""
-    schema = [
-        ("op", "string"), ("custkey", "bigint"),
-        ("old_balance", "double"), ("balance", "double"),
-        ("status", "string"),
-    ]
-    return pad_union(
-        schema,
         (
             set_ops(spark, sf_dir, sort=False),
             {"op": "op", "custkey": "o_custkey"},
@@ -863,4 +854,13 @@ def set_merge_ops(spark, sf_dir):
              "old_balance": "old_balance", "balance": "balance",
              "status": "status"},
         ),
-    ).orderBy("op", "custkey")
+    ).orderBy(
+        "op",
+        F.col("k1").asc_nulls_first(),
+        F.col("k2").asc_nulls_first(),
+        F.col("year").asc_nulls_first(),
+        F.col("month").asc_nulls_first(),
+        F.col("day").asc_nulls_first(),
+        F.col("hour").asc_nulls_first(),
+        F.col("custkey").asc_nulls_first(),
+    )

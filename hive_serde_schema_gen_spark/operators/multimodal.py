@@ -743,6 +743,29 @@ AUDIO_VOL_OFFSET = 30_000_000
 AUDIO_PERT_RUN_DIV = 6
 
 
+def _check_variant_offsets(pdf, offsets) -> None:
+    """Loud-failure guard shared by every evidence-corpus builder: the
+    planted-variant id ranges (doc_id + offset per variant kind) must be
+    PAIRWISE disjoint, not merely above the base ids.  With sorted
+    offsets o1 < o2 < …, a doc_id + o1 id collides with some doc_id' +
+    o2 id once max(doc_id) >= o2 - o1 (e.g. doc 10,000,035's dup id ==
+    doc 35's pert id at the 60M/70M video defaults), so the bound is
+    min(o1, o2-o1, o3-o2, …).  Checked per Arrow batch — no extra
+    driver-side max() pass over the corpus (ADVICE r16: the previous
+    guard only checked the smallest offset)."""
+    if not len(pdf):
+        return
+    mx = int(pdf["doc_id"].max())
+    srt = sorted(offsets)
+    bound = min([srt[0]] + [b - a for a, b in zip(srt, srt[1:])])
+    if mx >= bound:
+        raise ValueError(
+            f"doc_id {mx} >= id-disjointness bound {bound} for variant "
+            f"offsets {srt}: variant-id arithmetic would collide; raise "
+            "the offsets for this corpus"
+        )
+
+
 def phash_evidence_images(
     df,
     up_offset: int = PHASH_UP_OFFSET,
@@ -758,16 +781,7 @@ def phash_evidence_images(
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # variant ids are doc_id + OFFSET: a doc_id at or above the
-            # offset would silently merge a real image with some other
-            # doc's variant — fail loudly instead (checked per batch, no
-            # extra driver-side max() pass over the corpus)
-            if len(pdf) and int(pdf["doc_id"].max()) >= up_offset:
-                raise ValueError(
-                    f"doc_id >= up_offset ({up_offset}): variant-id "
-                    "arithmetic would collide; raise the offsets for "
-                    "this corpus"
-                )
+            _check_variant_offsets(pdf, (up_offset, pert_offset))
             ids, pays = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 tb = t.encode("utf-8")
@@ -1080,12 +1094,7 @@ def video_evidence_clips(
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) and int(pdf["doc_id"].max()) >= dup_offset:
-                raise ValueError(
-                    f"doc_id >= dup_offset ({dup_offset}): variant-id "
-                    "arithmetic would collide; raise the offsets for "
-                    "this corpus"
-                )
+            _check_variant_offsets(pdf, (dup_offset, pert_offset))
             ids, pays = [], []
             for d_, t in zip(pdf["doc_id"], pdf["text"]):
                 tb = t.encode("utf-8")
@@ -1283,7 +1292,7 @@ def _vfp_sql_ctes() -> str:
              f.f,
              CASE WHEN v.kind = 1 AND f.f = v.nf - 1 THEN v.nf - 2
                   ELSE f.f END AS fc
-      FROM vfimg v CROSS JOIN (SELECT unnest(range(0, 9, 2)) AS f) f
+      FROM vfimg v CROSS JOIN (SELECT unnest(range(0, 9, {FRAME_EVERY_K})) AS f) f
       WHERE f.f < v.nf),
     vfgray AS (
       SELECT vid_id, f, c.c AS cell,
@@ -1302,7 +1311,9 @@ def _vfp_sql_ctes() -> str:
       FROM vfgray a JOIN vfgray b
         ON a.vid_id = b.vid_id AND a.f = b.f AND b.cell = a.cell + 1
       WHERE a.cell % 9 < 8),
-    vfns AS (SELECT vid_id, nf, (nf + 1) // 2 AS m FROM vfimg),
+    vfns AS (SELECT vid_id, nf,
+             (nf + {FRAME_EVERY_K - 1}) // {FRAME_EVERY_K} AS m
+      FROM vfimg),
     vfmajbit AS (
       SELECT b.vid_id, b.k,
              (2 * SUM(CASE WHEN b.bit THEN 1 ELSE 0 END) > n.m) AS bit
@@ -1337,7 +1348,33 @@ def _vfp_sql_ctes() -> str:
                ROW_NUMBER() OVER (PARTITION BY b.rep ORDER BY a.rep) AS rn
         FROM vfrep a JOIN vfrep b ON a.rep < b.rep
         WHERE bit_count(xor(a.vfp, b.vfp)) <= {PHASH_RADIUS})
-      WHERE rn = 1)""")
+      WHERE rn = 1),
+    vfpidx AS (
+      SELECT b.vid_id AS vid, a.vid_id AS mid,
+             bit_count(xor(a.vfp, b.vfp)) AS dist
+      FROM vfhash a JOIN vfhash b
+        ON a.vid_id < {VFP_DUP_OFFSET} AND b.vid_id >= {VFP_DUP_OFFSET}
+      WHERE bit_count(xor(a.vfp, b.vfp)) <= {PHASH_RADIUS}),
+    vfpnovel AS (
+      SELECT vid_id FROM vfhash WHERE vid_id >= {VFP_DUP_OFFSET}
+        AND vid_id NOT IN (SELECT vid FROM vfpidx)),
+    -- media_dup_clusters oracle (round 17): the undirected graph of
+    -- near-dup pairs PLUS the keep-first attribution edges (exact-
+    -- collapse members never reach the pair stage), transitively
+    -- closed by a recursive reachability walk — component label =
+    -- min reachable id, exactly connected_components' contract.
+    vedge AS (
+      SELECT ia AS u, ib AS v FROM vfpair
+      UNION
+      SELECT dup_of AS u, vid_id AS v FROM vfded),
+    vsym AS (
+      SELECT u, v FROM vedge UNION SELECT v AS u, u AS v FROM vedge),
+    vnode AS (SELECT DISTINCT u AS id FROM vsym),
+    vreach(id, r) AS (
+      SELECT id, id FROM vnode
+      UNION
+      SELECT vr.id, e.v FROM vreach vr JOIN vsym e ON e.u = vr.r),
+    vcomp AS (SELECT id, MIN(r) AS component FROM vreach GROUP BY id)""")
 
 
 def _afp_sql_ctes() -> str:
@@ -1432,7 +1469,16 @@ def _afp_sql_ctes() -> str:
                ROW_NUMBER() OVER (PARTITION BY b.rep ORDER BY a.rep) AS rn
         FROM afprep a JOIN afprep b ON a.rep < b.rep
         WHERE bit_count(xor(a.afp, b.afp)) <= {PHASH_RADIUS})
-      WHERE rn = 1)""")
+      WHERE rn = 1),
+    afpidx AS (
+      SELECT b.aud_id AS vid, a.aud_id AS mid,
+             bit_count(xor(a.afp, b.afp)) AS dist
+      FROM afph a JOIN afph b
+        ON a.aud_id < {PHASH_UP_OFFSET} AND b.aud_id >= {PHASH_UP_OFFSET}
+      WHERE bit_count(xor(a.afp, b.afp)) <= {PHASH_RADIUS}),
+    afpnovel AS (
+      SELECT aud_id FROM afph WHERE aud_id >= {PHASH_UP_OFFSET}
+        AND aud_id NOT IN (SELECT vid FROM afpidx))""")
 
 
 def resize_checksums(df):
@@ -1467,7 +1513,7 @@ def resize_checksums(df):
 @query(
     "multimodal_resize_frames",
     oracle=f"""
-    WITH {_phash_sql_ctes()},
+    WITH RECURSIVE {_phash_sql_ctes()},
     {_afp_sql_ctes()},
     {_vfp_sql_ctes()},
     rdim AS (
@@ -1615,6 +1661,26 @@ def resize_checksums(df):
            CAST(0 AS INTEGER), dup_of
     FROM vfded
     UNION ALL
+    SELECT 'aprobe', vid, CAST(dist AS INTEGER), CAST(0 AS INTEGER),
+           CAST(0 AS INTEGER), mid
+    FROM afpidx
+    UNION ALL
+    SELECT 'anovel', aud_id, CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+           CAST(0 AS INTEGER), CAST(NULL AS BIGINT)
+    FROM afpnovel
+    UNION ALL
+    SELECT 'vprobe', vid, CAST(dist AS INTEGER), CAST(0 AS INTEGER),
+           CAST(0 AS INTEGER), mid
+    FROM vfpidx
+    UNION ALL
+    SELECT 'vnovel', vid_id, CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+           CAST(0 AS INTEGER), CAST(NULL AS BIGINT)
+    FROM vfpnovel
+    UNION ALL
+    SELECT 'vclust', id, CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+           CAST(0 AS INTEGER), component
+    FROM vcomp
+    UNION ALL
     SELECT 'macct', cnt, CAST(ord AS INTEGER), CAST(0 AS INTEGER),
            CAST(0 AS INTEGER), CAST(NULL AS BIGINT)
     FROM (
@@ -1701,6 +1767,18 @@ def multimodal_resize_frames(spark, sf_dir):
     - ``macct`` / ``ddrop`` rows: the ``dedup_media_corpus`` stage
       reconciliation and ``decode_drop_report`` — see the macct CTE
       comments for the exact byte-equivalence-class derivation.
+
+    Round-17 continuation (VERDICT r16 #2 — the pytest-held artifacts
+    brought under the hash gate):
+
+    - ``aprobe`` / ``anovel`` and ``vprobe`` / ``vnovel`` rows: the
+      persisted AFP/VFP index lifecycles (``afp_index`` / ``vfp_index``
+      — build on the even base ids, EXTEND with the odd half, probe
+      with the planted variants), vs the oracle's brute base×variant
+      pair sets — the image family's ``pprobe``/``pnovel`` discipline.
+    - ``vclust`` rows: ``media_dup_clusters`` transitive lineage (near-
+      dup pairs + keep-first attribution → ``connected_components``
+      min-id labels) vs a recursive-reachability SQL re-derivation.
 
     The oracle recomputes both checksums from the document text with
     independent index arithmetic (resize: src = tgt·dim // target; frames:
@@ -1833,6 +1911,46 @@ def multimodal_resize_frames(spark, sf_dir):
         F.lit(0).alias("height"),
         F.col("dup_of").alias("checksum"),
     )
+    # round-17: op='aprobe'/'anovel' — the PERSISTED audio-index
+    # lifecycle (operators/afp_index.py), the image family's
+    # build→extend→probe discipline under the audio meta pin.
+    from .afp_index import (
+        afp_against_index,
+        build_afp_index,
+        extend_afp_index,
+        novel_clips,
+    )
+
+    a_base = afps.filter(F.col("aud_id") < PHASH_UP_OFFSET)
+    a_var = afps.filter(F.col("aud_id") >= PHASH_UP_OFFSET)
+
+    def _aidx_build(path):
+        build_afp_index(
+            a_base.filter(F.col("aud_id") % 2 == 0), path, n_files=4
+        )
+        extend_afp_index(
+            a_base.filter(F.col("aud_id") % 2 == 1), path, epoch=7
+        )
+        m = afp_against_index(a_var, path)
+        return m, novel_clips(a_var, m).select("aud_id")
+
+    amatches, anovel_df = with_slot_scratch("afp-idx-slot-", _aidx_build)
+    aprobe = amatches.select(
+        F.lit("aprobe").alias("op"),
+        F.col("aud_id").alias("doc_id"),
+        F.col("dist").cast("int").alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("matched_aud_id").alias("checksum"),
+    )
+    anovel = anovel_df.select(
+        F.lit("anovel").alias("op"),
+        F.col("aud_id").alias("doc_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(None).cast("long").alias("checksum"),
+    )
     # round-16: the VIDEO arm — majority-pooled frame dHashes over the
     # planted clip corpus, then the SAME banded machinery (hash_col=
     # 'vfp').  Three consumers read the fingerprint frame — cut once.
@@ -1845,7 +1963,13 @@ def multimodal_resize_frames(spark, sf_dir):
         F.col("n_sampled").cast("int").alias("height"),
         F.col("vfp").alias("checksum"),
     )
-    vp = phash_near_dup_pairs(vfps, hash_col="vfp", id_col="vid_id").select(
+    # pairs and attribution feed THREE consumers each (their op rows +
+    # the transitive-lineage clusters) — cut lineage once apiece
+    vpairs = phash_near_dup_pairs(
+        vfps, hash_col="vfp", id_col="vid_id"
+    ).localCheckpoint()
+    vatt = video_dedup(vfps, strategy="minpair").localCheckpoint()
+    vp = vpairs.select(
         F.lit("vpair").alias("op"),
         F.col("img_a").alias("doc_id"),
         F.col("dist").cast("int").alias("idx"),
@@ -1853,13 +1977,64 @@ def multimodal_resize_frames(spark, sf_dir):
         F.lit(0).alias("height"),
         F.col("img_b").alias("checksum"),
     )
-    vd = video_dedup(vfps, strategy="minpair").select(
+    vd = vatt.select(
         F.lit("vdedup").alias("op"),
         F.col("img_id").alias("doc_id"),
         F.col("dist").cast("int").alias("idx"),
         F.lit(0).alias("width"),
         F.lit(0).alias("height"),
         F.col("dup_of").alias("checksum"),
+    )
+    # round-17: op='vprobe'/'vnovel' — the persisted VIDEO-index
+    # lifecycle (operators/vfp_index.py), same discipline under the
+    # video grid pin.
+    from .vfp_index import (
+        build_vfp_index,
+        extend_vfp_index,
+        novel_videos,
+        vfp_against_index,
+    )
+
+    v_base = vfps.filter(F.col("vid_id") < VFP_DUP_OFFSET)
+    v_var = vfps.filter(F.col("vid_id") >= VFP_DUP_OFFSET)
+
+    def _vidx_build(path):
+        build_vfp_index(
+            v_base.filter(F.col("vid_id") % 2 == 0), path, n_files=4
+        )
+        extend_vfp_index(
+            v_base.filter(F.col("vid_id") % 2 == 1), path, epoch=7
+        )
+        m = vfp_against_index(v_var, path)
+        return m, novel_videos(v_var, m).select("vid_id")
+
+    vmatches, vnovel_df = with_slot_scratch("vfp-idx-slot-", _vidx_build)
+    vprobe = vmatches.select(
+        F.lit("vprobe").alias("op"),
+        F.col("vid_id").alias("doc_id"),
+        F.col("dist").cast("int").alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("matched_vid_id").alias("checksum"),
+    )
+    vnovel = vnovel_df.select(
+        F.lit("vnovel").alias("op"),
+        F.col("vid_id").alias("doc_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(None).cast("long").alias("checksum"),
+    )
+    # round-17: op='vclust' — media_dup_clusters' transitive lineage
+    # (pairs + keep-first attribution → connected_components min-id
+    # labels) under the hash gate, over the video evidence corpus.
+    vcl = media_dup_clusters(vpairs, vatt).select(
+        F.lit("vclust").alias("op"),
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("component").alias("checksum"),
     )
     # round-16: op='macct'/'ddrop' — the dedup_media_corpus accounting
     # reconciliation and decode_drop_report under the hash gate (VERDICT
@@ -1919,7 +2094,9 @@ def multimodal_resize_frames(spark, sf_dir):
         rs.unionAll(fr).unionAll(dh).unionAll(ah).unionAll(pdup)
         .unionAll(pded).unionAll(pprobe).unionAll(pnovel)
         .unionAll(af).unionAll(ap).unionAll(ad)
+        .unionAll(aprobe).unionAll(anovel)
         .unionAll(vf).unionAll(vp).unionAll(vd)
+        .unionAll(vprobe).unionAll(vnovel).unionAll(vcl)
         .unionAll(macct).unionAll(ddr)
         .orderBy("op", "doc_id", "idx", "checksum")
     )
@@ -2148,12 +2325,7 @@ def audio_evidence_clips(
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # same loud-failure discipline as phash_evidence_images
-            if len(pdf) and int(pdf["doc_id"].max()) >= up_offset:
-                raise ValueError(
-                    f"doc_id >= up_offset ({up_offset}): variant-id "
-                    "arithmetic would collide; raise the offsets for "
-                    "this corpus"
-                )
+            _check_variant_offsets(pdf, (up_offset, pert_offset, vol_offset))
             ids, pays = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 tb = t.encode("utf-8")

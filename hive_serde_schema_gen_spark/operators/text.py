@@ -1009,27 +1009,32 @@ def text_fingerprint(spark, sf_dir, sort: bool = True):
     return out.orderBy("doc_id") if sort else out
 
 
-@query(
-    "text_token_count",
-    oracle=(
-        "WITH tc AS (" + _TOKEN_COUNT_SQL + "),\n"
-        "    fp AS (" + _rolling_oracle() + ")\n"
-        "    SELECT tc.doc_id, tc.n_tokens, tc.n_chars_computed,"
-        " tc.n_subtokens, fp.fingerprint, fp.rolling_min, fp.n_windows\n"
-        "    FROM tc JOIN fp USING (doc_id) ORDER BY tc.doc_id"
-    ),
-)
+# NOTE: registered as slot "text_token_count" at the BOTTOM of this module
+# (the merged oracle needs the CJK constants defined below).
 def text_doc_profile(spark, sf_dir):
     """The per-document text profile in ONE driver slot (round-9 join of
     the former ``text_token_count`` and ``text_fingerprint`` slots — both
     emit exactly one row per doc, so the merge is a doc_id equi-join, not
     a tagged union): whitespace/subword token counts, chars, the md5
     exact-dedup fingerprint, and the Rabin-Karp winnowing sketch.
-    Component docstrings carry the algorithms; both cores stay
-    independently importable."""
+    Component docstrings carry the algorithms; all cores stay
+    independently importable.
+
+    Round 17 joins in the former ``text_cjk_tokens`` slot (also exactly
+    one row per doc — its script-aware count rides as ``cjk_n_tokens``),
+    ceding its registry slot to the packing-family split that localizes
+    the driver hash divergence (VERDICT r16 #1); the CJK evidence —
+    char-fallback token counts over injected BMP/ext-B/Thai samples —
+    lands in this slot's hash unchanged."""
     return (
         text_token_count(spark, sf_dir, sort=False)
         .join(text_fingerprint(spark, sf_dir, sort=False), "doc_id")
+        .join(
+            text_cjk_tokens(spark, sf_dir).withColumnRenamed(
+                "n_tokens", "cjk_n_tokens"
+            ),
+            "doc_id",
+        )
         .orderBy("doc_id")
     )
 
@@ -1560,17 +1565,19 @@ _CJK_EXTB_SAMPLE = "𠀀𠀁𠀂引擎"  # 3 ext-B chars (U+20000..2) + 2 BMP ch
 _SEA_SAMPLE = "การประมวลผลข้อมูล"  # Thai, no word spaces
 
 
-@query(
-    "text_cjk_tokens",
-    oracle=f"""
-    WITH built AS (
+# The CJK evidence CTE chain, shared by the merged "text_token_count"
+# oracle at the bottom of this module (round 17: the former standalone
+# text_cjk_tokens slot ceded its registry place to the packing-family
+# split; the evidence itself is unchanged and still hash-gated).
+_CJK_CORE_CTES = f"""
+    cjkb AS (
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN '{_CJK_SAMPLE}' || ' ' || text
                   WHEN doc_id % 11 = 3 THEN '{_SEA_SAMPLE}'
                   WHEN doc_id % 13 = 5 THEN '{_CJK_EXTB_SAMPLE}' || ' ' || text
                   ELSE text END AS text
       FROM documents),
-    m AS (
+    cjkm AS (
       SELECT doc_id, text,
              LENGTH(text) - LENGTH(regexp_replace(text, '{_CJK_CLASS}', '', 'g')) AS n_cjk,
              LENGTH(text) - LENGTH(regexp_replace(text, '{_SEA_CLASS}', '', 'g')) AS n_sea,
@@ -1579,18 +1586,19 @@ _SEA_SAMPLE = "การประมวลผลข้อมูล"  # Thai, no 
                   THEN 0
                   ELSE len(string_split_regex(
                        TRIM(regexp_replace(text, '{_CJK_CLASS}', ' ', 'g')), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_ws
-      FROM built)
+      FROM cjkb),
+    cjk AS (
     SELECT doc_id,
            CAST(n_ws + n_cjk AS INTEGER) AS n_tokens,
            CAST(n_cjk AS INTEGER) AS n_cjk_chars,
            CAST(n_cjk AS DOUBLE) / GREATEST(nonspace, 1) >= 0.3 AS is_cjk,
            CAST(n_sea AS INTEGER) AS n_sea_chars,
            CAST(n_sea AS DOUBLE) / GREATEST(nonspace, 1) >= 0.3 AS is_sea
-    FROM m ORDER BY doc_id
-    """,
-)
+    FROM cjkm)"""
+
+
 def text_cjk_tokens(spark, sf_dir):
-    """Driver slot for the script-aware tokenization fallback: injects
+    """The script-aware tokenization fallback evidence: injects
     fixed prefixes (identically on both sides — the synthetic corpus is
     whitespace-delimited Latin) — BMP CJK on doc_id % 7, a Thai
     scriptio-continua sample on % 11 = 3, and supplementary-plane ext-B
@@ -1624,3 +1632,28 @@ def text_cjk_tokens(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Slot "text_token_count" — registered HERE (module bottom) because the
+# round-17 merged oracle needs the CJK constants defined above: the
+# per-document profile (token counts ⋈ fingerprint) now also joins the
+# former text_cjk_tokens slot's evidence on doc_id (all three emit exactly
+# one row per doc).
+# ---------------------------------------------------------------------------
+
+_TOKEN_PROFILE_ORACLE = (
+    "WITH tc AS (" + _TOKEN_COUNT_SQL + "),\n"
+    "    fp AS (" + _rolling_oracle() + "),\n"
+    + _CJK_CORE_CTES + "\n"
+    "    SELECT tc.doc_id, tc.n_tokens, tc.n_chars_computed,"
+    " tc.n_subtokens, fp.fingerprint, fp.rolling_min, fp.n_windows,\n"
+    "           cjk.n_tokens AS cjk_n_tokens, cjk.n_cjk_chars,"
+    " cjk.is_cjk, cjk.n_sea_chars, cjk.is_sea\n"
+    "    FROM tc JOIN fp USING (doc_id) JOIN cjk USING (doc_id)"
+    " ORDER BY tc.doc_id"
+)
+
+text_doc_profile = query("text_token_count", oracle=_TOKEN_PROFILE_ORACLE)(
+    text_doc_profile
+)

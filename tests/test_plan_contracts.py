@@ -54,10 +54,11 @@ _GLOBAL_WINDOW_OK = {
     "curation_ops",
     # prefix-sum chunking: running sum over per-SHARD totals — O(#shards)
     # rows, not O(docs) (packing.py:115).  web_corpus_from_crawl's copy of
-    # this window now sits behind a localCheckpoint lineage cut, so it no
-    # longer appears in the final plan — dropped from the sanction set
-    # (the stale-sanction test below enforces exactly that).
-    "packing_ops",
+    # this window sits behind a localCheckpoint lineage cut, so it does
+    # not appear in that final plan — and round 17's digest layer put
+    # packing_ops behind the same cut (the window still runs, inside the
+    # checkpointed segment); both dropped from the sanction set (the
+    # stale-sanction test below enforces exactly that).
     "corpus_pipeline",
     # share-of-total OVER () on a pre-aggregated o_orderstatus frame
     # (3 rows; relational.py window_share_of_total)

@@ -114,8 +114,7 @@ JVM_ONLY = [
     "dedup_canonical",
     # round-9 merged slots + new library slots
     "dedup_textual",
-    "rollup_agg",
-    "set_merge_ops",
+    "rollup_set_ops",
     "embed_text",
     "merge_upsert_emulation",
     "dedup_url",
@@ -123,6 +122,8 @@ JVM_ONLY = [
     "text_quality_lang",
     "lm_perplexity",
     "packing_ops",
+    "bpe_tokenizer_ops",
+    "packing_efficiency_report",
 ]
 
 

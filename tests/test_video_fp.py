@@ -122,7 +122,7 @@ def test_redub_variant_fp_semantics(spark, docs, vfps):
     assert n_all > 0 and n_odd > 0
 
 
-def test_majority_tie_breaks_to_zero():
+def test_majority_tie_breaks_to_zero(spark):
     # two frames with OPPOSITE bit patterns: every bit count is 1 of 2
     # (a tie), so the pooled fingerprint must be exactly 0
     up = bytes([i % 256 for i in range(48)])  # increasing -> bits set
@@ -130,12 +130,20 @@ def test_majority_tie_breaks_to_zero():
     h_up, h_down = _frame_dhash_u(up), _frame_dhash_u(down)
     assert h_up != 0 and h_down != 0 and (h_up & h_down) == 0
     payload = _VID_MAGIC + struct.pack("<II", 2, 48) + up + down
-    # sampled with k=1 so both frames vote
+    # sanity on the hand-computed counts: every bit ties at 1-of-2 …
     counts = [0] * 64
     for h in (h_up, h_down):
         for k in range(64):
             counts[k] += (h >> k) & 1
     assert all(2 * c <= 2 for c in counts)
+    # … and the PRODUCTION pool (every_k=1 so both frames vote) breaks
+    # every tie to 0 (ADVICE r16: the operator itself must be exercised,
+    # not just the reference arithmetic)
+    d = spark.createDataFrame([(1, payload)], "vid_id long, payload binary")
+    rows = video_fingerprints(d, every_k=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_sampled"] == 2
+    assert rows[0]["vfp"] == 0
 
 
 def test_malformed_containers_skip_or_raise(spark):
