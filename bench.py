@@ -97,6 +97,13 @@ HEADLINE = [
     # `value` series vs rounds 1-15 — compare per-query minima across
     # that boundary (BASELINE.md round-16 note).
     "phash_image_dedup",
+    # round 17 (VERDICT r16 #3): the audio and video default-strategy
+    # dedups over their planted evidence corpora — the remaining two
+    # media modalities get cross-round regression tripwires.  Same
+    # series note as the 17th headliner: the summed `value` changes at
+    # this boundary; compare per-query minima (BASELINE.md round-17).
+    "audio_dedup_default",
+    "video_dedup_default",
 ]
 
 # Reference calibration times (sec), recorded round 10 (2026-08-14) from a
@@ -164,6 +171,10 @@ QUERY_REGIME = {
     # measured shape: the synth+decode+hash mapInPandas pass dominates
     # (same regime evidence as the other two Arrow headliners)
     "phash_image_dedup": "arrow",
+    # same measured regime evidence: one Arrow synth+decode+fingerprint
+    # pass dominates each media dedup chain
+    "audio_dedup_default": "arrow",
+    "video_dedup_default": "arrow",
 }
 
 # Deterministic results of the calibration workloads — asserted on every
@@ -354,6 +365,34 @@ def main() -> None:
     queries["phash_image_dedup"] = lambda s, d: phash_dedup(
         image_hashes(
             phash_evidence_images(
+                load_table(s, d, "documents").select("doc_id", "text")
+            )
+        ).localCheckpoint()
+    ).filter("dist >= 0")
+
+    # Round 17: the audio and video members of the same default-path
+    # series — evidence synthesis, Arrow fingerprinting, exact collapse,
+    # auto bucket diagnostic, banded attribution (strategy='auto'
+    # defaults, the production plan).
+    from hive_serde_schema_gen_spark.operators.multimodal import (
+        audio_dedup,
+        audio_evidence_clips,
+        audio_fingerprints,
+        video_dedup,
+        video_evidence_clips,
+        video_fingerprints,
+    )
+
+    queries["audio_dedup_default"] = lambda s, d: audio_dedup(
+        audio_fingerprints(
+            audio_evidence_clips(
+                load_table(s, d, "documents").select("doc_id", "text")
+            )
+        ).localCheckpoint()
+    ).filter("dist >= 0")
+    queries["video_dedup_default"] = lambda s, d: video_dedup(
+        video_fingerprints(
+            video_evidence_clips(
                 load_table(s, d, "documents").select("doc_id", "text")
             )
         ).localCheckpoint()

@@ -22,6 +22,105 @@ from ..registry import query
 from ..sources.tables import load_table
 
 
+# ---------------------------------------------------------------------------
+# Round-17 split: the five media op families moved to sibling modules
+# (media_core / media_image / media_audio / media_video / media_corpus —
+# VERDICT r16 #4: this file had grown past 2,700 lines).  This module
+# remains the public FAÇADE (the `curation.py` precedent): every moved
+# name is re-exported below, so external imports are unchanged, and the
+# three registered driver slots stay here with their oracle text intact.
+# ---------------------------------------------------------------------------
+
+from .media_core import (  # noqa: F401
+    AUTO_ANCHOR_BUCKET,
+    PHASH_BANDS,
+    PHASH_GRID,
+    PHASH_PERT_MOD,
+    PHASH_PERT_OFFSET,
+    PHASH_RADIUS,
+    PHASH_UP_MOD,
+    PHASH_UP_OFFSET,
+    _anchor_near_dedup,
+    _auto_pick,
+    _band_rows,
+    _bmp_decode,
+    _bmp_dims,
+    _bmp_encode,
+    _bmp_from_pixels,
+    _bmp_pixel_array,
+    _check_variant_offsets,
+    _pack_bits_signed64,
+    _pairs_from_bands,
+    _resize_nearest,
+    bmp_resize,
+    media_dup_clusters,
+    phash_dedup,
+    phash_near_dup_pairs,
+    with_bmp_payload,
+)
+from .media_image import (  # noqa: F401
+    RESIZE_H,
+    RESIZE_W,
+    _ahash,
+    _dhash,
+    _gray_grid,
+    _phash_sql_ctes,
+    image_hashes,
+    phash_evidence_images,
+    resize_checksums,
+)
+from .media_video import (  # noqa: F401
+    FRAME_EVERY_K,
+    VFP_DUP_MOD,
+    VFP_DUP_OFFSET,
+    VFP_GRID_PIN,
+    VFP_PERT_MOD,
+    VFP_PERT_OFFSET,
+    _VID_HEADER,
+    _VID_MAGIC,
+    _frame_dhash_u,
+    _video_encode,
+    _video_redub,
+    _vfp_sql_ctes,
+    sample_frames,
+    video_dedup,
+    video_evidence_clips,
+    video_fingerprints,
+    with_video_payload,
+)
+from .media_audio import (  # noqa: F401
+    AFP_ANCHORS,
+    AFP_WINDOWS,
+    AUDIO_PERT_RUN_DIV,
+    AUDIO_VOL_MOD,
+    AUDIO_VOL_OFFSET,
+    _WAV_RATES,
+    _afp_sql_ctes,
+    _audio_fp,
+    _trim_silence,
+    _wav_container,
+    _wav_decode,
+    _wav_encode,
+    _wav_pcm_samples,
+    _wav_rate,
+    audio_dedup,
+    audio_evidence_clips,
+    audio_fingerprints,
+    audio_near_dup_pairs,
+    wav_features,
+    with_wav_payload,
+)
+from .media_corpus import (  # noqa: F401
+    MACCT_COPY_OFFSET,
+    MACCT_GARB_MOD,
+    MACCT_GARB_OFFSET,
+    MACCT_SEL_MOD,
+    _MACCT_ORD,
+    decode_drop_report,
+    dedup_media_corpus,
+)
+
+
 def with_payload(df):
     """documents → (doc_id, payload binary): the binary-column construction
     step a real pipeline does at ingest (here from text, as the container
@@ -69,79 +168,6 @@ def multimodal_payload_meta(spark, sf_dir):
         .orderBy("doc_id")
     )
 
-
-# ---------------------------------------------------------------------------
-# Real container decode: BMP (plain struct math — no codec library needed).
-# The ingest side synthesizes a valid 24-bpp BMP per document (dimensions
-# derived deterministically from the row, pixels from the text bytes); the
-# decode side parses the actual container header back out of the bytes.
-# The DuckDB oracle recomputes the expected dimensions from the same row
-# data, so a wrong header layout, offset, or endianness on either side
-# fails the hash compare.  (Codec-requiring formats — JPEG/audio — are out
-# of scope here; see the module docstring.)
-# ---------------------------------------------------------------------------
-
-
-def _bmp_dims(doc_id: int, text_len: int):
-    return 1 + doc_id % 64, 1 + text_len % 64
-
-
-def _bmp_encode(doc_id: int, text: bytes) -> bytes:
-    """Build a valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
-    bottom-up 24-bpp pixel rows padded to 4 bytes, pixels cycled from the
-    document's own bytes."""
-    import struct
-
-    width, height = _bmp_dims(doc_id, len(text))
-    row_size = (width * 3 + 3) // 4 * 4
-    img_size = row_size * height
-    pixels = (
-        (text * (img_size // len(text) + 1))[:img_size] if text else bytes(img_size)
-    )
-    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
-    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
-    return header + info + pixels
-
-
-def with_bmp_payload(df):
-    """documents → (doc_id, text, payload binary): the ingest step that in a
-    real pipeline reads image files; here it synthesizes real BMP containers
-    (Arrow-batched, constant memory per task)."""
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        _bmp_encode(i, t.encode("utf-8"))
-                        for i, t in zip(pdf["doc_id"], pdf["text"])
-                    ],
-                }
-            )
-
-    return df.select("doc_id", "text").mapInPandas(
-        encode, schema="doc_id long, payload binary"
-    )
-
-
-def _bmp_decode(payload: bytes) -> dict:
-    """Parse the BMP container header — a REAL byte-level decode (magic
-    check, little-endian field extraction at the documented offsets)."""
-    import struct
-
-    if len(payload) < 54 or payload[:2] != b"BM":
-        return {"width": 0, "height": 0, "bpp": 0, "img_bytes": 0, "decoded_ok": False}
-    width, height = struct.unpack_from("<ii", payload, 18)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    img_bytes = struct.unpack_from("<I", payload, 34)[0]
-    return {
-        "width": width,
-        "height": height,
-        "bpp": bpp,
-        "img_bytes": img_bytes,
-        "decoded_ok": True,
-    }
 
 
 @query(
@@ -192,932 +218,6 @@ def multimodal_decode_features(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# Resize: REAL pixel math on the decoded BMP (numpy nearest-neighbor), then
-# re-encode — the image-preprocessing step of a multimodal training pipeline.
-# Verified in tests/test_multimodal_ops.py against an independent per-pixel
-# index computation (not by re-running the same numpy ops).
-# ---------------------------------------------------------------------------
-
-
-def _bmp_pixel_array(payload: bytes):
-    """Decode BMP pixel data to a (height, width, 3) uint8 array (rows in
-    stored bottom-up order — a flip is a view, deterministic either way)."""
-    import numpy as np
-
-    meta = _bmp_decode(payload)
-    if not meta["decoded_ok"]:
-        raise ValueError("not a BMP payload")
-    w, h = meta["width"], meta["height"]
-    row_size = (w * 3 + 3) // 4 * 4
-    rows = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=54)
-    return rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
-
-
-def _bmp_from_pixels(arr) -> bytes:
-    """Re-encode a (h, w, 3) uint8 array as a 24-bpp BMP (rows padded to 4)."""
-    import struct
-
-    import numpy as np
-
-    h, w = arr.shape[:2]
-    row_size = (w * 3 + 3) // 4 * 4
-    rows = np.zeros((h, row_size), dtype=np.uint8)
-    rows[:, : w * 3] = arr.reshape(h, w * 3)
-    pixels = rows.tobytes()
-    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
-    )
-    return header + info + pixels
-
-
-def _resize_nearest(arr, tw: int, th: int):
-    """Nearest-neighbor resample via integer index maps (floor convention
-    src = tgt * src_dim // tgt_dim — same formula the test recomputes)."""
-    import numpy as np
-
-    h, w = arr.shape[:2]
-    ys = (np.arange(th) * h) // th
-    xs = (np.arange(tw) * w) // tw
-    return arr[ys][:, xs]
-
-
-def bmp_resize(df, target_w: int = 8, target_h: int = 8):
-    """(doc_id, payload) → (doc_id, payload) with every BMP resized to
-    (target_w, target_h) — decode, numpy nearest-neighbor resample,
-    re-encode, all inside one Arrow-batched ``mapInPandas`` stage.
-
-    Scale: narrow (no shuffle), constant memory per batch; on a cluster this
-    is the canonical image-normalization map stage before feature
-    extraction/training-shard writes."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        _bmp_from_pixels(
-                            _resize_nearest(
-                                _bmp_pixel_array(bytes(b)), target_w, target_h
-                            )
-                        )
-                        for b in pdf["payload"]
-                    ],
-                }
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(
-        run, schema="doc_id long, payload binary"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Perceptual-hash image near-dup dedup (LAION-style): aHash/dHash over the
-# DECODED pixel arrays, then Hamming-bucketed candidate pairs — the image
-# twin of text MinHash (`dedup.minhash_lsh_pairs`) and embedding SemDeDup
-# (`clustering.semdedup_prune`).  Everything is integer arithmetic on
-# purpose: resize indices are floor divisions, gray is an integer channel
-# mean, and the 64-bit hash packs comparison bits — so a DuckDB oracle
-# re-derives every hash bit-for-bit from the source bytes.
-# ---------------------------------------------------------------------------
-
-#: dHash compares an 8×8 grid of horizontal neighbors (so the gray grid is
-#: 9 wide); aHash compares an 8×8 grid against its integer mean.
-PHASH_GRID = 8
-#: 8 bands of 8 bits each: by pigeonhole, any pair within Hamming distance
-#: <= PHASH_BANDS - 1 shares at least one identical band, so the banded
-#: candidate join has EXACT recall at the default radius — no
-#: approximation anywhere, which is what lets the driver oracle brute-force
-#: the same pair set.
-PHASH_BANDS = 8
-PHASH_RADIUS = 7
-#: strategy='auto' threshold (the semdedup ``max_cell='auto'`` precedent):
-#: if ANY band bucket among the exact-collapse representatives exceeds
-#: this, the near-dup stage runs 'anchor' instead of 'minpair'.  A bucket
-#: of m members feeds m(m-1)/2 candidate pairs into minpair's verify —
-#: at 64 that's ~2k pairs/bucket, still cheap; the sf10 cliff came from
-#: ~100-member buckets repeated across thousands of band values (564k
-#: pairs, 124× wall on 100× data — BASELINE.md round 15).
-AUTO_ANCHOR_BUCKET = 64
-
-
-def _pack_bits_signed64(bits) -> int:
-    """Pack a row-major boolean grid into a SIGNED 64-bit integer (bit
-    k = y*8 + x; two's-complement wrap, matching Spark/DuckDB BIGINT)."""
-    h = 0
-    for k, b in enumerate(bits.flatten()):
-        if b:
-            h |= 1 << k
-    return h - (1 << 64) if h >= (1 << 63) else h
-
-
-def _gray_grid(arr, gw: int, gh: int):
-    """Integer grayscale grid: nearest-neighbor resample to (gw, gh), then
-    per-pixel channel mean with floor division (order-free integer math —
-    the oracle recomputes it exactly)."""
-    import numpy as np
-
-    g = _resize_nearest(arr, gw, gh).astype(np.int64)
-    return (g[:, :, 0] + g[:, :, 1] + g[:, :, 2]) // 3
-
-
-def _dhash(arr) -> int:
-    """Difference hash: bit (y, x) = gray(y, x+1) > gray(y, x) over the
-    (9 × 8) gray grid — robust to uniform brightness/scale changes."""
-    g = _gray_grid(arr, PHASH_GRID + 1, PHASH_GRID)
-    return _pack_bits_signed64(g[:, 1:] > g[:, :-1])
-
-
-def _ahash(arr) -> int:
-    """Average hash: bit (y, x) = gray(y, x) > floor(mean) over the
-    (8 × 8) gray grid (integer mean so both engines agree on ties)."""
-    g = _gray_grid(arr, PHASH_GRID, PHASH_GRID)
-    return _pack_bits_signed64(g > int(g.sum()) // (PHASH_GRID * PHASH_GRID))
-
-
-def image_hashes(df, id_col: str = "img_id", on_error: str = "skip"):
-    """(id, payload) → (id, width, height, dhash, ahash): decode each BMP
-    payload and compute both perceptual hashes over the real pixel array.
-    One Arrow-batched ``mapInPandas`` stage, no shuffle, constant memory
-    per batch — the hash is 16 bytes of output per image however large
-    the payload, so everything downstream (banding, joins) moves hashes,
-    never pixels.
-
-    ``on_error='skip'`` (default) DROPS undecodable payloads — the
-    module's malformed-container discipline (one corrupt image in a
-    crawl batch must not kill the task; callers anti-join the output
-    against the input to quarantine the drops).  A NULL-hash row would
-    be worse than a drop: NULL dhashes would collapse into one spurious
-    "duplicate cluster" in :func:`phash_dedup`'s exact-hash groupBy.
-    ``on_error='raise'`` keeps the strict behavior for curated inputs
-    where a bad payload IS a pipeline bug."""
-    if on_error not in ("skip", "raise"):
-        raise ValueError(f"unknown on_error {on_error!r}")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, ws, hs, dh, ah = [], [], [], [], []
-            for i, b in zip(pdf[id_col], pdf["payload"]):
-                try:
-                    arr = _bmp_pixel_array(bytes(b))
-                except ValueError:
-                    if on_error == "raise":
-                        raise
-                    continue
-                h, w = arr.shape[:2]
-                ids.append(i)
-                ws.append(w)
-                hs.append(h)
-                dh.append(_dhash(arr))
-                ah.append(_ahash(arr))
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "dhash": pd.Series(dh, dtype="int64"),
-                    "ahash": pd.Series(ah, dtype="int64"),
-                }
-            )
-
-    # the id column's type follows the input schema (the
-    # compression_signals lesson: hardcoding `long` corrupts string ids)
-    id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, "payload").mapInPandas(
-        run,
-        schema=(
-            f"{id_col} {id_type}, width int, height int,"
-            " dhash long, ahash long"
-        ),
-    )
-
-
-def phash_near_dup_pairs(
-    hashes,
-    radius: int = PHASH_RADIUS,
-    n_bands: int = PHASH_BANDS,
-    hash_col: str = "dhash",
-    id_col: str = "img_id",
-    max_bucket: int | None = None,
-):
-    """(id_a, id_b, dist) for all image pairs within Hamming distance
-    ``radius`` of each other's 64-bit perceptual hash — banded candidate
-    generation, NEVER all-pairs (the ``dedup.band_keys_from_signatures``
-    pattern applied to hash bytes): each hash splits into ``n_bands``
-    equal bands, candidates are pairs sharing any band value, and the
-    exact popcount verify runs only on candidates.
-
-    For ``radius <= n_bands - 1`` recall is EXACT by pigeonhole (a pair
-    differing in <= n_bands-1 bits has an untouched band), so the default
-    (7, 8) configuration is a deterministic operator, not an
-    approximation — the driver oracle brute-forces the same pair set.
-
-    Scale: one shuffle of (band, band_val, id, hash) rows — 8 rows of
-    ~32 bytes per image; the verify is codegen'd bit_count on the
-    candidate set.  Hot buckets (e.g. millions of byte-identical blank
-    images all hashing to 0) make one bucket quadratic: ``max_bucket``
-    drops buckets larger than the cap (the ``dedup.cap_shingles`` guard
-    — a dropped bucket only loses candidates that remaining bands still
-    recover unless ALL the pair's bands are hot; cap well above the
-    expected near-dup cluster size)."""
-    bands = _band_rows(hashes, n_bands, hash_col, id_col, max_bucket)
-    return _pairs_from_bands(bands, id_col, radius)
-
-
-def _pairs_from_bands(bands, id_col, radius):
-    """The minpair pair-enumeration stage over a :func:`_band_rows`
-    frame: self-join on (band, value), dedup candidates, codegen'd
-    popcount verify.  Returns ``(img_a, img_b, dist)``."""
-    a = bands.select(
-        F.col(id_col).alias("__ia"), F.col("__h").alias("__ha"),
-        "__band", "__bv",
-    )
-    b = bands.select(
-        F.col(id_col).alias("__ib"), F.col("__h").alias("__hb"),
-        "__band", "__bv",
-    )
-    cand = (
-        a.join(b, ["__band", "__bv"])
-        .filter(F.col("__ia") < F.col("__ib"))
-        .select("__ia", "__ib", "__ha", "__hb")
-        .distinct()
-    )
-    dist = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-    return cand.select(
-        F.col("__ia").alias("img_a"),
-        F.col("__ib").alias("img_b"),
-        dist.alias("dist"),
-    ).filter(F.col("dist") <= radius)
-
-
-def _band_rows(frame, n_bands, hash_col, id_col, max_bucket):
-    """THE shared banded layout: ``(id, __h, __band, __bv)`` rows —
-    ``n_bands`` per hash, ``__bv`` the band's ``64/n_bands``-bit slice —
-    with the ``max_bucket`` hot-bucket cap applied.  Used by
-    :func:`phash_near_dup_pairs`, :func:`_anchor_near_dedup`, and the
-    ``strategy='auto'`` bucket diagnostic, so the three can never
-    disagree on which candidates a band generates."""
-    band_w = 64 // n_bands
-    mask = (1 << band_w) - 1
-    pairs = []
-    for k in range(n_bands):
-        pairs.extend(
-            [
-                F.lit(k),
-                F.shiftrightunsigned(F.col(hash_col), band_w * k).bitwiseAND(
-                    F.lit(mask)
-                ),
-            ]
-        )
-    bands = frame.select(
-        F.col(id_col),
-        F.col(hash_col).alias("__h"),
-        F.stack(F.lit(n_bands), *pairs).alias("__band", "__bv"),
-    )
-    if max_bucket is not None:
-        from pyspark.sql.window import Window as W
-
-        counts = F.count(F.lit(1)).over(W.partitionBy("__band", "__bv"))
-        bands = bands.withColumn("__bc", counts).filter(
-            F.col("__bc") <= max_bucket
-        ).drop("__bc")
-    return bands
-
-
-def phash_dedup(
-    hashes,
-    radius: int = PHASH_RADIUS,
-    n_bands: int = PHASH_BANDS,
-    hash_col: str = "dhash",
-    id_col: str = "img_id",
-    max_bucket: int | None = None,
-    strategy: str = "auto",
-):
-    """Keep-first perceptual-hash image dedup: one row per DUPLICATE image
-    with its attributed keeper — ``(img_id, dup_of, dist)`` — the
-    ``dedup.keep_first_per_content`` / SemDeDup attribution contract
-    applied to images.
-
-    Two stages, because pair ENUMERATION is inherently quadratic in
-    cluster size (a crawl's 10⁶-copy logo would emit 10¹² pairs):
-
-    1. exact collapse: images sharing an identical 64-bit hash group to
-       their minimum id in ONE hash-partitioned aggregate — no join, no
-       pair list, linear however large the duplicate cluster;
-    2. near-dup attribution among the surviving REPRESENTATIVES only:
-       the banded Hamming join (:func:`phash_near_dup_pairs`, exact at
-       radius <= n_bands-1), then each representative attributes to its
-       MINIMUM matching partner (struct-min — deterministic, order-free).
-
-    Members of a collapsed group attribute to their own representative
-    (dist 0); the representative itself may further attribute to a
-    smaller near-dup rep.  Callers wanting full transitive lineage feed
-    the pairs to ``clustering.connected_components``; callers wanting
-    the kept set anti-join ``img_id``.
-
-    ``strategy`` picks the near-dup stage's physical shape:
-
-    - ``'minpair'`` (the oracle-pinned semantics): full banded pair
-      enumeration, each duplicate attributed to its MINIMUM matching
-      partner.  Pair enumeration is quadratic in NEAR-dup cluster size
-      (the exact collapse only removes IDENTICAL hashes) — fine for
-      corpora whose near-clusters are small.
-    - ``'anchor'`` (the mega-cluster scale path): per band bucket, each
-      member verifies ONLY against the bucket's min-id anchor — at most
-      ``n_bands`` candidate pairs per member, linear however large the
-      cluster — then the RESIDUAL members that matched no anchor run
-      the standard banded join against the full rep set.  The
-      DUPLICATE SET is provably identical to ``'minpair'`` (a member
-      with any smaller in-radius partner either verifies an anchor or
-      reaches phase 2, which joins against ALL reps — pigeonhole still
-      applies); only the ``dup_of`` attribution may differ (an anchor
-      rather than the global minimum partner — still a true in-radius
-      smaller-id keeper).  Measured: the sf10 corpus's ~100-copy AFP
-      clusters take minpair from 1.2 s to 152 s at 100× data; 'anchor'
-      restores linear growth (BASELINE.md round 15).
-    - ``'auto'`` (DEFAULT since round 16 — the ``semdedup``
-      ``max_cell='auto'`` precedent): one cheap groupBy-count job over
-      the representatives' band rows reads the largest band bucket; if
-      it exceeds :data:`AUTO_ANCHOR_BUCKET` the near-dup stage runs
-      'anchor', else 'minpair'.  Mega near-dup clusters are the COMMON
-      case in a real crawl (re-encode farms, resized logo copies), so
-      the default must not hand production the quadratic plan — while
-      small corpora keep minpair's global-minimum attribution and skip
-      the anchor path's two checkpoints.  Cost: one extra job over a
-      frame of ``n_bands`` ~32-byte rows per representative.
-
-    ``radius`` must stay ``<= n_bands - 1`` — past that bound the banded
-    candidate generation silently loses recall while the persisted-index
-    probe (``phash_against_index``) raises; fail the same way here."""
-    if strategy not in ("auto", "minpair", "anchor"):
-        raise ValueError(f"unknown strategy {strategy!r}")
-    if radius > n_bands - 1:
-        raise ValueError(
-            f"radius {radius} > n_bands-1 ({n_bands - 1}): banded recall "
-            "is only exact by pigeonhole up to n_bands-1 bit flips — "
-            "raise n_bands or lower radius (phash_against_index enforces "
-            "the same bound)"
-        )
-    reps = hashes.groupBy(hash_col).agg(F.min(id_col).alias("__rep"))
-    exact = (
-        hashes.select(id_col, hash_col)
-        .join(reps, hash_col)
-        .filter(F.col(id_col) > F.col("__rep"))
-        .select(
-            F.col(id_col).alias("img_id"),
-            F.col("__rep").alias("dup_of"),
-            F.lit(0).alias("dist"),
-        )
-    )
-    rep_hashes = reps.select(
-        F.col("__rep").alias(id_col), F.col(hash_col)
-    )
-    chosen = strategy
-    bands = None
-    if strategy == "auto":
-        # one checkpoint serves the diagnostic AND the chosen path
-        bands = _band_rows(
-            rep_hashes, n_bands, hash_col, id_col, max_bucket
-        ).localCheckpoint()
-        chosen = _auto_pick(bands)
-    if chosen == "anchor":
-        if bands is None:
-            # anchors, phase 1, phase 2 all read it — cut lineage once
-            bands = _band_rows(
-                rep_hashes, n_bands, hash_col, id_col, max_bucket
-            ).localCheckpoint()
-        near = _anchor_near_dedup(bands, radius, id_col)
-    else:
-        pair_src = (
-            _pairs_from_bands(bands, id_col, radius)
-            if bands is not None
-            else phash_near_dup_pairs(
-                rep_hashes,
-                radius=radius,
-                n_bands=n_bands,
-                hash_col=hash_col,
-                id_col=id_col,
-                max_bucket=max_bucket,
-            )
-        )
-        near = (
-            pair_src
-            .groupBy("img_b")
-            .agg(F.min(F.struct("img_a", "dist")).alias("__m"))
-            .select(
-                F.col("img_b").alias("img_id"),
-                F.col("__m.img_a").alias("dup_of"),
-                F.col("__m.dist").alias("dist"),
-            )
-        )
-    return exact.unionAll(near)
-
-
-def _auto_pick(bands):
-    """The ``strategy='auto'`` diagnostic: largest band-bucket size over a
-    :func:`_band_rows` frame — one groupBy-count job, O(#buckets) result.
-    A bucket above :data:`AUTO_ANCHOR_BUCKET` means pair enumeration
-    would go quadratic there, so pick 'anchor'; otherwise minpair's
-    global-minimum attribution is worth its (small-cluster) cost."""
-    mx = (
-        bands.groupBy("__band", "__bv")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(F.max("__n").alias("__mx"))
-        .collect()[0]["__mx"]
-    )
-    return "anchor" if (mx or 0) > AUTO_ANCHOR_BUCKET else "minpair"
-
-
-def _anchor_near_dedup(bands, radius, id_col):
-    """The 'anchor' strategy's near-dup stage (see :func:`phash_dedup`):
-    phase 1 verifies each band-bucket member against the bucket's min-id
-    anchor only (≤ n_bands candidates per member — linear in cluster
-    size); phase 2 runs the standard banded join for the residual
-    members that matched no anchor, against the FULL rep set so no
-    in-radius partner is ever missed.  Takes the :func:`_band_rows`
-    frame (caller must ``localCheckpoint`` it — anchors, phase 1, and
-    phase 2 all read it).  Returns ``(img_id, dup_of, dist)``."""
-    anchors = bands.groupBy("__band", "__bv").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("__aid"), F.col("__h").alias("__ah"))
-        ).alias("__a")
-    )
-    ph1 = (
-        bands.join(anchors, ["__band", "__bv"])
-        .filter(F.col(id_col) > F.col("__a.__aid"))
-        .select(
-            id_col,
-            "__h",
-            F.col("__a.__aid").alias("__p"),
-            F.col("__a.__ah").alias("__ph"),
-        )
-        .distinct()
-        .withColumn(
-            "__d", F.bit_count(F.col("__h").bitwiseXOR(F.col("__ph")))
-        )
-        .filter(F.col("__d") <= radius)
-        .groupBy(id_col)
-        .agg(F.min(F.struct(F.col("__p"), F.col("__d"))).alias("__m"))
-        .localCheckpoint()
-    )
-    att1 = ph1.select(
-        F.col(id_col).alias("img_id"),
-        F.col("__m.__p").alias("dup_of"),
-        F.col("__m.__d").alias("dist"),
-    )
-    res_bands = bands.join(
-        ph1.select(id_col), id_col, "left_anti"
-    )
-    a = bands.select(
-        F.col(id_col).alias("__ia"), F.col("__h").alias("__ha"),
-        "__band", "__bv",
-    )
-    b = res_bands.select(
-        F.col(id_col).alias("__ib"), F.col("__h").alias("__hb"),
-        "__band", "__bv",
-    )
-    att2 = (
-        a.join(b, ["__band", "__bv"])
-        .filter(F.col("__ia") < F.col("__ib"))
-        .select("__ia", "__ib", "__ha", "__hb")
-        .distinct()
-        .withColumn(
-            "__d", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-        )
-        .filter(F.col("__d") <= radius)
-        .groupBy("__ib")
-        .agg(F.min(F.struct(F.col("__ia"), F.col("__d"))).alias("__m"))
-        .select(
-            F.col("__ib").alias("img_id"),
-            F.col("__m.__ia").alias("dup_of"),
-            F.col("__m.__d").alias("dist"),
-        )
-    )
-    return att1.unionByName(att2)
-
-
-#: op='macct'/'ddrop' configuration (round 16): the media-dedup
-#: ACCOUNTING under the hash gate.  The planted corpus = the distinct-
-#: text doc slice's base BMPs + byte-identical copies of its even-id
-#: half + undecodable garbage payloads; the oracle re-derives every
-#: stage count, including the byte-equivalence classes EXACTLY (two
-#: distinct texts can share a payload when the pixel buffer is a common
-#: cyclic prefix — e.g. planted repetitive texts — so the class key is
-#: (w, h, cycled-pixel-prefix), never "texts are distinct").
-MACCT_SEL_MOD = 3
-MACCT_GARB_MOD = 11
-MACCT_COPY_OFFSET = 40_000_000
-MACCT_GARB_OFFSET = 50_000_000
-_MACCT_ORD = {
-    "input": 0,
-    "byte_unique": 1,
-    "decoded": 2,
-    "dropped": 3,
-    "percept_kept": 4,
-    "kept": 5,
-}
-
-#: planted-variant configuration for the driver slot: every %5 doc gets a
-#: 2× nearest-upscaled copy (a "resized re-encode" — its dHash/aHash are
-#: bit-identical to the original by the floor-division identity
-#: floor(floor(2a/2g)/2) = floor(a/2g), so these pairs land at distance
-#: 0), and every %7 doc with text gets a one-byte-perturbed copy (one
-#: char overwritten with 'Z' — a small, VARIABLE Hamming distance that
-#: exercises the radius threshold on both sides of the cut).
-PHASH_UP_MOD = 5
-PHASH_PERT_MOD = 7
-PHASH_UP_OFFSET = 10_000_000
-PHASH_PERT_OFFSET = 20_000_000
-
-#: audio fingerprint (AFP) configuration — see the audio section at the end
-#: of this module: 65 energy windows → 64 neighbor-comparison bits (the 1-D
-#: analog of dHash's 9-wide gray grid), 4 anchor samples summed per window.
-AFP_WINDOWS = 65
-AFP_ANCHORS = 4
-#: planted audio variants share the image offsets for kinds 1-2 (op tags
-#: distinguish modalities in the union); the half-volume copy gets its own.
-AUDIO_VOL_MOD = 3
-AUDIO_VOL_OFFSET = 30_000_000
-AUDIO_PERT_RUN_DIV = 6
-
-
-def _check_variant_offsets(pdf, offsets) -> None:
-    """Loud-failure guard shared by every evidence-corpus builder: the
-    planted-variant id ranges (doc_id + offset per variant kind) must be
-    PAIRWISE disjoint, not merely above the base ids.  With sorted
-    offsets o1 < o2 < …, a doc_id + o1 id collides with some doc_id' +
-    o2 id once max(doc_id) >= o2 - o1 (e.g. doc 10,000,035's dup id ==
-    doc 35's pert id at the 60M/70M video defaults), so the bound is
-    min(o1, o2-o1, o3-o2, …).  Checked per Arrow batch — no extra
-    driver-side max() pass over the corpus (ADVICE r16: the previous
-    guard only checked the smallest offset)."""
-    if not len(pdf):
-        return
-    mx = int(pdf["doc_id"].max())
-    srt = sorted(offsets)
-    bound = min([srt[0]] + [b - a for a, b in zip(srt, srt[1:])])
-    if mx >= bound:
-        raise ValueError(
-            f"doc_id {mx} >= id-disjointness bound {bound} for variant "
-            f"offsets {srt}: variant-id arithmetic would collide; raise "
-            "the offsets for this corpus"
-        )
-
-
-def phash_evidence_images(
-    df,
-    up_offset: int = PHASH_UP_OFFSET,
-    pert_offset: int = PHASH_PERT_OFFSET,
-):
-    """documents → (img_id, payload): one BMP per document plus the
-    planted near-dup variants (2× nearest upscale; one-byte text
-    perturbation) — the image-corpus construction the pHash slot and the
-    oracle both re-derive.  The offsets are parameters (defaults = the
-    oracle constants) so a larger corpus — e.g. the sf10 scale scratch,
-    whose doc_ids reach ~99M — passes wider offsets instead of
-    colliding."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            _check_variant_offsets(pdf, (up_offset, pert_offset))
-            ids, pays = [], []
-            for d, t in zip(pdf["doc_id"], pdf["text"]):
-                tb = t.encode("utf-8")
-                base = _bmp_encode(d, tb)
-                ids.append(d)
-                pays.append(base)
-                if d % PHASH_UP_MOD == 0:
-                    arr = _bmp_pixel_array(base)
-                    h, w = arr.shape[:2]
-                    up = _resize_nearest(arr, 2 * w, 2 * h)
-                    ids.append(d + up_offset)
-                    pays.append(_bmp_from_pixels(up))
-                if d % PHASH_PERT_MOD == 0 and len(tb) > 0:
-                    p = d % len(tb)
-                    ids.append(d + pert_offset)
-                    pays.append(_bmp_encode(d, tb[:p] + b"Z" + tb[p + 1:]))
-            yield pd.DataFrame({"img_id": ids, "payload": pays})
-
-    return df.select("doc_id", "text").mapInPandas(
-        build, schema="img_id long, payload binary"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Frame sampling: a minimal raw-frame video container (magic + frame count +
-# frame length + concatenated raw RGB frames) — every-k-th frame extraction,
-# the video half of the pipeline.  No codec needed: frames are raw bytes, so
-# the plumbing (explode-to-frame-rows, per-frame features) is fully real.
-# ---------------------------------------------------------------------------
-
-_VID_MAGIC = b"VID0"
-_VID_HEADER = 12  # magic + u32 n_frames + u32 frame_len
-
-
-def _video_encode(doc_id: int, text: bytes) -> bytes:
-    """Synthesize a raw-frame video: 1 + doc_id % 8 frames of 4x4 RGB pixels
-    cycled from the document bytes at a per-frame offset."""
-    import struct
-
-    n_frames = 1 + doc_id % 8
-    frame_len = 4 * 4 * 3
-    body = bytearray()
-    src = text if text else bytes(1)
-    for f in range(n_frames):
-        body += bytes(src[(f + i) % len(src)] for i in range(frame_len))
-    return _VID_MAGIC + struct.pack("<II", n_frames, frame_len) + bytes(body)
-
-
-def with_video_payload(df):
-    """documents → (doc_id, payload binary) raw-frame video containers."""
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        _video_encode(i, t.encode("utf-8"))
-                        for i, t in zip(pdf["doc_id"], pdf["text"])
-                    ],
-                }
-            )
-
-    return df.select("doc_id", "text").mapInPandas(
-        encode, schema="doc_id long, payload binary"
-    )
-
-
-def sample_frames(df, every_k: int = 2):
-    """(doc_id, payload) → (doc_id, frame_idx, checksum): parse the container
-    header, slice out every k-th frame, emit one row per sampled frame with
-    a byte checksum — frame extraction without materializing unsampled
-    frames (the slice never copies them out of the Arrow buffer).
-
-    Scale: narrow map that *grows* rows (frames per video); downstream
-    repartition by (doc_id, frame_idx) if a per-frame shuffle follows."""
-    import struct
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, sums = [], [], []
-            for i, b in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(b)
-                if len(b) < _VID_HEADER or b[:4] != _VID_MAGIC:
-                    continue
-                n_frames, frame_len = struct.unpack_from("<II", b, 4)
-                for f in range(0, n_frames, every_k):
-                    off = _VID_HEADER + f * frame_len
-                    frame = b[off : off + frame_len]
-                    ids.append(i)
-                    idxs.append(f)
-                    sums.append(sum(frame) % 2**31)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "checksum": pd.Series(sums, dtype="int64"),
-                }
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(
-        run, schema="doc_id long, frame_idx int, checksum long"
-    )
-
-
-# ---------------------------------------------------------------------------
-# VIDEO perceptual near-dup (round 16 — the modality triad's last leg):
-# a 64-bit fingerprint per video = the BITWISE MAJORITY across sampled
-# frames of each frame's 64-bit dHash, then the SAME banded machinery as
-# the image/audio families (phash_dedup with hash_col='vfp').  Majority
-# pooling is the classic temporal aggregate (TMK-style): a re-encode
-# that perturbs one frame of several leaves every majority bit intact,
-# while byte checksums (sample_frames) break on any edit.
-# ---------------------------------------------------------------------------
-
-#: planted video variants: every %5 doc gets a "re-dub" copy (the final
-#: frame duplicated once — n_frames+1, same content otherwise) and every
-#: %7 doc with text gets a one-byte frame-0 perturbation ('Z' over byte
-#: 0) — small fingerprint movement that exercises the radius threshold.
-VFP_DUP_MOD = 5
-VFP_PERT_MOD = 7
-VFP_DUP_OFFSET = 60_000_000
-VFP_PERT_OFFSET = 70_000_000
-#: the video meta pin for the persisted-index family: 72 = the 8x9 gray
-#: cells of the per-frame dHash grid — distinct from the image pin (8)
-#: and the audio pin (65), so cross-family probes fail loudly.
-VFP_GRID_PIN = 72
-
-
-def _frame_dhash_u(frame: bytes) -> int:
-    """UNSIGNED 64-bit dHash of one raw RGB frame: the frame's bytes are
-    cycled into an 8x9 gray grid (cell (gy,gx) averages the 3 bytes at
-    p = 3*(gy*9+gx), indexed mod the frame length — the tiny-image
-    cycling discipline, so all 64 comparison bits stay informative for a
-    48-byte 4x4 frame), then horizontal neighbor comparisons pack bit
-    k = gy*8+gx.  Pure integer arithmetic — the oracle re-derives it
-    byte for byte."""
-    import numpy as np
-
-    B = np.frombuffer(frame, dtype=np.uint8).astype(np.int64)
-    L = len(B)
-    p = 3 * np.arange(72, dtype=np.int64)
-    gray = ((B[p % L] + B[(p + 1) % L] + B[(p + 2) % L]) // 3).reshape(8, 9)
-    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint64).reshape(-1)
-    return int((bits << np.arange(64, dtype=np.uint64)).sum())
-
-
-def video_fingerprints(
-    df,
-    id_col: str = "vid_id",
-    every_k: int | None = None,
-    on_error: str = "skip",
-):
-    """(id, payload) → (id, n_frames, n_sampled, vfp): decode each raw-
-    frame video container, dHash every ``every_k``-th frame (default:
-    the slot's ``FRAME_EVERY_K``), and pool the sampled hashes into one
-    64-bit bitwise-majority fingerprint (bit k set iff set in a STRICT
-    majority of sampled frames — ties break to 0, so the pool is
-    deterministic for even counts).  One Arrow ``mapInPandas`` stage, no
-    shuffle, 8 bytes out per video however long the clip — everything
-    downstream (banding, joins, the persisted index) moves fingerprints,
-    never frames.  ``on_error='skip'`` drops undecodable containers
-    (the module's malformed-member discipline; quarantine via anti-join
-    or :func:`decode_drop_report`)."""
-    import struct
-
-    import numpy as np
-
-    k = FRAME_EVERY_K if every_k is None else int(every_k)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, nfr, nsmp, vfps = [], [], [], []
-            for i, b in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(b)
-                bad = (
-                    len(b) < _VID_HEADER
-                    or b[:4] != _VID_MAGIC
-                )
-                if not bad:
-                    n_frames, frame_len = struct.unpack_from("<II", b, 4)
-                    bad = (
-                        n_frames == 0
-                        or frame_len == 0
-                        or len(b) < _VID_HEADER + n_frames * frame_len
-                    )
-                if bad:
-                    if on_error == "raise":
-                        raise ValueError(
-                            f"undecodable video payload for {id_col}={i}"
-                        )
-                    continue
-                counts = np.zeros(64, dtype=np.int64)
-                m = 0
-                for f in range(0, n_frames, k):
-                    off = _VID_HEADER + f * frame_len
-                    h = _frame_dhash_u(b[off : off + frame_len])
-                    counts += (
-                        (np.uint64(h) >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)
-                    ).astype(np.int64)
-                    m += 1
-                maj = int(
-                    (
-                        (2 * counts > m).astype(np.uint64)
-                        << np.arange(64, dtype=np.uint64)
-                    ).sum()
-                )
-                if maj >= 1 << 63:  # two's-complement, like the image path
-                    maj -= 1 << 64
-                ids.append(i)
-                nfr.append(n_frames)
-                nsmp.append(m)
-                vfps.append(maj)
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "n_frames": pd.Series(nfr, dtype="int32"),
-                    "n_sampled": pd.Series(nsmp, dtype="int32"),
-                    "vfp": pd.Series(vfps, dtype="int64"),
-                }
-            )
-
-    return df.select(id_col, "payload").mapInPandas(
-        run,
-        schema=f"{id_col} long, n_frames int, n_sampled int, vfp long",
-    )
-
-
-def video_dedup(
-    fps,
-    radius: int = PHASH_RADIUS,
-    n_bands: int = PHASH_BANDS,
-    id_col: str = "vid_id",
-    max_bucket: int | None = None,
-    strategy: str = "auto",
-):
-    """Keep-first perceptual video dedup — :func:`phash_dedup` over the
-    majority fingerprint column: exact-fingerprint collapse in ONE
-    aggregate, then banded attribution among representatives.  Returns
-    ``(img_id, dup_of, dist)`` keyed by video id.  Re-encode farms that
-    perturb a frame or append a duplicated tail land within radius of
-    the original because majority pooling absorbs single-frame edits."""
-    return phash_dedup(
-        fps,
-        radius=radius,
-        n_bands=n_bands,
-        hash_col="vfp",
-        id_col=id_col,
-        max_bucket=max_bucket,
-        strategy=strategy,
-    )
-
-
-def media_dup_clusters(pairs, attribution=None):
-    """Transitive duplicate lineage for ANY media family: near-dup pairs
-    ``(img_a, img_b, dist)`` (from :func:`phash_near_dup_pairs` with any
-    hash column — image dHash, audio AFP, video vfp) → ``(id,
-    component)`` labels via ``clustering.connected_components``
-    (size-gated union-find / pointer-jumping — O(log n) rounds, never a
-    transitive self-join).  Pass ``attribution`` (the ``(img_id, dup_of,
-    dist)`` keep-first frame from :func:`phash_dedup` /
-    :func:`audio_dedup` / :func:`video_dedup`) to label EXACT-collapse
-    members too — pairs among byte/hash-identical copies never reach the
-    pair stage (they collapse in one aggregate), so lineage built from
-    pairs alone would miss them.  The component label is the smallest id
-    in the cluster, matching the keep-first canonical everywhere the
-    relation is transitive."""
-    from .clustering import connected_components
-
-    edges = pairs.select(
-        F.col("img_a").alias("src"), F.col("img_b").alias("dst")
-    )
-    if attribution is not None:
-        edges = edges.unionAll(
-            attribution.select(
-                F.col("dup_of").alias("src"), F.col("img_id").alias("dst")
-            )
-        )
-    return connected_components(edges)
-
-
-def _video_redub(doc_id: int, text: bytes) -> bytes:
-    """The %{dup} planted variant: the base video re-encoded with its
-    FINAL frame duplicated once (n_frames+1) — the trailing-pad
-    re-encode whose sampled-hash multiset differs by at most one entry,
-    so the majority fingerprint stays within radius of the base."""
-    import struct
-
-    n = 1 + doc_id % 8
-    frame_len = 4 * 4 * 3
-    src = text if text else bytes(1)
-    body = bytearray()
-    for f in range(n):
-        body += bytes(src[(f + i) % len(src)] for i in range(frame_len))
-    body += bytes(src[((n - 1) + i) % len(src)] for i in range(frame_len))
-    return _VID_MAGIC + struct.pack("<II", n + 1, frame_len) + bytes(body)
-
-
-def video_evidence_clips(
-    df,
-    dup_offset: int = VFP_DUP_OFFSET,
-    pert_offset: int = VFP_PERT_OFFSET,
-):
-    """documents → (vid_id, payload): one raw-frame video per document
-    plus the planted near-dup variants (final-frame re-dub; one-byte
-    frame-0 perturbation) — the video-corpus construction the slot and
-    the oracle both re-derive.  Offsets are parameters for larger
-    corpora (the image/audio builder discipline)."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            _check_variant_offsets(pdf, (dup_offset, pert_offset))
-            ids, pays = [], []
-            for d_, t in zip(pdf["doc_id"], pdf["text"]):
-                tb = t.encode("utf-8")
-                ids.append(d_)
-                pays.append(_video_encode(d_, tb))
-                if d_ % VFP_DUP_MOD == 0:
-                    ids.append(d_ + dup_offset)
-                    pays.append(_video_redub(d_, tb))
-                if d_ % VFP_PERT_MOD == 0 and len(tb) > 0:
-                    base = bytearray(_video_encode(d_, tb))
-                    base[_VID_HEADER] = 0x5A  # 'Z' over frame 0, byte 0
-                    ids.append(d_ + pert_offset)
-                    pays.append(bytes(base))
-            yield pd.DataFrame(
-                {
-                    "vid_id": pd.Series(ids, dtype="int64"),
-                    "payload": pays,
-                }
-            )
-
-    return df.select("doc_id", "text").mapInPandas(
-        build, schema="vid_id long, payload binary"
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1129,385 +229,6 @@ def video_evidence_clips(
 # documents.text is ASCII in the testdata (asserted cheap via octet_length =
 # length in the oracle would be redundant; ascii() = byte value holds).
 # ---------------------------------------------------------------------------
-
-RESIZE_W = RESIZE_H = 8
-FRAME_EVERY_K = 2
-
-
-def _phash_sql_ctes() -> str:
-    """DuckDB CTE chain re-deriving the ENTIRE pHash pipeline from the
-    document text: the planted image corpus (base + 2×-upscale + one-byte
-    perturbation), the per-image integer gray grids via the same floor
-    index arithmetic the numpy side uses, both 64-bit hashes
-    (two's-complement packed through HUGEINT), and the BRUTE-FORCE
-    Hamming pair set at radius {r} — which the Spark side's banded join
-    must reproduce exactly (pigeonhole: radius <= bands-1).  Final CTEs:
-    ``phhash`` (img_id, disp_w, disp_h, dhash, ahash), ``phpair``
-    (ia, ib, dist)."""
-    from .clustering import _materialize
-
-    G = PHASH_GRID
-    return _materialize(f"""phimg AS (
-      SELECT doc_id AS img_id, doc_id AS d, 0 AS kind, text FROM documents
-      UNION ALL
-      SELECT doc_id + {PHASH_UP_OFFSET}, doc_id, 1, text FROM documents
-      WHERE doc_id % {PHASH_UP_MOD} = 0
-      UNION ALL
-      SELECT doc_id + {PHASH_PERT_OFFSET}, doc_id, 2, text FROM documents
-      WHERE doc_id % {PHASH_PERT_MOD} = 0
-        AND octet_length(encode(text)) > 0),
-    phdim AS (
-      SELECT img_id, d, kind, text,
-             CAST(octet_length(encode(text)) AS BIGINT) AS L,
-             CAST(1 + d % 64 AS BIGINT) AS w,
-             CAST(1 + octet_length(encode(text)) % 64 AS BIGINT) AS h,
-             (CAST(1 + d % 64 AS BIGINT) * 3 + 3) // 4 * 4 AS row_size
-      FROM phimg),
-    phcell AS (
-      SELECT 'd' AS grid, y.i AS gy, x.i AS gx, {G + 1} AS gw
-      FROM range({G}) y(i), range({G + 1}) x(i)
-      UNION ALL
-      SELECT 'a', y.i, x.i, {G} FROM range({G}) y(i), range({G}) x(i)),
-    phsrc AS (
-      SELECT m.img_id, m.kind, m.d, m.text, m.L, m.row_size,
-             c.grid, c.gy, c.gx, ch.i AS ci,
-             CASE WHEN m.kind = 1 THEN ((c.gy * 2 * m.h) // {G}) // 2
-                  ELSE (c.gy * m.h) // {G} END AS sy,
-             CASE WHEN m.kind = 1 THEN ((c.gx * 2 * m.w) // c.gw) // 2
-                  ELSE (c.gx * m.w) // c.gw END AS sx
-      FROM phdim m, phcell c, range(3) ch(i)),
-    phbyte AS (
-      SELECT img_id, grid, gy, gx,
-             CASE WHEN L = 0 THEN 0
-                  WHEN kind = 2
-                       AND ((sy * row_size + sx * 3 + ci) % L) = (d % L)
-                       THEN 90
-                  ELSE ascii(substr(text,
-                         CAST((sy * row_size + sx * 3 + ci) % L
-                           AS INTEGER) + 1, 1)) END AS byte
-      FROM phsrc),
-    phgray AS (
-      SELECT img_id, grid, gy, gx, SUM(byte) // 3 AS gray
-      FROM phbyte GROUP BY img_id, grid, gy, gx),
-    phdbit AS (
-      SELECT a.img_id, a.gy * {G} + a.gx AS k, (b.gray > a.gray) AS bit
-      FROM phgray a JOIN phgray b
-        ON a.img_id = b.img_id AND b.grid = 'd' AND a.gy = b.gy
-           AND b.gx = a.gx + 1
-      WHERE a.grid = 'd' AND a.gx < {G}),
-    phamean AS (
-      SELECT img_id, SUM(gray) // {G * G} AS m
-      FROM phgray WHERE grid = 'a' GROUP BY img_id),
-    phabit AS (
-      SELECT g.img_id, g.gy * {G} + g.gx AS k, (g.gray > mm.m) AS bit
-      FROM phgray g JOIN phamean mm USING (img_id) WHERE g.grid = 'a'),
-    phdh AS (
-      SELECT img_id,
-             CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
-                  THEN hv - 18446744073709551616::HUGEINT
-                  ELSE hv END AS BIGINT) AS dhash
-      FROM (SELECT img_id,
-                   SUM(CASE WHEN bit THEN 1::HUGEINT << CAST(k AS INTEGER)
-                        ELSE 0::HUGEINT END) AS hv
-            FROM phdbit GROUP BY img_id)),
-    phah AS (
-      SELECT img_id,
-             CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
-                  THEN hv - 18446744073709551616::HUGEINT
-                  ELSE hv END AS BIGINT) AS ahash
-      FROM (SELECT img_id,
-                   SUM(CASE WHEN bit THEN 1::HUGEINT << CAST(k AS INTEGER)
-                        ELSE 0::HUGEINT END) AS hv
-            FROM phabit GROUP BY img_id)),
-    phhash AS (
-      SELECT m.img_id,
-             CAST(CASE WHEN m.kind = 1 THEN 2 * m.w ELSE m.w END
-               AS INTEGER) AS disp_w,
-             CAST(CASE WHEN m.kind = 1 THEN 2 * m.h ELSE m.h END
-               AS INTEGER) AS disp_h,
-             d.dhash, a.ahash
-      FROM phdim m JOIN phdh d USING (img_id) JOIN phah a USING (img_id)),
-    phpair AS (
-      SELECT a.img_id AS ia, b.img_id AS ib,
-             bit_count(xor(a.dhash, b.dhash)) AS dist
-      FROM phhash a JOIN phhash b ON a.img_id < b.img_id
-      WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_RADIUS}),
-    phidx AS (
-      SELECT b.img_id AS vid, a.img_id AS mid,
-             bit_count(xor(a.dhash, b.dhash)) AS dist
-      FROM phhash a JOIN phhash b
-        ON a.img_id < {PHASH_UP_OFFSET} AND b.img_id >= {PHASH_UP_OFFSET}
-      WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_RADIUS}),
-    phnovel AS (
-      SELECT img_id FROM phhash WHERE img_id >= {PHASH_UP_OFFSET}
-        AND img_id NOT IN (SELECT vid FROM phidx)),
-    phrep AS (
-      SELECT dhash, MIN(img_id) AS rep FROM phhash GROUP BY dhash),
-    phpded AS (
-      SELECT h.img_id, r.rep AS dup_of, 0 AS dist
-      FROM phhash h JOIN phrep r
-        ON h.dhash = r.dhash AND h.img_id > r.rep
-      UNION ALL
-      SELECT img_id, dup_of, dist FROM (
-        SELECT b.rep AS img_id, a.rep AS dup_of,
-               bit_count(xor(a.dhash, b.dhash)) AS dist,
-               ROW_NUMBER() OVER (PARTITION BY b.rep ORDER BY a.rep) AS rn
-        FROM phrep a JOIN phrep b ON a.rep < b.rep
-        WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_RADIUS})
-      WHERE rn = 1)""")
-
-
-_phash_sql_ctes.__doc__ = _phash_sql_ctes.__doc__ and (
-    _phash_sql_ctes.__doc__.format(r=PHASH_RADIUS)
-)
-
-
-def _vfp_sql_ctes() -> str:
-    """DuckDB CTE chain re-deriving the ENTIRE video-fingerprint pipeline
-    from the document text: the planted video corpus (base raw-frame
-    container + final-frame re-dub + one-byte frame-0 perturbation), each
-    sampled frame's 64-bit dHash via the same cycled 8x9 gray-grid
-    arithmetic the numpy side uses (frame byte j = text[(f + (j mod 48))
-    mod L]), the per-video BITWISE MAJORITY pool (strict majority, ties
-    to 0), and the brute-force Hamming pair + keep-first dedup sets the
-    Spark side's banded machinery must reproduce exactly.  Final CTEs:
-    ``vfhash`` (vid_id, nf, m, vfp), ``vfpair`` (ia, ib, dist),
-    ``vfded`` (vid_id, dup_of, dist)."""
-    from .clustering import _materialize
-
-    return _materialize(f"""vfimg AS (
-      SELECT doc_id AS vid_id, doc_id AS d, 0 AS kind, text,
-             1 + doc_id % 8 AS nf
-      FROM documents
-      UNION ALL
-      SELECT doc_id + {VFP_DUP_OFFSET}, doc_id, 1, text, 2 + doc_id % 8
-      FROM documents WHERE doc_id % {VFP_DUP_MOD} = 0
-      UNION ALL
-      SELECT doc_id + {VFP_PERT_OFFSET}, doc_id, 2, text, 1 + doc_id % 8
-      FROM documents WHERE doc_id % {VFP_PERT_MOD} = 0
-        AND octet_length(encode(text)) > 0),
-    vfsmp AS (
-      SELECT v.vid_id, v.kind, v.text,
-             CAST(octet_length(encode(v.text)) AS BIGINT) AS L,
-             f.f,
-             CASE WHEN v.kind = 1 AND f.f = v.nf - 1 THEN v.nf - 2
-                  ELSE f.f END AS fc
-      FROM vfimg v CROSS JOIN (SELECT unnest(range(0, 9, {FRAME_EVERY_K})) AS f) f
-      WHERE f.f < v.nf),
-    vfgray AS (
-      SELECT vid_id, f, c.c AS cell,
-             SUM(CASE WHEN kind = 2 AND f = 0
-                       AND ((3 * c.c + ch.i) % 48) = 0 THEN 90
-                      WHEN L = 0 THEN 0
-                      ELSE ascii(substr(text,
-                        CAST((fc + ((3 * c.c + ch.i) % 48)) % L
-                          AS INTEGER) + 1, 1)) END) // 3 AS gray
-      FROM vfsmp, range(72) c(c), range(3) ch(i)
-      GROUP BY vid_id, f, c.c),
-    vffb AS (
-      SELECT a.vid_id, a.f,
-             (a.cell // 9) * 8 + (a.cell % 9) AS k,
-             (b.gray > a.gray) AS bit
-      FROM vfgray a JOIN vfgray b
-        ON a.vid_id = b.vid_id AND a.f = b.f AND b.cell = a.cell + 1
-      WHERE a.cell % 9 < 8),
-    vfns AS (SELECT vid_id, nf,
-             (nf + {FRAME_EVERY_K - 1}) // {FRAME_EVERY_K} AS m
-      FROM vfimg),
-    vfmajbit AS (
-      SELECT b.vid_id, b.k,
-             (2 * SUM(CASE WHEN b.bit THEN 1 ELSE 0 END) > n.m) AS bit
-      FROM vffb b JOIN vfns n USING (vid_id)
-      GROUP BY b.vid_id, b.k, n.m),
-    vfh AS (
-      SELECT vid_id,
-             CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
-                  THEN hv - 18446744073709551616::HUGEINT
-                  ELSE hv END AS BIGINT) AS vfp
-      FROM (SELECT vid_id,
-                   SUM(CASE WHEN bit THEN 1::HUGEINT << CAST(k AS INTEGER)
-                        ELSE 0::HUGEINT END) AS hv
-            FROM vfmajbit GROUP BY vid_id)),
-    vfhash AS (
-      SELECT n.vid_id, n.nf, n.m, h.vfp
-      FROM vfns n JOIN vfh h USING (vid_id)),
-    vfpair AS (
-      SELECT a.vid_id AS ia, b.vid_id AS ib,
-             bit_count(xor(a.vfp, b.vfp)) AS dist
-      FROM vfhash a JOIN vfhash b ON a.vid_id < b.vid_id
-      WHERE bit_count(xor(a.vfp, b.vfp)) <= {PHASH_RADIUS}),
-    vfrep AS (SELECT vfp, MIN(vid_id) AS rep FROM vfhash GROUP BY vfp),
-    vfded AS (
-      SELECT h.vid_id, r.rep AS dup_of, 0 AS dist
-      FROM vfhash h JOIN vfrep r
-        ON h.vfp = r.vfp AND h.vid_id > r.rep
-      UNION ALL
-      SELECT vid_id, dup_of, dist FROM (
-        SELECT b.rep AS vid_id, a.rep AS dup_of,
-               bit_count(xor(a.vfp, b.vfp)) AS dist,
-               ROW_NUMBER() OVER (PARTITION BY b.rep ORDER BY a.rep) AS rn
-        FROM vfrep a JOIN vfrep b ON a.rep < b.rep
-        WHERE bit_count(xor(a.vfp, b.vfp)) <= {PHASH_RADIUS})
-      WHERE rn = 1),
-    vfpidx AS (
-      SELECT b.vid_id AS vid, a.vid_id AS mid,
-             bit_count(xor(a.vfp, b.vfp)) AS dist
-      FROM vfhash a JOIN vfhash b
-        ON a.vid_id < {VFP_DUP_OFFSET} AND b.vid_id >= {VFP_DUP_OFFSET}
-      WHERE bit_count(xor(a.vfp, b.vfp)) <= {PHASH_RADIUS}),
-    vfpnovel AS (
-      SELECT vid_id FROM vfhash WHERE vid_id >= {VFP_DUP_OFFSET}
-        AND vid_id NOT IN (SELECT vid FROM vfpidx)),
-    -- media_dup_clusters oracle (round 17): the undirected graph of
-    -- near-dup pairs PLUS the keep-first attribution edges (exact-
-    -- collapse members never reach the pair stage), transitively
-    -- closed by a recursive reachability walk — component label =
-    -- min reachable id, exactly connected_components' contract.
-    vedge AS (
-      SELECT ia AS u, ib AS v FROM vfpair
-      UNION
-      SELECT dup_of AS u, vid_id AS v FROM vfded),
-    vsym AS (
-      SELECT u, v FROM vedge UNION SELECT v AS u, u AS v FROM vedge),
-    vnode AS (SELECT DISTINCT u AS id FROM vsym),
-    vreach(id, r) AS (
-      SELECT id, id FROM vnode
-      UNION
-      SELECT vr.id, e.v FROM vreach vr JOIN vsym e ON e.u = vr.r),
-    vcomp AS (SELECT id, MIN(r) AS component FROM vreach GROUP BY id)""")
-
-
-def _afp_sql_ctes() -> str:
-    """DuckDB CTE chain re-deriving the ENTIRE audio-fingerprint pipeline
-    from the document text: the planted clip corpus (base WAV +
-    2×-duplication resample + contiguous-run perturbation + half-volume),
-    each clip's 64-bit energy-difference fingerprint via the same integer
-    anchor arithmetic the numpy side uses, and the BRUTE-FORCE Hamming
-    pair set + keep-first attribution — which the Spark side's banded
-    join must reproduce exactly (pigeonhole: radius <= bands-1).
-
-    The resample (kind 1) and half-volume (kind 3) variants compute with
-    the BASE formula on purpose — the floor identity
-    ``((j*2L)//A)//2 = (j*L)//A`` and the exact ``>>1`` gain make their
-    fingerprints bit-identical to base, so the oracle asserting equality
-    IS the invariance proof.  Final CTEs: ``afph`` (aud_id, rate,
-    n_samples, afp), ``afppair`` (ia, ib, dist), ``afpded``
-    (aud_id, dup_of, dist)."""
-    from .clustering import _materialize
-
-    # constants baked into the SQL (module constants, not computed here)
-    A = AFP_WINDOWS * AFP_ANCHORS
-    nbits = AFP_WINDOWS - 1
-    return _materialize(f"""afpclip AS (
-      SELECT doc_id AS aud_id, doc_id AS d, 0 AS kind, text FROM documents
-      UNION ALL
-      SELECT doc_id + {PHASH_UP_OFFSET}, doc_id, 1, text FROM documents
-      WHERE doc_id % {PHASH_UP_MOD} = 0
-      UNION ALL
-      SELECT doc_id + {PHASH_PERT_OFFSET}, doc_id, 2, text FROM documents
-      WHERE doc_id % {PHASH_PERT_MOD} = 0
-        AND octet_length(encode(text)) > 0
-      UNION ALL
-      SELECT doc_id + {AUDIO_VOL_OFFSET}, doc_id, 3, text FROM documents
-      WHERE doc_id % {AUDIO_VOL_MOD} = 0),
-    afpdim AS (
-      SELECT aud_id, d, kind, text,
-             CAST(octet_length(encode(text)) AS BIGINT) AS L
-      FROM afpclip),
-    afpval AS (
-      SELECT m.aud_id, j.i // {AFP_ANCHORS} AS k,
-             CASE WHEN m.L = 0 THEN 0
-                  WHEN m.kind = 2
-                       AND (j.i * m.L) // {A} >= (m.d % m.L)
-                       AND (j.i * m.L) // {A} < (m.d % m.L)
-                           + least(m.L - (m.d % m.L),
-                                   m.L // {AUDIO_PERT_RUN_DIV} + 1)
-                       THEN 38
-                  ELSE abs(ascii(substr(m.text,
-                         CAST((j.i * m.L) // {A} AS INTEGER) + 1, 1)) - 128)
-             END AS aval
-      FROM afpdim m, range({A}) j(i)),
-    afpwin AS (
-      SELECT aud_id, k, SUM(aval) AS e FROM afpval GROUP BY aud_id, k),
-    afpbit AS (
-      SELECT a.aud_id, a.k AS k, (b.e > a.e) AS bit
-      FROM afpwin a JOIN afpwin b
-        ON a.aud_id = b.aud_id AND b.k = a.k + 1
-      WHERE a.k < {nbits}),
-    afph0 AS (
-      SELECT aud_id,
-             SUM(CASE WHEN bit THEN 1::HUGEINT << CAST(k AS INTEGER)
-                  ELSE 0::HUGEINT END) AS hv
-      FROM afpbit GROUP BY aud_id),
-    afph AS (
-      SELECT m.aud_id,
-             CAST((CASE WHEN m.kind = 1 THEN 2 ELSE 1 END)
-                  * (CASE m.d % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                     ELSE 44100 END) AS INTEGER) AS rate,
-             CAST((CASE WHEN m.kind = 1 THEN 2 ELSE 1 END)
-                  * (CASE WHEN m.L = 0 THEN 1 ELSE m.L END)
-               AS BIGINT) AS n_samples,
-             CAST(CASE WHEN h.hv >= 9223372036854775808::HUGEINT
-                  THEN h.hv - 18446744073709551616::HUGEINT
-                  ELSE h.hv END AS BIGINT) AS afp
-      FROM afpdim m JOIN afph0 h USING (aud_id)),
-    afppair AS (
-      SELECT a.aud_id AS ia, b.aud_id AS ib,
-             bit_count(xor(a.afp, b.afp)) AS dist
-      FROM afph a JOIN afph b ON a.aud_id < b.aud_id
-      WHERE bit_count(xor(a.afp, b.afp)) <= {PHASH_RADIUS}),
-    afprep AS (
-      SELECT afp, MIN(aud_id) AS rep FROM afph GROUP BY afp),
-    afpded AS (
-      SELECT h.aud_id, r.rep AS dup_of, 0 AS dist
-      FROM afph h JOIN afprep r
-        ON h.afp = r.afp AND h.aud_id > r.rep
-      UNION ALL
-      SELECT aud_id, dup_of, dist FROM (
-        SELECT b.rep AS aud_id, a.rep AS dup_of,
-               bit_count(xor(a.afp, b.afp)) AS dist,
-               ROW_NUMBER() OVER (PARTITION BY b.rep ORDER BY a.rep) AS rn
-        FROM afprep a JOIN afprep b ON a.rep < b.rep
-        WHERE bit_count(xor(a.afp, b.afp)) <= {PHASH_RADIUS})
-      WHERE rn = 1),
-    afpidx AS (
-      SELECT b.aud_id AS vid, a.aud_id AS mid,
-             bit_count(xor(a.afp, b.afp)) AS dist
-      FROM afph a JOIN afph b
-        ON a.aud_id < {PHASH_UP_OFFSET} AND b.aud_id >= {PHASH_UP_OFFSET}
-      WHERE bit_count(xor(a.afp, b.afp)) <= {PHASH_RADIUS}),
-    afpnovel AS (
-      SELECT aud_id FROM afph WHERE aud_id >= {PHASH_UP_OFFSET}
-        AND aud_id NOT IN (SELECT vid FROM afpidx))""")
-
-
-def resize_checksums(df):
-    """(doc_id, payload) → (doc_id, width, height, checksum): resize every
-    BMP to 8×8 via ``bmp_resize``, then parse the RESIZED container back and
-    checksum its pixel bytes — the evidence that real pixel selection
-    happened, in one extra Arrow stage (no shuffle)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ws, hs, cks = [], [], []
-            for b in pdf["payload"]:
-                b = bytes(b)
-                meta = _bmp_decode(b)
-                ws.append(meta["width"])
-                hs.append(meta["height"])
-                cks.append(sum(b[54:]) % 2**31)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "checksum": pd.Series(cks, dtype="int64"),
-                }
-            )
-
-    return bmp_resize(df, RESIZE_W, RESIZE_H).mapInPandas(
-        run, schema="doc_id long, width int, height int, checksum long"
-    )
 
 
 @query(
@@ -2105,637 +826,3 @@ def multimodal_resize_frames(spark, sf_dir):
 multimodal_resize_frames.__doc__ = multimodal_resize_frames.__doc__ and multimodal_resize_frames.__doc__.format(w=RESIZE_W, h=RESIZE_H, k=FRAME_EVERY_K, r=PHASH_RADIUS)
 
 
-
-# ---------------------------------------------------------------------------
-# Audio: WAV/PCM (RIFF) — codec-free like BMP, so the decode is REAL byte
-# work: canonical 44-byte header construction, chunk-walk parsing, and
-# numpy feature extraction over the raw 16-bit samples.  A real deployment
-# swaps the synthesis for torchaudio/soundfile loads with the same
-# mapInPandas shape; compressed codecs (MP3/AAC) stay out of scope in this
-# container for the same reason as JPEG.
-# ---------------------------------------------------------------------------
-
-_WAV_RATES = (8000, 16000, 44100)
-
-
-def _wav_rate(doc_id: int) -> int:
-    return _WAV_RATES[doc_id % len(_WAV_RATES)]
-
-
-def _wav_container(rate: int, pcm: bytes) -> bytes:
-    """Wrap raw 16-bit mono PCM bytes in a canonical RIFF/WAVE container
-    (44-byte header: RIFF + ``fmt `` + ``data``)."""
-    import struct
-
-    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
-    data_hdr = struct.pack("<4sI", b"data", len(pcm))
-    riff = struct.pack(
-        "<4sI4s", b"RIFF", 4 + len(fmt) + len(data_hdr) + len(pcm), b"WAVE"
-    )
-    return riff + fmt + data_hdr + pcm
-
-
-def _wav_pcm_samples(text: bytes):
-    """The synthetic sample array for a document: ``(b - 128) << 8`` per
-    text byte — full-scale, deterministic (empty text → one zero sample)."""
-    import numpy as np
-
-    src = np.frombuffer(text if text else b"\x80", dtype=np.uint8)
-    return ((src.astype(np.int16) - 128) << 8).astype("<i2")
-
-
-def _wav_encode(doc_id: int, text: bytes) -> bytes:
-    """Build a valid PCM WAV: RIFF header + ``fmt `` chunk (16-bit mono,
-    rate cycled per doc) + ``data`` chunk of samples derived from the
-    document's own bytes (``(b - 128) << 8`` — full-scale, deterministic)."""
-    return _wav_container(
-        _wav_rate(doc_id), _wav_pcm_samples(text).tobytes()
-    )
-
-
-def with_wav_payload(df):
-    """documents → (doc_id, payload binary): synthesizes real WAV containers
-    (Arrow-batched, constant memory per task) — the audio twin of
-    ``with_bmp_payload``."""
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        _wav_encode(i, t.encode("utf-8"))
-                        for i, t in zip(pdf["doc_id"], pdf["text"])
-                    ],
-                }
-            )
-
-    return df.select("doc_id", "text").mapInPandas(
-        encode, schema="doc_id long, payload binary"
-    )
-
-
-def _wav_decode(payload: bytes) -> dict:
-    """Parse the RIFF container by WALKING chunks (not fixed offsets — real
-    WAV files carry LIST/INFO chunks before ``data``), extracting the fmt
-    fields and locating the sample bytes."""
-    import struct
-
-    bad = {
-        "sample_rate": 0, "n_channels": 0, "bits": 0,
-        "n_samples": 0, "duration_ms": 0.0, "decoded_ok": False,
-        "_data": (0, 0),
-    }
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return bad
-    pos, rate, channels, bits, data_off, data_len = 12, 0, 0, 0, 0, 0
-    while pos + 8 <= len(payload):
-        cid, clen = struct.unpack_from("<4sI", payload, pos)
-        body = pos + 8
-        if cid == b"fmt " and clen >= 16 and body + 16 <= len(payload):
-            _, channels, rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", payload, body
-            )
-        elif cid == b"data":
-            data_off, data_len = body, min(clen, len(payload) - body)
-        pos = body + clen + (clen & 1)  # chunks are word-aligned
-    if not (rate and channels and bits and data_len):
-        return bad
-    n_samples = data_len // (bits // 8) // channels
-    return {
-        "sample_rate": rate,
-        "n_channels": channels,
-        "bits": bits,
-        "n_samples": n_samples,
-        "duration_ms": n_samples / rate * 1000.0,
-        "decoded_ok": True,
-        "_data": (data_off, data_len),
-    }
-
-
-def wav_features(df):
-    """(doc_id, payload) → per-clip audio features: container metadata from
-    the chunk-walk plus REAL signal statistics over the raw 16-bit samples
-    (numpy RMS and peak — the normalization/clipping statistics an audio
-    training pipeline computes at ingest).  Arrow-batched ``mapInPandas``;
-    payloads never leave the executor; malformed containers yield a
-    ``decoded_ok=false`` row instead of failing the task."""
-    import numpy as np
-
-    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                p = bytes(b)
-                m = _wav_decode(p)
-                off, ln = m.pop("_data")
-                if m["decoded_ok"] and m["bits"] == 16 and ln >= 2:
-                    s = np.frombuffer(p, dtype="<i2", count=ln // 2, offset=off)
-                    rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
-                    peak = int(np.max(np.abs(s.astype(np.int32))))
-                else:
-                    rms, peak = 0.0, 0
-                rows.append({"doc_id": doc_id, **m, "rms": rms, "peak": peak})
-            yield pd.DataFrame(rows)
-
-    return df.mapInPandas(
-        feats,
-        schema=(
-            "doc_id long, sample_rate int, n_channels int, bits int,"
-            " n_samples long, duration_ms double, decoded_ok boolean,"
-            " rms double, peak int"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Audio perceptual near-dup: an energy-difference fingerprint over decoded
-# PCM — the audio twin of the dHash/aHash family above, completing the
-# modality triad (text MinHash, embedding SemDeDup, image pHash, audio AFP).
-#
-# Design (all integer arithmetic, like the image hashes, so a DuckDB oracle
-# re-derives every bit from the source bytes):
-#
-# 1. nearest-anchor resample: A = AFP_WINDOWS * AFP_ANCHORS sample anchors
-#    at positions (j * n) // A over the n decoded samples — the 1-D twin of
-#    `_resize_nearest`'s index map.  By the floor identity
-#    floor(floor(k*a / A) / k) = floor(a / A), a k×-DUPLICATION resample
-#    (each sample repeated k times — the codec-free stand-in for a
-#    sample-rate re-encode) selects the SAME source samples, so the
-#    fingerprint is bit-identical, exactly as the 2×-upscaled BMP is for
-#    dHash.
-# 2. window energies: absolute amplitudes summed per window of
-#    AFP_ANCHORS anchors.  Uniform volume scaling (gain applied to every
-#    sample, e.g. the planted exact-halving ">> 1" copy) scales every
-#    window energy by the same factor, leaving every comparison below
-#    unchanged — loudness invariance, the audio analog of dHash's
-#    brightness invariance.
-# 3. difference bits: bit k = energy(window k+1) > energy(window k),
-#    packed into a signed 64-bit integer (AFP_WINDOWS = 65 windows → 64
-#    comparisons), consumed by the SAME banded-Hamming machinery as the
-#    image hashes (`phash_near_dup_pairs` / `phash_dedup` with
-#    hash_col="afp") — exact recall at radius <= bands-1 by pigeonhole.
-#
-# A production deployment swaps stage 1-2 for a mel-spectrogram frontend
-# (torchaudio) with the same mapInPandas shape and the same 64-bit
-# downstream contract; the banding/verify/attribution stages need no
-# change.
-# ---------------------------------------------------------------------------
-
-# Planted audio variants: every %PHASH_UP_MOD doc gets a 2×-duplication
-# resample (bit-identical AFP — the floor identity), every %PHASH_PERT_MOD
-# doc with text a perturbed copy (a contiguous run of
-# len//AUDIO_PERT_RUN_DIV + 1 bytes overwritten — a VARIABLE Hamming
-# distance exercising the radius threshold on both sides of the cut), and
-# every %AUDIO_VOL_MOD doc a half-volume copy (exact ">> 1" gain —
-# bit-identical AFP by loudness invariance).  Constants live next to the
-# PHASH block above (they are read at import time by the slot oracle).
-
-
-def _audio_fp(samples) -> int:
-    """The 64-bit energy-difference fingerprint over an int16 sample
-    array (see the section comment for the invariances)."""
-    import numpy as np
-
-    n = int(samples.size)
-    if n == 0:
-        return 0
-    A = AFP_WINDOWS * AFP_ANCHORS
-    idx = (np.arange(A, dtype=np.int64) * n) // A
-    a = np.abs(samples[idx].astype(np.int64))
-    e = a.reshape(AFP_WINDOWS, AFP_ANCHORS).sum(axis=1)
-    return _pack_bits_signed64(e[1:] > e[:-1])
-
-
-def audio_evidence_clips(
-    df,
-    up_offset: int = PHASH_UP_OFFSET,
-    pert_offset: int = PHASH_PERT_OFFSET,
-    vol_offset: int = AUDIO_VOL_OFFSET,
-):
-    """documents → (aud_id, payload): one WAV per document plus the
-    planted near-dup variants (2×-duplication resample; contiguous-run
-    byte perturbation; exact half-volume) — the audio-corpus construction
-    the AFP slot and the oracle both re-derive.  Shares the image
-    family's id-offset scheme (op tags distinguish the modalities in the
-    union); offsets are parameters for larger corpora, as in
-    :func:`phash_evidence_images`."""
-    import numpy as np
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # same loud-failure discipline as phash_evidence_images
-            _check_variant_offsets(pdf, (up_offset, pert_offset, vol_offset))
-            ids, pays = [], []
-            for d, t in zip(pdf["doc_id"], pdf["text"]):
-                tb = t.encode("utf-8")
-                s = _wav_pcm_samples(tb)
-                rate = _wav_rate(d)
-                ids.append(d)
-                pays.append(_wav_container(rate, s.tobytes()))
-                if d % PHASH_UP_MOD == 0:
-                    ids.append(d + up_offset)
-                    pays.append(
-                        _wav_container(
-                            2 * rate, np.repeat(s, 2).astype("<i2").tobytes()
-                        )
-                    )
-                if d % PHASH_PERT_MOD == 0 and len(tb) > 0:
-                    p = d % len(tb)
-                    k = min(len(tb) - p, len(tb) // AUDIO_PERT_RUN_DIV + 1)
-                    ids.append(d + pert_offset)
-                    pays.append(
-                        _wav_encode(d, tb[:p] + b"Z" * k + tb[p + k:])
-                    )
-                if d % AUDIO_VOL_MOD == 0:
-                    # samples are (b-128)<<8, always even, so ">> 1" is an
-                    # EXACT halving — every window energy scales by the
-                    # same factor and the fingerprint is bit-identical
-                    ids.append(d + vol_offset)
-                    pays.append(
-                        _wav_container(
-                            rate, (s >> 1).astype("<i2").tobytes()
-                        )
-                    )
-            yield pd.DataFrame({"aud_id": ids, "payload": pays})
-
-    return df.select("doc_id", "text").mapInPandas(
-        build, schema="aud_id long, payload binary"
-    )
-
-
-def _trim_silence(samples, threshold: int = 0):
-    """Strip leading/trailing samples with |amplitude| <= threshold —
-    the normalization that makes the fingerprint robust to silence
-    padding (a re-encode that pads a clip shifts EVERY anchor position;
-    trimming first restores them).  Pure integer comparison; an
-    all-silent clip returns the empty array (fingerprint 0)."""
-    import numpy as np
-
-    keep = np.nonzero(np.abs(samples.astype(np.int32)) > threshold)[0]
-    if keep.size == 0:
-        return samples[:0]
-    return samples[keep[0] : keep[-1] + 1]
-
-
-def audio_fingerprints(
-    df,
-    id_col: str = "aud_id",
-    on_error: str = "skip",
-    trim_silence: bool = False,
-    silence_threshold: int = 0,
-):
-    """(id, payload WAV) → (id, sample_rate, n_samples, afp): decode each
-    RIFF container (chunk-walk, like ``wav_features``) and compute the
-    64-bit energy-difference fingerprint over the real samples.  One
-    Arrow-batched ``mapInPandas`` stage, no shuffle, 20 bytes of output
-    per clip however long the audio — downstream (banding, joins) moves
-    fingerprints, never samples.  Multi-channel input uses channel 0
-    (the interleaved stride — a real downmix would average channels in
-    the same loop).
-
-    ``on_error`` follows :func:`image_hashes`: ``'skip'`` drops
-    undecodable payloads (quarantine via :func:`decode_drop_report` or an
-    anti-join), ``'raise'`` keeps strict behavior for curated inputs.
-
-    ``trim_silence=True`` strips leading/trailing samples with
-    |amplitude| <= ``silence_threshold`` before fingerprinting — a
-    re-encode that PADS a clip with silence shifts every anchor
-    position and breaks the match; trimming restores it.  Off by
-    default (the oracle slot pins the untrimmed formula); turn it on
-    for real crawl audio, on BOTH the index-build and probe sides."""
-    import numpy as np
-
-    if on_error not in ("skip", "raise"):
-        raise ValueError(f"unknown on_error {on_error!r}")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, rates, ns, fps = [], [], [], []
-            for i, b in zip(pdf[id_col], pdf["payload"]):
-                p = bytes(b)
-                m = _wav_decode(p)
-                off, ln = m.pop("_data")
-                if not (m["decoded_ok"] and m["bits"] == 16 and ln >= 2):
-                    if on_error == "raise":
-                        raise ValueError(
-                            f"undecodable WAV payload for {id_col}={i}"
-                        )
-                    continue
-                s = np.frombuffer(p, dtype="<i2", count=ln // 2, offset=off)
-                if m["n_channels"] > 1:
-                    s = s[:: m["n_channels"]]
-                if trim_silence:
-                    s = _trim_silence(s, silence_threshold)
-                ids.append(i)
-                rates.append(m["sample_rate"])
-                ns.append(m["n_samples"])
-                fps.append(_audio_fp(s))
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "sample_rate": pd.Series(rates, dtype="int32"),
-                    "n_samples": pd.Series(ns, dtype="int64"),
-                    "afp": pd.Series(fps, dtype="int64"),
-                }
-            )
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, "payload").mapInPandas(
-        run,
-        schema=(
-            f"{id_col} {id_type}, sample_rate int, n_samples long,"
-            " afp long"
-        ),
-    )
-
-
-def audio_near_dup_pairs(
-    fps,
-    radius: int = PHASH_RADIUS,
-    n_bands: int = PHASH_BANDS,
-    id_col: str = "aud_id",
-    max_bucket: int | None = None,
-):
-    """(id_a, id_b, dist) for all clip pairs within Hamming distance
-    ``radius`` of each other's fingerprint — the banded-Hamming machinery
-    REUSED VERBATIM (:func:`phash_near_dup_pairs` with
-    ``hash_col='afp'``): banded candidate generation, never all-pairs,
-    exact recall at ``radius <= n_bands - 1`` by pigeonhole."""
-    return phash_near_dup_pairs(
-        fps,
-        radius=radius,
-        n_bands=n_bands,
-        hash_col="afp",
-        id_col=id_col,
-        max_bucket=max_bucket,
-    )
-
-
-def audio_dedup(
-    fps,
-    radius: int = PHASH_RADIUS,
-    n_bands: int = PHASH_BANDS,
-    id_col: str = "aud_id",
-    max_bucket: int | None = None,
-    strategy: str = "auto",
-):
-    """Keep-first perceptual audio dedup — :func:`phash_dedup` over the
-    fingerprint column: exact-fingerprint collapse in ONE aggregate
-    (linear however large a duplicate cluster — the shape that survives a
-    million-copy jingle), then attribution among the surviving
-    representatives via the banded join.  Returns ``(img_id, dup_of,
-    dist)`` keyed by clip id.
-
-    ``strategy='anchor'`` matters MORE for audio than for images: the
-    AFP is deliberately robust to small edits (window energies barely
-    move), so re-encode farms produce large near-identical-but-not-equal
-    fingerprint clusters that the exact collapse cannot fold — the
-    regime where minpair's pair enumeration is quadratic and the anchor
-    path stays linear (same duplicate set; see :func:`phash_dedup`)."""
-    return phash_dedup(
-        fps,
-        radius=radius,
-        n_bands=n_bands,
-        hash_col="afp",
-        id_col=id_col,
-        max_bucket=max_bucket,
-        strategy=strategy,
-    )
-
-
-def decode_drop_report(inp, out, id_col: str):
-    """Accounting for a skip-on-error decode stage: ``(n_input,
-    n_decoded, n_dropped)`` — the WET reader's malformed-member
-    discipline applied to :func:`image_hashes` /
-    :func:`audio_fingerprints`, so a crawl batch that silently loses 30%
-    of its payloads to decode failures shows a NUMBER in the pipeline's
-    reconciliation instead of vanishing.  ONE union + aggregate (map-side
-    combined, metadata-sized output, no join at all — round 16 replaced
-    the 1-row crossJoin combine); the ids themselves quarantine via a
-    left-anti join on ``id_col`` when the caller wants the rows."""
-    u = inp.select(F.lit(0).alias("__side")).unionAll(
-        out.select(F.lit(1).alias("__side"))
-    )
-    return u.groupBy().agg(
-        F.count(F.when(F.col("__side") == 0, 1)).alias("n_input"),
-        F.count(F.when(F.col("__side") == 1, 1)).alias("n_decoded"),
-    ).select(
-        "n_input",
-        "n_decoded",
-        (F.col("n_input") - F.col("n_decoded")).alias("n_dropped"),
-    )
-
-
-def dedup_media_corpus(
-    payloads,
-    modality: str = "image",
-    id_col: str | None = None,
-    radius: int = PHASH_RADIUS,
-    n_bands: int = PHASH_BANDS,
-    max_bucket: int | None = None,
-    index_path: str | None = None,
-    extend_epoch: int | None = None,
-    extend_index: bool = True,
-    strategy: str = "auto",
-    accounting: list | None = None,
-):
-    """One-call media dedup over an ``(id, payload)`` frame — the media
-    sibling of ``corpus.crawl_to_shards``'s text chain, staged the way a
-    production pipeline must be at 100 TB: **byte-identical collapse
-    runs BEFORE any decode** (an md5 over raw payload bytes — decode is
-    the expensive stage, and a crawl's exact re-downloads are legion, so
-    the cheap hash pass pays for itself immediately), then
-    decode + fingerprint only the byte-unique survivors, then perceptual
-    keep-first dedup, then (optionally) a probe of the persisted index
-    so the batch also dedups against every payload ever accepted — with
-    the accepted fingerprints extended into the index.
-
-    Returns ``(kept, attribution, dropped)``:
-
-    - ``kept``: the accepted input rows (id + payload + any other input
-      columns);
-    - ``attribution``: ``(id, dup_of, dist, stage)`` — stage ∈
-      ``'byte'`` (identical payload bytes), ``'percept'`` (within
-      ``radius`` of a kept batch payload), ``'index'`` (matched
-      history; ``dup_of`` is the indexed id);
-    - ``dropped``: ids whose payloads failed decode (the
-      :func:`decode_drop_report` discipline — the count is also
-      appended to ``accounting`` as the ``'dropped'`` stage).
-
-    ``accounting=[]`` receives ``(stage, rows)`` per stage — input,
-    byte_unique, decoded, dropped, percept_kept, [index_novel,] kept —
-    the ``curate_documents`` reconciliation audit: input = kept + byte
-    dups + percept dups + index matches + dropped, asserted in tests.
-
-    ``strategy`` defaults to ``'auto'`` (round 16): the perceptual
-    stage picks 'anchor' when the band-bucket diagnostic trips (mega
-    near-dup clusters — the common case in a re-encoded crawl) and
-    minpair otherwise; see :func:`phash_dedup`.
-
-    Scale shape: one hash-partition shuffle for the byte collapse, one
-    Arrow decode pass over survivors only, the banded-Hamming join among
-    representatives (never all-pairs), and — with an index — a
-    broadcast-batch probe over the range-clustered artifact.  Every
-    intermediate consumed twice is lineage-cut."""
-    if radius > n_bands - 1:
-        raise ValueError(
-            f"radius {radius} > n_bands-1 ({n_bands - 1}): banded recall "
-            "is only exact up to n_bands-1 bit flips and the stage-4 "
-            "index probe enforces the same bound — fail here, before any "
-            "stage runs, instead of silently-approximate stages 1-3"
-        )
-    if modality == "image":
-        id_col = id_col or "img_id"
-        fp_fn, dedup_fn = image_hashes, phash_dedup
-    elif modality == "audio":
-        id_col = id_col or "aud_id"
-        fp_fn, dedup_fn = audio_fingerprints, audio_dedup
-    elif modality == "video":
-        id_col = id_col or "vid_id"
-        fp_fn, dedup_fn = video_fingerprints, video_dedup
-    else:
-        raise ValueError(f"unknown modality {modality!r}")
-
-    def _acct(stage, frame):
-        if accounting is not None:
-            accounting.append((stage, frame.count()))
-
-    _acct("input", payloads)
-    # stage 1: byte-identical collapse, NO decode — md5 over raw bytes
-    # (the dedup_exact digest discipline applied to payloads)
-    h = payloads.withColumn("__bh", F.md5(F.col("payload"))).localCheckpoint()
-    reps = h.groupBy("__bh").agg(F.min(id_col).alias("__rep"))
-    byte_dups = (
-        h.join(reps, "__bh")
-        .filter(F.col(id_col) > F.col("__rep"))
-        .select(
-            F.col(id_col),
-            F.col("__rep").alias("dup_of"),
-            F.lit(0).alias("dist"),
-            F.lit("byte").alias("stage"),
-        )
-    )
-    survivors = (
-        h.join(
-            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
-        )
-        .drop("__bh")
-        .localCheckpoint()
-    )
-    _acct("byte_unique", survivors)
-    # stage 2: decode + fingerprint the survivors only
-    fps = fp_fn(
-        survivors.select(id_col, "payload"), id_col=id_col
-    ).localCheckpoint()
-    dropped = survivors.select(id_col).join(
-        fps.select(id_col), id_col, "left_anti"
-    )
-    _acct("decoded", fps)
-    _acct("dropped", dropped)
-    # stage 3: perceptual keep-first dedup among the batch's survivors
-    percept = dedup_fn(
-        fps,
-        radius=radius,
-        n_bands=n_bands,
-        max_bucket=max_bucket,
-        id_col=id_col,
-        strategy=strategy,
-    ).select(
-        F.col("img_id").alias(id_col),
-        F.col("dup_of"),
-        F.col("dist"),
-        F.lit("percept").alias("stage"),
-    ).localCheckpoint()
-    kept_fps = fps.join(
-        percept.select(id_col), id_col, "left_anti"
-    ).localCheckpoint()
-    _acct("percept_kept", kept_fps)
-    attribution = byte_dups.unionByName(percept)
-    # stage 4 (optional): dedup against HISTORY via the persisted index,
-    # then extend it with what this batch actually added
-    if index_path is not None:
-        _default_ids = {"image": "img_id", "audio": "aud_id",
-                        "video": "vid_id"}
-        if id_col != _default_ids[modality]:
-            raise ValueError(
-                "index_path requires the modality's default id column "
-                "(the persisted artifact's probe API is keyed on it)"
-            )
-        if modality == "image":
-            from .phash_index import (
-                extend_phash_index,
-                novel_images,
-                phash_against_index,
-            )
-
-            matches = phash_against_index(
-                kept_fps, index_path, radius=radius
-            ).localCheckpoint()
-            idx_attr = matches.groupBy("img_id").agg(
-                F.min(F.struct("matched_img_id", "dist")).alias("__m")
-            ).select(
-                F.col("img_id").alias(id_col),
-                F.col("__m.matched_img_id").alias("dup_of"),
-                F.col("__m.dist").alias("dist"),
-                F.lit("index").alias("stage"),
-            )
-            kept_fps = novel_images(kept_fps, matches).localCheckpoint()
-            if extend_index:
-                extend_phash_index(
-                    kept_fps, index_path, epoch=extend_epoch,
-                    owner="dedup_media_corpus",
-                )
-        elif modality == "video":
-            from .vfp_index import (
-                extend_vfp_index,
-                novel_videos,
-                vfp_against_index,
-            )
-
-            matches = vfp_against_index(
-                kept_fps, index_path, radius=radius
-            ).localCheckpoint()
-            idx_attr = matches.groupBy("vid_id").agg(
-                F.min(F.struct("matched_vid_id", "dist")).alias("__m")
-            ).select(
-                F.col("vid_id").alias(id_col),
-                F.col("__m.matched_vid_id").alias("dup_of"),
-                F.col("__m.dist").alias("dist"),
-                F.lit("index").alias("stage"),
-            )
-            kept_fps = novel_videos(kept_fps, matches).localCheckpoint()
-            if extend_index:
-                extend_vfp_index(
-                    kept_fps, index_path, epoch=extend_epoch,
-                    owner="dedup_media_corpus",
-                )
-        else:
-            from .afp_index import (
-                afp_against_index,
-                extend_afp_index,
-                novel_clips,
-            )
-
-            matches = afp_against_index(
-                kept_fps, index_path, radius=radius
-            ).localCheckpoint()
-            idx_attr = matches.groupBy("aud_id").agg(
-                F.min(F.struct("matched_aud_id", "dist")).alias("__m")
-            ).select(
-                F.col("aud_id").alias(id_col),
-                F.col("__m.matched_aud_id").alias("dup_of"),
-                F.col("__m.dist").alias("dist"),
-                F.lit("index").alias("stage"),
-            )
-            kept_fps = novel_clips(kept_fps, matches).localCheckpoint()
-            if extend_index:
-                extend_afp_index(
-                    kept_fps, index_path, epoch=extend_epoch,
-                    owner="dedup_media_corpus",
-                )
-        attribution = attribution.unionByName(idx_attr)
-        _acct("index_novel", kept_fps)
-    kept = payloads.join(kept_fps.select(id_col), id_col, "left_semi")
-    _acct("kept", kept)
-    return kept, attribution, dropped
