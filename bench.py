@@ -65,6 +65,7 @@ series stays interpretable.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -411,6 +412,7 @@ def main() -> None:
             for name in HEADLINE:
                 queries[name](spark, warm_dir).collect()
                 spark.catalog.clearCache()
+                gc.collect()  # release localCheckpoint blocks (see sweep loop)
 
     # Best-of-N per query: JVM JIT/GC plus bursty host CPU allocation
     # introduce multi-second run-to-run noise on this box; the minimum over
@@ -438,6 +440,7 @@ def main() -> None:
         for name in HEADLINE:
             queries[name](spark, sf_dir).collect()
             spark.catalog.clearCache()
+            gc.collect()  # release localCheckpoint blocks (see sweep loop)
     # Round 14: shuffle-share blend (one untimed tagged pass; {} unless
     # SPARK_GRAFT_UI=1).  Queries whose shuffle share is s normalize by
     # s·shuffle_factor + (1−s)·regime_factor — the r13e/f residual was
@@ -504,6 +507,20 @@ def main() -> None:
             queries[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()  # queries cache() internally
+            # Round 17 (measurement hygiene, NOT in the timed region): the
+            # media headliners localCheckpoint() intermediates whose JVM
+            # block-manager entries are freed only when the Python-side
+            # DataFrame is garbage-collected and py4j dispatches the
+            # finalizer.  Left to lazy GC, blocks from EARLIER queries
+            # pile up and contaminate LATER readings — measured on this
+            # box: phash_image_dedup read 2.4-2.6 s in sweep 0 and
+            # 3.2-6.9 s in later sweeps of the same session; with an
+            # explicit collect after each query the series stays flat at
+            # 2.3-2.6 s (OPTIMIZATION_r17.md §bench-hygiene; the 3-media-
+            # headliner bench made the leak 3× worse than r16's).  The
+            # timed region above is unchanged — each query still pays for
+            # its OWN checkpoints.
+            gc.collect()
             sweep_raw[name] = round(dt, 3)
             prev = timings.get(name)
             timings[name] = dt if prev is None else min(prev, dt)

@@ -101,7 +101,9 @@ def with_wav_payload(df):
                 }
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    from ..sources.tables import fanout_for_compute
+
+    return fanout_for_compute(df.select("doc_id", "text"), "doc_id").mapInPandas(
         encode, schema="doc_id long, payload binary"
     )
 
@@ -291,7 +293,9 @@ def audio_evidence_clips(
                     )
             yield pd.DataFrame({"aud_id": ids, "payload": pays})
 
-    return df.select("doc_id", "text").mapInPandas(
+    from ..sources.tables import fanout_for_compute
+
+    return fanout_for_compute(df.select("doc_id", "text"), "doc_id").mapInPandas(
         build, schema="aud_id long, payload binary"
     )
 

@@ -64,7 +64,9 @@ def with_bmp_payload(df):
                 }
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    from ..sources.tables import fanout_for_compute
+
+    return fanout_for_compute(df.select("doc_id", "text"), "doc_id").mapInPandas(
         encode, schema="doc_id long, payload binary"
     )
 

@@ -148,7 +148,9 @@ def phash_evidence_images(
                     pays.append(_bmp_encode(d, tb[:p] + b"Z" + tb[p + 1:]))
             yield pd.DataFrame({"img_id": ids, "payload": pays})
 
-    return df.select("doc_id", "text").mapInPandas(
+    from ..sources.tables import fanout_for_compute
+
+    return fanout_for_compute(df.select("doc_id", "text"), "doc_id").mapInPandas(
         build, schema="img_id long, payload binary"
     )
 

@@ -61,7 +61,9 @@ def with_video_payload(df):
                 }
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    from ..sources.tables import fanout_for_compute
+
+    return fanout_for_compute(df.select("doc_id", "text"), "doc_id").mapInPandas(
         encode, schema="doc_id long, payload binary"
     )
 
@@ -307,7 +309,9 @@ def video_evidence_clips(
                 }
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    from ..sources.tables import fanout_for_compute
+
+    return fanout_for_compute(df.select("doc_id", "text"), "doc_id").mapInPandas(
         build, schema="vid_id long, payload binary"
     )
 

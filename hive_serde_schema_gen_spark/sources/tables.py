@@ -79,6 +79,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: sizing floor for :func:`fanout_for_compute` — one task per ~64 KiB of
+#: input keeps per-task work (~500 docs ≈ 100-200 ms of Arrow-stage Python
+#: or heavy JVM per-row compute) at ~10× the per-task setup cost (JVM task
+#: + Python worker handshake + Arrow stream init, ~10-20 ms measured on
+#: this box).  Over-fanning a tiny input is a measured LOSS: the r17
+#: partition sweep on the image synth+hash chain read 1.016 s at 1
+#: partition, 0.434 s at 8, but 0.803 s at 32 (plans/r17 notes).
+FANOUT_BYTES_PER_TASK = 64 * 1024
+
+
+def fanout_for_compute(df: DataFrame, key_col: str) -> DataFrame:
+    """Spread a low-partition input across cores before a CPU-heavy
+    per-row stage (media synthesis/decode/fingerprint, per-doc shingling,
+    regex scoring).
+
+    Scale posture: a properly laid-out large input (many files / row
+    groups, >= ``defaultParallelism`` scan partitions) passes through
+    UNTOUCHED — the repartition engages only on degenerate layouts (one
+    small file, one row group: the shape of this sandbox's test tables,
+    where it measurably leaves 31 of 32 cores idle for the whole heavy
+    stage).  The target partition count derives from the plan's size
+    estimate (``FANOUT_BYTES_PER_TASK`` per task, capped at
+    ``defaultParallelism``) — scale-adaptive, never a constant tuned to
+    one host.  Hash-partitions on ``xxhash64(key_col)`` rather than
+    round-robin: deterministic under task retry (SPARK-38388) and skips
+    the sort-before-repartition a keyless exchange pays."""
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    parts = df.rdd.getNumPartitions()
+    if parts >= dp:
+        return df
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    target = min(dp, max(1, size // FANOUT_BYTES_PER_TASK))
+    if target <= parts:
+        return df
+    return df.repartition(target, F.xxhash64(F.col(key_col)))
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register temp views so queries can use the SQL API interchangeably."""
     for name in names:
