@@ -68,6 +68,14 @@ def shingles_df(d: DataFrame, hashed: bool = False) -> DataFrame:
     strings."""
     from pyspark.sql.window import Window as W
 
+    from ..sources.tables import fanout_for_compute
+
+    # single-row-group inputs otherwise tokenize+explode on one core and
+    # single-threadedly WRITE the whole window exchange; hash-partitioning
+    # by doc_id here both parallelizes that and satisfies the window's
+    # distribution, so no second exchange appears (no-op at scale — see
+    # fanout_for_compute)
+    d = fanout_for_compute(d.select("doc_id", "text"), "doc_id")
     toks = d.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")).alias("pos", "tok"),

@@ -157,7 +157,12 @@ def text_quality_score(spark, sf_dir, sort: bool = True):
     """Heuristic document quality per row — see ``quality_features`` for
     the shared definition.  Registry-merged into ``text_quality_lang``
     (the quality + language-ID tagged union) in round 10."""
+    from ..sources.tables import fanout_for_compute
+
     d = load_table(spark, sf_dir, "documents")
+    # single-row-group inputs otherwise tokenize+score on one core
+    # (see fanout_for_compute; no-op at scale)
+    d = fanout_for_compute(d.select("doc_id", "text"), "doc_id")
     out = quality_features(d).select(
         "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords", "quality"
     )
@@ -350,8 +355,13 @@ def _lang_scored(spark, sf_dir):
     filters, a generated fixed-priority CASE argmax, and the top1−top2
     margin from one sorted integer array.  Pure narrow projection — zero
     shuffle at any scale."""
+    from ..sources.tables import fanout_for_compute
+
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", "lang", _tokens("text").alias("toks"))
+    # single-row-group inputs otherwise run the 8-profile scoring
+    # projection on one core (see fanout_for_compute; no-op at scale)
+    src = fanout_for_compute(d.select("doc_id", "lang", "text"), "doc_id")
+    base = src.select("doc_id", "lang", _tokens("text").alias("toks"))
     toks = F.col("toks")
 
     def profile_hits(words):

@@ -102,9 +102,11 @@ def fanout_for_compute(df: DataFrame, key_col: str) -> DataFrame:
     stage).  The target partition count derives from the plan's size
     estimate (``FANOUT_BYTES_PER_TASK`` per task, capped at
     ``defaultParallelism``) — scale-adaptive, never a constant tuned to
-    one host.  Hash-partitions on ``xxhash64(key_col)`` rather than
-    round-robin: deterministic under task retry (SPARK-38388) and skips
-    the sort-before-repartition a keyless exchange pays."""
+    one host.  Hash-partitions on ``key_col`` itself rather than
+    round-robin: deterministic under task retry (SPARK-38388), skips the
+    sort-before-repartition a keyless exchange pays, and lets a
+    downstream window/groupBy keyed on the same column satisfy its
+    distribution from THIS exchange instead of adding another."""
     sc = df.sparkSession.sparkContext
     dp = sc.defaultParallelism
     parts = df.rdd.getNumPartitions()
@@ -114,7 +116,7 @@ def fanout_for_compute(df: DataFrame, key_col: str) -> DataFrame:
     target = min(dp, max(1, size // FANOUT_BYTES_PER_TASK))
     if target <= parts:
         return df
-    return df.repartition(target, F.xxhash64(F.col(key_col)))
+    return df.repartition(target, F.col(key_col))
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
