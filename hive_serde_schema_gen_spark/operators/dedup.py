@@ -815,6 +815,11 @@ _SQL_SIMHASH = """
 def simhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, simhash): each distinct token votes ±1 on every bit of its
     md5-derived hash; the sign pattern is the 32-bit signature."""
+    from ..sources.tables import fanout_for_compute
+
+    # single-row-group inputs otherwise tokenize + hash + bit-explode on
+    # one core (no-op at scale — see fanout_for_compute)
+    d = fanout_for_compute(d.select("doc_id", "text"), "doc_id")
     toks = (
         d.select(
             "doc_id", F.explode(F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")).alias("tok")

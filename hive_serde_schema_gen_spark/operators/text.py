@@ -981,7 +981,13 @@ def text_fingerprint(spark, sf_dir, sort: bool = True):
     partitions cleanly by document at any scale."""
     from pyspark.sql.window import Window as W
 
+    from ..sources.tables import fanout_for_compute
+
     d = load_table(spark, sf_dir, "documents")
+    # single-row-group inputs otherwise tokenize+hash on one core; the
+    # doc_id partitioning is reused by the rolling window's distribution
+    # (no-op at scale — see fanout_for_compute)
+    d = fanout_for_compute(d.select("doc_id", "text"), "doc_id")
     tok = d.select(
         "doc_id", F.posexplode(_tokens("text")).alias("pos", "tok")
     )
@@ -1346,14 +1352,20 @@ def bm25_topk(
         raise ValueError("empty query")
     # _tokens carries the empty-text guard (a bare split('') yields [''],
     # which would count phantom 1-token docs into avgdl)
+    from ..sources.tables import fanout_for_compute
+
     toks = _tokens(F.lower(F.col(text_col)))
-    base = d.select(id_col, F.size(toks).alias("__dl"), F.explode(toks).alias("__t"))
+    # single-row-group inputs otherwise tokenize on one core — twice
+    # (posting explode AND the avgdl stats scan); the fanned projection
+    # feeds both (no-op at scale — see fanout_for_compute)
+    src = fanout_for_compute(d.select(id_col, text_col), id_col)
+    base = src.select(id_col, F.size(toks).alias("__dl"), F.explode(toks).alias("__t"))
     tf = (
         base.filter(F.col("__t").isin(terms))
         .groupBy(id_col, "__t")
         .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
     )
-    stats = d.agg(
+    stats = src.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg(F.size(toks)).alias("__avgdl"),
     )
