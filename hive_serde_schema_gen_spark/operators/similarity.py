@@ -85,9 +85,16 @@ def similarity_topk_cosine(spark, sf_dir):
     are verified against (``similarity_lsh_bucketed``); the scoring itself
     is the shared ``_quantized_scored`` (one formulation, so the baseline
     and the ANN re-rank cannot drift apart)."""
+    from ..sources.tables import fanout_for_compute
+
     e = load_table(spark, sf_dir, "embeddings")
+    # fan the SCORED side only (single-row-group inputs otherwise explode
+    # + dot-product on one core; no-op at scale — see fanout_for_compute).
+    # The probe fetch stays on the raw scan: a 1-row lookup must not pay
+    # an exchange.
+    scored_src = fanout_for_compute(e, "vec_id")
     return (
-        _quantized_scored(e, _probe_qvec(e))
+        _quantized_scored(scored_src, _probe_qvec(e))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
@@ -166,7 +173,12 @@ def embedding_norms(spark, sf_dir):
     floats quantized at the boundary per the cross-engine exactness rule).
     Norm precompute is the standard trick that turns cosine top-k into a
     single dot product per candidate at query time."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..sources.tables import fanout_for_compute
+
+    # the interpreted higher-order lambdas below (filter/array_max) drop
+    # out of codegen — on a single-row-group scan they all ran on one
+    # core (no-op at scale — see fanout_for_compute)
+    e = fanout_for_compute(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = quantized("embedding")
     ql = lambda c: F.round(c.cast("double") * SCALE).cast("long")  # noqa: E731
     return e.select(
