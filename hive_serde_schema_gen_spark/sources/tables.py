@@ -79,14 +79,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-#: sizing floor for :func:`fanout_for_compute` — one task per ~64 KiB of
-#: input keeps per-task work (~500 docs ≈ 100-200 ms of Arrow-stage Python
-#: or heavy JVM per-row compute) at ~10× the per-task setup cost (JVM task
-#: + Python worker handshake + Arrow stream init, ~10-20 ms measured on
-#: this box).  Over-fanning a tiny input is a measured LOSS: the r17
-#: partition sweep on the image synth+hash chain read 1.016 s at 1
-#: partition, 0.434 s at 8, but 0.803 s at 32 (plans/r17 notes).
-FANOUT_BYTES_PER_TASK = 64 * 1024
+#: sizing floor for :func:`fanout_for_compute` — one task per ~24 KiB of
+#: PLAN-ESTIMATED input.  Catalyst's size-only stats charge a string
+#: column its 20-byte default width, undercounting text-heavy rows ~3×
+#: (documents sf0.1: 594 KiB on disk, ~219 KiB estimated), so 24 KiB of
+#: estimate ≈ 64-96 KiB of actual bytes ≈ 500+ docs ≈ 100-200 ms of
+#: Arrow-stage Python or heavy JVM per-row compute per task — ~10× the
+#: per-task setup cost (JVM task + Python worker handshake + Arrow
+#: stream init, ~10-20 ms measured on this box).  Over-fanning a tiny
+#: input is a measured LOSS: the r17 partition sweep on the image
+#: synth+hash chain read 1.016 s at 1 partition, 0.434 s at 8, but
+#: 0.803 s at 32 (plans/r17 notes; OPTIMIZATION_r17.md).
+FANOUT_BYTES_PER_TASK = 24 * 1024
 
 
 def fanout_for_compute(df: DataFrame, key_col: str) -> DataFrame:
