@@ -72,7 +72,12 @@ def redact_pii(
     counts (via ``regexp_count`` on the PRE-redaction text) so a pipeline
     can route high-PII documents to quarantine instead of just scrubbing
     them."""
-    out = d
+    from ..sources.tables import fanout_for_compute
+
+    # The regexp chain is the whole cost and is embarrassingly parallel;
+    # a degenerate single-split input would otherwise pin it to one core
+    # (no-op at scale — see fanout_for_compute).
+    out = fanout_for_compute(d, text_col)
     if with_counts:
         for name, pat, _ in _PII_RULES:
             out = out.withColumn(

@@ -639,10 +639,20 @@ def main() -> None:
         "substring_duplicate_spans_k8": lambda s, d: duplicate_spans(
             _docs(s, d), k=8
         ),
-        # filter on the redacted text so the harness's count() cannot let
-        # Catalyst prune the regexp chain away (count(*) needs no columns)
-        "curation_redact_pii": lambda s, d: redact_pii(_docs(s, d)).filter(
-            "length(text) >= 0 AND n_email >= 0"
+        # aggregate over the redacted text so the harness's count() cannot
+        # let Catalyst prune the regexp chain away (count(*) needs no
+        # columns).  A filter on the computed columns — the pre-r17 forcing
+        # — was PUSHED below the operator's fanout exchange to the scan, so
+        # the whole regexp chain ran single-core in the scan stage and was
+        # then RECOMPUTED by the post-exchange Project: the harness was
+        # measuring the chain twice, once serially.  The aggregate consumes
+        # the same columns but cannot be pushed through the exchange, so
+        # the measured plan is the production shape (scan → fanout →
+        # one parallel regexp pass).  The returned 1-row frame satisfies
+        # the harness's count().
+        "curation_redact_pii": lambda s, d: redact_pii(_docs(s, d)).agg(
+            F.sum(F.length("text")).alias("red_len"),
+            F.sum("n_email").alias("n_email"),
         ),
         "curation_ngram_contamination": lambda s, d: ngram_contamination(
             _docs(s, d), _bench(s, d), n=8
