@@ -46,18 +46,73 @@ def _video_encode(doc_id: int, text: bytes) -> bytes:
     return _VID_MAGIC + struct.pack("<II", n_frames, frame_len) + bytes(body)
 
 
+def _video_payloads_batch(docs, texts, kinds):
+    """Build every raw-frame video container of a batch in one vectorized
+    numpy pass (guide §4.2) — the batched twin of ``_video_encode`` /
+    ``_video_redub`` (kinds: 0 base, 1 final-frame re-dub, 2 frame-0
+    one-byte perturbation), byte-identical to the scalar references
+    (pinned in tests/test_media_vectorized.py).  Returns a list of bytes
+    payloads aligned with the inputs."""
+    import numpy as np
+
+    n = len(docs)
+    if n == 0:
+        return []
+    docs = np.asarray(docs, dtype=np.int64)
+    kinds = np.asarray(kinds, dtype=np.int64)
+    tb = [t if t else b"\x00" for t in texts]
+    tl = np.fromiter((len(t) for t in tb), np.int64, count=n)
+    tstart = np.concatenate(([0], np.cumsum(tl)[:-1]))
+    tbuf = np.frombuffer(b"".join(tb), dtype=np.uint8)
+    nf_base = 1 + (docs % 8)
+    nf_out = nf_base + (kinds == 1)
+    FL = 4 * 4 * 3
+    ho = np.concatenate(([0], np.cumsum(12 + nf_out * FL)))
+    out = np.zeros(int(ho[-1]), dtype=np.uint8)
+    for b_i, ch in enumerate(_VID_MAGIC):
+        out[ho[:-1] + b_i] = ch
+    for b_i in range(4):
+        out[ho[:-1] + 4 + b_i] = ((nf_out >> (8 * b_i)) & 0xFF).astype(
+            np.uint8
+        )
+        out[ho[:-1] + 8 + b_i] = (FL >> (8 * b_i)) & 0xFF
+    cum_f = np.concatenate(([0], np.cumsum(nf_out)))
+    P = int(cum_f[-1])
+    vid_of = np.repeat(np.arange(n, dtype=np.int64), nf_out)
+    f_local = np.arange(P, dtype=np.int64) - cum_f[vid_of]
+    # the re-dub's appended frame repeats the base's FINAL frame
+    fc = np.where(
+        (kinds[vid_of] == 1) & (f_local == nf_base[vid_of]),
+        nf_base[vid_of] - 1,
+        f_local,
+    )
+    i48 = np.arange(FL, dtype=np.int64)
+    vals = tbuf[
+        tstart[vid_of][:, None]
+        + (fc[:, None] + i48[None, :]) % tl[vid_of][:, None]
+    ]
+    pos = (ho[:-1][vid_of] + 12 + f_local * FL)[:, None] + i48[None, :]
+    out[pos.reshape(-1)] = vals.reshape(-1)
+    out[ho[:-1][kinds == 2] + 12] = 0x5A  # 'Z' over frame 0, byte 0
+    ob = out.tobytes()
+    return [ob[int(ho[v]) : int(ho[v + 1])] for v in range(n)]
+
+
 def with_video_payload(df):
     """documents → (doc_id, payload binary) raw-frame video containers."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
+            docs = list(pdf["doc_id"])
+            texts = [t.encode("utf-8") for t in pdf["text"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [
-                        _video_encode(i, t.encode("utf-8"))
-                        for i, t in zip(pdf["doc_id"], pdf["text"])
-                    ],
+                    "payload": _video_payloads_batch(
+                        docs, texts, np.zeros(len(docs), dtype=np.int64)
+                    ),
                 }
             )
 
@@ -173,14 +228,22 @@ def video_fingerprints(
     k = FRAME_EVERY_K if every_k is None else int(every_k)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_image import _pack_u64_rows
+
         for pdf in batches:
-            ids, nfr, nsmp, vfps = [], [], [], []
-            for i, b in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(b)
-                bad = (
-                    len(b) < _VID_HEADER
-                    or b[:4] != _VID_MAGIC
-                )
+            pays = [bytes(b) for b in pdf["payload"]]
+            ids, nfr = [], []
+            row_start, row_nf, row_fl = [], [], []
+            pos = 0
+            # header walk per row (cheap); all frame dHashes + the
+            # majority pool below run as one vectorized numpy gather
+            # over the batch (guide §4.2) — the per-frame scalar
+            # reference `_frame_dhash_u` is pinned against this path in
+            # tests/test_media_vectorized.py.
+            for i, b in zip(pdf[id_col], pays):
+                start = pos
+                pos += len(b)
+                bad = len(b) < _VID_HEADER or b[:4] != _VID_MAGIC
                 if not bad:
                     n_frames, frame_len = struct.unpack_from("<II", b, 4)
                     bad = (
@@ -194,34 +257,48 @@ def video_fingerprints(
                             f"undecodable video payload for {id_col}={i}"
                         )
                     continue
-                counts = np.zeros(64, dtype=np.int64)
-                m = 0
-                for f in range(0, n_frames, k):
-                    off = _VID_HEADER + f * frame_len
-                    h = _frame_dhash_u(b[off : off + frame_len])
-                    counts += (
-                        (np.uint64(h) >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)
-                    ).astype(np.int64)
-                    m += 1
-                maj = int(
-                    (
-                        (2 * counts > m).astype(np.uint64)
-                        << np.arange(64, dtype=np.uint64)
-                    ).sum()
-                )
-                if maj >= 1 << 63:  # two's-complement, like the image path
-                    maj -= 1 << 64
                 ids.append(i)
                 nfr.append(n_frames)
-                nsmp.append(m)
-                vfps.append(maj)
+                row_start.append(start)
+                row_nf.append(n_frames)
+                row_fl.append(frame_len)
+            if ids:
+                buf = np.frombuffer(b"".join(pays), dtype=np.uint8)
+                start_a = np.asarray(row_start, dtype=np.int64)
+                nf_a = np.asarray(row_nf, dtype=np.int64)
+                fl_a = np.asarray(row_fl, dtype=np.int64)
+                m_a = (nf_a + k - 1) // k
+                cum = np.concatenate(([0], np.cumsum(m_a)))
+                P = int(cum[-1])
+                vid_of = np.repeat(np.arange(len(ids), dtype=np.int64), m_a)
+                f = (np.arange(P, dtype=np.int64) - cum[vid_of]) * k
+                fstart = start_a[vid_of] + _VID_HEADER + f * fl_a[vid_of]
+                L = fl_a[vid_of]
+                p = 3 * np.arange(72, dtype=np.int64)
+                g = (
+                    buf[fstart[:, None] + p[None, :] % L[:, None]].astype(
+                        np.int64
+                    )
+                    + buf[fstart[:, None] + (p[None, :] + 1) % L[:, None]]
+                    + buf[fstart[:, None] + (p[None, :] + 2) % L[:, None]]
+                ) // 3
+                grid = g.reshape(-1, 8, 9)
+                bits = (grid[:, :, 1:] > grid[:, :, :-1]).reshape(-1, 64)
+                counts = np.add.reduceat(
+                    bits.astype(np.int64), cum[:-1], axis=0
+                )
+                vfp_arr = _pack_u64_rows(2 * counts > m_a[:, None])
+                nsmp = pd.Series(m_a, dtype="int32")
+                vfps = pd.Series(vfp_arr, dtype="int64")
+            else:
+                nsmp = pd.Series([], dtype="int32")
+                vfps = pd.Series([], dtype="int64")
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),
                     "n_frames": pd.Series(nfr, dtype="int32"),
-                    "n_sampled": pd.Series(nsmp, dtype="int32"),
-                    "vfp": pd.Series(vfps, dtype="int64"),
+                    "n_sampled": nsmp,
+                    "vfp": vfps,
                 }
             )
 
@@ -289,23 +366,27 @@ def video_evidence_clips(
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             _check_variant_offsets(pdf, (dup_offset, pert_offset))
-            ids, pays = [], []
+            ids, docs, texts, kinds = [], [], [], []
             for d_, t in zip(pdf["doc_id"], pdf["text"]):
                 tb = t.encode("utf-8")
                 ids.append(d_)
-                pays.append(_video_encode(d_, tb))
+                docs.append(d_)
+                texts.append(tb)
+                kinds.append(0)
                 if d_ % VFP_DUP_MOD == 0:
                     ids.append(d_ + dup_offset)
-                    pays.append(_video_redub(d_, tb))
+                    docs.append(d_)
+                    texts.append(tb)
+                    kinds.append(1)
                 if d_ % VFP_PERT_MOD == 0 and len(tb) > 0:
-                    base = bytearray(_video_encode(d_, tb))
-                    base[_VID_HEADER] = 0x5A  # 'Z' over frame 0, byte 0
                     ids.append(d_ + pert_offset)
-                    pays.append(bytes(base))
+                    docs.append(d_)
+                    texts.append(tb)
+                    kinds.append(2)
             yield pd.DataFrame(
                 {
                     "vid_id": pd.Series(ids, dtype="int64"),
-                    "payload": pays,
+                    "payload": _video_payloads_batch(docs, texts, kinds),
                 }
             )
 
