@@ -358,18 +358,29 @@ KM_ALPHA = 0.5
 KM_SALT = "cluster-mix-v1"
 
 
-def kmeans_curation_frames(spark, sf_dir):
+def kmeans_curation_frames(spark, sf_dir, clustering=None):
     """(centroid_rows, assignments, rate_rows, sampled) for the slot —
     the REAL operators in the oracle configuration.  ``centroid_rows``:
     (cluster, pos, cval) integer centroids exploded; ``rate_rows``:
     (cluster, n_docs, rate@6dp) the temperature keep-rates; ``sampled``:
-    (vec_id, cluster) the kept ids."""
+    (vec_id, cluster) the kept ids.
+
+    ``clustering``: an optional precomputed ``(cents,
+    assigned_checkpointed)`` pair from :func:`kmeans_topics` over the
+    SAME embeddings/k/iters — ``curation_ops`` shares one clustering
+    run between this evidence and the persisted-index build
+    (``kmeans_topics`` is deterministic, so sharing cannot change any
+    result; round-17 measurement: the slot ran the identical k-means
+    twice)."""
     from ..sources.tables import load_table
     from .curation import temperature_mix_rates
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
-    assigned = assigned.localCheckpoint()  # 3 consumers below
+    if clustering is not None:
+        cents, assigned = clustering
+    else:
+        cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
+        assigned = assigned.localCheckpoint()  # 3 consumers below
     cent_rows = spark.createDataFrame(
         [
             (cell, pos, int(c))
@@ -735,7 +746,7 @@ def _sd_base_and_batch(spark, sf_dir):
     return base, batch
 
 
-def semdedup_probe_evidence(spark, sf_dir):
+def semdedup_probe_evidence(spark, sf_dir, clustering=None):
     """Driver branch op='sdprobe': the PERSISTED-index roundtrip — build
     the on-disk artifact from the base corpus at query time (fresh temp
     dir, the ``dedup_index_probe`` lifecycle pattern; the build runs the
@@ -747,7 +758,12 @@ def semdedup_probe_evidence(spark, sf_dir):
     pruned member scan, and the threshold cut, all re-derived in SQL
     from the construction.  The artifact lives only inside
     ``with_slot_scratch`` — hits are eagerly checkpointed, the dir
-    removed (round 13)."""
+    removed (round 13).
+
+    ``clustering``: optional precomputed ``(cents, assigned)`` from
+    :func:`kmeans_topics` over these embeddings at (k, iters) =
+    ({KM_K}, {KM_ITERS}) — forwarded to the index build so the slot
+    does not run the identical deterministic k-means twice."""
     from ..sources.tables import load_table
     from .scratch import with_slot_scratch
 
@@ -756,7 +772,8 @@ def semdedup_probe_evidence(spark, sf_dir):
 
     def _build(path):
         persist_semdedup_index(
-            e, path, k=KM_K, iters=KM_ITERS, threshold=SD_THRESHOLD
+            e, path, k=KM_K, iters=KM_ITERS, threshold=SD_THRESHOLD,
+            clustering=clustering,
         )
         return semdedup_against_index(batch, path)
 
@@ -902,6 +919,7 @@ def persist_semdedup_index(
     iters: int = 2,
     threshold: float = SD_THRESHOLD,
     owner: str | None = None,
+    clustering=None,
 ) -> None:
     """Build the on-disk SemDeDup artifact from a corpus embedding frame:
     cluster (``kmeans_topics``), prune (``semdedup_prune``), and persist
@@ -920,13 +938,22 @@ def persist_semdedup_index(
     Indexing survivors (not the raw corpus) follows
     ``extend_minhash_index``'s rule: index what you KEPT, or every later
     batch matches the duplicates you already rejected.  Single-writer
-    lease as everywhere (``manifest.index_writer_lock``)."""
+    lease as everywhere (``manifest.index_writer_lock``).
+
+    ``clustering``: optional precomputed ``(cents, assigned)`` from
+    :func:`kmeans_topics` over the SAME ``e`` at the SAME (k, iters) —
+    the caller's responsibility; k-means is deterministic, so a correct
+    pair is indistinguishable from recomputing it here."""
     from ..sources.manifest import index_writer_lock
     from .similarity import quantized
 
     spark = e.sparkSession
     with index_writer_lock(spark, path, owner):
-        cents, assigned = kmeans_topics(e, k=k, iters=iters)
+        cents, assigned = (
+            clustering
+            if clustering is not None
+            else kmeans_topics(e, k=k, iters=iters)
+        )
         pruned = semdedup_prune(e, assigned, threshold=threshold)
         kept = pruned.filter(F.col("dup_of").isNull()).select(
             "vec_id", "cluster"

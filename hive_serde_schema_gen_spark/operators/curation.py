@@ -1005,12 +1005,24 @@ def curation_ops(spark, sf_dir):
         .limit(_VOCAB_K)
     )
     cov = vocab_coverage(docs, [r["w"] for r in top.collect()])
-    km_cent, km_assigned, km_rates, km_sampled, km_semdedup = (
-        kmeans_curation_frames(spark, sf_dir)
+    # one deterministic k-means run shared by the kmc/kma/kmrate/kmsel/
+    # semdedup evidence AND the persisted-index build inside sdprobe —
+    # the round-17 plan audit found the identical clustering executed
+    # twice per slot run (kmeans_topics is seed-deterministic, so
+    # sharing cannot change any result row)
+    from .clustering import (
+        KM_ITERS,
+        KM_K,
+        kmeans_topics,
+        semdedup_probe_evidence,
     )
-    from .clustering import semdedup_probe_evidence
 
-    sd_probe = semdedup_probe_evidence(spark, sf_dir)
+    cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
+    clustering = (cents, assigned.localCheckpoint())
+    km_cent, km_assigned, km_rates, km_sampled, km_semdedup = (
+        kmeans_curation_frames(spark, sf_dir, clustering=clustering)
+    )
+    sd_probe = semdedup_probe_evidence(spark, sf_dir, clustering=clustering)
     tokmix_sel, tokmix_dom, tokmix_man = token_mixture_frames(
         spark, sf_dir
     )
