@@ -228,7 +228,7 @@ def _hybrid_oracle() -> str:
     )
 
 
-def hybrid_retrieval_topk(spark, sf_dir):
+def hybrid_retrieval_topk(spark, sf_dir, text_index_path=None):
     """Driver slot for :func:`hybrid_topk` — the flagship serve-path
     composition: a PERSISTED BM25 postings index built over the documents
     table (fresh temp dir per call, same lifecycle as the
@@ -239,7 +239,13 @@ def hybrid_retrieval_topk(spark, sf_dir):
     semantic ranks (including PQ training and the ADC shortlist), and the
     fused top-k in ONE DuckDB statement, so the whole composition — not
     just its ingredients — is hash-checked.  The index lives only inside
-    ``with_slot_scratch`` (round 13)."""
+    ``with_slot_scratch`` (round 13).
+
+    ``text_index_path`` (round 17): an already-built BM25 index over the
+    SAME documents table — the postings artifact is query-independent,
+    so ``hybrid_ops`` passes its fixture's index instead of building the
+    identical artifact a second time per slot run.  None keeps the
+    self-contained build."""
     from ..sources.tables import load_table
     from .scratch import with_slot_scratch
     from .text_index import build_text_index
@@ -247,12 +253,18 @@ def hybrid_retrieval_topk(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
 
-    def _build(path):
-        build_text_index(d, path)
+    def _query(path):
         return hybrid_topk(
             spark, path, " ".join(_HYBRID_TERMS), e, k=_HYBRID_K,
             rrf_k=_RRF_K,
         )
+
+    if text_index_path is not None:
+        return _query(text_index_path)
+
+    def _build(path):
+        build_text_index(d, path)
+        return _query(path)
 
     return with_slot_scratch("hybrid-idx-slot-", _build)
 
@@ -616,7 +628,11 @@ def _hybrid_ops_build(spark, sf_dir, scratch_path):
     return pad_union(
         schema,
         (
-            hybrid_retrieval_topk(spark, sf_dir),
+            # the fixture's BM25 index is the identical artifact this arm
+            # would otherwise rebuild (postings are query-independent)
+            hybrid_retrieval_topk(
+                spark, sf_dir, text_index_path=fixture[0]
+            ),
             {"op": F.lit("example"), "doc_id": "doc_id", "rrf": "rrf"},
         ),
         (

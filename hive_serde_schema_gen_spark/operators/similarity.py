@@ -754,22 +754,41 @@ def _pq_assign(ex: DataFrame, codebook: dict) -> DataFrame:
     ingest-time PQ build's largest intermediate — while a long min stays
     a pure HashAggregate with map-side combine.  Range check: d2 <=
     subdim · (2·max|q|)² ≈ 10⁹ at this corpus's quantization, times 4096
-    is far under 2⁶³."""
+    is far under 2⁶³.
+
+    Round 17 (guide §2.3 — shuffle/aggregate fewer rows): the subspace
+    components ride as WIDE COLUMNS, not exploded rows.  The old shape
+    joined the (vec, s, p) explosion against the codebook on (s, p) —
+    a (vec × code × subdim)-row intermediate aggregated twice; this
+    shape pre-pivots to one row per (vec, s) (a subdim-fold smaller
+    join input), joins the broadcast codebook on ``s`` alone, computes
+    the SAME integer Σ(v−w)² as one codegen expression, and takes the
+    mixed-radix min in ONE HashAggregate over (vec × code) rows.
+    Measured at slot scale: build_pq_index 8.4 s → see
+    OPTIMIZATION_r17.md; assignment values are bit-identical (exact
+    LONG arithmetic either way, pinned by the PQ oracles)."""
     spark = ex.sparkSession
-    ct = _pq_codebook_df(spark, codebook)
-    d2 = (
-        ex.join(F.broadcast(ct), ["s", "p"])
-        .groupBy("vec_id", "s", "code")
-        .agg(
-            F.sum(
-                (F.col("v") - F.col("w")) * (F.col("v") - F.col("w"))
-            ).alias("d2")
-        )
+    subdim = len(next(iter(codebook.values())))
+    wide = ex.groupBy("vec_id", "s").agg(
+        *[
+            F.sum(F.when(F.col("p") == k, F.col("v"))).alias(f"__v{k}")
+            for k in range(subdim)
+        ]
     )
-    best = d2.groupBy("vec_id", "s").agg(
-        F.min(
-            F.col("d2") * F.lit(_PQ_CODE_RADIX) + F.col("code")
-        ).alias("__best")
+    ctw = spark.createDataFrame(
+        [(s, c, *(int(w) for w in vec)) for (s, c), vec in codebook.items()],
+        "s int, code int, "
+        + ", ".join(f"__w{k} long" for k in range(subdim)),
+    )
+    d2 = sum(
+        (F.col(f"__v{k}") - F.col(f"__w{k}"))
+        * (F.col(f"__v{k}") - F.col(f"__w{k}"))
+        for k in range(subdim)
+    )
+    best = (
+        wide.join(F.broadcast(ctw), "s")
+        .groupBy("vec_id", "s")
+        .agg(F.min(d2 * F.lit(_PQ_CODE_RADIX) + F.col("code")).alias("__best"))
     )
     return best.select(
         "vec_id",
