@@ -727,17 +727,6 @@ def _pq_exploded(e: DataFrame, n_subspaces: int, subdim: int) -> DataFrame:
     )
 
 
-def _pq_codebook_df(spark, codebook: dict) -> DataFrame:
-    return spark.createDataFrame(
-        [
-            (s, c, p, int(w))
-            for (s, c), vec in codebook.items()
-            for p, w in enumerate(vec)
-        ],
-        "s int, code int, p int, w long",
-    )
-
-
 _PQ_CODE_RADIX = 4096  # > max n_codes; keeps (d2, code) in ONE long
 
 
