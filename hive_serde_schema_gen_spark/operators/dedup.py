@@ -572,7 +572,7 @@ def _minhash_ops_oracle() -> str:
     """
 
 
-def dedup_index_probe(spark, sf_dir):
+def dedup_index_probe(spark, sf_dir, signatures=None):
     """Driver branch for the PERSISTED MinHash index lifecycle
     (``operators/dedup_index.py``): builds the index over the even-id half
     of the corpus, EXTENDS it with the odd-id half (so a dropped extend
@@ -587,11 +587,12 @@ def dedup_index_probe(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return with_slot_scratch(
-        "mh-idx-slot-", lambda path: _dedup_index_probe_build(spark, d, path)
+        "mh-idx-slot-",
+        lambda path: _dedup_index_probe_build(spark, d, path, signatures),
     )
 
 
-def _dedup_index_probe_build(spark, d, path):
+def _dedup_index_probe_build(spark, d, path, signatures=None):
     from .dedup_index import (
         build_minhash_index,
         dedup_against_index,
@@ -599,12 +600,24 @@ def _dedup_index_probe_build(spark, d, path):
         novel_docs,
     )
 
+    # signatures: the slot's shared full-corpus md5 frame (signatures
+    # are per-document, so the even/odd filters ARE the halves' frames)
     build_minhash_index(
         d.filter(F.col("doc_id") % 2 == 0), path, n_files=4, hash_fn="md5",
         digest_sketch=True,
+        signatures=(
+            None
+            if signatures is None
+            else signatures.filter(F.col("doc_id") % 2 == 0)
+        ),
     )
     extend_minhash_index(
-        d.filter(F.col("doc_id") % 2 == 1), path, digest_sketch=True
+        d.filter(F.col("doc_id") % 2 == 1), path, digest_sketch=True,
+        signatures=(
+            None
+            if signatures is None
+            else signatures.filter(F.col("doc_id") % 2 == 1)
+        ),
     )
     did = F.col("doc_id")
     exact = d.filter(did % 20 == 0).select(
@@ -663,7 +676,17 @@ def minhash_ops(spark, sf_dir):
     batch construction; the exact family is the seen fraction)."""
     from ..functions.union import pad_union
 
-    matches, novel, triage_row = dedup_index_probe(spark, sf_dir)
+    # one shingle pass + one signature pass for the whole slot: the
+    # pairs arm and the index build/extend all consume per-document
+    # pure functions of the same corpus under the same md5
+    # configuration (round 17 — the curation_ops shared-k-means
+    # pattern applied here)
+    d = load_table(spark, sf_dir, "documents")
+    shd = shingles_df(d).localCheckpoint()
+    mh = minhash_signatures(shd, "md5").localCheckpoint()
+    matches, novel, triage_row = dedup_index_probe(
+        spark, sf_dir, signatures=mh
+    )
     schema = [
         ("op", "string"), ("doc_a", "bigint"), ("doc_b", "bigint"),
         ("jaccard", "double"),
@@ -671,7 +694,9 @@ def minhash_ops(spark, sf_dir):
     return pad_union(
         schema,
         (
-            dedup_minhash_lsh(spark, sf_dir),
+            minhash_lsh_pairs(
+                spark, sf_dir, hash_fn="md5", shingles=shd, signatures=mh
+            ),
             {"op": F.lit("pairs"), "doc_a": "doc_a", "doc_b": "doc_b",
              "jaccard": "jaccard"},
         ),
@@ -704,6 +729,8 @@ def minhash_lsh_pairs(
     max_df: float | None = None,
     docs: DataFrame | None = None,
     sort: bool = True,
+    shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ):
     """MinHash+LSH near-dup detection: {n} affine minhashes from one base
     hash per shingle, {b}-row bands → docs sharing a band bucket become
@@ -732,18 +759,31 @@ def minhash_lsh_pairs(
     satisfy the exact ≥{t} threshold on that universe.
     """
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
-    # the xxhash64 production configuration also hashes SHINGLES to longs at
-    # creation (see shingles_df): the checkpoint, sizes aggregate, and the
-    # shared-shingle verify join all carry 8 bytes instead of word strings
-    shd = shingles_df(d, hashed=hash_fn == "xxhash64")
-    if max_df is not None:
-        shd = cap_shingles(shd, d.count(), max_df)
-    # localCheckpoint, not cache(): shingles are consumed by sizes /
-    # both join sides (/ signatures), and a cache would pin executor
-    # storage for the session lifetime — checkpoint storage is released
-    # when the DataFrame is GC'd (same rationale as operators/corpus.py).
-    shd = shd.localCheckpoint()
-    mh = minhash_signatures(shd, hash_fn)
+    if shingles is not None:
+        # caller-shared checkpointed shingle frame (round 17: the
+        # minhash_ops slot computes shingles + signatures ONCE for the
+        # pairs arm and the index lifecycle; both are pure per-document
+        # functions of the corpus under the same configuration)
+        shd = shingles
+    else:
+        # the xxhash64 production configuration also hashes SHINGLES to
+        # longs at creation (see shingles_df): the checkpoint, sizes
+        # aggregate, and the shared-shingle verify join all carry 8
+        # bytes instead of word strings
+        shd = shingles_df(d, hashed=hash_fn == "xxhash64")
+        if max_df is not None:
+            shd = cap_shingles(shd, d.count(), max_df)
+        # localCheckpoint, not cache(): shingles are consumed by sizes /
+        # both join sides (/ signatures), and a cache would pin executor
+        # storage for the session lifetime — checkpoint storage is
+        # released when the DataFrame is GC'd (same rationale as
+        # operators/corpus.py).
+        shd = shd.localCheckpoint()
+    mh = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(shd, hash_fn)
+    )
     bands = band_keys_from_signatures(mh, hash_fn)
     a = bands.alias("a")
     b = bands.alias("b")

@@ -82,6 +82,7 @@ def build_minhash_index(
     owner: str | None = None,
     hash_fn: str = "xxhash64",
     digest_sketch: bool = False,
+    signatures: DataFrame | None = None,
 ) -> None:
     """Build the persisted index from a (doc_id, text) corpus.
 
@@ -92,12 +93,24 @@ def build_minhash_index(
     single-writer lease (``manifest.index_writer_lock``).  ``hash_fn`` is
     pinned in ``meta`` — every later extend/probe derives its signatures
     under the SAME configuration (``_check_meta`` returns it), so an index
-    can never be probed with foreign hashes."""
+    can never be probed with foreign hashes.
+
+    ``signatures`` (round 17): an optional precomputed (doc_id, mh0..15)
+    frame for EXACTLY these docs under EXACTLY this (hash_fn, max_df)
+    configuration — callers that already hold the corpus signatures
+    (the ``minhash_ops`` slot computes them for the pairs arm) pass a
+    filtered view instead of re-shingling; signatures are a pure
+    per-document function, so a correct frame is indistinguishable from
+    recomputing it here."""
     from ..sources.manifest import index_writer_lock
 
     spark = docs.sparkSession
     with index_writer_lock(spark, path, owner):
-        mh = _signatures(docs, max_df, hash_fn).localCheckpoint()
+        mh = (
+            signatures
+            if signatures is not None
+            else _signatures(docs, max_df, hash_fn).localCheckpoint()
+        )
         bands = band_keys_from_signatures(mh, hash_fn)
         (
             bands.repartitionByRange(n_files, "band", "band_key")
@@ -128,6 +141,7 @@ def build_minhash_index(
 def extend_minhash_index(
     docs: DataFrame, path: str, epoch: int | None = None,
     owner: str | None = None, digest_sketch: bool = False,
+    signatures: DataFrame | None = None,
 ) -> None:
     """Append a new batch's bands + signatures to an existing index (run
     AFTER dedup: index the batch's SURVIVORS, or every later batch matches
@@ -153,7 +167,13 @@ def extend_minhash_index(
 
     with index_writer_lock(docs.sparkSession, path, owner):
         max_df, hash_fn = _check_meta(docs.sparkSession, path)
-        mh = _signatures(docs, max_df, hash_fn).localCheckpoint()
+        # signatures= follows build_minhash_index: caller guarantees the
+        # frame matches these docs under the index's pinned configuration
+        mh = (
+            signatures
+            if signatures is not None
+            else _signatures(docs, max_df, hash_fn).localCheckpoint()
+        )
         band_keys_from_signatures(mh, hash_fn).write.mode("append").parquet(
             f"{path}/bands"
         )
