@@ -780,6 +780,12 @@ def semdedup_probe_evidence(spark, sf_dir, clustering=None):
     return with_slot_scratch("sd-idx-slot-", _build)
 
 
+semdedup_probe_evidence.__doc__ = (
+    semdedup_probe_evidence.__doc__
+    and semdedup_probe_evidence.__doc__.format(KM_K=KM_K, KM_ITERS=KM_ITERS)
+)
+
+
 def _materialize(sql: str) -> str:
     """Mark every CTE definition in an oracle SQL string MATERIALIZED:
     DuckDB inlines CTEs, so chains referenced from several downstream

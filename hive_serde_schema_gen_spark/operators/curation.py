@@ -60,7 +60,10 @@ _PII_RULES = (
 
 
 def redact_pii(
-    d: DataFrame, text_col: str = "text", with_counts: bool = True
+    d: DataFrame,
+    text_col: str = "text",
+    with_counts: bool = True,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Regex PII redaction over a text column: emails, SSN-shaped ids,
     payment-card-shaped digit runs, phone numbers, IPv4 addresses — each
@@ -76,8 +79,13 @@ def redact_pii(
 
     # The regexp chain is the whole cost and is embarrassingly parallel;
     # a degenerate single-split input would otherwise pin it to one core
-    # (no-op at scale — see fanout_for_compute).
-    out = fanout_for_compute(d, text_col)
+    # (no-op at scale — see fanout_for_compute).  Key the fanout on the
+    # id column when one exists: hashing by text would co-locate
+    # byte-identical documents (a duplicate-heavy corpus skews one
+    # partition) and carry full document strings as the exchange key.
+    out = fanout_for_compute(
+        d, id_col if id_col in d.columns else text_col
+    )
     if with_counts:
         for name, pat, _ in _PII_RULES:
             out = out.withColumn(

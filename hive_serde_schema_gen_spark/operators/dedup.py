@@ -758,6 +758,15 @@ def minhash_lsh_pairs(
     universe (consistent df-capped semantics); emitted pairs still all
     satisfy the exact ≥{t} threshold on that universe.
     """
+    if max_df is not None and (shingles is not None or signatures is not None):
+        # loud failure over silent mis-configuration: the hot-shingle cap
+        # is applied while BUILDING the shingle frame, so caller-supplied
+        # shingles/signatures would silently bypass it
+        raise ValueError(
+            "max_df cannot be combined with caller-supplied shingles/"
+            "signatures: the df cap is applied when the shingle frame is "
+            "built — pass pre-capped frames, or drop max_df"
+        )
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     if shingles is not None:
         # caller-shared checkpointed shingle frame (round 17: the

@@ -159,7 +159,10 @@ def image_hashes(df, id_col: str = "img_id", on_error: str = "skip"):
             keep = fast.copy()
             # scalar fallback: rows the vectorized header check rejected
             # keep the original decode's exact failure semantics (skip /
-            # raise on ValueError; pathological dims fail as before)
+            # raise on ValueError; pathological dims fail as before).
+            # Results go in a side dict keyed by row index — never into
+            # the payload list, whose entries must stay bytes.
+            slow_hashes: dict[int, tuple[int, int]] = {}
             for j in np.nonzero(~fast)[0]:
                 try:
                     arr = _bmp_pixel_array(pays[j])
@@ -169,8 +172,7 @@ def image_hashes(df, id_col: str = "img_id", on_error: str = "skip"):
                     continue
                 Hs[j], Ws[j] = arr.shape[:2]
                 keep[j] = True
-                # stash scalar hashes by temporarily extending the fast set
-                pays[j] = (arr, _dhash(arr), _ahash(arr))
+                slow_hashes[j] = (_dhash(arr), _ahash(arr))
             ids, ws, hs, dh, ah = [], [], [], [], []
             fpos = 0
             for j in range(n):
@@ -182,7 +184,7 @@ def image_hashes(df, id_col: str = "img_id", on_error: str = "skip"):
                     ah.append(int(ah_f[fpos]))
                     fpos += 1
                 elif keep[j]:
-                    _, d_, a_ = pays[j]
+                    d_, a_ = slow_hashes[j]
                     ids.append(idvals[j])
                     ws.append(Ws[j])
                     hs.append(Hs[j])
