@@ -92,14 +92,22 @@ _MEDIAN_SQL = """
 """
 
 
-def median_disc_price(spark, sf_dir, sort: bool = True):
+def median_disc_price(spark, sf_dir, sort: bool = True, lineitem=None):
     """Discrete median per group, deterministically: the ⌈n/2⌉-th element in
     a total order (value + unique tiebreak).  Interpolated medians differ
     across engines in the last ulp of the midpoint arithmetic; element
     selection cannot.  At scale prefer ``percentile_approx`` (see
     ``approx_stats``) — an exact median costs a per-group sort.
-    Registry-merged into ``stats_summary`` in round 8."""
-    l = load_table(spark, sf_dir, "lineitem")
+    Registry-merged into ``stats_summary`` in round 8.
+
+    ``lineitem`` overrides the table load (round 18: ``stats_summary``
+    shares ONE materialized lineitem projection across its arms instead
+    of re-scanning the source per arm)."""
+    l = (
+        lineitem
+        if lineitem is not None
+        else load_table(spark, sf_dir, "lineitem")
+    )
     w = W.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
@@ -439,7 +447,7 @@ _APPROX_SQL = f"""
 """
 
 
-def approx_stats(spark, sf_dir, sort: bool = True):
+def approx_stats(spark, sf_dir, sort: bool = True, lineitem=None):
     """Approximate aggregates — the sketches that replace exact
     distinct/quantiles at 100 TB: HyperLogLog++ distinct counts (constant
     memory vs a distinct shuffle) and t-digest-style quantiles (one pass).
@@ -457,16 +465,22 @@ def approx_stats(spark, sf_dir, sort: bool = True):
     # three independent aggregations (windowed percentiles, exact distinct,
     # sketches) consume this narrow projection — materialize it once
     # (localCheckpoint: released on GC) instead of scanning lineitem three
-    # times (AQE does not dedupe identical exchanges across branches)
-    l = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            "l_returnflag",
-            "l_partkey",
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        )
-        .localCheckpoint()
+    # times (AQE does not dedupe identical scans across branches).  When
+    # the caller already passes a materialized frame (``stats_summary``
+    # shares one checkpoint across all its lineitem arms), the cents
+    # projection is narrow compute over checkpoint blocks — no second
+    # checkpoint needed.
+    cents_proj = lambda d: d.select(  # noqa: E731
+        "l_returnflag",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
+    if lineitem is not None:
+        l = cents_proj(lineitem)
+    else:
+        l = cents_proj(
+            load_table(spark, sf_dir, "lineitem")
+        ).localCheckpoint()
 
     r = l.select(
         "l_returnflag",
@@ -696,6 +710,32 @@ def stats_summary(spark, sf_dir):
     from .diagnostics import diag_evidence_rows, frequent_items
     from .sketches import sketch_evidence_rows
 
+    # Round 18 (guide §6.1): ONE materialized narrow projection per source
+    # table, shared by every arm that consumes it — before this the union
+    # re-scanned lineitem twice, orders six times and documents eight
+    # times (one full scan per arm branch / eager evidence job; 48
+    # Exchanges in the plan).  localCheckpoint (not cache) so the blocks
+    # are released when the frames are GC'd after the query; each arm's
+    # own computation is unchanged — only its input node is.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_partkey", "l_extendedprice",
+            "l_orderkey", "l_linenumber",
+        )
+        .localCheckpoint()
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint()
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .localCheckpoint()
+    )
+
     schema = [
         ("op", "string"), ("grp", "string"), ("bucket", "int"),
         ("n", "bigint"), ("median_price", "double"),
@@ -706,7 +746,7 @@ def stats_summary(spark, sf_dir):
     return pad_union(
         schema,
         (
-            approx_stats(spark, sf_dir, sort=False),
+            approx_stats(spark, sf_dir, sort=False, lineitem=li),
             {
                 "op": F.lit("approx"), "grp": "l_returnflag",
                 "exact_parts": "exact_parts",
@@ -717,18 +757,18 @@ def stats_summary(spark, sf_dir):
             },
         ),
         (
-            median_disc_price(spark, sf_dir, sort=False),
+            median_disc_price(spark, sf_dir, sort=False, lineitem=li),
             {
                 "op": F.lit("median"), "grp": "l_returnflag",
                 "median_price": "median_price",
             },
         ),
         (
-            histogram_totalprice(spark, sf_dir, sort=False),
+            histogram_totalprice(spark, sf_dir, sort=False, orders=ords),
             {"op": F.lit("hist"), "bucket": "bucket", "n": "n"},
         ),
         (
-            sketch_evidence_rows(spark, sf_dir),
+            sketch_evidence_rows(spark, sf_dir, docs=docs),
             {
                 "op": "sop", "grp": "grp", "n": "n",
                 "exact_parts": "exact_parts", "ok_parts": "ok",
@@ -736,7 +776,7 @@ def stats_summary(spark, sf_dir):
         ),
         (
             frequent_items(
-                load_table(spark, sf_dir, "documents").select(
+                docs.select(
                     F.explode(
                         F.filter(
                             F.split(F.lower(F.trim(F.col("text"))), "[ \t\n\x0B\f\r]+"),
@@ -755,7 +795,7 @@ def stats_summary(spark, sf_dir):
             },
         ),
         (
-            diag_evidence_rows(spark, sf_dir),
+            diag_evidence_rows(spark, sf_dir, orders=ords, docs=docs),
             {
                 "op": "dop", "grp": "grp", "bucket": "bucket", "n": "n",
                 "median_price": "dval", "exact_p50_x100": "dlo",

@@ -294,7 +294,7 @@ PROF_COLS = ("doc_id", "text", "lang", "n_chars")
 PROF_NULL_MOD = 5
 
 
-def diag_evidence_rows(spark, sf_dir):
+def diag_evidence_rows(spark, sf_dir, orders=None, docs=None):
     """The diagnostics family's driver-evidence rows (consumed by the
     ``stats_summary`` tagged union): op='skew' pins :func:`skew_report`
     over the orders join keys, op='prof' pins :func:`column_profile` over
@@ -303,24 +303,41 @@ def diag_evidence_rows(spark, sf_dir):
     op/grp/bucket/n/median_price/exact_p50_x100/exact_p99_x100/ok_parts
     carriers.  Driver traffic is O(columns) rows — the profile row and the
     two accuracy-contract scalars — exactly the operators' documented
-    driver bounds."""
+    driver bounds.
+
+    ``orders``/``docs`` override the table loads (round 18: the caller
+    shares one materialized projection per source table across arms;
+    ``docs`` is the RAW frame — the lang nulls are planted here)."""
     from ..operators.advanced import APPROX_REL_ERR
     from ..sources.tables import load_table
 
-    orders = load_table(spark, sf_dir, "orders")
+    if orders is None:
+        orders = load_table(spark, sf_dir, "orders")
     rep = skew_report(
         orders, list(SKEW_COLS), k=SKEW_K, n_partitions=SKEW_PARTS
     )
-    # HLL accuracy contract per skew column (two aggregates: mixing a
-    # distinct aggregate with sketch buffers forces the Expand plan)
-    exact = orders.agg(
-        *[F.countDistinct(c).alias(c) for c in SKEW_COLS]
-    ).collect()[0]
-    approx = orders.agg(
-        *[F.approx_count_distinct(c, rsd=0.02).alias(c) for c in SKEW_COLS]
+    # HLL accuracy contract per skew column — ONE aggregate for the exact
+    # and sketch sides together (round 18; was two full scans).  The
+    # multi-distinct Expand this forces replicates each row once per
+    # distinct group over LIGHT buffers only — cheap, unlike mixing
+    # distincts with percentile buffers (see approx_stats), and both
+    # aggregate VALUES are plan-shape-independent (exact count; HLL is a
+    # deterministic function of the data).
+    ea = orders.agg(
+        *[F.countDistinct(c).alias(f"e_{c}") for c in SKEW_COLS],
+        *[
+            F.approx_count_distinct(c, rsd=0.02).alias(f"a_{c}")
+            for c in SKEW_COLS
+        ],
     ).collect()[0]
     ok_rows = [
-        (c, bool(abs(approx[c] - exact[c]) <= APPROX_REL_ERR * exact[c]))
+        (
+            c,
+            bool(
+                abs(ea[f"a_{c}"] - ea[f"e_{c}"])
+                <= APPROX_REL_ERR * ea[f"e_{c}"]
+            ),
+        )
         for c in SKEW_COLS
     ]
     ok_df = spark.createDataFrame(ok_rows, "column string, ok boolean")
@@ -334,7 +351,9 @@ def diag_evidence_rows(spark, sf_dir):
         F.lit(None).cast("bigint").alias("dhi"),
         F.col("ok"),
     )
-    docs = load_table(spark, sf_dir, "documents").select(
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select(
         "doc_id",
         "text",
         F.when(F.col("doc_id") % PROF_NULL_MOD == 0, F.lit(None))
@@ -343,14 +362,17 @@ def diag_evidence_rows(spark, sf_dir):
         "n_chars",
     )
     prof = column_profile(docs, list(PROF_COLS))
-    pexact = docs.agg(
-        *[F.countDistinct(c).alias(c) for c in PROF_COLS]
-    ).collect()[0]
     # the contract estimate is rsd=0.02 (like the sketch branches) — the
     # profile's own default-rsd estimate has 1σ AT the 0.05 evidence
-    # floor, which would make the boolean a coin flip, not a contract
-    papprox = docs.agg(
-        *[F.approx_count_distinct(c, rsd=0.02).alias(c) for c in PROF_COLS]
+    # floor, which would make the boolean a coin flip, not a contract.
+    # Exact + sketch sides in ONE aggregate (round 18; same rationale as
+    # the skew contract above — was two full scans of documents).
+    pea = docs.agg(
+        *[F.countDistinct(c).alias(f"e_{c}") for c in PROF_COLS],
+        *[
+            F.approx_count_distinct(c, rsd=0.02).alias(f"a_{c}")
+            for c in PROF_COLS
+        ],
     ).collect()[0]
     prof_rows = [
         (
@@ -362,8 +384,8 @@ def diag_evidence_rows(spark, sf_dir):
             int(p["min"]),
             int(p["max"]),
             bool(
-                abs(papprox[p["column"]] - pexact[p["column"]])
-                <= APPROX_REL_ERR * pexact[p["column"]]
+                abs(pea[f"a_{p['column']}"] - pea[f"e_{p['column']}"])
+                <= APPROX_REL_ERR * pea[f"e_{p['column']}"]
             ),
         )
         for p in prof

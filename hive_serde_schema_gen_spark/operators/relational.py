@@ -291,13 +291,14 @@ _HISTOGRAM_SQL = """
 """
 
 
-def histogram_totalprice(spark, sf_dir, sort: bool = True):
+def histogram_totalprice(spark, sf_dir, sort: bool = True, orders=None):
     """Histogram via width_bucket: fixed-width binning + count — the
     single-pass distribution sketch.  DuckDB 1.0 has no width_bucket, so
     the oracle reproduces the exact bucket arithmetic
     (floor(x/width)+1 with under/overflow buckets 0 and n+1).
-    Registry-merged into ``stats_summary`` (advanced.py) in round 8."""
-    o = load_table(spark, sf_dir, "orders")
+    Registry-merged into ``stats_summary`` (advanced.py) in round 8.
+    ``orders`` overrides the table load (shared-scan caller)."""
+    o = orders if orders is not None else load_table(spark, sf_dir, "orders")
     out = (
         o.select(
             F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20))

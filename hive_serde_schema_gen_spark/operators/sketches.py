@@ -147,7 +147,7 @@ SKETCH_REL_ERR = 0.05
 SKETCH_Q_REL_ERR = 0.10  # KLL rank error maps to a wider value tolerance
 
 
-def sketch_evidence_rows(spark, sf_dir):
+def sketch_evidence_rows(spark, sf_dir, docs=None):
     """Driver-hashable evidence for the WHOLE mergeable-sketch family —
     the ``approx_stats`` accuracy-contract pattern applied to
     :func:`group_sketches` / :func:`union_distinct` /
@@ -168,10 +168,15 @@ def sketch_evidence_rows(spark, sf_dir):
 
     Driver cost: two bounded scalars (union estimate, merged quantile) —
     both are merge-only sketch reads, the exact thing this module exists
-    to make cheap."""
+    to make cheap.
+
+    ``docs`` overrides the table load (round 18: the ``stats_summary``
+    caller shares one materialized documents projection across arms)."""
     from ..sources.tables import load_table
 
-    d = load_table(spark, sf_dir, "documents").select(
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
         "lang",
         F.pmod(F.col("doc_id"), F.lit(SKETCH_KEY_MOD)).alias("k"),
         "n_chars",
@@ -224,10 +229,35 @@ def sketch_evidence_rows(spark, sf_dir):
             ).alias("ok"),
         )
     )
-    # merge-only reads (bounded driver scalars) + their exact counterparts
-    u_est = union_distinct(sk)
-    exact_all = d.agg(F.countDistinct("k")).collect()[0][0]
-    q50_est = merged_quantiles(sk, [0.5])[0]
+    # merge-only reads (bounded driver scalars) + their exact counterparts.
+    # Round 18: the union estimate and the merged-KLL median come from ONE
+    # aggregate job over the 4-row sketch checkpoint (was two, each its
+    # own job — same merge semantics, same library functions' SQL); the
+    # exact global distinct re-derives from the ALREADY-materialized
+    # distinct (lang, k) frame instead of re-scanning documents.
+    _require_sketch_functions(
+        spark,
+        [
+            "hll_union_agg", "hll_sketch_estimate",
+            "kll_merge_agg_double", "kll_sketch_get_quantile_double",
+        ],
+    )
+    mrow = (
+        sk.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(hll))").alias("u"),
+            F.expr("kll_merge_agg_double(kll)").alias("m"),
+        )
+        .select(
+            "u",
+            F.expr(
+                "kll_sketch_get_quantile_double(m, CAST(0.5 AS DOUBLE))"
+            ).alias("q"),
+        )
+        .collect()[0]
+    )
+    u_est = int(mrow["u"])
+    q50_est = mrow["q"]
+    exact_all = dk.select("k").distinct().count()
     # Exact discrete median WITHOUT a global single-partition sort window
     # (the one banned plan shape — see tests/test_plan_contracts.py): a
     # map-side-combined value histogram is collected instead.  The driver
