@@ -375,17 +375,22 @@ def _shingle_hash(hash_fn: str) -> F.Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
-def minhash_signatures(shd: DataFrame, hash_fn: str = "md5") -> DataFrame:
-    """(doc_id, mh0..mh15): the full signature in one groupBy pass."""
-    base = shd.select("doc_id", _shingle_hash(hash_fn).alias("h"))
-    aggs = [
+def _minhash_aggs():
+    return [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(_AFFINE)
     ]
-    return base.groupBy("doc_id").agg(*aggs)
 
 
-def band_keys_from_signatures(mh: DataFrame, hash_fn: str = "md5") -> DataFrame:
+def minhash_signatures(shd: DataFrame, hash_fn: str = "md5") -> DataFrame:
+    """(doc_id, mh0..mh15): the full signature in one groupBy pass."""
+    base = shd.select("doc_id", _shingle_hash(hash_fn).alias("h"))
+    return base.groupBy("doc_id").agg(*_minhash_aggs())
+
+
+def band_keys_from_signatures(
+    mh: DataFrame, hash_fn: str = "md5", carry: tuple = ()
+) -> DataFrame:
     """(doc_id, band, band_key) from a signature frame — the banding of
     ``minhash_lsh_pairs``, extracted so the persisted-index build and probe
     paths (``dedup_index.py``) band IDENTICALLY to the batch self-join.
@@ -394,7 +399,11 @@ def band_keys_from_signatures(mh: DataFrame, hash_fn: str = "md5") -> DataFrame:
     strings — smaller shuffle payload for every banding join.  A band-key
     hash collision only MERGES buckets (extra candidates the verify
     removes); it can never split one, so recall is unchanged.  The md5 path
-    keeps the string keys the DuckDB oracle reproduces bit-for-bit."""
+    keeps the string keys the DuckDB oracle reproduces bit-for-bit.
+
+    ``carry`` names extra columns of ``mh`` to keep alongside doc_id
+    (round 18: the pairs path rides the per-doc shingle-set size through
+    the banding so the Jaccard denominator needs no sizes join)."""
     band_cols = [
         F.concat_ws(",", *[F.col(f"mh{j * BAND_SIZE + k}") for k in range(BAND_SIZE)])
         for j in range(N_HASHES // BAND_SIZE)
@@ -402,7 +411,9 @@ def band_keys_from_signatures(mh: DataFrame, hash_fn: str = "md5") -> DataFrame:
     if hash_fn == "xxhash64":
         band_cols = [F.xxhash64(c) for c in band_cols]
     return mh.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_key")
+        "doc_id",
+        *carry,
+        F.posexplode(F.array(*band_cols)).alias("band", "band_key"),
     )
 
 
@@ -788,25 +799,47 @@ def minhash_lsh_pairs(
         # released when the DataFrame is GC'd (same rationale as
         # operators/corpus.py).
         shd = shd.localCheckpoint()
-    mh = (
-        signatures
-        if signatures is not None
-        else minhash_signatures(shd, hash_fn)
-    )
-    bands = band_keys_from_signatures(mh, hash_fn)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Round 18 (guide §2.3): ONE signature aggregation and NO sizes joins.
+    # The former bands-vs-bands self-join planned the signature aggregate
+    # on BOTH sides (plus two more full aggregates for the Jaccard
+    # denominators — 5 aggregations of the shingle frame in the plan);
+    # aliasing cannot dedupe subtrees and the broadcast/shuffle sides
+    # never produce a reusable exchange.  Instead: group the banded rows
+    # by bucket, collect the (doc_id, set size) members, and double-
+    # explode the within-bucket ordered pairs — the textbook LSH bucket
+    # formulation.  The candidate SET is identical (pairs sharing ≥1
+    # bucket, doc_a < doc_b, deduped), the per-doc size rides along, and
+    # the bands shuffle once by bucket key instead of the signature
+    # subtree executing twice.  A degenerate hot bucket costs O(k²) pairs
+    # in one task — exactly what the self-join's hot key cost.
+    if signatures is not None:
+        # caller-shared signature frame (no size column): one sizes
+        # aggregate joined once — still one aggregation in the plan
+        mh = signatures.join(
+            shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n")),
+            "doc_id",
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    else:
+        base = shd.select("doc_id", _shingle_hash(hash_fn).alias("h"))
+        mh = base.groupBy("doc_id").agg(
+            *_minhash_aggs(), F.count(F.lit(1)).alias("__n")
+        )
+    bands = band_keys_from_signatures(mh, hash_fn, carry=("__n",))
+    cand = (
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_list(F.struct("doc_id", "__n")).alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.__n").alias("na"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.__n").alias("nb"),
+        )
         .distinct()
     )
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = shd.alias("x")
     y = shd.alias("y")
     verified = (
@@ -816,16 +849,12 @@ def minhash_lsh_pairs(
             (F.col("y.doc_id") == F.col("doc_b"))
             & (F.col("y.shingle") == F.col("x.shingle")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     pairs = (
-        verified.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return pairs.orderBy("doc_a", "doc_b") if sort else pairs
