@@ -47,8 +47,16 @@ def prepare_training_corpus(
     hash_fn: str = "xxhash64",
     max_df: float | None = None,
     docs: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """documents → training-ready corpus manifest.
+
+    ``shingles``: a pre-built shingle frame covering AT LEAST the quality
+    survivors under the same ``hash_fn`` convention (round 18: the
+    ``corpus_pipeline`` slot shingles the raw corpus ONCE for its card
+    arm and passes it here; shingling is per-row, so the survivors'
+    shingles are exactly the raw frame semi-joined to the surviving ids).
+    Incompatible with ``max_df`` (the df cap is applied at shingle build).
 
     Output columns: (doc_id, n_tokens, offset, chunk_first, chunk_last,
     n_chunks, split, n_merged) — one row per SURVIVING document, in corpus
@@ -87,8 +95,17 @@ def prepare_training_corpus(
 
     # 3. near-dup pairs on the survivors → components → canonical docs
     # (sort=False: the components shuffle the pairs by node id anyway)
+    if shingles is not None:
+        # restrict the caller's (raw-corpus) shingle frame to the
+        # survivors: per-row shingling commutes with the id filter, so
+        # this IS shingles_df(kept) without a second tokenize+window+
+        # distinct pass over the corpus
+        shingles = shingles.join(
+            kept.select("doc_id"), "doc_id", "semi"
+        )
     pairs = minhash_lsh_pairs(
-        spark, sf_dir, hash_fn=hash_fn, max_df=max_df, docs=kept, sort=False
+        spark, sf_dir, hash_fn=hash_fn, max_df=max_df, docs=kept,
+        sort=False, shingles=shingles,
     ).select("doc_a", "doc_b")
     canon = dedup_canonical(kept, pairs)
 
@@ -243,17 +260,30 @@ def corpus_pipeline(spark, sf_dir):
     release artifact's numbers are driver-hashed alongside the packed
     corpus they describe."""
     from ..functions.union import pad_union
+    from .dedup import shingles_df
     from .report import corpus_report_rows
 
+    # Round 18 (guide §6.1): the slot's two arms consumed the documents
+    # table independently — the card arm checkpointed the raw corpus for
+    # its aggregates AND ran a second complete tokenize+shingle+distinct
+    # pass for its near-dup count, while the pack arm shingled the kept
+    # subset.  Shingling is per-row, so ONE raw-corpus shingle frame
+    # serves both: the card's pair chain reads it whole, the pipeline
+    # semi-joins it to the quality/exact-dedup survivors.  One documents
+    # scan + one shingle pass for the whole slot (was two of each).
+    d = load_table(spark, sf_dir, "documents").localCheckpoint()
+    shd_raw = shingles_df(d).localCheckpoint()  # md5 config: string shingles
     packed = prepare_training_corpus(
         spark,
         sf_dir,
         context_len=CONTEXT_LEN,
         quality_floor=QUALITY_FLOOR,
         hash_fn="md5",
+        docs=d,
+        shingles=shd_raw,
     )
     card = corpus_report_rows(
-        load_table(spark, sf_dir, "documents"), hash_fn="md5"
+        d, hash_fn="md5", prepped=True, shingles=shd_raw
     )
     schema = [
         ("op", "string"), ("doc_id", "bigint"), ("n_tokens", "int"),

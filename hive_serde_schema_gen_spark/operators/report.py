@@ -109,6 +109,8 @@ def corpus_report_rows(
     docs: DataFrame,
     hash_fn: str = "xxhash64",
     lang_col: str = "lang",
+    prepped: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The dataset card as a DRIVER-HASHABLE row set ``(metric, n, v)`` —
     the exactly-re-derivable subset of :func:`corpus_report`, built from
@@ -136,7 +138,11 @@ def corpus_report_rows(
 
     spark = docs.sparkSession
     # ~4 aggregates + the pair pipeline consume docs — cut lineage once
-    docs = docs.localCheckpoint()
+    # (``prepped=True``: the caller already materialized the frame;
+    # ``shingles``: a caller-shared shingle frame under the same hash_fn
+    # convention forwards to the pair chain — round 18, corpus_pipeline)
+    if not prepped:
+        docs = docs.localCheckpoint()
     digest = F.coalesce(
         F.md5(F.col("text").cast("binary")), F.lit("__NULL_TEXT__")
     )
@@ -160,7 +166,8 @@ def corpus_report_rows(
         .alias("qsum"),
     )
     pairs = minhash_lsh_pairs(
-        spark, None, hash_fn=hash_fn, docs=docs, sort=False
+        spark, None, hash_fn=hash_fn, docs=docs, sort=False,
+        shingles=shingles,
     )
     flagged = pairs.select(F.col("doc_b").alias("d")).distinct().agg(
         F.count(F.lit(1)).alias("nf")
