@@ -105,6 +105,19 @@ HEADLINE = [
     # this boundary; compare per-query minima (BASELINE.md round-17).
     "audio_dedup_default",
     "video_dedup_default",
+    # round 18 (VERDICT r17 #6): a CPU-scaling probe the driver's 8-core
+    # vs 32-core comparison can actually resolve.  At sf0.1 every real
+    # headline query is fixed-overhead-bound (r17 scaling block: every
+    # 8c/32c ratio was 0.55-0.91 — the 8-core run WON), so the fanout /
+    # vectorization work was invisible in driver ground truth.  The probe
+    # is a 100-deep xxhash64 chain over the lineitem scan, fanned out like
+    # any compute-heavy operator — ~60M hash evaluations whose wall is
+    # ∝ rows/cores, so the core count is finally the binding resource.
+    # Additions-only: the 19 existing series are untouched; the summed
+    # `value` series gains the probe's ~0.5 s at this boundary (compare
+    # per-query minima across it — same note as the round-16/17
+    # headliner additions).
+    "compute_scaling_probe",
 ]
 
 # Reference calibration times (sec), recorded round 10 (2026-08-14) from a
@@ -176,6 +189,9 @@ QUERY_REGIME = {
     # pass dominates each media dedup chain
     "audio_dedup_default": "arrow",
     "video_dedup_default": "arrow",
+    # pure whole-stage-codegen CPU by construction (the probe IS the jvm
+    # calibration workload's shape, applied to the bench SF's scan)
+    "compute_scaling_probe": "jvm",
 }
 
 # Deterministic results of the calibration workloads — asserted on every
@@ -398,6 +414,29 @@ def main() -> None:
             )
         ).localCheckpoint()
     ).filter("dist >= 0")
+
+    # Round 18: the CPU-scaling probe (see the HEADLINE comment).  A
+    # 100-deep xxhash64 chain per lineitem row, fanned out exactly like a
+    # compute-heavy operator (fanout_for_compute — the single-row-group
+    # input would otherwise pin the whole chain to one core), reduced to
+    # one order-free bit_xor scalar so the result is deterministic and
+    # the collect is one row.  Reads the bench SF's parquet every run —
+    # nothing cached, nothing precomputed.
+    from pyspark.sql import functions as _F
+
+    from hive_serde_schema_gen_spark.sources.tables import fanout_for_compute
+
+    def _scaling_probe(s, d):
+        li = fanout_for_compute(
+            load_table(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+            "l_orderkey",
+        )
+        h = _F.col("l_orderkey")
+        for _ in range(100):
+            h = _F.xxhash64(h, _F.col("l_partkey"))
+        return li.select(h.alias("h")).agg(_F.bit_xor("h").alias("x"))
+
+    queries["compute_scaling_probe"] = _scaling_probe
 
     # warmup: JVM + parquet footer reads + Python worker pool, then one
     # tiny-SF pass per headline query to compile its codegen stages (see
