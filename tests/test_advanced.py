@@ -3,6 +3,8 @@ allowed to approximate, but within asserted bounds against their exact
 baselines — "approximate" is a budget, not an excuse."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.registry import all_queries

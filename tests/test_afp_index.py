@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
+
 from hive_serde_schema_gen_spark.operators.afp_index import (
     afp_against_index,
     build_afp_index,

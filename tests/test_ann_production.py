@@ -7,7 +7,12 @@ the PRODUCTION entry points (``ann_topk_lsh`` / ``ann_topk_ivf``) do only
 candidate-bounded work — the scale property the audit variants trade away.
 """
 
+
 from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 
 from pyspark.sql import functions as F
 

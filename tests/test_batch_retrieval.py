@@ -5,6 +5,8 @@ parity on the semantic side, and plan contracts."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.batch_retrieval import (

@@ -8,6 +8,8 @@ from collections import Counter
 
 import pytest
 
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
+
 from hive_serde_schema_gen_spark.operators.bpe import (
     END,
     encode_bpe,

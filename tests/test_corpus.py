@@ -3,7 +3,12 @@
 dedup stages, packing offsets are contiguous in corpus order, splits match
 the md5 arithmetic, and the whole manifest is reproducible run-to-run."""
 
+
 from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 
 import hashlib
 

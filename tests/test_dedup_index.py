@@ -4,6 +4,8 @@ the batch LSH path, meta pinning, and the broadcast probe plan."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.dedup_index import (

@@ -13,6 +13,8 @@ because sketch/ANN outputs may legitimately vary with partial-merge order.)
 
 import pytest
 
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
+
 from hive_serde_schema_gen_spark.registry import all_oracles, all_queries
 
 QUERIES = all_queries()

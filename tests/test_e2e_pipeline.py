@@ -18,6 +18,8 @@ import pyarrow.parquet as pq
 import pyspark.sql.functions as F
 import pytest
 
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
+
 from hive_serde_schema_gen_spark.operators.corpus import crawl_to_shards
 from hive_serde_schema_gen_spark.sources.tables import load_table
 

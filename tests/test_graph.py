@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
+
 from hive_serde_schema_gen_spark.operators.graph import pagerank
 
 

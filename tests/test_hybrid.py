@@ -7,6 +7,8 @@ to BM25 (they contain none of the query terms)."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.embedding import embed_text

@@ -11,6 +11,8 @@ import glob
 
 import pyarrow.parquet as pq
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.dedup_index import (

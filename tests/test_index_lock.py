@@ -5,6 +5,8 @@ extend fails with ConflictError instead of having its appended files
 silently dropped by the compaction swap."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.text_index import (

@@ -6,6 +6,8 @@ artifact's directories are scanned."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.similarity import (

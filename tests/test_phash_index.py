@@ -14,6 +14,8 @@ import time
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.multimodal import (

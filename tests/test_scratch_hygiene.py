@@ -16,6 +16,8 @@ import tempfile
 
 import pytest
 
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
+
 
 def _slot_dirs():
     return set(glob.glob(tempfile.gettempdir() + "/*-slot-*"))

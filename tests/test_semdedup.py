@@ -6,6 +6,8 @@ construction (`semdedup_evidence_frame`) at sf0.001."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.clustering import (

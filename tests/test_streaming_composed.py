@@ -15,6 +15,8 @@ import time
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.dedup_index import (

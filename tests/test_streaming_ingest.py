@@ -13,6 +13,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
+
 from hive_serde_schema_gen_spark.operators.dedup_index import build_minhash_index
 from hive_serde_schema_gen_spark.streaming.ingest import (
     read_ingested,

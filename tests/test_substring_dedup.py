@@ -5,6 +5,8 @@ semantics, and the no-Python-in-plan guarantee."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # regression-depth tail (see pyproject.toml)
 from pyspark.sql import functions as F
 
 from hive_serde_schema_gen_spark.operators.dedup import (
