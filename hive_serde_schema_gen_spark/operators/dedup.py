@@ -646,13 +646,16 @@ def _dedup_index_probe_build(spark, d, path, signatures=None):
         ).alias("text"),
     )
     batch = exact.unionAll(pert).unionAll(novel)
-    matches = dedup_against_index(batch, path)
+    batch = batch.localCheckpoint()  # probe + matches + triage + exact counts
+    # Materialize the probe ONCE: novel_docs anti-joins the match set, so
+    # a lazy matches frame would re-run the whole index probe when
+    # with_slot_scratch checkpoints the novel frame.
+    matches = dedup_against_index(batch, path).localCheckpoint()
     # Round-12: sketch-only recrawl triage vs the same index — the Theta
     # estimates validate against exact digest counts (two bounded counts
     # at slot scale), the accuracy-contract boolean rides the hash
     from .dedup_index import TRIAGE_REL_ERR, _content_digest, recrawl_triage
 
-    batch = batch.localCheckpoint()  # matches + triage + exact counts
     tri = recrawl_triage(batch, path)
     bd = batch.select(_content_digest().alias("dg")).distinct()
     cd = d.select(_content_digest().alias("dg")).distinct()

@@ -584,7 +584,10 @@ def multimodal_resize_frames(spark, sf_dir):
         extend_phash_index(
             base.filter(F.col("img_id") % 2 == 1), path, epoch=7
         )
-        m = phash_against_index(variants, path)
+        # Materialize the probe ONCE: novel is an anti-join against the
+        # match set, so a lazy m would re-run the whole index-probe
+        # pipeline when with_slot_scratch checkpoints the novel frame.
+        m = phash_against_index(variants, path).localCheckpoint()
         return m, novel_images(variants, m).select("img_id")
 
     matches, novel = with_slot_scratch("ph-idx-slot-", _idx_build)
@@ -652,7 +655,8 @@ def multimodal_resize_frames(spark, sf_dir):
         extend_afp_index(
             a_base.filter(F.col("aud_id") % 2 == 1), path, epoch=7
         )
-        m = afp_against_index(a_var, path)
+        # one probe materialization serves matches AND the novel anti-join
+        m = afp_against_index(a_var, path).localCheckpoint()
         return m, novel_clips(a_var, m).select("aud_id")
 
     amatches, anovel_df = with_slot_scratch("afp-idx-slot-", _aidx_build)
@@ -726,7 +730,8 @@ def multimodal_resize_frames(spark, sf_dir):
         extend_vfp_index(
             v_base.filter(F.col("vid_id") % 2 == 1), path, epoch=7
         )
-        m = vfp_against_index(v_var, path)
+        # one probe materialization serves matches AND the novel anti-join
+        m = vfp_against_index(v_var, path).localCheckpoint()
         return m, novel_videos(v_var, m).select("vid_id")
 
     vmatches, vnovel_df = with_slot_scratch("vfp-idx-slot-", _vidx_build)
