@@ -410,7 +410,7 @@ KM_ALPHA = 0.5
 KM_SALT = "cluster-mix-v1"
 
 
-def kmeans_curation_frames(spark, sf_dir, clustering=None):
+def kmeans_curation_frames(spark, sf_dir, clustering=None, sd_base_pruned=None):
     """(centroid_rows, assignments, rate_rows, sampled) for the slot —
     the REAL operators in the oracle configuration.  ``centroid_rows``:
     (cluster, pos, cval) integer centroids exploded; ``rate_rows``:
@@ -423,7 +423,9 @@ def kmeans_curation_frames(spark, sf_dir, clustering=None):
     run between this evidence and the persisted-index build
     (``kmeans_topics`` is deterministic, so sharing cannot change any
     result; round-17 measurement: the slot ran the identical k-means
-    twice)."""
+    twice).  ``sd_base_pruned``: forwarded to
+    :func:`semdedup_evidence_frame` (round 18 — same sharing posture
+    for the base-corpus prune rows)."""
     from ..sources.tables import load_table
     from .curation import temperature_mix_rates
 
@@ -461,7 +463,9 @@ def kmeans_curation_frames(spark, sf_dir, clustering=None):
         salt=KM_SALT,
         hash_fn="md5",
     ).select("vec_id", "cluster")
-    sd = semdedup_evidence_frame(spark, sf_dir, cents, assigned)
+    sd = semdedup_evidence_frame(
+        spark, sf_dir, cents, assigned, base_pruned=sd_base_pruned
+    )
     return cent_rows, assigned, rate_rows, sampled, sd
 
 
@@ -612,12 +616,21 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int | None | str = "auto",
+    restrict=None,
 ) -> DataFrame:
     """SemDeDup prune over pre-clustered embeddings: one row per vector —
     ``(id, cluster, dup_of, dup_cos)`` where ``dup_of`` is the SMALLEST
     same-cluster id with cosine >= ``threshold`` (NULL = kept) and
     ``dup_cos`` that pair's cosine.  ``kept == dup_of IS NULL``; callers
     anti-join the dropped ids exactly like :func:`dedup_index.novel_docs`.
+
+    ``restrict``: optional boolean Column over the member frame
+    (``vec_id``/``cluster``) — when given, only matching vectors get a
+    result row, and the pair stage's candidate-receiving side shrinks to
+    them (the attribution side stays the full corpus, so each returned
+    row is IDENTICAL to the unrestricted run's row for that id).  Lets a
+    caller that already holds the prune rows for a subset (round 18:
+    ``curation_ops``'s base corpus) pay only the remaining pairs.
 
     Scale shape: the self-join shuffles both sides ON THE CLUSTER KEY
     once; candidate pairs are Σ|cell|²/2, bounded by the clustering
@@ -691,7 +704,8 @@ def semdedup_prune(
                 "re-cluster with larger k (kmeans_topics) instead of "
                 "pair-joining them (max_cell=None opts out)"
             )
-    a, b = m.alias("a"), m.alias("b")
+    mb = m.filter(restrict) if restrict is not None else m
+    a, b = m.alias("a"), mb.alias("b")
     dot = qdot(F.col("a.__q"), F.col("b.__q"))
     cos = dot.cast("double") / (
         F.sqrt(F.col("a.__n2").cast("double"))
@@ -723,7 +737,7 @@ def semdedup_prune(
         ).alias("__d")
     )
     return (
-        m.select("vec_id", "cluster")
+        mb.select("vec_id", "cluster")
         .join(dup, "vec_id", "left")
         .select(
             F.col("vec_id").alias(id_col),
@@ -741,7 +755,7 @@ def semdedup_novel(e: DataFrame, pruned: DataFrame, id_col: str = "vec_id") -> D
     return e.join(dropped, id_col, "left_anti")
 
 
-def semdedup_evidence_frame(spark, sf_dir, cents, assigned):
+def semdedup_evidence_frame(spark, sf_dir, cents, assigned, base_pruned=None):
     """Driver-oracle evidence for the incremental SemDeDup workflow: the
     corpus clustering is FROZEN (``cents``/``assigned`` from the slot's
     kmeans evidence), a planted recrawl batch — exact copies (the
@@ -754,14 +768,33 @@ def semdedup_evidence_frame(spark, sf_dir, cents, assigned):
     SQL): every exact copy drops with ``dup_of`` = its source, most
     perturbed copies drop (the ones whose cosine stays >= threshold —
     the threshold genuinely bites), reversed vectors and the whole base
-    corpus stay kept."""
+    corpus stay kept.
+
+    ``base_pruned``: optional already-materialized
+    ``semdedup_prune(base, assigned)`` rows (round 18 — ``curation_ops``
+    runs that prune anyway for the persisted-index build).  When given,
+    only the batch-receiving pairs are computed here
+    (``restrict=vec_id >= SD_EXACT_OFF``) and the base rows ride the
+    caller's frame: every union pair (a < b) has its receiving side b
+    either a base id — batch ids all carry >= SD_EXACT_OFF offsets, so
+    the attributing a is base too and the row IS a base-prune row — or
+    a batch id, which is exactly the restricted stage.  The union of
+    the two row sets is the unrestricted union prune, row for row."""
     base, batch = _sd_base_and_batch(spark, sf_dir)
     batch_assigned = assign_to_centroids(batch, cents)
-    return semdedup_prune(
-        base.unionByName(batch),
-        assigned.unionByName(batch_assigned),
+    union_e = base.unionByName(batch)
+    union_assigned = assigned.unionByName(batch_assigned)
+    if base_pruned is None:
+        return semdedup_prune(
+            union_e, union_assigned, threshold=SD_THRESHOLD
+        )
+    batch_rows = semdedup_prune(
+        union_e,
+        union_assigned,
         threshold=SD_THRESHOLD,
+        restrict=F.col("vec_id") >= SD_EXACT_OFF,
     )
+    return base_pruned.unionByName(batch_rows)
 
 
 def _sd_base_and_batch(spark, sf_dir):
@@ -798,7 +831,7 @@ def _sd_base_and_batch(spark, sf_dir):
     return base, batch
 
 
-def semdedup_probe_evidence(spark, sf_dir, clustering=None):
+def semdedup_probe_evidence(spark, sf_dir, clustering=None, pruned_base=None):
     """Driver branch op='sdprobe': the PERSISTED-index roundtrip — build
     the on-disk artifact from the base corpus at query time (fresh temp
     dir, the ``dedup_index_probe`` lifecycle pattern; the build runs the
@@ -815,7 +848,13 @@ def semdedup_probe_evidence(spark, sf_dir, clustering=None):
     ``clustering``: optional precomputed ``(cents, assigned)`` from
     :func:`kmeans_topics` over these embeddings at (k, iters) =
     ({KM_K}, {KM_ITERS}) — forwarded to the index build so the slot
-    does not run the identical deterministic k-means twice."""
+    does not run the identical deterministic k-means twice.
+    ``pruned_base``: optional precomputed base-corpus prune rows
+    (``semdedup_prune(e, assigned)``) forwarded the same way — the slot
+    derives them by filtering its corpus∪batch evidence prune to base
+    ids (every planted-batch id carries a >= 1e6 offset above all base
+    ids, and dup attribution only looks at SMALLER ids, so the union
+    prune's base rows equal the base-only prune exactly)."""
     from ..sources.tables import load_table
     from .scratch import with_slot_scratch
 
@@ -825,7 +864,7 @@ def semdedup_probe_evidence(spark, sf_dir, clustering=None):
     def _build(path):
         persist_semdedup_index(
             e, path, k=KM_K, iters=KM_ITERS, threshold=SD_THRESHOLD,
-            clustering=clustering,
+            clustering=clustering, pruned=pruned_base,
         )
         return semdedup_against_index(batch, path)
 
@@ -978,6 +1017,7 @@ def persist_semdedup_index(
     threshold: float = SD_THRESHOLD,
     owner: str | None = None,
     clustering=None,
+    pruned=None,
 ) -> None:
     """Build the on-disk SemDeDup artifact from a corpus embedding frame:
     cluster (``kmeans_topics``), prune (``semdedup_prune``), and persist
@@ -1001,7 +1041,12 @@ def persist_semdedup_index(
     ``clustering``: optional precomputed ``(cents, assigned)`` from
     :func:`kmeans_topics` over the SAME ``e`` at the SAME (k, iters) —
     the caller's responsibility; k-means is deterministic, so a correct
-    pair is indistinguishable from recomputing it here."""
+    pair is indistinguishable from recomputing it here.  ``pruned``:
+    optional precomputed :func:`semdedup_prune` frame over the SAME
+    (``e``, assignments, threshold) — same contract (the prune is
+    deterministic; ``curation_ops`` derives it from its already-executed
+    corpus∪batch evidence prune instead of running the pair stage
+    twice)."""
     from ..sources.manifest import index_writer_lock
     from .similarity import quantized
 
@@ -1012,7 +1057,8 @@ def persist_semdedup_index(
             if clustering is not None
             else kmeans_topics(e, k=k, iters=iters)
         )
-        pruned = semdedup_prune(e, assigned, threshold=threshold)
+        if pruned is None:
+            pruned = semdedup_prune(e, assigned, threshold=threshold)
         kept = pruned.filter(F.col("dup_of").isNull()).select(
             "vec_id", "cluster"
         )

@@ -938,7 +938,7 @@ def curation_ops(spark, sf_dir):
     from ..functions.union import pad_union
     from ..sources.tables import load_table
     from .clustering import kmeans_curation_frames
-    from .dsir import dsir_selected_rows, dsir_weight_rows
+    from .dsir import dsir_slot_frames
 
     e = load_table(spark, sf_dir, "embeddings")
     bench = e.filter(F.col("vec_id") < _SEM_BENCH_MAX_ID)
@@ -1021,16 +1021,34 @@ def curation_ops(spark, sf_dir):
     from .clustering import (
         KM_ITERS,
         KM_K,
+        SD_THRESHOLD,
         kmeans_topics,
         semdedup_probe_evidence,
+        semdedup_prune,
     )
 
     cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
     clustering = (cents, assigned.localCheckpoint())
+    # one base-corpus pair stage, two consumers (round 18): the
+    # persisted-index build inside sdprobe has always executed
+    # semdedup_prune(e, assigned) eagerly — materialize those rows once
+    # and ALSO hand them to the op='semdedup' evidence arm, which then
+    # computes only the batch-receiving pairs lazily inside the union
+    # (semdedup_prune's restrict=; equivalence argued there and
+    # pytest-held).  Net: the union arm's pair stage shrinks from
+    # (base+batch)² to batch×(base+batch) and the base pairs run once.
+    base_pruned = semdedup_prune(
+        e, assigned, threshold=SD_THRESHOLD
+    ).localCheckpoint()
     km_cent, km_assigned, km_rates, km_sampled, km_semdedup = (
-        kmeans_curation_frames(spark, sf_dir, clustering=clustering)
+        kmeans_curation_frames(
+            spark, sf_dir, clustering=clustering, sd_base_pruned=base_pruned
+        )
     )
-    sd_probe = semdedup_probe_evidence(spark, sf_dir, clustering=clustering)
+    sd_probe = semdedup_probe_evidence(
+        spark, sf_dir, clustering=clustering, pruned_base=base_pruned
+    )
+    dsir_w, dsir_sel = dsir_slot_frames(spark, sf_dir)
     tokmix_sel, tokmix_dom, tokmix_man = token_mixture_frames(
         spark, sf_dir
     )
@@ -1070,14 +1088,14 @@ def curation_ops(spark, sf_dir):
             },
         ),
         (
-            dsir_weight_rows(spark, sf_dir),
+            dsir_w,
             {
                 "op": F.lit("dsir_w"), "doc_id": "doc_id",
                 "n_grams": "n_grams", "logw": "logw_q9",
             },
         ),
         (
-            dsir_selected_rows(spark, sf_dir),
+            dsir_sel,
             {
                 "op": F.lit("dsir_sel"), "doc_id": "doc_id",
                 "n_grams": "n_grams", "logw": "logw_q9",

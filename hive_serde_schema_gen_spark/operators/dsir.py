@@ -61,8 +61,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .text import _tokens
-
 #: 52 bits of hash → uniform grid on (0,1); +0.5 half-step keeps u
 #: strictly inside the interval (ln(-ln(u)) stays finite at both ends).
 _U_BITS = 52
@@ -90,6 +88,11 @@ def _grams(text_col: str, bigrams: bool) -> F.Column:
     """Lowercased whitespace unigrams + (optionally) adjacent bigrams
     joined with a single space — the ``embed_text`` gram construction
     (tokens cannot contain whitespace, so 'a b' is unambiguous)."""
+    # lazy: importing text at module scope closes the dsir → text →
+    # curation(oracle build) → dsir cycle and makes this module
+    # unimportable first (the .selection-leaf lesson in text._c4_sql)
+    from .text import _tokens
+
     toks = _tokens(F.lower(F.col(text_col)))
     if not bigrams:
         return toks
@@ -163,16 +166,20 @@ def dsir_weights(
     hash_fn: str = "xxhash64",
     bigrams: bool = True,
     raw_model=None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document log importance weight of every ``raw`` document
     against the ``target`` corpus: ``(id, n_grams, logw_q9)``.
 
     ``target`` is a DataFrame corpus or a prefit ``(counts, totals)``
     pair from :func:`fit_hash_counts`; ``raw_model`` optionally supplies
-    the prefit raw-side model (default: fit on ``raw`` itself).  Buckets
-    unseen in either fit fall back to count 0 — add-one smoothing keeps
-    every ratio finite.  Docs with no grams get ``logw_q9 = 0`` (weight
-    1: no evidence either way)."""
+    the prefit raw-side model (default: fit on ``raw`` itself); ``tf``
+    optionally supplies the :func:`hashed_gram_tf` frame over ``raw``
+    under the SAME (m, salt, hash_fn, bigrams) — a caller that already
+    materialized it (e.g. to derive the models from it) skips the gram
+    explode here.  Buckets unseen in either fit fall back to count 0 —
+    add-one smoothing keeps every ratio finite.  Docs with no grams get
+    ``logw_q9 = 0`` (weight 1: no evidence either way)."""
     kw = dict(m=m, text_col=text_col, salt=salt, hash_fn=hash_fn, bigrams=bigrams)
     p_counts, p_tot = (
         target if isinstance(target, tuple) else fit_hash_counts(target, **kw)
@@ -183,10 +190,11 @@ def dsir_weights(
         else fit_hash_counts(raw, **kw)
     )
 
-    tf = hashed_gram_tf(
-        raw, m=m, id_col=id_col, text_col=text_col, salt=salt,
-        hash_fn=hash_fn, bigrams=bigrams,
-    )
+    if tf is None:
+        tf = hashed_gram_tf(
+            raw, m=m, id_col=id_col, text_col=text_col, salt=salt,
+            hash_fn=hash_fn, bigrams=bigrams,
+        )
     # Model tables are <= m rows: broadcast both; the only corpus-scale
     # shuffle is the tf aggregate inside hashed_gram_tf.
     joined = (
@@ -259,17 +267,27 @@ def dsir_sample(
     hash_fn: str = "xxhash64",
     bigrams: bool = True,
     raw_model=None,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Gumbel-top-k importance resample of ``k`` raw documents without
     replacement: ``(id, n_grams, logw_q9, gumbel_q9, sel_rank)``, ranked
     by ``logw + gumbel`` descending (doc id breaks exact ties).
     Deterministic for a fixed (seed, hash_fn): retries, repartitions and
-    re-runs select the identical set in the identical order."""
+    re-runs select the identical set in the identical order.
+
+    ``weights``: optional precomputed :func:`dsir_weights` frame over the
+    SAME (raw, target, m, salt, hash_fn, bigrams) — the weight pipeline
+    is deterministic, so a caller that also reports weights (the
+    ``curation_ops`` slot) computes them once and threads them here."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    w = dsir_weights(
-        raw, target, m=m, id_col=id_col, text_col=text_col, salt=salt,
-        hash_fn=hash_fn, bigrams=bigrams, raw_model=raw_model,
+    w = (
+        weights
+        if weights is not None
+        else dsir_weights(
+            raw, target, m=m, id_col=id_col, text_col=text_col, salt=salt,
+            hash_fn=hash_fn, bigrams=bigrams, raw_model=raw_model,
+        )
     )
     g = _gumbel(id_col, seed, hash_fn).cast("decimal(20,9)")
     keyed = w.select(
@@ -307,6 +325,50 @@ _SLOT_M = 256
 _SLOT_K = 20
 _SLOT_LANG = "zh"
 _U_MOD = 1 << _U_BITS
+
+
+def dsir_slot_frames(spark, sf_dir):
+    """Both driver arms — ``(weight_rows, selected_rows)`` — from ONE
+    gram pass over the corpus (guide §2.3: aggregate before you shuffle,
+    and don't compute the same thing twice).  The standalone arm
+    builders each run the full weight pipeline (tf aggregate + raw-model
+    fit = two gram explodes apiece, four per slot); here the
+    hashed-gram tf materializes once and everything else derives from
+    it exactly:
+
+    - raw model: bucket counts over ALL grams = the per-(doc, b) tf
+      summed over docs (same rows of ``g`` grouped coarser);
+    - target model: the zh slice is a doc-level filter of the corpus
+      and doc_id is unique, so target bucket counts = tf restricted to
+      zh doc_ids, summed per bucket;
+    - the weights frame is checkpointed and threads into BOTH the
+      op='dsir_w' filter and the op='dsir_sel' Gumbel top-k
+      (``dsir_sample(weights=...)``).
+
+    Row-identical to ``dsir_weight_rows`` / ``dsir_selected_rows`` by
+    construction (pytest-held)."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = hashed_gram_tf(d, m=_SLOT_M, hash_fn="md5").localCheckpoint()
+    q_counts = tf.groupBy("b").agg(F.sum("tf").alias("c"))
+    q_tot = q_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t"))
+    zh_ids = d.filter(F.col("lang") == _SLOT_LANG).select("doc_id")
+    p_counts = (
+        tf.join(zh_ids, "doc_id")
+        .groupBy("b")
+        .agg(F.sum("tf").alias("c"))
+    )
+    p_tot = p_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t"))
+    w = dsir_weights(
+        d, (p_counts, p_tot), m=_SLOT_M, hash_fn="md5",
+        raw_model=(q_counts, q_tot), tf=tf,
+    ).localCheckpoint()
+    sel = dsir_sample(
+        d, (p_counts, p_tot), k=_SLOT_K, m=_SLOT_M, hash_fn="md5",
+        weights=w,
+    )
+    return w.filter(F.col("doc_id") % 10 == 0), sel
 
 
 def dsir_weight_rows(spark, sf_dir):

@@ -125,3 +125,69 @@ def test_dedup_canonical_query_matches_recursive_cte_oracle(spark, sf_dir_oracle
     want = sorted((r[0], r[1]) for r in con.execute(_canonical_oracle()).fetchall())
     con.close()
     assert got == want
+
+
+def test_union_prune_base_rows_equal_base_prune(spark):
+    """Round-18 sharing: the corpus∪batch evidence prune filtered to
+    base ids must equal semdedup_prune over the base alone — the
+    invariant that lets curation_ops feed one pair stage into both the
+    op='semdedup' evidence and the persisted-index build (batch ids all
+    carry >= SD_EXACT_OFF offsets; dup attribution only looks at
+    smaller ids)."""
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        KM_ITERS,
+        KM_K,
+        SD_EXACT_OFF,
+        SD_THRESHOLD,
+        kmeans_topics,
+        semdedup_evidence_frame,
+        semdedup_prune,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
+    assigned = assigned.localCheckpoint()
+    union_rows = (
+        semdedup_evidence_frame(spark, sf_dir, cents, assigned)
+        .filter(F.col("vec_id") < SD_EXACT_OFF)
+        .collect()
+    )
+    direct_rows = semdedup_prune(
+        e, assigned, threshold=SD_THRESHOLD
+    ).collect()
+    assert sorted(map(tuple, union_rows)) == sorted(
+        map(tuple, direct_rows)
+    )
+
+
+def test_split_evidence_frame_equals_union_prune(spark):
+    """Round-18 sharing, second half: semdedup_evidence_frame with
+    base_pruned= (base rows from the caller, batch rows from the
+    restricted pair stage) must be row-identical to the unrestricted
+    corpus∪batch prune."""
+    from hive_serde_schema_gen_spark.operators.clustering import (
+        KM_ITERS,
+        KM_K,
+        SD_THRESHOLD,
+        kmeans_topics,
+        semdedup_evidence_frame,
+        semdedup_prune,
+    )
+    from hive_serde_schema_gen_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
+    assigned = assigned.localCheckpoint()
+    whole = semdedup_evidence_frame(spark, sf_dir, cents, assigned)
+    base_pruned = semdedup_prune(
+        e, assigned, threshold=SD_THRESHOLD
+    ).localCheckpoint()
+    split = semdedup_evidence_frame(
+        spark, sf_dir, cents, assigned, base_pruned=base_pruned
+    )
+    assert sorted(map(tuple, split.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

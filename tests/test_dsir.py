@@ -235,3 +235,24 @@ def test_curate_and_prepare_dsir_requires_k(spark):
     target = load_table(spark, sf_dir, "documents").limit(5)
     with pytest.raises(ValueError):
         curate_and_prepare(spark, sf_dir, dsir_target=target)
+
+
+def test_slot_frames_match_standalone_arms(spark):
+    """Round-18 sharing: dsir_slot_frames derives both driver arms from
+    ONE materialized gram pass (raw model = tf summed per bucket, target
+    model = tf restricted to the zh doc ids) — rows must be identical to
+    the standalone per-arm builders that fit everything from scratch."""
+    from hive_serde_schema_gen_spark.operators.dsir import (
+        dsir_selected_rows,
+        dsir_slot_frames,
+        dsir_weight_rows,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    w_new, sel_new = dsir_slot_frames(spark, sf_dir)
+    assert sorted(map(tuple, w_new.collect())) == sorted(
+        map(tuple, dsir_weight_rows(spark, sf_dir).collect())
+    )
+    assert sorted(map(tuple, sel_new.collect())) == sorted(
+        map(tuple, dsir_selected_rows(spark, sf_dir).collect())
+    )
