@@ -1087,7 +1087,13 @@ def persist_semdedup_index(
                 for pos, c in enumerate(vec)
             ],
             "cluster int, pos int, c long",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        # repartition(1), NOT coalesce(1): a coalesced local relation
+        # evaluates every parallelize slice through one Python worker
+        # SERIALLY inside the single task (~150 ms x 32 slices ~ 5 s
+        # measured for these k x dim rows); repartition runs the slices
+        # in parallel first and still writes one file.  Readers collect
+        # into a dict, so row order is immaterial.
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
         spark.createDataFrame(
             [(SEMDEDUP_INDEX_VERSION, k, iters, float(threshold))],
             "version int, k int, iters int, threshold double",

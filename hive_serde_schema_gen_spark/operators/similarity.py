@@ -1819,7 +1819,12 @@ def persist_ivf_index(
                 for pos, c in enumerate(vec)
             ],
             "cell int, pos int, c long",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        # repartition(1), NOT coalesce(1): coalescing a local relation
+        # evaluates all its parallelize slices serially through one
+        # Python worker (~150 ms a slice — ~5 s for centroid tables
+        # this size); repartition parallelizes the evaluation and still
+        # writes one file.  The probe collects into a dict — order-free.
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
         spark.createDataFrame(
             [(IVF_INDEX_VERSION, N_CENTROIDS, N_PROBE, KMEANS_ITERS)],
             "version int, n_centroids int, n_probe int, kmeans_iters int",

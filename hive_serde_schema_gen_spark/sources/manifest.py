@@ -123,9 +123,12 @@ class ManifestTable:
             "manifests", f"committed-v{new_v}"
         ):
             fs.delete(mpath, True)
+        # repartition(1), NOT coalesce(1): a coalesced local relation
+        # evaluates its parallelize slices serially through one Python
+        # worker (~150 ms each); _files_at sorts, so order is free.
         self.spark.createDataFrame(
             [(f,) for f in files], "file string"
-        ).coalesce(1).write.mode("errorifexists").parquet(
+        ).repartition(1).write.mode("errorifexists").parquet(
             self._manifest_path(new_v)
         )
         return self._seal(files, new_v)

@@ -35,7 +35,10 @@ _REPORT_SCHEMA = (
 
 
 def _write_report(spark, rows, report_path: str, epoch_id: int) -> None:
-    spark.createDataFrame(rows, _REPORT_SCHEMA).coalesce(1).write.mode(
+    # repartition(1), NOT coalesce(1): a coalesced local relation
+    # evaluates its parallelize slices serially through one Python
+    # worker per slice; report readers never depend on row order.
+    spark.createDataFrame(rows, _REPORT_SCHEMA).repartition(1).write.mode(
         "overwrite"
     ).parquet(f"{report_path}/epoch={epoch_id}")
 
