@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_rows_df
 from ..sources.tables import load_table
 
 
@@ -111,8 +112,8 @@ def connected_components(
                 [StructField("id", id_type), StructField("component", id_type)]
             )
             rows = [(r["u"], r["v"]) for r in head]
-            return edges.sparkSession.createDataFrame(
-                _union_find_labels(rows), schema
+            return local_rows_df(
+                edges.sparkSession, _union_find_labels(rows), schema
             )
     labels = (
         sym.select(F.col("u").alias("id"))
@@ -179,7 +180,8 @@ def connected_components(
                 from pyspark.sql.types import StructField, StructType
 
                 id_type = labels.schema["id"].dataType
-                fin = labels.sparkSession.createDataFrame(
+                fin = local_rows_df(
+                    labels.sparkSession,
                     finish,
                     StructType(
                         [
@@ -435,7 +437,8 @@ def kmeans_curation_frames(spark, sf_dir, clustering=None, sd_base_pruned=None):
     else:
         cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
         assigned = assigned.localCheckpoint()  # 3 consumers below
-    cent_rows = spark.createDataFrame(
+    cent_rows = local_rows_df(
+        spark,
         [
             (cell, pos, int(c))
             for cell, vec in sorted(cents.items())
@@ -450,7 +453,8 @@ def kmeans_curation_frames(spark, sf_dir, clustering=None, sd_base_pruned=None):
         .collect()
     }
     rates = temperature_mix_rates(sizes, alpha=KM_ALPHA, total=None)
-    rate_rows = spark.createDataFrame(
+    rate_rows = local_rows_df(
+        spark,
         [(c, sizes[c], rates[c]) for c in sorted(rates)],
         "cluster int, n_docs long, rate double",
     ).select("cluster", "n_docs", F.round("rate", 6).alias("rate"))
@@ -1080,20 +1084,20 @@ def persist_semdedup_index(
             .partitionBy("cluster")
             .parquet(f"{path}/members")
         )
-        spark.createDataFrame(
+        # single-slice local frame: one Python-worker evaluation, one
+        # output file, input row order preserved (replaces the
+        # coalesce(1) form whose single task evaluated all 32
+        # parallelize slices serially, ~150 ms apiece — ~5 s measured
+        # for these k x dim rows)
+        local_rows_df(
+            spark,
             [
                 (cell, pos, int(c))
                 for cell, vec in sorted(cents.items())
                 for pos, c in enumerate(vec)
             ],
             "cluster int, pos int, c long",
-        # repartition(1), NOT coalesce(1): a coalesced local relation
-        # evaluates every parallelize slice through one Python worker
-        # SERIALLY inside the single task (~150 ms x 32 slices ~ 5 s
-        # measured for these k x dim rows); repartition runs the slices
-        # in parallel first and still writes one file.  Readers collect
-        # into a dict, so row order is immaterial.
-        ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
         spark.createDataFrame(
             [(SEMDEDUP_INDEX_VERSION, k, iters, float(threshold))],
             "version int, k int, iters int, threshold double",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.localdf import local_rows_df
 from ..registry import query
 from ..sources.tables import load_table
 
@@ -384,7 +385,8 @@ def lsh_buckets(e: DataFrame) -> DataFrame:
     count.  At 100 TB the bucket columns are computed once at ingest and
     stored, making probe-time candidate reads partition-prunable."""
     spark = e.sparkSession
-    weights = spark.createDataFrame(
+    weights = local_rows_df(
+        spark,
         [
             (t, p, pos, w)
             for t in range(N_TABLES)
@@ -566,7 +568,8 @@ def _lsh_candidate_ids(
     table, broadcast-joined against the unpivoted bucket index (the
     partition-prunable read pattern — see ``ann_topk_lsh`` step 3)."""
     spark = bucketed.sparkSession
-    ball = spark.createDataFrame(
+    ball = local_rows_df(
+        spark,
         [
             (t, b)
             for t in range(N_TABLES)
@@ -764,7 +767,8 @@ def _pq_assign(ex: DataFrame, codebook: dict) -> DataFrame:
             for k in range(subdim)
         ]
     )
-    ctw = spark.createDataFrame(
+    ctw = local_rows_df(
+        spark,
         [(s, c, *(int(w) for w in vec)) for (s, c), vec in codebook.items()],
         "s int, code int, "
         + ", ".join(f"__w{k} long" for k in range(subdim)),
@@ -873,7 +877,8 @@ def pq_approx_scores(codes: DataFrame, codebook: dict, qvec) -> DataFrame:
     spark = codes.sparkSession
     subdim = len(next(iter(codebook.values())))
     qnorm = math.sqrt(sum(v * v for v in qvec))
-    lut = spark.createDataFrame(
+    lut = local_rows_df(
+        spark,
         [
             (
                 s,
@@ -1135,7 +1140,8 @@ def _cell_assignments(eq: DataFrame, cents: dict) -> DataFrame:
     out of the broadcast table makes such a cell simply unassignable
     (mirrored by ``n2 > 0`` in the IVF oracle CTEs)."""
     spark = eq.sparkSession
-    ct = spark.createDataFrame(
+    ct = local_rows_df(
+        spark,
         [
             (cell, pos, int(c))
             for cell, vec in cents.items()
@@ -1143,7 +1149,8 @@ def _cell_assignments(eq: DataFrame, cents: dict) -> DataFrame:
         ],
         "cell int, pos int, c long",
     )
-    n2 = spark.createDataFrame(
+    n2 = local_rows_df(
+        spark,
         [(cell, int(sum(c * c for c in vec))) for cell, vec in cents.items()],
         "cell int, n2 long",
     ).filter(F.col("n2") > 0)
@@ -1335,7 +1342,8 @@ def _refine_buckets(qdf: DataFrame) -> DataFrame:
     formulation as ``lsh_buckets``, restricted to the (small) hot-member
     set the caller passes in."""
     spark = qdf.sparkSession
-    weights = spark.createDataFrame(
+    weights = local_rows_df(
+        spark,
         [
             (rt, p, pos, w)
             for rt in range(R_REFINE)
@@ -1812,19 +1820,19 @@ def persist_ivf_index(
             .partitionBy("cell")
             .parquet(f"{path}/cells")
         )
-        spark.createDataFrame(
+        # single-slice local frame: one Python-worker evaluation, one
+        # output file, input row order preserved (local_rows_df replaced
+        # the coalesce(1) form whose single task evaluated all 32
+        # parallelize slices serially, ~150 ms apiece)
+        local_rows_df(
+            spark,
             [
                 (cell, pos, int(c))
                 for cell, vec in cents.items()
                 for pos, c in enumerate(vec)
             ],
             "cell int, pos int, c long",
-        # repartition(1), NOT coalesce(1): coalescing a local relation
-        # evaluates all its parallelize slices serially through one
-        # Python worker (~150 ms a slice — ~5 s for centroid tables
-        # this size); repartition parallelizes the evaluation and still
-        # writes one file.  The probe collects into a dict — order-free.
-        ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
         spark.createDataFrame(
             [(IVF_INDEX_VERSION, N_CENTROIDS, N_PROBE, KMEANS_ITERS)],
             "version int, n_centroids int, n_probe int, kmeans_iters int",
