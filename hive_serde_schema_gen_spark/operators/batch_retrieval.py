@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.localdf import local_rows_df
 from .similarity import (
     MULTIPROBE_FLIPS,
     N_TABLES,
@@ -64,7 +65,7 @@ def _flip_masks(spark: SparkSession, n_bits: int = PLANES_PER_TABLE,
             for b in bits:
                 m |= 1 << b
             masks.append(m)
-    return spark.createDataFrame([(m,) for m in masks], "mask long")
+    return local_rows_df(spark, [(m,) for m in masks], "mask long")
 
 
 def lsh_candidates_batch(index: DataFrame, qindex: DataFrame) -> DataFrame:
@@ -102,8 +103,9 @@ def _codebook_frames(spark: SparkSession, codebook: dict):
         for (s, c), vec in codebook.items()
         for spos, w in enumerate(vec)
     ]
-    cb = spark.createDataFrame(rows, "s int, code int, spos int, w long")
-    n2 = spark.createDataFrame(
+    cb = local_rows_df(spark, rows, "s int, code int, spos int, w long")
+    n2 = local_rows_df(
+        spark,
         [
             (s, c, int(sum(int(w) * int(w) for w in vec)))
             for (s, c), vec in codebook.items()

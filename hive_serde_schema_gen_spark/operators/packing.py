@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.localdf import local_rows_df
 from ..registry import query
 from ..sources.tables import load_table
 from .bpe import (
@@ -597,7 +598,8 @@ def bpe_tokenizer_ops(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     merges = train_bpe(d, BPE_MERGES)
-    merge_rows = spark.createDataFrame(
+    merge_rows = local_rows_df(
+        spark,
         [(i, f"{left}|{right}") for i, (left, right) in enumerate(merges)],
         "rank bigint, pair string",
     )

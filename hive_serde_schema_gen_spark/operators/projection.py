@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame
+from ..functions.localdf import local_rows_df
 from pyspark.sql import functions as F
 
 
@@ -70,7 +71,8 @@ def random_projection(
                 "the 1/sqrt(out_dim) scale is an exact IEEE division "
                 f"(got out_dim={out_dim})"
             )
-    weights = spark.createDataFrame(
+    weights = local_rows_df(
+        spark,
         [
             (i, j, _rp_weight(seed, i, j))
             for i in range(in_dim)
