@@ -1027,8 +1027,19 @@ def curation_ops(spark, sf_dir):
         semdedup_prune,
     )
 
-    cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
-    clustering = (cents, assigned.localCheckpoint())
+    # The DSIR arms read only `documents` and are independent of the
+    # whole kmeans/semdedup chain below — build them from a driver
+    # thread so their gram-explode jobs back-fill executors idled by
+    # the chain's driver-side phases (seed/size collects, Lloyd means,
+    # index writes); guide §2.6.  Both sides are deterministic, so
+    # overlap cannot change any result row.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut_dsir = pool.submit(dsir_slot_frames, spark, sf_dir)
+        cents, assigned = kmeans_topics(e, k=KM_K, iters=KM_ITERS)
+        clustering = (cents, assigned.localCheckpoint())
     # one base-corpus pair stage, two consumers (round 18): the
     # persisted-index build inside sdprobe has always executed
     # semdedup_prune(e, assigned) eagerly — materialize those rows once
@@ -1037,18 +1048,21 @@ def curation_ops(spark, sf_dir):
     # (semdedup_prune's restrict=; equivalence argued there and
     # pytest-held).  Net: the union arm's pair stage shrinks from
     # (base+batch)² to batch×(base+batch) and the base pairs run once.
-    base_pruned = semdedup_prune(
-        e, assigned, threshold=SD_THRESHOLD
-    ).localCheckpoint()
-    km_cent, km_assigned, km_rates, km_sampled, km_semdedup = (
-        kmeans_curation_frames(
-            spark, sf_dir, clustering=clustering, sd_base_pruned=base_pruned
+        base_pruned = semdedup_prune(
+            e, assigned, threshold=SD_THRESHOLD
+        ).localCheckpoint()
+        km_cent, km_assigned, km_rates, km_sampled, km_semdedup = (
+            kmeans_curation_frames(
+                spark, sf_dir, clustering=clustering,
+                sd_base_pruned=base_pruned,
+            )
         )
-    )
-    sd_probe = semdedup_probe_evidence(
-        spark, sf_dir, clustering=clustering, pruned_base=base_pruned
-    )
-    dsir_w, dsir_sel = dsir_slot_frames(spark, sf_dir)
+        sd_probe = semdedup_probe_evidence(
+            spark, sf_dir, clustering=clustering, pruned_base=base_pruned
+        )
+        dsir_w, dsir_sel = fut_dsir.result()
+    finally:
+        pool.shutdown(wait=True)
     tokmix_sel, tokmix_dom, tokmix_man = token_mixture_frames(
         spark, sf_dir
     )

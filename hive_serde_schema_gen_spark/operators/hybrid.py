@@ -352,6 +352,7 @@ def _freetext_fixture(spark, sf_dir, path=None):
     entries route it through ``with_slot_scratch``); None falls back to
     a leaked mkdtemp for ad-hoc/legacy use."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..sources.tables import load_table
     from .embedding import embed_text
@@ -359,13 +360,27 @@ def _freetext_fixture(spark, sf_dir, path=None):
     from .text_index import build_text_index
 
     d = load_table(spark, sf_dir, "documents")
-    e = embed_text(
-        d, dim=_EMB_DIM_HYBRID, bigrams=True, hash_fn="md5"
-    ).select(F.col("doc_id").alias("vec_id"), "embedding").localCheckpoint()
     if path is None:
         path = tempfile.mkdtemp(prefix="hybrid-ft-slot-")
-    build_text_index(d, path)
-    return path, e, build_lsh_index(e), build_pq_index(e)
+    # Overlap the independent ingest builds (guide §2.6 — actions are
+    # only sequential because driver code calls them sequentially): the
+    # BM25 postings build reads only `documents` and is independent of
+    # the whole embedding chain, and the LSH and PQ builds both read
+    # only the checkpointed embeddings and are independent of each
+    # other.  Each build is deterministic and writes/returns its own
+    # artifact, so overlap cannot change any result row; jobs from the
+    # pool thread back-fill executors idled by the driver-side phases
+    # (seed collects, Lloyd means) of the concurrent build.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_text = pool.submit(build_text_index, d, path)
+        e = embed_text(
+            d, dim=_EMB_DIM_HYBRID, bigrams=True, hash_fn="md5"
+        ).select(F.col("doc_id").alias("vec_id"), "embedding").localCheckpoint()
+        fut_lsh = pool.submit(build_lsh_index, e)
+        pq = build_pq_index(e)
+        lsh = fut_lsh.result()
+        fut_text.result()
+    return path, e, lsh, pq
 
 
 def hybrid_freetext_topk(spark, sf_dir, fixture=None):

@@ -522,300 +522,334 @@ def multimodal_resize_frames(spark, sf_dir):
         F.lit(4).alias("height"),
         "checksum",
     )
-    # three consumers (dhash rows, ahash rows, the pair self-join) read
-    # the hash frame — cut lineage so decode+hash runs once
-    hashed = image_hashes(phash_evidence_images(d)).localCheckpoint()
-    dh = hashed.select(
-        F.lit("dhash").alias("op"),
-        F.col("img_id").alias("doc_id"),
-        F.lit(0).alias("idx"),
-        "width",
-        "height",
-        F.col("dhash").alias("checksum"),
-    )
-    ah = hashed.select(
-        F.lit("ahash").alias("op"),
-        F.col("img_id").alias("doc_id"),
-        F.lit(0).alias("idx"),
-        "width",
-        "height",
-        F.col("ahash").alias("checksum"),
-    )
-    pdup = phash_near_dup_pairs(hashed).select(
-        F.lit("pdup").alias("op"),
-        F.col("img_a").alias("doc_id"),
-        F.col("dist").cast("int").alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("img_b").alias("checksum"),
-    )
-    # the oracle pins minpair's global-minimum attribution — the slot
-    # must not let the auto diagnostic flip the physical strategy
-    pded = phash_dedup(hashed, strategy="minpair").select(
-        F.lit("pdedup").alias("op"),
-        F.col("img_id").alias("doc_id"),
-        F.col("dist").cast("int").alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("dup_of").alias("checksum"),
-    )
-    # op='pprobe'/'pnovel': the PERSISTED index lifecycle
-    # (operators/phash_index.py) driven at query time — build on the
-    # even base ids, EXTEND with the odd half (a dropped extend batch
-    # breaks the hash), probe with the planted variants.  Exact recall
-    # at the default radius means the oracle's brute-force base×variant
-    # pair set IS the probe's contract.  The temp index lives only
-    # inside with_slot_scratch (round-13 hygiene).
-    from .phash_index import (
-        build_phash_index,
-        extend_phash_index,
-        novel_images,
-        phash_against_index,
-    )
+    # The four evidence families below — image, audio, video, and the
+    # media-corpus accounting — are mutually independent (each derives
+    # from `d` through its own planted synth), but each runs several
+    # EAGER steps at construction (fingerprint checkpoints, persisted
+    # build→extend→probe lifecycles, the CC contraction's driver
+    # rounds).  Run them as closures on a small driver pool (guide
+    # §2.6): one family's distributed jobs back-fill executors idled by
+    # another's driver-side phases.  Every step is deterministic and
+    # family-local, so overlap cannot change any result row.
     from .scratch import with_slot_scratch
 
-    base = hashed.filter(F.col("img_id") < PHASH_UP_OFFSET)
-    variants = hashed.filter(F.col("img_id") >= PHASH_UP_OFFSET)
-
-    def _idx_build(path):
-        build_phash_index(
-            base.filter(F.col("img_id") % 2 == 0), path, n_files=4
+    def _image_family():
+        # three consumers (dhash rows, ahash rows, the pair self-join) read
+        # the hash frame — cut lineage so decode+hash runs once
+        hashed = image_hashes(phash_evidence_images(d)).localCheckpoint()
+        dh = hashed.select(
+            F.lit("dhash").alias("op"),
+            F.col("img_id").alias("doc_id"),
+            F.lit(0).alias("idx"),
+            "width",
+            "height",
+            F.col("dhash").alias("checksum"),
         )
-        extend_phash_index(
-            base.filter(F.col("img_id") % 2 == 1), path, epoch=7
+        ah = hashed.select(
+            F.lit("ahash").alias("op"),
+            F.col("img_id").alias("doc_id"),
+            F.lit(0).alias("idx"),
+            "width",
+            "height",
+            F.col("ahash").alias("checksum"),
         )
-        # Materialize the probe ONCE: novel is an anti-join against the
-        # match set, so a lazy m would re-run the whole index-probe
-        # pipeline when with_slot_scratch checkpoints the novel frame.
-        m = phash_against_index(variants, path).localCheckpoint()
-        return m, novel_images(variants, m).select("img_id")
-
-    matches, novel = with_slot_scratch("ph-idx-slot-", _idx_build)
-    pprobe = matches.select(
-        F.lit("pprobe").alias("op"),
-        F.col("img_id").alias("doc_id"),
-        F.col("dist").cast("int").alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("matched_img_id").alias("checksum"),
-    )
-    pnovel = novel.select(
-        F.lit("pnovel").alias("op"),
-        F.col("img_id").alias("doc_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.lit(None).cast("long").alias("checksum"),
-    )
-    # round-15: the audio arm — energy-difference fingerprints over the
-    # planted clip corpus, then the SAME banded machinery (hash_col='afp').
-    # Three consumers read the fingerprint frame — cut lineage once.
-    afps = audio_fingerprints(audio_evidence_clips(d)).localCheckpoint()
-    af = afps.select(
-        F.lit("afp").alias("op"),
-        F.col("aud_id").alias("doc_id"),
-        F.lit(0).alias("idx"),
-        F.col("sample_rate").alias("width"),
-        F.col("n_samples").cast("int").alias("height"),
-        F.col("afp").alias("checksum"),
-    )
-    ap = audio_near_dup_pairs(afps).select(
-        F.lit("apair").alias("op"),
-        F.col("img_a").alias("doc_id"),
-        F.col("dist").cast("int").alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("img_b").alias("checksum"),
-    )
-    ad = audio_dedup(afps, strategy="minpair").select(
-        F.lit("adedup").alias("op"),
-        F.col("img_id").alias("doc_id"),
-        F.col("dist").cast("int").alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("dup_of").alias("checksum"),
-    )
-    # round-17: op='aprobe'/'anovel' — the PERSISTED audio-index
-    # lifecycle (operators/afp_index.py), the image family's
-    # build→extend→probe discipline under the audio meta pin.
-    from .afp_index import (
-        afp_against_index,
-        build_afp_index,
-        extend_afp_index,
-        novel_clips,
-    )
-
-    a_base = afps.filter(F.col("aud_id") < PHASH_UP_OFFSET)
-    a_var = afps.filter(F.col("aud_id") >= PHASH_UP_OFFSET)
-
-    def _aidx_build(path):
-        build_afp_index(
-            a_base.filter(F.col("aud_id") % 2 == 0), path, n_files=4
+        pdup = phash_near_dup_pairs(hashed).select(
+            F.lit("pdup").alias("op"),
+            F.col("img_a").alias("doc_id"),
+            F.col("dist").cast("int").alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("img_b").alias("checksum"),
         )
-        extend_afp_index(
-            a_base.filter(F.col("aud_id") % 2 == 1), path, epoch=7
+        # the oracle pins minpair's global-minimum attribution — the slot
+        # must not let the auto diagnostic flip the physical strategy
+        pded = phash_dedup(hashed, strategy="minpair").select(
+            F.lit("pdedup").alias("op"),
+            F.col("img_id").alias("doc_id"),
+            F.col("dist").cast("int").alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("dup_of").alias("checksum"),
         )
-        # one probe materialization serves matches AND the novel anti-join
-        m = afp_against_index(a_var, path).localCheckpoint()
-        return m, novel_clips(a_var, m).select("aud_id")
-
-    amatches, anovel_df = with_slot_scratch("afp-idx-slot-", _aidx_build)
-    aprobe = amatches.select(
-        F.lit("aprobe").alias("op"),
-        F.col("aud_id").alias("doc_id"),
-        F.col("dist").cast("int").alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("matched_aud_id").alias("checksum"),
-    )
-    anovel = anovel_df.select(
-        F.lit("anovel").alias("op"),
-        F.col("aud_id").alias("doc_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.lit(None).cast("long").alias("checksum"),
-    )
-    # round-16: the VIDEO arm — majority-pooled frame dHashes over the
-    # planted clip corpus, then the SAME banded machinery (hash_col=
-    # 'vfp').  Three consumers read the fingerprint frame — cut once.
-    vfps = video_fingerprints(video_evidence_clips(d)).localCheckpoint()
-    vf = vfps.select(
-        F.lit("vfp").alias("op"),
-        F.col("vid_id").alias("doc_id"),
-        F.lit(0).alias("idx"),
-        F.col("n_frames").cast("int").alias("width"),
-        F.col("n_sampled").cast("int").alias("height"),
-        F.col("vfp").alias("checksum"),
-    )
-    # pairs and attribution feed THREE consumers each (their op rows +
-    # the transitive-lineage clusters) — cut lineage once apiece
-    vpairs = phash_near_dup_pairs(
-        vfps, hash_col="vfp", id_col="vid_id"
-    ).localCheckpoint()
-    vatt = video_dedup(vfps, strategy="minpair").localCheckpoint()
-    vp = vpairs.select(
-        F.lit("vpair").alias("op"),
-        F.col("img_a").alias("doc_id"),
-        F.col("dist").cast("int").alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("img_b").alias("checksum"),
-    )
-    vd = vatt.select(
-        F.lit("vdedup").alias("op"),
-        F.col("img_id").alias("doc_id"),
-        F.col("dist").cast("int").alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("dup_of").alias("checksum"),
-    )
-    # round-17: op='vprobe'/'vnovel' — the persisted VIDEO-index
-    # lifecycle (operators/vfp_index.py), same discipline under the
-    # video grid pin.
-    from .vfp_index import (
-        build_vfp_index,
-        extend_vfp_index,
-        novel_videos,
-        vfp_against_index,
-    )
-
-    v_base = vfps.filter(F.col("vid_id") < VFP_DUP_OFFSET)
-    v_var = vfps.filter(F.col("vid_id") >= VFP_DUP_OFFSET)
-
-    def _vidx_build(path):
-        build_vfp_index(
-            v_base.filter(F.col("vid_id") % 2 == 0), path, n_files=4
+        # op='pprobe'/'pnovel': the PERSISTED index lifecycle
+        # (operators/phash_index.py) driven at query time — build on the
+        # even base ids, EXTEND with the odd half (a dropped extend batch
+        # breaks the hash), probe with the planted variants.  Exact recall
+        # at the default radius means the oracle's brute-force base×variant
+        # pair set IS the probe's contract.  The temp index lives only
+        # inside with_slot_scratch (round-13 hygiene).
+        from .phash_index import (
+            build_phash_index,
+            extend_phash_index,
+            novel_images,
+            phash_against_index,
         )
-        extend_vfp_index(
-            v_base.filter(F.col("vid_id") % 2 == 1), path, epoch=7
-        )
-        # one probe materialization serves matches AND the novel anti-join
-        m = vfp_against_index(v_var, path).localCheckpoint()
-        return m, novel_videos(v_var, m).select("vid_id")
+        from .scratch import with_slot_scratch
 
-    vmatches, vnovel_df = with_slot_scratch("vfp-idx-slot-", _vidx_build)
-    vprobe = vmatches.select(
-        F.lit("vprobe").alias("op"),
-        F.col("vid_id").alias("doc_id"),
-        F.col("dist").cast("int").alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("matched_vid_id").alias("checksum"),
-    )
-    vnovel = vnovel_df.select(
-        F.lit("vnovel").alias("op"),
-        F.col("vid_id").alias("doc_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.lit(None).cast("long").alias("checksum"),
-    )
-    # round-17: op='vclust' — media_dup_clusters' transitive lineage
-    # (pairs + keep-first attribution → connected_components min-id
-    # labels) under the hash gate, over the video evidence corpus.
-    vcl = media_dup_clusters(vpairs, vatt).select(
-        F.lit("vclust").alias("op"),
-        F.col("id").alias("doc_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("component").alias("checksum"),
-    )
-    # round-16: op='macct'/'ddrop' — the dedup_media_corpus accounting
-    # reconciliation and decode_drop_report under the hash gate (VERDICT
-    # r15 #5).  The one-call pipeline runs its REAL staged chain (byte
-    # collapse before decode, default 'auto' strategy — the gate covers
-    # the new default) over the planted corpus; the driver-side stage
-    # counts land as integer rows the oracle re-derives independently.
-    macsel = (
-        d.groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .filter(F.col("doc_id") % MACCT_SEL_MOD == 0)
-        .select("doc_id", "text")
-    )
-    mac_base = (
-        with_bmp_payload(macsel)
-        .select(F.col("doc_id").alias("img_id"), "payload")
-        .localCheckpoint()  # corpus union + copies arm + ddrop input
-    )
-    mac_copies = mac_base.filter(F.col("img_id") % 2 == 0).select(
-        (F.col("img_id") + MACCT_COPY_OFFSET).alias("img_id"), "payload"
-    )
-    mac_garbage = d.filter(F.col("doc_id") % MACCT_GARB_MOD == 0).select(
-        (F.col("doc_id") + MACCT_GARB_OFFSET).alias("img_id"),
-        F.encode(
-            F.concat_ws(
-                ":", F.lit("not-a-bmp"), F.col("doc_id").cast("string")
+        base = hashed.filter(F.col("img_id") < PHASH_UP_OFFSET)
+        variants = hashed.filter(F.col("img_id") >= PHASH_UP_OFFSET)
+
+        def _idx_build(path):
+            build_phash_index(
+                base.filter(F.col("img_id") % 2 == 0), path, n_files=4
+            )
+            extend_phash_index(
+                base.filter(F.col("img_id") % 2 == 1), path, epoch=7
+            )
+            # Materialize the probe ONCE: novel is an anti-join against the
+            # match set, so a lazy m would re-run the whole index-probe
+            # pipeline when with_slot_scratch checkpoints the novel frame.
+            m = phash_against_index(variants, path).localCheckpoint()
+            return m, novel_images(variants, m).select("img_id")
+
+        matches, novel = with_slot_scratch("ph-idx-slot-", _idx_build)
+        pprobe = matches.select(
+            F.lit("pprobe").alias("op"),
+            F.col("img_id").alias("doc_id"),
+            F.col("dist").cast("int").alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("matched_img_id").alias("checksum"),
+        )
+        pnovel = novel.select(
+            F.lit("pnovel").alias("op"),
+            F.col("img_id").alias("doc_id"),
+            F.lit(0).alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(None).cast("long").alias("checksum"),
+        )
+        return dh, ah, pdup, pded, pprobe, pnovel
+
+    def _audio_family():
+        # round-15: the audio arm — energy-difference fingerprints over the
+        # planted clip corpus, then the SAME banded machinery (hash_col='afp').
+        # Three consumers read the fingerprint frame — cut lineage once.
+        afps = audio_fingerprints(audio_evidence_clips(d)).localCheckpoint()
+        af = afps.select(
+            F.lit("afp").alias("op"),
+            F.col("aud_id").alias("doc_id"),
+            F.lit(0).alias("idx"),
+            F.col("sample_rate").alias("width"),
+            F.col("n_samples").cast("int").alias("height"),
+            F.col("afp").alias("checksum"),
+        )
+        ap = audio_near_dup_pairs(afps).select(
+            F.lit("apair").alias("op"),
+            F.col("img_a").alias("doc_id"),
+            F.col("dist").cast("int").alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("img_b").alias("checksum"),
+        )
+        ad = audio_dedup(afps, strategy="minpair").select(
+            F.lit("adedup").alias("op"),
+            F.col("img_id").alias("doc_id"),
+            F.col("dist").cast("int").alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("dup_of").alias("checksum"),
+        )
+        # round-17: op='aprobe'/'anovel' — the PERSISTED audio-index
+        # lifecycle (operators/afp_index.py), the image family's
+        # build→extend→probe discipline under the audio meta pin.
+        from .afp_index import (
+            afp_against_index,
+            build_afp_index,
+            extend_afp_index,
+            novel_clips,
+        )
+
+        a_base = afps.filter(F.col("aud_id") < PHASH_UP_OFFSET)
+        a_var = afps.filter(F.col("aud_id") >= PHASH_UP_OFFSET)
+
+        def _aidx_build(path):
+            build_afp_index(
+                a_base.filter(F.col("aud_id") % 2 == 0), path, n_files=4
+            )
+            extend_afp_index(
+                a_base.filter(F.col("aud_id") % 2 == 1), path, epoch=7
+            )
+            # one probe materialization serves matches AND the novel anti-join
+            m = afp_against_index(a_var, path).localCheckpoint()
+            return m, novel_clips(a_var, m).select("aud_id")
+
+        amatches, anovel_df = with_slot_scratch("afp-idx-slot-", _aidx_build)
+        aprobe = amatches.select(
+            F.lit("aprobe").alias("op"),
+            F.col("aud_id").alias("doc_id"),
+            F.col("dist").cast("int").alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("matched_aud_id").alias("checksum"),
+        )
+        anovel = anovel_df.select(
+            F.lit("anovel").alias("op"),
+            F.col("aud_id").alias("doc_id"),
+            F.lit(0).alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(None).cast("long").alias("checksum"),
+        )
+        return af, ap, ad, aprobe, anovel
+
+    def _video_family():
+        # round-16: the VIDEO arm — majority-pooled frame dHashes over the
+        # planted clip corpus, then the SAME banded machinery (hash_col=
+        # 'vfp').  Three consumers read the fingerprint frame — cut once.
+        vfps = video_fingerprints(video_evidence_clips(d)).localCheckpoint()
+        vf = vfps.select(
+            F.lit("vfp").alias("op"),
+            F.col("vid_id").alias("doc_id"),
+            F.lit(0).alias("idx"),
+            F.col("n_frames").cast("int").alias("width"),
+            F.col("n_sampled").cast("int").alias("height"),
+            F.col("vfp").alias("checksum"),
+        )
+        # pairs and attribution feed THREE consumers each (their op rows +
+        # the transitive-lineage clusters) — cut lineage once apiece
+        vpairs = phash_near_dup_pairs(
+            vfps, hash_col="vfp", id_col="vid_id"
+        ).localCheckpoint()
+        vatt = video_dedup(vfps, strategy="minpair").localCheckpoint()
+        vp = vpairs.select(
+            F.lit("vpair").alias("op"),
+            F.col("img_a").alias("doc_id"),
+            F.col("dist").cast("int").alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("img_b").alias("checksum"),
+        )
+        vd = vatt.select(
+            F.lit("vdedup").alias("op"),
+            F.col("img_id").alias("doc_id"),
+            F.col("dist").cast("int").alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("dup_of").alias("checksum"),
+        )
+        # round-17: op='vprobe'/'vnovel' — the persisted VIDEO-index
+        # lifecycle (operators/vfp_index.py), same discipline under the
+        # video grid pin.
+        from .vfp_index import (
+            build_vfp_index,
+            extend_vfp_index,
+            novel_videos,
+            vfp_against_index,
+        )
+
+        v_base = vfps.filter(F.col("vid_id") < VFP_DUP_OFFSET)
+        v_var = vfps.filter(F.col("vid_id") >= VFP_DUP_OFFSET)
+
+        def _vidx_build(path):
+            build_vfp_index(
+                v_base.filter(F.col("vid_id") % 2 == 0), path, n_files=4
+            )
+            extend_vfp_index(
+                v_base.filter(F.col("vid_id") % 2 == 1), path, epoch=7
+            )
+            # one probe materialization serves matches AND the novel anti-join
+            m = vfp_against_index(v_var, path).localCheckpoint()
+            return m, novel_videos(v_var, m).select("vid_id")
+
+        vmatches, vnovel_df = with_slot_scratch("vfp-idx-slot-", _vidx_build)
+        vprobe = vmatches.select(
+            F.lit("vprobe").alias("op"),
+            F.col("vid_id").alias("doc_id"),
+            F.col("dist").cast("int").alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("matched_vid_id").alias("checksum"),
+        )
+        vnovel = vnovel_df.select(
+            F.lit("vnovel").alias("op"),
+            F.col("vid_id").alias("doc_id"),
+            F.lit(0).alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(None).cast("long").alias("checksum"),
+        )
+        # round-17: op='vclust' — media_dup_clusters' transitive lineage
+        # (pairs + keep-first attribution → connected_components min-id
+        # labels) under the hash gate, over the video evidence corpus.
+        vcl = media_dup_clusters(vpairs, vatt).select(
+            F.lit("vclust").alias("op"),
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("idx"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("component").alias("checksum"),
+        )
+        return vf, vp, vd, vprobe, vnovel, vcl
+
+    def _mac_family():
+        # round-16: op='macct'/'ddrop' — the dedup_media_corpus accounting
+        # reconciliation and decode_drop_report under the hash gate (VERDICT
+        # r15 #5).  The one-call pipeline runs its REAL staged chain (byte
+        # collapse before decode, default 'auto' strategy — the gate covers
+        # the new default) over the planted corpus; the driver-side stage
+        # counts land as integer rows the oracle re-derives independently.
+        macsel = (
+            d.groupBy("text")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .filter(F.col("doc_id") % MACCT_SEL_MOD == 0)
+            .select("doc_id", "text")
+        )
+        mac_base = (
+            with_bmp_payload(macsel)
+            .select(F.col("doc_id").alias("img_id"), "payload")
+            .localCheckpoint()  # corpus union + copies arm + ddrop input
+        )
+        mac_copies = mac_base.filter(F.col("img_id") % 2 == 0).select(
+            (F.col("img_id") + MACCT_COPY_OFFSET).alias("img_id"), "payload"
+        )
+        mac_garbage = d.filter(F.col("doc_id") % MACCT_GARB_MOD == 0).select(
+            (F.col("doc_id") + MACCT_GARB_OFFSET).alias("img_id"),
+            F.encode(
+                F.concat_ws(
+                    ":", F.lit("not-a-bmp"), F.col("doc_id").cast("string")
+                ),
+                "utf-8",
+            ).alias("payload"),
+        )
+        mac_acct: list = []
+        dedup_media_corpus(
+            mac_base.unionAll(mac_copies).unionAll(mac_garbage),
+            "image",
+            accounting=mac_acct,
+        )
+        macct = spark.createDataFrame(
+            [
+                ("macct", int(n), _MACCT_ORD[stage], 0, 0, None)
+                for stage, n in mac_acct
+            ],
+            schema=(
+                "op string, doc_id long, idx int, width int, height int, "
+                "checksum long"
             ),
-            "utf-8",
-        ).alias("payload"),
-    )
-    mac_acct: list = []
-    dedup_media_corpus(
-        mac_base.unionAll(mac_copies).unionAll(mac_garbage),
-        "image",
-        accounting=mac_acct,
-    )
-    macct = spark.createDataFrame(
-        [
-            ("macct", int(n), _MACCT_ORD[stage], 0, 0, None)
-            for stage, n in mac_acct
-        ],
-        schema=(
-            "op string, doc_id long, idx int, width int, height int, "
-            "checksum long"
-        ),
-    )
-    ddr_in = mac_copies.unionAll(mac_garbage)
-    ddr = decode_drop_report(ddr_in, image_hashes(ddr_in), "img_id").select(
-        F.lit("ddrop").alias("op"),
-        F.col("n_input").cast("long").alias("doc_id"),
-        F.lit(0).alias("idx"),
-        F.col("n_decoded").cast("int").alias("width"),
-        F.col("n_dropped").cast("int").alias("height"),
-        F.lit(None).cast("long").alias("checksum"),
-    )
+        )
+        ddr_in = mac_copies.unionAll(mac_garbage)
+        ddr = decode_drop_report(ddr_in, image_hashes(ddr_in), "img_id").select(
+            F.lit("ddrop").alias("op"),
+            F.col("n_input").cast("long").alias("doc_id"),
+            F.lit(0).alias("idx"),
+            F.col("n_decoded").cast("int").alias("width"),
+            F.col("n_dropped").cast("int").alias("height"),
+            F.lit(None).cast("long").alias("checksum"),
+        )
+        return macct, ddr
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_img = pool.submit(_image_family)
+        fut_aud = pool.submit(_audio_family)
+        fut_vid = pool.submit(_video_family)
+        macct, ddr = _mac_family()
+        dh, ah, pdup, pded, pprobe, pnovel = fut_img.result()
+        af, ap, ad, aprobe, anovel = fut_aud.result()
+        vf, vp, vd, vprobe, vnovel, vcl = fut_vid.result()
+
     return (
         rs.unionAll(fr).unionAll(dh).unionAll(ah).unionAll(pdup)
         .unionAll(pded).unionAll(pprobe).unionAll(pnovel)

@@ -938,8 +938,21 @@ def ann_topk_lsh_pq(
     k×mult-row join against the cold full-vector store rather than a
     candidate-set-sized one.  Pass ``index=build_lsh_index(e)`` and
     ``pq=build_pq_index(e)`` to amortize both ingest passes."""
-    bucketed = index if index is not None else build_lsh_index(e)
-    codebook, codes = pq if pq is not None else build_pq_index(e)
+    if index is None and pq is None:
+        # both ingest artifacts need building and are independent —
+        # overlap them from a driver thread (guide §2.6); the LSH
+        # checkpoint build back-fills executors idled by the PQ build's
+        # driver-side Lloyd collects.  Deterministic builds: overlap
+        # cannot change any result row.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(build_lsh_index, e)
+            codebook, codes = build_pq_index(e)
+            bucketed = fut.result()
+    else:
+        bucketed = index if index is not None else build_lsh_index(e)
+        codebook, codes = pq if pq is not None else build_pq_index(e)
     probe = bucketed.filter(F.col("vec_id") == query_vec_id).collect()[0]
     qvec = [int(x) for x in probe["q"]]
     cand_ids = _lsh_candidate_ids(bucketed, probe, query_vec_id)
